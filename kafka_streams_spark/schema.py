@@ -1,0 +1,74 @@
+"""Schemas and schema-on-read JSON helpers.
+
+Reference data model: a single domain type PaymentEvent
+(reference: src/main/java/demo/kafka/streams/event/PaymentEvent.java:12-25)
+with String key + JSON value on the wire
+(JsonSerializer.java:20-29 / JsonDeserializer.java:23-32). Lenient
+semantics preserved: unknown JSON fields ignored, missing fields -> null
+(JsonMapper.java:13). Amounts are integral units (Java Long), not decimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# PaymentEvent.java:12-25 — field-for-field. `key` is the Kafka record key
+# (tests key by paymentId, PaymentTopologyTest.java:87).
+PAYMENT_SCHEMA = StructType(
+    [
+        StructField("paymentId", StringType()),
+        StructField("amount", LongType()),
+        StructField("currency", StringType()),
+        StructField("toAccount", StringType()),
+        StructField("fromAccount", StringType()),
+        StructField("rails", StringType()),
+    ]
+)
+
+PAYMENT_FIELDS = [f.name for f in PAYMENT_SCHEMA.fields]
+
+# Enum domains: Currency.java:3-6, Rails.java:3-7.
+CURRENCY_GBP = "GBP"
+CURRENCY_USD = "USD"
+RAILS_FOO = "BANK_RAILS_FOO"
+RAILS_BAR = "BANK_RAILS_BAR"
+RAILS_XXX = "BANK_RAILS_XXX"
+SUPPORTED_RAILS = [RAILS_FOO, RAILS_BAR]  # PaymentTopology.java:33
+
+
+def payment_from_json(value: Column) -> Column:
+    """bytes/string JSON -> PaymentEvent struct.
+
+    Matches JsonDeserializer.java:23-32 semantics, except malformed JSON
+    yields a null struct instead of killing the stream (documented
+    difference, SURVEY.md §1.3); unknown fields ignored, missing -> null.
+    """
+    return F.from_json(value.cast("string"), PAYMENT_SCHEMA)
+
+
+def payment_to_json(df_or_prefix: DataFrame | None = None) -> Column:
+    """PaymentEvent columns -> JSON string with pinned field order
+    (JsonSerializer.java:20-29; order pinned for byte-stable goldens)."""
+    return F.to_json(F.struct(*[F.col(c) for c in PAYMENT_FIELDS]))
+
+
+def parse_payment_stream(raw: DataFrame) -> DataFrame:
+    """Kafka-shaped (key binary, value binary) -> flat payment DataFrame.
+
+    Spark analog of the source scan Consumed.with(String, PaymentSerdes)
+    (PaymentTopology.java:41-42). Null payloads stay null rows upstream of
+    the struct expansion (JsonDeserializer.java:24-25) and are dropped here,
+    matching "null record -> no output".
+    """
+    parsed = raw.select(
+        F.col("key").cast("string").alias("key"),
+        payment_from_json(F.col("value")).alias("p"),
+    )
+    return parsed.filter(F.col("p").isNotNull()).select("key", "p.*")

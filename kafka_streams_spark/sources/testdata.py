@@ -1,0 +1,90 @@
+"""Readers for the driver's parquet testdata and the events→payments
+mapping used to exercise the reference topology on driver data.
+
+FIXTURES.md §5 directs: reference-parity operators run against `events`
+shaped as payments (event_type ↔ rails/currency domains, user_id ↔
+fromAccount, value ↔ amount). The mapping below is deterministic and
+expressed identically in the DataFrame API (engine) and ANSI SQL
+(DuckDB oracle); `tests/test_testdata_mapping.py` pins their equality.
+
+Cross-engine-safe constructs only:
+- minor-units amount via ``floor(value*100 + 0.5)`` (cast of a raw double
+  to bigint TRUNCATES in Spark but ROUNDS in DuckDB — never cast raw);
+- modulo on bigint, string concat with ||-equivalent `concat`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Parquet scan → Catalyst gets pushdown,
+    pruning, and split-based parallelism for free.
+
+    `events.ts` is physically TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; `nanosAsLong` (set at runtime so it also holds
+    under the driver's session) reads it as epoch-nanos long. Event-time
+    operators derive buckets from the integer nanos — exact in both Spark
+    and DuckDB (`epoch_ns(ts)`), no ns→µs truncation ambiguity.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Kept textually close to the DataFrame version below; used as a CTE by the
+# DuckDB oracle so both engines compute payments from the same recipe.
+PAYMENTS_FROM_EVENTS_SQL = """
+SELECT
+    CAST(event_id AS VARCHAR)               AS key,
+    CAST(event_id AS VARCHAR)               AS paymentId,
+    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS amount,
+    CASE WHEN event_id % 3 = 0 THEN 'USD' ELSE 'GBP' END AS currency,
+    'ACC-' || CAST((user_id + 7) % 20 AS VARCHAR) AS toAccount,
+    'ACC-' || CAST(user_id AS VARCHAR)      AS fromAccount,
+    CASE event_type
+        WHEN 'purchase' THEN 'BANK_RAILS_FOO'
+        WHEN 'view'     THEN 'BANK_RAILS_FOO'
+        WHEN 'click'    THEN 'BANK_RAILS_BAR'
+        WHEN 'signup'   THEN 'BANK_RAILS_BAR'
+        ELSE 'BANK_RAILS_XXX'
+    END                                     AS rails
+FROM events
+"""
+
+
+def payments_from_events(events: DataFrame) -> DataFrame:
+    """DataFrame twin of PAYMENTS_FROM_EVENTS_SQL (pure Column exprs,
+    narrow projection — no shuffle, fully pushdown-friendly)."""
+    eid_str = F.col("event_id").cast("string")
+    return events.select(
+        eid_str.alias("key"),
+        eid_str.alias("paymentId"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("amount"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("USD"))
+        .otherwise(F.lit("GBP"))
+        .alias("currency"),
+        F.concat(F.lit("ACC-"), ((F.col("user_id") + 7) % 20).cast("string")).alias(
+            "toAccount"
+        ),
+        F.concat(F.lit("ACC-"), F.col("user_id").cast("string")).alias("fromAccount"),
+        F.when(F.col("event_type").isin("purchase", "view"), F.lit("BANK_RAILS_FOO"))
+        .when(F.col("event_type").isin("click", "signup"), F.lit("BANK_RAILS_BAR"))
+        .otherwise(F.lit("BANK_RAILS_XXX"))
+        .alias("rails"),
+    )
