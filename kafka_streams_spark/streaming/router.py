@@ -1,0 +1,156 @@
+"""Structured Streaming wrapper for the payment topology.
+
+The reference topology fans out: one consumed stream feeds BOTH the balance
+aggregation and the two outbound-topic sinks (PaymentTopology.java:75-97),
+reading the input once. Structured Streaming allows one sink per query, so
+a naive port runs three queries and reads the source thrice. This router
+keeps the reference's single-read property: ONE streaming query whose
+``foreachBatch`` persists the transformed micro-batch and performs all
+three writes (SURVEY.md §4.2).
+
+State design — the balance store as a changelog:
+Kafka Streams materializes the running sum in a local RocksDB store backed
+by a changelog topic (PaymentTopology.java:88). The Spark-native analog
+here is log-structured: each micro-batch writes its per-account *deltas*
+to ``balance_delta/ingest_batch=<id>/`` with dynamic partition overwrite.
+Replayed batches (restart from checkpoint) overwrite their own partition —
+idempotent, so balances are exactly-once even though the stream itself is
+at-least-once (matching the reference, which also runs without EOS —
+KafkaStreamsDemoConfiguration.java:39-47 sets no processing.guarantee).
+A balance lookup is ``SUM(delta) WHERE fromAccount = x`` over the delta
+log; at 100 TB the log is partitioned by account hash-bucket so the scan
+prunes to one bucket, and a periodic compaction folds old batches into a
+base snapshot (same role as RocksDB compaction over the changelog).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kafka_streams_spark.operators.payments import (
+    account_balances,
+    branch_by_currency,
+    branch_by_rails,
+    filter_supported_rails,
+    fx_convert_usd_to_gbp,
+    merge,
+)
+from kafka_streams_spark.schema import PAYMENT_SCHEMA
+
+N_BALANCE_BUCKETS = 64  # account-hash buckets for pruned point lookups
+
+
+def _transform(payments: DataFrame) -> DataFrame:
+    routed = filter_supported_rails(payments)
+    gbp, usd = branch_by_currency(routed)
+    return merge(gbp, fx_convert_usd_to_gbp(usd))
+
+
+def run_payment_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 100,
+) -> StreamingQuery:
+    """Start the full topology as one streaming query over a JSON file
+    source (the offline stand-in for the Kafka source — swap
+    ``readStream.format("kafka")`` in for production; the transform and
+    router are source-agnostic).
+
+    Sinks under ``out_dir``: ``rails_foo/`` and ``rails_bar/`` (append
+    parquet — the outbound topics) and ``balance_delta/`` (the changelog).
+    """
+    raw = (
+        spark.readStream.schema(PAYMENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    foo_dir = os.path.join(out_dir, "rails_foo")
+    bar_dir = os.path.join(out_dir, "rails_bar")
+    delta_dir = os.path.join(out_dir, "balance_delta")
+
+    def route_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merged = _transform(batch_df)
+        merged.persist()  # read-once fan-out: 3 writes, 1 computation
+        try:
+            foo, bar = branch_by_rails(merged)
+            # Outbound "topics": append, batchId column makes replays
+            # diagnosable (at-least-once, same as the reference).
+            foo.withColumn("ingest_batch", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(foo_dir)
+            bar.withColumn("ingest_batch", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(bar_dir)
+            # Changelog: per-batch deltas, partition-overwrite => replaying
+            # a batch after crash rewrites the same partition (idempotent).
+            deltas = account_balances(merged).withColumnRenamed(
+                "balance", "delta"
+            )
+            (
+                deltas.withColumn(
+                    "bucket", F.crc32(F.col("fromAccount")) % N_BALANCE_BUCKETS
+                )
+                .withColumn("ingest_batch", F.lit(batch_id))
+                .repartition(1)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(delta_dir)
+            )
+        finally:
+            merged.unpersist()
+
+    return (
+        raw.writeStream.foreachBatch(route_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+
+class BalanceView:
+    """Interactive-query surface over the balance changelog — the analog of
+    the reference's REST store lookup (BalanceController.java:22-35).
+
+    ``get_balance`` returns None for accounts that never sent (the 404
+    case), never 0. The bucket predicate prunes the scan to 1/64th of the
+    log; partition pruning on parquet makes the lookup O(one bucket), not
+    O(state).
+    """
+
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self._spark = spark
+        self._delta_dir = os.path.join(out_dir, "balance_delta")
+
+    def balances(self) -> DataFrame:
+        """Full materialized view: SUM(delta) per account over the log."""
+        return (
+            self._spark.read.parquet(self._delta_dir)
+            .groupBy("fromAccount")
+            .agg(F.sum("delta").alias("balance"))
+        )
+
+    def get_balance(self, account: str):
+        df = self._spark.read.parquet(self._delta_dir)
+        rows = (
+            df.filter(
+                (F.col("bucket") == F.crc32(F.lit(account)) % N_BALANCE_BUCKETS)
+                & (F.col("fromAccount") == account)
+            )
+            .groupBy("fromAccount")
+            .agg(F.sum("delta").alias("balance"))
+            .collect()
+        )
+        return rows[0]["balance"] if rows else None
+
+    def describe_topology(self) -> str:
+        """Topology-endpoint parity (TopologyController.java:20-23): the
+        textual plan of the materialized-balances query."""
+        return self.balances()._jdf.queryExecution().toString()
