@@ -1,15 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``queries()`` exposes every implemented operator from SURVEY.md §2 as a
-(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the DuckDB
-twin. Reference-parity operators run against the `events` table shaped as
-payments (FIXTURES.md §5); extended operators use documents/embeddings.
-
-Cross-engine determinism rules used throughout (see kafka_streams_spark.
-functions.numeric): money aggregates are DECIMAL (exact, order-independent
-— double sums would differ in last ulps between a parallel Spark sum and a
-serial DuckDB sum); Java Math.round == floor(x+0.5); DuckDB SUM(BIGINT)
-is cast back to BIGINT to match Spark's long.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (and
+the §2.5 north-star extensions) as (spark, sf_dir) -> DataFrame
+callables; ``oracle_sql()`` gives each one's DuckDB twin (see
+kafka_streams_spark/oracles.py for the cross-engine determinism rules).
+Reference-parity operators run against `events` shaped as payments
+(FIXTURES.md §5); extended operators use documents/embeddings; sketch/
+LSH-randomized operators are registered without oracles (rows-only
+check, as the contract allows for non-SQL-expressible ops).
 """
 
 from __future__ import annotations
@@ -17,11 +15,8 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-
-# ---------------------------------------------------------------------------
-# payments pipeline (reference parity, SURVEY.md §2.1)
-# ---------------------------------------------------------------------------
 
 def _payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_spark.sources.testdata import load_table, payments_from_events
@@ -29,48 +24,7 @@ def _payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payments_from_events(load_table(spark, sf_dir, "events"))
 
 
-def _q_payments_source(spark, sf_dir):
-    return _payments(spark, sf_dir)
-
-
-def _q_filter_rails(spark, sf_dir):
-    from kafka_streams_spark.operators.payments import filter_supported_rails
-
-    return filter_supported_rails(_payments(spark, sf_dir))
-
-
-def _q_branch_gbp(spark, sf_dir):
-    from kafka_streams_spark.operators.payments import (
-        branch_by_currency,
-        filter_supported_rails,
-    )
-
-    gbp, _ = branch_by_currency(filter_supported_rails(_payments(spark, sf_dir)))
-    return gbp
-
-
-def _q_branch_usd(spark, sf_dir):
-    from kafka_streams_spark.operators.payments import (
-        branch_by_currency,
-        filter_supported_rails,
-    )
-
-    _, usd = branch_by_currency(filter_supported_rails(_payments(spark, sf_dir)))
-    return usd
-
-
-def _q_fx_convert(spark, sf_dir):
-    from kafka_streams_spark.operators.payments import (
-        branch_by_currency,
-        filter_supported_rails,
-        fx_convert_usd_to_gbp,
-    )
-
-    _, usd = branch_by_currency(filter_supported_rails(_payments(spark, sf_dir)))
-    return fx_convert_usd_to_gbp(usd)
-
-
-def _merged(spark, sf_dir):
+def _merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_spark.operators.payments import (
         branch_by_currency,
         filter_supported_rails,
@@ -82,22 +36,57 @@ def _merged(spark, sf_dir):
     return merge(gbp, fx_convert_usd_to_gbp(usd))
 
 
-def _q_merged(spark, sf_dir):
-    return _merged(spark, sf_dir)
+def _docs(spark, sf_dir):
+    from kafka_streams_spark.sources.testdata import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    from kafka_streams_spark.sources.testdata import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# payments pipeline (reference parity, SURVEY.md §2.1)
+# --------------------------------------------------------------------------
+
+
+def _q_filter_rails(spark, sf_dir):
+    from kafka_streams_spark.operators.payments import filter_supported_rails
+
+    return filter_supported_rails(_payments(spark, sf_dir))
+
+
+def _q_branch_gbp(spark, sf_dir):
+    from kafka_streams_spark.operators.payments import branch_by_currency
+
+    return branch_by_currency(_q_filter_rails(spark, sf_dir))[0]
+
+
+def _q_branch_usd(spark, sf_dir):
+    from kafka_streams_spark.operators.payments import branch_by_currency
+
+    return branch_by_currency(_q_filter_rails(spark, sf_dir))[1]
+
+
+def _q_fx_convert(spark, sf_dir):
+    from kafka_streams_spark.operators.payments import fx_convert_usd_to_gbp
+
+    return fx_convert_usd_to_gbp(_q_branch_usd(spark, sf_dir))
 
 
 def _q_rails_foo(spark, sf_dir):
     from kafka_streams_spark.operators.payments import branch_by_rails
 
-    foo, _ = branch_by_rails(_merged(spark, sf_dir))
-    return foo
+    return branch_by_rails(_merged(spark, sf_dir))[0]
 
 
 def _q_rails_bar(spark, sf_dir):
     from kafka_streams_spark.operators.payments import branch_by_rails
 
-    _, bar = branch_by_rails(_merged(spark, sf_dir))
-    return bar
+    return branch_by_rails(_merged(spark, sf_dir))[1]
 
 
 def _q_balances(spark, sf_dir):
@@ -106,9 +95,125 @@ def _q_balances(spark, sf_dir):
     return account_balances(_merged(spark, sf_dir))
 
 
-# ---------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# text / dedup / similarity / multimodal
+# --------------------------------------------------------------------------
+
+
+def _q_doc_stats(spark, sf_dir):
+    from kafka_streams_spark.operators.text import doc_stats
+
+    return doc_stats(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    from kafka_streams_spark.operators.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_language_id(spark, sf_dir):
+    from kafka_streams_spark.operators.text import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from kafka_streams_spark.operators.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from kafka_streams_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir), ["text"], "doc_id")
+
+
+def _q_dedup_exact_rows(spark, sf_dir):
+    from kafka_streams_spark.operators.dedup import dedup_exact_rows
+
+    return dedup_exact_rows(_docs(spark, sf_dir), ["text"], "doc_id")
+
+
+def _q_token_jaccard(spark, sf_dir):
+    from kafka_streams_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=1, threshold=0.8, block_col="source"
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from kafka_streams_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=2, threshold=0.5, block_col="source"
+    )
+
+
+def _q_minhash_nd(spark, sf_dir):
+    from kafka_streams_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_simhash_nd(spark, sf_dir):
+    from kafka_streams_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_knn_vec0(spark, sf_dir):
+    from kafka_streams_spark.operators.similarity import knn_to_id
+
+    return knn_to_id(_embs(spark, sf_dir), query_id=0, k=10)
+
+
+def _q_knn_lsh_vec0(spark, sf_dir):
+    from kafka_streams_spark.operators.similarity import build_lsh_index, knn_lsh
+
+    emb = _embs(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    indexed, planes = build_lsh_index(emb, dim=64, n_planes=6)
+    return knn_lsh(indexed, planes, qvec, k=10, multiprobe_hamming=2)
+
+
+def _q_emb_near_dup(spark, sf_dir):
+    from kafka_streams_spark.operators.similarity import exact_pairs_cosine
+
+    pairs = exact_pairs_cosine(_embs(spark, sf_dir), threshold=0.3, block_col="label")
+    return pairs.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+def _q_emb_near_dup_lsh(spark, sf_dir):
+    from kafka_streams_spark.operators.similarity import embedding_near_duplicates
+
+    return embedding_near_duplicates(_embs(spark, sf_dir), threshold=0.3, n_planes=6)
+
+
+def _q_media_features(spark, sf_dir):
+    from kafka_streams_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_media,
+    )
+
+    return extract_image_features(synthesize_media(spark, 200), codec="fake")
+
+
+def _q_media_frames(spark, sf_dir):
+    from kafka_streams_spark.operators.multimodal import (
+        sample_video_frames,
+        synthesize_media,
+    )
+
+    return sample_video_frames(synthesize_media(spark, 200), every_nth=10, codec="fake")
+
+
+# --------------------------------------------------------------------------
 # contract entry points
-# ---------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: per-account balances of the full payment topology
@@ -117,73 +222,53 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from kafka_streams_spark.operators import analytics as A
+
     return {
-        "payments_source": _q_payments_source,
+        # reference-parity payment topology
+        "payments_source": _payments,
         "payments_filter_rails": _q_filter_rails,
         "payments_branch_gbp": _q_branch_gbp,
         "payments_branch_usd": _q_branch_usd,
         "payments_fx_convert": _q_fx_convert,
-        "payments_merged": _q_merged,
+        "payments_merged": _merged,
         "payments_rails_foo": _q_rails_foo,
         "payments_rails_bar": _q_rails_bar,
         "payments_balances": _q_balances,
+        # relational analytics
+        "q1_pricing_summary": A.q1_pricing_summary,
+        "q3_shipping_priority": A.q3_shipping_priority,
+        "q5_regional_revenue": A.q5_regional_revenue,
+        "top_orders_per_customer": A.top_orders_per_customer,
+        "order_count_by_status": A.order_count_by_status,
+        "events_hourly": A.events_hourly,
+        "sessionize_events": A.sessionize_events,
+        "distinct_users_by_type": A.distinct_users_by_type,
+        "approx_users_by_type": A.approx_users_by_type,  # sketch: rows-only
+        # text analysis
+        "doc_stats": _q_doc_stats,
+        "quality_score": _q_quality,
+        "language_id": _q_language_id,
+        "fingerprint": _q_fingerprint,
+        # dedup
+        "dedup_exact": _q_dedup_exact,
+        "dedup_exact_rows": _q_dedup_exact_rows,
+        "dedup_token_jaccard": _q_token_jaccard,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_minhash_lsh": _q_minhash_nd,  # salted-hash LSH: rows-only
+        "dedup_simhash": _q_simhash_nd,  # xxhash64-based: rows-only
+        # similarity search
+        "knn_vec0": _q_knn_vec0,
+        "knn_lsh_vec0": _q_knn_lsh_vec0,  # randomized probe set: rows-only
+        "emb_near_dup_exact": _q_emb_near_dup,
+        "emb_near_dup_lsh": _q_emb_near_dup_lsh,  # rows-only
+        # multimodal plumbing (deterministic fake codec)
+        "media_image_features": _q_media_features,
+        "media_video_frames": _q_media_frames,
     }
-
-
-# ---------------------------------------------------------------------------
-# DuckDB oracles
-# ---------------------------------------------------------------------------
-
-def _payments_cte() -> str:
-    from kafka_streams_spark.sources.testdata import PAYMENTS_FROM_EVENTS_SQL
-
-    return f"WITH payments AS ({PAYMENTS_FROM_EVENTS_SQL})"
-
-_FILTERED = (
-    "SELECT * FROM payments WHERE rails IN ('BANK_RAILS_FOO', 'BANK_RAILS_BAR')"
-)
-_FX = """
-SELECT key, paymentId,
-       CAST(FLOOR(amount * 0.8 + 0.5) AS BIGINT) AS amount,
-       'GBP' AS currency, toAccount, fromAccount, rails
-FROM usd
-"""
-_MERGED_CTES = f"""
-filtered AS ({_FILTERED}),
-gbp AS (SELECT * FROM filtered WHERE currency = 'GBP'),
-usd AS (SELECT * FROM filtered WHERE currency = 'USD'),
-fx AS ({_FX}),
-merged AS (SELECT * FROM gbp UNION ALL SELECT * FROM fx)
-"""
 
 
 def oracle_sql() -> dict[str, str]:
-    p = _payments_cte()
-    return {
-        "payments_source": f"{p} SELECT * FROM payments",
-        "payments_filter_rails": f"{p}, filtered AS ({_FILTERED}) SELECT * FROM filtered",
-        "payments_branch_gbp": (
-            f"{p}, filtered AS ({_FILTERED}) "
-            "SELECT * FROM filtered WHERE currency = 'GBP'"
-        ),
-        "payments_branch_usd": (
-            f"{p}, filtered AS ({_FILTERED}) "
-            "SELECT * FROM filtered WHERE currency = 'USD'"
-        ),
-        "payments_fx_convert": (
-            f"{p}, filtered AS ({_FILTERED}), "
-            f"usd AS (SELECT * FROM filtered WHERE currency = 'USD') {_FX}"
-        ),
-        "payments_merged": f"{p}, {_MERGED_CTES} SELECT * FROM merged",
-        "payments_rails_foo": (
-            f"{p}, {_MERGED_CTES} SELECT * FROM merged WHERE rails = 'BANK_RAILS_FOO'"
-        ),
-        "payments_rails_bar": (
-            f"{p}, {_MERGED_CTES} SELECT * FROM merged WHERE rails = 'BANK_RAILS_BAR'"
-        ),
-        "payments_balances": (
-            f"{p}, {_MERGED_CTES} "
-            "SELECT fromAccount, CAST(SUM(amount) AS BIGINT) AS balance "
-            "FROM merged GROUP BY fromAccount"
-        ),
-    }
+    from kafka_streams_spark.oracles import ALL_ORACLES
+
+    return dict(ALL_ORACLES)

@@ -1,0 +1,188 @@
+"""Relational analytics over the TPC-H-ish testdata — the breadth layer
+of the engine (joins, grouped aggregation, windows, top-k, event-time
+bucketing) that the reference's DSL lacks entirely (SURVEY.md §2.4) but
+any replacement engine needs.
+
+Cross-engine determinism: every money aggregate runs on DECIMAL(18,2)
+inputs (exact + associative → identical under any partitioning; double
+sums would drift in the last ulps vs a serial DuckDB run). Join shapes:
+dimension tables are broadcast (no shuffle of the fact side's rows);
+fact-fact joins shuffle on the join key and rely on AQE for skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from kafka_streams_spark.sources.testdata import load_table
+
+DEC = "decimal(18,2)"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped aggregate scan of lineitem with a date
+    filter. The filter and the 7-column projection both push to the
+    parquet scan; sums are map-side partial."""
+    l = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    qty = F.col("l_quantity").cast(DEC)
+    # Re-cast each product to a small decimal before the next multiply:
+    # chaining three decimal(18,2) multiplies exceeds precision 38, where
+    # Spark silently rescales (allowPrecisionLoss) and DuckDB errors —
+    # the intermediate casts keep both engines in exact arithmetic.
+    disc_price = (price * (F.lit(1).cast(DEC) - disc)).cast("decimal(18,4)")
+    charge = (disc_price * (F.lit(1).cast(DEC) + tax)).cast("decimal(18,6)")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str, segment: str = "BUILDING") -> DataFrame:
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with selective
+    filters. customer is a dimension → broadcast; orders⋈lineitem
+    shuffles on orderkey. Top-10 via TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == segment)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    return (
+        l.join(broadcast(o.join(broadcast(c), o.o_custkey == c.c_custkey)), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            F.col("l_orderkey"),
+            F.col("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_orderpriority"),
+        )
+    )
+
+
+def q5_regional_revenue(spark: SparkSession, sf_dir: str, region: str = "ASIA") -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through the dimension chain
+    region→nation→{customer,supplier}→orders→lineitem. Every dimension
+    side is broadcast — the only shuffles are the fact-side groupBy and
+    the orders⋈lineitem key exchange."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    nr = n.join(broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            broadcast(nr),
+            (c.c_nationkey == F.col("n_nationkey")) & (s.s_nationkey == F.col("n_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k per group via window rank — one shuffle on the partition key,
+    per-partition sort, no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def order_count_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(38,2)").alias("total_value"),
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation on event time. `ts` arrives as
+    epoch-nanos long (see load_table); the hour bucket is integer
+    division — exact, and identical to DuckDB's epoch_ns(ts)//3.6e12.
+    In streaming mode the same expression under a watermark gives the
+    windowed aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    # `div` = exact integer division on longs. A `/` here would round-trip
+    # through double: epoch-nanos (~1.7e18) exceed double's 53-bit mantissa
+    # and hour buckets could come out off-by-one at boundaries.
+    hour = F.expr("ts div 3600000000000")
+    return e.groupBy(hour.alias("epoch_hour"), F.col("event_type")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("decimal(38,2)").alias("total_value"),
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's gap
+    from their previous event exceeds `gap_minutes`. Classic
+    lag + cumulative-sum-over-window formulation — one shuffle on
+    user_id, sessions assigned without any self-join. Batch analog of
+    Structured Streaming's session windows."""
+    e = load_table(spark, sf_dir, "events")
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(
+        (F.col("ts") - F.lag("ts").over(w_user)) > gap_ns, 1
+    ).otherwise(0)
+    with_sess = e.withColumn(
+        "session_seq",
+        F.sum(F.coalesce(is_new, F.lit(0))).over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        F.expr("(max(ts) - min(ts)) div 1000000").alias("duration_ms"),
+    )
+
+
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per type (the oracle-checkable variant;
+    `approx_users_by_type` is the HLL++ scale path)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def approx_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — constant memory per group at any
+    scale (the 100 TB path where exact distinct would shuffle every
+    (type,user) pair). Sketch-based, so no SQL oracle: the driver's
+    rows-only check applies."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx")
+    )

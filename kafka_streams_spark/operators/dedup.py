@@ -1,0 +1,313 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are pure Column expressions (JVM-side, whole-stage codegen)
+— no Python UDFs anywhere. Near-dup detection never materializes the
+O(n²) pair space: candidates come from LSH bucket self-joins (MinHash
+banding / SimHash chunking / hyperplane buckets), which at 100 TB is the
+difference between a shuffle of ~n·bands rows and an impossible cross
+join. Exact verification runs only on bucket-collision candidates.
+
+Capability lineage: the reference has no dedup operators; this is the
+north-star scope from BASELINE.json (LLM-data-pipeline operators), built
+on the `documents` / `embeddings` testdata tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per duplicate group.
+
+    A hash-shuffle groupBy with map-side partial min — one shuffle of the
+    key columns only. Deterministic winner (min id), unlike
+    ``dropDuplicates`` whose survivor is arrival-order dependent — that
+    matters for reproducible corpus builds.
+    """
+    keep = F.min(id_col).alias("keep_id")
+    return df.groupBy(*key_cols).agg(keep, F.count("*").alias("dup_count"))
+
+
+def dedup_exact_rows(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Return the surviving rows themselves (min-id winner per group).
+
+    Window-rank formulation: one shuffle, no self-join back.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling shared helpers (pure exprs)
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens with empties removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>.
+
+    Pure expression: slice a token array at every offset via transform
+    over a 0..len-n sequence. Docs shorter than n words yield the whole
+    doc as a single shingle (so they still participate).
+    """
+    toks = tokens(text)
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def token_set_jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two string arrays (assumed distinct elements)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs.
+
+    With ``block_col`` (e.g. `source`, a language, a length bucket) the
+    self-join runs per block — the O(n²) blowup is confined to blocks,
+    which is how exact verification stays feasible at scale. Without a
+    block column this is a full cross join: only for small candidate sets
+    (prefer :func:`minhash_lsh_candidates` to generate candidates first).
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    jac = token_set_jaccard(F.col("a.shingles"), F.col("b.shingles"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<bigint>: per hash function h, the min of
+    ``xxhash64(shingle, salt_h)`` over the doc's shingle set.
+
+    Salting by literal suffix gives `num_hashes` independent hash families
+    from one JVM-side xxhash64 — no Python, no per-row UDF. Codegen cost
+    grows with num_hashes; 64 keeps the generated method within JIT limits
+    while giving band/row configs like 16×4.
+    """
+    sh = word_shingles(text, shingle_n)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, h=h: F.xxhash64(F.concat(s, F.lit(f"#{h}"))))
+            )
+            for h in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash banding.
+
+    sig → split into `bands` bands of r = num_hashes/bands rows → hash
+    each band → explode → self-join on (band_idx, band_hash). Two docs
+    with Jaccard j collide w.p. 1-(1-j^r)^bands (S-curve): 16 bands × 4
+    rows targets the ~0.5+ similarity region.
+
+    Scale shape: the explode produces n·bands rows; the groupy self-join
+    shuffles on band hash — skew only if a band bucket is giant (i.e.
+    boilerplate-identical docs), which is exactly the skew AQE's skew-join
+    splitting handles. Output: distinct (id_a, id_b), id_a < id_b.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col), minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig")
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(",", *[F.element_at("sig", b * r + i + 1).cast("string") for i in range(r)])
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact shingle Jaccard.
+
+    The standard two-phase shape: cheap recall via banding, exact
+    precision via a join back to the shingle sets — only candidate pairs
+    pay the exact-Jaccard cost.
+    """
+    cands = minhash_lsh_candidates(docs, id_col, text_col, num_hashes, bands, shingle_n)
+    sh = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    )
+    return (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            token_set_jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document, entirely in Column expressions.
+
+    explode tokens → xxhash64 → per-bit ±1 contributions summed per doc →
+    sign vector reassembled into one bigint. The explode+groupBy is one
+    shuffle of (doc_id, token_hash) pairs with map-side partial sums; 64
+    conditional-sum aggregates stay inside codegen.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sig = sum(
+        (F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint")).otherwise(0) * F.lit(1 << i).cast("bigint"))
+        for i in range(SIMHASH_BITS - 1)  # bit 63 would overflow signed; fold below
+    ) + F.when(F.col(f"b{SIMHASH_BITS - 1}") > 0, F.lit(-(1 << 63)).cast("bigint")).otherwise(0)
+    return bit_sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ max_hamming between SimHashes.
+
+    Pigeonhole LSH: split 64 bits into (max_hamming+1) chunks — any pair
+    within distance d shares at least one exact chunk. Self-join on
+    (chunk_idx, chunk_value) — the same bucket-join shape as MinHash
+    banding, so no cross join. Hamming distance verified exactly via
+    bit_count(xor).
+    """
+    k = max_hamming + 1
+    width = SIMHASH_BITS // k
+    sigs = simhash(docs, id_col, text_col)
+    chunks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND((1 << width) - 1)
+                    for i in range(k)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,184 @@
+"""Multimodal column plumbing: images/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``
+operators.
+
+The Spark-side architecture here is real and tested — schemas, batch
+iteration, partition sizing, UDF signatures. The codec step itself is
+STUBBED (``decode_image`` raises unless given the deterministic fake
+codec) because the container ships no image/audio libraries; swap
+``_FAKE_CODEC`` for Pillow/torchaudio decoding without touching any
+Spark plumbing.
+
+Scale notes: binary payloads dominate row size, so
+``spark.sql.files.maxPartitionBytes`` (not row counts) governs task
+sizing; mapInPandas streams Arrow record batches, so a task never holds
+more than one batch of decoded media in Python memory. Keep
+``spark.sql.execution.arrow.maxRecordsPerBatch`` small (e.g. 64) for
+multi-MB payloads.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("format", StringType()),  # png, wav, mp4, ...
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),  # -1 when unknown pre-decode
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature_hex", StringType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> dict[str, Any]:
+    """Deterministic stand-in for a real image decode: derives shape and a
+    feature fingerprint purely from the md5 of the bytes. md5 + ascii
+    arithmetic only, so the DuckDB oracle can reproduce it exactly.
+    Replace with Pillow: ``img = PIL.Image.open(io.BytesIO(payload))``."""
+    import hashlib
+
+    h = hashlib.md5(payload).hexdigest()
+    return {
+        "width": 1 + (ord(h[0]) * 256 + ord(h[1])) % 1024,
+        "height": 1 + (ord(h[2]) * 256 + ord(h[3])) % 1024,
+        "feature_hex": h[:16],
+    }
+
+
+def decode_image(payload: bytes) -> dict[str, Any]:
+    """Real decode entry point — intentionally unimplemented in this
+    container (no Pillow/libjpeg). The engine-side contract is
+    bytes -> {width, height, payload_crc, feature_hash}."""
+    raise NotImplementedError(
+        "image decoding requires an image library not present in this "
+        "container; use codec='fake' for the deterministic test codec"
+    )
+
+
+def extract_image_features(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """Per-image feature extraction over Arrow batches.
+
+    mapInPandas (not a scalar pandas_udf) because decode fan-out may
+    change row multiplicity later (e.g. video frame sampling) and because
+    it lets us drop the payload column from the OUTPUT schema — the
+    binary bytes never travel past this operator (column pruning works
+    upstream: only `media_id` + `payload` are read from the scan).
+    """
+    if codec != "fake":
+        decode_image(b"")  # raises NotImplementedError with guidance
+
+    # NOTE: the closure below must stay self-contained (imports inside, no
+    # references to module globals). cloudpickle then ships it by VALUE to
+    # the Python workers — which cannot be assumed to have
+    # kafka_streams_spark importable on their own sys.path.
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        def decode(payload: bytes) -> dict:
+            h = hashlib.md5(payload).hexdigest()
+            return {
+                "width": 1 + (ord(h[0]) * 256 + ord(h[1])) % 1024,
+                "height": 1 + (ord(h[2]) * 256 + ord(h[3])) % 1024,
+                "feature_hex": h[:16],
+            }
+
+        for pdf in batches:
+            feats = [decode(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "feature_hex": [f["feature_hex"] for f in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        process, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def sample_video_frames(media: DataFrame, every_nth: int = 10, codec: str = "fake") -> DataFrame:
+    """Frame-sampling shape: one input row -> N output rows (frame index +
+    per-frame feature). Demonstrates the row-multiplying mapInPandas
+    contract real video decoding needs; frames here are synthesized
+    deterministically from the payload bytes."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_md5", StringType()),
+        ]
+    )
+    if codec != "fake":
+        raise NotImplementedError("real video decode not available in this container")
+
+    # self-contained closure — see note in extract_image_features
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, hs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n_frames = max(1, len(payload) // max(every_nth, 1))
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    chunk = payload[i * every_nth : (i + 1) * every_nth]
+                    hs.append(hashlib.md5(chunk).hexdigest())
+            yield _pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_md5": hs}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(process, schema=out_schema)
+
+
+def synthesize_media(spark, n: int = 100) -> DataFrame:
+    """Deterministic fake media table for tests: payload bytes derived
+    from media_id. Built distributed (spark.range), not driver-side."""
+    df = spark.range(n).withColumnRenamed("id", "media_id")
+    payload = F.encode(
+        F.concat(F.lit("media-payload-"), F.sha2(F.col("media_id").cast("string"), 256)),
+        "utf-8",
+    )
+    return df.select(
+        "media_id",
+        F.lit("image").alias("media_type"),
+        F.lit("fake").alias("format"),
+        payload.alias("payload"),
+        F.lit(-1).cast("int").alias("width"),
+        F.lit(-1).cast("int").alias("height"),
+        F.lit(0).cast("long").alias("duration_ms"),
+    )

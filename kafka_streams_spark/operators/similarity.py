@@ -1,0 +1,207 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline; hyperplane-LSH bucketing
+is the scale path (search touches one bucket instead of the full corpus).
+All vector math is JVM-side Column expressions (functions.vectors) — the
+64-dim dot product runs inside whole-stage codegen; nothing crosses the
+Python boundary per row.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_spark.functions.vectors import cosine_similarity, dot
+
+
+def _query_lit(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def knn_brute_force(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    orderBy(limit k) compiles to TakeOrderedAndProject — each partition
+    keeps a k-heap, the driver merges per-partition winners; no global
+    sort shuffle. Output: (vec_id, cosine_sim) descending.
+    """
+    scored = embeddings.select(
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), _query_lit(query_vec)).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def knn_to_id(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors of the corpus vector with id ``query_id`` —
+    the self-contained variant (query vector comes from the table itself
+    via a broadcast single-row cross join, so no driver collect and no
+    literal vector in the plan)."""
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("_sim"),
+    )
+    return (
+        scored.orderBy(F.col("_sim").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("_sim", 6).alias("cosine_sim"))
+    )
+
+
+def hyperplane_signature(
+    vec_col: Column, planes: list[list[float]]
+) -> Column:
+    """LSH bucket id: sign-bit signature of dot products against fixed
+    random hyperplanes, packed into one bigint."""
+    sig = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        sig = sig + F.when(dot(vec_col, _query_lit(p)) >= 0, F.lit(1 << i).cast("bigint")).otherwise(0)
+    return sig
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (driver-side, tiny — broadcast
+    as literals into the plan)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def build_lsh_index(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Assign every vector a hyperplane-LSH bucket.
+
+    At scale, write this out partitioned/bucketed by `bucket` so queries
+    prune to one file group: 2^n_planes buckets ≈ corpus/2^n per bucket.
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    indexed = embeddings.withColumn("bucket", hyperplane_signature(F.col(vec_col), planes))
+    return indexed, planes
+
+
+def knn_lsh(
+    indexed: DataFrame,
+    planes: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose bucket is within
+    `multiprobe_hamming` bit-flips of the query's bucket (multi-probe LSH
+    recovers recall lost to boundary effects without touching the rest of
+    the corpus). Bucket membership is a pushdown-able integer predicate.
+    """
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(p, query_vec)) >= 0:
+            qsig |= 1 << i
+    probes = [qsig]
+    if multiprobe_hamming >= 1:
+        probes += [qsig ^ (1 << i) for i in range(len(planes))]
+    if multiprobe_hamming >= 2:
+        probes += [
+            qsig ^ (1 << i) ^ (1 << j)
+            for i in range(len(planes))
+            for j in range(i + 1, len(planes))
+        ]
+    cand = indexed.filter(F.col("bucket").isin(probes))
+    return (
+        cand.select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), _query_lit(query_vec)).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold.
+
+    Candidates from an equi-join on LSH bucket (plus optional block
+    column) — high-cosine pairs land in the same bucket with probability
+    (1 - θ/π)^n_planes, and the equi-join keeps the shuffle keyed and
+    AQE-skew-splittable. Exact cosine verifies candidates. Output:
+    (id_a, id_b, cosine_sim), id_a < id_b.
+    """
+    indexed, _ = build_lsh_index(embeddings, dim, n_planes, seed, vec_col)
+    a = indexed.alias("a")
+    b = indexed.alias("b")
+    cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    sim = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def exact_pairs_cosine(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact blocked all-pairs cosine (the oracle-checkable variant —
+    no LSH randomness). Blocked self-join only; at scale the block column
+    (label, shard, cluster id) bounds the quadratic term."""
+    a = embeddings.alias("a")
+    b = embeddings.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    sim = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

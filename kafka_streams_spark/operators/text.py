@@ -1,0 +1,114 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. Pure Column expressions — every one of these
+runs inside whole-stage codegen, and each has an ANSI-SQL twin for the
+DuckDB oracle (see __spark_entry__), so semantics are pinned cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_spark.operators.dedup import tokens
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+# Deliberately small + frozen: the heuristic must be reproducible in SQL.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "es": ["el", "la", "de", "y", "que", "en", "los", "un"],
+    "de": ["der", "die", "das", "und", "zu", "ist", "ein", "nicht"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "est"],
+}
+
+# A BPE-ish word/number/punctuation segmentation: word pieces, numbers,
+# single punctuation marks — the shape tokenizers like GPT-2's regex use.
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_count(text: Column) -> Column:
+    """Token count under the BPE-ish regex segmentation (closer to LLM
+    token budgeting than whitespace splitting)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_REGEX), F.lit(0)))
+
+
+def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document statistics used by quality filters: char/word/token
+    counts, mean word length, punctuation density, stopword ratio."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    n_chars = F.length(t)
+    punct = F.length(F.regexp_replace(t, r"[^.!?,;:]", ""))
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        bpe_ish_count(t).alias("n_tokens_bpe"),
+        (n_chars.cast("double") / F.greatest(n_words, F.lit(1))).alias("chars_per_word"),
+        (punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (stop_hits.cast("double") / F.greatest(F.size(F.array_distinct(toks)), F.lit(1))).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite quality heuristic in [0,1] — the C4/Gopher-style shape:
+    length in a sane band, words not too long, some punctuation, some
+    stopwords. Deterministic arithmetic only (reproducible in SQL)."""
+    s = doc_stats(docs, id_col, text_col)
+    length_ok = F.when((F.col("n_words") >= 10) & (F.col("n_words") <= 100000), 1.0).otherwise(0.0)
+    wordlen_ok = F.when((F.col("chars_per_word") >= 3) & (F.col("chars_per_word") <= 12), 1.0).otherwise(0.0)
+    punct_ok = F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.when(F.col("stopword_ratio") > 0, 1.0).otherwise(0.0)
+    return s.select(
+        F.col(id_col),
+        ((length_ok + wordlen_ok + punct_ok + stop_ok) / 4.0).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic: count distinct-token hits against
+    each language's frozen stopword list; argmax wins, ties broken by
+    language code order, zero hits → 'und' (unknown).
+
+    This is the classic cheap LID for corpus triage; swap in a real
+    model (fastText etc.) behind the same (id, lang) contract when the
+    container has one.
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    hit_cols = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))).alias(f"hits_{lang}")
+        for lang, ws in STOPWORDS.items()
+    ]
+    scored = docs.select(F.col(id_col), *hit_cols)
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    guess = F.lit("und")
+    # reversed: earlier languages win ties via later .when() precedence
+    for lang in reversed(langs):
+        guess = F.when(F.col(f"hits_{lang}") == best, F.lit(lang)).otherwise(guess)
+    guess = F.when(best == 0, F.lit("und")).otherwise(guess)
+    return scored.select(F.col(id_col), guess.alias("lang_guess"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Two content fingerprints per doc:
+    - exact_md5: md5 of whitespace-normalized lowercase text (byte dedup)
+    - bag_md5: md5 of the sorted distinct token set (order/word-shuffle
+      invariant — catches paraphrase-by-reordering duplicates)
+    md5 (not xxhash64) so the DuckDB oracle can reproduce it exactly.
+    """
+    norm = F.concat_ws(" ", tokens(F.col(text_col)))
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col(text_col)))))
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("exact_md5"),
+        F.md5(bag).alias("bag_md5"),
+    )

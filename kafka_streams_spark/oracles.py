@@ -1,0 +1,353 @@
+"""DuckDB oracle SQL twins for every oracle-checkable query in
+``__spark_entry__.queries()``.
+
+Each string is the ANSI-SQL equivalent of the corresponding Spark
+DataFrame program, runnable by DuckDB over the pre-registered testdata
+views. Cross-engine determinism rules (pinned by tools/check_oracle.py):
+
+- Money/value aggregates: DECIMAL casts before summing (exact +
+  associative — double sums differ in last ulps between engines).
+- Chained decimal multiplies re-cast intermediates (Spark silently
+  rescales past precision 38; DuckDB errors).
+- Java-style rounding is ``floor(x + 0.5)``; double→bigint casts are
+  never raw (Spark truncates, DuckDB rounds).
+- Epoch-nanos arithmetic uses integer division (`div` / `//`), since
+  nanos exceed double's 53-bit mantissa.
+- Cosine similarities: both engines compute sequential double dot
+  products that differ by ≤1 ulp → outputs rounded to 6 decimals.
+- DuckDB BIGINT aggregates (SUM, len, row_number) are cast to match
+  Spark's output types.
+"""
+
+from __future__ import annotations
+
+from kafka_streams_spark.operators.text import BPE_ISH_REGEX, STOPWORDS
+from kafka_streams_spark.sources.testdata import PAYMENTS_FROM_EVENTS_SQL
+
+# --------------------------------------------------------------------------
+# payments (reference-parity pipeline)
+# --------------------------------------------------------------------------
+
+_P = f"WITH payments AS ({PAYMENTS_FROM_EVENTS_SQL})"
+_FILTERED = "SELECT * FROM payments WHERE rails IN ('BANK_RAILS_FOO', 'BANK_RAILS_BAR')"
+_FX = """
+SELECT key, paymentId,
+       CAST(FLOOR(amount * 0.8 + 0.5) AS BIGINT) AS amount,
+       'GBP' AS currency, toAccount, fromAccount, rails
+FROM usd
+"""
+_MERGED_CTES = f"""
+filtered AS ({_FILTERED}),
+gbp AS (SELECT * FROM filtered WHERE currency = 'GBP'),
+usd AS (SELECT * FROM filtered WHERE currency = 'USD'),
+fx AS ({_FX}),
+merged AS (SELECT * FROM gbp UNION ALL SELECT * FROM fx)
+"""
+
+PAYMENT_ORACLES = {
+    "payments_source": f"{_P} SELECT * FROM payments",
+    "payments_filter_rails": f"{_P}, filtered AS ({_FILTERED}) SELECT * FROM filtered",
+    "payments_branch_gbp": (
+        f"{_P}, filtered AS ({_FILTERED}) SELECT * FROM filtered WHERE currency = 'GBP'"
+    ),
+    "payments_branch_usd": (
+        f"{_P}, filtered AS ({_FILTERED}) SELECT * FROM filtered WHERE currency = 'USD'"
+    ),
+    "payments_fx_convert": (
+        f"{_P}, filtered AS ({_FILTERED}), "
+        f"usd AS (SELECT * FROM filtered WHERE currency = 'USD') {_FX}"
+    ),
+    "payments_merged": f"{_P}, {_MERGED_CTES} SELECT * FROM merged",
+    "payments_rails_foo": (
+        f"{_P}, {_MERGED_CTES} SELECT * FROM merged WHERE rails = 'BANK_RAILS_FOO'"
+    ),
+    "payments_rails_bar": (
+        f"{_P}, {_MERGED_CTES} SELECT * FROM merged WHERE rails = 'BANK_RAILS_BAR'"
+    ),
+    "payments_balances": (
+        f"{_P}, {_MERGED_CTES} "
+        "SELECT fromAccount, CAST(SUM(amount) AS BIGINT) AS balance "
+        "FROM merged GROUP BY fromAccount"
+    ),
+}
+
+# --------------------------------------------------------------------------
+# relational analytics
+# --------------------------------------------------------------------------
+
+_DISC_PRICE = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+)
+
+ANALYTICS_ORACLES = {
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+               CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS sum_disc_price,
+               CAST(SUM(CAST({_DISC_PRICE} * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": f"""
+        SELECT l_orderkey,
+               CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q5_regional_revenue": f"""
+        SELECT n_name,
+               CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue
+        FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "top_orders_per_customer": """
+        SELECT o_custkey, o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+               CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+            ) AS rk
+            FROM orders
+        )
+        WHERE rk <= 3
+    """,
+    "order_count_by_status": """
+        SELECT o_orderstatus, count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "events_hourly": """
+        SELECT epoch_ns(ts) // 3600000000000 AS epoch_hour, event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "sessionize_events": """
+        WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn FROM events),
+        lagd AS (
+            SELECT event_id, user_id, tsn,
+                   CASE WHEN tsn - lag(tsn) OVER w > 1800000000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+        ),
+        sess AS (
+            SELECT *, CAST(SUM(is_new) OVER (
+                PARTITION BY user_id ORDER BY tsn, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+            FROM lagd
+        )
+        SELECT user_id, session_seq, count(*) AS n_events,
+               min(event_id) AS first_event, max(event_id) AS last_event,
+               (max(tsn) - min(tsn)) // 1000000 AS duration_ms
+        FROM sess GROUP BY user_id, session_seq
+    """,
+    "distinct_users_by_type": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+}
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')"
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_STOP_EN = _sql_list(STOPWORDS["en"])
+
+TEXT_ORACLES = {
+    "doc_stats": f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_chars,
+               CAST(len(toks) AS INTEGER) AS n_words,
+               CAST(len(regexp_extract_all(text, '{BPE_ISH_REGEX}')) AS INTEGER) AS n_tokens_bpe,
+               CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) AS chars_per_word,
+               CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS punct_ratio,
+               CAST(len(list_intersect(toks, {_STOP_EN})) AS DOUBLE)
+                   / greatest(len(list_distinct(toks)), 1) AS stopword_ratio
+        FROM t
+    """,
+    "quality_score": f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+        s AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) AS chars_per_word,
+                   CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS punct_ratio,
+                   CAST(len(list_intersect(toks, {_STOP_EN})) AS DOUBLE)
+                       / greatest(len(list_distinct(toks)), 1) AS stopword_ratio
+            FROM t
+        )
+        SELECT doc_id,
+               ((CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN chars_per_word >= 3 AND chars_per_word <= 12 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN stopword_ratio > 0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+        FROM s
+    """,
+    "language_id": f"""
+        WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+        h AS (
+            SELECT doc_id,
+                   {", ".join(
+                       f"CAST(len(list_intersect(toks, {_sql_list(ws)})) AS INTEGER) AS hits_{lang}"
+                       for lang, ws in STOPWORDS.items()
+                   )}
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN greatest({", ".join(f"hits_{lang}" for lang in STOPWORDS)}) = 0 THEN 'und'
+                    {" ".join(
+                        f"WHEN hits_{lang} = greatest({', '.join(f'hits_{x}' for x in STOPWORDS)}) THEN '{lang}'"
+                        for lang in STOPWORDS
+                    )}
+               END AS lang_guess
+        FROM h
+    """,
+    "fingerprint": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               md5(array_to_string(toks, ' ')) AS exact_md5,
+               md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bag_md5
+        FROM t
+    """,
+}
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+
+def _shingle_cte(n: int) -> str:
+    off = n - 1
+    return f"""
+    toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - {off}, 1)),
+                   i -> array_to_string(t[i:i+{off}], ' '))) AS shingles
+        FROM toks
+    )
+    """
+
+
+def _jaccard_pairs_sql(n: int, threshold: float) -> str:
+    return f"""
+    WITH {_shingle_cte(n)}
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+               (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= {threshold}
+    """
+
+
+DEDUP_ORACLES = {
+    "dedup_exact": """
+        SELECT text, min(doc_id) AS keep_id, count(*) AS dup_count
+        FROM documents GROUP BY text
+    """,
+    "dedup_exact_rows": """
+        SELECT * FROM documents
+        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    """,
+    "dedup_token_jaccard": _jaccard_pairs_sql(1, 0.8),
+    "dedup_ngram_jaccard": _jaccard_pairs_sql(2, 0.5),
+}
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+SIMILARITY_ORACLES = {
+    "knn_vec0": """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qvec), 6) AS cosine_sim
+        FROM embeddings, q
+        ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qvec) DESC, vec_id
+        LIMIT 10
+    """,
+    "emb_near_dup_exact": """
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT id_a, id_b, round(sim, 6) AS cosine_sim FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_cosine_similarity(a.v, b.v) AS sim
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE sim >= 0.3
+    """,
+}
+
+# --------------------------------------------------------------------------
+# multimodal (deterministic fake codec — md5/sha256/ascii, SQL-expressible)
+# --------------------------------------------------------------------------
+
+MULTIMODAL_ORACLES = {
+    "media_image_features": """
+        WITH m AS (
+            SELECT range AS media_id,
+                   'media-payload-' || sha256(CAST(range AS VARCHAR)) AS s
+            FROM range(200)
+        ), h AS (SELECT media_id, md5(s) AS hh, length(s) AS n_bytes FROM m)
+        SELECT media_id,
+               CAST(1 + (ascii(substring(hh, 1, 1)) * 256 + ascii(substring(hh, 2, 1))) % 1024 AS INTEGER) AS width,
+               CAST(1 + (ascii(substring(hh, 3, 1)) * 256 + ascii(substring(hh, 4, 1))) % 1024 AS INTEGER) AS height,
+               CAST(n_bytes AS BIGINT) AS n_bytes,
+               substring(hh, 1, 16) AS feature_hex
+        FROM h
+    """,
+    "media_video_frames": """
+        WITH m AS (
+            SELECT range AS media_id,
+                   'media-payload-' || sha256(CAST(range AS VARCHAR)) AS s
+            FROM range(200)
+        )
+        SELECT media_id,
+               CAST(f AS INTEGER) AS frame_idx,
+               md5(substring(s, CAST(f AS INTEGER) * 10 + 1, 10)) AS frame_md5
+        FROM (
+            SELECT media_id, s,
+                   unnest(generate_series(0, length(s) // 10 - 1)) AS f
+            FROM m
+        )
+    """,
+}
+
+
+ALL_ORACLES = {
+    **PAYMENT_ORACLES,
+    **ANALYTICS_ORACLES,
+    **TEXT_ORACLES,
+    **DEDUP_ORACLES,
+    **SIMILARITY_ORACLES,
+    **MULTIMODAL_ORACLES,
+}

@@ -1,0 +1,125 @@
+"""Property tests for the extended operator library (dedup, similarity,
+text, multimodal) at sf0.001 — the behaviors the DuckDB oracle can't pin:
+LSH recall vs exact ground truth, stub gating, schema shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_spark.operators.dedup import (
+    dedup_exact,
+    dedup_exact_rows,
+    minhash_lsh_candidates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from kafka_streams_spark.operators.multimodal import (
+    decode_image,
+    extract_image_features,
+    sample_video_frames,
+    synthesize_media,
+)
+from kafka_streams_spark.operators.similarity import (
+    build_lsh_index,
+    knn_brute_force,
+    knn_lsh,
+)
+from kafka_streams_spark.operators.text import language_id, quality_score
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_dedup_exact_synthetic(spark):
+    rows = [(1, "a b c"), (2, "a b c"), (3, "x y z"), (4, "a b c")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["text"]: (r["keep_id"], r["dup_count"]) for r in dedup_exact(df, ["text"], "doc_id").collect()}
+    assert got == {"a b c": (1, 3), "x y z": (3, 1)}
+    survivors = {r["doc_id"] for r in dedup_exact_rows(df, ["text"], "doc_id").collect()}
+    assert survivors == {1, 3}
+
+
+def test_minhash_recall_vs_exact(docs):
+    """LSH banding must recover the high-jaccard (≥0.5 on 3-gram shingles)
+    ground-truth pairs — recall 100% on the planted near-dups."""
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert truth, "testdata should contain at least one planted near-dup pair"
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            docs, threshold=0.5, num_hashes=32, bands=16
+        ).collect()
+    }
+    assert truth <= found
+    cands = minhash_lsh_candidates(docs, num_hashes=32, bands=16).count()
+    assert cands < docs.count() ** 2 / 4  # candidates ≪ full pair space
+
+
+def test_simhash_synthetic_and_bound(spark, docs):
+    # synthetic: docs with disjoint vocab, one near-identical pair (one
+    # token changed out of 40) — simhash must pair exactly those two.
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " tokX"
+    other = " ".join(f"zzz{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    pairs = simhash_near_duplicates(df, max_hamming=8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+    # real data: every reported pair respects the hamming bound, and
+    # hamming-0 (identical token multiset) pairs are always found
+    found = simhash_near_duplicates(docs, max_hamming=3).collect()
+    assert found and all(r["hamming"] <= 3 for r in found)
+    assert {(r["id_a"], r["id_b"]) for r in found if r["hamming"] == 0}
+
+
+def test_knn_lsh_recall(embs):
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [r["vec_id"] for r in knn_brute_force(embs, qvec, k=10).collect()]
+    indexed, planes = build_lsh_index(embs, dim=64, n_planes=6)
+    approx = [
+        r["vec_id"]
+        for r in knn_lsh(
+            indexed, planes, qvec, k=10, multiprobe_hamming=2
+        ).collect()
+    ]
+    assert exact[0] == 0 and approx[0] == 0  # self-match first
+    # multi-probe LSH on 500 vectors should keep decent overlap with exact
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_text_scores_bounded(docs):
+    q = quality_score(docs)
+    assert q.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count() == 0
+    langs = {r["lang_guess"] for r in language_id(docs).collect()}
+    assert langs <= {"en", "es", "de", "fr", "und"}
+
+
+def test_multimodal_plumbing(spark):
+    media = synthesize_media(spark, 50)
+    feats = extract_image_features(media, codec="fake")
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(1 <= r["width"] <= 1024 and 1 <= r["height"] <= 1024 for r in rows)
+    assert all(len(r["feature_hex"]) == 16 for r in rows)
+    frames = sample_video_frames(media, every_nth=10, codec="fake")
+    per_media = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 7 for r in per_media)  # 78-byte payloads -> 7 frames
+
+
+def test_real_decode_is_gated():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
