@@ -1,0 +1,85 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query materializes through the `noop` sink — full execution, no
+driver-side collect cost. Session startup and the warmup query are
+excluded from per-query numbers (they amortize away at real scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship pipeline + the heaviest representative query
+# from each operator family (join-heavy, window-heavy, shuffle-heavy,
+# LSH self-join, Pandas-UDF path).
+BENCH_QUERIES = [
+    "payments_balances",
+    "payments_rails_foo",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "top_orders_per_customer",
+    "events_hourly",
+    "sessionize_events",
+    "distinct_users_by_type",
+    "doc_stats",
+    "fingerprint",
+    "dedup_exact",
+    "dedup_token_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_vec0",
+    "emb_near_dup_exact",
+    "media_image_features",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as e
+    from kafka_streams_spark import get_spark
+
+    spark = get_spark(app_name="kafka_streams_spark-bench")
+    qs = e.queries()
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run("payments_balances")  # warmup: JVM/codegen/parquet-footer caches
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        times[name] = round(run(name), 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

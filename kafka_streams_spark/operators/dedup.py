@@ -99,7 +99,9 @@ def ngram_jaccard_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = docs.select(
+    from kafka_streams_spark.functions.partitioning import spread
+
+    sh = spread(docs, block_col).select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
         word_shingles(F.col(text_col), n).alias("shingles"),
@@ -109,13 +111,27 @@ def ngram_jaccard_pairs(
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    jac = token_set_jaccard(F.col("a.shingles"), F.col("b.shingles"))
+    # Bind sizes/intersection as columns so each is evaluated once per
+    # pair (inlining the jaccard expression would evaluate the O(|set|)
+    # intersection twice — it appears in numerator and denominator).
     return (
         a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            jac.alias("jaccard"),
+            F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+            .cast("double")
+            .alias("_inter"),
+            (F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")))
+            .cast("double")
+            .alias("_sizes"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.when(F.col("_sizes") - F.col("_inter") == 0, F.lit(1.0))
+            .otherwise(F.col("_inter") / (F.col("_sizes") - F.col("_inter")))
+            .alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -126,22 +142,57 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 3) -> Column:
-    """MinHash signature as array<bigint>: per hash function h, the min of
-    ``xxhash64(shingle, salt_h)`` over the doc's shingle set.
+# Universal-hash MinHash parameters: g_i(x) = (a_i*x32 + b_i) mod p, p =
+# 2^31-1 (Mersenne prime), x32 the shingle hash reduced to 32 bits. The
+# mod is essential: a bare affine map is MONOTONIC, so min(g_i(S)) would
+# equal g_i(min(S)) and all num_hashes functions would pick the same
+# shingle — collapsing the signature to one effective hash and destroying
+# the banding S-curve. Bounds keep a_i*x32 + b_i < 2^62 (ANSI mode raises
+# on long overflow, so wrap-around arithmetic is off the table).
+# Coefficients come from a seeded PRNG: signatures are reproducible.
+MINHASH_PRIME = (1 << 31) - 1
 
-    Salting by literal suffix gives `num_hashes` independent hash families
-    from one JVM-side xxhash64 — no Python, no per-row UDF. Codegen cost
-    grows with num_hashes; 64 keeps the generated method within JIT limits
-    while giving band/row configs like 16×4.
+
+def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME) | 1, rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature as `num_hashes` columns ``mh0..mhN``.
+
+    Shape chosen for codegen, not elegance: explode shingles → ONE
+    xxhash64 per (doc, shingle), reduced to 32 bits → `num_hashes` cheap
+    affine remixes (a_i*h32 + b_i, overflow-free) → min-aggregates per doc.
+    Everything runs inside whole-stage codegen HashAggregate with
+    map-side partial mins; the earlier formulation (num_hashes ×
+    higher-order transform lambdas per row) evaluated interpreted and
+    was ~50× slower at sf0.1.
     """
-    sh = word_shingles(text, shingle_n)
-    return F.array(
+    from kafka_streams_spark.functions.partitioning import spread
+
+    sh = spread(docs).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).withColumn("h32", F.xxhash64("shingle").bitwiseAND(F.lit(0xFFFFFFFF)))
+    coeffs = _minhash_coeffs(num_hashes)
+    return sh.groupBy(id_col).agg(
         *[
-            F.array_min(
-                F.transform(sh, lambda s, h=h: F.xxhash64(F.concat(s, F.lit(f"#{h}"))))
-            )
-            for h in range(num_hashes)
+            F.min(
+                F.pmod(F.col("h32") * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME))
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(coeffs)
         ]
     )
 
@@ -151,34 +202,32 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
     sig → split into `bands` bands of r = num_hashes/bands rows → hash
     each band → explode → self-join on (band_idx, band_hash). Two docs
-    with Jaccard j collide w.p. 1-(1-j^r)^bands (S-curve): 16 bands × 4
-    rows targets the ~0.5+ similarity region.
+    with Jaccard j collide w.p. 1-(1-j^r)^bands (S-curve): the default
+    32 bands × 2 rows gives ~99% recall at j=0.5 (miss prob (1-0.25)^32);
+    for higher thresholds, fewer/wider bands (e.g. 16×4 for j≳0.7) trade
+    recall at the low end for fewer false-positive candidates.
 
-    Scale shape: the explode produces n·bands rows; the groupy self-join
+    Scale shape: the explode produces n·bands rows; the bucket self-join
     shuffles on band hash — skew only if a band bucket is giant (i.e.
     boilerplate-identical docs), which is exactly the skew AQE's skew-join
     splitting handles. Output: distinct (id_a, id_b), id_a < id_b.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col), minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig")
-    )
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
         F.col(id_col),
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.concat_ws(",", *[F.element_at("sig", b * r + i + 1).cast("string") for i in range(r)])
-                    )
+                    F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)])
                     for b in range(bands)
                 ]
             )
@@ -206,7 +255,7 @@ def minhash_near_duplicates(
     text_col: str = "text",
     threshold: float = 0.5,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact shingle Jaccard.
@@ -246,7 +295,9 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     shuffle of (doc_id, token_hash) pairs with map-side partial sums; 64
     conditional-sum aggregates stay inside codegen.
     """
-    tok = docs.select(
+    from kafka_streams_spark.functions.partitioning import spread
+
+    tok = spread(docs).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     bit_sums = tok.groupBy(id_col).agg(

@@ -168,7 +168,12 @@ def sample_video_frames(media: DataFrame, every_nth: int = 10, codec: str = "fak
 def synthesize_media(spark, n: int = 100) -> DataFrame:
     """Deterministic fake media table for tests: payload bytes derived
     from media_id. Built distributed (spark.range), not driver-side."""
-    df = spark.range(n).withColumnRenamed("id", "media_id")
+    # Partition count tracks the data, not the cluster: each partition
+    # spawns a Python worker in the mapInPandas consumer, and 32 workers
+    # for 200 rows is all spawn cost. Real media tables size partitions
+    # by bytes (maxPartitionBytes), not row counts.
+    slices = max(1, min(spark.sparkContext.defaultParallelism, n // 32))
+    df = spark.range(0, n, 1, slices).withColumnRenamed("id", "media_id")
     payload = F.encode(
         F.concat(F.lit("media-payload-"), F.sha2(F.col("media_id").cast("string"), 256)),
         "utf-8",

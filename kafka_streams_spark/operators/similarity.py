@@ -161,22 +161,43 @@ def embedding_near_duplicates(
     (id_a, id_b, cosine_sim), id_a < id_b.
     """
     indexed, _ = build_lsh_index(embeddings, dim, n_planes, seed, vec_col)
-    a = indexed.alias("a")
-    b = indexed.alias("b")
+    unit = _normalized(
+        indexed, id_col, vec_col, ["bucket"] + ([block_col] if block_col else [])
+    )
+    a = unit.alias("a")
+    b = unit.alias("b")
     cond = (F.col("a.bucket") == F.col("b.bucket")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    sim = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
     return (
         a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            sim.alias("cosine_sim"),
+            dot(F.col("a._unit"), F.col("b._unit")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _normalized(
+    embeddings: DataFrame, id_col: str, vec_col: str, keep: list[str]
+) -> DataFrame:
+    """Project each vector to unit length ONCE, before any pair join —
+    cosine in pair space then costs a single dot product per pair instead
+    of dot + two norms (3× fewer array traversals where it matters:
+    inside the quadratic term)."""
+    from kafka_streams_spark.functions.partitioning import spread
+    from kafka_streams_spark.functions.vectors import l2_norm
+
+    norm = l2_norm(F.col(vec_col))
+    unit = F.when(norm == 0, F.col(vec_col)).otherwise(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    )
+    return spread(embeddings).select(
+        F.col(id_col), *[F.col(c) for c in keep], unit.alias("_unit")
     )
 
 
@@ -190,18 +211,20 @@ def exact_pairs_cosine(
     """Exact blocked all-pairs cosine (the oracle-checkable variant —
     no LSH randomness). Blocked self-join only; at scale the block column
     (label, shard, cluster id) bounds the quadratic term."""
-    a = embeddings.alias("a")
-    b = embeddings.alias("b")
+    unit = _normalized(
+        embeddings, id_col, vec_col, [block_col] if block_col else []
+    )
+    a = unit.alias("a")
+    b = unit.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    sim = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
     return (
         a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            sim.alias("cosine_sim"),
+            dot(F.col("a._unit"), F.col("b._unit")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

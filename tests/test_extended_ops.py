@@ -59,11 +59,11 @@ def test_minhash_recall_vs_exact(docs):
     found = {
         (r["id_a"], r["id_b"])
         for r in minhash_near_duplicates(
-            docs, threshold=0.5, num_hashes=32, bands=16
+            docs, threshold=0.5
         ).collect()
     }
     assert truth <= found
-    cands = minhash_lsh_candidates(docs, num_hashes=32, bands=16).count()
+    cands = minhash_lsh_candidates(docs).count()
     assert cands < docs.count() ** 2 / 4  # candidates ≪ full pair space
 
 
