@@ -25,15 +25,9 @@ def _payments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _merged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_streams_spark.operators.payments import (
-        branch_by_currency,
-        filter_supported_rails,
-        fx_convert_usd_to_gbp,
-        merge,
-    )
+    from kafka_streams_spark.operators.payments import route_and_convert
 
-    gbp, usd = branch_by_currency(filter_supported_rails(_payments(spark, sf_dir)))
-    return merge(gbp, fx_convert_usd_to_gbp(usd))
+    return route_and_convert(_payments(spark, sf_dir))
 
 
 def _docs(spark, sf_dir):

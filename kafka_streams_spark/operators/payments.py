@@ -92,6 +92,36 @@ def branch_by_rails(merged: DataFrame) -> tuple[DataFrame, DataFrame]:
     return foo, bar
 
 
+def route_and_convert(payments: DataFrame) -> DataFrame:
+    """Fused single-scan equivalent of branch(currency) → fx → merge
+    (ops 4-6).
+
+    The currency branches are disjoint filters over one parent, so the
+    N-filters-then-union translation scans the source once per branch —
+    visible as two parquet scans in the physical plan, i.e. 2× scan cost
+    at 100 TB. Because every surviving row matches exactly one branch,
+    the union is equivalent to one conditional projection over a single
+    scan: keep GBP/USD rows, convert amount iff USD. Bag semantics,
+    row-for-row identical to the unfused composition (the oracle checks
+    this query against the UNION ALL formulation).
+
+    The granular operators remain the public parity surface; compositions
+    use this fused form.
+    """
+    routed = filter_supported_rails(payments)
+    both = routed.filter(F.col("currency").isin(CURRENCY_GBP, CURRENCY_USD))
+    is_usd = F.col("currency") == CURRENCY_USD
+    return both.withColumn(
+        "amount",
+        F.when(is_usd, java_round(F.col("amount") * F.lit(FX_RATE_USD_GBP))).otherwise(
+            F.col("amount")
+        ),
+    ).withColumn(
+        "currency",
+        F.when(is_usd, F.lit(CURRENCY_GBP)).otherwise(F.col("currency")),
+    )
+
+
 def process_payments(payments: DataFrame) -> dict[str, DataFrame]:
     """The whole topology, source-to-sinks, as one composition.
 
@@ -99,9 +129,7 @@ def process_payments(payments: DataFrame) -> dict[str, DataFrame]:
     topic legs and the balance table
     (sinks PaymentTopology.java:96-97; store :88).
     """
-    routed = filter_supported_rails(payments)
-    gbp, usd = branch_by_currency(routed)
-    merged = merge(gbp, fx_convert_usd_to_gbp(usd))
+    merged = route_and_convert(payments)
     foo, bar = branch_by_rails(merged)
     return {
         "rails_foo": foo,

@@ -33,21 +33,15 @@ from pyspark.sql.streaming import StreamingQuery
 
 from kafka_streams_spark.operators.payments import (
     account_balances,
-    branch_by_currency,
     branch_by_rails,
-    filter_supported_rails,
-    fx_convert_usd_to_gbp,
-    merge,
+    route_and_convert,
 )
 from kafka_streams_spark.schema import PAYMENT_SCHEMA
 
 N_BALANCE_BUCKETS = 64  # account-hash buckets for pruned point lookups
 
-
-def _transform(payments: DataFrame) -> DataFrame:
-    routed = filter_supported_rails(payments)
-    gbp, usd = branch_by_currency(routed)
-    return merge(gbp, fx_convert_usd_to_gbp(usd))
+# single-scan fused branch+fx+merge (see operators.payments)
+_transform = route_and_convert
 
 
 def run_payment_stream(
