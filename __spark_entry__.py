@@ -239,6 +239,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": A.sessionize_events,
         "distinct_users_by_type": A.distinct_users_by_type,
         "approx_users_by_type": A.approx_users_by_type,  # sketch: rows-only
+        "q6_forecast_revenue": A.q6_forecast_revenue,
+        "rollup_orders": A.rollup_orders,
+        "cube_events": A.cube_events,
+        "customers_with_orders": A.customers_with_orders,
+        "customers_without_orders": A.customers_without_orders,
+        "price_quantiles": A.price_quantiles,
+        "orders_enriched": A.orders_enriched,
         # text analysis
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality,

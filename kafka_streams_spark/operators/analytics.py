@@ -177,6 +177,103 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+aggregate, no grouping. Every predicate
+    pushes to the parquet scan; the aggregate is a single partial+final
+    pair — the cheapest possible plan for the semantics."""
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP(status, priority) — grouping-set
+    aggregation the reference's DSL has no analog for. One shuffle; the
+    grouping-set expansion happens map-side before the exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(38,2)").alias("total_value"),
+    )
+
+
+def cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, user bucket): all 4 grouping combinations in
+    one pass."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("user_bucket", F.expr("user_id % 10"))
+        .cube("event_type", "user_bucket")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having ≥1 order. Semi joins ship only the
+    join key of the probe side and stop at first match — at scale this
+    beats an inner-join+distinct by the width of the orders row."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders (the NOT EXISTS shape —
+    null-safe, unlike NOT IN)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (`percentile` = DuckDB's
+    `quantile_cont`, bitwise-identical interpolation — verified). The
+    scale path is `percentile_approx` (KLL/GK sketch, constant memory);
+    exact percentile sorts per group and is the oracle-checkable variant."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+
+
+def orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-table-style enrichment: every order decorated with customer
+    + nation attributes via broadcast dimension joins — zero shuffle of
+    the fact side."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            "c_name",
+            "n_name",
+        )
+    )
+
+
 def approx_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct — constant memory per group at any
     scale (the 100 TB path where exact distinct would shuffle every

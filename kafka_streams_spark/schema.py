@@ -71,4 +71,12 @@ def parse_payment_stream(raw: DataFrame) -> DataFrame:
         F.col("key").cast("string").alias("key"),
         payment_from_json(F.col("value")).alias("p"),
     )
-    return parsed.filter(F.col("p").isNotNull()).select("key", "p.*")
+    # PERMISSIVE from_json yields an all-null struct for malformed input
+    # (and for null payloads), not a NULL struct — so "no record" means
+    # every field is null. An all-null payment is also what Jackson
+    # produces for `{}` and it is semantically dead downstream (rails
+    # filter drops it), so one predicate covers all three cases.
+    any_field = F.coalesce(
+        *[F.col(f"p.{f}").cast("string") for f in PAYMENT_FIELDS]
+    )
+    return parsed.filter(any_field.isNotNull()).select("key", "p.*")

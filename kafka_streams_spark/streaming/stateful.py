@@ -1,0 +1,123 @@
+"""Stateful Structured Streaming operators.
+
+The reference's only stateful operator is the running per-account sum
+(PaymentTopology.java:78-88), which plain `groupBy().sum()` covers. These
+wrappers provide the GENERAL forms a user would reach for next — the
+Kafka Streams capabilities (windowed stores, suppression, custom
+aggregators) the reference's dependency offers but the app doesn't use
+(SURVEY.md §2.4), mapped to their Spark-native equivalents:
+
+- event-time tumbling windows + watermark  → `windowed_counts`
+- stream dedup with state TTL              → `dedup_stream`
+- arbitrary per-key aggregation state      → `running_balances_stateful`
+  (applyInPandasWithState — the `aggregate(Initializer, Aggregator)`
+  analog, with explicit state schema, timeouts, and update semantics)
+
+State lives in Spark's checkpointed state store; at scale configure the
+RocksDB provider (`spark.sql.streaming.stateStore.providerClass`) —
+same role as Kafka Streams' RocksDB + changelog topic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window counts with late-data handling.
+
+    The watermark bounds state: windows older than (max event time -
+    watermark) are finalized and evicted — the missing piece in the
+    reference, which has no event-time logic at all (SURVEY.md §2.4).
+    Works identically on a batch DataFrame (window() is just a function).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col(key_col),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    `dropDuplicatesWithinWatermark` keeps each key only until the
+    watermark passes — infinite streams, finite state. (Plain
+    `dropDuplicates` on a stream grows state forever.)"""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )
+
+
+BALANCE_STATE_SCHEMA = StructType([StructField("balance", LongType())])
+BALANCE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("fromAccount", StringType()),
+        StructField("balance", LongType()),
+    ]
+)
+
+
+def running_balances_stateful(merged: DataFrame) -> DataFrame:
+    """Per-account running balance via explicit state — the faithful
+    analog of the reference's `aggregate(() -> 0L, (k, v, agg) -> agg+v,
+    Materialized.as("balance"))` (PaymentTopology.java:78-88): an
+    initializer (zero state), an aggregator (fold amounts into state),
+    and a named queryable materialization (the emitted update stream).
+
+    For a plain sum, `groupBy().sum()` is strictly better (no Python);
+    this is the extension point for aggregates Spark can't express —
+    conditional folds, per-key model state, decaying counters. One row
+    per (key, batch) is emitted in update-mode semantics.
+
+    The closure is self-contained (workers can't import this package).
+    """
+
+    def update(key, pdfs, state):
+        total = 0
+        for pdf in pdfs:
+            total += int(pdf["amount"].sum())
+        if state.exists:
+            (prev,) = state.get
+        else:
+            prev = 0
+        new_balance = prev + total
+        state.update((new_balance,))
+        import pandas as _pd
+
+        yield _pd.DataFrame({"fromAccount": [key[0]], "balance": [new_balance]})
+
+    return (
+        merged.select("fromAccount", "amount")
+        .groupBy("fromAccount")
+        .applyInPandasWithState(
+            update,
+            outputStructType=BALANCE_OUTPUT_SCHEMA,
+            stateStructType=BALANCE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
