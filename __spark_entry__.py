@@ -186,6 +186,44 @@ def _q_emb_near_dup_lsh(spark, sf_dir):
     return embedding_near_duplicates(_embs(spark, sf_dir), threshold=0.3, n_planes=6)
 
 
+def _q_asof_purchase_click(spark, sf_dir):
+    """For each purchase event: the user's most recent click at-or-before
+    the purchase time (event enrichment via as-of join)."""
+    from kafka_streams_spark.operators.asof import asof_join
+    from kafka_streams_spark.sources.testdata import load_table
+
+    # Times in µs on BOTH sides of the join: DuckDB reads the parquet
+    # NANOS timestamps truncated to µs, so joining on raw ns here would
+    # disagree with the oracle at sub-µs boundaries (and ns output values
+    # would never hash-match).
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", F.col("event_id").alias("click_id"), "value"
+    )
+    return asof_join(
+        purchases, clicks, key="user_id", ts="ts_us", payload_cols=["click_id", "value"]
+    )
+
+
+def _q_pivot_events(spark, sf_dir):
+    """Per-user event-type counts as a wide table (pivot)."""
+    from kafka_streams_spark.sources.testdata import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "purchase", "view", "signup", "error"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
 def _q_media_features(spark, sf_dir):
     from kafka_streams_spark.operators.multimodal import (
         extract_image_features,
@@ -246,6 +284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": A.customers_without_orders,
         "price_quantiles": A.price_quantiles,
         "orders_enriched": A.orders_enriched,
+        "asof_purchase_click": _q_asof_purchase_click,
+        "pivot_events": _q_pivot_events,
         # text analysis
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality,

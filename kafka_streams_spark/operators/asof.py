@@ -1,0 +1,77 @@
+"""As-of (most-recent-prior) join — the canonical "operator Spark lacks"
+(SURVEY.md §2.5 custom-operator scope), built as a composition of
+existing DataFrame ops rather than a Pandas UDF.
+
+Semantics: for every left row, attach the payload of the right row with
+the same key and the greatest timestamp ≤ the left timestamp (DuckDB's
+``ASOF JOIN``, kdb's ``aj``). The naive formulation — range self-join
+``l.ts >= r.ts`` + argmax — explodes to O(|L|·|R|) per key. This
+implementation is the scalable union-sort-carry form:
+
+    union(tag L/R) → window over (key ORDER BY ts, side) →
+    last_value(right payload, ignorenulls) → keep L rows
+
+One shuffle on the key, one per-partition sort — the same cost as any
+keyed window; no pair space, no skew beyond what the key distribution
+already has. At 100 TB this is the only formulation that survives: range
+joins don't bucket, but sort-carry is linear after the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    payload_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Attach, to each left row, `payload_cols` from the most recent right
+    row with the same `key` and right.ts <= left.ts (ties: right row
+    wins, i.e. a right row at exactly left.ts is visible).
+
+    Output: all left columns + one `<col><suffix>` per payload column
+    (null when no prior right row exists).
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+    )
+    r_tagged = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    # align schemas for the union: left cols not present on the right → null
+    for c in lcols:
+        if c not in (key, ts):
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    r_tagged = r_tagged.select(
+        *lcols, "_side", *[F.col(f"_p_{c}") for c in payload_cols]
+    )
+
+    unioned = l_tagged.unionByName(r_tagged)
+    # _side 0 (right) sorts before _side 1 (left) at equal ts → a right
+    # row at exactly left.ts is already visible to that left row.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *lcols,
+        F.col("_side"),
+        *[
+            F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in payload_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side")

@@ -205,6 +205,32 @@ ANALYTICS_ORACLES = {
         FROM orders JOIN customer ON o_custkey = c_custkey
                     JOIN nation ON c_nationkey = n_nationkey
     """,
+    # DuckDB's native ASOF JOIN is the oracle for our union-sort-carry
+    # formulation (operators/asof.py). ts compared as epoch nanos (exact
+    # integers) on both sides.
+    "asof_purchase_click": """
+        WITH p AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_id, value
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id, p.ts_us,
+               c.click_id AS click_id_asof, c.value AS value_asof
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+    """,
+    "pivot_events": """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click')    AS click,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'view')     AS view,
+               count(*) FILTER (event_type = 'signup')   AS signup,
+               count(*) FILTER (event_type = 'error')    AS error
+        FROM events GROUP BY user_id
+    """,
 }
 
 # --------------------------------------------------------------------------

@@ -109,6 +109,72 @@ def run_payment_stream(
     )
 
 
+def compact_balances(spark: SparkSession, out_dir: str) -> int | None:
+    """Fold closed delta partitions into a base snapshot — the analog of
+    RocksDB compaction over the changelog topic. Returns the new
+    high-water batch id, or None if there was nothing to fold.
+
+    Only batches strictly below the newest delta partition are folded:
+    Structured Streaming may replay (and partition-overwrite) the latest
+    uncommitted batch after a crash, and folding it would double-count on
+    replay. The base lives at ``balance_base/hwm=<N>/``; readers take the
+    max-hwm base plus deltas with ``ingest_batch > N``, so a compaction
+    running concurrently with the stream never changes query results.
+    """
+    import glob
+    import re
+    import shutil
+
+    delta_dir = os.path.join(out_dir, "balance_delta")
+    base_dir = os.path.join(out_dir, "balance_base")
+    batches = sorted(
+        int(m.group(1))
+        for p in glob.glob(os.path.join(delta_dir, "ingest_batch=*"))
+        if (m := re.search(r"ingest_batch=(\d+)$", p))
+    )
+    if len(batches) < 2:
+        return None  # nothing safely foldable
+    hwm = batches[-2]
+
+    closed = (
+        spark.read.parquet(delta_dir)
+        .filter(F.col("ingest_batch") <= hwm)
+        .select("fromAccount", "delta", "bucket")
+    )
+    old_hwm = _latest_base_hwm(base_dir)
+    if old_hwm is not None:
+        closed = closed.unionByName(
+            spark.read.parquet(os.path.join(base_dir, f"hwm={old_hwm}"))
+            .select("fromAccount", F.col("balance").alias("delta"), "bucket")
+        )
+    folded = closed.groupBy("fromAccount", "bucket").agg(
+        F.sum("delta").alias("balance")
+    )
+
+    new_base = os.path.join(base_dir, f"hwm={hwm}")
+    folded.write.mode("overwrite").parquet(new_base)
+    # drop folded inputs (old base + closed delta partitions)
+    if old_hwm is not None and old_hwm != hwm:
+        shutil.rmtree(os.path.join(base_dir, f"hwm={old_hwm}"), ignore_errors=True)
+    for b in batches[:-1]:
+        shutil.rmtree(
+            os.path.join(delta_dir, f"ingest_batch={b}"), ignore_errors=True
+        )
+    return hwm
+
+
+def _latest_base_hwm(base_dir: str) -> int | None:
+    import glob
+    import re
+
+    hwms = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(base_dir, "hwm=*"))
+        if (m := re.search(r"hwm=(\d+)$", p))
+    ]
+    return max(hwms) if hwms else None
+
+
 class BalanceView:
     """Interactive-query surface over the balance changelog — the analog of
     the reference's REST store lookup (BalanceController.java:22-35).
@@ -122,19 +188,33 @@ class BalanceView:
     def __init__(self, spark: SparkSession, out_dir: str):
         self._spark = spark
         self._delta_dir = os.path.join(out_dir, "balance_delta")
+        self._base_dir = os.path.join(out_dir, "balance_base")
+
+    def _log(self) -> DataFrame:
+        """Base snapshot (if compacted) + open delta partitions."""
+        deltas = self._spark.read.parquet(self._delta_dir).select(
+            "fromAccount", "delta", "bucket"
+        )
+        hwm = _latest_base_hwm(self._base_dir)
+        if hwm is None:
+            return deltas
+        base = self._spark.read.parquet(
+            os.path.join(self._base_dir, f"hwm={hwm}")
+        ).select("fromAccount", F.col("balance").alias("delta"), "bucket")
+        # compaction removes folded delta partitions, but tolerate overlap
+        # (a fold that crashed before cleanup) being absent, not double
+        return deltas.unionByName(base)
 
     def balances(self) -> DataFrame:
-        """Full materialized view: SUM(delta) per account over the log."""
-        return (
-            self._spark.read.parquet(self._delta_dir)
-            .groupBy("fromAccount")
-            .agg(F.sum("delta").alias("balance"))
+        """Full materialized view: SUM(delta) per account over base+log."""
+        return self._log().groupBy("fromAccount").agg(
+            F.sum("delta").alias("balance")
         )
 
     def get_balance(self, account: str):
-        df = self._spark.read.parquet(self._delta_dir)
         rows = (
-            df.filter(
+            self._log()
+            .filter(
                 (F.col("bucket") == F.crc32(F.lit(account)) % N_BALANCE_BUCKETS)
                 & (F.col("fromAccount") == account)
             )

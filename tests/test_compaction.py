@@ -1,0 +1,59 @@
+"""Changelog compaction: balances must be identical before/after folding,
+across stream restarts, and when new deltas arrive on top of a base."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from kafka_streams_spark.streaming import BalanceView, run_payment_stream
+from kafka_streams_spark.streaming.router import compact_balances
+from tests.test_streaming import GOLDEN, write_events
+
+
+def _payment(pid: str, amount: int, account: str) -> dict:
+    return {
+        "paymentId": pid, "amount": amount, "currency": "GBP",
+        "fromAccount": account, "toAccount": "DEF",
+        "rails": "BANK_RAILS_FOO",
+    }
+
+
+def test_compaction_preserves_balances(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_events(src, "b1.json", GOLDEN)
+
+    q = run_payment_stream(spark, src, out, ckpt)
+    try:
+        q.processAllAvailable()
+        write_events(src, "b2.json", [_payment("p6", 40, "ABC")])
+        q.processAllAvailable()
+        write_events(src, "b3.json", [_payment("p7", 5, "XYZ")])
+        q.processAllAvailable()
+
+        view = BalanceView(spark, out)
+        before = {r["fromAccount"]: r["balance"] for r in view.balances().collect()}
+        assert before == {"ABC": 250, "XYZ": 805}
+
+        hwm = compact_balances(spark, out)
+        assert hwm is not None
+        after = {r["fromAccount"]: r["balance"] for r in view.balances().collect()}
+        assert after == before
+        # folded partitions gone, newest kept
+        remaining = glob.glob(os.path.join(out, "balance_delta", "ingest_batch=*"))
+        assert len(remaining) == 1
+        assert view.get_balance("ABC") == 250  # point lookup across base+log
+        assert view.get_balance("NOPE") is None
+
+        # new deltas on top of the base
+        write_events(src, "b4.json", [_payment("p8", 10, "ABC")])
+        q.processAllAvailable()
+        assert view.get_balance("ABC") == 260
+
+        # second compaction folds base + newly closed partitions
+        compact_balances(spark, out)
+        assert view.get_balance("ABC") == 260
+    finally:
+        q.stop()
