@@ -164,6 +164,21 @@ def _q_knn_vec0(spark, sf_dir):
     return knn_to_id(_embs(spark, sf_dir), query_id=0, k=10)
 
 
+def _q_knn_ivf_vec0(spark, sf_dir):
+    from kafka_streams_spark.operators.similarity import build_ivf_index, knn_ivf
+
+    emb = _embs(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    indexed, centroids = build_ivf_index(emb, n_cells=16)
+    return knn_ivf(indexed, centroids, qvec, k=10, n_probe=2)
+
+
+def _q_winnowing(spark, sf_dir):
+    from kafka_streams_spark.operators.text import winnowing_fingerprint
+
+    return winnowing_fingerprint(_docs(spark, sf_dir))
+
+
 def _q_knn_lsh_vec0(spark, sf_dir):
     from kafka_streams_spark.operators.similarity import build_lsh_index, knn_lsh
 
@@ -301,6 +316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "knn_vec0": _q_knn_vec0,
         "knn_lsh_vec0": _q_knn_lsh_vec0,  # randomized probe set: rows-only
+        "knn_ivf_vec0": _q_knn_ivf_vec0,  # learned index: rows-only
+        "winnowing_fingerprints": _q_winnowing,  # xxhash64-based: rows-only
         "emb_near_dup_exact": _q_emb_near_dup,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,  # rows-only
         # multimodal plumbing (deterministic fake codec)

@@ -42,6 +42,13 @@ BENCH_QUERIES = [
     "knn_vec0",
     "emb_near_dup_exact",
     "media_image_features",
+    "q6_forecast_revenue",
+    "rollup_orders",
+    "price_quantiles",
+    "orders_enriched",
+    "asof_purchase_click",
+    "pivot_events",
+    "winnowing_fingerprints",
 ]
 
 

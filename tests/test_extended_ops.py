@@ -101,6 +101,38 @@ def test_knn_lsh_recall(embs):
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_knn_ivf_recall(embs):
+    from kafka_streams_spark.operators.similarity import build_ivf_index, knn_ivf
+
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [r["vec_id"] for r in knn_brute_force(embs, qvec, k=10).collect()]
+    indexed, centroids = build_ivf_index(embs, n_cells=8)
+    approx = [
+        r["vec_id"] for r in knn_ivf(indexed, centroids, qvec, k=10, n_probe=3).collect()
+    ]
+    assert approx[0] == 0  # self-match comes back first
+    assert len(set(exact) & set(approx)) >= 4  # learned cells: decent recall
+
+
+def test_winnowing_guarantee(spark):
+    """Two docs sharing a ≥ k+window-1 token run must share a fingerprint;
+    disjoint-vocab docs must not."""
+    from kafka_streams_spark.operators.text import winnowing_fingerprint
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8-token run
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} closing remarks"),
+            (2, f"other opening {shared} different end"),
+            (3, "completely unrelated vocabulary entirely distinct terms"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: set(r["fingerprints"]) for r in winnowing_fingerprint(df).collect()}
+    assert fps[1] & fps[2], "shared run must produce a shared fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
 def test_text_scores_bounded(docs):
     q = quality_score(docs)
     assert q.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count() == 0
