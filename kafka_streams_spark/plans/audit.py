@@ -1,0 +1,110 @@
+"""Physical-plan audits: make scale properties testable.
+
+"Would this plan survive a 100× scale-up?" is a question about the
+physical plan, not the output rows: did the filter reach the parquet
+scan, did the scan prune to the projected columns, how many Exchanges
+(shuffles) does a pipeline pay, did the small side broadcast, is the
+aggregation partial (map-side combine), is the top-k a
+TakeOrderedAndProject rather than a global sort. This module parses the
+executed plan into those facts so tests can PIN them — a regression that
+silently adds a shuffle or un-pushes a filter fails CI, not the 100 TB
+run.
+
+(The reference has no analog: Kafka Streams runs the topology exactly as
+written, and its only plan introspection is ``topology.describe()`` —
+SURVEY.md §4.1. This is the part of the engine Catalyst gives us that a
+topology-as-code runtime cannot.)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class PlanAudit:
+    """Parsed facts about a DataFrame's executed (physical) plan."""
+
+    plan: str
+    formatted: str
+
+    # -- shuffles ----------------------------------------------------------
+    @property
+    def num_exchanges(self) -> int:
+        """Shuffle count (hash/range repartitions). Broadcast exchanges
+        are counted separately — they ship a small table, not the data."""
+        return len(re.findall(r"Exchange (?:hash|range|Single)", self.plan))
+
+    @property
+    def num_broadcasts(self) -> int:
+        return self.plan.count("BroadcastExchange")
+
+    # -- joins -------------------------------------------------------------
+    @property
+    def join_strategies(self) -> list[str]:
+        return re.findall(
+            r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+            r"BroadcastNestedLoopJoin|CartesianProduct)",
+            self.plan,
+        )
+
+    # -- scans -------------------------------------------------------------
+    @property
+    def pushed_filters(self) -> list[str]:
+        """Filters that reached the parquet reader (one entry per scan)."""
+        return re.findall(r"PushedFilters: \[([^\]]*)\]", self.plan)
+
+    @property
+    def read_schemas(self) -> list[str]:
+        """Column sets actually read from parquet (one per scan)."""
+        return re.findall(r"ReadSchema: struct<([^>]*)>", self.plan)
+
+    @property
+    def num_scans(self) -> int:
+        return len(re.findall(r"FileScan|Scan parquet", self.plan))
+
+    # -- execution shape ---------------------------------------------------
+    @property
+    def num_codegen_spans(self) -> int:
+        """Distinct whole-stage-codegen spans — `*(N)` operator prefixes
+        in the executed plan (plus any explicit WholeStageCodegen nodes)."""
+        ids = set(re.findall(r"\*\((\d+)\)", self.plan))
+        ids |= set(re.findall(r"WholeStageCodegen \((\d+)\)", self.formatted))
+        return len(ids)
+
+    @property
+    def has_partial_aggregation(self) -> bool:
+        """Map-side combine: a HashAggregate below the Exchange. Shuffle
+        volume is per-(task, key), not per-row — load-bearing for any
+        high-cardinality groupBy at scale."""
+        return bool(
+            re.search(r"partial_", self.plan)
+            or re.search(r"Functions: \[partial", self.formatted)
+        )
+
+    @property
+    def has_take_ordered(self) -> bool:
+        """Top-k as per-partition heaps + driver merge of k·partitions
+        rows — never a global sort shuffle."""
+        return "TakeOrderedAndProject" in self.plan
+
+    def scans_column(self, col: str) -> bool:
+        return any(col in s for s in self.read_schemas)
+
+    def filter_pushed(self, fragment: str) -> bool:
+        return any(fragment in f for f in self.pushed_filters)
+
+
+def audit(df: DataFrame) -> PlanAudit:
+    qe = df._jdf.queryExecution()
+    return PlanAudit(
+        plan=qe.executedPlan().toString(),
+        formatted=qe.explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        ),
+    )

@@ -1,0 +1,192 @@
+"""DSL facade tests: the reference topology ported call-for-call through
+StreamsBuilder/KStream/KGroupedStream/KTable (PaymentTopology.java:39-98),
+asserted against the same golden scenario as the direct-operator pipeline,
+plus the DSL-only capabilities (branch first-match, cogroup, windows,
+global-table join, KTable ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_spark.dsl import StreamsBuilder, cogroup
+from kafka_streams_spark.functions.numeric import java_round
+from tests.test_payments_golden import golden_df
+
+
+def build_payment_topology(builder, payments):
+    """PaymentTopology.buildPipeline (PaymentTopology.java:39-98), line
+    for line: stream → filter(rails) → branch(currency) → mapValues(FX)
+    → merge → [group_by(fromAccount).aggregate ; branch(rails) → to]."""
+    stream = builder.stream(payments, key="paymentId").peek("in")
+    routed = stream.filter(F.col("rails").isin("BANK_RAILS_FOO", "BANK_RAILS_BAR"))
+    gbp, usd = routed.branch(
+        F.col("currency") == "GBP", F.col("currency") == "USD"
+    )
+    usd_fx = usd.map_values(
+        amount=java_round(F.col("amount") * F.lit(0.8)),
+        currency=F.lit("GBP"),
+    )
+    merged = gbp.merge(usd_fx).peek("merged")
+    balance = merged.group_by(F.col("fromAccount"), "k").aggregate(
+        F.sum("amount").alias("balance"), materialized_as="balance"
+    )
+    foo, bar = merged.branch(
+        F.col("rails") == "BANK_RAILS_FOO", F.col("rails") == "BANK_RAILS_BAR"
+    )
+    foo.to("rails-foo-topic")
+    bar.to("rails-bar-topic")
+    return balance
+
+
+def test_dsl_topology_golden(spark):
+    builder = StreamsBuilder()
+    balance = build_payment_topology(builder, golden_df(spark))
+    topo = builder.build()
+
+    foo = {r["paymentId"] for r in topo.sinks["rails-foo-topic"].collect()}
+    bar = {r["paymentId"]: r.asDict() for r in topo.sinks["rails-bar-topic"].collect()}
+    assert foo == {"p1", "p2", "p3"}
+    assert set(bar) == {"p5"}
+    assert bar["p5"]["amount"] == 800 and bar["p5"]["currency"] == "GBP"
+
+    # interactive query parity: 200 / 404 (BalanceController.java:29-34)
+    assert balance.query("ABC") == 210
+    assert balance.query("XYZ") == 800
+    assert balance.query("DEF") is None
+
+    # topology describe parity (TopologyController.java:20-23)
+    desc = topo.describe()
+    assert "rails-foo-topic" in desc and "balance" in desc
+
+
+def test_branch_first_match_overlapping(spark):
+    """Overlapping predicates: each record lands in the FIRST matching
+    leg only (Kafka Streams branch() contract)."""
+    df = spark.createDataFrame([(1, 5), (2, 15), (3, 50)], ["id", "v"])
+    b = StreamsBuilder()
+    small, medium = b.stream(df, key="id").branch(F.col("v") < 20, F.col("v") < 100)
+    assert {r["id"] for r in small.df.collect()} == {1, 2}
+    assert {r["id"] for r in medium.df.collect()} == {3}  # 1,2 already claimed
+
+
+def test_branch_drops_no_match(spark):
+    df = spark.createDataFrame([(1, 500)], ["id", "v"])
+    b = StreamsBuilder()
+    (leg,) = b.stream(df, key="id").branch(F.col("v") < 100)
+    assert leg.df.count() == 0
+
+
+def test_flat_map_values_and_select_key(spark):
+    df = spark.createDataFrame([("a", [1, 2, 3])], ["k", "vs"])
+    b = StreamsBuilder()
+    s = b.stream(df, key="k").flat_map_values(F.col("vs"), "v").select_key(
+        F.col("v") % 2, "parity"
+    )
+    counts = s.group_by_key().count().df.collect()
+    got = {r["parity"]: r["count"] for r in counts}
+    assert got == {0: 1, 1: 2}
+
+
+def test_reduce_and_count(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], ["k", "amount"]
+    )
+    b = StreamsBuilder()
+    g = b.stream(df, key="k").group_by_key()
+    assert g.reduce("amount").query("a") == 30
+    assert g.count().query("b") == 1
+
+
+def test_cogroup(spark):
+    """Two keyed streams folded into one table, each with its own
+    aggregator — deposits sum positive, withdrawals sum negative."""
+    deposits = spark.createDataFrame([("a", 100), ("a", 50), ("b", 10)], ["acct", "amt"])
+    withdrawals = spark.createDataFrame([("a", 30), ("c", 7)], ["acct", "amt"])
+    b = StreamsBuilder()
+    t = cogroup(
+        [
+            (b.stream(deposits, key="acct").group_by_key(), F.sum("amt").alias("deposited")),
+            (b.stream(withdrawals, key="acct").group_by_key(), F.sum("amt").alias("withdrawn")),
+        ]
+    )
+    rows = {r["acct"]: r.asDict() for r in t.df.collect()}
+    assert rows["a"]["deposited"] == 150 and rows["a"]["withdrawn"] == 30
+    assert rows["b"]["deposited"] == 10 and rows["b"]["withdrawn"] is None
+    assert rows["c"]["deposited"] is None and rows["c"]["withdrawn"] == 7
+
+
+def test_windowed_tumbling_and_hopping(spark):
+    df = spark.createDataFrame(
+        [("u1", "2024-01-01 00:05:00"), ("u1", "2024-01-01 00:20:00"),
+         ("u1", "2024-01-01 00:35:00")],
+        ["user", "ts_s"],
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    b = StreamsBuilder()
+    g = b.stream(df, key="user").group_by_key()
+
+    tumb = g.windowed_by("ts", "30 minutes").count().df.collect()
+    assert sorted(r["count"] for r in tumb) == [1, 2]
+
+    # hopping 30m window sliding every 15m: each event lands in 2 windows
+    hop = g.windowed_by("ts", "30 minutes", advance="15 minutes").count().df
+    assert hop.agg(F.sum("count")).collect()[0][0] == 6
+
+
+def test_session_window(spark):
+    df = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00"), ("u1", "2024-01-01 00:10:00"),
+         ("u1", "2024-01-01 02:00:00")],
+        ["user", "ts_s"],
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    b = StreamsBuilder()
+    sessions = (
+        b.stream(df, key="user").group_by_key()
+        .session_windowed_by("ts", "30 minutes").count().df.collect()
+    )
+    assert sorted(r["count"] for r in sessions) == [1, 2]
+
+
+def test_global_table_join_broadcasts(spark):
+    facts = spark.createDataFrame([(1, "GB"), (2, "US")], ["id", "cc"])
+    dim = spark.createDataFrame([("GB", "pound"), ("US", "dollar")], ["cc", "name"])
+    b = StreamsBuilder()
+    joined = b.stream(facts, key="id").join_global(
+        b.global_table(dim, "cc"), on="cc"
+    )
+    plan = joined.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert {r["name"] for r in joined.df.collect()} == {"pound", "dollar"}
+
+
+def test_table_latest_per_key_and_ktable_join(spark):
+    changelog = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 99), ("b", 1, 5)], ["k", "seq", "v"]
+    )
+    b = StreamsBuilder()
+    t = b.table(changelog, key="k", order_col="seq")
+    assert t.query("a")["v"] == 99
+    other = b.table(spark.createDataFrame([("a", "x")], ["k", "tag"]), key="k")
+    joined = t.join(other, how="left")
+    rows = {r["k"]: r["tag"] for r in joined.df.collect()}
+    assert rows == {"a": "x", "b": None}
+
+
+def test_stream_stream_windowed_join(spark):
+    purchases = spark.createDataFrame(
+        [("u1", "2024-01-01 01:00:00"), ("u2", "2024-01-01 05:00:00")],
+        ["user", "pts_s"],
+    ).withColumn("pts", F.to_timestamp("pts_s")).drop("pts_s")
+    clicks = spark.createDataFrame(
+        [("u1", "2024-01-01 00:30:00"), ("u1", "2024-01-01 10:00:00"),
+         ("u2", "2024-01-01 04:59:00")],
+        ["user", "cts_s"],
+    ).withColumn("cts", F.to_timestamp("cts_s")).drop("cts_s")
+    b = StreamsBuilder()
+    joined = b.stream(purchases, key="user").join_windowed(
+        b.stream(clicks, key="user"),
+        on=F.col("l.user") == F.col("r.user"),
+        left_ts="pts", right_ts="cts",
+        before="interval 1 hour", after="interval 0 hours",
+    )
+    # u1's 10:00 click is outside [00:00, 01:00]; u2's 04:59 is inside
+    assert joined.df.count() == 2

@@ -1,0 +1,116 @@
+"""Physical-plan pins: the scale properties we rely on, asserted.
+
+Each test states a property the 100 TB run depends on — filter pushdown
+reaching the parquet scan, column pruning, shuffle counts, broadcast
+join selection, map-side partial aggregation, heap-based top-k — and
+fails if a code change regresses the plan even when outputs stay
+correct at test scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_spark.operators.payments import (
+    account_balances,
+    filter_supported_rails,
+    route_and_convert,
+)
+from kafka_streams_spark.plans import audit
+from kafka_streams_spark.sources.testdata import load_table, payments_from_events
+
+
+def _payments(spark, sf_dir):
+    return payments_from_events(load_table(spark, sf_dir, "events"))
+
+
+def test_native_column_filter_pushed_to_parquet(spark, sf_dir):
+    """A predicate on a physical parquet column must reach the reader as
+    PushedFilters — at 100 TB this is the difference between scanning
+    every row group and skipping non-matching ones via statistics."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    a = audit(ev)
+    assert a.filter_pushed("EqualTo(event_type,purchase)"), a.pushed_filters
+
+
+def test_rails_filter_pushed_through_derived_view(spark, sf_dir):
+    """`rails` is a DERIVED column (CASE WHEN over event_type —
+    payments_from_events), so it can't become a parquet statistic filter;
+    the pin is that Catalyst pushes the predicate through the projection
+    into the scan's DataFilters, evaluating it during the scan rather
+    than in a post-projection stage over all rows."""
+    df = filter_supported_rails(_payments(spark, sf_dir))
+    a = audit(df)
+    assert "DataFilters: [CASE WHEN" in a.plan.replace("\n", " "), a.plan
+    # and the scan still prunes to the source columns actually needed
+    assert a.num_scans == 1
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    """A 2-column projection must read 2 columns, not the whole table."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = audit(li).read_schemas
+    assert schemas and all(
+        "l_extendedprice" not in s and "l_comment" not in s for s in schemas
+    ), schemas
+
+
+def test_balance_pipeline_one_scan_one_shuffle(spark, sf_dir):
+    """The fused topology (route_and_convert → balances) must cost
+    exactly one source scan and one hash Exchange — the minimum for a
+    re-keyed aggregation — with map-side partial sums."""
+    balances = account_balances(route_and_convert(_payments(spark, sf_dir)))
+    a = audit(balances)
+    assert a.num_scans == 1, a.plan
+    assert a.num_exchanges == 1, a.plan
+    assert a.has_partial_aggregation
+
+
+def test_small_dims_broadcast_in_q5(spark, sf_dir):
+    """q5's region/nation/supplier dims must broadcast — a sort-merge
+    join against `region` (5 rows) would shuffle the fact table five
+    times over."""
+    from kafka_streams_spark.operators.analytics import q5_regional_revenue
+
+    a = audit(q5_regional_revenue(spark, sf_dir))
+    strategies = a.join_strategies
+    assert strategies.count("BroadcastHashJoin") >= 3, strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_orders_enrichment_broadcasts_customer_dims(spark, sf_dir):
+    from kafka_streams_spark.operators.analytics import orders_enriched
+
+    a = audit(orders_enriched(spark, sf_dir))
+    assert "BroadcastHashJoin" in a.join_strategies
+    assert "CartesianProduct" not in a.join_strategies
+
+
+def test_knn_is_take_ordered_not_global_sort(spark, sf_dir):
+    """Top-k by similarity must compile to TakeOrderedAndProject
+    (per-partition k-heaps, driver merges k·partitions rows) — a global
+    orderBy would range-shuffle the whole corpus for 10 rows."""
+    from kafka_streams_spark.operators.similarity import knn_brute_force
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [0.0] * len(emb.head()["embedding"])
+    a = audit(knn_brute_force(emb, qvec, k=10))
+    assert a.has_take_ordered, a.plan
+    assert a.num_exchanges == 0, a.plan  # no shuffle at all
+
+
+def test_exact_dedup_partial_aggregates(spark, sf_dir):
+    from kafka_streams_spark.operators.dedup import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = audit(dedup_exact(docs, ["text"], "doc_id"))
+    assert a.has_partial_aggregation
+    assert a.num_exchanges == 1
+
+
+def test_golden_pipeline_stays_in_codegen(spark, sf_dir):
+    """The stateless prefix (filter → branch → fx → merge) must run as
+    whole-stage-codegen — no interpreted eval, no Python boundary."""
+    df = route_and_convert(_payments(spark, sf_dir))
+    a = audit(df)
+    assert a.num_codegen_spans >= 1
+    assert "BatchEvalPython" not in a.plan and "ArrowEvalPython" not in a.plan
