@@ -137,6 +137,78 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairs via prefix filtering (AllPairs/PPJoin
+    family) — the scalable formulation of :func:`ngram_jaccard_pairs`,
+    identical output.
+
+    Instead of scoring every in-block pair (O(n²) array-intersects —
+    impossible at 100 TB), exploit the prefix-filter property: order all
+    shingles by (document frequency, shingle) and keep only each doc's
+    first ``⌊(1-t)·|d|⌋ + 1`` shingles; any pair with Jaccard ≥ t must
+    share a prefix shingle. Candidates come from a posting-list self-join
+    on those prefixes — rarity-first ordering keeps posting lists short
+    (stopword shingles never enter a prefix at high t) — and only
+    candidates pay the exact verify.
+
+    Cost shape: a few narrow shuffles of (doc, shingle) rows sized by
+    corpus token count, then per-candidate verification — vs the blocked
+    variant's pairs×|set| compute that grows quadratically with block
+    size regardless of similarity.
+    """
+    from kafka_streams_spark.functions.partitioning import spread
+
+    blk = [F.col(block_col)] if block_col else []
+    blk_names = [block_col] if block_col else []
+    sh = spread(docs, block_col).select(
+        F.col(id_col),
+        *blk,
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    )
+    tok = sh.select(
+        F.col(id_col),
+        *blk,
+        F.size("shingles").alias("sz"),
+        F.explode("shingles").alias("s"),
+    )
+    freq = tok.groupBy(*blk_names, "s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "s")
+    prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
+    prefix = (
+        tok.join(freq, [*blk_names, "s"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select(F.col(id_col), *blk, "s")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cond = (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in blk_names:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cands = (
+        a.join(b, cond)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sets = sh.select(F.col(id_col), "shingles")
+    return (
+        cands.join(sets.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sets.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            token_set_jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------

@@ -20,7 +20,7 @@ same role as Kafka Streams' RocksDB + changelog topic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -70,6 +70,74 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         id_cols
     )
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time session windows (``SessionWindows.with(gap)`` analog):
+    per-key windows that extend while events keep arriving within ``gap``
+    and merge when a late event bridges two. ``F.session_window`` does
+    the merging in the state store; the watermark closes and evicts
+    sessions, so state stays bounded on infinite streams."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col(key_col),
+            "n_events",
+        )
+    )
+
+
+def suppress_final(windowed: DataFrame):
+    """``suppress(untilWindowCloses)`` analog: emit each window exactly
+    once, after the watermark passes its end — not on every update.
+
+    In Spark this is not an operator but an OUTPUT MODE: a watermarked
+    windowed aggregate under ``outputMode("append")`` holds results in
+    state and appends a row only when the window is finalized. This
+    helper documents that mapping; wire it as
+    ``suppress_final(windowed_counts(stream)).format(...)``.
+    """
+    return windowed.writeStream.outputMode("append")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column,
+    left_ts: str,
+    right_ts: str,
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+    before: str = "interval 1 hour",
+    after: str = "interval 0 seconds",
+) -> DataFrame:
+    """Stream-stream join within a time window — ``KStream.join(KStream,
+    JoinWindows.of(...))``. Right events pair with left events whose
+    timestamp lies in ``[right_ts - before, right_ts + after]``.
+
+    Both sides carry watermarks AND the join condition carries the time
+    range — that pair is what lets Spark expire join state (without the
+    range bound, both sides buffer forever). Alias the sides ``l`` / ``r``
+    in ``on``."""
+    l = left.withWatermark(left_ts, left_watermark).alias("l")
+    r = right.withWatermark(right_ts, right_watermark).alias("r")
+    rng = (
+        (F.col(f"l.{left_ts}") >= F.col(f"r.{right_ts}") - F.expr(before))
+        & (F.col(f"l.{left_ts}") <= F.col(f"r.{right_ts}") + F.expr(after))
+    )
+    return l.join(r, on & rng)
 
 
 BALANCE_STATE_SCHEMA = StructType([StructField("balance", LongType())])

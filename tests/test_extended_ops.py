@@ -155,3 +155,21 @@ def test_multimodal_plumbing(spark):
 def test_real_decode_is_gated():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_prefix_jaccard_matches_blocked(docs):
+    """ngram_jaccard_pairs_prefix (AllPairs prefix filtering) must be
+    output-identical to the blocked all-pairs formulation."""
+    from kafka_streams_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    def norm(df):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in df.collect()
+        )
+
+    blocked = norm(ngram_jaccard_pairs(docs, n=1, threshold=0.7, block_col="source"))
+    prefix = norm(ngram_jaccard_pairs_prefix(docs, n=1, threshold=0.7, block_col="source"))
+    assert blocked == prefix and blocked
