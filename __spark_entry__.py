@@ -257,6 +257,39 @@ def _q_media_frames(spark, sf_dir):
     return sample_video_frames(synthesize_media(spark, 200), every_nth=10, codec="fake")
 
 
+def _q_dsl_balances(spark, sf_dir):
+    """The reference topology built through the Kafka Streams DSL facade
+    (dsl.StreamsBuilder) instead of the direct operator functions — the
+    driver oracle proves the facade is semantics-identical."""
+    from kafka_streams_spark.dsl import StreamsBuilder
+    from kafka_streams_spark.functions.numeric import java_round
+
+    b = StreamsBuilder()
+    stream = b.stream(_payments(spark, sf_dir), key="paymentId")
+    routed = stream.filter(F.col("rails").isin("BANK_RAILS_FOO", "BANK_RAILS_BAR"))
+    gbp, usd = routed.branch(F.col("currency") == "GBP", F.col("currency") == "USD")
+    usd_fx = usd.map_values(
+        amount=java_round(F.col("amount") * F.lit(0.8)), currency=F.lit("GBP")
+    )
+    merged = gbp.merge(usd_fx)
+    table = merged.group_by(F.col("fromAccount"), "fromAccount_k").aggregate(
+        F.sum("amount").alias("balance")
+    )
+    return table.df.withColumnRenamed("fromAccount_k", "fromAccount")
+
+
+def _q_top_tokens(spark, sf_dir):
+    from kafka_streams_spark.operators.text import top_tokens
+
+    return top_tokens(_docs(spark, sf_dir), k=20)
+
+
+def _q_doc_length_buckets(spark, sf_dir):
+    from kafka_streams_spark.operators.text import doc_length_buckets
+
+    return doc_length_buckets(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # contract entry points
 # --------------------------------------------------------------------------
@@ -301,11 +334,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_enriched": A.orders_enriched,
         "asof_purchase_click": _q_asof_purchase_click,
         "pivot_events": _q_pivot_events,
+        "q4_order_priority": A.q4_order_priority,
+        "q10_returned_revenue": A.q10_returned_revenue,
+        "q14_promo_revenue": A.q14_promo_revenue,
+        "q18_large_orders": A.q18_large_orders,
+        # DSL facade driven through the same oracle as payments_balances
+        "dsl_balances": _q_dsl_balances,
         # text analysis
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality,
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
+        "top_tokens": _q_top_tokens,
+        "doc_length_buckets": _q_doc_length_buckets,
         # dedup
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_rows": _q_dedup_exact_rows,

@@ -42,7 +42,12 @@ BENCH_QUERIES = [
     "knn_vec0",
     "emb_near_dup_exact",
     "media_image_features",
+    "q4_order_priority",
     "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "top_tokens",
     "rollup_orders",
     "price_quantiles",
     "orders_enriched",

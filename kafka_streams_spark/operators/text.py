@@ -163,3 +163,34 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.md5(norm).alias("exact_md5"),
         F.md5(bag).alias("bag_md5"),
     )
+
+
+def top_tokens(docs: DataFrame, k: int = 20, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-k most frequent tokens. explode → count is one
+    shuffle with map-side partial counts (per-task token tallies), and
+    the top-k is a TakeOrderedAndProject heap, not a global sort.
+    Deterministic tiebreak on the token itself."""
+    from kafka_streams_spark.functions.partitioning import spread
+
+    tok = spread(docs).select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    return (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(k)
+    )
+
+
+def doc_length_buckets(docs: DataFrame, bucket_chars: int = 200) -> DataFrame:
+    """Document length histogram — the standard first look at a new
+    corpus. Buckets are fixed-width on n_chars; one partial-aggregated
+    shuffle of (bucket) pairs."""
+    b = F.floor(F.col("n_chars") / bucket_chars).alias("bucket")
+    return (
+        docs.groupBy(b)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

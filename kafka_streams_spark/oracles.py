@@ -71,6 +71,9 @@ PAYMENT_ORACLES = {
     ),
 }
 
+# The DSL facade builds the same topology; same oracle proves it.
+PAYMENT_ORACLES["dsl_balances"] = PAYMENT_ORACLES["payments_balances"]
+
 # --------------------------------------------------------------------------
 # relational analytics
 # --------------------------------------------------------------------------
@@ -81,6 +84,49 @@ _DISC_PRICE = (
 )
 
 ANALYTICS_ORACLES = {
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    "q10_returned_revenue": f"""
+        SELECT c_custkey, c_name, n_name,
+               CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue
+        FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q14_promo_revenue": f"""
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE}
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS promo_revenue,
+               CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+    "q18_large_orders": """
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+               CAST(total_qty AS DECIMAL(38,2)) AS total_qty
+        FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+              FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300) big
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
@@ -247,6 +293,21 @@ def _sql_list(words: list[str]) -> str:
 _STOP_EN = _sql_list(STOPWORDS["en"])
 
 TEXT_ORACLES = {
+    "top_tokens": f"""
+        SELECT tok, count(*) AS n
+        FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY tok
+        ORDER BY n DESC, tok
+        LIMIT 20
+    """,
+    "doc_length_buckets": """
+        SELECT CAST(floor(n_chars / 200) AS BIGINT) AS bucket,
+               count(*) AS n_docs,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents
+        GROUP BY 1
+    """,
     "doc_stats": f"""
         WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
         SELECT doc_id,
