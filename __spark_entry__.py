@@ -278,6 +278,18 @@ def _q_dsl_balances(spark, sf_dir):
     return table.df.withColumnRenamed("fromAccount_k", "fromAccount")
 
 
+def _q_label_centroids(spark, sf_dir):
+    from kafka_streams_spark.operators.similarity import label_centroids
+
+    return label_centroids(_embs(spark, sf_dir))
+
+
+def _q_normalize_vectors(spark, sf_dir):
+    from kafka_streams_spark.operators.similarity import normalize_vectors
+
+    return normalize_vectors(_embs(spark, sf_dir))
+
+
 def _q_top_tokens(spark, sf_dir):
     from kafka_streams_spark.operators.text import top_tokens
 
@@ -359,6 +371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_vec0": _q_knn_lsh_vec0,  # randomized probe set: rows-only
         "knn_ivf_vec0": _q_knn_ivf_vec0,  # learned index: rows-only
         "winnowing_fingerprints": _q_winnowing,  # xxhash64-based: rows-only
+        "emb_label_centroids": _q_label_centroids,
+        "emb_normalize": _q_normalize_vectors,
         "emb_near_dup_exact": _q_emb_near_dup,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,  # rows-only
         # multimodal plumbing (deterministic fake codec)

@@ -1,9 +1,91 @@
-"""Partition-shape helpers."""
+"""Partition-shape helpers: parallelism floors and skew mitigation.
+
+Skew policy, in order of preference:
+1. AQE skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on by
+   default in session.get_spark) — zero code, handles join-side skew by
+   splitting oversized partitions at runtime.
+2. `salted_aggregate` — for aggregation skew AQE can't split (a single
+   reduce key with a billion rows lands on one task no matter how
+   partitions are drawn): two-stage agg over a synthetic salt.
+3. `salted_join` — for join skew where AQE's split heuristics don't
+   trigger (e.g. one hot key dominating, non-sort-merge plans):
+   replicate the small side per salt bucket, spread the big side's hot
+   rows across buckets.
+"""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Self-decomposable aggregates: stage-2 recombiner for each stage-1 agg.
+_RECOMBINE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts recombine by summing partial counts
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed grouping keys.
+
+    ``aggs`` is ``[(col, fn, alias)]`` with fn ∈ {sum, count, min, max}
+    (the self-decomposable aggregates; express avg as sum+count and
+    divide). Stage 1 groups by (keys + random salt) — the hot key's rows
+    split across ``salt_buckets`` tasks; stage 2 groups the tiny partial
+    table by the real keys and recombines.
+
+    Shape: shuffle 1 carries (keys, salt)-partials (map-side combine
+    still applies), shuffle 2 carries ≤ salt_buckets rows per key. Same
+    result as a direct groupBy for any input — salting is safe always,
+    just pointless without skew.
+    """
+    for _, fn, _ in aggs:
+        if fn not in _RECOMBINE:
+            raise ValueError(f"{fn} is not self-decomposable; use sum/count/min/max")
+    salt = (F.rand(seed=7) * salt_buckets).cast("int").alias("_salt")
+    stage1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
+        *[
+            (F.count("*") if fn == "count" else getattr(F, fn)(c)).alias(f"_p_{alias}")
+            for c, fn, alias in aggs
+        ]
+    )
+    return stage1.groupBy(*keys).agg(
+        *[
+            _RECOMBINE[fn](f"_p_{alias}").alias(alias)
+            for _, fn, alias in aggs
+        ]
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with hot-key salting: the big side gets a random salt in
+    [0, salt_buckets); the small side is replicated once per salt value
+    (explode of a literal range — ``salt_buckets × |small|`` rows, so
+    keep the small side genuinely small). The join key becomes
+    (on..., salt), spreading any hot key over ``salt_buckets`` tasks.
+
+    Prefer plain ``broadcast(small)`` when the small side fits in memory
+    — salting only beats it when the small side is too big to broadcast
+    AND a hot key breaks the shuffled join."""
+    salted_big = big.withColumn("_salt", (F.rand(seed=11) * salt_buckets).cast("int"))
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_big.join(salted_small, [*on, "_salt"], how)
+    return out.drop("_salt")
 
 
 def spread(df: DataFrame, by: str | None = None) -> DataFrame:

@@ -303,3 +303,65 @@ def exact_pairs_cosine(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Element-wise mean vector (centroid) per group — the bulk vector
+    aggregate behind IVF training, cluster profiling, and class
+    prototypes.
+
+    Scale shape: posexplode to (group, dim_pos, value) rows → one
+    partial-aggregated shuffle keyed (group, pos) → tiny reassembly agg.
+    Spark has no native element-wise array-sum aggregate; exploding keeps
+    every stage codegen'd and parallel over n·dim rows rather than
+    collecting arrays anywhere. Components round to `decimals` to pin
+    cross-engine double-summation ulps.
+
+    Output: (group_col, centroid array<double>, n_vecs).
+    """
+    from kafka_streams_spark.functions.partitioning import spread
+
+    ex = spread(embeddings).select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    )
+    means = ex.groupBy(group_col, "pos").agg(
+        F.avg(F.col("x").cast("double")).alias("m"),
+        F.count("*").alias("n"),
+    )
+    return means.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: F.round(s["m"], decimals),
+        ).alias("centroid"),
+        F.max("n").alias("n_vecs"),
+    )
+
+
+def normalize_vectors(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Unit-L2 normalization — pure Column expressions; zero-norm vectors
+    are dropped (no direction to keep). Pre-normalizing turns cosine
+    top-k into dot-product top-k, halving per-query arithmetic."""
+    from kafka_streams_spark.functions.vectors import l2_norm
+
+    nrm = l2_norm(F.col(vec_col))
+    return (
+        embeddings.withColumn("_nrm", nrm)
+        .filter(F.col("_nrm") > 0)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") / F.col("_nrm"), decimals),
+            ).alias("unit"),
+        )
+    )

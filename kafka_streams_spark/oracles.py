@@ -425,6 +425,33 @@ SIMILARITY_ORACLES = {
         ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qvec) DESC, vec_id
         LIMIT 10
     """,
+    "emb_label_centroids": """
+        WITH ex AS (
+            SELECT label,
+                   unnest(range(len(embedding))) AS pos,
+                   unnest(embedding) AS x
+            FROM embeddings
+        ),
+        m AS (
+            SELECT label, pos, avg(CAST(x AS DOUBLE)) AS m, count(*) AS n
+            FROM ex GROUP BY label, pos
+        )
+        SELECT label,
+               list(round(m, 6) ORDER BY pos) AS centroid,
+               CAST(max(n) AS BIGINT) AS n_vecs
+        FROM m GROUP BY label
+    """,
+    "emb_normalize": """
+        SELECT vec_id,
+               list_transform(embedding, x -> round(CAST(x AS DOUBLE) / nrm, 6)) AS unit
+        FROM (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(
+                       embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        )
+        WHERE nrm > 0
+    """,
     "emb_near_dup_exact": """
         WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         SELECT id_a, id_b, round(sim, 6) AS cosine_sim FROM (

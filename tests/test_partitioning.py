@@ -1,0 +1,78 @@
+"""Skew-mitigation utilities: salted aggregation and salted join must be
+result-identical to their direct forms, with the salted plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_spark.functions.partitioning import salted_aggregate, salted_join
+from kafka_streams_spark.plans import audit
+
+
+def _skewed(spark):
+    # one hot key (90% of rows) + a long tail
+    hot = spark.range(9000).select(
+        F.lit("HOT").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    tail = spark.range(1000).select(
+        F.concat(F.lit("t"), (F.col("id") % 50).cast("string")).alias("k"),
+        (F.col("id") % 31).alias("v"),
+    )
+    return hot.unionByName(tail)
+
+
+def test_salted_aggregate_matches_direct(spark):
+    df = _skewed(spark)
+    direct = {
+        r["k"]: (r["s"], r["c"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("*").alias("c"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["s"], r["c"], r["mn"], r["mx"])
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            [("v", "sum", "s"), ("v", "count", "c"), ("v", "min", "mn"), ("v", "max", "mx")],
+            salt_buckets=8,
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_aggregate_two_stage_plan(spark):
+    df = _skewed(spark)
+    a = audit(salted_aggregate(df, ["k"], [("v", "sum", "s")], salt_buckets=8))
+    # stage-1 (keys+salt) exchange and stage-2 (keys) exchange
+    assert a.num_exchanges == 2, a.plan
+    assert a.has_partial_aggregation
+
+
+def test_salted_aggregate_rejects_non_decomposable(spark):
+    df = _skewed(spark)
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_aggregate(df, ["k"], [("v", "avg", "a")])
+
+
+def test_salted_join_matches_direct(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame(
+        [("HOT", "hot-meta")] + [(f"t{i}", f"m{i}") for i in range(50)],
+        ["k", "meta"],
+    )
+    direct = sorted(
+        (r["k"], r["v"], r["meta"]) for r in big.join(small, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["meta"])
+        for r in salted_join(big, small, ["k"], salt_buckets=4).collect()
+    )
+    assert salted == direct
