@@ -278,6 +278,18 @@ def _q_dsl_balances(spark, sf_dir):
     return table.df.withColumnRenamed("fromAccount_k", "fromAccount")
 
 
+def _q_repetition_stats(spark, sf_dir):
+    from kafka_streams_spark.operators.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_pii_scan(spark, sf_dir):
+    from kafka_streams_spark.operators.text import pii_scan
+
+    return pii_scan(_docs(spark, sf_dir))
+
+
 def _q_label_centroids(spark, sf_dir):
     from kafka_streams_spark.operators.similarity import label_centroids
 
@@ -359,6 +371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "top_tokens": _q_top_tokens,
         "doc_length_buckets": _q_doc_length_buckets,
+        "repetition_stats": _q_repetition_stats,
+        "pii_scan": _q_pii_scan,
         # dedup
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_rows": _q_dedup_exact_rows,

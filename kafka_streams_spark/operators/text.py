@@ -194,3 +194,75 @@ def doc_length_buckets(docs: DataFrame, bucket_chars: int = 200) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Repetition quality signals (the Gopher-rules family): duplicate
+    line ratio and the fraction of all word bigrams taken by the single
+    most frequent bigram. High values flag boilerplate/spam for corpus
+    filtering.
+
+    Shape: bigrams explode to (doc, gram) rows → two partial-aggregated
+    shuffles (per-(doc,gram) counts, then per-doc max/sum) — the same
+    codegen'd explode+groupBy backbone as the signature operators; no
+    per-row quadratic array scans.
+    """
+    from kafka_streams_spark.functions.partitioning import spread
+
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
+    dup_line_ratio = F.when(
+        F.size(lines) > 0,
+        1.0 - F.size(F.array_distinct(lines)).cast("double") / F.size(lines),
+    ).otherwise(F.lit(0.0))
+    base = spread(docs).select(
+        F.col(id_col),
+        dup_line_ratio.alias("dup_line_ratio"),
+        F.col(text_col),
+    )
+    toks = tokens(F.col(text_col))
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    ex = base.select(
+        F.col(id_col),
+        "dup_line_ratio",
+        F.explode(F.when(n > 0, grams).otherwise(F.array(F.lit(None)))).alias("gram"),
+    )
+    per_gram = ex.groupBy(id_col, "dup_line_ratio", "gram").agg(
+        F.count("gram").alias("c")
+    )
+    return per_gram.groupBy(id_col, "dup_line_ratio").agg(
+        F.when(
+            F.sum("c") > 0, F.max("c").cast("double") / F.sum("c")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_fraction")
+    )
+
+
+PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "urls": r"https?://[^\s]+",
+    "ipv4s": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scan(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document PII indicator counts (emails / URLs / IPv4s) — the
+    redaction pre-pass of a training-data pipeline. Patterns are RE2-safe
+    (no backrefs/lookaround) so Spark and DuckDB agree exactly; counting
+    is `regexp_extract_all` + `size`, all codegen."""
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(rx), F.lit(0))).alias(name)
+        for name, rx in PII_PATTERNS.items()
+    ]
+    out = docs.select(F.col(id_col), *counts)
+    flag = None
+    for name in PII_PATTERNS:
+        c = F.col(name) > 0
+        flag = c if flag is None else flag | c
+    return out.withColumn("has_pii", flag)

@@ -308,6 +308,46 @@ TEXT_ORACLES = {
         FROM documents
         GROUP BY 1
     """,
+    "repetition_stats": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN len(lines) > 0
+                        THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                        ELSE 0.0 END AS dup_line_ratio,
+                   toks
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lines,
+                         {_TOKS} AS toks
+                  FROM documents)
+        ),
+        ex AS (
+            SELECT doc_id, dup_line_ratio,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1])) AS gram
+            FROM base WHERE len(toks) >= 2
+        ),
+        pg AS (SELECT doc_id, dup_line_ratio, gram, count(*) AS c FROM ex GROUP BY ALL)
+        SELECT doc_id, dup_line_ratio,
+               CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_fraction
+        FROM pg GROUP BY doc_id, dup_line_ratio
+        UNION ALL
+        SELECT doc_id, dup_line_ratio, 0.0 AS top_bigram_fraction
+        FROM base WHERE len(toks) < 2
+    """,
+    "pii_scan": """
+        SELECT doc_id, emails, urls, ipv4s,
+               (emails > 0 OR urls > 0 OR ipv4s > 0) AS has_pii
+        FROM (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS emails,
+                   CAST(len(regexp_extract_all(text,
+                       'https?://[^\\s]+')) AS INTEGER) AS urls,
+                   CAST(len(regexp_extract_all(text,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INTEGER) AS ipv4s
+            FROM documents
+        )
+    """,
     "doc_stats": f"""
         WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
         SELECT doc_id,

@@ -190,3 +190,49 @@ def test_stream_stream_windowed_join(spark):
     )
     # u1's 10:00 click is outside [00:00, 01:00]; u2's 04:59 is inside
     assert joined.df.count() == 2
+
+
+def test_dsl_topology_streaming(spark, tmp_path):
+    """The DSL facade is batch/streaming agnostic: the same
+    build_payment_topology over a readStream source yields the golden
+    balances (complete mode) and sink legs (append mode)."""
+    import json
+    import os
+
+    from kafka_streams_spark.schema import PAYMENT_SCHEMA
+    from tests.test_payments_golden import GOLDEN
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for pid, amt, cur, frm, to, rails in GOLDEN:
+            f.write(json.dumps({
+                "paymentId": pid, "amount": amt, "currency": cur,
+                "fromAccount": frm, "toAccount": to, "rails": rails,
+            }) + "\n")
+
+    stream = spark.readStream.schema(PAYMENT_SCHEMA).json(src)
+    builder = StreamsBuilder()
+    balance = build_payment_topology(builder, stream)
+    topo = builder.build()
+
+    qb = (
+        balance.df.writeStream.format("memory").queryName("dsl_bal")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_b")).start()
+    )
+    qf = (
+        topo.sinks["rails-foo-topic"].writeStream.format("memory")
+        .queryName("dsl_foo").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_f")).start()
+    )
+    try:
+        qb.processAllAvailable()
+        qf.processAllAvailable()
+        bal = {r["k"]: r["balance"] for r in spark.table("dsl_bal").collect()}
+        assert bal == {"ABC": 210, "XYZ": 800}
+        foo = {r["paymentId"] for r in spark.table("dsl_foo").collect()}
+        assert foo == {"p1", "p2", "p3"}
+    finally:
+        qb.stop()
+        qf.stop()
