@@ -278,6 +278,12 @@ def _q_dsl_balances(spark, sf_dir):
     return table.df.withColumnRenamed("fromAccount_k", "fromAccount")
 
 
+def _q_curate_corpus(spark, sf_dir):
+    from kafka_streams_spark.operators.pipelines import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir))
+
+
 def _q_repetition_stats(spark, sf_dir):
     from kafka_streams_spark.operators.text import repetition_stats
 
@@ -373,6 +379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_buckets": _q_doc_length_buckets,
         "repetition_stats": _q_repetition_stats,
         "pii_scan": _q_pii_scan,
+        # end-to-end curation pipeline (fused single-scan gates + dedup)
+        "curate_corpus": _q_curate_corpus,
         # dedup
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_rows": _q_dedup_exact_rows,

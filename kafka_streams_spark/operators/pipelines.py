@@ -1,0 +1,60 @@
+"""End-to-end corpus-curation pipeline: the composition a training-data
+team actually runs — quality gate → PII gate → exact dedup → token
+budget — expressed as ONE fused scan + ONE window shuffle.
+
+Composability is the point: every stage reuses the text-operator
+expression vocabulary (tokens / bpe_ish_count / quality_expr /
+PII_PATTERNS / md5 fingerprints), and because each stage is a pure
+Column expression over the same row, Catalyst evaluates the whole gate
+in a single pass over the corpus — no joins between the quality, PII,
+and fingerprint "stages". The only shuffle is the dedup window keyed on
+the content hash. At 100 TB: one read of the corpus, one hash exchange
+of (md5, winner) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_spark.operators.dedup import tokens
+from kafka_streams_spark.operators.text import (
+    PII_PATTERNS,
+    bpe_ish_count,
+    quality_expr,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curated corpus manifest: docs passing the quality gate, with no
+    PII hits, exact-deduplicated (min-id winner per normalized-text md5),
+    with their BPE-ish token budget.
+
+    Output: (doc_id, source, n_tokens_bpe, quality) — the manifest a
+    downstream tokenizer run consumes.
+    """
+    t = F.col(text_col)
+    has_pii = None
+    for rx in PII_PATTERNS.values():
+        c = F.size(F.regexp_extract_all(t, F.lit(rx), F.lit(0))) > 0
+        has_pii = c if has_pii is None else has_pii | c
+    base = docs.select(
+        F.col(id_col),
+        F.col("source"),
+        quality_expr(t).alias("quality"),
+        has_pii.alias("has_pii"),
+        F.md5(F.concat_ws(" ", tokens(t))).alias("exact_md5"),
+        bpe_ish_count(t).alias("n_tokens_bpe"),
+    )
+    gated = base.filter((F.col("quality") >= min_quality) & ~F.col("has_pii"))
+    w = Window.partitionBy("exact_md5").orderBy(F.col(id_col))
+    return (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), "source", "n_tokens_bpe", "quality")
+    )

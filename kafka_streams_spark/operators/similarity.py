@@ -365,3 +365,45 @@ def normalize_vectors(
             ).alias("unit"),
         )
     )
+
+
+def write_lsh_index(
+    indexed: DataFrame, path: str, vec_col: str = "embedding"
+) -> None:
+    """Materialize an LSH/IVF index partitioned by its bucket column:
+    `path/bucket=<b>/part-*.parquet`. Queries against the written index
+    prune to the probed buckets at the FILE level (PartitionFilters in
+    the scan) — the corpus outside the probe set is never opened, which
+    is the entire point of the index at 100 TB."""
+    indexed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def knn_from_index(
+    spark,
+    path: str,
+    planes: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Top-k against a written index: same probe-set logic as knn_lsh,
+    but the bucket predicate lands on a partition COLUMN, so pruning
+    happens in the file index before any IO."""
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(p, query_vec)) >= 0:
+            qsig |= 1 << i
+    probes = [qsig]
+    if multiprobe_hamming >= 1:
+        probes += [qsig ^ (1 << i) for i in range(len(planes))]
+    cand = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    return (
+        cand.select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), _query_lit(query_vec)).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

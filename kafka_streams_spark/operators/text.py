@@ -58,19 +58,32 @@ def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def quality_expr(t: Column) -> Column:
+    """Composite quality heuristic in [0,1] as a single Column expression
+    over the raw text — C4/Gopher-style: length in a sane band, words
+    not too long, some punctuation, some stopwords. Deterministic
+    arithmetic only (reproducible in SQL); expression form so pipelines
+    can fuse the gate into a wider single-scan projection."""
+    toks = tokens(t)
+    n_words = F.size(toks)
+    n_chars = F.length(t)
+    chars_per_word = n_chars.cast("double") / F.greatest(n_words, F.lit(1))
+    punct_ratio = F.length(F.regexp_replace(t, r"[^.!?,;:]", "")).cast(
+        "double"
+    ) / F.greatest(n_chars, F.lit(1))
+    stopword_ratio = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]]))
+    ).cast("double") / F.greatest(F.size(F.array_distinct(toks)), F.lit(1))
+    length_ok = F.when((n_words >= 10) & (n_words <= 100000), 1.0).otherwise(0.0)
+    wordlen_ok = F.when((chars_per_word >= 3) & (chars_per_word <= 12), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio > 0, 1.0).otherwise(0.0)
+    return (length_ok + wordlen_ok + punct_ok + stop_ok) / 4.0
+
+
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Composite quality heuristic in [0,1] — the C4/Gopher-style shape:
-    length in a sane band, words not too long, some punctuation, some
-    stopwords. Deterministic arithmetic only (reproducible in SQL)."""
-    s = doc_stats(docs, id_col, text_col)
-    length_ok = F.when((F.col("n_words") >= 10) & (F.col("n_words") <= 100000), 1.0).otherwise(0.0)
-    wordlen_ok = F.when((F.col("chars_per_word") >= 3) & (F.col("chars_per_word") <= 12), 1.0).otherwise(0.0)
-    punct_ok = F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.0)
-    stop_ok = F.when(F.col("stopword_ratio") > 0, 1.0).otherwise(0.0)
-    return s.select(
-        F.col(id_col),
-        ((length_ok + wordlen_ok + punct_ok + stop_ok) / 4.0).alias("quality"),
-    )
+    """Per-doc composite quality score (see :func:`quality_expr`)."""
+    return docs.select(F.col(id_col), quality_expr(F.col(text_col)).alias("quality"))
 
 
 def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

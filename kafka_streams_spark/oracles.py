@@ -406,6 +406,37 @@ TEXT_ORACLES = {
                md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bag_md5
         FROM t
     """,
+    "curate_corpus": f"""
+        WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
+        s AS (
+            SELECT doc_id, source, toks,
+                   len(toks) AS n_words,
+                   CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) AS chars_per_word,
+                   CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS punct_ratio,
+                   CAST(len(list_intersect(toks, {_STOP_EN})) AS DOUBLE)
+                       / greatest(len(list_distinct(toks)), 1) AS stopword_ratio,
+                   (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) > 0
+                    OR len(regexp_extract_all(text, 'https?://[^\\s]+')) > 0
+                    OR len(regexp_extract_all(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) > 0)
+                       AS has_pii,
+                   md5(array_to_string(toks, ' ')) AS exact_md5,
+                   CAST(len(regexp_extract_all(text, '{BPE_ISH_REGEX}')) AS INTEGER) AS n_tokens_bpe
+            FROM t
+        ),
+        gated AS (
+            SELECT doc_id, source, n_tokens_bpe, exact_md5,
+                   ((CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN chars_per_word >= 3 AND chars_per_word <= 12 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN stopword_ratio > 0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+            FROM s WHERE NOT has_pii
+        )
+        SELECT doc_id, source, n_tokens_bpe, quality
+        FROM (SELECT *, row_number() OVER (PARTITION BY exact_md5 ORDER BY doc_id) AS rn
+              FROM gated WHERE quality >= 0.75)
+        WHERE rn = 1
+    """,
 }
 
 # --------------------------------------------------------------------------

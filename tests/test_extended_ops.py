@@ -173,3 +173,26 @@ def test_prefix_jaccard_matches_blocked(docs):
     blocked = norm(ngram_jaccard_pairs(docs, n=1, threshold=0.7, block_col="source"))
     prefix = norm(ngram_jaccard_pairs_prefix(docs, n=1, threshold=0.7, block_col="source"))
     assert blocked == prefix and blocked
+
+
+def test_curate_corpus_semantics(spark):
+    """Gates and dedup behave: low-quality, PII-bearing, and duplicate
+    docs are dropped; the min-id duplicate survives."""
+    from kafka_streams_spark.operators.pipelines import curate_corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs far away. "
+        "it is a fine day in the park and everyone enjoys that sunshine."
+    )
+    rows = [
+        (1, good, "a"),
+        (2, good, "a"),                       # exact dup of 1 -> dropped
+        (3, "short text", "a"),               # fails length gate
+        (4, good + " mail me at x@y.com", "a"),  # PII -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = curate_corpus(df)
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {1}
+    row = out.collect()[0]
+    assert row["quality"] >= 0.75 and row["n_tokens_bpe"] > 0

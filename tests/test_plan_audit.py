@@ -114,3 +114,43 @@ def test_golden_pipeline_stays_in_codegen(spark, sf_dir):
     a = audit(df)
     assert a.num_codegen_spans >= 1
     assert "BatchEvalPython" not in a.plan and "ArrowEvalPython" not in a.plan
+
+
+def test_written_lsh_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """A written bucket-partitioned index must prune at the file level:
+    the probe predicate shows up as PartitionFilters, and the scan's
+    input partitions are only the probed buckets."""
+    from kafka_streams_spark.operators.similarity import (
+        build_lsh_index,
+        knn_from_index,
+        write_lsh_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.head()["embedding"])
+    indexed, planes = build_lsh_index(emb, dim=dim, n_planes=4)
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(indexed, path)
+
+    qvec = [float(x) for x in emb.head()["embedding"]]
+    q = knn_from_index(spark, path, planes, qvec, k=5)
+    a = audit(q)
+    assert "PartitionFilters: [" in a.plan and "bucket" in a.plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], a.plan
+    assert a.has_take_ordered
+    # correctness: the probed self-bucket contains the query vector itself
+    top = q.collect()
+    assert top and top[0]["vec_id"] == emb.head()["vec_id"]
+
+
+def test_curate_corpus_one_scan_one_shuffle(spark, sf_dir):
+    """The curation pipeline (quality gate + PII gate + md5 dedup +
+    token budget) must fuse to ONE corpus scan and ONE exchange (the
+    dedup window) — the stages are expression-composed, not joined."""
+    from kafka_streams_spark.operators.pipelines import curate_corpus
+
+    a = audit(curate_corpus(load_table(spark, sf_dir, "documents")))
+    assert a.num_scans == 1, a.plan
+    assert a.num_exchanges == 1, a.plan
+    assert "BatchEvalPython" not in a.plan and "ArrowEvalPython" not in a.plan
