@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "asof_purchase_click",
     "pivot_events",
     "winnowing_fingerprints",
+    "repetition_stats",
+    "emb_label_centroids",
+    "curate_corpus",
 ]
 
 

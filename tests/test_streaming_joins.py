@@ -154,3 +154,42 @@ def test_session_counts_streaming(spark, tmp_path):
         assert counts == [1, 2]
     finally:
         q.stop()
+
+
+def test_late_event_beyond_watermark_ignored(spark, tmp_path):
+    """Late-data contract: once the watermark closes a window (append
+    mode emitted it), an event for that window arriving later is
+    dropped — state for the window is gone and no correction row
+    appears. (The reference has no event-time semantics at all; this
+    pins OUR documented behavior.)"""
+    src = str(tmp_path / "src")
+    _write_jsonl(
+        os.path.join(src, "b1.json"),
+        [_ev(1, "2024-01-01T00:10:00Z", "u1", "click")],
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+    win = windowed_counts(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        win.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_jsonl(  # advance watermark past 01:30 -> window emits
+            os.path.join(src, "b2.json"),
+            [_ev(2, "2024-01-01T05:00:00Z", "u1", "click")],
+        )
+        q.processAllAvailable()
+        assert spark.table("late_out").count() == 1
+        _write_jsonl(  # late event for the closed 00:00 window
+            os.path.join(src, "b3.json"),
+            [_ev(3, "2024-01-01T00:20:00Z", "u1", "click")],
+        )
+        q.processAllAvailable()
+        rows = spark.table("late_out").collect()
+        assert len(rows) == 1 and rows[0]["n_events"] == 1  # unchanged
+    finally:
+        q.stop()
