@@ -119,9 +119,11 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> Dat
 
 def order_count_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    # money as exact integer cents: a DECIMAL(38,2) this large round-trips
+    # through float64 (pandas/arrow) with last-digit error; BIGINT doesn't
     return o.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(38,2)").alias("total_value"),
+        (F.sum(F.col("o_totalprice").cast(DEC)) * 100).cast("long").alias("total_value_cents"),
     )
 
 
@@ -202,7 +204,7 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(38,2)").alias("total_value"),
+        (F.sum(F.col("o_totalprice").cast(DEC)) * 100).cast("long").alias("total_value_cents"),
     )
 
 

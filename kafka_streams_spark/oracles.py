@@ -178,7 +178,7 @@ ANALYTICS_ORACLES = {
     """,
     "order_count_by_status": """
         SELECT o_orderstatus, count(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_cents
         FROM orders GROUP BY o_orderstatus
     """,
     "events_hourly": """
@@ -220,7 +220,7 @@ ANALYTICS_ORACLES = {
     """,
     "rollup_orders": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_cents
         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
     "cube_events": """

@@ -38,12 +38,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     `events.ts` is physically TIMESTAMP(NANOS), which Spark's vectorized
     parquet reader rejects; `nanosAsLong` (set at runtime so it also holds
-    under the driver's session) reads it as epoch-nanos long. Event-time
-    operators derive buckets from the integer nanos — exact in both Spark
-    and DuckDB (`epoch_ns(ts)`), no ns→µs truncation ambiguity.
+    under the driver's session) reads it as epoch-nanos long — and we then
+    TRUNCATE to microsecond precision (`(ts div 1000) * 1000`). Timestamp
+    engines (DuckDB included: it reads this column as a µs TIMESTAMP, and
+    Spark's own TimestampType is µs) carry microseconds; keeping
+    sub-microsecond nanos on our side made durations/gap comparisons
+    differ by ±1 at the last digit vs any timestamp-typed engine. µs is
+    the canonical event-time precision; buckets/gaps derive from the
+    truncated integer, identical to `epoch_ns(ts)` on a µs timestamp.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # integer div — float division would shed low bits (nanos > 2^53)
+        return ev.withColumn("ts", F.expr("(ts div 1000) * 1000"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
