@@ -161,6 +161,17 @@ class KStream:
         df = self.df.withColumn(key_alias, key_expr).withColumns(dict(value_exprs))
         return self._wrap(df, key=key_alias)
 
+    def process(self, fn, schema) -> "KStream":
+        """Processor-API analog (``KStream.process`` /
+        ``transformValues``): arbitrary per-batch logic the expression
+        language can't state. ``fn`` is an Arrow-batched
+        ``mapInPandas`` generator (Iterator[pd.DataFrame] →
+        Iterator[pd.DataFrame]) — the slow path by design; reach for it
+        only after Column expressions genuinely can't express the
+        semantics. The closure must be self-contained (imports inside):
+        workers can't assume this package is importable."""
+        return self._wrap(self.df.mapInPandas(fn, schema=schema))
+
     def peek(self, name: str, *metrics: Column) -> "KStream":
         """``KStream.peek`` (PaymentTopology.java:43,47,72). Semantically a
         no-op; with metric expressions it becomes ``df.observe`` so the

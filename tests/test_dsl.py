@@ -236,3 +236,22 @@ def test_dsl_topology_streaming(spark, tmp_path):
     finally:
         qb.stop()
         qf.stop()
+
+
+def test_kstream_process_map_in_pandas(spark):
+    """Processor-API analog: arbitrary Arrow-batched logic through
+    KStream.process, schema-checked output."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], ["v"])
+
+    def double(batches):
+        for pdf in batches:
+            pdf["v"] = pdf["v"] * 2
+            yield pdf
+
+    b = StreamsBuilder()
+    out = b.stream(df, key="v").process(
+        double, StructType([StructField("v", LongType())])
+    )
+    assert sorted(r["v"] for r in out.df.collect()) == [2, 4, 6]

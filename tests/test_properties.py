@@ -1,0 +1,107 @@
+"""Property-based pins (hypothesis) for the cross-engine numeric
+semantics the oracle contract depends on. These run the SPARK
+expressions over generated inputs and compare against an independent
+Python model — the generalization of the reference's
+randomized-vs-model component test (KafkaStreamsCT.java:136-192)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+def _spark():
+    from kafka_streams_spark.session import get_spark
+
+    return get_spark(app_name="kafka_streams_spark-tests", shuffle_partitions=8)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=1, max_size=50))
+def test_java_round_matches_math_floor_model(amounts):
+    """java_round(x*0.8) == floor(x*0.8 + 0.5) — Java Math.round — for
+    negative amounts too (where Spark's HALF_UP round() diverges)."""
+    from kafka_streams_spark.functions.numeric import java_round
+
+    spark = _spark()
+    df = spark.createDataFrame([(a,) for a in amounts], ["amount"])
+    got = [
+        r["r"]
+        for r in df.select(
+            java_round(F.col("amount") * F.lit(0.8)).alias("r")
+        ).collect()
+    ]
+    expected = [int(math.floor(a * 0.8 + 0.5)) for a in amounts]
+    assert got == expected
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=2, max_size=6)
+)
+def test_token_jaccard_matches_set_model(texts):
+    """token_set_jaccard over word_shingles(n=1) == Python set Jaccard."""
+    from kafka_streams_spark.operators.dedup import ngram_jaccard_pairs
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=1, threshold=0.0).collect()
+    }
+
+    def toks(t):
+        s = {w for w in t.lower().split() if w}
+        return s if s else {""}  # empty doc -> single empty shingle
+
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = toks(texts[i]), toks(texts[j])
+            union = len(a | b)
+            expected = 1.0 if union == 0 else len(a & b) / union
+            assert abs(pairs[(i, j)] - expected) < 1e-12, (texts[i], texts[j])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_cosine_similarity_matches_model(vecs):
+    from kafka_streams_spark.functions.vectors import cosine_similarity
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], ["i", "v"]
+    )
+    q = [float(x) for x in vecs[0]]
+    got = {
+        r["i"]: r["s"]
+        for r in df.select(
+            "i",
+            cosine_similarity(
+                F.col("v"), F.array(*[F.lit(x) for x in q])
+            ).alias("s"),
+        ).collect()
+    }
+
+    def model(v):
+        d = sum(a * b for a, b in zip(v, q))
+        na = math.sqrt(sum(a * a for a in v))
+        nb = math.sqrt(sum(b * b for b in q))
+        return 0.0 if na * nb == 0 else d / (na * nb)
+
+    for i, v in enumerate(vecs):
+        assert abs(got[i] - model(v)) < 1e-9
