@@ -278,6 +278,19 @@ def _q_dsl_balances(spark, sf_dir):
     return table.df.withColumnRenamed("fromAccount_k", "fromAccount")
 
 
+def _q_sql_balances(spark, sf_dir):
+    """The balance query through the SQL surface (catalog views +
+    spark.sql) — same oracle as the DataFrame and DSL forms, proving all
+    three author the same Catalyst plan."""
+    from kafka_streams_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT fromAccount, SUM(amount) AS balance "
+        "FROM payments_merged GROUP BY fromAccount"
+    )
+
+
 def _q_curate_corpus(spark, sf_dir):
     from kafka_streams_spark.operators.pipelines import curate_corpus
 
@@ -368,8 +381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": A.q10_returned_revenue,
         "q14_promo_revenue": A.q14_promo_revenue,
         "q18_large_orders": A.q18_large_orders,
-        # DSL facade driven through the same oracle as payments_balances
+        # DSL facade and SQL surface, same oracle as payments_balances
         "dsl_balances": _q_dsl_balances,
+        "sql_balances": _q_sql_balances,
         # text analysis
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality,

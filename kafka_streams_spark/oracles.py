@@ -71,8 +71,10 @@ PAYMENT_ORACLES = {
     ),
 }
 
-# The DSL facade builds the same topology; same oracle proves it.
+# The DSL facade and the SQL surface build the same topology; the same
+# oracle proves all three author-forms agree.
 PAYMENT_ORACLES["dsl_balances"] = PAYMENT_ORACLES["payments_balances"]
+PAYMENT_ORACLES["sql_balances"] = PAYMENT_ORACLES["payments_balances"]
 
 # --------------------------------------------------------------------------
 # relational analytics

@@ -255,3 +255,20 @@ def test_kstream_process_map_in_pandas(spark):
         double, StructType([StructField("v", LongType())])
     )
     assert sorted(r["v"] for r in out.df.collect()) == [2, 4, 6]
+
+
+def test_sql_surface(spark, sf_dir):
+    """The SQL surface (catalog views) answers the reference's queries
+    with plain spark.sql — capability the reference lacks entirely
+    (SURVEY.md 2.4). Point lookup == interactive-query parity."""
+    from kafka_streams_spark.catalog import register_views
+
+    names = register_views(spark, sf_dir)
+    assert {"payments", "payments_merged", "balances", "events"} <= set(names)
+    row = spark.sql(
+        "SELECT balance FROM balances WHERE fromAccount = 'ACC-1'"
+    ).collect()
+    direct = spark.sql(
+        "SELECT SUM(amount) b FROM payments_merged WHERE fromAccount = 'ACC-1'"
+    ).collect()
+    assert row and row[0]["balance"] == direct[0]["b"]
