@@ -297,6 +297,12 @@ def _q_curate_corpus(spark, sf_dir):
     return curate_corpus(_docs(spark, sf_dir))
 
 
+def _q_tf_idf(spark, sf_dir):
+    from kafka_streams_spark.operators.text import tf_idf_top_terms
+
+    return tf_idf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def _q_repetition_stats(spark, sf_dir):
     from kafka_streams_spark.operators.text import repetition_stats
 
@@ -393,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_buckets": _q_doc_length_buckets,
         "repetition_stats": _q_repetition_stats,
         "pii_scan": _q_pii_scan,
+        "tf_idf_top_terms": _q_tf_idf,
         # end-to-end curation pipeline (fused single-scan gates + dedup)
         "curate_corpus": _q_curate_corpus,
         # dedup

@@ -279,3 +279,44 @@ def pii_scan(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         c = F.col(name) > 0
         flag = c if flag is None else flag | c
     return out.withColumn("has_pii", flag)
+
+
+def tf_idf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    tf = term count in doc; idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    sklearn-style). Shape: one explode+groupBy for per-(doc,term)
+    counts, a groupBy for document frequencies, a broadcast-able join of
+    the small df table back, and a per-doc window top-k — no pass ever
+    carries more than (doc, term) pairs. Deterministic tiebreak
+    (score desc, term asc); scores rounded to pin cross-engine double
+    log/division ulps.
+    """
+    from pyspark.sql import Window as W
+
+    from kafka_streams_spark.functions.partitioning import spread
+
+    n_docs = docs.count()  # small driver-side scalar, plan literal
+    tok = spread(docs).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(df_, "term").select(
+        F.col(id_col),
+        "term",
+        F.round(F.col("tf") * idf, decimals).alias("tf_idf"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("tf_idf").desc(), F.col("term"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(F.col(id_col), "term", "tf_idf", F.col("_rk").cast("int").alias("rk"))
+    )

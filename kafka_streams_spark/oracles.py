@@ -310,6 +310,22 @@ TEXT_ORACLES = {
         FROM documents
         GROUP BY 1
     """,
+    "tf_idf_top_terms": f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY ALL),
+        d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, term,
+                   round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tf_idf
+            FROM tf JOIN d USING (term), n
+        )
+        SELECT doc_id, term, tf_idf, CAST(rk AS INTEGER) AS rk
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tf_idf DESC, term) AS rk
+              FROM scored)
+        WHERE rk <= 3
+    """,
     "repetition_stats": f"""
         WITH base AS (
             SELECT doc_id,

@@ -140,6 +140,75 @@ def interval_join(
     return l.join(r, on & rng)
 
 
+def running_balances_ttl(merged: DataFrame, ttl_ms: int = 3_600_000) -> DataFrame:
+    """Per-account running balance on the transformWithStateInPandas API
+    (Spark 4.x arbitrary-state v2) with per-key state TTL — balances of
+    inactive accounts evict automatically, which is how unbounded key
+    spaces (10⁹ accounts at 100 TB) keep state finite without a manual
+    compaction job.
+
+    vs ``running_balances_stateful`` (applyInPandasWithState): same
+    semantics while keys stay warm, plus typed state handles and
+    TTL-driven eviction. Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...RocksDBStateStoreProvider``) — the same store Kafka Streams
+    uses for exactly this job — plus the ``protobuf`` package (the
+    transformWithState Python protocol). Where protobuf isn't installed
+    (this container) this raises ImportError with guidance;
+    ``running_balances_stateful`` is the drop-in fallback.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package, not "
+            "available in this container; use running_balances_stateful "
+            "(applyInPandasWithState) instead"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = BALANCE_OUTPUT_SCHEMA
+
+    class BalanceProcessor(StatefulProcessor):
+        # self-contained: imports inside, no module-global references
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            self._state = handle.getValueState(
+                "balance",
+                StructType([StructField("balance", LongType())]),
+                ttlDurationMs=ttl_ms,
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            total = 0
+            for pdf in rows:
+                total += int(pdf["amount"].sum())
+            prev = self._state.get()
+            balance = (prev[0] if prev else 0) + total
+            self._state.update((balance,))
+            yield _pd.DataFrame({"fromAccount": [key[0]], "balance": [balance]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        merged.select("fromAccount", "amount")
+        .groupBy("fromAccount")
+        .transformWithStateInPandas(
+            BalanceProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+    )
+
+
 BALANCE_STATE_SCHEMA = StructType([StructField("balance", LongType())])
 BALANCE_OUTPUT_SCHEMA = StructType(
     [

@@ -142,3 +142,62 @@ def test_running_balances_stateful(spark, tmp_path):
         assert latest == 175
     finally:
         q.stop()
+
+
+def test_running_balances_ttl_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas variant: state accumulates across
+    micro-batches (same contract as the applyInPandasWithState form);
+    requires the RocksDB state store provider AND protobuf (absent in
+    this container -> the operator raises ImportError with guidance and
+    the test skips; it runs fully on a protobuf-equipped deployment)."""
+    from kafka_streams_spark.schema import PAYMENT_SCHEMA
+    from kafka_streams_spark.streaming.stateful import running_balances_ttl
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError, match="protobuf"):
+            running_balances_ttl(
+                spark.readStream.schema(PAYMENT_SCHEMA).json(str(tmp_path))
+            )
+        _pytest.skip("protobuf not available: transformWithState gated")
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "src")
+        _write_jsonl(
+            os.path.join(src, "b1.json"),
+            [
+                {"paymentId": "p1", "amount": 100, "currency": "GBP",
+                 "fromAccount": "ABC", "toAccount": "DEF", "rails": "BANK_RAILS_FOO"},
+            ],
+        )
+        stream = spark.readStream.schema(PAYMENT_SCHEMA).json(src)
+        q = (
+            running_balances_ttl(stream, ttl_ms=3_600_000)
+            .writeStream.format("memory")
+            .queryName("ttl_bal")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _write_jsonl(
+                os.path.join(src, "b2.json"),
+                [{"paymentId": "p2", "amount": 25, "currency": "GBP",
+                  "fromAccount": "ABC", "toAccount": "DEF", "rails": "BANK_RAILS_FOO"}],
+            )
+            q.processAllAvailable()
+            rows = spark.table("ttl_bal").collect()
+            latest = max(r["balance"] for r in rows if r["fromAccount"] == "ABC")
+            assert latest == 125
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
