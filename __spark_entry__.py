@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": A.q10_returned_revenue,
         "q14_promo_revenue": A.q14_promo_revenue,
         "q18_large_orders": A.q18_large_orders,
+        "daily_revenue_window": A.daily_revenue_window,
         # DSL facade and SQL surface, same oracle as payments_balances
         "dsl_balances": _q_dsl_balances,
         "sql_balances": _q_sql_balances,

@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "repetition_stats",
     "emb_label_centroids",
     "curate_corpus",
+    "tf_idf_top_terms",
+    "daily_revenue_window",
 ]
 
 

@@ -387,3 +387,30 @@ def q18_large_orders(spark: SparkSession, sf_dir: str, min_qty: int = 300) -> Da
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+def daily_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame analytics over daily order revenue: cumulative
+    revenue (ROWS unbounded-preceding) and a trailing 7-day revenue
+    (RANGE frame over a day number, so calendar gaps are honored — a
+    ROWS frame would silently span missing days). Money is exact integer
+    cents end-to-end. One aggregation shuffle + one single-partition
+    window over ~one row per day (tiny by construction)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("o_date"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+            .cast("long")
+            .alias("revenue_cents")
+        )
+        .withColumn("day_nr", F.datediff(F.col("o_date"), F.lit("1995-01-01")))
+    )
+    w_cum = Window.orderBy("day_nr").rowsBetween(Window.unboundedPreceding, 0)
+    w_7d = Window.orderBy("day_nr").rangeBetween(-6, 0)
+    return daily.select(
+        F.date_format("o_date", "yyyy-MM-dd").alias("o_date"),
+        "revenue_cents",
+        F.sum("revenue_cents").over(w_cum).alias("cumulative_cents"),
+        F.sum("revenue_cents").over(w_7d).alias("trailing7_cents"),
+    )

@@ -129,6 +129,20 @@ ANALYTICS_ORACLES = {
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 100
     """,
+    "daily_revenue_window": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS o_date,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue_cents,
+                   datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_nr
+            FROM orders GROUP BY 1, 3
+        )
+        SELECT strftime(o_date, '%Y-%m-%d') AS o_date, revenue_cents,
+               CAST(SUM(revenue_cents) OVER (ORDER BY day_nr
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_cents,
+               CAST(SUM(revenue_cents) OVER (ORDER BY day_nr
+                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing7_cents
+        FROM daily
+    """,
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
