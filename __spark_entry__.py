@@ -158,6 +158,18 @@ def _q_simhash_nd(spark, sf_dir):
     return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> connected components -> (node, cluster_id).
+    Pairs come from the embedding exact near-dup query (itself
+    oracle-checked); the oracle reproduces the fixpoint with a recursive
+    CTE, so the iterative Spark loop is value-checked end-to-end."""
+    from kafka_streams_spark.operators.dedup import duplicate_clusters
+    from kafka_streams_spark.operators.similarity import exact_pairs_cosine
+
+    pairs = exact_pairs_cosine(_embs(spark, sf_dir), threshold=0.3, block_col="label")
+    return duplicate_clusters(pairs)
+
+
 def _q_knn_vec0(spark, sf_dir):
     from kafka_streams_spark.operators.similarity import knn_to_id
 
@@ -410,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_minhash_lsh": _q_minhash_nd,  # salted-hash LSH: rows-only
         "dedup_simhash": _q_simhash_nd,  # xxhash64-based: rows-only
+        "dedup_clusters": _q_dedup_clusters,  # iterative CC, recursive-CTE oracle
         # similarity search
         "knn_vec0": _q_knn_vec0,
         "knn_lsh_vec0": _q_knn_lsh_vec0,  # randomized probe set: rows-only

@@ -434,3 +434,80 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every node gets
+    ``cluster_id`` = the minimum id reachable through the pair graph —
+    the step that turns pairwise matches into dedup groups with a
+    canonical (min-id) representative.
+
+    Iterative min-label propagation: each round joins labels across
+    edges and keeps the per-node minimum; converges in O(component
+    diameter) rounds (near-dup components are shallow — boilerplate
+    clusters are dense, so diameters are small). This is the engine's
+    one deliberately ITERATIVE operator: each round is a declarative
+    join+agg plan, but the fixpoint check is a driver-side count — the
+    documented exception to "no driver loops", exactly like Spark's own
+    GraphX/ML iterations. Per-round DataFrames are cached and released;
+    lineage is cut by the cache so plans don't deepen.
+
+    Output: (node, cluster_id); singleton nodes never in ``pairs`` are
+    absent (callers union them back as their own cluster if needed).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+    )
+    labels.persist()
+    try:
+        for _ in range(max_iter):
+            # label each node with min(own label, neighbors' labels)
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("cluster_id").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                    ).alias("cluster_id"),
+                )
+            )
+            new_labels.persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()

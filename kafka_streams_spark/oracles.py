@@ -555,6 +555,25 @@ SIMILARITY_ORACLES = {
         )
         WHERE nrm > 0
     """,
+    "dedup_clusters": """
+        WITH RECURSIVE
+        e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        ),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        reach(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT ed.dst, r.label FROM reach r JOIN edges ed ON r.node = ed.src
+        )
+        SELECT node, CAST(min(label) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    """,
     "emb_near_dup_exact": """
         WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         SELECT id_a, id_b, round(sim, 6) AS cosine_sim FROM (

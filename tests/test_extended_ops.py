@@ -196,3 +196,17 @@ def test_curate_corpus_semantics(spark):
     assert got == {1}
     row = out.collect()[0]
     assert row["quality"] >= 0.75 and row["n_tokens_bpe"] > 0
+
+
+def test_duplicate_clusters(spark):
+    """Min-label propagation: chain, triangle, and a 2-node island must
+    resolve to min-id clusters; convergence needs diameter rounds."""
+    from kafka_streams_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3), triangle 10-11-12, island 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {r["node"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
