@@ -303,6 +303,12 @@ def _q_sql_balances(spark, sf_dir):
     )
 
 
+def _q_curate_fuzzy(spark, sf_dir):
+    from kafka_streams_spark.operators.pipelines import curate_corpus_fuzzy
+
+    return curate_corpus_fuzzy(_docs(spark, sf_dir))
+
+
 def _q_curate_corpus(spark, sf_dir):
     from kafka_streams_spark.operators.pipelines import curate_corpus
 
@@ -415,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_idf_top_terms": _q_tf_idf,
         # end-to-end curation pipeline (fused single-scan gates + dedup)
         "curate_corpus": _q_curate_corpus,
+        "curate_corpus_fuzzy": _q_curate_fuzzy,  # near-dup clusters + gates
         # dedup
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_rows": _q_dedup_exact_rows,

@@ -58,3 +58,38 @@ def curate_corpus(
         .filter(F.col("_rn") == 1)
         .select(F.col(id_col), "source", "n_tokens_bpe", "quality")
     )
+
+
+def curate_corpus_fuzzy(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.8,
+    min_quality: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curation with NEAR-duplicate removal: token-Jaccard pairs (blocked
+    by source) → connected components → drop every non-canonical cluster
+    member (min-id survives) → the standard gates (quality, PII, exact
+    dedup, token budget).
+
+    The full production shape: pair generation and clustering run over
+    the raw corpus, then the manifest gates run over survivors only.
+    Composition of three independently oracle-checked operators, itself
+    oracle-checked end-to-end (recursive CTE reproduces the cluster
+    fixpoint in SQL).
+    """
+    from kafka_streams_spark.operators.dedup import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        docs, id_col=id_col, text_col=text_col, n=1,
+        threshold=jaccard_threshold, block_col="source",
+    )
+    clusters = duplicate_clusters(pairs)
+    losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    kept = docs.join(losers, id_col, "left_anti")
+    return curate_corpus(kept, min_quality=min_quality, id_col=id_col, text_col=text_col)

@@ -502,6 +502,64 @@ def _jaccard_pairs_sql(n: int, threshold: float) -> str:
     """
 
 
+_CURATE_FUZZY_SQL = f"""
+    WITH RECURSIVE {_shingle_cte(1)},
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                   (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.8
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    cnodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, label) AS (
+        SELECT node, node FROM cnodes
+        UNION
+        SELECT ed.dst, r.label FROM reach r JOIN edges ed ON r.node = ed.src
+    ),
+    losers AS (
+        SELECT node AS doc_id FROM reach GROUP BY node
+        HAVING min(label) != node
+    ),
+    kept AS (
+        SELECT d.* FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+    ),
+    kt AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM kept),
+    ks AS (
+        SELECT doc_id, source, toks,
+               len(toks) AS n_words,
+               CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) AS chars_per_word,
+               CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS punct_ratio,
+               CAST(len(list_intersect(toks, {_STOP_EN})) AS DOUBLE)
+                   / greatest(len(list_distinct(toks)), 1) AS stopword_ratio,
+               (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) > 0
+                OR len(regexp_extract_all(text, 'https?://[^\\s]+')) > 0
+                OR len(regexp_extract_all(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) > 0)
+                   AS has_pii,
+               md5(array_to_string(toks, ' ')) AS exact_md5,
+               CAST(len(regexp_extract_all(text, '{BPE_ISH_REGEX}')) AS INTEGER) AS n_tokens_bpe
+        FROM kt
+    ),
+    gated AS (
+        SELECT doc_id, source, n_tokens_bpe, exact_md5,
+               ((CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN chars_per_word >= 3 AND chars_per_word <= 12 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN stopword_ratio > 0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+        FROM ks WHERE NOT has_pii
+    )
+    SELECT doc_id, source, n_tokens_bpe, quality
+    FROM (SELECT *, row_number() OVER (PARTITION BY exact_md5 ORDER BY doc_id) AS rn
+          FROM gated WHERE quality >= 0.75)
+    WHERE rn = 1
+"""
+
 DEDUP_ORACLES = {
     "dedup_exact": """
         SELECT text, min(doc_id) AS keep_id, count(*) AS dup_count
@@ -513,6 +571,7 @@ DEDUP_ORACLES = {
     """,
     "dedup_token_jaccard": _jaccard_pairs_sql(1, 0.8),
     "dedup_ngram_jaccard": _jaccard_pairs_sql(2, 0.5),
+    "curate_corpus_fuzzy": _CURATE_FUZZY_SQL,
 }
 
 # --------------------------------------------------------------------------

@@ -210,3 +210,24 @@ def test_duplicate_clusters(spark):
     )
     got = {r["node"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_curate_corpus_fuzzy_semantics(spark):
+    """Near-dup (not byte-identical) docs collapse to the min-id
+    representative before the gates run."""
+    from kafka_streams_spark.operators.pipelines import curate_corpus_fuzzy
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away. "
+        "it is a fine day in the park and everyone enjoys that sunshine."
+    )
+    other = (
+        "a completely different story unfolds in the city where the old "
+        "trains still run and people gather to watch them pass, and it is "
+        "said that the station clock has kept perfect time for a century."
+    )
+    near = base + " extra"  # high token-Jaccard vs base, different bytes
+    rows = [(1, base, "a"), (2, near, "a"), (3, other, "b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r["doc_id"] for r in curate_corpus_fuzzy(df, jaccard_threshold=0.8).collect()}
+    assert got == {1, 3}  # 2 clustered under 1; 3 unrelated, survives
