@@ -246,11 +246,20 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path is `percentile_approx` (KLL/GK sketch, constant memory);
     exact percentile sorts per group and is the oracle-checkable variant."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
+            ).alias("_q")
+        )
+        .select(
+            "l_returnflag",
+            F.col("_q")[0].alias("p25"),
+            F.col("_q")[1].alias("p50"),
+            F.col("_q")[2].alias("p75"),
+            F.col("_q")[3].alias("p95"),
+        )
     )
 
 

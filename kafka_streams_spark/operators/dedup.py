@@ -210,6 +210,47 @@ def ngram_jaccard_pairs_prefix(
 
 
 # ---------------------------------------------------------------------------
+# bucket pair expansion (shared by MinHash banding and SimHash chunking)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_pairs(
+    rows: DataFrame, bucket_cols: list[str], payload: str
+) -> DataFrame:
+    """All unordered pairs of ``payload`` values sharing a bucket.
+
+    groupBy(bucket) → sorted collect_list → expression-level pair
+    expansion → explode. One shuffle, and — critically — the (possibly
+    expensive) lineage that produced ``rows`` is evaluated ONCE; the
+    self-join formulation re-executes it for both join sides (Catalyst
+    plans a BroadcastExchange over a full second copy of the upstream
+    aggregation — measured 2× the signature cost at sf0.1).
+
+    Scale note: a bucket of size k expands to k(k-1)/2 pairs inside one
+    row before the explode, so this shape wants bounded buckets. LSH
+    buckets are bounded in practice once exact duplicates are removed
+    first (identical docs share ALL buckets); for corpora where giant
+    boilerplate buckets survive, prefer the self-join shape and let AQE
+    skew-splitting distribute the blowup.
+    """
+    lst = F.sort_array(F.collect_list(payload)).alias("_ids")
+    buckets = rows.groupBy(*bucket_cols).agg(lst).filter(F.size("_ids") >= 2)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_ids") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("_ids")),
+                lambda j: F.struct(
+                    F.element_at("_ids", i).alias("a"),
+                    F.element_at("_ids", j).alias("b"),
+                ),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pairs).alias("_p")).select("_p.a", "_p.b")
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
@@ -280,16 +321,17 @@ def minhash_lsh_candidates(
     """Candidate near-duplicate pairs via MinHash banding.
 
     sig → split into `bands` bands of r = num_hashes/bands rows → hash
-    each band → explode → self-join on (band_idx, band_hash). Two docs
-    with Jaccard j collide w.p. 1-(1-j^r)^bands (S-curve): the default
-    32 bands × 2 rows gives ~99% recall at j=0.5 (miss prob (1-0.25)^32);
-    for higher thresholds, fewer/wider bands (e.g. 16×4 for j≳0.7) trade
-    recall at the low end for fewer false-positive candidates.
+    each band → explode → bucket pair expansion on (band_idx, band_hash)
+    via :func:`_bucket_pairs` (signatures evaluated once; the previous
+    self-join formulation re-ran the whole MinHash aggregation for the
+    second join side). Two docs with Jaccard j collide w.p.
+    1-(1-j^r)^bands (S-curve): the default 32 bands × 2 rows gives ~99%
+    recall at j=0.5 (miss prob (1-0.25)^32); for higher thresholds,
+    fewer/wider bands (e.g. 16×4 for j≳0.7) trade recall at the low end
+    for fewer false-positive candidates.
 
-    Scale shape: the explode produces n·bands rows; the bucket self-join
-    shuffles on band hash — skew only if a band bucket is giant (i.e.
-    boilerplate-identical docs), which is exactly the skew AQE's skew-join
-    splitting handles. Output: distinct (id_a, id_b), id_a < id_b.
+    Scale shape: the explode produces n·bands rows; one shuffle on the
+    band hash. Output: distinct (id_a, id_b), id_a < id_b.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -305,18 +347,9 @@ def minhash_lsh_candidates(
             )
         ).alias("band_idx", "band_hash"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        _bucket_pairs(banded, ["band_idx", "band_hash"], id_col)
+        .toDF("id_a", "id_b")
         .distinct()
     )
 
@@ -396,17 +429,19 @@ def simhash_near_duplicates(
     """Near-dup pairs with Hamming distance ≤ max_hamming between SimHashes.
 
     Pigeonhole LSH: split 64 bits into (max_hamming+1) chunks — any pair
-    within distance d shares at least one exact chunk. Self-join on
-    (chunk_idx, chunk_value) — the same bucket-join shape as MinHash
-    banding, so no cross join. Hamming distance verified exactly via
-    bit_count(xor).
+    within distance d shares at least one exact chunk. Bucket pair
+    expansion on (chunk_idx, chunk_value) — same shape as MinHash
+    banding, signature computed once, no cross join. Hamming distance
+    verified exactly via bit_count(xor); the signature rides inside the
+    bucket payload struct so no join back is needed.
     """
     k = max_hamming + 1
     width = SIMHASH_BITS // k
     sigs = simhash(docs, id_col, text_col)
     chunks = sigs.select(
-        F.col(id_col),
-        F.col("simhash"),
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig")).alias(
+            "payload"
+        ),
         F.posexplode(
             F.array(
                 *[
@@ -416,19 +451,12 @@ def simhash_near_duplicates(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        _bucket_pairs(chunks, ["chunk_idx", "chunk_val"], "payload")
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
