@@ -357,6 +357,18 @@ def _q_doc_length_buckets(spark, sf_dir):
     return doc_length_buckets(_docs(spark, sf_dir))
 
 
+def _q_hash_sample(spark, sf_dir):
+    from kafka_streams_spark.operators.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), rate_256=32).select("doc_id", "source")
+
+
+def _q_pack_shards(spark, sf_dir):
+    from kafka_streams_spark.operators.sampling import pack_token_shards
+
+    return pack_token_shards(_docs(spark, sf_dir), budget=4000)
+
+
 # --------------------------------------------------------------------------
 # contract entry points
 # --------------------------------------------------------------------------
@@ -389,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": A.top_orders_per_customer,
         "order_count_by_status": A.order_count_by_status,
         "events_hourly": A.events_hourly,
+        "events_hopping": A.events_hopping,
         "sessionize_events": A.sessionize_events,
         "distinct_users_by_type": A.distinct_users_by_type,
         "approx_users_by_type": A.approx_users_by_type,  # sketch: rows-only
@@ -439,6 +452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_normalize": _q_normalize_vectors,
         "emb_near_dup_exact": _q_emb_near_dup,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,  # rows-only
+        # deterministic sampling & shard packing
+        "hash_sample_docs": _q_hash_sample,
+        "pack_token_shards": _q_pack_shards,
         # multimodal plumbing (deterministic fake codec)
         "media_image_features": _q_media_features,
         "media_video_frames": _q_media_frames,

@@ -144,6 +144,46 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (1 h window, 15 min slide): each event
+    contributes to size/slide = 4 overlapping windows. The streaming
+    DSL's `windowed_by(hopping)` (dsl.py) computes the same thing under
+    a watermark; this is the batch twin, expressed as an explicit
+    explode over the 4 covering window starts so DuckDB can reproduce it
+    exactly. `F.window(ts, "1 hour", "15 minutes")` is the built-in
+    spelling, but it wants a timestamp column — epoch-nanos longs stay
+    exact (see events_hourly) and integer window arithmetic is
+    engine-portable.
+
+    Scale shape: one explode (×4 rows, map-side) + one aggregation
+    shuffle with partial aggregates — same plan family as events_hourly,
+    just a 4× fatter map stage. No window-function sort anywhere.
+    """
+    slide_ns = 900_000_000_000  # 15 min
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            "value",
+            F.expr("ts div 900000000000").alias("_slot"),
+        )
+        .select(
+            "event_type",
+            "value",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("_k"),
+            "_slot",
+        )
+        .groupBy(
+            ((F.col("_slot") - F.col("_k")) * F.lit(slide_ns)).alias("win_start_ns"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("decimal(38,2)").alias("total_value"),
+        )
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization: a new session starts when a user's gap
     from their previous event exceeds `gap_minutes`. Classic

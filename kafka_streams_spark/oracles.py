@@ -679,6 +679,47 @@ MULTIMODAL_ORACLES = {
 }
 
 
+# --------------------------------------------------------------------------
+# sampling / sharding (operators/sampling.py) + hopping windows
+# --------------------------------------------------------------------------
+
+SAMPLING_ORACLES = {
+    # hash_sample(rate_256=32) → threshold '20'; lowercase-hex strings
+    # order like their numeric values, so the predicate is portable.
+    "hash_sample_docs": """
+        SELECT doc_id, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+    """,
+    "pack_token_shards": f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len(regexp_extract_all(text, '{BPE_ISH_REGEX}')) AS INTEGER)
+                       AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum
+            FROM t
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST((cum - n_tokens) // 4000 AS BIGINT) AS shard_id
+        FROM c
+    """,
+    "events_hopping": """
+        SELECT (epoch_ns(ts) // 900000000000 - k) * 900000000000 AS win_start_ns,
+               event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
+        GROUP BY 1, 2
+    """,
+}
+
+
 ALL_ORACLES = {
     **PAYMENT_ORACLES,
     **ANALYTICS_ORACLES,
@@ -686,4 +727,5 @@ ALL_ORACLES = {
     **DEDUP_ORACLES,
     **SIMILARITY_ORACLES,
     **MULTIMODAL_ORACLES,
+    **SAMPLING_ORACLES,
 }

@@ -231,3 +231,36 @@ def test_curate_corpus_fuzzy_semantics(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
     got = {r["doc_id"] for r in curate_corpus_fuzzy(df, jaccard_threshold=0.8).collect()}
     assert got == {1, 3}  # 2 clustered under 1; 3 unrelated, survives
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    """Same ids survive regardless of partitioning (the property
+    df.sample lacks); rate lands near rate_256/256."""
+    from kafka_streams_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    kept1 = {r["doc_id"] for r in hash_sample(df, rate_256=32).collect()}
+    kept2 = {
+        r["doc_id"] for r in hash_sample(df.repartition(7), rate_256=32).collect()
+    }
+    assert kept1 == kept2
+    assert 0.08 < len(kept1) / 2000 < 0.17  # 32/256 = 12.5% ± slack
+
+
+def test_pack_token_shards_budget(spark):
+    """Shards are contiguous in id order per stratum; every shard except
+    the last stays under budget + one document's overshoot."""
+    from kafka_streams_spark.operators.sampling import pack_token_shards
+
+    rows = [(i, "w " * (i % 7 + 1), "s") for i in range(1, 40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = pack_token_shards(df, budget=10).orderBy("doc_id").collect()
+    # shard ids non-decreasing in doc order
+    shards = [r["shard_id"] for r in out]
+    assert shards == sorted(shards)
+    # exclusive-cumsum rule: doc starts a new shard only when the tokens
+    # before it cross the next budget boundary
+    cum = 0
+    for r in out:
+        assert r["shard_id"] == cum // 10
+        cum += r["n_tokens"]
