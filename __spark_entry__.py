@@ -357,6 +357,12 @@ def _q_doc_length_buckets(spark, sf_dir):
     return doc_length_buckets(_docs(spark, sf_dir))
 
 
+def _q_domain_stats(spark, sf_dir):
+    from kafka_streams_spark.operators.text import domain_stats
+
+    return domain_stats(_docs(spark, sf_dir))
+
+
 def _q_hash_sample(spark, sf_dir):
     from kafka_streams_spark.operators.sampling import hash_sample
 
@@ -432,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "pii_scan": _q_pii_scan,
         "tf_idf_top_terms": _q_tf_idf,
+        "domain_stats": _q_domain_stats,
         # end-to-end curation pipeline (fused single-scan gates + dedup)
         "curate_corpus": _q_curate_corpus,
         "curate_corpus_fuzzy": _q_curate_fuzzy,  # near-dup clusters + gates

@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "q5_regional_revenue",
     "top_orders_per_customer",
     "events_hourly",
+    "events_hopping",
     "sessionize_events",
     "distinct_users_by_type",
     "doc_stats",
@@ -57,6 +58,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "emb_label_centroids",
     "curate_corpus",
+    "pack_token_shards",
     "tf_idf_top_terms",
     "daily_revenue_window",
 ]

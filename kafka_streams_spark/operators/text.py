@@ -281,6 +281,29 @@ def pii_scan(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     return out.withColumn("has_pii", flag)
 
 
+DOMAIN_REGEX = r"https?://([^/\s]+)"
+
+
+def domain_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-domain URL statistics over the corpus — the source-mix /
+    blocklist audit step of web-corpus curation (which domains dominate,
+    what to down-sample). Extract group-1 domains from every URL,
+    lowercase, aggregate: documents touching the domain + total URL
+    occurrences. One explode + one aggregation shuffle on domain; hot
+    domains are classic reduce skew — count-distinct partials still
+    combine map-side, and `salted_aggregate` is the escape hatch if one
+    domain dominates a crawl."""
+    t = F.col(text_col)
+    doms = docs.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(t, F.lit(DOMAIN_REGEX), F.lit(1))).alias("_d"),
+    ).select(F.col(id_col), F.lower(F.col("_d")).alias("domain"))
+    return doms.groupBy("domain").agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count("*").alias("n_urls"),
+    )
+
+
 def tf_idf_top_terms(
     docs: DataFrame,
     k: int = 3,

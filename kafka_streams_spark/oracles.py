@@ -686,6 +686,18 @@ MULTIMODAL_ORACLES = {
 SAMPLING_ORACLES = {
     # hash_sample(rate_256=32) → threshold '20'; lowercase-hex strings
     # order like their numeric values, so the predicate is portable.
+    "domain_stats": """
+        WITH d AS (
+            SELECT doc_id,
+                   lower(unnest(regexp_extract_all(text, 'https?://([^/\\s]+)', 1)))
+                       AS domain
+            FROM documents
+        )
+        SELECT domain,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_urls
+        FROM d GROUP BY domain
+    """,
     "hash_sample_docs": """
         SELECT doc_id, source FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'

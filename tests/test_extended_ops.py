@@ -264,3 +264,19 @@ def test_pack_token_shards_budget(spark):
     for r in out:
         assert r["shard_id"] == cum // 10
         cum += r["n_tokens"]
+
+
+def test_domain_stats(spark):
+    """Domain extraction + per-domain doc/url counts (the sf corpus has
+    no URLs, so the oracle row-match there is vacuous — this pins the
+    actual semantics)."""
+    from kafka_streams_spark.operators.text import domain_stats
+
+    rows = [
+        (1, "see https://Example.com/a and https://example.com/b", "s"),
+        (2, "ref http://example.com/path plus https://other.org/x", "s"),
+        (3, "no links here", "s"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r["domain"]: (r["n_docs"], r["n_urls"]) for r in domain_stats(df).collect()}
+    assert got == {"example.com": (2, 3), "other.org": (1, 1)}
