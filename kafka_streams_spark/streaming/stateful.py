@@ -36,8 +36,11 @@ def windowed_counts(
     key_col: str = "event_type",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling-window counts with late-data handling.
+    """Event-time tumbling-window counts with late-data handling; pass
+    ``slide`` < ``window`` for hopping windows (each event counted in
+    window/slide overlapping windows — `TimeWindows.advanceBy` analog).
 
     The watermark bounds state: windows older than (max event time -
     watermark) are finalized and evicted — the missing piece in the
@@ -46,7 +49,10 @@ def windowed_counts(
     """
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .groupBy(
+            F.window(F.col(ts_col), window, slide or window).alias("w"),
+            F.col(key_col),
+        )
         .agg(F.count("*").alias("n_events"))
         .select(
             F.col("w.start").alias("window_start"),

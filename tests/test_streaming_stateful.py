@@ -201,3 +201,41 @@ def test_running_balances_ttl_transform_with_state(spark, tmp_path):
             q.stop()
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_hopping_counts_batch_streaming_equivalence(spark, tmp_path):
+    """Hopping windows (1h size, 30m slide): every event lands in 2
+    windows, identical through batch and a file stream."""
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:10:00Z", "event_type": "click"},
+        {"event_id": 2, "ts": "2024-01-01T00:40:00Z", "event_type": "click"},
+    ]
+    src = str(tmp_path / "src_hop")
+    _write_jsonl(os.path.join(src, "a.json"), rows)
+
+    batch = spark.read.schema(EVENT_SCHEMA).json(src)
+    expected = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in windowed_counts(batch, slide="30 minutes").collect()
+    }
+    # event 1 ∈ [23:30,00:30) & [00:00,01:00); event 2 ∈ [00:00,01:00) & [00:30,01:30)
+    assert expected[("2023-12-31 23:30:00", "click")] == 1
+    assert expected[("2024-01-01 00:00:00", "click")] == 2
+    assert expected[("2024-01-01 00:30:00", "click")] == 1
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+    q = (
+        windowed_counts(stream, slide="30 minutes")
+        .writeStream.format("memory")
+        .queryName("hop_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hop"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.table("hop_counts").collect()
+    }
+    q.stop()
+    assert got == expected
