@@ -487,8 +487,16 @@ def duplicate_clusters(
     one deliberately ITERATIVE operator: each round is a declarative
     join+agg plan, but the fixpoint check is a driver-side count — the
     documented exception to "no driver loops", exactly like Spark's own
-    GraphX/ML iterations. Per-round DataFrames are cached and released;
-    lineage is cut by the cache so plans don't deepen.
+    GraphX/ML iterations.
+
+    Lineage is cut per round with ``localCheckpoint(eager=True)``, NOT
+    ``persist``: persist caches data but the logical plan keeps
+    nesting, so after k rounds the plan tree is O(2^k) nodes and the
+    driver dies building plan strings long before the data is large
+    (observed as a driver OOM at sf0.1). Checkpointed rounds keep every
+    plan O(1). localCheckpoint stores blocks on executors — on a real
+    cluster with dynamic allocation, swap for reliable ``checkpoint``
+    to durable storage; the loop shape is unchanged.
 
     Output: (node, cluster_id); singleton nodes never in ``pairs`` are
     absent (callers union them back as their own cluster if needed).
@@ -499,43 +507,39 @@ def duplicate_clusters(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    edges.persist()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("cluster_id", F.col("node"))
+        .localCheckpoint(eager=True)
     )
-    labels.persist()
-    try:
-        for _ in range(max_iter):
-            # label each node with min(own label, neighbors' labels)
-            neighbor_min = (
-                edges.join(labels, edges.dst == labels.node)
-                .groupBy("src")
-                .agg(F.min("cluster_id").alias("nmin"))
+    for _ in range(max_iter):
+        # label each node with min(own label, neighbors' labels)
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
             )
-            new_labels = (
-                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
-                    ).alias("cluster_id"),
-                )
-            )
-            new_labels.persist()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                .limit(1)
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels
-    finally:
-        edges.unpersist()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
