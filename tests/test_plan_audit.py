@@ -154,3 +154,35 @@ def test_curate_corpus_one_scan_one_shuffle(spark, sf_dir):
     assert a.num_scans == 1, a.plan
     assert a.num_exchanges == 1, a.plan
     assert "BatchEvalPython" not in a.plan and "ArrowEvalPython" not in a.plan
+
+
+def test_hopping_window_partial_agg_one_shuffle(spark, sf_dir):
+    """Hopping windows stay an explode + hash aggregation: map-side
+    partial aggregates and exactly one shuffle — never a window-function
+    sort over the event stream."""
+    from kafka_streams_spark.operators.analytics import events_hopping
+
+    a = audit(events_hopping(spark, sf_dir))
+    assert a.has_partial_aggregation
+    assert a.num_exchanges == 1, a.plan
+    assert "Window" not in a.plan
+
+
+def test_hash_sample_no_shuffle(spark, sf_dir):
+    """Deterministic sampling is a pure filter: zero exchanges, so it
+    composes into any pipeline without a stage break."""
+    from kafka_streams_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = audit(hash_sample(docs, rate_256=32))
+    assert a.num_exchanges == 0
+    assert a.num_scans == 1
+
+
+def test_pack_token_shards_one_shuffle(spark, sf_dir):
+    """Shard packing is one hash shuffle on the stratum + an
+    in-partition running sum."""
+    from kafka_streams_spark.operators.sampling import pack_token_shards
+
+    a = audit(pack_token_shards(load_table(spark, sf_dir, "documents")))
+    assert a.num_exchanges == 1, a.plan
