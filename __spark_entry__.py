@@ -425,6 +425,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": A.q14_promo_revenue,
         "q18_large_orders": A.q18_large_orders,
         "daily_revenue_window": A.daily_revenue_window,
+        # TPC-H remainder, adapted to the no-partsupp testdata schema
+        "q2_cheapest_supplier": A.q2_cheapest_supplier,
+        "q7_volume_shipping": A.q7_volume_shipping,
+        "q8_market_share": A.q8_market_share,
+        "q9_profit_by_nation_year": A.q9_profit_by_nation_year,
+        "q11_important_parts": A.q11_important_parts,
+        "q12_ship_delay": A.q12_ship_delay,
+        "q13_customer_distribution": A.q13_customer_distribution,
+        "q15_top_supplier": A.q15_top_supplier,
+        "q16_part_variety": A.q16_part_variety,
+        "q17_small_quantity_revenue": A.q17_small_quantity_revenue,
+        "q19_discounted_revenue": A.q19_discounted_revenue,
+        "q20_heavy_suppliers": A.q20_heavy_suppliers,
+        "q21_waiting_suppliers": A.q21_waiting_suppliers,
+        "q22_prospect_customers": A.q22_prospect_customers,
         # DSL facade and SQL surface, same oracle as payments_balances
         "dsl_balances": _q_dsl_balances,
         "sql_balances": _q_sql_balances,

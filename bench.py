@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     "pack_token_shards",
     "tf_idf_top_terms",
     "daily_revenue_window",
+    "q7_volume_shipping",
+    "q9_profit_by_nation_year",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -463,3 +463,478 @@ def daily_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("revenue_cents").over(w_cum).alias("cumulative_cents"),
         F.sum("revenue_cents").over(w_7d).alias("trailing7_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H remainder (Q2, Q7-Q9, Q11-Q13, Q15-Q17, Q19-Q22), adapted: the
+# testdata has no partsupp table and no l_commitdate / l_receiptdate /
+# c_phone columns, so each query keeps the ORIGINAL's plan shape — the
+# join topology / subquery structure Catalyst has to handle — with
+# predicates re-targeted at columns that exist. The shapes these add
+# over the queries above: double-role dimension joins (Q7/Q8), global
+# scalar-subquery thresholds (Q11/Q15/Q22), correlated per-group
+# averages (Q17), OR-of-ANDs pushdown (Q19), min-per-group argmin
+# (Q2), multi-level existence logic (Q21), and two-level aggregation
+# (Q13).
+# --------------------------------------------------------------------------
+
+
+def _disc_price() -> F.Column:
+    return (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("decimal(18,4)")
+
+
+def q7_volume_shipping(
+    spark: SparkSession,
+    sf_dir: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    year. The `nation` dim joins TWICE in different roles (supplier's
+    nation vs customer's nation) — both broadcast, so the only shuffle
+    is the lineitem⋈orders fact-fact join. The nation-pair filter can't
+    run until both roles are attached, but each side's dim join is a
+    broadcast hash probe, so no extra exchange is paid for it."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(_disc_price()).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+def q8_market_share(
+    spark: SparkSession,
+    sf_dir: str,
+    region: str = "ASIA",
+    ptype: str = "ECONOMY",
+    nation: str = "NATION_5",
+) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for a
+    part type, by order year. Conditional numerator over the same rows
+    as the denominator (one pass, one partial agg); the share divides
+    two exact decimal sums in double and rounds to 6 — the one place a
+    ratio output is deterministic cross-engine."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == ptype)
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n_cust = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    n_supp = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _disc_price()
+    base = (
+        l.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    agg = base.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == nation, vol).otherwise(F.lit(0).cast("decimal(18,4)")))
+        .cast("decimal(38,4)")
+        .alias("nation_volume"),
+        F.sum(vol).cast("decimal(38,4)").alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        F.round(
+            F.col("nation_volume").cast("double") / F.col("total_volume").cast("double"),
+            6,
+        ).alias("mkt_share"),
+    )
+
+
+def q9_profit_by_nation_year(
+    spark: SparkSession, sf_dir: str, word: str = "red"
+) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp → revenue stands in for
+    profit): per supplier-nation per order-year revenue on parts whose
+    name contains a word. The LIKE filter prunes `part` before its
+    broadcast; nation broadcasts onto the supplier side."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(word))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        l.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(_disc_price()).cast("decimal(38,4)").alias("sum_profit"))
+    )
+
+
+def q11_important_parts(
+    spark: SparkSession, sf_dir: str, ratio: float = 1.5
+) -> DataFrame:
+    """TPC-H Q11 shape (adapted: lineitem revenue stands in for partsupp
+    stock value): parts whose revenue exceeds `ratio` × the MEAN part's
+    revenue. The global threshold is a scalar subquery → computed once
+    from the same per-part aggregate and broadcast (1 row) back over
+    it; relative-to-mean keeps the selectivity (~1% of parts) constant
+    across scale factors, where the original's fixed fraction of TOTAL
+    revenue goes empty as the part count grows."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(_disc_price()).cast("decimal(38,4)").alias("part_value")
+    )
+    threshold = per_part.agg(
+        (
+            F.sum("part_value").cast("double") / F.count("*") * F.lit(ratio)
+        ).alias("threshold")
+    )
+    return (
+        per_part.join(broadcast(threshold))
+        .filter(F.col("part_value").cast("double") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+def q12_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_receiptdate/l_shipmode → buckets
+    of ship delay after order date): per delay bucket, how many
+    critical-priority vs other lineitems. The CASE-pair rides one
+    partial aggregate; the fact-fact join shuffles on orderkey."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay > 90, "90+").when(delay > 30, "31-90").otherwise("0-30")
+    )
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(critical, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer, including
+    zero-order customers — LEFT OUTER join with an ON-clause filter
+    (pushed into the join, NOT a post-filter, or zero-order customers
+    vanish), then two stacked aggregations. The second groupBy keys on
+    the first's output (tiny domain), so its shuffle is trivial."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving MAX quarterly revenue —
+    grouped revenue, a 1-row scalar MAX subquery broadcast back over
+    it (exact decimal equality, so ties surface instead of being
+    dropped), then the supplier dim decorates the winner(s)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(_disc_price()).cast("decimal(38,4)").alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q16_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: suppliers seen in lineitem stand in
+    for partsupp): how many distinct suppliers ship each surviving
+    (brand, type, size) combo. COUNT(DISTINCT) forces the two-phase
+    expand/dedup aggregate; the brand/type/size exclusions push to the
+    part scan before its broadcast."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str, brand: str = "Brand#11"
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of the AVERAGE quantity for their part — a correlated per-group
+    aggregate subquery, decorrelated into a per-part aggregate joined
+    back to the same fact (quantities are integral doubles ≤50, so the
+    average is exact-sum/count — deterministic under any partitioning).
+    One row out (global sum)."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == brand)
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").join(
+        broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part_avg = l.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        l.join(broadcast(per_part_avg), F.col("l_partkey") == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC))
+            .cast("decimal(38,2)")
+            .alias("small_qty_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue matching an OR of three AND-groups
+    spanning BOTH join sides (brand/size from part, quantity from
+    lineitem). The part-only disjunction (brand∈{11,12,13}) is factored
+    out so it prunes the broadcast build side; the mixed residual
+    evaluates post-join without a second scan."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p_pruned = p.filter(F.col("p_brand").isin("Brand#11", "Brand#12", "Brand#13"))
+    joined = l.join(broadcast(p_pruned), F.col("l_partkey") == F.col("p_partkey"))
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(clause).agg(
+        F.sum(_disc_price()).cast("decimal(38,4)").alias("revenue")
+    )
+
+
+def q20_heavy_suppliers(
+    spark: SparkSession, sf_dir: str, word: str = "red", min_qty: int = 100
+) -> DataFrame:
+    """TPC-H Q20 shape (adapted: shipped quantity stands in for partsupp
+    availability): suppliers who shipped more than a threshold quantity
+    of matching parts in one year — a nested aggregate inside a
+    semi-join. The inner aggregate reduces to one row per supplier
+    BEFORE the semi-join, so the probe side is tiny."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(word))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    heavy = (
+        l.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+        .filter(F.col("qty") > min_qty)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return s.join(
+        heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name", F.col("s_acctbal").cast(DEC).alias("s_acctbal"))
+
+
+def q21_waiting_suppliers(
+    spark: SparkSession, sf_dir: str, late_days: int = 60, k: int = 20
+) -> DataFrame:
+    """TPC-H Q21 shape (adapted lateness: shipped >`late_days` after
+    order date): suppliers who were the SOLE late supplier on a
+    finished multi-supplier order. The original's EXISTS/NOT-EXISTS
+    pair decorrelates into one per-(order, supplier) aggregate and one
+    per-order aggregate — two shuffles on the same key (the second
+    reuses the first's partitioning), replacing two correlated
+    re-scans. numwait counts distinct such orders per supplier."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    losf = l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    was_late = F.max(
+        F.when(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > late_days, 1
+        ).otherwise(0)
+    )
+    per_os = losf.groupBy("l_orderkey", "l_suppkey").agg(was_late.alias("was_late"))
+    per_o = per_os.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
+        F.count("*").alias("n_supp"), F.sum("was_late").alias("n_late")
+    )
+    culprits = (
+        per_os.filter(F.col("was_late") == 1)
+        .join(
+            per_o.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            F.col("l_orderkey") == F.col("agg_orderkey"),
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        culprits.join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(k)
+    )
+
+
+def q22_prospect_customers(
+    spark: SparkSession, sf_dir: str, since: str = "1999-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape (adapted: nation stands in for phone country
+    code; "no orders" → "no orders since `since`", as every customer
+    in the testdata has SOME order): per nation, the count and total
+    balance of above-average-balance customers with no recent orders.
+    Global scalar AVG subquery (exact decimal sum ÷ count, in double)
+    broadcast over customers + LEFT-ANTI join against recent orders.
+    Balance totals are exact decimals."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(since)
+    ).select("o_custkey")
+    threshold = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    return (
+        c.join(broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC))
+            .cast("decimal(38,2)")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+def q2_cheapest_supplier(
+    spark: SparkSession, sf_dir: str, ptype: str = "LARGE"
+) -> DataFrame:
+    """TPC-H Q2 shape (adapted: best observed lineitem price stands in
+    for partsupp supply cost): for each part of a type, the supplier
+    offering the minimum price — a per-(part, supplier) MIN aggregate,
+    then an argmin per part via the MIN-equality join-back (the
+    original's correlated MIN subquery, decorrelated). MIN picks an
+    input double exactly, so the equality is deterministic; residual
+    supplier ties all surface, matching Q2's semantics."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == ptype)
+        .select("p_partkey", "p_name")
+    )
+    l = load_table(spark, sf_dir, "lineitem").join(
+        broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    offers = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("best_price")
+    )
+    part_min = offers.groupBy(F.col("l_partkey").alias("min_partkey")).agg(
+        F.min("best_price").alias("min_price")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        offers.join(
+            part_min,
+            (F.col("l_partkey") == F.col("min_partkey"))
+            & (F.col("best_price") == F.col("min_price")),
+        )
+        .join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            F.col("best_price").cast(DEC).alias("best_price"),
+        )
+    )

@@ -732,9 +732,225 @@ SAMPLING_ORACLES = {
 }
 
 
+# --------------------------------------------------------------------------
+# TPC-H remainder (adapted to the no-partsupp schema; see
+# operators/analytics.py for the shape-preservation notes)
+# --------------------------------------------------------------------------
+
+TPCH_EXTRA_ORACLES = {
+    "q7_volume_shipping": f"""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   l_extendedprice, l_discount
+            FROM lineitem
+                 JOIN orders ON l_orderkey = o_orderkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                 JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "q8_market_share": f"""
+        WITH agg AS (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(SUM(CASE WHEN sn.n_name = 'NATION_5' THEN {_DISC_PRICE}
+                                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS nation_volume,
+                   CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS total_volume
+            FROM lineitem
+                 JOIN part ON l_partkey = p_partkey
+                 JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation cn ON c_nationkey = cn.n_nationkey
+                 JOIN region ON cn.n_regionkey = r_regionkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY 1
+        )
+        SELECT o_year, nation_volume, total_volume,
+               round(CAST(nation_volume AS DOUBLE) / CAST(total_volume AS DOUBLE), 6) AS mkt_share
+        FROM agg
+    """,
+    "q9_profit_by_nation_year": f"""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS sum_profit
+        FROM lineitem
+             JOIN part ON l_partkey = p_partkey
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+    """,
+    "q11_important_parts": f"""
+        WITH per_part AS (
+            SELECT l_partkey, CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS part_value
+            FROM lineitem GROUP BY l_partkey
+        ),
+        total AS (
+            SELECT CAST(CAST(SUM(part_value) AS DOUBLE) / count(*) AS DOUBLE) * 1.5 AS threshold
+            FROM per_part
+        )
+        SELECT l_partkey, part_value
+        FROM per_part CROSS JOIN total
+        WHERE CAST(part_value AS DOUBLE) > threshold
+    """,
+    "q12_ship_delay": """
+        SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90 THEN '90+'
+                    WHEN datediff('day', o_orderdate, l_shipdate) > 30 THEN '31-90'
+                    ELSE '0-30' END AS delay_bucket,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """,
+    "q13_customer_distribution": """
+        WITH per_cust AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+                 ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey
+        )
+        SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+    """,
+    "q15_top_supplier": f"""
+        WITH rev AS (
+            SELECT l_suppkey, CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    "q16_part_variety": """
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        GROUP BY 1, 2, 3
+    """,
+    "q17_small_quantity_revenue": """
+        WITH branded AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#11'
+        ),
+        per_part AS (
+            SELECT l_partkey AS avg_partkey, avg(l_quantity) AS avg_qty
+            FROM branded GROUP BY 1
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                   AS small_qty_revenue,
+               count(*) AS n_lines
+        FROM branded JOIN per_part ON l_partkey = avg_partkey
+        WHERE l_quantity < 0.2 * avg_qty
+    """,
+    "q19_discounted_revenue": f"""
+        SELECT CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 50
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q20_heavy_suppliers": """
+        SELECT s_suppkey, s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'red%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_suppkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100
+        )
+    """,
+    "q21_waiting_suppliers": """
+        WITH losf AS (
+            SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        ),
+        per_os AS (
+            SELECT l_orderkey, l_suppkey,
+                   max(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60
+                            THEN 1 ELSE 0 END) AS was_late
+            FROM losf GROUP BY 1, 2
+        ),
+        per_o AS (
+            SELECT l_orderkey, count(*) AS n_supp, SUM(was_late) AS n_late
+            FROM per_os GROUP BY 1
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM per_os
+             JOIN per_o USING (l_orderkey)
+             JOIN supplier ON l_suppkey = s_suppkey
+        WHERE per_os.was_late = 1 AND per_o.n_supp > 1 AND per_o.n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    "q22_prospect_customers": """
+        WITH threshold AS (
+            SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                        / count(*) AS DOUBLE) AS avg_bal
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT n_name, count(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+        FROM customer CROSS JOIN threshold
+             JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY n_name
+    """,
+    "q2_cheapest_supplier": """
+        WITH offers AS (
+            SELECT l_partkey, l_suppkey, min(l_extendedprice) AS best_price
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_type = 'LARGE'
+            GROUP BY 1, 2
+        ),
+        part_min AS (
+            SELECT l_partkey, min(best_price) AS min_price
+            FROM offers GROUP BY 1
+        )
+        SELECT p_partkey, p_name, s_suppkey, s_name,
+               CAST(best_price AS DECIMAL(18,2)) AS best_price
+        FROM offers
+             JOIN part_min USING (l_partkey)
+             JOIN part ON l_partkey = p_partkey
+             JOIN supplier ON l_suppkey = s_suppkey
+        WHERE best_price = min_price
+    """,
+}
+
+
 ALL_ORACLES = {
     **PAYMENT_ORACLES,
     **ANALYTICS_ORACLES,
+    **TPCH_EXTRA_ORACLES,
     **TEXT_ORACLES,
     **DEDUP_ORACLES,
     **SIMILARITY_ORACLES,
