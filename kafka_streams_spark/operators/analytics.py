@@ -903,10 +903,14 @@ def q2_cheapest_supplier(
     """TPC-H Q2 shape (adapted: best observed lineitem price stands in
     for partsupp supply cost): for each part of a type, the supplier
     offering the minimum price — a per-(part, supplier) MIN aggregate,
-    then an argmin per part via the MIN-equality join-back (the
-    original's correlated MIN subquery, decorrelated). MIN picks an
-    input double exactly, so the equality is deterministic; residual
-    supplier ties all surface, matching Q2's semantics."""
+    then an argmin per part via a MIN window over the part (the
+    original's correlated MIN subquery, decorrelated). The window form
+    replaces a join-back against a second aggregation of the same data
+    (which re-shuffled `offers` on a fresh key — 5 exchanges) with one
+    window over the aggregate's OWN partitioning: 2 exchanges total.
+    MIN picks an input double exactly, so the equality filter is
+    deterministic; supplier ties all surface, matching Q2's
+    semantics."""
     p = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_type") == ptype)
@@ -918,16 +922,11 @@ def q2_cheapest_supplier(
     offers = l.groupBy("l_partkey", "l_suppkey").agg(
         F.min("l_extendedprice").alias("best_price")
     )
-    part_min = offers.groupBy(F.col("l_partkey").alias("min_partkey")).agg(
-        F.min("best_price").alias("min_price")
-    )
+    min_price = F.min("best_price").over(Window.partitionBy("l_partkey"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        offers.join(
-            part_min,
-            (F.col("l_partkey") == F.col("min_partkey"))
-            & (F.col("best_price") == F.col("min_price")),
-        )
+        offers.withColumn("min_price", min_price)
+        .filter(F.col("best_price") == F.col("min_price"))
         .join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(

@@ -186,3 +186,48 @@ def test_pack_token_shards_one_shuffle(spark, sf_dir):
 
     a = audit(pack_token_shards(load_table(spark, sf_dir, "documents")))
     assert a.num_exchanges == 1, a.plan
+
+
+def test_q7_nation_dims_broadcast_in_both_roles(spark, sf_dir):
+    """q7 joins `nation` twice (supplier-side, customer-side); both
+    roles must be broadcast probes — a shuffle against a 25-row dim
+    would exchange the fact table twice for nothing."""
+    from kafka_streams_spark.operators.analytics import q7_volume_shipping
+
+    a = audit(q7_volume_shipping(spark, sf_dir))
+    assert a.join_strategies.count("BroadcastHashJoin") >= 4, a.join_strategies
+    assert "CartesianProduct" not in a.join_strategies
+
+
+def test_q2_argmin_is_window_not_joinback(spark, sf_dir):
+    """q2's per-part argmin must plan ≤2 exchanges: the offers
+    aggregation and the part-window. The join-back formulation costs 5
+    (it re-shuffles the aggregate on a fresh composite key)."""
+    from kafka_streams_spark.operators.analytics import q2_cheapest_supplier
+
+    a = audit(q2_cheapest_supplier(spark, sf_dir))
+    assert a.num_exchanges <= 2, a.plan
+    assert "SortMergeJoin" not in a.join_strategies, a.join_strategies
+
+
+def test_q19_or_clause_prunes_broadcast_build_side(spark, sf_dir):
+    """q19's factored brand disjunction must reach the part scan as a
+    pushed filter (In(p_brand,...)) so the broadcast build side holds 3
+    brands, not the whole part table."""
+    from kafka_streams_spark.operators.analytics import q19_discounted_revenue
+
+    a = audit(q19_discounted_revenue(spark, sf_dir))
+    assert any("p_brand" in f for f in a.pushed_filters), a.pushed_filters
+    assert "BroadcastHashJoin" in a.join_strategies
+
+
+def test_q17_correlated_avg_stays_on_filtered_subset(spark, sf_dir):
+    """q17's decorrelated per-part average must compute on the
+    brand-FILTERED lineitems (both scans carry the broadcast-join
+    pruning), never on the full fact table."""
+    from kafka_streams_spark.operators.analytics import q17_small_quantity_revenue
+
+    a = audit(q17_small_quantity_revenue(spark, sf_dir))
+    # all joins broadcast (part + avg subquery are both tiny)
+    assert "SortMergeJoin" not in a.join_strategies, a.join_strategies
+    assert a.has_partial_aggregation
