@@ -315,6 +315,20 @@ def _q_curate_corpus(spark, sf_dir):
     return curate_corpus(_docs(spark, sf_dir))
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Deterministic split of `documents` into a pseudo-benchmark (the
+    md5-hash sample, ~6%) and a training remainder; flag remainder docs
+    sharing any word 3-gram with the benchmark."""
+    from kafka_streams_spark.operators.pipelines import decontaminate
+    from kafka_streams_spark.operators.sampling import hash_sample
+
+    docs = _docs(spark, sf_dir)
+    bench = hash_sample(docs, rate_256=16)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    train = docs.filter(bucket >= F.lit("10"))
+    return decontaminate(train, bench, n=3)
+
+
 def _q_tf_idf(spark, sf_dir):
     from kafka_streams_spark.operators.text import tf_idf_top_terms
 
@@ -343,6 +357,18 @@ def _q_normalize_vectors(spark, sf_dir):
     from kafka_streams_spark.operators.similarity import normalize_vectors
 
     return normalize_vectors(_embs(spark, sf_dir))
+
+
+def _q_quantize(spark, sf_dir):
+    from kafka_streams_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_embs(spark, sf_dir))
+
+
+def _q_quantize_sym(spark, sf_dir):
+    from kafka_streams_spark.operators.similarity import quantize_embeddings_symmetric
+
+    return quantize_embeddings_symmetric(_embs(spark, sf_dir))
 
 
 def _q_top_tokens(spark, sf_dir):
@@ -457,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # end-to-end curation pipeline (fused single-scan gates + dedup)
         "curate_corpus": _q_curate_corpus,
         "curate_corpus_fuzzy": _q_curate_fuzzy,  # near-dup clusters + gates
+        "decontaminate": _q_decontaminate,  # eval-set n-gram leak guard
         # dedup
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_rows": _q_dedup_exact_rows,
@@ -472,6 +499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": _q_winnowing,  # xxhash64-based: rows-only
         "emb_label_centroids": _q_label_centroids,
         "emb_normalize": _q_normalize_vectors,
+        "emb_quantize_int8": _q_quantize,
+        "emb_quantize_sym": _q_quantize_sym,
         "emb_near_dup_exact": _q_emb_near_dup,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,  # rows-only
         # deterministic sampling & shard packing

@@ -93,3 +93,50 @@ def curate_corpus_fuzzy(
     )
     kept = docs.join(losers, id_col, "left_anti")
     return curate_corpus(kept, min_quality=min_quality, id_col=id_col, text_col=text_col)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Test-set-leak guard: flag training documents sharing word
+    n-grams with an evaluation/benchmark corpus — the decontamination
+    pass every LLM data pipeline runs before training (the reference
+    engine has no analog; this is §2.5 north-star scope).
+
+    Scale shape: eval suites are tiny next to a 100 TB training corpus,
+    so the benchmark's DISTINCT n-gram set builds once and BROADCASTS;
+    the training side explodes to (doc, shingle) and probes the hash
+    table in-place — no shuffle of the exploded corpus. Only the
+    matching incidences (rare by construction) reach the per-doc count
+    aggregation, and the final left join marks clean docs with 0.
+
+    Output: (id_col, n_overlap, contaminated) — n_overlap counts
+    DISTINCT shared shingles (word_shingles de-dups per doc).
+    """
+    from pyspark.sql.functions import broadcast
+
+    from kafka_streams_spark.operators.dedup import word_shingles
+
+    bench_ngrams = benchmark.select(
+        F.explode(word_shingles(F.col(bench_text_col), n)).alias("s")
+    ).distinct()
+    doc_ngrams = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    )
+    overlap = (
+        doc_ngrams.join(broadcast(bench_ngrams), "s")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        docs.join(overlap, id_col, "left_outer")
+        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_overlap") >= min_overlap)
+        .select(id_col, "n_overlap", "contaminated")
+    )

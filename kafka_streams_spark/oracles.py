@@ -572,6 +572,28 @@ DEDUP_ORACLES = {
     "dedup_token_jaccard": _jaccard_pairs_sql(1, 0.8),
     "dedup_ngram_jaccard": _jaccard_pairs_sql(2, 0.5),
     "curate_corpus_fuzzy": _CURATE_FUZZY_SQL,
+    # Benchmark split = md5-bucket hash sample (same predicate as
+    # hash_sample_docs); n_overlap counts DISTINCT shared 3-grams.
+    "decontaminate": f"""
+        WITH {_shingle_cte(3)},
+        bench AS (
+            SELECT DISTINCT unnest(shingles) AS s FROM sh
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10'
+        ),
+        train AS (
+            SELECT doc_id, shingles FROM sh
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '10'
+        ),
+        expl AS (SELECT doc_id, unnest(shingles) AS s FROM train),
+        ov AS (
+            SELECT doc_id, count(*) AS n_overlap
+            FROM expl JOIN bench USING (s) GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+               COALESCE(ov.n_overlap, 0) >= 1 AS contaminated
+        FROM train t LEFT JOIN ov ON t.doc_id = ov.doc_id
+    """,
 }
 
 # --------------------------------------------------------------------------
@@ -579,6 +601,46 @@ DEDUP_ORACLES = {
 # --------------------------------------------------------------------------
 
 SIMILARITY_ORACLES = {
+    # int8 affine quantization codes; rounding is java-round
+    # (floor(x+0.5)), arithmetic order pinned to match the Spark
+    # expression term-for-term ((x-mn)/range*254.0+0.5).
+    "emb_quantize_int8": """
+        WITH ex AS (
+            SELECT unnest(range(len(embedding))) AS pos, unnest(embedding) AS x
+            FROM embeddings
+        ),
+        per_dim AS (
+            SELECT pos, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+            FROM ex GROUP BY pos
+        ),
+        params AS (
+            SELECT list(mn ORDER BY pos) AS mins,
+                   list(CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END ORDER BY pos) AS ranges
+            FROM per_dim
+        )
+        SELECT vec_id,
+               list_transform(range(len(embedding)),
+                   i -> CAST(floor((CAST(embedding[i+1] AS DOUBLE) - mins[i+1])
+                                   / ranges[i+1] * 254.0 + 0.5) AS INT) - 127) AS codes
+        FROM embeddings CROSS JOIN params
+    """,
+    # per-vector symmetric int8 (the ANN-on-codes path; uniform scale
+    # cancels in cosine). Raw array_max scale is emitted; zero vectors
+    # quantize against a safe 1.0.
+    "emb_quantize_sym": """
+        WITH scaled AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+            FROM embeddings
+        )
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)
+                                   / (CASE WHEN scale > 0 THEN scale ELSE 1.0 END)
+                                   * 127.0 + 0.5) AS INT)) AS codes,
+               scale
+        FROM scaled
+    """,
     "knn_vec0": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,

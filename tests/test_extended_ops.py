@@ -280,3 +280,113 @@ def test_domain_stats(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
     got = {r["domain"]: (r["n_docs"], r["n_urls"]) for r in domain_stats(df).collect()}
     assert got == {"example.com": (2, 3), "other.org": (1, 1)}
+
+
+def test_decontaminate_flags_ngram_leaks(spark):
+    """A training doc sharing a word 3-gram with the benchmark is
+    flagged with the DISTINCT overlap count; clean docs survive with
+    n_overlap=0; docs shorter than n words match as whole-doc shingles."""
+    from kafka_streams_spark.operators.pipelines import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps"), (101, "short one")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "a tale of the quick brown fox at dawn"),  # shares 2 shingles
+            (2, "completely unrelated text entirely here"),
+            (3, "short one"),  # <3 words -> whole-doc shingle matches bench doc 101
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in decontaminate(train, bench, n=3).collect()
+    }
+    # doc 1 shares "the quick brown" and "quick brown fox"
+    assert got[1] == (2, True)
+    assert got[2] == (0, False)
+    assert got[3] == (1, True)
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark, sf_dir, docs):
+    """The benchmark n-gram set must broadcast — shuffling the exploded
+    training corpus to meet a tiny eval suite would be the scale bug."""
+    from kafka_streams_spark.operators.pipelines import decontaminate
+    from kafka_streams_spark.plans.audit import audit
+
+    out = decontaminate(docs, docs.limit(20), n=3)
+    a = audit(out)
+    assert "BroadcastHashJoin" in a.join_strategies, a.join_strategies
+
+
+def test_quantization_roundtrip_error_bounded(spark, embs):
+    """Dequantized values must sit within half a quantization step
+    (range/254/2, plus float slack) of the originals, per dimension."""
+    from kafka_streams_spark.operators.similarity import (
+        dequantize,
+        quantization_params,
+        quantize_embeddings,
+    )
+
+    params = quantization_params(embs)
+    q = quantize_embeddings(embs, params)
+    deq = dequantize(q, params)
+    joined = (
+        embs.select("vec_id", "embedding")
+        .join(deq, "vec_id")
+        .select(
+            F.max(
+                F.aggregate(
+                    F.zip_with(
+                        "embedding",
+                        "approx",
+                        lambda x, a: F.abs(x.cast("double") - a),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, e: F.greatest(acc, e),
+                )
+            ).alias("max_err")
+        )
+        .head()
+    )
+    p = params.head()
+    max_step = max(r / 254.0 / 2.0 for r in p["ranges"])
+    assert joined["max_err"] <= max_step * 1.001
+
+
+def test_quantized_knn_recall(spark, embs):
+    """Cosine top-10 over per-vector symmetric int8 codes must recover
+    ≥9/10 of the exact float top-10 — the uniform per-vector scale
+    cancels in cosine, so only rounding error remains. (The per-dim
+    AFFINE codes are the storage path; their offsets distort angles and
+    they must be dequantized before any cosine.)"""
+    from kafka_streams_spark.functions.vectors import cosine_similarity
+    from kafka_streams_spark.operators.similarity import (
+        knn_brute_force,
+        quantize_embeddings_symmetric,
+    )
+
+    exact = {
+        r["vec_id"]
+        for r in knn_brute_force(
+            embs, [float(x) for x in embs.head()["embedding"]], k=10
+        ).collect()
+    }
+    q = quantize_embeddings_symmetric(embs).withColumn(
+        "codes", F.transform("codes", lambda c: c.cast("double"))
+    )
+    qvec = [float(x) for x in q.filter(F.col("vec_id") == embs.head()["vec_id"]).head()["codes"]]
+    approx = (
+        q.select(
+            "vec_id",
+            cosine_similarity(
+                F.col("codes"), F.array(*[F.lit(v) for v in qvec])
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )
+    got = {r["vec_id"] for r in approx.collect()}
+    assert len(exact & got) >= 9, (exact, got)
