@@ -1,11 +1,14 @@
 """Text-analysis operators: token counting, quality scoring, language ID,
-document fingerprinting. Pure Column expressions — every one of these
-runs inside whole-stage codegen, and each has an ANSI-SQL twin for the
-DuckDB oracle (see __spark_entry__), so semantics are pinned cross-engine.
+document fingerprinting. Pure Column expressions (whole-stage codegen)
+except where measurement says otherwise — `repetition_stats` is an
+Arrow-batched pandas UDF (see its docstring for the numbers). Each
+operator has an ANSI-SQL twin for the DuckDB oracle (see
+__spark_entry__), so semantics are pinned cross-engine.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -215,45 +218,49 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     most frequent bigram. High values flag boilerplate/spam for corpus
     filtering.
 
-    Shape: bigrams explode to (doc, gram) rows → two partial-aggregated
-    shuffles (per-(doc,gram) counts, then per-doc max/sum) — the same
-    codegen'd explode+groupBy backbone as the signature operators; no
-    per-row quadratic array scans.
-    """
-    from kafka_streams_spark.functions.partitioning import spread
+    Shape: ZERO shuffles — both signals are per-row statistics, so the
+    operator is an Arrow-batched pandas UDF: embarrassingly parallel,
+    no exchange, C-speed dict counting. This is the measured exception
+    to "built-in expressions first": the explode → groupBy(doc, gram) →
+    groupBy(doc) expression form pays two exchanges of every bigram
+    occurrence (≈2× the corpus shuffled, twice, for a per-row stat) and
+    ran 9× slower at sf0.1; a codegen'd run-length fold over sorted
+    bigram arrays (F.aggregate with a struct accumulator) avoided the
+    shuffles but fell out of whole-stage codegen and ran 35× slower.
 
-    t = F.col(text_col)
-    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
-    dup_line_ratio = F.when(
-        F.size(lines) > 0,
-        1.0 - F.size(F.array_distinct(lines)).cast("double") / F.size(lines),
-    ).otherwise(F.lit(0.0))
-    base = spread(docs).select(
-        F.col(id_col),
-        dup_line_ratio.alias("dup_line_ratio"),
-        F.col(text_col),
+    The UDF body matches the DuckDB oracle's tokenizer exactly:
+    `str.split()` == split-on-\\s+-drop-empties; bigrams as token
+    TUPLES equal the concat_ws(' ') form since tokens contain no
+    whitespace.
+    """
+    from collections import Counter
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("dup_line_ratio", DoubleType()),
+            StructField("top_bigram_fraction", DoubleType()),
+        ]
     )
-    toks = tokens(F.col(text_col))
-    n = F.greatest(F.size(toks) - 1, F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-    )
-    ex = base.select(
-        F.col(id_col),
-        "dup_line_ratio",
-        F.explode(F.when(n > 0, grams).otherwise(F.array(F.lit(None)))).alias("gram"),
-    )
-    per_gram = ex.groupBy(id_col, "dup_line_ratio", "gram").agg(
-        F.count("gram").alias("c")
-    )
-    return per_gram.groupBy(id_col, "dup_line_ratio").agg(
-        F.when(
-            F.sum("c") > 0, F.max("c").cast("double") / F.sum("c")
-        )
-        .otherwise(F.lit(0.0))
-        .alias("top_bigram_fraction")
-    )
+
+    @F.pandas_udf(out_schema)
+    def rep_stats(text: pd.Series) -> pd.DataFrame:
+        dup, top = [], []
+        for s in text:
+            lines = [ln for ln in (s or "").split("\n") if ln.strip()]
+            dup.append(1.0 - len(set(lines)) / len(lines) if lines else 0.0)
+            toks = (s or "").lower().split()
+            if len(toks) >= 2:
+                counts = Counter(zip(toks, toks[1:]))
+                top.append(max(counts.values()) / (len(toks) - 1))
+            else:
+                top.append(0.0)
+        return pd.DataFrame({"dup_line_ratio": dup, "top_bigram_fraction": top})
+
+    return docs.select(
+        F.col(id_col), rep_stats(F.col(text_col)).alias("_r")
+    ).select(id_col, "_r.*")
 
 
 PII_PATTERNS = {
