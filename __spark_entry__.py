@@ -466,6 +466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_heavy_suppliers": A.q20_heavy_suppliers,
         "q21_waiting_suppliers": A.q21_waiting_suppliers,
         "q22_prospect_customers": A.q22_prospect_customers,
+        # event-sequence analytics
+        "funnel_conversions": A.funnel_conversions,
+        "cohort_retention": A.cohort_retention,
         # DSL facade and SQL surface, same oracle as payments_balances
         "dsl_balances": _q_dsl_balances,
         "sql_balances": _q_sql_balances,

@@ -937,3 +937,88 @@ def q2_cheapest_supplier(
             F.col("best_price").cast(DEC).alias("best_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Event-sequence analytics: funnel conversion and cohort retention —
+# the two canonical product-analytics shapes over an event stream
+# (strictly-ordered sequence matching; first-seen bucketing × activity
+# matrix). Both reuse one hash partitioning on user_id across their
+# stacked aggregations.
+# --------------------------------------------------------------------------
+
+_WEEK_NS = 7 * 24 * 3600 * 1_000_000_000
+
+
+def funnel_conversions(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Strictly-ordered funnel: users whose earliest `steps[0]` precedes
+    a later `steps[1]` that precedes a later `steps[2]`. Unordered
+    conditional counting would overcount (a purchase BEFORE the first
+    view is not a conversion); ordering forces the stage-k timestamp to
+    be the min over events AFTER the stage-(k-1) timestamp.
+
+    Shape: three stacked aggregations, all keyed on user_id — the first
+    groupBy pays the one hash exchange, and the subsequent join+groupBy
+    rounds reuse that partitioning (no further wide shuffles of the
+    event rows). Output: one row of stage-reach counts.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1, s2, s3 = steps
+    t1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == s1, F.col("ts"))).alias("t1")
+    )
+    t2 = (
+        e.join(t1, "user_id")
+        .groupBy("user_id", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == s2) & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).alias("t2")
+        )
+    )
+    t3 = (
+        e.join(t2, "user_id")
+        .groupBy("user_id", "t1", "t2")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == s3) & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).alias("t3")
+        )
+    )
+    return t3.agg(
+        F.count("t1").alias("n_step1"),
+        F.count("t2").alias("n_step2"),
+        F.count("t3").alias("n_step3"),
+    )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-seen
+    week; per (cohort_week, week_offset), how many distinct cohort
+    members were active. The activity set dedups (user, week) BEFORE
+    the join — the classic cardinality squeeze: the join and the
+    count-distinct then operate on at most users × weeks rows instead
+    of raw events."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    # `div`, not `/`: epoch-nanos exceed double's 53-bit mantissa (see
+    # events_hourly) — float division could mis-bucket boundary events.
+    week = F.expr(f"ts div {_WEEK_NS}")
+    first_seen = e.groupBy("user_id").agg(
+        F.expr(f"min(ts) div {_WEEK_NS}").alias("cohort_week")
+    )
+    activity = e.select("user_id", week.alias("week")).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -1006,6 +1006,40 @@ TPCH_EXTRA_ORACLES = {
              JOIN supplier ON l_suppkey = s_suppkey
         WHERE best_price = min_price
     """,
+    "funnel_conversions": """
+        WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+        s1 AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN tsn END) AS t1
+            FROM e GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, s1.t1,
+                   min(CASE WHEN event_type = 'click' AND tsn > t1 THEN tsn END) AS t2
+            FROM e JOIN s1 USING (user_id) GROUP BY e.user_id, s1.t1
+        ),
+        s3 AS (
+            SELECT e.user_id, s2.t1, s2.t2,
+                   min(CASE WHEN event_type = 'purchase' AND tsn > t2 THEN tsn END) AS t3
+            FROM e JOIN s2 USING (user_id) GROUP BY e.user_id, s2.t1, s2.t2
+        )
+        SELECT count(t1) AS n_step1, count(t2) AS n_step2, count(t3) AS n_step3
+        FROM s3
+    """,
+    "cohort_retention": """
+        WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn FROM events),
+        first_seen AS (
+            SELECT user_id, min(tsn) // 604800000000000 AS cohort_week
+            FROM e GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, tsn // 604800000000000 AS week FROM e
+        )
+        SELECT cohort_week, week - cohort_week AS week_offset,
+               count(DISTINCT user_id) AS n_users
+        FROM activity JOIN first_seen USING (user_id)
+        GROUP BY 1, 2
+    """,
 }
 
 
