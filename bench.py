@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "q9_profit_by_nation_year",
     "q13_customer_distribution",
     "q21_waiting_suppliers",
+    "decontaminate",
+    "emb_quantize_sym",
+    "funnel_conversions",
+    "cohort_retention",
 ]
 
 
