@@ -68,9 +68,11 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
+    n_checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_checked += 1
         sdf = fn(spark, sf_dir)
         spark_pd = sdf.toPandas()
         if name not in oracles:
@@ -101,7 +103,8 @@ def main() -> int:
         else:
             print(f"✓ {name:34s} rows={len(spark_pd):7d}")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    scope = f" (subset of {len(qs)})" if only else ""
+    print(f"\n{n_checked - len(failures)}/{n_checked} queries match{scope}")
     return 1 if failures else 0
 
 
