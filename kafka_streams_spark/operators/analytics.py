@@ -8,17 +8,42 @@ inputs (exact + associative → identical under any partitioning; double
 sums would drift in the last ulps vs a serial DuckDB run). Join shapes:
 dimension tables are broadcast (no shuffle of the fact side's rows);
 fact-fact joins shuffle on the join key and rely on AQE for skew.
+
+Output representation: FINAL money/measure columns are scaled BIGINT
+(``*_cents`` = ×100, ``*_x10k`` = ×10000, ``*_x1m`` = ×1e6), never
+DecimalType. A DECIMAL(38,x) output survives Spark→Arrow→pandas as
+``decimal.Decimal`` while DuckDB's fetchdf renders the same value as
+float64 — trailing-zero values (``Decimal('123.40')`` vs ``123.4``)
+then canonicalize differently in the driver's hash. Integer outputs
+are representation-proof on both sides; the scaling happens PER ROW
+(before the sum) so the aggregate itself is a cheap long sum and no
+decimal-precision-38 ceiling is ever approached. Ratios divide two
+exact longs in double (`long→double` exact below 2^53, IEEE division
+correctly rounded → bitwise identical cross-engine, no F.round needed).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from kafka_streams_spark.sources.testdata import load_table
 
 DEC = "decimal(18,2)"
+
+
+def _cents(col: str | Column) -> Column:
+    """Money column as exact integer cents (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast(DEC) * 100).cast("long")
+
+
+def _x10k(dec_col: Column) -> Column:
+    """Scale-4 decimal measure as exact integer ten-thousandths. The
+    input is re-cast to decimal(18,4) first so the ×10000 stays inside
+    precision 38 (18+10+1=29) — Spark silently rescales past 38."""
+    return (dec_col.cast("decimal(18,4)") * 10000).cast("long")
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,10 +65,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            F.sum((qty * 100).cast("long")).alias("sum_qty_x100"),
+            F.sum((price * 100).cast("long")).alias("sum_base_price_cents"),
+            F.sum((disc_price * 10000).cast("long")).alias("sum_disc_price_x10k"),
+            F.sum((charge * 1000000).cast("long")).alias("sum_charge_x1m"),
             F.count("*").alias("count_order"),
         )
     )
@@ -60,12 +85,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str, segment: str = "BUILD
     return (
         l.join(broadcast(o.join(broadcast(c), o.o_custkey == c.c_custkey)), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .agg(F.sum(_x10k(rev)).alias("revenue_x10k"))
+        .orderBy(F.col("revenue_x10k").desc(), F.col("l_orderkey"))
         .limit(10)
         .select(
             F.col("l_orderkey"),
-            F.col("revenue"),
+            F.col("revenue_x10k"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             F.col("o_orderpriority"),
         )
@@ -94,7 +119,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str, region: str = "ASIA") 
             (c.c_nationkey == F.col("n_nationkey")) & (s.s_nationkey == F.col("n_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_x10k(rev)).alias("revenue_x10k"))
     )
 
 
@@ -111,7 +136,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> Dat
         .select(
             "o_custkey",
             "o_orderkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            _cents("o_totalprice").alias("o_totalprice_cents"),
             F.col("rk").cast("int").alias("rk"),
         )
     )
@@ -140,7 +165,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour = F.expr("ts div 3600000000000")
     return e.groupBy(hour.alias("epoch_hour"), F.col("event_type")).agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast(DEC)).cast("decimal(38,2)").alias("total_value"),
+        F.sum(_cents("value")).alias("total_value_cents"),
     )
 
 
@@ -179,7 +204,7 @@ def events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast("decimal(38,2)").alias("total_value"),
+            F.sum(_cents("value")).alias("total_value_cents"),
         )
     )
 
@@ -233,7 +258,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_x10k(rev)).alias("revenue_x10k"))
     )
 
 
@@ -318,7 +343,7 @@ def orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_custkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            _cents("o_totalprice").alias("o_totalprice_cents"),
             "c_name",
             "n_name",
         )
@@ -378,8 +403,8 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str, k: int = 20) -> DataF
         .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(disc_price).cast("decimal(38,4)").alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .agg(F.sum(_x10k(disc_price)).alias("revenue_x10k"))
+        .orderBy(F.col("revenue_x10k").desc(), F.col("c_custkey"))
         .limit(k)
     )
 
@@ -401,10 +426,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0).cast("decimal(18,4)")))
-            .cast("decimal(38,4)")
-            .alias("promo_revenue"),
-            F.sum(disc_price).cast("decimal(38,4)").alias("total_revenue"),
+            F.sum(F.when(F.col("p_type") == "PROMO", _x10k(disc_price)).otherwise(F.lit(0)))
+            .alias("promo_revenue_x10k"),
+            F.sum(_x10k(disc_price)).alias("total_revenue_x10k"),
         )
     )
 
@@ -419,8 +443,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str, min_qty: int = 300) -> Da
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("total_qty"))
-        .filter(F.col("total_qty") > min_qty)
+        .agg(F.sum(_cents("l_quantity")).alias("total_qty_x100"))
+        .filter(F.col("total_qty_x100") > min_qty * 100)
     )
     return (
         big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -430,10 +454,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str, min_qty: int = 300) -> Da
             "c_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-            F.col("o_totalprice").cast(DEC).alias("o_totalprice"),
-            F.col("total_qty").cast("decimal(38,2)").alias("total_qty"),
+            _cents("o_totalprice").alias("o_totalprice_cents"),
+            F.col("total_qty_x100"),
         )
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .orderBy(F.col("o_totalprice_cents").desc(), F.col("o_orderkey"))
         .limit(100)
     )
 
@@ -525,7 +549,7 @@ def q7_volume_shipping(
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(F.sum(_disc_price()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_x10k(_disc_price())).alias("revenue_x10k"))
     )
 
 
@@ -567,18 +591,20 @@ def q8_market_share(
         .join(broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
     )
     agg = base.groupBy(F.year("o_orderdate").alias("o_year")).agg(
-        F.sum(F.when(F.col("supp_nation") == nation, vol).otherwise(F.lit(0).cast("decimal(18,4)")))
-        .cast("decimal(38,4)")
-        .alias("nation_volume"),
-        F.sum(vol).cast("decimal(38,4)").alias("total_volume"),
+        F.sum(F.when(F.col("supp_nation") == nation, _x10k(vol)).otherwise(F.lit(0)))
+        .alias("nation_volume_x10k"),
+        F.sum(_x10k(vol)).alias("total_volume_x10k"),
     )
+    # The share divides two exact longs in double — long→double is exact
+    # below 2^53 and IEEE division is correctly rounded, so the result is
+    # bitwise identical cross-engine with no rounding step needed.
     return agg.select(
         "o_year",
-        "nation_volume",
-        "total_volume",
-        F.round(
-            F.col("nation_volume").cast("double") / F.col("total_volume").cast("double"),
-            6,
+        "nation_volume_x10k",
+        "total_volume_x10k",
+        (
+            F.col("nation_volume_x10k").cast("double")
+            / F.col("total_volume_x10k").cast("double")
         ).alias("mkt_share"),
     )
 
@@ -605,7 +631,7 @@ def q9_profit_by_nation_year(
         .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(_disc_price()).cast("decimal(38,4)").alias("sum_profit"))
+        .agg(F.sum(_x10k(_disc_price())).alias("sum_profit_x10k"))
     )
 
 
@@ -621,17 +647,17 @@ def q11_important_parts(
     revenue goes empty as the part count grows."""
     l = load_table(spark, sf_dir, "lineitem")
     per_part = l.groupBy("l_partkey").agg(
-        F.sum(_disc_price()).cast("decimal(38,4)").alias("part_value")
+        F.sum(_x10k(_disc_price())).alias("part_value_x10k")
     )
     threshold = per_part.agg(
         (
-            F.sum("part_value").cast("double") / F.count("*") * F.lit(ratio)
+            F.sum("part_value_x10k").cast("double") / F.count("*") * F.lit(ratio)
         ).alias("threshold")
     )
     return (
         per_part.join(broadcast(threshold))
-        .filter(F.col("part_value").cast("double") > F.col("threshold"))
-        .select("l_partkey", "part_value")
+        .filter(F.col("part_value_x10k").cast("double") > F.col("threshold"))
+        .select("l_partkey", "part_value_x10k")
     )
 
 
@@ -693,14 +719,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     rev = l.groupBy("l_suppkey").agg(
-        F.sum(_disc_price()).cast("decimal(38,4)").alias("total_revenue")
+        F.sum(_x10k(_disc_price())).alias("total_revenue_x10k")
     )
-    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    max_rev = rev.agg(F.max("total_revenue_x10k").alias("max_revenue"))
     return (
         rev.join(broadcast(max_rev))
-        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .filter(F.col("total_revenue_x10k") == F.col("max_revenue"))
         .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name", "total_revenue_x10k")
     )
 
 
@@ -747,9 +773,7 @@ def q17_small_quantity_revenue(
         l.join(broadcast(per_part_avg), F.col("l_partkey") == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
-            F.sum(F.col("l_extendedprice").cast(DEC))
-            .cast("decimal(38,2)")
-            .alias("small_qty_revenue"),
+            F.sum(_cents("l_extendedprice")).alias("small_qty_revenue_cents"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -785,7 +809,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.filter(clause).agg(
-        F.sum(_disc_price()).cast("decimal(38,4)").alias("revenue")
+        F.sum(_x10k(_disc_price())).alias("revenue_x10k")
     )
 
 
@@ -815,7 +839,7 @@ def q20_heavy_suppliers(
     s = load_table(spark, sf_dir, "supplier")
     return s.join(
         heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
-    ).select("s_suppkey", "s_name", F.col("s_acctbal").cast(DEC).alias("s_acctbal"))
+    ).select("s_suppkey", "s_name", _cents("s_acctbal").alias("s_acctbal_cents"))
 
 
 def q21_waiting_suppliers(
@@ -890,9 +914,7 @@ def q22_prospect_customers(
         .groupBy("n_name")
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(F.col("c_acctbal").cast(DEC))
-            .cast("decimal(38,2)")
-            .alias("total_acctbal"),
+            F.sum(_cents("c_acctbal")).alias("total_acctbal_cents"),
         )
     )
 
@@ -934,7 +956,7 @@ def q2_cheapest_supplier(
             "p_name",
             "s_suppkey",
             "s_name",
-            F.col("best_price").cast(DEC).alias("best_price"),
+            _cents("best_price").alias("best_price_cents"),
         )
     )
 

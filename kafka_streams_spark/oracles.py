@@ -85,6 +85,17 @@ _DISC_PRICE = (
     "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
 )
 
+# Final money/measure outputs are scaled BIGINT, never DECIMAL — see
+# operators/analytics.py module docstring (DECIMAL round-trips as
+# decimal.Decimal on the Spark side but float64 from DuckDB's fetchdf,
+# and trailing-zero values then canonicalize differently). Scaling is
+# applied per row, before the SUM, mirroring the Spark plans.
+_DISC_X10K = f"CAST({_DISC_PRICE} * 10000 AS BIGINT)"
+
+
+def _cents_sql(col: str) -> str:
+    return f"CAST(CAST({col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
 ANALYTICS_ORACLES = {
     "q4_order_priority": """
         SELECT o_orderpriority, count(*) AS order_count
@@ -97,7 +108,7 @@ ANALYTICS_ORACLES = {
     """,
     "q10_returned_revenue": f"""
         SELECT c_custkey, c_name, n_name,
-               CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue
+               CAST(SUM({_DISC_X10K}) AS BIGINT) AS revenue_x10k
         FROM lineitem
              JOIN orders ON l_orderkey = o_orderkey
              JOIN customer ON o_custkey = c_custkey
@@ -106,27 +117,28 @@ ANALYTICS_ORACLES = {
           AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
           AND l_returnflag = 'R'
         GROUP BY c_custkey, c_name, n_name
-        ORDER BY revenue DESC, c_custkey
+        ORDER BY revenue_x10k DESC, c_custkey
         LIMIT 20
     """,
     "q14_promo_revenue": f"""
-        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE}
-                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS promo_revenue,
-               CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS total_revenue
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_X10K}
+                             ELSE 0 END) AS BIGINT) AS promo_revenue_x10k,
+               CAST(SUM({_DISC_X10K}) AS BIGINT) AS total_revenue_x10k
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
     """,
-    "q18_large_orders": """
+    "q18_large_orders": f"""
         SELECT c_name, c_custkey, o_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
-               CAST(total_qty AS DECIMAL(38,2)) AS total_qty
-        FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
-              FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300) big
+               {_cents_sql('o_totalprice')} AS o_totalprice_cents,
+               total_qty_x100
+        FROM (SELECT l_orderkey,
+                     CAST(SUM({_cents_sql('l_quantity')}) AS BIGINT) AS total_qty_x100
+              FROM lineitem GROUP BY l_orderkey HAVING total_qty_x100 > 30000) big
              JOIN orders ON l_orderkey = o_orderkey
              JOIN customer ON o_custkey = c_custkey
-        ORDER BY o_totalprice DESC, o_orderkey
+        ORDER BY o_totalprice_cents DESC, o_orderkey
         LIMIT 100
     """,
     "daily_revenue_window": """
@@ -145,10 +157,10 @@ ANALYTICS_ORACLES = {
     """,
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-               CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS sum_disc_price,
-               CAST(SUM(CAST({_DISC_PRICE} * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+               CAST(SUM({_cents_sql('l_quantity')}) AS BIGINT) AS sum_qty_x100,
+               CAST(SUM({_cents_sql('l_extendedprice')}) AS BIGINT) AS sum_base_price_cents,
+               CAST(SUM({_DISC_X10K}) AS BIGINT) AS sum_disc_price_x10k,
+               CAST(SUM(CAST(CAST({_DISC_PRICE} * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_charge_x1m,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -156,7 +168,7 @@ ANALYTICS_ORACLES = {
     """,
     "q3_shipping_priority": f"""
         SELECT l_orderkey,
-               CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue,
+               CAST(SUM({_DISC_X10K}) AS BIGINT) AS revenue_x10k,
                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
                o_orderpriority
         FROM customer JOIN orders ON c_custkey = o_custkey
@@ -165,12 +177,12 @@ ANALYTICS_ORACLES = {
           AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        ORDER BY revenue DESC, l_orderkey
+        ORDER BY revenue_x10k DESC, l_orderkey
         LIMIT 10
     """,
     "q5_regional_revenue": f"""
         SELECT n_name,
-               CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue
+               CAST(SUM({_DISC_X10K}) AS BIGINT) AS revenue_x10k
         FROM lineitem
              JOIN orders ON l_orderkey = o_orderkey
              JOIN customer ON o_custkey = c_custkey
@@ -180,9 +192,9 @@ ANALYTICS_ORACLES = {
         WHERE r_name = 'ASIA'
         GROUP BY n_name
     """,
-    "top_orders_per_customer": """
+    "top_orders_per_customer": f"""
         SELECT o_custkey, o_orderkey,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+               {_cents_sql('o_totalprice')} AS o_totalprice_cents,
                CAST(rk AS INTEGER) AS rk
         FROM (
             SELECT *, row_number() OVER (
@@ -197,10 +209,10 @@ ANALYTICS_ORACLES = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_cents
         FROM orders GROUP BY o_orderstatus
     """,
-    "events_hourly": """
+    "events_hourly": f"""
         SELECT epoch_ns(ts) // 3600000000000 AS epoch_hour, event_type,
                count(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+               CAST(SUM({_cents_sql('value')}) AS BIGINT) AS total_value_cents
         FROM events GROUP BY 1, 2
     """,
     "sessionize_events": """
@@ -227,7 +239,7 @@ ANALYTICS_ORACLES = {
         FROM events GROUP BY event_type
     """,
     "q6_forecast_revenue": """
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+        SELECT CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS revenue_x10k
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
@@ -260,9 +272,9 @@ ANALYTICS_ORACLES = {
                quantile_cont(l_extendedprice, 0.95) AS p95
         FROM lineitem GROUP BY l_returnflag
     """,
-    "orders_enriched": """
+    "orders_enriched": f"""
         SELECT o_orderkey, o_custkey,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+               {_cents_sql('o_totalprice')} AS o_totalprice_cents,
                c_name, n_name
         FROM orders JOIN customer ON o_custkey = c_custkey
                     JOIN nation ON c_nationkey = n_nationkey
@@ -783,11 +795,11 @@ SAMPLING_ORACLES = {
                CAST((cum - n_tokens) // 4000 AS BIGINT) AS shard_id
         FROM c
     """,
-    "events_hopping": """
+    "events_hopping": f"""
         SELECT (epoch_ns(ts) // 900000000000 - k) * 900000000000 AS win_start_ns,
                event_type,
                count(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+               CAST(SUM({_cents_sql('value')}) AS BIGINT) AS total_value_cents
         FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
         GROUP BY 1, 2
     """,
@@ -802,7 +814,7 @@ SAMPLING_ORACLES = {
 TPCH_EXTRA_ORACLES = {
     "q7_volume_shipping": f"""
         SELECT supp_nation, cust_nation, l_year,
-               CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue
+               CAST(SUM({_DISC_X10K}) AS BIGINT) AS revenue_x10k
         FROM (
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -823,9 +835,9 @@ TPCH_EXTRA_ORACLES = {
     "q8_market_share": f"""
         WITH agg AS (
             SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-                   CAST(SUM(CASE WHEN sn.n_name = 'NATION_5' THEN {_DISC_PRICE}
-                                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS nation_volume,
-                   CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS total_volume
+                   CAST(SUM(CASE WHEN sn.n_name = 'NATION_5' THEN {_DISC_X10K}
+                                 ELSE 0 END) AS BIGINT) AS nation_volume_x10k,
+                   CAST(SUM({_DISC_X10K}) AS BIGINT) AS total_volume_x10k
             FROM lineitem
                  JOIN part ON l_partkey = p_partkey
                  JOIN orders ON l_orderkey = o_orderkey
@@ -839,13 +851,13 @@ TPCH_EXTRA_ORACLES = {
               AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY 1
         )
-        SELECT o_year, nation_volume, total_volume,
-               round(CAST(nation_volume AS DOUBLE) / CAST(total_volume AS DOUBLE), 6) AS mkt_share
+        SELECT o_year, nation_volume_x10k, total_volume_x10k,
+               CAST(nation_volume_x10k AS DOUBLE) / CAST(total_volume_x10k AS DOUBLE) AS mkt_share
         FROM agg
     """,
     "q9_profit_by_nation_year": f"""
         SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS sum_profit
+               CAST(SUM({_DISC_X10K}) AS BIGINT) AS sum_profit_x10k
         FROM lineitem
              JOIN part ON l_partkey = p_partkey
              JOIN orders ON l_orderkey = o_orderkey
@@ -856,16 +868,16 @@ TPCH_EXTRA_ORACLES = {
     """,
     "q11_important_parts": f"""
         WITH per_part AS (
-            SELECT l_partkey, CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS part_value
+            SELECT l_partkey, CAST(SUM({_DISC_X10K}) AS BIGINT) AS part_value_x10k
             FROM lineitem GROUP BY l_partkey
         ),
         total AS (
-            SELECT CAST(CAST(SUM(part_value) AS DOUBLE) / count(*) AS DOUBLE) * 1.5 AS threshold
+            SELECT CAST(SUM(part_value_x10k) AS DOUBLE) / count(*) * 1.5 AS threshold
             FROM per_part
         )
-        SELECT l_partkey, part_value
+        SELECT l_partkey, part_value_x10k
         FROM per_part CROSS JOIN total
-        WHERE CAST(part_value AS DOUBLE) > threshold
+        WHERE CAST(part_value_x10k AS DOUBLE) > threshold
     """,
     "q12_ship_delay": """
         SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90 THEN '90+'
@@ -889,15 +901,15 @@ TPCH_EXTRA_ORACLES = {
     """,
     "q15_top_supplier": f"""
         WITH rev AS (
-            SELECT l_suppkey, CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS total_revenue
+            SELECT l_suppkey, CAST(SUM({_DISC_X10K}) AS BIGINT) AS total_revenue_x10k
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
             GROUP BY l_suppkey
         )
-        SELECT s_suppkey, s_name, total_revenue
+        SELECT s_suppkey, s_name, total_revenue_x10k
         FROM rev JOIN supplier ON l_suppkey = s_suppkey
-        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        WHERE total_revenue_x10k = (SELECT max(total_revenue_x10k) FROM rev)
     """,
     "q16_part_variety": """
         SELECT p_brand, p_type, p_size,
@@ -907,7 +919,7 @@ TPCH_EXTRA_ORACLES = {
           AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
         GROUP BY 1, 2, 3
     """,
-    "q17_small_quantity_revenue": """
+    "q17_small_quantity_revenue": f"""
         WITH branded AS (
             SELECT l_partkey, l_quantity, l_extendedprice
             FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -917,14 +929,14 @@ TPCH_EXTRA_ORACLES = {
             SELECT l_partkey AS avg_partkey, avg(l_quantity) AS avg_qty
             FROM branded GROUP BY 1
         )
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-                   AS small_qty_revenue,
+        SELECT CAST(SUM({_cents_sql('l_extendedprice')}) AS BIGINT)
+                   AS small_qty_revenue_cents,
                count(*) AS n_lines
         FROM branded JOIN per_part ON l_partkey = avg_partkey
         WHERE l_quantity < 0.2 * avg_qty
     """,
     "q19_discounted_revenue": f"""
-        SELECT CAST(SUM({_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue
+        SELECT CAST(SUM({_DISC_X10K}) AS BIGINT) AS revenue_x10k
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 1 AND 11)
@@ -933,8 +945,8 @@ TPCH_EXTRA_ORACLES = {
            OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 50
                AND l_quantity BETWEEN 20 AND 30)
     """,
-    "q20_heavy_suppliers": """
-        SELECT s_suppkey, s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal
+    "q20_heavy_suppliers": f"""
+        SELECT s_suppkey, s_name, {_cents_sql('s_acctbal')} AS s_acctbal_cents
         FROM supplier
         WHERE s_suppkey IN (
             SELECT l_suppkey
@@ -971,14 +983,14 @@ TPCH_EXTRA_ORACLES = {
         ORDER BY numwait DESC, s_name
         LIMIT 20
     """,
-    "q22_prospect_customers": """
+    "q22_prospect_customers": f"""
         WITH threshold AS (
             SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                         / count(*) AS DOUBLE) AS avg_bal
             FROM customer WHERE c_acctbal > 0
         )
         SELECT n_name, count(*) AS numcust,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+               CAST(SUM({_cents_sql('c_acctbal')}) AS BIGINT) AS total_acctbal_cents
         FROM customer CROSS JOIN threshold
              JOIN nation ON c_nationkey = n_nationkey
         WHERE c_acctbal > avg_bal
@@ -987,7 +999,7 @@ TPCH_EXTRA_ORACLES = {
                             AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         GROUP BY n_name
     """,
-    "q2_cheapest_supplier": """
+    "q2_cheapest_supplier": f"""
         WITH offers AS (
             SELECT l_partkey, l_suppkey, min(l_extendedprice) AS best_price
             FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -999,7 +1011,7 @@ TPCH_EXTRA_ORACLES = {
             FROM offers GROUP BY 1
         )
         SELECT p_partkey, p_name, s_suppkey, s_name,
-               CAST(best_price AS DECIMAL(18,2)) AS best_price
+               {_cents_sql('best_price')} AS best_price_cents
         FROM offers
              JOIN part_min USING (l_partkey)
              JOIN part ON l_partkey = p_partkey

@@ -17,7 +17,7 @@ def test_q15_returns_all_ties(spark, sf_dir):
     MAX-equality join surfaces ties instead of picking one winner."""
     out = A.q15_top_supplier(spark, sf_dir).collect()
     assert len(out) >= 1
-    revs = {r["total_revenue"] for r in out}
+    revs = {r["total_revenue_x10k"] for r in out}
     assert len(revs) == 1
 
 
@@ -141,7 +141,7 @@ def test_q19_build_side_pruned_before_broadcast(spark, sf_dir):
     3-brand build side instead of all parts."""
     from kafka_streams_spark.sources.testdata import load_table
 
-    pruned = A.q19_discounted_revenue(spark, sf_dir).head()["revenue"]
+    pruned = A.q19_discounted_revenue(spark, sf_dir).head()["revenue_x10k"]
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
@@ -166,8 +166,8 @@ def test_q19_build_side_pruned_before_broadcast(spark, sf_dir):
     unpruned = (
         l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(clause)
-        .agg(F.sum(A._disc_price()).cast("decimal(38,4)").alias("revenue"))
-        .head()["revenue"]
+        .agg(F.sum(A._x10k(A._disc_price())).alias("revenue_x10k"))
+        .head()["revenue_x10k"]
     )
     assert pruned == unpruned
 
@@ -176,7 +176,7 @@ def test_q8_share_bounds_and_volume_consistency(spark, sf_dir):
     """Market share ∈ [0,1] and nation_volume ≤ total_volume per year."""
     for r in A.q8_market_share(spark, sf_dir).collect():
         assert 0.0 <= r["mkt_share"] <= 1.0
-        assert r["nation_volume"] <= r["total_volume"]
+        assert r["nation_volume_x10k"] <= r["total_volume_x10k"]
 
 
 def test_q22_excludes_recently_active_customers(spark, sf_dir):

@@ -74,6 +74,16 @@ def main() -> int:
             continue
         n_checked += 1
         sdf = fn(spark, sf_dir)
+        # Driver trap: DECIMAL outputs arrive as decimal.Decimal from
+        # Spark but float64 from DuckDB's fetchdf, and trailing-zero
+        # values canonicalize differently in the driver's hash (even
+        # though this tool's canon() hides it). Outputs must be scaled
+        # BIGINT / DOUBLE / string — never DecimalType.
+        dec_cols = [f.name for f in sdf.schema.fields if "decimal" in f.dataType.simpleString()]
+        if dec_cols:
+            failures.append(name)
+            print(f"✗ {name:34s} DECIMAL output columns (driver hash trap): {dec_cols}")
+            continue
         spark_pd = sdf.toPandas()
         if name not in oracles:
             print(f"  {name:34s} rows={len(spark_pd):7d}  (rows-only; no oracle)")
