@@ -79,7 +79,19 @@ def salted_join(
 
     Prefer plain ``broadcast(small)`` when the small side fits in memory
     — salting only beats it when the small side is too big to broadcast
-    AND a hot key breaks the shuffled join."""
+    AND a hot key breaks the shuffled join.
+
+    ``how`` is restricted to joins where only the big side's rows can
+    appear unmatched: the small side is replicated per salt bucket, so
+    right/full outer would emit each unmatched small-side row
+    ``salt_buckets`` times."""
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; got {how!r} — the "
+            "replicated small side would duplicate unmatched rows under "
+            "right/full outer joins"
+        )
     salted_big = big.withColumn("_salt", (F.rand(seed=11) * salt_buckets).cast("int"))
     salted_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

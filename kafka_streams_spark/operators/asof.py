@@ -37,26 +37,36 @@ def asof_join(
 
     Output: all left columns + one `<col><suffix>` per payload column
     (null when no prior right row exists).
+
+    The carried value is a single STRUCT of all payload columns, not one
+    ``last(ignorenulls)`` per column: the struct is non-null for every
+    right row even when individual payload fields are NULL, so a NULL
+    field on the most recent matching right row is preserved as NULL
+    instead of being skipped in favor of a stale older value (DuckDB
+    ASOF JOIN semantics). One window evaluation instead of N, too.
     """
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
+    carry_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in payload_cols]
+    )
     l_tagged = left.select(
         *lcols,
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+        F.lit(None).cast(carry_type).alias("_p"),
     )
     r_tagged = right.select(
         F.col(key),
         F.col(ts),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("_p"),
     )
     # align schemas for the union: left cols not present on the right → null
     for c in lcols:
         if c not in (key, ts):
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    r_tagged = r_tagged.select(
-        *lcols, "_side", *[F.col(f"_p_{c}") for c in payload_cols]
-    )
+    r_tagged = r_tagged.select(*lcols, "_side", "_p")
 
     unioned = l_tagged.unionByName(r_tagged)
     # _side 0 (right) sorts before _side 1 (left) at equal ts → a right
@@ -69,9 +79,9 @@ def asof_join(
     carried = unioned.select(
         *lcols,
         F.col("_side"),
-        *[
-            F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in payload_cols
-        ],
+        F.last(F.col("_p"), ignorenulls=True).over(w).alias("_carry"),
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    return carried.filter(F.col("_side") == 1).select(
+        *lcols,
+        *[F.col("_carry").getField(c).alias(f"{c}{suffix}") for c in payload_cols],
+    )

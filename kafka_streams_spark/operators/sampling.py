@@ -44,6 +44,11 @@ def hash_sample(
     """
     if not 0 < rate_256 <= 256:
         raise ValueError("rate_256 must be in (0, 256]")
+    if rate_256 == 256:
+        # format(256,'02x') is the 3-char '100'; comparing the 2-char
+        # prefix against it lexicographically would keep only buckets
+        # '00'..'10' (~17/256) instead of everything.
+        return df
     threshold = format(rate_256, "02x")
     bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
     return df.filter(bucket < F.lit(threshold))

@@ -191,19 +191,25 @@ class BalanceView:
         self._base_dir = os.path.join(out_dir, "balance_base")
 
     def _log(self) -> DataFrame:
-        """Base snapshot (if compacted) + open delta partitions."""
-        deltas = self._spark.read.parquet(self._delta_dir).select(
-            "fromAccount", "delta", "bucket"
-        )
+        """Base snapshot (if compacted) + deltas with ``ingest_batch >
+        hwm``. The filter is the reader half of the compaction contract
+        (see ``compact_balances``): a compaction that crashed after
+        writing ``balance_base/hwm=N/`` but before deleting the folded
+        ``ingest_batch<=N`` partitions — or a reader racing a live
+        compaction — would otherwise count those amounts twice. The
+        predicate is on a partition column, so the already-folded
+        partitions are pruned at planning time, never scanned."""
+        deltas = self._spark.read.parquet(self._delta_dir)
         hwm = _latest_base_hwm(self._base_dir)
         if hwm is None:
-            return deltas
+            return deltas.select("fromAccount", "delta", "bucket")
+        open_deltas = deltas.filter(F.col("ingest_batch") > hwm).select(
+            "fromAccount", "delta", "bucket"
+        )
         base = self._spark.read.parquet(
             os.path.join(self._base_dir, f"hwm={hwm}")
         ).select("fromAccount", F.col("balance").alias("delta"), "bucket")
-        # compaction removes folded delta partitions, but tolerate overlap
-        # (a fold that crashed before cleanup) being absent, not double
-        return deltas.unionByName(base)
+        return open_deltas.unionByName(base)
 
     def balances(self) -> DataFrame:
         """Full materialized view: SUM(delta) per account over base+log."""

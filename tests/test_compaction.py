@@ -57,3 +57,40 @@ def test_compaction_preserves_balances(spark, tmp_path):
         assert view.get_balance("ABC") == 260
     finally:
         q.stop()
+
+def test_crashed_compaction_does_not_double_count(spark, tmp_path):
+    """Crash window: base written, folded delta partitions NOT yet
+    deleted. The reader must filter deltas to ingest_batch > hwm, or
+    every folded amount counts twice (base + still-present delta)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_events(src, "b1.json", GOLDEN)
+
+    q = run_payment_stream(spark, src, out, ckpt)
+    try:
+        write_events(src, "b2.json", [_payment("p6", 40, "ABC")])
+        q.processAllAvailable()
+        write_events(src, "b3.json", [_payment("p7", 5, "XYZ")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    view = BalanceView(spark, out)
+    before = {r["fromAccount"]: r["balance"] for r in view.balances().collect()}
+
+    # Simulate the crash: run the fold, then restore the folded delta
+    # partitions as if cleanup never happened.
+    import shutil
+
+    delta_dir = os.path.join(out, "balance_delta")
+    backup = str(tmp_path / "delta_backup")
+    shutil.copytree(delta_dir, backup)
+    hwm = compact_balances(spark, out)
+    assert hwm is not None
+    shutil.rmtree(delta_dir)
+    shutil.copytree(backup, delta_dir)
+
+    after = {r["fromAccount"]: r["balance"] for r in view.balances().collect()}
+    assert after == before  # folded deltas pruned, not double-counted
+    assert view.get_balance("ABC") == before["ABC"]

@@ -390,3 +390,43 @@ def test_quantized_knn_recall(spark, embs):
     )
     got = {r["vec_id"] for r in approx.collect()}
     assert len(exact & got) >= 9, (exact, got)
+
+def test_hash_sample_rate_256_keeps_everything(spark):
+    """rate_256=256 must keep 100% of rows (format(256,'02x') is the
+    3-char '100' — lexicographic compare against a 2-char prefix would
+    keep ~17/256 instead)."""
+    from kafka_streams_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    assert hash_sample(df, rate_256=256).count() == 500
+
+
+def test_asof_join_preserves_null_payload_of_matched_row(spark):
+    """A NULL payload field on the most recent matching right row must
+    surface as NULL — not be skipped in favor of a stale older value
+    (DuckDB ASOF JOIN semantics)."""
+    from kafka_streams_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 100), ("k", 300)], ["key", "ts"])
+    right = spark.createDataFrame(
+        [("k", 50, "old", 1), ("k", 200, None, 2)],
+        "key string, ts long, label string, version int",
+    )
+    out = {
+        r["ts"]: (r["label_asof"], r["version_asof"])
+        for r in asof_join(left, right, "key", "ts", ["label", "version"]).collect()
+    }
+    assert out[100] == ("old", 1)
+    # ts=300's most recent right row (ts=200) has label NULL: keep it NULL
+    assert out[300] == (None, 2)
+
+
+def test_asof_join_no_prior_row_is_all_null(spark):
+    from kafka_streams_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10)], ["key", "ts"])
+    right = spark.createDataFrame(
+        [("k", 50, "future")], "key string, ts long, label string"
+    )
+    row = asof_join(left, right, "key", "ts", ["label"]).collect()[0]
+    assert row["label_asof"] is None

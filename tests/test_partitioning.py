@@ -76,3 +76,13 @@ def test_salted_join_matches_direct(spark):
         for r in salted_join(big, small, ["k"], salt_buckets=4).collect()
     )
     assert salted == direct
+
+def test_salted_join_rejects_right_and_full_outer():
+    """The replicated small side would emit unmatched small-side rows
+    once per salt bucket under right/full outer — refuse them."""
+    import pytest
+
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(None, None, ["k"], how="right")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(None, None, ["k"], how="full_outer")
