@@ -131,17 +131,20 @@ def _q_dedup_exact_rows(spark, sf_dir):
 
 
 def _q_token_jaccard(spark, sf_dir):
-    from kafka_streams_spark.operators.dedup import ngram_jaccard_pairs
+    # Contract query rides the prefix-filtered AllPairs form — the 100 TB
+    # path (candidates from rare-shingle posting lists, exact verify on
+    # candidates only). The blocked O(block²) form is its oracle twin.
+    from kafka_streams_spark.operators.dedup import ngram_jaccard_pairs_prefix
 
-    return ngram_jaccard_pairs(
+    return ngram_jaccard_pairs_prefix(
         _docs(spark, sf_dir), n=1, threshold=0.8, block_col="source"
     )
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    from kafka_streams_spark.operators.dedup import ngram_jaccard_pairs
+    from kafka_streams_spark.operators.dedup import ngram_jaccard_pairs_prefix
 
-    return ngram_jaccard_pairs(
+    return ngram_jaccard_pairs_prefix(
         _docs(spark, sf_dir), n=2, threshold=0.5, block_col="source"
     )
 
@@ -177,12 +180,13 @@ def _q_knn_vec0(spark, sf_dir):
 
 
 def _q_knn_ivf_vec0(spark, sf_dir):
-    from kafka_streams_spark.operators.similarity import build_ivf_index, knn_ivf
+    # Collect-free: query vector and probe-cell choice are in-plan
+    # (broadcast single-row join), no .head() pre-action. The KMeans fit
+    # inside build_ivf_index is the one legitimate action (training).
+    from kafka_streams_spark.operators.similarity import build_ivf_index, knn_ivf_to_id
 
-    emb = _embs(spark, sf_dir)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
-    indexed, centroids = build_ivf_index(emb, n_cells=16)
-    return knn_ivf(indexed, centroids, qvec, k=10, n_probe=2)
+    indexed, centroids = build_ivf_index(_embs(spark, sf_dir), n_cells=16)
+    return knn_ivf_to_id(indexed, centroids, query_id=0, k=10, n_probe=2)
 
 
 def _q_winnowing(spark, sf_dir):
@@ -192,12 +196,12 @@ def _q_winnowing(spark, sf_dir):
 
 
 def _q_knn_lsh_vec0(spark, sf_dir):
-    from kafka_streams_spark.operators.similarity import build_lsh_index, knn_lsh
+    # Collect-free: query vector + bucket come from the index itself via
+    # a broadcast single-row join; probe set is a bit_count predicate.
+    from kafka_streams_spark.operators.similarity import build_lsh_index, knn_lsh_to_id
 
-    emb = _embs(spark, sf_dir)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
-    indexed, planes = build_lsh_index(emb, dim=64, n_planes=6)
-    return knn_lsh(indexed, planes, qvec, k=10, multiprobe_hamming=2)
+    indexed, _planes = build_lsh_index(_embs(spark, sf_dir), dim=64, n_planes=6)
+    return knn_lsh_to_id(indexed, query_id=0, k=10, multiprobe_hamming=2)
 
 
 def _q_emb_near_dup(spark, sf_dir):
@@ -210,7 +214,26 @@ def _q_emb_near_dup(spark, sf_dir):
 def _q_emb_near_dup_lsh(spark, sf_dir):
     from kafka_streams_spark.operators.similarity import embedding_near_duplicates
 
-    return embedding_near_duplicates(_embs(spark, sf_dir), threshold=0.3, n_planes=6)
+    # banded LSH: p=1-θ/π ≈ 0.6 at cosine 0.3 → 4 planes × 8 tables
+    # gives ≥2/3 per-pair recall (1-(1-p^4)^8); verified exactly.
+    return embedding_near_duplicates(
+        _embs(spark, sf_dir), threshold=0.3, n_planes=4, n_tables=8
+    )
+
+
+def _q_dedup_clusters_lsh(spark, sf_dir):
+    """The 100 TB dedup composition end-to-end: LSH-bucketed candidate
+    pairs (no all-pairs join anywhere) -> connected components ->
+    (node, cluster_id). Rows-only contract (LSH bucketing is
+    probabilistic); its recall vs the exact blocked composition is
+    pinned in tests/test_extended_ops.py."""
+    from kafka_streams_spark.operators.dedup import duplicate_clusters
+    from kafka_streams_spark.operators.similarity import embedding_near_duplicates
+
+    pairs = embedding_near_duplicates(
+        _embs(spark, sf_dir), threshold=0.3, n_planes=4, n_tables=8
+    )
+    return duplicate_clusters(pairs.select("id_a", "id_b"))
 
 
 def _q_asof_purchase_click(spark, sf_dir):
@@ -495,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_minhash_nd,  # salted-hash LSH: rows-only
         "dedup_simhash": _q_simhash_nd,  # xxhash64-based: rows-only
         "dedup_clusters": _q_dedup_clusters,  # iterative CC, recursive-CTE oracle
+        "dedup_clusters_lsh": _q_dedup_clusters_lsh,  # rows-only: LSH scale path e2e
         # similarity search
         "knn_vec0": _q_knn_vec0,
         "knn_lsh_vec0": _q_knn_lsh_vec0,  # randomized probe set: rows-only

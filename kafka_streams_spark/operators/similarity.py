@@ -142,6 +142,40 @@ def knn_lsh(
     )
 
 
+def knn_lsh_to_id(
+    indexed: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k neighbors of corpus vector ``query_id`` — the
+    collect-free twin of :func:`knn_lsh`: the query row (vector + its
+    already-computed bucket) comes from the index itself via a broadcast
+    single-row cross join, so constructing the query runs no driver-side
+    job. The multi-probe set "buckets within ``multiprobe_hamming`` bit
+    flips" becomes a ``bit_count(bucket XOR q)`` predicate — identical
+    candidates to enumerating the probes. (Against a *written* index,
+    prefer :func:`knn_from_index`: enumerated probes land on a partition
+    column and prune files; xor-popcount cannot.)"""
+    q = indexed.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec"), F.col("bucket").alias("_qbucket")
+    )
+    cand = indexed.crossJoin(F.broadcast(q)).filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.col("_qbucket")))
+        <= multiprobe_hamming
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -217,41 +251,122 @@ def knn_ivf(
     )
 
 
+def knn_ivf_to_id(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    query_id: int,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k neighbors of corpus vector ``query_id`` — the
+    collect-free twin of :func:`knn_ivf`. The query vector comes from the
+    index via a broadcast single-row cross join; the probe set ("the
+    ``n_probe`` cells whose centroids are closest to the query") is
+    computed in-plan over the literal centroid array with the same
+    deterministic tie-break as the driver-side sort (strictly-closer
+    count + lower-index-first among equal distances)."""
+
+    def sqdist_to(c: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("_qvec"),
+                _query_lit(c),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    q = indexed.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    dists = F.array(*[sqdist_to(c) for c in centroids])
+    d_cell = F.element_at(F.col("_dists"), F.col("cell") + 1)
+    rank = F.size(F.filter(F.col("_dists"), lambda x: x < d_cell)) + F.size(
+        F.filter(
+            F.slice(F.col("_dists"), 1, F.col("cell")), lambda x: x == d_cell
+        )
+    )
+    cand = (
+        indexed.crossJoin(F.broadcast(q))
+        .withColumn("_dists", dists)
+        .filter(rank < n_probe)
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold.
+    """All pairs with cosine ≥ threshold — banded (multi-table) LSH.
 
-    Candidates from an equi-join on LSH bucket (plus optional block
-    column) — high-cosine pairs land in the same bucket with probability
-    (1 - θ/π)^n_planes, and the equi-join keeps the shuffle keyed and
-    AQE-skew-splittable. Exact cosine verifies candidates. Output:
-    (id_a, id_b, cosine_sim), id_a < id_b.
+    AND-OR construction: ``n_tables`` independent hyperplane signatures
+    of ``n_planes`` bits each; a pair becomes a candidate when it
+    collides in ANY table. Per-pair recall is 1-(1-p^b)^L with
+    p = 1-θ/π — a single table (L=1) decays geometrically in b and is
+    useless below cosine ~0.8, which is why the OR over tables is not
+    optional at loose thresholds. Candidates come from an equi-join on
+    (table, bucket) — keyed shuffle, AQE-skew-splittable — and exact
+    cosine verifies every candidate, so false positives cost time, never
+    correctness. Output: (id_a, id_b, cosine_sim), id_a < id_b.
+
+    Tuning at 100 TB: grow ``n_planes`` with log2(corpus) to hold bucket
+    sizes constant, then grow ``n_tables`` to buy recall back; signatures
+    are one narrow O(corpus) pass, candidates ~bucket_size per row.
     """
-    indexed, _ = build_lsh_index(embeddings, dim, n_planes, seed, vec_col)
-    unit = _normalized(
-        indexed, id_col, vec_col, ["bucket"] + ([block_col] if block_col else [])
+    sigs = F.array(
+        *[
+            hyperplane_signature(
+                F.col(vec_col), random_hyperplanes(dim, n_planes, seed + 1000 * t)
+            )
+            for t in range(n_tables)
+        ]
     )
-    a = unit.alias("a")
-    b = unit.alias("b")
-    cond = (F.col("a.bucket") == F.col("b.bucket")) & (
-        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    blk = [block_col] if block_col else []
+    unit = _normalized(embeddings.withColumn("_sigs", sigs), id_col, vec_col, ["_sigs"] + blk)
+    keys = unit.select(
+        F.col(id_col),
+        *[F.col(c) for c in blk],
+        F.posexplode(F.col("_sigs")).alias("_table", "_bucket"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cond = (
+        (F.col("a._table") == F.col("b._table"))
+        & (F.col("a._bucket") == F.col("b._bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     )
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    return (
+    cands = (
         a.join(b, cond)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    vecs = unit.select(F.col(id_col), F.col("_unit"))
+    return (
+        cands.join(vecs.withColumnsRenamed({id_col: "id_a", "_unit": "_ua"}), "id_a")
+        .join(vecs.withColumnsRenamed({id_col: "id_b", "_unit": "_ub"}), "id_b")
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            dot(F.col("a._unit"), F.col("b._unit")).alias("cosine_sim"),
+            "id_a",
+            "id_b",
+            dot(F.col("_ua"), F.col("_ub")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -327,18 +327,25 @@ def tf_idf_top_terms(
     carries more than (doc, term) pairs. Deterministic tiebreak
     (score desc, term asc); scores rounded to pin cross-engine double
     log/division ulps.
+
+    N (the corpus size the idf needs) is a 1-row count aggregate
+    broadcast-cross-joined into the tiny per-term df table — not a
+    driver-side ``docs.count()``, which would be a second full corpus
+    scan per invocation at 100 TB.
     """
     from pyspark.sql import Window as W
 
     from kafka_streams_spark.functions.partitioning import spread
 
-    n_docs = docs.count()  # small driver-side scalar, plan literal
+    n_docs = docs.agg(F.count("*").alias("_n_docs"))  # 1-row, broadcast below
     tok = spread(docs).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
     tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df")).join(
+        F.broadcast(n_docs)
+    )
+    idf = F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     scored = tf.join(df_, "term").select(
         F.col(id_col),
         "term",

@@ -98,6 +98,19 @@ class PlanAudit:
         return any(fragment in f for f in self.pushed_filters)
 
 
+def jobs_run_during(spark, fn):
+    """Run ``fn()`` and return (result, number of Spark jobs it
+    triggered). Query *construction* must trigger zero — a ``.count()``
+    or ``.head()`` while building a plan is a hidden extra pass over the
+    corpus at 100 TB. (Legitimate exceptions — e.g. an index-training
+    KMeans fit — should be explicit and counted deliberately.)"""
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or ())
+    result = fn()
+    after = set(tracker.getJobIdsForGroup(None) or ())
+    return result, len(after - before)
+
+
 def audit(df: DataFrame) -> PlanAudit:
     qe = df._jdf.queryExecution()
     return PlanAudit(

@@ -32,6 +32,14 @@ TABLES = [
 ]
 
 
+# Inferred parquet schemas, keyed by file path. Schema inference runs a
+# (tiny but real) Spark job to read footers; contract queries load the
+# same tables over and over, so the first load pays the footer read and
+# every later load passes the cached schema → zero jobs during query
+# construction (pinned by test_query_construction_runs_no_jobs).
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Parquet scan → Catalyst gets pushdown,
     pruning, and split-based parallelism for free.
@@ -49,10 +57,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev = _read_cached(spark, f"{sf_dir}/events.parquet")
         # integer div — float division would shed low bits (nanos > 2^53)
         return ev.withColumn("ts", F.expr("(ts div 1000) * 1000"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_cached(spark, f"{sf_dir}/{name}.parquet")
+
+
+def _read_cached(spark: SparkSession, path: str) -> DataFrame:
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 # Kept textually close to the DataFrame version below; used as a CTE by the

@@ -430,3 +430,76 @@ def test_asof_join_no_prior_row_is_all_null(spark):
     )
     row = asof_join(left, right, "key", "ts", ["label"]).collect()[0]
     assert row["label_asof"] is None
+
+def test_knn_to_id_variants_match_driver_side_twins(embs):
+    """The collect-free to_id variants (query vector via broadcast
+    single-row join, probe set in-plan) must return exactly the same
+    rows as the literal-vector forms they replace."""
+    from kafka_streams_spark.operators.similarity import (
+        build_ivf_index,
+        build_lsh_index,
+        knn_ivf,
+        knn_ivf_to_id,
+        knn_lsh,
+        knn_lsh_to_id,
+    )
+
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    indexed, planes = build_lsh_index(embs, dim=64, n_planes=6)
+    lit_lsh = [
+        (r["vec_id"], round(r["cosine_sim"], 9))
+        for r in knn_lsh(indexed, planes, qvec, k=10, multiprobe_hamming=2).collect()
+    ]
+    to_id_lsh = [
+        (r["vec_id"], round(r["cosine_sim"], 9))
+        for r in knn_lsh_to_id(indexed, 0, k=10, multiprobe_hamming=2).collect()
+    ]
+    assert lit_lsh == to_id_lsh
+
+    indexed, centroids = build_ivf_index(embs, n_cells=8)
+    lit_ivf = [
+        (r["vec_id"], round(r["cosine_sim"], 9))
+        for r in knn_ivf(indexed, centroids, qvec, k=10, n_probe=3).collect()
+    ]
+    to_id_ivf = [
+        (r["vec_id"], round(r["cosine_sim"], 9))
+        for r in knn_ivf_to_id(indexed, centroids, 0, k=10, n_probe=3).collect()
+    ]
+    assert lit_ivf == to_id_ivf
+
+
+def test_lsh_cluster_composition_recall(embs):
+    """The registered 100 TB composition (LSH near-dup pairs -> connected
+    components) must recover most of the exact blocked composition's
+    duplicate structure: every LSH cluster edge set is a subset of the
+    exact pair graph (no false merges at equal threshold), and recall of
+    exact pairs stays high."""
+    from kafka_streams_spark.operators.dedup import duplicate_clusters
+    from kafka_streams_spark.operators.similarity import (
+        embedding_near_duplicates,
+        exact_pairs_cosine,
+    )
+
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in exact_pairs_cosine(embs, threshold=0.3).collect()
+    }
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            embs, threshold=0.3, n_planes=4, n_tables=8
+        ).collect()
+    }
+    assert exact_pairs, "testdata should contain near-dup embedding pairs"
+    assert lsh_pairs <= exact_pairs  # exact verify: no false positives
+    assert len(lsh_pairs) / len(exact_pairs) >= 0.5  # bucketing recall
+
+    clusters = duplicate_clusters(
+        embedding_near_duplicates(
+            embs, threshold=0.3, n_planes=4, n_tables=8
+        ).select("id_a", "id_b")
+    ).collect()
+    by_node = {r["node"]: r["cluster_id"] for r in clusters}
+    # every LSH pair ends up co-clustered
+    assert all(by_node[a] == by_node[b] for a, b in lsh_pairs)

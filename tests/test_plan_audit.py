@@ -231,3 +231,19 @@ def test_q17_correlated_avg_stays_on_filtered_subset(spark, sf_dir):
     # all joins broadcast (part + avg subquery are both tiny)
     assert "SortMergeJoin" not in a.join_strategies, a.join_strategies
     assert a.has_partial_aggregation
+
+def test_query_construction_runs_no_jobs(spark, sf_dir):
+    """Building a contract query's plan must not trigger Spark jobs —
+    a .count()/.head() during construction is a hidden extra corpus
+    scan per invocation at scale. KMeans-trained IVF is the deliberate
+    exception (a training action) and is excluded here."""
+    import __spark_entry__ as entry
+    from kafka_streams_spark.plans.audit import jobs_run_during
+    from kafka_streams_spark.sources.testdata import TABLES, load_table
+
+    for t in TABLES:  # warm the schema cache (footer-read jobs)
+        load_table(spark, sf_dir, t)
+    qs = entry.queries()
+    for name in ["tf_idf_top_terms", "knn_lsh_vec0", "dedup_token_jaccard"]:
+        _, n_jobs = jobs_run_during(spark, lambda: qs[name](spark, sf_dir))
+        assert n_jobs == 0, f"{name} ran {n_jobs} jobs during construction"
