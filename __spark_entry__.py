@@ -131,9 +131,20 @@ def _q_dedup_exact_rows(spark, sf_dir):
 
 
 def _q_token_jaccard(spark, sf_dir):
-    # Contract query rides the prefix-filtered AllPairs form — the 100 TB
-    # path (candidates from rare-shingle posting lists, exact verify on
-    # candidates only). The blocked O(block²) form is its oracle twin.
+    # Unigram Jaccard on THIS corpus is a dense shingle space (620-token
+    # vocabulary): prefix filtering cannot filter (posting lists ~1000
+    # docs) and measures ~3x slower than the blocked join, so the dense
+    # case rides the blocked form. The prefix twin is separately
+    # registered (dedup_token_jaccard_prefix) against the same oracle —
+    # see ngram_jaccard_pairs_prefix docstring for the measured rule.
+    from kafka_streams_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=1, threshold=0.8, block_col="source"
+    )
+
+
+def _q_token_jaccard_prefix(spark, sf_dir):
     from kafka_streams_spark.operators.dedup import ngram_jaccard_pairs_prefix
 
     return ngram_jaccard_pairs_prefix(
@@ -142,6 +153,10 @@ def _q_token_jaccard(spark, sf_dir):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
+    # Bigrams are sparse (~620^2 potential shingles): the prefix-filtered
+    # AllPairs form wins here (7.9 s vs 11.2 s at sf0.1) and is the
+    # 100 TB path — candidates from rare-shingle posting lists, exact
+    # verify on candidates only.
     from kafka_streams_spark.operators.dedup import ngram_jaccard_pairs_prefix
 
     return ngram_jaccard_pairs_prefix(
@@ -281,6 +296,27 @@ def _q_media_features(spark, sf_dir):
     )
 
     return extract_image_features(synthesize_media(spark, 200), codec="fake")
+
+
+def _q_media_audio_features(spark, sf_dir):
+    from kafka_streams_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_media,
+    )
+
+    return extract_audio_features(synthesize_media(spark, 200), codec="fake")
+
+
+def _q_media_resize(spark, sf_dir):
+    # payload is binary in the operator; the contract projection casts
+    # it to string (the fake re-encode is ascii md5 hex) so the DuckDB
+    # compare never canonicalizes raw bytes.
+    from kafka_streams_spark.operators.multimodal import resize_images, synthesize_media
+
+    out = resize_images(synthesize_media(spark, 200), max_dim=256, codec="fake")
+    return out.select(
+        "media_id", "width", "height", F.col("payload").cast("string").alias("payload_ascii")
+    )
 
 
 def _q_media_frames(spark, sf_dir):
@@ -514,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_rows": _q_dedup_exact_rows,
         "dedup_token_jaccard": _q_token_jaccard,
+        "dedup_token_jaccard_prefix": _q_token_jaccard_prefix,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_minhash_lsh": _q_minhash_nd,  # salted-hash LSH: rows-only
         "dedup_simhash": _q_simhash_nd,  # xxhash64-based: rows-only
@@ -535,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_token_shards": _q_pack_shards,
         # multimodal plumbing (deterministic fake codec)
         "media_image_features": _q_media_features,
+        "media_audio_features": _q_media_audio_features,
+        "media_resize": _q_media_resize,
         "media_video_frames": _q_media_frames,
     }
 

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "fingerprint",
     "dedup_exact",
     "dedup_token_jaccard",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_vec0",
@@ -73,6 +74,8 @@ BENCH_QUERIES = [
     "emb_quantize_sym",
     "funnel_conversions",
     "cohort_retention",
+    "emb_near_dup_lsh",
+    "dedup_clusters_lsh",
 ]
 
 

@@ -209,6 +209,27 @@ def ngram_jaccard_pairs_prefix(
     corpus token count, then per-candidate verification — vs the blocked
     variant's pairs×|set| compute that grows quadratically with block
     size regardless of similarity.
+
+    Applicability (measured, sf0.1): prefix filtering pays off when the
+    shingle space is SPARSE relative to the corpus — posting lists stay
+    short and candidates ≪ pairs (bigrams here: 7.9 s vs 11.2 s blocked,
+    and the gap grows with block size). On a DENSE shingle space it
+    cannot filter: this corpus has a 620-token unigram vocabulary, so
+    every "rare" token still lists ~1000 docs and candidate generation
+    approaches all-pairs while paying the extra freq/window/verify
+    stages (unigrams@0.8: ~11 s vs 3.9 s blocked). Rule: n-grams (n≥2),
+    real-text vocabularies, URL/shingle keys → prefix; tiny controlled
+    vocabularies or within-small-block exact checks → blocked.
+
+    The prefix posting table is ``persist()``-ed — it is small (a few
+    shingles per doc), read by BOTH sides of the candidate self-join,
+    and sits above the freq-join + window, so caching it halves the
+    heavy stages (A/B at sf0.1: 14.2 s no-persist → ~5-6 s). The full
+    shingle-array table is deliberately NOT cached: columnar cache
+    conversion of wide string arrays costs more than re-running the
+    Arrow shingler per verify branch. The cache is dropped by the
+    ContextCleaner when unreferenced; at 100 TB this intermediate is
+    what you'd write to parquet once (a shingle index) instead.
     """
     from kafka_streams_spark.functions.partitioning import spread
 
@@ -233,6 +254,7 @@ def ngram_jaccard_pairs_prefix(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
         .select(F.col(id_col), *blk, "s")
+        .persist()  # both sides of the candidate self-join read it
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cond = (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -165,6 +165,116 @@ def sample_video_frames(media: DataFrame, every_nth: int = 10, codec: str = "fak
     return media.select("media_id", "payload").mapInPandas(process, schema=out_schema)
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("loudness_hex", StringType()),
+    ]
+)
+
+
+def decode_audio(payload: bytes) -> dict[str, Any]:
+    """Real decode entry point — intentionally unimplemented in this
+    container (no torchaudio/librosa/ffmpeg). Engine-side contract:
+    bytes -> {sample_rate, n_samples, pcm}."""
+    raise NotImplementedError(
+        "audio decoding requires an audio library not present in this "
+        "container; use codec='fake' for the deterministic test codec"
+    )
+
+
+def extract_audio_features(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """Per-clip audio feature extraction over Arrow batches — the audio
+    twin of :func:`extract_image_features`. The fake codec derives
+    sample-rate/length/loudness deterministically from the payload md5
+    (ascii arithmetic only, DuckDB-reproducible); swap in a real
+    decoder (torchaudio/ffmpeg) without touching the Spark plumbing."""
+    if codec != "fake":
+        decode_audio(b"")  # raises NotImplementedError with guidance
+
+    # self-contained closure — see note in extract_image_features
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        rates = [8000, 16000, 22050, 44100]
+
+        for pdf in batches:
+            ids, srs, ns, durs, lh = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                h = hashlib.md5(payload).hexdigest()
+                sr = rates[ord(h[4]) % 4]
+                n_samples = len(payload) * 100
+                ids.append(mid)
+                srs.append(sr)
+                ns.append(n_samples)
+                durs.append(n_samples * 1000 // sr)
+                lh.append(h[16:32])
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "sample_rate": srs,
+                    "n_samples": ns,
+                    "duration_ms": durs,
+                    "loudness_hex": lh,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        process, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_dim: int = 256, codec: str = "fake") -> DataFrame:
+    """Binary -> binary transform shape: decode, clamp the longer edge to
+    ``max_dim`` (aspect-free fake: both edges clamp), re-encode. This is
+    the contract a real thumbnailer needs — payload column in AND out,
+    metadata updated — so the output stays a media table for downstream
+    operators. The fake re-encode is the md5 hex of the input bytes
+    (DuckDB-reproducible); the payload column never leaves the executor
+    JVM<->Python Arrow channel as anything but binary."""
+    if codec != "fake":
+        decode_image(b"")
+
+    # self-contained closure — see note in extract_image_features
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, ws, hs, outs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                h = hashlib.md5(payload).hexdigest()
+                w = 1 + (ord(h[0]) * 256 + ord(h[1])) % 1024
+                ht = 1 + (ord(h[2]) * 256 + ord(h[3])) % 1024
+                ids.append(mid)
+                ws.append(min(w, max_dim))
+                hs.append(min(ht, max_dim))
+                outs.append(h.encode("ascii"))
+            yield _pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "payload": outs}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        process, schema=RESIZED_SCHEMA
+    )
+
+
 def synthesize_media(spark, n: int = 100) -> DataFrame:
     """Deterministic fake media table for tests: payload bytes derived
     from media_id. Built distributed (spark.range), not driver-side."""

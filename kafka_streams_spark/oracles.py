@@ -582,6 +582,9 @@ DEDUP_ORACLES = {
         QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
     """,
     "dedup_token_jaccard": _jaccard_pairs_sql(1, 0.8),
+    # prefix-filtered AllPairs twin — identical output by construction,
+    # checked against the same SQL
+    "dedup_token_jaccard_prefix": _jaccard_pairs_sql(1, 0.8),
     "dedup_ngram_jaccard": _jaccard_pairs_sql(2, 0.5),
     "curate_corpus_fuzzy": _CURATE_FUZZY_SQL,
     # Benchmark split = md5-bucket hash sample (same predicate as
@@ -733,6 +736,38 @@ MULTIMODAL_ORACLES = {
                CAST(1 + (ascii(substring(hh, 3, 1)) * 256 + ascii(substring(hh, 4, 1))) % 1024 AS INTEGER) AS height,
                CAST(n_bytes AS BIGINT) AS n_bytes,
                substring(hh, 1, 16) AS feature_hex
+        FROM h
+    """,
+    "media_audio_features": """
+        WITH m AS (
+            SELECT range AS media_id,
+                   'media-payload-' || sha256(CAST(range AS VARCHAR)) AS s
+            FROM range(200)
+        ), h AS (SELECT media_id, md5(s) AS hh, length(s) AS n_bytes FROM m),
+        r AS (
+            SELECT media_id, hh, n_bytes,
+                   CASE ascii(substring(hh, 5, 1)) % 4
+                        WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 22050 ELSE 44100 END AS sr
+            FROM h
+        )
+        SELECT media_id,
+               CAST(sr AS INTEGER) AS sample_rate,
+               CAST(n_bytes * 100 AS BIGINT) AS n_samples,
+               CAST((n_bytes * 100 * 1000) // sr AS BIGINT) AS duration_ms,
+               substring(hh, 17, 16) AS loudness_hex
+        FROM r
+    """,
+    "media_resize": """
+        WITH m AS (
+            SELECT range AS media_id,
+                   'media-payload-' || sha256(CAST(range AS VARCHAR)) AS s
+            FROM range(200)
+        ), h AS (SELECT media_id, md5(s) AS hh FROM m)
+        SELECT media_id,
+               CAST(LEAST(1 + (ascii(substring(hh, 1, 1)) * 256 + ascii(substring(hh, 2, 1))) % 1024, 256) AS INTEGER) AS width,
+               CAST(LEAST(1 + (ascii(substring(hh, 3, 1)) * 256 + ascii(substring(hh, 4, 1))) % 1024, 256) AS INTEGER) AS height,
+               hh AS payload_ascii
         FROM h
     """,
     "media_video_frames": """

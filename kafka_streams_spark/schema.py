@@ -43,14 +43,20 @@ RAILS_XXX = "BANK_RAILS_XXX"
 SUPPORTED_RAILS = [RAILS_FOO, RAILS_BAR]  # PaymentTopology.java:33
 
 
-def payment_from_json(value: Column) -> Column:
+def payment_from_json(value: Column, mode: str = "PERMISSIVE") -> Column:
     """bytes/string JSON -> PaymentEvent struct.
 
-    Matches JsonDeserializer.java:23-32 semantics, except malformed JSON
-    yields a null struct instead of killing the stream (documented
-    difference, SURVEY.md §1.3); unknown fields ignored, missing -> null.
+    Default PERMISSIVE: malformed JSON yields a null struct instead of
+    killing the stream (documented difference, SURVEY.md §1.3); unknown
+    fields ignored, missing -> null. ``mode="FAILFAST"`` restores the
+    reference's strictness — JsonDeserializer.java:29-31 rethrows on any
+    malformed payload and the stream dies — by failing the Spark task on
+    the first unparseable record. Well-formed-but-empty ``{}`` parses in
+    BOTH modes (Jackson succeeds with all-null fields; so do we).
     """
-    return F.from_json(value.cast("string"), PAYMENT_SCHEMA)
+    if mode not in ("PERMISSIVE", "FAILFAST"):
+        raise ValueError("mode must be PERMISSIVE or FAILFAST")
+    return F.from_json(value.cast("string"), PAYMENT_SCHEMA, {"mode": mode})
 
 
 def payment_to_json(df_or_prefix: DataFrame | None = None) -> Column:
@@ -59,17 +65,18 @@ def payment_to_json(df_or_prefix: DataFrame | None = None) -> Column:
     return F.to_json(F.struct(*[F.col(c) for c in PAYMENT_FIELDS]))
 
 
-def parse_payment_stream(raw: DataFrame) -> DataFrame:
+def parse_payment_stream(raw: DataFrame, mode: str = "PERMISSIVE") -> DataFrame:
     """Kafka-shaped (key binary, value binary) -> flat payment DataFrame.
 
     Spark analog of the source scan Consumed.with(String, PaymentSerdes)
     (PaymentTopology.java:41-42). Null payloads stay null rows upstream of
     the struct expansion (JsonDeserializer.java:24-25) and are dropped here,
-    matching "null record -> no output".
+    matching "null record -> no output". ``mode="FAILFAST"`` matches the
+    reference's die-on-malformed behavior (see payment_from_json).
     """
     parsed = raw.select(
         F.col("key").cast("string").alias("key"),
-        payment_from_json(F.col("value")).alias("p"),
+        payment_from_json(F.col("value"), mode=mode).alias("p"),
     )
     # PERMISSIVE from_json yields an all-null struct for malformed input
     # (and for null payloads), not a NULL struct — so "no record" means

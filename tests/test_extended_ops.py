@@ -503,3 +503,36 @@ def test_lsh_cluster_composition_recall(embs):
     by_node = {r["node"]: r["cluster_id"] for r in clusters}
     # every LSH pair ends up co-clustered
     assert all(by_node[a] == by_node[b] for a, b in lsh_pairs)
+
+def test_audio_features_and_resize_plumbing(spark):
+    """Audio twin + binary->binary resize: schema shapes, determinism,
+    real-codec gating."""
+    import pytest
+
+    from kafka_streams_spark.operators.multimodal import (
+        decode_audio,
+        extract_audio_features,
+        resize_images,
+    )
+
+    media = synthesize_media(spark, 50)
+    feats = extract_audio_features(media, codec="fake").collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert r["sample_rate"] in (8000, 16000, 22050, 44100)
+        assert r["duration_ms"] == r["n_samples"] * 1000 // r["sample_rate"]
+        assert len(r["loudness_hex"]) == 16
+    # deterministic across runs
+    again = extract_audio_features(media, codec="fake").collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+    resized = resize_images(media, max_dim=256, codec="fake").collect()
+    assert len(resized) == 50
+    for r in resized:
+        assert 1 <= r["width"] <= 256 and 1 <= r["height"] <= 256
+        assert isinstance(r["payload"], (bytes, bytearray)) and len(r["payload"]) == 32
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"x")
+    with pytest.raises(NotImplementedError):
+        extract_audio_features(media, codec="real")

@@ -68,3 +68,35 @@ def test_serialize_field_order_pinned(spark):
         '{"paymentId":"p1","amount":5,"currency":"GBP",'
         '"toAccount":"B","fromAccount":"A","rails":"BANK_RAILS_FOO"}'
     )
+
+
+def test_failfast_mode_kills_on_malformed(spark):
+    """FAILFAST parity with JsonDeserializer.java:29-31: a malformed
+    payload fails the job instead of becoming a dropped null row."""
+    import pytest
+
+    raw = kafka_shaped(spark, [("p1", "{not json")])
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        parse_payment_stream(raw, mode="FAILFAST").collect()
+
+
+def test_failfast_mode_passes_wellformed_and_empty_object(spark):
+    """Well-formed payloads — including `{}`, which Jackson parses to
+    all-null fields — behave identically under FAILFAST."""
+    good = (
+        '{"paymentId":"p2","amount":1,"currency":"GBP",'
+        '"toAccount":"B","fromAccount":"A","rails":"BANK_RAILS_FOO"}'
+    )
+    raw = kafka_shaped(spark, [("p1", "{}"), ("p2", good)])
+    rows = parse_payment_stream(raw, mode="FAILFAST").collect()
+    assert [r["paymentId"] for r in rows] == ["p2"]
+
+
+def test_from_json_mode_validated():
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.schema import payment_from_json
+
+    with pytest.raises(ValueError, match="PERMISSIVE or FAILFAST"):
+        payment_from_json(F.col("v"), mode="DROPMALFORMED")
