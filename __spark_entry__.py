@@ -454,6 +454,20 @@ def _q_hash_sample(spark, sf_dir):
     return hash_sample(_docs(spark, sf_dir), rate_256=32).select("doc_id", "source")
 
 
+def _q_temperature_mix(spark, sf_dir):
+    from kafka_streams_spark.operators.sampling import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir), temperature=2.0).select(
+        "doc_id", "source"
+    )
+
+
+def _q_chunk_documents(spark, sf_dir):
+    from kafka_streams_spark.operators.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=16, overlap=4)
+
+
 def _q_pack_shards(spark, sf_dir):
     from kafka_streams_spark.operators.sampling import pack_token_shards
 
@@ -569,6 +583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,  # rows-only
         # deterministic sampling & shard packing
         "hash_sample_docs": _q_hash_sample,
+        "temperature_mix_docs": _q_temperature_mix,
+        "chunk_documents": _q_chunk_documents,
         "pack_token_shards": _q_pack_shards,
         # multimodal plumbing (deterministic fake codec)
         "media_image_features": _q_media_features,

@@ -54,6 +54,63 @@ def hash_sample(
     return df.filter(bucket < F.lit(threshold))
 
 
+def uniform_unit(col: Column | str) -> Column:
+    """Deterministic uniform-[0,1) value per id: the first 8 hex chars of
+    md5(id) as an integer over 16^8. Engine-portable (md5 + conv are
+    ANSI-expressible; DuckDB twin uses the same arithmetic), partition-
+    invariant, and reproducible — the sampling primitive every operator
+    here builds on."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**8))
+
+
+def temperature_mix(
+    docs: DataFrame,
+    temperature: float = 2.0,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Temperature-flattened source mixing — the standard LLM-corpus
+    recipe for up-weighting small/high-quality sources: target share of
+    stratum s ∝ (n_s)^(1/T). T=1 keeps natural proportions; T→∞ gives
+    uniform shares. Implemented as *downsampling only* (no replication,
+    so the output is a subset and stays deduplicated): the keep rate
+    ``rate_s = (n_s/n_min)^(1/T - 1)`` anchors the smallest stratum at
+    1.0; with the negative exponent every larger stratum downsamples
+    toward the flattened share (post-mix counts ∝ n_s^(1/T)).
+
+    Shape: one tiny per-stratum count aggregate broadcast back (no
+    driver-side collect), then a deterministic per-row hash predicate
+    (:func:`uniform_unit`) — partition-invariant, reproducible, and
+    pushdown-friendly. One narrow shuffle for the counts; the corpus
+    itself never shuffles.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    counts = docs.groupBy(stratum_col).agg(F.count("*").alias("_n_s"))
+    n_min = counts.agg(F.min("_n_s").alias("_n_min"))
+    rates = counts.join(F.broadcast(n_min)).select(
+        stratum_col,
+        # rounded to 9 dp: pow() is not IEEE-correctly-rounded, so the
+        # last ulp may differ across engines; rounding pins the boundary
+        # so the keep predicate is bit-identical in Spark and the oracle
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.pow(F.col("_n_s") / F.col("_n_min"), F.lit(1.0 / temperature - 1.0)),
+            ),
+            9,
+        ).alias("_keep_rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), stratum_col)
+        .filter(uniform_unit(id_col) < F.col("_keep_rate"))
+        .drop("_keep_rate")
+    )
+
+
 def pack_token_shards(
     docs: DataFrame,
     budget: int = 4000,

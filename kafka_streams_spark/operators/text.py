@@ -357,3 +357,47 @@ def tf_idf_top_terms(
         .filter(F.col("_rk") <= k)
         .select(F.col(id_col), "term", "tf_idf", F.col("_rk").cast("int").alias("rk"))
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's token stream into fixed-size training
+    chunks with overlap — the sequence-windowing step between curation
+    and tokenization (pack_token_shards assigns whole docs to shards;
+    this splits docs that exceed the context budget).
+
+    Chunk k covers tokens [k·stride, k·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the last chunk is the remainder
+    (never empty, never duplicated: a doc shorter than chunk_tokens
+    yields exactly one chunk). Pure expressions: one tokens() split,
+    a sequence() of chunk starts, posexplode, slice + concat_ws — per
+    row fan-out only, NO shuffle, so chunking is embarrassingly
+    parallel at any corpus size. Output: (doc_id, chunk_idx,
+    chunk_text, n_tokens), deterministic.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    # number of chunks: 1 + ceil(max(n - chunk_tokens, 0) / stride)
+    n = F.size(toks)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(chunk_tokens), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    exploded = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_k"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_k") * stride + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )

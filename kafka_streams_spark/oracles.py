@@ -811,6 +811,45 @@ SAMPLING_ORACLES = {
         SELECT doc_id, source FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
     """,
+    # keep_rate rounded to 9 dp on BOTH sides (pow is not correctly
+    # rounded; see temperature_mix) so the boundary predicate is
+    # bit-identical cross-engine.
+    "temperature_mix_docs": """
+        WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+        m AS (SELECT min(n_s) AS n_min FROM c),
+        r AS (
+            SELECT source,
+                   ROUND(LEAST(1.0, POW(CAST(n_s AS DOUBLE) / n_min, 1.0/2.0 - 1.0)), 9)
+                       AS keep_rate
+            FROM c, m
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN r USING (source)
+        WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              / 4294967296.0 < keep_rate
+    """,
+    # chunk k covers tokens [k*stride, k*stride + chunk) with
+    # chunk=16, overlap=4, stride=12; DuckDB list slices are 1-based
+    # inclusive, Spark's slice(start, length) 1-based — both clamp.
+    "chunk_documents": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x != '') AS toks
+            FROM documents
+        ),
+        n AS (
+            SELECT doc_id, toks, len(toks) AS n_tok,
+                   1 + CAST(ceil(GREATEST(len(toks) - 16, 0) / 12.0) AS INTEGER)
+                       AS n_chunks
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(k AS INTEGER) AS chunk_idx,
+               array_to_string(toks[k*12 + 1 : k*12 + 16], ' ') AS chunk_text,
+               CAST(len(toks[k*12 + 1 : k*12 + 16]) AS INTEGER) AS n_tokens
+        FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS k)
+    """,
     "pack_token_shards": f"""
         WITH t AS (
             SELECT doc_id, source,

@@ -48,3 +48,32 @@ def write_bucketed(
 
 def drop_bucketed(spark: SparkSession, table: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def write_ordered_shards(
+    df: DataFrame,
+    path: str,
+    order_cols: list[str],
+    num_shards: int,
+) -> None:
+    """Deterministic ordered export: range-partition on ``order_cols``
+    into ``num_shards`` files, each internally sorted — the final
+    write of a corpus build (training shards readable in a stable
+    global order: shard i's keys all precede shard i+1's).
+
+    ``repartitionByRange`` samples the key distribution, so shard
+    BOUNDARIES can shift between runs on different data layouts — but
+    every shard is still internally sorted and the concatenation is
+    always the same total order; readers that consume shards in index
+    order see a byte-stable sequence once the per-file ordering is
+    fixed by sortWithinPartitions. One range shuffle + per-partition
+    sort — the minimum possible for globally ordered output (a global
+    orderBy would plan the same exchange, then collapse everything
+    through one writer task if coalesced).
+    """
+    (
+        df.repartitionByRange(num_shards, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -73,3 +73,31 @@ def test_bucketed_aggregation_no_shuffle(spark, sf_dir, tmp_path, no_broadcast):
         assert agg.count() == plain.count()
     finally:
         drop_bucketed(spark, "lineitem_agg_b")
+
+
+def test_write_ordered_shards_global_order(spark, tmp_path):
+    """Shards are range-partitioned and internally sorted: reading files
+    in shard order yields the global order."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.sources.bucketed import write_ordered_shards
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") * 2
+    )
+    out = str(tmp_path / "shards")
+    write_ordered_shards(df.orderBy(F.rand(seed=3)), out, ["k"], num_shards=4)
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 4
+    seen = []
+    for f in files:
+        ks = [r["k"] for r in spark.read.parquet(f).collect()]
+        assert ks == sorted(ks)  # internally sorted
+        seen.append(ks)
+    flat = [k for ks in seen for k in ks]
+    # range partitioning: file boundaries respect the global order
+    assert flat == sorted(flat)
+    assert sorted(flat) == list(range(1000))

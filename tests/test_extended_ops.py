@@ -536,3 +536,54 @@ def test_audio_features_and_resize_plumbing(spark):
         decode_audio(b"x")
     with pytest.raises(NotImplementedError):
         extract_audio_features(media, codec="real")
+
+def test_temperature_mix_flattens_skewed_strata(spark):
+    """Sizes 100 vs 400 at T=2: the small stratum is kept whole, the big
+    one downsamples toward 400·sqrt(100/400) = 200 (hash-uniform, so
+    within binomial noise); T=1 is the identity; output is
+    deterministic and a subset."""
+    import pytest
+
+    from kafka_streams_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "small") for i in range(100)] + [(1000 + i, "big") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    out = temperature_mix(df, temperature=2.0)
+    by_src = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["small"] == 100
+    assert 150 <= by_src["big"] <= 250  # expect ~200
+
+    again = temperature_mix(df, temperature=2.0)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    assert temperature_mix(df, temperature=1.0).count() == 500
+    with pytest.raises(ValueError):
+        temperature_mix(df, temperature=0)
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk boundaries: stride = chunk - overlap; last chunk is the
+    remainder; short and empty docs yield exactly one chunk."""
+    from kafka_streams_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    }
+    assert out[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert out[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert out[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert (1, 3) not in out
+    assert out[(2, 0)] == ("a b", 2)
+    assert out[(3, 0)] == ("", 0)
+    # every token index is covered by some chunk
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
