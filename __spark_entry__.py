@@ -468,6 +468,35 @@ def _q_chunk_documents(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=16, overlap=4)
 
 
+def _q_chunk_dup_stats(spark, sf_dir):
+    from kafka_streams_spark.operators.text import chunk_dup_stats
+
+    return chunk_dup_stats(_docs(spark, sf_dir), chunk_tokens=16)
+
+
+def _q_events_attribution(spark, sf_dir):
+    from kafka_streams_spark.operators.rangejoin import clicks_before_purchase
+    from kafka_streams_spark.sources.testdata import load_table
+
+    return clicks_before_purchase(load_table(spark, sf_dir, "events"))
+
+
+def _q_profile_documents(spark, sf_dir):
+    from kafka_streams_spark.operators.profiling import profile_columns
+
+    return profile_columns(
+        _docs(spark, sf_dir), ["doc_id", "lang", "source", "n_chars"], exact=True
+    )
+
+
+def _q_profile_documents_approx(spark, sf_dir):
+    from kafka_streams_spark.operators.profiling import profile_columns
+
+    return profile_columns(
+        _docs(spark, sf_dir), ["doc_id", "lang", "source", "n_chars"], exact=False
+    )
+
+
 def _q_pack_shards(spark, sf_dir):
     from kafka_streams_spark.operators.sampling import pack_token_shards
 
@@ -585,7 +614,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_docs": _q_hash_sample,
         "temperature_mix_docs": _q_temperature_mix,
         "chunk_documents": _q_chunk_documents,
+        "chunk_dup_stats": _q_chunk_dup_stats,
         "pack_token_shards": _q_pack_shards,
+        # interval join + profiling
+        "events_attribution": _q_events_attribution,
+        "profile_documents": _q_profile_documents,
+        "profile_documents_approx": _q_profile_documents_approx,  # HLL++: rows-only
         # multimodal plumbing (deterministic fake codec)
         "media_image_features": _q_media_features,
         "media_audio_features": _q_media_audio_features,

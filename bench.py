@@ -76,6 +76,11 @@ BENCH_QUERIES = [
     "cohort_retention",
     "emb_near_dup_lsh",
     "dedup_clusters_lsh",
+    "events_attribution",
+    "chunk_dup_stats",
+    "profile_documents",
+    "temperature_mix_docs",
+    "chunk_documents",
 ]
 
 

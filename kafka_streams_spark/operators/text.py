@@ -401,3 +401,49 @@ def chunk_documents(
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).alias("n_tokens"),
     )
+
+
+def chunk_dup_stats(
+    docs: DataFrame,
+    chunk_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Paragraph-level duplication score — the RefinedWeb/Dolma-style
+    sub-document dedup signal: split each doc into non-overlapping
+    ``chunk_tokens`` windows (:func:`chunk_documents` with overlap 0),
+    count how many of a doc's chunks also occur elsewhere in the corpus,
+    and report per-doc totals. Output: (doc_id, n_chunks, n_dup_chunks,
+    dup_per_mille) with dup_per_mille = floor(1000 * dup/total) — an
+    exact integer, safe for the driver's value hash.
+
+    A chunk is "duplicated" when its text occurs in more than one
+    (doc, chunk) slot corpus-wide — within-doc repeats count too, which
+    is what a boilerplate detector wants. Shape: chunking is map-only
+    fan-out; chunk-text counts are one hash aggregation on the chunk
+    hash (64-bit xxhash64, never the text itself, so shuffle rows are
+    ~16 bytes); the count joins back to the chunk stream on the same
+    hash key and rolls up per doc. Two shuffles total, both on compact
+    keys, each with map-side partial aggregation — at 100 TB the wide
+    chunk text stays columnar in the scan and never crosses the wire.
+    """
+    chunks = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, overlap=0, id_col=id_col, text_col=text_col
+    ).select(id_col, F.xxhash64("chunk_text").alias("_h"))
+    counts = chunks.groupBy("_h").agg(F.count("*").alias("_n"))
+    return (
+        chunks.join(counts, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            F.floor(F.lit(1000) * F.col("n_dup_chunks") / F.col("n_chunks"))
+            .cast("long")
+            .alias("dup_per_mille"),
+        )
+    )

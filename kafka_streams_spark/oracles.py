@@ -877,6 +877,85 @@ SAMPLING_ORACLES = {
         FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
         GROUP BY 1, 2
     """,
+    # interval join: clicks in the 30 min before each purchase, same user.
+    # The Spark side buckets to avoid the loop join; the oracle is the
+    # plain inequality join it must agree with.
+    "events_attribution": f"""
+        WITH p AS (
+            SELECT event_id, user_id, epoch_ns(ts) AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT user_id, epoch_ns(ts) AS c_ts, value
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id,
+               count(*) AS n_clicks,
+               CAST(SUM({_cents_sql('value')}) AS BIGINT) AS click_value_cents
+        FROM p JOIN c ON p.user_id = c.user_id
+                     AND c.c_ts BETWEEN p.p_ts - 1800000000000 AND p.p_ts
+        GROUP BY 1, 2
+    """,
+    # paragraph-level duplication: non-overlapping 16-token chunks
+    # (chunk_documents oracle with stride == chunk), grouped by chunk
+    # TEXT (the Spark side groups by xxhash64 of the text — identical
+    # modulo 64-bit collisions, which the fixed corpus doesn't have).
+    "chunk_dup_stats": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x != '') AS toks
+            FROM documents
+        ),
+        n AS (
+            SELECT doc_id, toks,
+                   1 + CAST(ceil(GREATEST(len(toks) - 16, 0) / 16.0) AS INTEGER)
+                       AS n_chunks
+            FROM t
+        ),
+        ch AS (
+            SELECT doc_id,
+                   array_to_string(toks[k*16 + 1 : k*16 + 16], ' ') AS chunk_text
+            FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS k)
+        ),
+        cnt AS (SELECT chunk_text, count(*) AS n FROM ch GROUP BY 1)
+        SELECT doc_id,
+               count(*) AS n_chunks,
+               CAST(SUM(CASE WHEN cnt.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_chunks,
+               CAST(floor(1000.0 * SUM(CASE WHEN cnt.n > 1 THEN 1 ELSE 0 END)
+                          / count(*)) AS BIGINT) AS dup_per_mille
+        FROM ch JOIN cnt USING (chunk_text)
+        GROUP BY doc_id
+    """,
+    # single-pass column profile; min/max cast to VARCHAR after the
+    # native-type aggregate, NULLs excluded from distinct counts.
+    "profile_documents": """
+        SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+               CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               count(DISTINCT doc_id) AS n_distinct,
+               CAST(min(doc_id) AS VARCHAR) AS min_str,
+               CAST(max(doc_id) AS VARCHAR) AS max_str
+        FROM documents
+        UNION ALL
+        SELECT 'lang', count(*),
+               CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT lang),
+               CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'source', count(*),
+               CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT source),
+               CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', count(*),
+               CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT n_chars),
+               CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        FROM documents
+    """,
 }
 
 

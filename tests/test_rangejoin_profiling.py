@@ -1,0 +1,131 @@
+"""Interval join (bucketed range join), paragraph-dup stats, and the
+single-pass column profiler."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_spark.operators.profiling import profile_columns
+from kafka_streams_spark.operators.rangejoin import (
+    clicks_before_purchase,
+    interval_join,
+)
+from kafka_streams_spark.operators.text import chunk_dup_stats
+
+
+def _naive_interval(left, right, key, lts, rts, before, after):
+    return left.join(
+        right.withColumnRenamed(key, "_k"),
+        (F.col(key) == F.col("_k"))
+        & F.col(rts).between(F.col(lts) - before, F.col(lts) + after),
+        "inner",
+    ).drop("_k")
+
+
+def test_interval_join_matches_naive_inequality_join(spark):
+    """Bucketed formulation ≡ the O(n·m) inequality join it replaces,
+    including interval boundaries (closed on both ends), negative
+    timestamps (floor-division bucketing), and asymmetric windows."""
+    import random
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(i, rng.choice("abc"), rng.randint(-100, 100)) for i in range(60)],
+        ["lid", "k", "lts"],
+    )
+    right = spark.createDataFrame(
+        [(i, rng.choice("abc"), rng.randint(-100, 100)) for i in range(80)],
+        ["rid", "k", "rts"],
+    )
+    for before, after in [(10, 0), (0, 10), (7, 13), (0, 0)]:
+        got = interval_join(left, right, "k", "lts", "rts", before, after)
+        want = _naive_interval(left, right, "k", "lts", "rts", before, after)
+        assert sorted(map(tuple, got.select("lid", "rid").collect())) == sorted(
+            map(tuple, want.select("lid", "rid").collect())
+        ), f"mismatch at before={before} after={after}"
+
+
+def test_interval_join_boundaries_and_left(spark):
+    left = spark.createDataFrame([(1, "a", 100)], ["lid", "k", "lts"])
+    right = spark.createDataFrame(
+        [(1, "a", 90), (2, "a", 89), (3, "a", 100), (4, "a", 101), (5, "b", 95)],
+        ["rid", "k", "rts"],
+    )
+    got = interval_join(left, right, "k", "lts", "rts", before=10, after=0)
+    # closed interval [90, 100]; rid 2 (89), 4 (101), 5 (wrong key) excluded
+    assert sorted(r["rid"] for r in got.collect()) == [1, 3]
+
+    lonely = spark.createDataFrame([(9, "z", 0)], ["lid", "k", "lts"])
+    lj = interval_join(
+        lonely.unionByName(left), right, "k", "lts", "rts", 10, 0, how="left"
+    )
+    rows = {r["lid"]: r for r in lj.collect()}
+    assert rows[9]["rid"] is None and len(lj.collect()) == 3
+
+    with pytest.raises(ValueError):
+        interval_join(left, right, "k", "lts", "rts", -1, 0)
+    with pytest.raises(ValueError):
+        interval_join(left, right, "k", "lts", "rts", 1, 0, how="full")
+
+
+def test_clicks_before_purchase_window(spark):
+    """One purchase at t=1h; clicks at t-31min (out), t-30min (in,
+    boundary), t-1min (in), purchase's own ts by another type ignored."""
+    H = 3_600_000_000_000
+    M = 60_000_000_000
+    rows = [
+        (1, H, 10, "purchase", 5.0),
+        (2, H - 31 * M, 10, "click", 1.0),
+        (3, H - 30 * M, 10, "click", 2.0),
+        (4, H - 1 * M, 10, "click", 3.25),
+        (5, H - 1 * M, 11, "click", 9.0),  # other user
+        (6, H - 1 * M, 10, "view", 9.0),  # other type
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = clicks_before_purchase(events).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["event_id"], r["user_id"], r["n_clicks"], r["click_value_cents"]) == (
+        1, 10, 2, 525,
+    )
+
+
+def test_chunk_dup_stats_counts_repeated_chunks(spark):
+    """Doc 1 and 2 share their first 4-token chunk; doc 1 repeats a
+    chunk internally; doc 3 is unique."""
+    c = "w x y z"
+    docs = spark.createDataFrame(
+        [(1, f"{c} {c}"), (2, f"{c} q r s t"), (3, "unique tokens only here")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_per_mille"])
+        for r in chunk_dup_stats(docs, chunk_tokens=4).collect()
+    }
+    assert out[1] == (2, 2, 1000)  # both chunks are "w x y z"
+    assert out[2] == (2, 1, 500)
+    assert out[3] == (1, 0, 0)
+
+
+def test_profile_columns_exact_and_approx(spark):
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, None, 20), (3, "en", None), (4, "fr", 20)],
+        ["id", "lang", "n"],
+    )
+    prof = {r["col_name"]: r for r in profile_columns(df, ["lang", "n"]).collect()}
+    assert prof["lang"]["n_rows"] == 4
+    assert prof["lang"]["n_null"] == 1
+    assert prof["lang"]["n_distinct"] == 2  # NULL excluded
+    assert prof["lang"]["min_str"] == "en" and prof["lang"]["max_str"] == "fr"
+    assert prof["n"]["n_null"] == 1
+    assert prof["n"]["n_distinct"] == 2
+    # numeric min/max, not lexicographic
+    assert prof["n"]["min_str"] == "10" and prof["n"]["max_str"] == "20"
+
+    approx = {r["col_name"]: r for r in profile_columns(df, ["lang", "n"], exact=False).collect()}
+    assert set(approx) == {"lang", "n"}
+    # HLL++ at this cardinality is exact
+    assert approx["lang"]["n_distinct"] == 2
