@@ -714,6 +714,20 @@ def duplicate_clusters(
         .withColumn("cluster_id", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # Convergence test: labels only ever decrease (least of own + neighbor
+    # mins), so SUM(cluster_id) strictly decreases on any change and a
+    # fixpoint shows as an unchanged checksum. One scan-agg over the
+    # freshly checkpointed labels per round — replaces the earlier
+    # join(new, old)+count, which paid a full extra shuffle per round.
+    # decimal(38,0) so the sum can't overflow at any node-id scale.
+    def _checksum(lbls: DataFrame) -> tuple:
+        row = lbls.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n"),
+        ).head()
+        return (row["s"], row["n"])
+
+    prev = _checksum(labels)
     for _ in range(max_iter):
         # label each node with min(own label, neighbors' labels)
         neighbor_min = (
@@ -731,14 +745,9 @@ def duplicate_clusters(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        cur = _checksum(labels)
+        if cur == prev:
             break
+        prev = cur
     return labels
