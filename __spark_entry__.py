@@ -406,28 +406,41 @@ def _q_pii_scan(spark, sf_dir):
     return pii_scan(_docs(spark, sf_dir))
 
 
+# The four vector-valued contract queries emit EXPLODED scalar rows
+# (id, pos, value) rather than array columns: the driver's canonicalizer
+# sorts/hashes pandas cells, and Python lists are unhashable — array
+# outputs can never hash-match. The operators themselves keep their
+# array-returning API; posexplode is the contract-surface adapter.
+
+
 def _q_label_centroids(spark, sf_dir):
     from kafka_streams_spark.operators.similarity import label_centroids
 
-    return label_centroids(_embs(spark, sf_dir))
+    c = label_centroids(_embs(spark, sf_dir))
+    return c.select(
+        "label", "n_vecs", F.posexplode("centroid").alias("pos", "centroid_val")
+    )
 
 
 def _q_normalize_vectors(spark, sf_dir):
     from kafka_streams_spark.operators.similarity import normalize_vectors
 
-    return normalize_vectors(_embs(spark, sf_dir))
+    n = normalize_vectors(_embs(spark, sf_dir))
+    return n.select("vec_id", F.posexplode("unit").alias("pos", "unit_val"))
 
 
 def _q_quantize(spark, sf_dir):
     from kafka_streams_spark.operators.similarity import quantize_embeddings
 
-    return quantize_embeddings(_embs(spark, sf_dir))
+    q = quantize_embeddings(_embs(spark, sf_dir))
+    return q.select("vec_id", F.posexplode("codes").alias("pos", "code"))
 
 
 def _q_quantize_sym(spark, sf_dir):
     from kafka_streams_spark.operators.similarity import quantize_embeddings_symmetric
 
-    return quantize_embeddings_symmetric(_embs(spark, sf_dir))
+    q = quantize_embeddings_symmetric(_embs(spark, sf_dir))
+    return q.select("vec_id", "scale", F.posexplode("codes").alias("pos", "code"))
 
 
 def _q_top_tokens(spark, sf_dir):

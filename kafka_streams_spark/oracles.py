@@ -621,23 +621,22 @@ SIMILARITY_ORACLES = {
     # expression term-for-term ((x-mn)/range*254.0+0.5).
     "emb_quantize_int8": """
         WITH ex AS (
-            SELECT unnest(range(len(embedding))) AS pos, unnest(embedding) AS x
+            SELECT vec_id,
+                   unnest(range(len(embedding))) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
             FROM embeddings
         ),
         per_dim AS (
-            SELECT pos, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+            SELECT pos, min(x) AS mn, max(x) AS mx
             FROM ex GROUP BY pos
-        ),
-        params AS (
-            SELECT list(mn ORDER BY pos) AS mins,
-                   list(CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END ORDER BY pos) AS ranges
-            FROM per_dim
         )
-        SELECT vec_id,
-               list_transform(range(len(embedding)),
-                   i -> CAST(floor((CAST(embedding[i+1] AS DOUBLE) - mins[i+1])
-                                   / ranges[i+1] * 254.0 + 0.5) AS INT) - 127) AS codes
-        FROM embeddings CROSS JOIN params
+        SELECT ex.vec_id,
+               CAST(ex.pos AS INT) AS pos,
+               CAST(floor((ex.x - per_dim.mn)
+                          / (CASE WHEN per_dim.mx > per_dim.mn
+                                  THEN per_dim.mx - per_dim.mn ELSE 1.0 END)
+                          * 254.0 + 0.5) AS INT) - 127 AS code
+        FROM ex JOIN per_dim USING (pos)
     """,
     # per-vector symmetric int8 (the ANN-on-codes path; uniform scale
     # cancels in cosine). Raw array_max scale is emitted; zero vectors
@@ -647,14 +646,18 @@ SIMILARITY_ORACLES = {
             SELECT vec_id, embedding,
                    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
             FROM embeddings
+        ),
+        ex AS (
+            SELECT vec_id, scale,
+                   unnest(range(len(embedding))) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM scaled
         )
-        SELECT vec_id,
-               list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE)
-                                   / (CASE WHEN scale > 0 THEN scale ELSE 1.0 END)
-                                   * 127.0 + 0.5) AS INT)) AS codes,
-               scale
-        FROM scaled
+        SELECT vec_id, scale,
+               CAST(pos AS INT) AS pos,
+               CAST(floor(x / (CASE WHEN scale > 0 THEN scale ELSE 1.0 END)
+                          * 127.0 + 0.5) AS INT) AS code
+        FROM ex
     """,
     "knn_vec0": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
@@ -670,26 +673,28 @@ SIMILARITY_ORACLES = {
                    unnest(range(len(embedding))) AS pos,
                    unnest(embedding) AS x
             FROM embeddings
-        ),
-        m AS (
-            SELECT label, pos, avg(CAST(x AS DOUBLE)) AS m, count(*) AS n
-            FROM ex GROUP BY label, pos
         )
         SELECT label,
-               list(round(m, 6) ORDER BY pos) AS centroid,
-               CAST(max(n) AS BIGINT) AS n_vecs
-        FROM m GROUP BY label
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(pos AS INT) AS pos,
+               round(avg(CAST(x AS DOUBLE)), 6) AS centroid_val
+        FROM ex GROUP BY label, pos
     """,
     "emb_normalize": """
-        SELECT vec_id,
-               list_transform(embedding, x -> round(CAST(x AS DOUBLE) / nrm, 6)) AS unit
-        FROM (
+        WITH n AS (
             SELECT vec_id, embedding,
                    sqrt(list_sum(list_transform(
                        embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
             FROM embeddings
+        ),
+        ex AS (
+            SELECT vec_id, nrm,
+                   unnest(range(len(embedding))) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM n WHERE nrm > 0
         )
-        WHERE nrm > 0
+        SELECT vec_id, CAST(pos AS INT) AS pos, round(x / nrm, 6) AS unit_val
+        FROM ex
     """,
     "dedup_clusters": """
         WITH RECURSIVE

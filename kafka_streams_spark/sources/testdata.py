@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = [
     "region",
@@ -44,22 +45,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Parquet scan → Catalyst gets pushdown,
     pruning, and split-based parallelism for free.
 
-    `events.ts` is physically TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; `nanosAsLong` (set at runtime so it also holds
-    under the driver's session) reads it as epoch-nanos long — and we then
-    TRUNCATE to microsecond precision (`(ts div 1000) * 1000`). Timestamp
-    engines (DuckDB included: it reads this column as a µs TIMESTAMP, and
-    Spark's own TimestampType is µs) carry microseconds; keeping
-    sub-microsecond nanos on our side made durations/gap comparisons
-    differ by ±1 at the last digit vs any timestamp-typed engine. µs is
-    the canonical event-time precision; buckets/gaps derive from the
-    truncated integer, identical to `epoch_ns(ts)` on a µs timestamp.
+    `events.ts` is normalized to an epoch-NANOS BIGINT at µs precision —
+    the canonical event-time representation every downstream operator and
+    DuckDB oracle (`epoch_ns(ts)`) computes against. Two physical layouts
+    exist across testdata generations, both handled:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; `nanosAsLong`
+      (set at runtime so it also holds under the driver's session) reads it
+      as epoch-nanos long, then we TRUNCATE to µs (`(ts div 1000) * 1000`).
+    - timestamp[us] (reads as TIMESTAMP_NTZ): `unix_micros(cast(..)) * 1000`
+      under a UTC session timezone — the NTZ wall clock IS UTC, matching
+      DuckDB's naive-timestamp `epoch_ns`.
+
+    µs is the canonical precision; keeping sub-µs nanos made durations/gap
+    comparisons differ by ±1 at the last digit vs any timestamp-typed engine.
     """
     if name == "events":
+        # Harmless for timestamp[us] files; required to read TIMESTAMP(NANOS).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = _read_cached(spark, f"{sf_dir}/events.parquet")
-        # integer div — float division would shed low bits (nanos > 2^53)
-        return ev.withColumn("ts", F.expr("(ts div 1000) * 1000"))
+        if isinstance(ev.schema["ts"].dataType, LongType):
+            # integer div — float division would shed low bits (nanos > 2^53)
+            return ev.withColumn("ts", F.expr("(ts div 1000) * 1000"))
+        # NTZ→TIMESTAMP cast interprets the wall clock in the session tz;
+        # pin UTC so epoch extraction matches DuckDB's naive-as-UTC reading.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return ev.withColumn(
+            "ts", F.expr("unix_micros(cast(ts as timestamp)) * 1000")
+        )
     return _read_cached(spark, f"{sf_dir}/{name}.parquet")
 
 

@@ -84,6 +84,14 @@ def main() -> int:
             failures.append(name)
             print(f"✗ {name:34s} DECIMAL output columns (driver hash trap): {dec_cols}")
             continue
+        # Driver trap #2: array outputs arrive as Python lists, which the
+        # driver's canonicalizer cannot sort/hash (unhashable type). Vector
+        # results must be exploded to (id, pos, value) scalar rows.
+        arr_cols = [f.name for f in sdf.schema.fields if "array" in f.dataType.simpleString()]
+        if arr_cols and name in oracles:
+            failures.append(name)
+            print(f"✗ {name:34s} ARRAY output columns (driver sort trap): {arr_cols}")
+            continue
         spark_pd = sdf.toPandas()
         if name not in oracles:
             print(f"  {name:34s} rows={len(spark_pd):7d}  (rows-only; no oracle)")
