@@ -516,6 +516,38 @@ def _q_pack_shards(spark, sf_dir):
     return pack_token_shards(_docs(spark, sf_dir), budget=4000)
 
 
+# Rates/epochs literals for the sampling contract queries — mirrored
+# verbatim in the oracle CASE expressions; change BOTH or neither.
+_STRAT_RATES = {"en": 0.5, "de": 1.0, "zh": 0.25}
+_EPOCHS = {"src0": 2.5, "src1": 0.4, "src2": 0.0}
+
+
+def _q_stratified_sample(spark, sf_dir):
+    from kafka_streams_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), _STRAT_RATES).select(
+        "doc_id", "lang"
+    )
+
+
+def _q_upsample_epochs(spark, sf_dir):
+    from kafka_streams_spark.operators.sampling import upsample_epochs
+
+    return upsample_epochs(_docs(spark, sf_dir), _EPOCHS)
+
+
+def _q_shuffle_shards(spark, sf_dir):
+    from kafka_streams_spark.operators.sampling import shuffle_shards
+
+    return shuffle_shards(_docs(spark, sf_dir), n_shards=8)
+
+
+def _q_ngram_counts(spark, sf_dir):
+    from kafka_streams_spark.operators.text import ngram_counts
+
+    return ngram_counts(_docs(spark, sf_dir), n=2, k=30)
+
+
 # --------------------------------------------------------------------------
 # contract entry points
 # --------------------------------------------------------------------------
@@ -586,6 +618,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- unchecked in round 1: sampling / sharding / chunking --
         "hash_sample_docs": _q_hash_sample,
         "temperature_mix_docs": _q_temperature_mix,
+        "stratified_sample_docs": _q_stratified_sample,
+        "upsample_epochs_docs": _q_upsample_epochs,
+        "shuffle_shards_docs": _q_shuffle_shards,
+        "ngram_counts": _q_ngram_counts,
         "chunk_documents": _q_chunk_documents,
         "chunk_dup_stats": _q_chunk_dup_stats,
         "pack_token_shards": _q_pack_shards,

@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "profile_documents",
     "temperature_mix_docs",
     "chunk_documents",
+    "ngram_counts",
+    "shuffle_shards_docs",
+    "upsample_epochs_docs",
 ]
 
 

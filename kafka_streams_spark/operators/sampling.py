@@ -111,6 +111,135 @@ def temperature_mix(
     )
 
 
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep each row iff
+    uniform_unit(id) < rate(stratum) — the standard language/source
+    re-balancing primitive (e.g. cap English at 100%, keep 50% German).
+
+    The rate table is a literal CASE expression, not a join: rates are
+    configuration (a handful of entries), so they compile into the scan
+    filter — map-only, zero shuffle, pushdown-friendly, and
+    partition-invariant (unlike `df.sampleBy`, whose per-partition RNG
+    changes with partitioning). Sampling per id keeps referential
+    integrity across tables sampled with the same rates.
+    """
+    rate = None
+    for k, r in sorted(rates.items()):
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1]")
+        cond = F.col(stratum_col) == F.lit(k)
+        rate = (
+            F.when(cond, F.lit(float(r)))
+            if rate is None
+            else rate.when(cond, F.lit(float(r)))
+        )
+    rate_expr = (
+        rate.otherwise(F.lit(float(default_rate)))
+        if rate is not None
+        else F.lit(float(default_rate))
+    )
+    return docs.filter(uniform_unit(id_col) < rate_expr)
+
+
+def upsample_epochs(
+    docs: DataFrame,
+    epochs: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Per-stratum epoch weighting with FRACTIONAL epochs — the corpus
+    mixing recipe where high-quality sources repeat (e.g. wiki ×2.5)
+    and low-quality ones downsample (×0.4): every row gets
+    ``floor(e)`` full copies, plus one more iff uniform_unit(id) falls
+    under the fractional remainder. e < 1 therefore degrades to a
+    deterministic subsample; e = 0 drops the stratum.
+
+    Map-only fan-out: the copy count is a literal CASE expression and
+    the copies come from ``explode(sequence(1, n))`` — no shuffle, no
+    RNG, reproducible byte-for-byte. ``copy_idx`` disambiguates copies
+    so a downstream global shuffle spreads them apart instead of
+    emitting them adjacent.
+
+    Output: (id_col, stratum_col, copy_idx). At 100 TB the output is
+    |corpus| · mean(e) rows — the fan-out happens in the scan stage and
+    never materializes per-executor state.
+    """
+    e = None
+    for k, v in sorted(epochs.items()):
+        if v < 0:
+            raise ValueError(f"epochs for {k!r} must be >= 0")
+        cond = F.col(stratum_col) == F.lit(k)
+        e = (
+            F.when(cond, F.lit(float(v)))
+            if e is None
+            else e.when(cond, F.lit(float(v)))
+        )
+    e_expr = (
+        e.otherwise(F.lit(float(default_epochs)))
+        if e is not None
+        else F.lit(float(default_epochs))
+    )
+    base = F.floor(e_expr).cast("int")
+    extra = (uniform_unit(id_col) < (e_expr - F.floor(e_expr))).cast("int")
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(stratum_col),
+            (base + extra).alias("_n_copies"),
+        )
+        # sequence(1, 0) would generate a DESCENDING [1, 0] in Spark —
+        # guard so dropped rows explode an empty array instead.
+        .filter(F.col("_n_copies") >= 1)
+        .select(
+            id_col,
+            stratum_col,
+            F.explode(F.expr("sequence(1, _n_copies)")).alias("copy_idx"),
+        )
+    )
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign each row a
+    shard (md5-hash mod n_shards) and a position within the shard
+    (rank by the full md5 hex, id tiebreak). Reading shards 0..n-1
+    sequentially yields a reproducible pseudorandom permutation of the
+    corpus — what a training run needs from "shuffle the data" without
+    any RNG state or single-writer global sort.
+
+    One shuffle keyed on shard_id + one per-shard sort; shards are
+    uniform by construction (hash mod), so no skew. At 100 TB pick
+    n_shards ≈ corpus_bytes / target_shard_bytes and write with
+    ``partitionBy(shard_id)`` — each shard sorts independently, no
+    global ordering barrier.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    hex8 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    shard = F.pmod(F.conv(hex8, 16, 10).cast("bigint"), F.lit(n_shards))
+    with_shard = docs.select(
+        F.col(id_col),
+        shard.cast("int").alias("shard_id"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("_h", id_col)
+    return with_shard.select(
+        id_col,
+        "shard_id",
+        F.row_number().over(w).cast("bigint").alias("shard_pos"),
+    )
+
+
 def pack_token_shards(
     docs: DataFrame,
     budget: int = 4000,

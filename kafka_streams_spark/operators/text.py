@@ -197,6 +197,46 @@ def top_tokens(docs: DataFrame, k: int = 20, id_col: str = "doc_id", text_col: s
     )
 
 
+def ngram_counts(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams — the language-model corpus
+    statistic behind boilerplate detection (over-frequent n-grams) and
+    LM smoothing tables.
+
+    All expression-level: per doc, the n-gram list is built by sliding
+    `slice(toks, i, n)` over `sequence(1, len-n+1)` (guarded — Spark's
+    sequence(1, 0) generates a DESCENDING [1,0], so short docs must
+    produce an empty array, not an inverted range). Then one explode →
+    map-side-partial count → TakeOrderedAndProject heap top-k: the same
+    single-shuffle shape as `top_tokens`, with n·|tokens| intermediate
+    rows instead of |tokens|.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from kafka_streams_spark.functions.partitioning import spread
+
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        spread(docs)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+        .limit(k)
+    )
+
+
 def doc_length_buckets(docs: DataFrame, bucket_chars: int = 200) -> DataFrame:
     """Document length histogram — the standard first look at a new
     corpus. Buckets are fixed-width on n_chars; one partial-aggregated

@@ -328,6 +328,18 @@ TEXT_ORACLES = {
         ORDER BY n DESC, tok
         LIMIT 20
     """,
+    "ngram_counts": f"""
+        WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+        g AS (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1])) AS gram
+            FROM t WHERE len(toks) >= 2
+        )
+        SELECT gram, count(*) AS n_occurrences
+        FROM g GROUP BY gram
+        ORDER BY n_occurrences DESC, gram
+        LIMIT 30
+    """,
     "doc_length_buckets": """
         SELECT CAST(floor(n_chars / 200) AS BIGINT) AS bucket,
                count(*) AS n_docs,
@@ -832,6 +844,47 @@ SAMPLING_ORACLES = {
         FROM documents d JOIN r USING (source)
         WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
               / 4294967296.0 < keep_rate
+    """,
+    # Rates/epochs literals mirror _STRAT_RATES/_EPOCHS in
+    # __spark_entry__.py verbatim; the uniform-[0,1) value is the same
+    # first-8-hex-chars-of-md5 arithmetic as temperature_mix.
+    "stratified_sample_docs": """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              / 4294967296.0
+              < CASE lang WHEN 'de' THEN 1.0 WHEN 'en' THEN 0.5
+                          WHEN 'zh' THEN 0.25 ELSE 1.0 END
+    """,
+    "upsample_epochs_docs": """
+        WITH d AS (
+            SELECT doc_id, source,
+                   CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+                               WHEN 'src2' THEN 0.0 ELSE 1.0 END AS e,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       / 4294967296.0 AS u
+            FROM documents
+        ),
+        n AS (
+            SELECT doc_id, source,
+                   CAST(floor(e) AS INT)
+                       + CASE WHEN u < e - floor(e) THEN 1 ELSE 0 END AS n_copies
+            FROM d
+        )
+        SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy_idx
+        FROM n WHERE n_copies >= 1
+    """,
+    "shuffle_shards_docs": """
+        WITH h AS (
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 8 AS INT) AS shard_id,
+                   md5(CAST(doc_id AS VARCHAR)) AS hh
+            FROM documents
+        )
+        SELECT doc_id, shard_id,
+               CAST(row_number() OVER (PARTITION BY shard_id ORDER BY hh, doc_id)
+                    AS BIGINT) AS shard_pos
+        FROM h
     """,
     # chunk k covers tokens [k*stride, k*stride + chunk) with
     # chunk=16, overlap=4, stride=12; DuckDB list slices are 1-based

@@ -1,0 +1,87 @@
+"""Unit pins for the round-3 sampling/ordering operators:
+stratified_sample, upsample_epochs, shuffle_shards, ngram_counts.
+
+The common property under test is determinism under repartitioning —
+the reason these exist instead of df.sample()/rand().
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_spark.operators.sampling import (
+    shuffle_shards,
+    stratified_sample,
+    upsample_epochs,
+)
+from kafka_streams_spark.operators.text import ngram_counts
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"src{i % 3}", ["en", "de", "zh"][i % 3], f"tok{i} tok{i+1} common")
+            for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, source string, lang string, text string")
+
+
+def test_stratified_rate_one_keeps_all_rate_zero_drops(spark, docs):
+    out = stratified_sample(docs, {"en": 1.0, "de": 0.0}, stratum_col="lang")
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert "de" not in langs
+    n_en = docs.filter("lang = 'en'").count()
+    assert out.filter("lang = 'en'").count() == n_en  # rate 1.0 → everything
+
+
+def test_stratified_sample_partition_invariant(spark, docs):
+    ids = lambda df: sorted(r.doc_id for r in df.select("doc_id").collect())
+    a = stratified_sample(docs, {"en": 0.5}, stratum_col="lang")
+    b = stratified_sample(docs.repartition(13), {"en": 0.5}, stratum_col="lang")
+    assert ids(a) == ids(b) and 0 < len(ids(a)) < docs.count()
+
+
+def test_upsample_integer_epochs_exact_copies(spark, docs):
+    out = upsample_epochs(docs, {"src0": 2.0, "src1": 0.0})
+    per_src = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    counts = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per_src["src0"] == 2 * counts["src0"]
+    assert "src1" not in per_src          # zero epochs drops the stratum
+    assert per_src["src2"] == counts["src2"]  # default 1.0
+
+
+def test_upsample_fractional_epochs_bounded_and_indexed(spark, docs):
+    out = upsample_epochs(docs, {"src0": 1.5})
+    n0 = docs.filter("source = 'src0'").count()
+    got = out.filter("source = 'src0'").count()
+    assert n0 < got < 2 * n0              # strictly between 1x and 2x
+    # copy_idx is 1..n per doc — no gaps, no duplicates
+    bad = (
+        out.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.max("copy_idx").alias("mx"))
+        .filter("n != mx")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_shuffle_shards_is_a_permutation(spark, docs):
+    out = shuffle_shards(docs, n_shards=4)
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    # per shard: positions are exactly 1..shard_size
+    per = out.groupBy("shard_id").agg(
+        F.count("*").alias("n"), F.min("shard_pos").alias("lo"), F.max("shard_pos").alias("hi")
+    )
+    assert per.filter("lo != 1 OR hi != n").count() == 0
+    # deterministic under repartitioning
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, shuffle_shards(docs.repartition(17), n_shards=4).collect()))
+    assert a == b
+
+
+def test_ngram_counts_golden(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "x")], "doc_id long, text string"
+    )
+    got = {(r.gram, r.n_occurrences) for r in ngram_counts(df, n=2, k=10).collect()}
+    assert got == {("a b", 2), ("b c", 1)}  # 1-token doc contributes nothing
