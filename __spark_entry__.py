@@ -548,6 +548,12 @@ def _q_ngram_counts(spark, sf_dir):
     return ngram_counts(_docs(spark, sf_dir), n=2, k=30)
 
 
+def _q_knn_batch(spark, sf_dir):
+    from kafka_streams_spark.operators.similarity import knn_batch_to_ids
+
+    return knn_batch_to_ids(_embs(spark, sf_dir), query_ids=[0, 1, 2], k=10)
+
+
 # --------------------------------------------------------------------------
 # contract entry points
 # --------------------------------------------------------------------------
@@ -622,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample_epochs_docs": _q_upsample_epochs,
         "shuffle_shards_docs": _q_shuffle_shards,
         "ngram_counts": _q_ngram_counts,
+        "knn_batch": _q_knn_batch,
         "chunk_documents": _q_chunk_documents,
         "chunk_dup_stats": _q_chunk_dup_stats,
         "pack_token_shards": _q_pack_shards,

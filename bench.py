@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "ngram_counts",
     "shuffle_shards_docs",
     "upsample_epochs_docs",
+    "knn_batch",
 ]
 
 

@@ -69,6 +69,123 @@ def knn_to_id(
     )
 
 
+def knn_batch_to_ids(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched exact top-k: neighbors of SEVERAL corpus vectors in one
+    pass — the ANN-evaluation / recommendation shape (score a query set,
+    not one vector). Collect-free: the query rows come from the corpus
+    via a broadcast semi-side, so constructing the plan runs no jobs.
+
+    Ranks by ROUNDED similarity (6 dp) with id tiebreak: ranking on raw
+    doubles is unstable across engines at the last ulp, and a contract
+    query must produce the identical k-set everywhere.
+
+    Shape: broadcast-nested-loop join (|Q| tiny) → codegen'd cosine →
+    one shuffle of |corpus|·|Q| narrow rows into |Q| rank partitions.
+    That final window is the toy-scale/oracle form; at 100 TB use
+    :func:`knn_batch_arrow`, which pre-top-ks per partition map-side so
+    only k·|Q| rows per partition ever shuffle.
+
+    Output: (query_id, vec_id, cosine_sim, rank), rank 1..k per query.
+    """
+    from pyspark.sql import Window
+
+    q = embeddings.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def knn_batch_arrow(
+    embeddings: DataFrame,
+    query_vecs: dict[int, list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path of :func:`knn_batch_to_ids`: exact batched top-k with
+    map-side partial reduction. One Arrow `mapInPandas` pass computes,
+    per input batch, the top-k candidates for EVERY query with one numpy
+    matmul (batch × query-matrix); only k·|Q| rows per batch survive to
+    the (tiny) global re-rank. The corpus itself never shuffles — the
+    100 TB cost is one scan plus a k·|Q|·n_batches-row window.
+
+    Queries are literal vectors (plain Python, e.g. from a config or a
+    prior `.collect()` OUTSIDE query construction), so the plan builds
+    without running jobs. Exactness: per-batch top-k + global top-k over
+    batch winners is lossless for a fixed query set.
+
+    Result matches knn_batch_to_ids (same rounded-rank contract); the
+    equality is pinned in tests.
+    """
+    from collections.abc import Iterator
+
+    from pyspark.sql import Window
+
+    qids = sorted(query_vecs)
+    Q = np.asarray([query_vecs[i] for i in qids], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    qid_arr = np.asarray(qids, dtype=np.int64)
+
+    def topk_per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            sims = Mn @ Qn.T  # (batch, |Q|)
+            kk = min(k, len(pdf))
+            ids = pdf[id_col].to_numpy()
+            out = []
+            for qi in range(len(qids)):
+                # Select under the CONTRACT order (rounded sim desc, id
+                # asc) — selecting on raw sims could disagree with the
+                # global re-rank on a 6-dp tie at the k boundary.
+                rounded = np.round(sims[:, qi], 6)
+                top = np.lexsort((ids, -rounded))[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid_arr[qi],
+                            id_col: ids[top],
+                            "cosine_sim": rounded[top],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partial = embeddings.mapInPandas(
+        topk_per_batch, f"query_id long, {id_col} long, cosine_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def hyperplane_signature(
     vec_col: Column, planes: list[list[float]]
 ) -> Column:

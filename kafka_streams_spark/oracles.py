@@ -671,6 +671,29 @@ SIMILARITY_ORACLES = {
                           * 127.0 + 0.5) AS INT) AS code
         FROM ex
     """,
+    # Ranks by ROUNDED similarity with id tiebreak — mirrors
+    # knn_batch_to_ids' contract order exactly (raw-double ordering is
+    # ulp-unstable across engines).
+    "knn_batch": """
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+            FROM embeddings WHERE vec_id IN (0, 1, 2)
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 6)
+                       AS cosine_sim
+            FROM embeddings e CROSS JOIN q
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cosine_sim,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine_sim DESC, vec_id) AS INT)
+                       AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10
+    """,
     "knn_vec0": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
