@@ -554,6 +554,24 @@ def _q_knn_batch(spark, sf_dir):
     return knn_batch_to_ids(_embs(spark, sf_dir), query_ids=[0, 1, 2], k=10)
 
 
+def _q_pii_redact(spark, sf_dir):
+    from kafka_streams_spark.operators.text import pii_redact
+
+    return pii_redact(_docs(spark, sf_dir))
+
+
+def _q_dedup_incremental(spark, sf_dir):
+    # Same split as the decontaminate contract: md5-bucket < '20' plays
+    # the "existing corpus", the rest is the increment.
+    from kafka_streams_spark.operators.dedup import dedup_incremental
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    existing = docs.filter(bucket < "20")
+    new = docs.filter(bucket >= "20")
+    return dedup_incremental(new, existing).select("doc_id", "source")
+
+
 # --------------------------------------------------------------------------
 # contract entry points
 # --------------------------------------------------------------------------
@@ -629,6 +647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards_docs": _q_shuffle_shards,
         "ngram_counts": _q_ngram_counts,
         "knn_batch": _q_knn_batch,
+        "pii_redact": _q_pii_redact,
+        "dedup_incremental": _q_dedup_incremental,
         "chunk_documents": _q_chunk_documents,
         "chunk_dup_stats": _q_chunk_dup_stats,
         "pack_token_shards": _q_pack_shards,

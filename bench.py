@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "shuffle_shards_docs",
     "upsample_epochs_docs",
     "knn_batch",
+    "dedup_incremental",
+    "pii_redact",
 ]
 
 

@@ -57,6 +57,40 @@ def dedup_exact_rows(df: DataFrame, key_cols: list[str], id_col: str) -> DataFra
     )
 
 
+def dedup_incremental(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a corpus INCREMENT against an already-curated corpus — the
+    recurring-crawl shape: yesterday's 100 TB is final, today's delta
+    must not re-admit content already in it (nor its own duplicates).
+
+    Two exact steps on a content hash:
+    1. left-anti join increment → existing on md5(text): only the
+       hashes shuffle (existing projects to one 32-char column, never
+       its payload), and the anti join is the smallest possible
+       membership test Catalyst can plan (broadcast when the delta-day
+       hash set fits, shuffled-hash otherwise — AQE picks).
+    2. min-id winner within the increment itself (window rank, one
+       shuffle) — arrivals inside the same delta dedupe deterministically.
+
+    Near-dup variant: feed the survivors to minhash_lsh_pairs against a
+    persisted signature table; this operator is the exact gate in front
+    of it.
+    """
+    h = F.md5(F.col(text_col))
+    seen = existing.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    fresh = new_docs.withColumn("_h", h).join(seen, "_h", "left_anti")
+    w = Window.partitionBy("_h").orderBy(F.col(id_col))
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_h")
+    )
+
+
 # ---------------------------------------------------------------------------
 # tokenization / shingling shared helpers (pure exprs)
 # ---------------------------------------------------------------------------

@@ -328,6 +328,37 @@ def pii_scan(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     return out.withColumn("has_pii", flag)
 
 
+def pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact PII spans in place — the action step after :func:`pii_scan`
+    flags documents: emails/URLs/IPv4s are replaced with fixed
+    ``<TYPE>`` sentinels so downstream token statistics stay stable.
+
+    Order matters and is pinned: emails BEFORE urls (an email inside a
+    URL query string must become <EMAIL>, not be swallowed whole),
+    urls before ipv4s (an IP that is a URL host belongs to the URL).
+    Pure chained `regexp_replace` — map-only, zero shuffle, codegen;
+    the same RE2-safe patterns as pii_scan so scan/redact agree on
+    what PII is.
+
+    Output: (id, redacted text, n_redactions) — the count lets curation
+    drop documents that are mostly PII rather than keep husks.
+    """
+    t = F.col(text_col)
+    n = F.lit(0)
+    for name in ("emails", "urls", "ipv4s"):
+        n = n + F.size(F.regexp_extract_all(t, F.lit(PII_PATTERNS[name]), F.lit(0)))
+    red = t
+    for name, tag in (("emails", "<EMAIL>"), ("urls", "<URL>"), ("ipv4s", "<IP>")):
+        red = F.regexp_replace(red, PII_PATTERNS[name], tag)
+    return docs.select(
+        F.col(id_col),
+        red.alias("text"),
+        n.cast("bigint").alias("n_redactions"),
+    )
+
+
 DOMAIN_REGEX = r"https?://([^/\s]+)"
 
 

@@ -404,6 +404,26 @@ TEXT_ORACLES = {
             FROM documents
         )
     """,
+    # Redaction order pinned: emails → urls → ipv4s (chained global
+    # replaces); n_redactions counts over the ORIGINAL text.
+    "pii_redact": """
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       'https?://[^\\s]+', '<URL>', 'g'),
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                   '<IP>', 'g') AS text,
+               CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    + len(regexp_extract_all(text, 'https?://[^\\s]+'))
+                    + len(regexp_extract_all(text,
+                          '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                    AS BIGINT) AS n_redactions
+        FROM documents
+    """,
     "doc_stats": f"""
         WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
         SELECT doc_id,
@@ -585,6 +605,25 @@ _CURATE_FUZZY_SQL = f"""
 """
 
 DEDUP_ORACLES = {
+    # Same existing/new split as decontaminate: doc_id md5-bucket < '20'
+    # is the curated corpus, the rest the increment. Counts are over the
+    # ORIGINAL text for all three patterns (matches pii_redact).
+    "dedup_incremental": """
+        WITH nw AS (
+            SELECT doc_id, source, md5(text) AS h FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '20'
+        ),
+        ex AS (
+            SELECT DISTINCT md5(text) AS h FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+        ),
+        fresh AS (SELECT nw.* FROM nw ANTI JOIN ex USING (h))
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+            FROM fresh
+        ) WHERE rn = 1
+    """,
     "dedup_exact": """
         SELECT text, min(doc_id) AS keep_id, count(*) AS dup_count
         FROM documents GROUP BY text
