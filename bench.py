@@ -98,6 +98,13 @@ def main() -> None:
     qs = e.queries()
 
     def run(name: str) -> float:
+        # Evict caches left by prior queries (e.g. the prefix-Jaccard
+        # posting table persists for its self-join): leaked storage
+        # blocks otherwise shrink unified execution memory and inflate
+        # every LATER query's time — measured +3-6 s on the minhash
+        # query when it follows the prefix form. Each query is timed
+        # against a clean cache, like a fresh job on a cluster.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
