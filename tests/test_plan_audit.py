@@ -247,3 +247,59 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
     for name in ["tf_idf_top_terms", "knn_lsh_vec0", "dedup_token_jaccard"]:
         _, n_jobs = jobs_run_during(spark, lambda: qs[name](spark, sf_dir))
         assert n_jobs == 0, f"{name} ran {n_jobs} jobs during construction"
+
+
+def test_stratified_sample_is_pure_scan_filter(spark, sf_dir):
+    """Per-stratum sampling compiles to a scan-level filter: zero
+    exchanges, and the hash predicate reaches the parquet reader as a
+    data filter — at 100 TB the rejected rows never leave the scan."""
+    from kafka_streams_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = audit(stratified_sample(docs, {"en": 0.5, "de": 1.0}))
+    assert a.num_exchanges == 0, a.plan
+    assert a.num_scans == 1
+
+
+def test_upsample_epochs_map_only(spark, sf_dir):
+    """Epoch fan-out is explode-over-scan: zero exchanges; output size
+    is the only thing that grows."""
+    from kafka_streams_spark.operators.sampling import upsample_epochs
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = audit(upsample_epochs(docs, {"src0": 2.5, "src1": 0.4}))
+    assert a.num_exchanges == 0, a.plan
+
+
+def test_shuffle_shards_single_exchange(spark, sf_dir):
+    """Global training-order shuffle costs exactly one hash exchange on
+    shard_id (plus per-shard sort) — no global ordering barrier."""
+    from kafka_streams_spark.operators.sampling import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = audit(shuffle_shards(docs, n_shards=8))
+    assert a.num_exchanges == 1, a.plan
+
+
+def test_knn_batch_broadcasts_queries(spark, sf_dir):
+    """The query side of batched k-NN must broadcast (|Q| rows); the
+    corpus shuffles once into the per-query rank windows."""
+    from kafka_streams_spark.operators.similarity import knn_batch_to_ids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = audit(knn_batch_to_ids(emb, [0, 1, 2], k=10))
+    assert a.num_broadcasts >= 1, a.plan
+    assert a.num_exchanges <= 1, a.plan
+
+
+def test_dedup_incremental_anti_join_ships_hashes_only(spark, sf_dir):
+    """The existing-corpus side of incremental dedup projects to the
+    32-char hash column before the anti join — the curated corpus's
+    payload never moves."""
+    from kafka_streams_spark.operators.dedup import dedup_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    a = audit(dedup_incremental(docs.filter(bucket >= "20"), docs.filter(bucket < "20")))
+    # the existing side's scan must read only what md5(text) needs
+    assert any("text" in s and "source" not in s for s in a.read_schemas), a.read_schemas
