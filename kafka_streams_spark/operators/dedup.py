@@ -287,11 +287,23 @@ def ngram_jaccard_pairs_prefix(
         tok.join(freq, [*blk_names, "s"])
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
-        .select(F.col(id_col), *blk, "s")
+        .select(F.col(id_col), *blk, "s", "sz")
         .persist()  # both sides of the candidate self-join read it
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cond = (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    # AllPairs length filter: J(a,b) ≥ t ⟹ |∩| ≥ t·|∪| ≥ t·max(|a|,|b|),
+    # and |∩| ≤ min(|a|,|b|) — so min ≥ t·max. Shingle arrays are distinct
+    # by construction (word_shingles), so sz IS the set size. Prunes
+    # size-mismatched candidates before the (heavier) verify joins; the
+    # 1e-9 slack keeps an FP product that grazes an integer boundary from
+    # wrongly excluding an exact-boundary pair.
+    t = F.lit(float(threshold))
+    cond = (
+        cond
+        & (F.col("b.sz") >= t * F.col("a.sz") - F.lit(1e-9))
+        & (F.col("a.sz") >= t * F.col("b.sz") - F.lit(1e-9))
+    )
     for c in blk_names:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     cands = (

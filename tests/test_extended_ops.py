@@ -29,14 +29,23 @@ from kafka_streams_spark.operators.similarity import (
 from kafka_streams_spark.operators.text import language_id, quality_score
 
 
+# Caches MUST unpersist on module teardown: the SparkSession is
+# session-scoped, and a live cached relation substitutes itself into any
+# LATER test's plan that matches (full-width InMemoryRelation replaces
+# the pruned file scan) — observed breaking a column-pruning plan pin
+# in a different test file.
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def embs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 def test_dedup_exact_synthetic(spark):
