@@ -554,6 +554,18 @@ def _q_knn_batch(spark, sf_dir):
     return knn_batch_to_ids(_embs(spark, sf_dir), query_ids=[0, 1, 2], k=10)
 
 
+def _q_decontaminate_emb(spark, sf_dir):
+    # Same bench/train split rule as decontaminate: vec_id md5-bucket
+    # < '20' is the benchmark set.
+    from kafka_streams_spark.operators.similarity import max_benchmark_cosine
+
+    embs = _embs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2)
+    bench = embs.filter(bucket < "20")
+    train = embs.filter(bucket >= "20")
+    return max_benchmark_cosine(train, bench, threshold=0.3)
+
+
 def _q_pii_redact(spark, sf_dir):
     from kafka_streams_spark.operators.text import pii_redact
 
@@ -649,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch": _q_knn_batch,
         "pii_redact": _q_pii_redact,
         "dedup_incremental": _q_dedup_incremental,
+        "decontaminate_emb": _q_decontaminate_emb,
         "chunk_documents": _q_chunk_documents,
         "chunk_dup_stats": _q_chunk_dup_stats,
         "pack_token_shards": _q_pack_shards,

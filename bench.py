@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "knn_batch",
     "dedup_incremental",
     "pii_redact",
+    "decontaminate_emb",
 ]
 
 

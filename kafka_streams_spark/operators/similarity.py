@@ -186,6 +186,83 @@ def knn_batch_arrow(
     )
 
 
+def max_benchmark_cosine(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic decontamination: per training vector, the max cosine
+    against ANY benchmark vector, plus a `contaminated` flag — the
+    embedding-space analog of n-gram decontamination (paraphrased eval
+    leakage that n-gram overlap misses).
+
+    Shape: benchmark sets are small (eval suites: 10³–10⁵ rows), so the
+    bench side broadcasts; scoring is a codegen'd cosine over the
+    broadcast-nested-loop product and the max folds in ONE map-side
+    partial aggregation keyed on the training id — the only exchange
+    carries one row per training vector. Max is order-insensitive, so no
+    cross-engine instability beyond the 6-dp rounding of the score.
+
+    At 100 TB prefer :func:`max_benchmark_cosine_arrow`: same contract,
+    but the per-batch numpy matmul emits the max directly — zero
+    exchanges, nothing but the scan.
+    """
+    b = bench.select(F.col(vec_col).alias("_bvec"))
+    scored = train.crossJoin(F.broadcast(b)).select(
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col("_bvec")).alias("_sim"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.max("_sim"), 6).alias("max_benchmark_cosine")
+    ).select(
+        id_col,
+        "max_benchmark_cosine",
+        (F.col("max_benchmark_cosine") >= F.lit(float(threshold))).alias(
+            "contaminated"
+        ),
+    )
+
+
+def max_benchmark_cosine_arrow(
+    train: DataFrame,
+    bench_vecs: list[list[float]],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path of :func:`max_benchmark_cosine`: the benchmark matrix
+    is a literal (plain Python, collected OUTSIDE query construction),
+    and one Arrow `mapInPandas` pass emits (id, max_cosine, flag) per
+    row — a pure map over the corpus scan, zero exchanges. Equality with
+    the expression form is pinned in tests (same 6-dp rounding)."""
+    from collections.abc import Iterator
+
+    B = np.asarray(bench_vecs, dtype=np.float64)
+    Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            mx = np.round((Mn @ Bn.T).max(axis=1), 6)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "max_benchmark_cosine": mx,
+                    "contaminated": mx >= float(threshold),
+                }
+            )
+
+    return train.mapInPandas(
+        score,
+        f"{id_col} long, max_benchmark_cosine double, contaminated boolean",
+    )
+
+
 def hyperplane_signature(
     vec_col: Column, planes: list[list[float]]
 ) -> Column:

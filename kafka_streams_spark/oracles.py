@@ -710,6 +710,29 @@ SIMILARITY_ORACLES = {
                           * 127.0 + 0.5) AS INT) AS code
         FROM ex
     """,
+    # Bench/train split mirrors _q_decontaminate_emb (vec_id md5-bucket
+    # < '20' is the benchmark). Max is order-insensitive; score rounded
+    # to 6 dp on both sides before the threshold compare.
+    "decontaminate_emb": """
+        WITH bench AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS bvec FROM embeddings
+            WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '20'
+        ),
+        train AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) >= '20'
+        ),
+        m AS (
+            SELECT t.vec_id,
+                   round(max(list_cosine_similarity(t.v, b.bvec)), 6)
+                       AS max_benchmark_cosine
+            FROM train t CROSS JOIN bench b
+            GROUP BY t.vec_id
+        )
+        SELECT vec_id, max_benchmark_cosine,
+               max_benchmark_cosine >= 0.3 AS contaminated
+        FROM m
+    """,
     # Ranks by ROUNDED similarity with id tiebreak — mirrors
     # knn_batch_to_ids' contract order exactly (raw-double ordering is
     # ulp-unstable across engines).
