@@ -111,6 +111,10 @@ def main() -> None:
         return time.perf_counter() - t0
 
     run("payments_balances")  # warmup: JVM/codegen/parquet-footer caches
+    # Arrow warmup: the first pandas-UDF/mapInPandas query otherwise pays
+    # Python-worker pool startup (measured: seconds at local[32]) — that
+    # cost belongs to the session, not whichever Arrow query runs first.
+    run("repetition_stats")
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
