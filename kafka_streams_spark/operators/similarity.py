@@ -209,10 +209,23 @@ def max_benchmark_cosine(
     but the per-batch numpy matmul emits the max directly — zero
     exchanges, nothing but the scan.
     """
-    b = bench.select(F.col(vec_col).alias("_bvec"))
-    scored = train.crossJoin(F.broadcast(b)).select(
+    from kafka_streams_spark.functions.vectors import l2_norm
+
+    # Pre-normalize BOTH sides once so the per-pair work is a single dot
+    # product: cosine_similarity() recomputes both norms for every
+    # (train, bench) pair — 3 array-folds per pair instead of 1, and the
+    # pair count is |train|·|bench|. Zero-norm vectors map to all-zero
+    # units (dot 0 ≡ the cosine-0 convention).
+    def unit(col: Column) -> Column:
+        n = l2_norm(col)
+        safe = F.when(n > 0, n).otherwise(F.lit(1.0))
+        return F.transform(col, lambda x: x.cast("double") / safe)
+
+    b = bench.select(unit(F.col(vec_col)).alias("_bvec"))
+    t = train.select(F.col(id_col), unit(F.col(vec_col)).alias("_tvec"))
+    scored = t.crossJoin(F.broadcast(b)).select(
         F.col(id_col),
-        cosine_similarity(F.col(vec_col), F.col("_bvec")).alias("_sim"),
+        dot(F.col("_tvec"), F.col("_bvec")).alias("_sim"),
     )
     return scored.groupBy(id_col).agg(
         F.round(F.max("_sim"), 6).alias("max_benchmark_cosine")
