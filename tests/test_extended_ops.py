@@ -596,3 +596,35 @@ def test_chunk_documents_windows(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+@pytest.mark.parametrize("seed,threshold", [(1, 0.5), (2, 0.3), (3, 0.8)])
+def test_prefix_jaccard_randomized_equivalence(spark, seed, threshold):
+    """Randomized prefix-vs-blocked equivalence, exercising the AllPairs
+    LENGTH filter's boundary: docs of wildly different sizes (1..40
+    tokens) over a tiny vocabulary produce many pairs sitting exactly on
+    t·max(|a|,|b|) = min(|a|,|b|) — a wrongly-strict filter drops them."""
+    import random
+
+    from kafka_streams_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def norm(out):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in out.collect()
+        )
+
+    blocked = norm(ngram_jaccard_pairs(df, n=1, threshold=threshold))
+    prefix = norm(ngram_jaccard_pairs_prefix(df, n=1, threshold=threshold))
+    assert blocked == prefix
+    assert blocked  # non-vacuous: the tiny vocabulary guarantees matches
