@@ -95,15 +95,25 @@ def knn_batch_to_ids(
     """
     from pyspark.sql import Window
 
-    q = embeddings.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    # Pre-normalize both sides once (the _normalized pattern, inlined —
+    # no spread() so the plan keeps its single exchange): per
+    # (row, query) pair the cosine is then ONE dot product, not
+    # dot + two norms — the norm fold would otherwise re-run |Q| times
+    # per corpus row.
+    from kafka_streams_spark.functions.vectors import l2_norm
+
+    norm = l2_norm(F.col(vec_col))
+    u = F.when(norm == 0, F.col(vec_col)).otherwise(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
     )
-    scored = embeddings.crossJoin(F.broadcast(q)).select(
+    unit = embeddings.select(F.col(id_col), u.alias("_unit"))
+    q = unit.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col("_unit").alias("_qvec")
+    )
+    scored = unit.crossJoin(F.broadcast(q)).select(
         "query_id",
         F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias(
-            "cosine_sim"
-        ),
+        F.round(dot(F.col("_unit"), F.col("_qvec")), 6).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col(id_col)
