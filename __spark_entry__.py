@@ -554,6 +554,12 @@ def _q_knn_batch(spark, sf_dir):
     return knn_batch_to_ids(_embs(spark, sf_dir), query_ids=[0, 1, 2], k=10)
 
 
+def _q_corpus_stats(spark, sf_dir):
+    from kafka_streams_spark.operators.text import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir))
+
+
 def _q_decontaminate_emb(spark, sf_dir):
     # Same bench/train split rule as decontaminate: vec_id md5-bucket
     # < '20' is the benchmark set.
@@ -615,6 +621,7 @@ _NEEDS_DRIVER_ROW = [
     "pii_redact",
     "dedup_incremental",
     "decontaminate_emb",
+    "corpus_stats",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_lsh_vec0",
@@ -736,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "dedup_incremental": _q_dedup_incremental,
         "decontaminate_emb": _q_decontaminate_emb,
+        "corpus_stats": _q_corpus_stats,
         "chunk_documents": _q_chunk_documents,
         "chunk_dup_stats": _q_chunk_dup_stats,
         "pack_token_shards": _q_pack_shards,

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "pii_redact",
     "decontaminate_emb",
+    "corpus_stats",
 ]
 
 

@@ -328,6 +328,37 @@ def pii_scan(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     return out.withColumn("has_pii", flag)
 
 
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus vocabulary profile: document count, total token
+    occurrences, distinct vocabulary size, hapax count (tokens seen
+    exactly once) and the top token's frequency — the Heaps/Zipf numbers
+    a corpus audit starts with (hapax share predicts OOV rate; top-token
+    mass flags boilerplate).
+
+    Two shuffles, both tiny on the reduce side: explode → per-token
+    count (map-side partial, reduces to |vocab| rows), then a single
+    1-row rollup over the vocabulary table. The corpus is scanned once.
+    """
+    from kafka_streams_spark.functions.partitioning import spread
+
+    tok = spread(docs).select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("n"))
+    stats = vocab.agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.max("n").cast("bigint").alias("top_token_freq"),
+    )
+    # Doc count joins in as a broadcast 1-row aggregate (the tf_idf
+    # pattern) — no driver-side count() job during construction.
+    n_docs = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    return stats.crossJoin(F.broadcast(n_docs)).select(
+        "n_docs", "n_tokens", "n_distinct_tokens", "n_hapax", "top_token_freq"
+    )
+
+
 def pii_redact(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -328,6 +328,19 @@ TEXT_ORACLES = {
         ORDER BY n DESC, tok
         LIMIT 20
     """,
+    "corpus_stats": f"""
+        WITH v AS (
+            SELECT tok, count(*) AS n
+            FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+            GROUP BY tok
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+               CAST(max(n) AS BIGINT) AS top_token_freq
+        FROM v
+    """,
     "ngram_counts": f"""
         WITH t AS (SELECT {_TOKS} AS toks FROM documents),
         g AS (

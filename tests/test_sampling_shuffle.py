@@ -85,3 +85,14 @@ def test_ngram_counts_golden(spark):
     )
     got = {(r.gram, r.n_occurrences) for r in ngram_counts(df, n=2, k=10).collect()}
     assert got == {("a b", 2), ("b c", 1)}  # 1-token doc contributes nothing
+
+
+def test_corpus_stats_golden(spark):
+    from kafka_streams_spark.operators.text import corpus_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "d")], "doc_id long, text string"
+    )
+    r = corpus_stats(df).collect()[0]
+    assert (r.n_docs, r.n_tokens, r.n_distinct_tokens, r.n_hapax, r.top_token_freq) \
+        == (3, 6, 4, 2, 2)  # hapax: c, d; top: a or b at 2
