@@ -205,9 +205,14 @@ def _q_knn_ivf_vec0(spark, sf_dir):
 
 
 def _q_winnowing(spark, sf_dir):
+    # md5_60 hash so the DuckDB oracle reproduces the fingerprints
+    # bit-for-bit, exploded to scalar rows (the driver canonicalizer
+    # cannot hash array cells — the r03 red row). xxhash64 stays the
+    # default fast path on the operator API.
     from kafka_streams_spark.operators.text import winnowing_fingerprint
 
-    return winnowing_fingerprint(_docs(spark, sf_dir))
+    fps = winnowing_fingerprint(_docs(spark, sf_dir), hash_fn="md5_60")
+    return fps.select("doc_id", F.explode("fingerprints").alias("fingerprint"))
 
 
 def _q_knn_lsh_vec0(spark, sf_dir):
@@ -762,7 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash_nd,  # xxhash64-based: rows-only
         "knn_lsh_vec0": _q_knn_lsh_vec0,  # randomized probe set: rows-only
         "knn_ivf_vec0": _q_knn_ivf_vec0,  # learned index: rows-only
-        "winnowing_fingerprints": _q_winnowing,  # xxhash64-based: rows-only
+        "winnowing_fingerprints": _q_winnowing,  # md5_60 contract: oracle-checked
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,  # rows-only
         "profile_documents_approx": _q_profile_documents_approx,  # HLL++: rows-only
         "approx_users_by_type": A.approx_users_by_type,  # sketch: rows-only

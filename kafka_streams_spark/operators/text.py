@@ -120,15 +120,23 @@ def winnowing_fingerprint(
     text_col: str = "text",
     k: int = 5,
     window: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprint (Schleimer et al.): rolling k-gram
     hashes, min-sampled per sliding window — the standard local-similarity
     fingerprint (MOSS). Output: (id, sorted distinct selected hashes).
 
-    Pure Column expressions: token k-grams → xxhash64 → per-window
+    Pure Column expressions: token k-grams → hash → per-window
     ``array_min`` over a slice — guarantees at least one fingerprint per
     window, so any shared substring of ≥ k+window-1 tokens yields a
     shared fingerprint (the winnowing detection guarantee).
+
+    ``hash_fn``: ``"xxhash64"`` (default, fastest — JVM codegen, not
+    reproducible outside Spark) or ``"md5_60"`` (first 15 hex chars of
+    md5 parsed as a 60-bit big-endian integer — bit-identical to DuckDB's
+    ``CAST('0x' || substr(md5(g),1,15) AS BIGINT)``, which is what makes
+    the contract query oracle-checkable; ~same plan shape, one extra
+    string stage per gram).
     """
     from pyspark.sql import Window as W
 
@@ -140,11 +148,20 @@ def winnowing_fingerprint(
     # per doc, measured 186s at sf0.1. Exploding to (doc, pos, hash) rows
     # and taking min() over a rows-window keeps everything in codegen:
     # one narrow shuffle on doc id, linear work.
+    if hash_fn == "xxhash64":
+        def gram_hash(g):
+            return F.xxhash64(g)
+    elif hash_fn == "md5_60":
+        def gram_hash(g):
+            return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5_60', got {hash_fn!r}")
+
     toks = tokens(F.col(text_col))  # positional k-grams (not deduped)
     n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+        lambda i: gram_hash(F.concat_ws(" ", F.slice(toks, i, k))),
     )
     exploded = spread(docs).select(
         F.col(id_col), F.posexplode(grams).alias("pos", "h")

@@ -321,6 +321,31 @@ def _sql_list(words: list[str]) -> str:
 _STOP_EN = _sql_list(STOPWORDS["en"])
 
 TEXT_ORACLES = {
+    # Winnowing (k=5, window=4) with the md5_60 gram hash: first 15 hex
+    # chars of md5 as a 60-bit big-endian integer — bit-identical to
+    # Spark's conv(substring(md5(g),1,15),16,10). 1-based i here mirrors
+    # the 0-based posexplode: full windows are i <= n-window+1, plus the
+    # pos-0 window short docs keep. coalesce: array_to_string([]) is
+    # NULL in DuckDB but concat_ws is '' in Spark.
+    "winnowing_fingerprints": rf"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (
+            SELECT doc_id, i,
+                   greatest(len(toks) - 4, 1) AS n,
+                   CAST(concat('0x', substr(md5(coalesce(
+                        array_to_string(toks[i:i+4], ' '), '')), 1, 15))
+                        AS BIGINT) AS h
+            FROM t, unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS u(i)
+        ),
+        w AS (
+            SELECT doc_id, i, n,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM g
+        )
+        SELECT DISTINCT doc_id, fp AS fingerprint FROM w
+        WHERE i <= n - 3 OR i = 1
+    """,
     "top_tokens": f"""
         SELECT tok, count(*) AS n
         FROM (SELECT unnest({_TOKS}) AS tok FROM documents)

@@ -86,9 +86,12 @@ def main() -> int:
             continue
         # Driver trap #2: array outputs arrive as Python lists, which the
         # driver's canonicalizer cannot sort/hash (unhashable type). Vector
-        # results must be exploded to (id, pos, value) scalar rows.
+        # results must be exploded to (id, pos, value) scalar rows. The
+        # driver canonicalizes EVERY registered query's output — including
+        # rows-only ones (r03's winnowing_fingerprints crashed before its
+        # row count was even recorded) — so the sweep applies to all.
         arr_cols = [f.name for f in sdf.schema.fields if "array" in f.dataType.simpleString()]
-        if arr_cols and name in oracles:
+        if arr_cols:
             failures.append(name)
             print(f"✗ {name:34s} ARRAY output columns (driver sort trap): {arr_cols}")
             continue
