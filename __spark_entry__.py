@@ -171,9 +171,13 @@ def _q_minhash_nd(spark, sf_dir):
 
 
 def _q_simhash_nd(spark, sf_dir):
+    # md5_60 signature hash: DuckDB reproduces it bit-for-bit, so this
+    # contract is oracle-checked (pigeonhole bucketing is exact — no
+    # false negatives — so LSH output == the oracle's all-pairs filter).
+    # blake2b stays the default fast path on the operator API.
     from kafka_streams_spark.operators.dedup import simhash_near_duplicates
 
-    return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
+    return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3, hash_fn="md5_60")
 
 
 def _q_dedup_clusters(spark, sf_dir):
@@ -764,7 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_lsh": _q_dedup_clusters_lsh,
         # -- remaining rows-only (sketch / LSH-randomized) --
         "dedup_minhash_lsh": _q_minhash_nd,  # salted-hash LSH: rows-only
-        "dedup_simhash": _q_simhash_nd,  # xxhash64-based: rows-only
+        "dedup_simhash": _q_simhash_nd,  # md5_60 contract: oracle-checked
         "knn_lsh_vec0": _q_knn_lsh_vec0,  # randomized probe set: rows-only
         "knn_ivf_vec0": _q_knn_ivf_vec0,  # learned index: rows-only
         "winnowing_fingerprints": _q_winnowing,  # md5_60 contract: oracle-checked

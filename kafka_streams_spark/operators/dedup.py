@@ -638,30 +638,56 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return docs.select(id_col, text_col).mapInPandas(process, schema=out_schema)
 
 
-def simhash_expr(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash_expr(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """Pure-expression twin of :func:`simhash` (JVM-only pipelines):
-    explode tokens → xxhash64 → per-bit ±1 contributions summed per doc
-    (64 conditional-sum aggregates) → sign vector packed into a bigint.
-    Different token hash (xxhash64 vs blake2b), so signatures are not
-    byte-identical across twins; hamming statistics are equivalent.
+    explode tokens → hash → per-bit ±1 contributions summed per doc
+    (conditional-sum aggregates) → sign vector packed into a bigint.
+
+    ``hash_fn``: ``"xxhash64"`` (default, 64-bit signatures; different
+    token hash than the Arrow twin's blake2b, so signatures are not
+    byte-identical across twins but hamming statistics are) or
+    ``"md5_60"`` (first 15 hex chars of md5 as a 60-bit integer —
+    bit-identical to DuckDB's ``CAST('0x' || substr(md5(t),1,15) AS
+    BIGINT)``, which makes the near-dup contract oracle-checkable;
+    60-bit signatures, no sign-bit fold needed).
+
+    Docs whose token list is empty drop out (explode of an empty array)
+    — mirrored by the DuckDB oracle's ``unnest``.
     """
     from kafka_streams_spark.functions.partitioning import spread
 
+    if hash_fn == "xxhash64":
+        h, bits = F.xxhash64("tok"), SIMHASH_BITS
+    elif hash_fn == "md5_60":
+        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+        bits = 60
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5_60', got {hash_fn!r}")
+
     tok = spread(docs).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", h)
     bit_sums = tok.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(SIMHASH_BITS)
+            for i in range(bits)
         ]
     )
     sig = sum(
         (F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint")).otherwise(0) * F.lit(1 << i).cast("bigint"))
-        for i in range(SIMHASH_BITS - 1)  # bit 63 would overflow signed; fold below
-    ) + F.when(F.col(f"b{SIMHASH_BITS - 1}") > 0, F.lit(-(1 << 63)).cast("bigint")).otherwise(0)
+        for i in range(min(bits, 63))
+    )
+    if bits == 64:  # bit 63 would overflow signed; fold as the sign bit
+        sig = sig + F.when(
+            F.col("b63") > 0, F.lit(-(1 << 63)).cast("bigint")
+        ).otherwise(0)
     return bit_sums.select(F.col(id_col), sig.alias("simhash"))
 
 
@@ -670,19 +696,36 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_fn: str = "blake2b",
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ max_hamming between SimHashes.
 
-    Pigeonhole LSH: split 64 bits into (max_hamming+1) chunks — any pair
-    within distance d shares at least one exact chunk. Bucket pair
-    expansion on (chunk_idx, chunk_value) — same shape as MinHash
-    banding, signature computed once, no cross join. Hamming distance
-    verified exactly via bit_count(xor); the signature rides inside the
-    bucket payload struct so no join back is needed.
+    Pigeonhole LSH: split the signature bits into (max_hamming+1) chunks
+    — any pair within distance d shares at least one exact chunk, so the
+    bucketing is EXACT (no false negatives) and the output deterministic
+    given the hash. Bucket pair expansion on (chunk_idx, chunk_value) —
+    same shape as MinHash banding, signature computed once, no cross
+    join. Hamming distance verified exactly via bit_count(xor); the
+    signature rides inside the bucket payload struct so no join back is
+    needed.
+
+    ``hash_fn``: ``"blake2b"`` (default — the Arrow :func:`simhash`
+    pass, fastest), ``"xxhash64"`` (expression twin), or ``"md5_60"``
+    (expression twin whose 60-bit signature is reproducible in DuckDB —
+    the oracle-checked contract path; pigeonhole still covers all bits:
+    4 chunks × 15 bits at max_hamming=3).
     """
     k = max_hamming + 1
-    width = SIMHASH_BITS // k
-    sigs = simhash(docs, id_col, text_col)
+    if hash_fn == "blake2b":
+        sigs, bits = simhash(docs, id_col, text_col), SIMHASH_BITS
+    else:
+        bits = 60 if hash_fn == "md5_60" else SIMHASH_BITS
+        sigs = simhash_expr(docs, id_col, text_col, hash_fn=hash_fn)
+    # k chunks covering all `bits` (first bits%k chunks one wider) — the
+    # pigeonhole guarantee needs full coverage, not equal widths.
+    base, rem = divmod(bits, k)
+    widths = [base + (1 if i < rem else 0) for i in range(k)]
+    offsets = [sum(widths[:i]) for i in range(k)]
     chunks = sigs.select(
         F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig")).alias(
             "payload"
@@ -690,7 +733,7 @@ def simhash_near_duplicates(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND((1 << width) - 1)
+                    F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND((1 << widths[i]) - 1)
                     for i in range(k)
                 ]
             )

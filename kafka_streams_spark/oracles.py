@@ -642,7 +642,46 @@ _CURATE_FUZZY_SQL = f"""
     WHERE rn = 1
 """
 
+# SimHash md5_60 twin: per-token 60-bit hash (15 hex chars of md5, the
+# same rule as winnowing_fingerprints), ±1 votes per bit, sign vector
+# packed into a BIGINT. The 60 conditional sums / shift-adds are
+# generated here rather than hand-written. The oracle verifies the
+# LSH output against a plain all-pairs hamming filter — pigeonhole
+# chunking is exact, so the two formulations are equal by construction.
+_SIMHASH60_SUMS = ",\n               ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(60)
+)
+_SIMHASH60_SIG = "\n             + ".join(
+    f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
+    for i in range(60)
+)
+
 DEDUP_ORACLES = {
+    "dedup_simhash": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+            FROM tok
+        ),
+        b AS (
+            SELECT doc_id,
+               {_SIMHASH60_SUMS}
+            FROM h GROUP BY doc_id
+        ),
+        s AS (
+            SELECT doc_id,
+               {_SIMHASH60_SIG} AS simhash
+            FROM b
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
     # Same existing/new split as decontaminate: doc_id md5-bucket < '20'
     # is the curated corpus, the rest the increment. Counts are over the
     # ORIGINAL text for all three patterns (matches pii_redact).

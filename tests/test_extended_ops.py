@@ -95,6 +95,32 @@ def test_simhash_synthetic_and_bound(spark, docs):
     assert {(r["id_a"], r["id_b"]) for r in found if r["hamming"] == 0}
 
 
+def test_simhash_md5_pigeonhole_exact(docs):
+    """The md5_60 contract path: pigeonhole LSH must equal brute-force
+    all-pairs hamming filtering (exactness claim the DuckDB oracle also
+    relies on), including the uneven-chunk-width coverage at bits=60."""
+    from kafka_streams_spark.operators.dedup import simhash_expr
+
+    lsh = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_duplicates(docs, max_hamming=3, hash_fn="md5_60").collect()
+    }
+    sigs = simhash_expr(docs, hash_fn="md5_60").alias("a")
+    b = sigs.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in sigs.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert lsh == brute and brute
+
+
 def test_knn_lsh_recall(embs):
     qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
     exact = [r["vec_id"] for r in knn_brute_force(embs, qvec, k=10).collect()]
