@@ -131,15 +131,17 @@ def _q_dedup_exact_rows(spark, sf_dir):
 
 
 def _q_token_jaccard(spark, sf_dir):
-    # Unigram Jaccard on THIS corpus is a dense shingle space (620-token
-    # vocabulary): prefix filtering cannot filter (posting lists ~1000
-    # docs) and measures ~3x slower than the blocked join, so the dense
-    # case rides the blocked form. The prefix twin is separately
-    # registered (dedup_token_jaccard_prefix) against the same oracle —
-    # see ngram_jaccard_pairs_prefix docstring for the measured rule.
-    from kafka_streams_spark.operators.dedup import ngram_jaccard_pairs
+    # Engine-chosen physical form: auto-dispatch applies the measured
+    # blocked↔prefix rule from cheap corpus stats (max block rows,
+    # mean posting-list length) — on THIS corpus unigrams are a dense
+    # shingle space (620-token vocabulary, mean posting ≈ 1600) inside
+    # small blocks, so the dispatcher picks the blocked join; a
+    # too-large block would force prefix regardless. The prefix twin is
+    # separately registered (dedup_token_jaccard_prefix) against the
+    # same oracle.
+    from kafka_streams_spark.operators.dedup import ngram_jaccard_pairs_auto
 
-    return ngram_jaccard_pairs(
+    return ngram_jaccard_pairs_auto(
         _docs(spark, sf_dir), n=1, threshold=0.8, block_col="source"
     )
 

@@ -324,6 +324,93 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+def ngram_jaccard_pairs_auto(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+    max_block_rows: int = 10_000,
+    dense_posting_len: int = 100,
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairs with engine-chosen physical form.
+
+    Applies the measured blocked↔prefix rule (see
+    :func:`ngram_jaccard_pairs_prefix`) from cheap corpus stats instead
+    of leaving the choice to the caller — the guard that keeps the
+    O(block²) blocked join from ever running on a block too large for
+    it:
+
+    1. ``max(block rows) > max_block_rows`` → **prefix**, always. One
+       dominant block (a single `source` at 100 TB) makes the blocked
+       join quadratic death regardless of vocabulary density; prefix
+       filtering degrades gracefully (posting-list joins stay linear in
+       occurrences).
+    2. otherwise, mean posting-list length = shingle occurrences /
+       distinct shingles. ``>= dense_posting_len`` → **blocked**: a
+       dense space (sf0.1 unigrams: 620-shingle vocabulary, mean
+       posting ≈ 1600) defeats prefix filtering — every "rare" prefix
+       shingle still lists ~every doc, so candidate generation
+       approaches all-pairs while paying the extra freq/window stages
+       (measured 11 s vs 3.9 s blocked). Sparse (sf0.1 bigrams: mean
+       posting ≈ 7) → **prefix** (measured 7.9 s vs 11.2 s, gap grows
+       with block size).
+
+    The stats cost two linear jobs at plan-construction time (a
+    per-block row count and one approx_count_distinct over exploded
+    shingles) — negligible next to either join, and the documented
+    exception to "no driver actions in query construction", same class
+    as the IVF KMeans fit: it picks the plan, it isn't part of it. At
+    100 TB both numbers come from table statistics you'd maintain
+    anyway (ANALYZE / a shingle-index summary), not a scan.
+
+    Output is identical across both forms (oracle-equal); only the
+    physical strategy changes.
+    """
+    from kafka_streams_spark.functions.partitioning import spread
+
+    if block_col:
+        max_block = (
+            docs.groupBy(block_col).count().agg(F.max("count").alias("m")).head()["m"]
+        )
+    else:
+        max_block = docs.count()
+    if (max_block or 0) > max_block_rows:
+        choice = "prefix"
+    else:
+        occ = (
+            spread(docs)
+            .select(F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+            .agg(
+                F.count("*").alias("occ"),
+                F.approx_count_distinct("s").alias("distinct"),
+            )
+            .head()
+        )
+        choice = jaccard_dispatch_choice(
+            max_block or 0, occ["occ"], occ["distinct"], max_block_rows, dense_posting_len
+        )
+    fn = ngram_jaccard_pairs if choice == "blocked" else ngram_jaccard_pairs_prefix
+    return fn(docs, id_col, text_col, n, threshold, block_col)
+
+
+def jaccard_dispatch_choice(
+    max_block: int,
+    occurrences: int,
+    distinct_shingles: int,
+    max_block_rows: int = 10_000,
+    dense_posting_len: int = 100,
+) -> str:
+    """The pure dispatch rule of :func:`ngram_jaccard_pairs_auto`,
+    separated so tests (and a stats-fed 100 TB planner) can exercise the
+    routing without running the stats jobs."""
+    if max_block > max_block_rows:
+        return "prefix"
+    mean_posting = occurrences / max(distinct_shingles, 1)
+    return "blocked" if mean_posting >= dense_posting_len else "prefix"
+
+
 # ---------------------------------------------------------------------------
 # bucket pair expansion (shared by MinHash banding and SimHash chunking)
 # ---------------------------------------------------------------------------

@@ -210,6 +210,55 @@ def test_prefix_jaccard_matches_blocked(docs):
     assert blocked == prefix and blocked
 
 
+def test_jaccard_auto_dispatch(docs):
+    """The engine, not the caller, picks blocked vs prefix — and a
+    too-large block forces prefix regardless of density (the 100 TB
+    quadratic-death guard). Output is identical either way."""
+    from kafka_streams_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_auto,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    def norm(df):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in df.collect()
+        )
+
+    # dense unigram space within small blocks -> blocked form
+    auto = norm(ngram_jaccard_pairs_auto(docs, n=1, threshold=0.7, block_col="source"))
+    assert auto == norm(ngram_jaccard_pairs(docs, n=1, threshold=0.7, block_col="source"))
+    assert auto
+
+    # same corpus but a 10-row block cap: blocked is forbidden, prefix
+    # must be chosen, and the output must not change
+    guarded = norm(
+        ngram_jaccard_pairs_auto(
+            docs, n=1, threshold=0.7, block_col="source", max_block_rows=10
+        )
+    )
+    assert guarded == auto
+
+    # sparse trigram space -> prefix form
+    sparse = norm(ngram_jaccard_pairs_auto(docs, n=3, threshold=0.5, block_col="source"))
+    assert sparse == norm(
+        ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.5, block_col="source")
+    )
+
+
+def test_jaccard_dispatch_rule():
+    """The routing itself: dense+small -> blocked; oversized block ->
+    prefix even when dense; sparse -> prefix."""
+    from kafka_streams_spark.operators.dedup import jaccard_dispatch_choice
+
+    # sf0.1-unigram-shaped stats: 620 vocab, ~1600 mean posting, small blocks
+    assert jaccard_dispatch_choice(1300, 1_000_000, 620) == "blocked"
+    # same density but one dominant block: the quadratic-death guard wins
+    assert jaccard_dispatch_choice(1_000_000, 1_000_000, 620) == "prefix"
+    # sf0.1-bigram-shaped stats: mean posting ~7
+    assert jaccard_dispatch_choice(1300, 2_000_000, 300_000) == "prefix"
+
+
 def test_curate_corpus_semantics(spark):
     """Gates and dedup behave: low-quality, PII-bearing, and duplicate
     docs are dropped; the min-id duplicate survives."""
