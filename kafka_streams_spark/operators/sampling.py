@@ -129,6 +129,8 @@ def stratified_sample(
     changes with partitioning). Sampling per id keeps referential
     integrity across tables sampled with the same rates.
     """
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("default_rate must be in [0, 1]")
     rate = None
     for k, r in sorted(rates.items()):
         if not 0.0 <= r <= 1.0:
@@ -171,6 +173,8 @@ def upsample_epochs(
     |corpus| · mean(e) rows — the fan-out happens in the scan stage and
     never materializes per-executor state.
     """
+    if default_epochs < 0:
+        raise ValueError("default_epochs must be >= 0")
     e = None
     for k, v in sorted(epochs.items()):
         if v < 0:

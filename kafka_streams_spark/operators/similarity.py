@@ -20,6 +20,18 @@ from pyspark.sql import functions as F
 from kafka_streams_spark.functions.vectors import cosine_similarity, dot
 
 
+def _round_half_up6(x: "np.ndarray") -> "np.ndarray":
+    """Sign-aware HALF_UP rounding to 6 dp for the Arrow paths.
+
+    np.round is banker's (half-to-even); Spark F.round and DuckDB round
+    are HALF_UP (away from zero). A cosine landing exactly on a
+    representable half at the 7th decimal would make the Arrow and
+    expression forms disagree — vanishingly rare for float64, but the
+    cross-form equality is a stated contract, so all engines share one
+    rule."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
 def _query_lit(query_vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in query_vec])
 
@@ -170,7 +182,7 @@ def knn_batch_arrow(
                 # Select under the CONTRACT order (rounded sim desc, id
                 # asc) — selecting on raw sims could disagree with the
                 # global re-rank on a 6-dp tie at the k boundary.
-                rounded = np.round(sims[:, qi], 6)
+                rounded = _round_half_up6(sims[:, qi])
                 top = np.lexsort((ids, -rounded))[:kk]
                 out.append(
                     pd.DataFrame(
@@ -225,7 +237,11 @@ def max_benchmark_cosine(
     # product: cosine_similarity() recomputes both norms for every
     # (train, bench) pair — 3 array-folds per pair instead of 1, and the
     # pair count is |train|·|bench|. Zero-norm vectors map to all-zero
-    # units (dot 0 ≡ the cosine-0 convention).
+    # units (dot 0 ≡ the cosine-0 convention). NOTE: the DuckDB oracles
+    # call list_cosine_similarity directly, which yields an arbitrary
+    # value (-1.0 observed) on a zero vector — the contract presumes no
+    # zero-norm embeddings in the data, pinned by
+    # tests/test_extended_ops.py::test_no_zero_norm_embeddings.
     def unit(col: Column) -> Column:
         n = l2_norm(col)
         safe = F.when(n > 0, n).otherwise(F.lit(1.0))
@@ -259,9 +275,15 @@ def max_benchmark_cosine_arrow(
     is a literal (plain Python, collected OUTSIDE query construction),
     and one Arrow `mapInPandas` pass emits (id, max_cosine, flag) per
     row — a pure map over the corpus scan, zero exchanges. Equality with
-    the expression form is pinned in tests (same 6-dp rounding)."""
+    the expression form is pinned in tests (same 6-dp HALF_UP rounding).
+
+    An empty benchmark set is rejected up front (the (n,0) matmul would
+    raise per-batch; the expression twin would silently return zero
+    rows — neither is a sane decontamination answer)."""
     from collections.abc import Iterator
 
+    if not bench_vecs:
+        raise ValueError("bench_vecs must be non-empty")
     B = np.asarray(bench_vecs, dtype=np.float64)
     Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
 
@@ -271,7 +293,7 @@ def max_benchmark_cosine_arrow(
                 continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-            mx = np.round((Mn @ Bn.T).max(axis=1), 6)
+            mx = _round_half_up6((Mn @ Bn.T).max(axis=1))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),

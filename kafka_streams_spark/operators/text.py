@@ -383,15 +383,22 @@ def pii_redact(
     flags documents: emails/URLs/IPv4s are replaced with fixed
     ``<TYPE>`` sentinels so downstream token statistics stay stable.
 
-    Order matters and is pinned: emails BEFORE urls (an email inside a
-    URL query string must become <EMAIL>, not be swallowed whole),
-    urls before ipv4s (an IP that is a URL host belongs to the URL).
+    Order is pinned (emails, then urls, then ipv4s) and nested matches
+    resolve by that order: an email inside a URL query string becomes
+    <EMAIL> first, and the URL pass then swallows the whole remainder —
+    including the <EMAIL> sentinel, which has no whitespace — into
+    <URL>; an IP that is a URL host likewise disappears into <URL>.
     Pure chained `regexp_replace` — map-only, zero shuffle, codegen;
     the same RE2-safe patterns as pii_scan so scan/redact agree on
-    what PII is.
+    what PII is. The DuckDB oracle applies the identical order and
+    patterns, so the contract is exact.
 
-    Output: (id, redacted text, n_redactions) — the count lets curation
-    drop documents that are mostly PII rather than keep husks.
+    Output: (id, redacted text, n_redactions). n_redactions counts all
+    three patterns over the ORIGINAL text, so nested matches (an email
+    inside a URL, an IP as a URL host) are counted once per pattern —
+    it can exceed the number of sentinels actually left in the text.
+    It is a PII-density signal for curation gates (drop documents that
+    are mostly PII), not a count of replaced spans.
     """
     t = F.col(text_col)
     n = F.lit(0)

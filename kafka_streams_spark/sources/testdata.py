@@ -53,9 +53,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; `nanosAsLong`
       (set at runtime so it also holds under the driver's session) reads it
       as epoch-nanos long, then we TRUNCATE to µs (`(ts div 1000) * 1000`).
-    - timestamp[us] (reads as TIMESTAMP_NTZ): `unix_micros(cast(..)) * 1000`
-      under a UTC session timezone — the NTZ wall clock IS UTC, matching
-      DuckDB's naive-timestamp `epoch_ns`.
+    - timestamp[us] (reads as TIMESTAMP_NTZ): `timestampdiff(MICROSECOND,
+      ntz-epoch, ts) * 1000` — pure wall-clock arithmetic on NTZ operands,
+      independent of the session timezone (the earlier `unix_micros(cast)`
+      form silently shifted if anything reset spark.sql.session.timeZone
+      between construction and execution). The NTZ wall clock IS UTC by
+      generation, matching DuckDB's naive-timestamp `epoch_ns`.
 
     µs is the canonical precision; keeping sub-µs nanos made durations/gap
     comparisons differ by ±1 at the last digit vs any timestamp-typed engine.
@@ -67,11 +70,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(ev.schema["ts"].dataType, LongType):
             # integer div — float division would shed low bits (nanos > 2^53)
             return ev.withColumn("ts", F.expr("(ts div 1000) * 1000"))
-        # NTZ→TIMESTAMP cast interprets the wall clock in the session tz;
-        # pin UTC so epoch extraction matches DuckDB's naive-as-UTC reading.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Wall-clock diff on NTZ operands — no session-tz dependency, no
+        # global conf mutation; the NTZ wall clock is UTC by generation.
         return ev.withColumn(
-            "ts", F.expr("unix_micros(cast(ts as timestamp)) * 1000")
+            "ts",
+            F.expr(
+                "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts) * 1000"
+            ),
         )
     return _read_cached(spark, f"{sf_dir}/{name}.parquet")
 

@@ -246,6 +246,24 @@ def test_jaccard_auto_dispatch(docs):
     )
 
 
+def test_no_zero_norm_embeddings(embs):
+    """Contract precondition: the cosine operators map zero-norm vectors
+    to similarity 0, but the DuckDB oracles call list_cosine_similarity
+    directly, which yields an arbitrary value on a zero vector. The
+    engines agree only while no zero-norm embedding exists — fail loudly
+    here if testdata generation ever ships one."""
+    from kafka_streams_spark.functions.vectors import l2_norm
+
+    assert embs.filter(l2_norm(F.col("embedding")) == 0).count() == 0
+
+
+def test_benchmark_cosine_empty_bench_rejected(embs):
+    from kafka_streams_spark.operators.similarity import max_benchmark_cosine_arrow
+
+    with pytest.raises(ValueError, match="non-empty"):
+        max_benchmark_cosine_arrow(embs, [])
+
+
 def test_jaccard_dispatch_rule():
     """The routing itself: dense+small -> blocked; oversized block ->
     prefix even when dense; sparse -> prefix."""
