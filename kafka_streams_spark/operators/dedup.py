@@ -324,6 +324,135 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+def ngram_jaccard_pairs_bitset(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+    max_vocab: int = 4096,
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairs for DENSE, SMALL shingle vocabularies
+    — the third physical form behind :func:`ngram_jaccard_pairs_auto`.
+
+    Precondition (checked): the corpus-wide distinct shingle count fits
+    ``max_vocab``. Each document's shingle set is then encoded as a
+    fixed-width bitmask (``ceil(|V|/64)`` longs) in one Arrow pass, and
+    the in-block self-join computes ``|∩|`` as Σ bit_count(a_i & b_i) —
+    a handful of codegen'd AND+popcounts per pair instead of building a
+    hash set over two ~|V|-element string arrays per pair (the blocked
+    form's cost). Measured at sf0.1 unigrams (620-token vocabulary):
+    the verify join drops from ~3.5 s to well under a second; output is
+    bit-identical (same integer ∩/∪ → same double).
+
+    The vocabulary is collected once at plan-construction time (tiny by
+    precondition — it IS the density condition that routes here; ≤
+    max_vocab strings) and shipped to the Arrow encoder as a closure
+    literal — same "stats pick the plan" class as the dispatch jobs.
+    Raises ``ValueError`` if the vocabulary exceeds ``max_vocab``:
+    callers (the dispatcher) treat that as "not the dense-small case".
+
+    An AllPairs length prefilter (min ≥ t·max on set sizes) prunes
+    size-mismatched pairs before the mask compare.
+    """
+    import math
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from kafka_streams_spark.functions.partitioning import spread
+
+    vocab_rows = (
+        spread(docs)
+        .select(F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+        .distinct()
+        .limit(max_vocab + 1)
+        .collect()
+    )
+    if len(vocab_rows) > max_vocab:
+        raise ValueError(
+            f"vocabulary exceeds max_vocab={max_vocab}; use the blocked or "
+            "prefix form"
+        )
+    index = {r["s"]: i for i, r in enumerate(sorted(vocab_rows, key=lambda r: r["s"]))}
+    n_words = max(1, math.ceil(len(index) / 64))
+
+    id_field = docs.schema[id_col]
+    blk_fields = [docs.schema[block_col]] if block_col else []
+    out_schema = StructType(
+        [id_field, *blk_fields, StructField("sz", LongType())]
+        + [StructField(f"m{j}", LongType()) for j in range(n_words)]
+    )
+    cols = [id_col] + ([block_col] if block_col else []) + [text_col]
+    nn, idx_map, words = n, index, n_words
+    has_blk = block_col is not None
+
+    # self-contained closure: shipped by value to Python workers; the
+    # tokenization mirrors word_shingles (str.split + dict.fromkeys)
+    def encode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        keys = ["_id"] + (["_blk"] if has_blk else []) + ["sz"] + [f"m{j}" for j in range(words)]
+        for pdf in batches:
+            out = {c: [] for c in keys}
+            for row in pdf.itertuples(index=False):
+                rid, text = row[0], row[-1]
+                toks = (text or "").lower().split()
+                if len(toks) <= nn:
+                    sh = {" ".join(toks)}
+                else:
+                    sh = dict.fromkeys(
+                        " ".join(toks[j : j + nn]) for j in range(len(toks) - nn + 1)
+                    )
+                masks = _np.zeros(words, dtype=_np.uint64)
+                for s in sh:
+                    i = idx_map[s]
+                    masks[i >> 6] |= _np.uint64(1) << _np.uint64(i & 63)
+                out["_id"].append(rid)
+                if has_blk:
+                    out["_blk"].append(row[1])
+                out["sz"].append(len(sh))
+                for j in range(words):
+                    out[f"m{j}"].append(int(masks[j].astype(_np.int64)))
+            pdf_out = _pd.DataFrame(out, columns=keys)
+            pdf_out.columns = [f.name for f in out_schema.fields]
+            yield pdf_out
+
+    enc = spread(docs, block_col).select(*cols).mapInPandas(encode, schema=out_schema)
+    a, b = enc.alias("a"), enc.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    t = F.lit(float(threshold))
+    cond = (
+        cond
+        & (F.col("b.sz") >= t * F.col("a.sz") - F.lit(1e-9))
+        & (F.col("a.sz") >= t * F.col("b.sz") - F.lit(1e-9))
+    )
+    inter = sum(
+        F.bit_count(F.col(f"a.m{j}").bitwiseAND(F.col(f"b.m{j}")))
+        for j in range(n_words)
+    ).cast("double")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            inter.alias("_inter"),
+            (F.col("a.sz") + F.col("b.sz")).cast("double").alias("_sizes"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.when(F.col("_sizes") - F.col("_inter") == 0, F.lit(1.0))
+            .otherwise(F.col("_inter") / (F.col("_sizes") - F.col("_inter")))
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs_auto(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -333,6 +462,7 @@ def ngram_jaccard_pairs_auto(
     block_col: str | None = None,
     max_block_rows: int = 10_000,
     dense_posting_len: int = 100,
+    stats_sample_docs: int = 2048,
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairs with engine-chosen physical form.
 
@@ -357,19 +487,20 @@ def ngram_jaccard_pairs_auto(
        posting ≈ 7) → **prefix** (measured 7.9 s vs 11.2 s, gap grows
        with block size).
 
-    The stats cost two linear jobs at plan-construction time (a
-    per-block row count and one approx_count_distinct over exploded
-    shingles) — negligible next to either join, and the documented
-    exception to "no driver actions in query construction", same class
-    as the IVF KMeans fit: it picks the plan, it isn't part of it. At
-    100 TB both numbers come from table statistics you'd maintain
-    anyway (ANALYZE / a shingle-index summary), not a scan.
+    The stats cost two small jobs at plan-construction time (a
+    per-block row count, and shingle occurrence/distinct counts over a
+    ``stats_sample_docs``-row limit — the density signal is orders of
+    magnitude wide (sf0.1: mean posting 1600 dense vs 7 sparse), so a
+    bounded sample decides it without shingling the corpus). This is
+    the documented exception to "no driver actions in query
+    construction", same class as the IVF KMeans fit: it picks the plan,
+    it isn't part of it. At 100 TB both numbers come from table
+    statistics you'd maintain anyway (ANALYZE / a shingle-index
+    summary), not a scan.
 
     Output is identical across both forms (oracle-equal); only the
     physical strategy changes.
     """
-    from kafka_streams_spark.functions.partitioning import spread
-
     if block_col:
         max_block = (
             docs.groupBy(block_col).count().agg(F.max("count").alias("m")).head()["m"]
@@ -380,7 +511,7 @@ def ngram_jaccard_pairs_auto(
         choice = "prefix"
     else:
         occ = (
-            spread(docs)
+            docs.limit(stats_sample_docs)
             .select(F.explode(word_shingles(F.col(text_col), n)).alias("s"))
             .agg(
                 F.count("*").alias("occ"),
@@ -391,8 +522,19 @@ def ngram_jaccard_pairs_auto(
         choice = jaccard_dispatch_choice(
             max_block or 0, occ["occ"], occ["distinct"], max_block_rows, dense_posting_len
         )
-    fn = ngram_jaccard_pairs if choice == "blocked" else ngram_jaccard_pairs_prefix
-    return fn(docs, id_col, text_col, n, threshold, block_col)
+    if choice == "blocked":
+        # dense-small refinement: if the exact vocabulary fits a bitmask
+        # (it usually does — small vocabulary IS what made the space
+        # dense), pairs compare by AND+popcount instead of string-array
+        # intersection. Falls back to the array form when the sampled
+        # density was dense but the true vocabulary is large.
+        try:
+            return ngram_jaccard_pairs_bitset(
+                docs, id_col, text_col, n, threshold, block_col
+            )
+        except ValueError:
+            return ngram_jaccard_pairs(docs, id_col, text_col, n, threshold, block_col)
+    return ngram_jaccard_pairs_prefix(docs, id_col, text_col, n, threshold, block_col)
 
 
 def jaccard_dispatch_choice(
@@ -667,24 +809,39 @@ def minhash_near_duplicates(
 SIMHASH_BITS = 64
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document — one Arrow map-side pass, NO shuffle.
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "blake2b",
+) -> DataFrame:
+    """SimHash per document — one Arrow map-side pass, NO shuffle.
 
     Per Arrow batch: tokenize in Python, hash each distinct token once
-    (blake2b/8-byte, cached — vocabularies repeat heavily), then numpy
-    bit-unpack → ±1 sums → sign vector packed into one int64. Replaces
-    the explode → 64 conditional-sum aggregates form
-    (:func:`simhash_expr`): that computed full signatures map-side via
-    partial aggregation, but the per-exploded-row 64-buffer
-    HashAggregate measured 2.8 s at sf0.1 vs 0.2 s for this pass. At
-    100 TB simhash becomes embarrassingly parallel: signature is a map
-    output; only the (id, simhash) rows — and never tokens — move.
+    (cached — vocabularies repeat heavily), then numpy bit-unpack → ±1
+    sums → sign vector packed into one int64. Replaces the explode →
+    per-bit conditional-sum aggregates form (:func:`simhash_expr`): that
+    computed full signatures map-side via partial aggregation, but the
+    per-exploded-row 64-buffer HashAggregate measured 2.8 s at sf0.1 vs
+    0.2 s for this pass. At 100 TB simhash becomes embarrassingly
+    parallel: signature is a map output; only the (id, simhash) rows —
+    and never tokens — move.
+
+    ``hash_fn``: ``"blake2b"`` (default, 64-bit token hash; empty-token
+    docs keep signature 0) or ``"md5_60"`` (first 15 hex chars of md5 as
+    a 60-bit int — hashlib.md5 hexdigest is byte-identical to Spark
+    F.md5 and DuckDB md5, so signatures equal :func:`simhash_expr`'s
+    md5_60 output exactly, pinned in tests; empty-token docs are DROPPED
+    to mirror the expression twin's explode / the oracle's unnest).
     """
     import numpy as np
     from pyspark.sql.types import LongType, StructField, StructType
 
+    if hash_fn not in ("blake2b", "md5_60"):
+        raise ValueError(f"hash_fn must be 'blake2b' or 'md5_60', got {hash_fn!r}")
     id_field = docs.schema[id_col]
     out_schema = StructType([id_field, StructField("simhash", LongType())])
+    use_md5 = hash_fn == "md5_60"
 
     # self-contained closure: shipped by value to Python workers
     def process(batches):
@@ -693,16 +850,20 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         import numpy as _np
         import pandas as _pd
 
-        shifts = _np.arange(64, dtype=_np.uint64)
+        bits_n = 60 if use_md5 else 64
+        shifts = _np.arange(bits_n, dtype=_np.uint64)
         hcache: dict[str, int] = {}
 
         def h64(tok: str) -> int:
             v = hcache.get(tok)
             if v is None:
-                v = int.from_bytes(
-                    hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
-                    "little",
-                )
+                b = tok.encode("utf-8")
+                if use_md5:
+                    v = int(hashlib.md5(b).hexdigest()[:15], 16)
+                else:
+                    v = int.from_bytes(
+                        hashlib.blake2b(b, digest_size=8).digest(), "little"
+                    )
                 hcache[tok] = v
             return v
 
@@ -711,15 +872,16 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             for i, text in zip(pdf[id_col], pdf[text_col]):
                 toks = (text or "").lower().split()
                 if not toks:
-                    ids.append(i)
-                    sigs.append(0)
+                    if not use_md5:  # md5_60 mirrors explode: row drops
+                        ids.append(i)
+                        sigs.append(0)
                     continue
                 hs = _np.fromiter((h64(t) for t in toks), dtype=_np.uint64, count=len(toks))
                 bits = ((hs[:, None] >> shifts) & _np.uint64(1)).astype(_np.int64)
-                vote = (2 * bits - 1).sum(axis=0) > 0  # (64,) sign vector
-                packed = _np.packbits(vote, bitorder="little").tobytes()
+                vote = (2 * bits - 1).sum(axis=0) > 0  # sign vector
+                packed = (vote.astype(_np.uint64) << shifts).sum(dtype=_np.uint64)
                 ids.append(i)
-                sigs.append(int.from_bytes(packed, "little", signed=True))
+                sigs.append(int(packed.astype(_np.int64)))  # two's-complement
             yield _pd.DataFrame({id_col: ids, "simhash": sigs})
 
     return docs.select(id_col, text_col).mapInPandas(process, schema=out_schema)
@@ -797,16 +959,18 @@ def simhash_near_duplicates(
     needed.
 
     ``hash_fn``: ``"blake2b"`` (default — the Arrow :func:`simhash`
-    pass, fastest), ``"xxhash64"`` (expression twin), or ``"md5_60"``
-    (expression twin whose 60-bit signature is reproducible in DuckDB —
-    the oracle-checked contract path; pigeonhole still covers all bits:
-    4 chunks × 15 bits at max_hamming=3).
+    pass, fastest), ``"md5_60"`` (the SAME Arrow pass with a 60-bit
+    md5-derived token hash that DuckDB reproduces — the oracle-checked
+    contract path; pigeonhole still covers all bits: 4 chunks × 15 bits
+    at max_hamming=3), or ``"xxhash64"`` (the expression twin, for
+    JVM-only pipelines).
     """
     k = max_hamming + 1
-    if hash_fn == "blake2b":
-        sigs, bits = simhash(docs, id_col, text_col), SIMHASH_BITS
-    else:
+    if hash_fn in ("blake2b", "md5_60"):
         bits = 60 if hash_fn == "md5_60" else SIMHASH_BITS
+        sigs = simhash(docs, id_col, text_col, hash_fn=hash_fn)
+    else:
+        bits = SIMHASH_BITS
         sigs = simhash_expr(docs, id_col, text_col, hash_fn=hash_fn)
     # k chunks covering all `bits` (first bits%k chunks one wider) — the
     # pigeonhole guarantee needs full coverage, not equal widths.

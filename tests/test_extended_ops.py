@@ -246,6 +246,17 @@ def test_jaccard_auto_dispatch(docs):
     )
 
 
+def test_simhash_md5_arrow_equals_expr(docs):
+    """The contract's Arrow md5_60 signatures must equal the expression
+    twin's bit-for-bit (hashlib.md5 hexdigest == F.md5 == DuckDB md5),
+    including dropping empty-token docs like explode/unnest do."""
+    from kafka_streams_spark.operators.dedup import simhash, simhash_expr
+
+    arrow = {r["doc_id"]: r["simhash"] for r in simhash(docs, hash_fn="md5_60").collect()}
+    expr = {r["doc_id"]: r["simhash"] for r in simhash_expr(docs, hash_fn="md5_60").collect()}
+    assert arrow == expr and arrow
+
+
 def test_no_zero_norm_embeddings(embs):
     """Contract precondition: the cosine operators map zero-norm vectors
     to similarity 0, but the DuckDB oracles call list_cosine_similarity
@@ -262,6 +273,32 @@ def test_benchmark_cosine_empty_bench_rejected(embs):
 
     with pytest.raises(ValueError, match="non-empty"):
         max_benchmark_cosine_arrow(embs, [])
+
+
+def test_jaccard_bitset_matches_blocked(docs):
+    """The bitset form (dense-small-vocab fast path) must be
+    output-identical to the blocked array form — same integer ∩/∪,
+    same doubles — and must refuse oversized vocabularies."""
+    from kafka_streams_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_bitset,
+    )
+
+    def norm(df):
+        return sorted(
+            (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+        )
+
+    bitset = norm(ngram_jaccard_pairs_bitset(docs, n=1, threshold=0.7, block_col="source"))
+    blocked = norm(ngram_jaccard_pairs(docs, n=1, threshold=0.7, block_col="source"))
+    assert bitset == blocked and bitset
+
+    # no block column: full corpus self-join path
+    b2 = norm(ngram_jaccard_pairs_bitset(docs, n=1, threshold=0.9))
+    assert b2 == norm(ngram_jaccard_pairs(docs, n=1, threshold=0.9))
+
+    with pytest.raises(ValueError, match="max_vocab"):
+        ngram_jaccard_pairs_bitset(docs, n=2, threshold=0.5, max_vocab=16)
 
 
 def test_jaccard_dispatch_rule():
