@@ -613,47 +613,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST ~50 registered queries
-# per round (CORRECTNESS_r01/r02 each contain exactly 50 rows), so
+# per round (each CORRECTNESS file contains exactly 50 rows), so
 # registration order decides which queries get fresh driver evidence.
-# Priority for round 3: (a) queries with NO driver row in any round —
-# the round-3 additions plus the rows-only family that sat past
-# position 50 in round 2's order; (b) the 8 rows that were red in
-# round 2 (events.ts layout + array-output canonicalization, both fixed
-# this round) and need a green row; the remaining slots re-confirm
-# round-1-green queries whose evidence is oldest. Re-grouping is
-# cosmetic-free for a driver that checks everything.
+# Priority for round 4: (a) queries whose CODE changed this round and
+# so need fresh rows regardless of prior evidence — the winnowing fix
+# (r03's one red row), the md5_60 simhash contract, the bitset-routed
+# token jaccard, every events-derived query (the loader's NTZ→epoch
+# expression changed to the tz-free timestampdiff form), and the
+# rounding-touched similarity contracts; (b) the 12 queries whose
+# newest green is still round 1. Re-grouping is cosmetic-free for a
+# driver that checks everything.
 _NEEDS_DRIVER_ROW = [
-    # (a) never checked by any round's driver
-    "stratified_sample_docs",
-    "upsample_epochs_docs",
-    "shuffle_shards_docs",
-    "ngram_counts",
-    "knn_batch",
-    "pii_redact",
-    "dedup_incremental",
-    "decontaminate_emb",
-    "corpus_stats",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "knn_lsh_vec0",
-    "knn_ivf_vec0",
-    "winnowing_fingerprints",
-    "emb_near_dup_lsh",
-    "profile_documents_approx",
-    # (b) red in CORRECTNESS_r02, fixed this round
+    # (a) code changed this round
+    "winnowing_fingerprints",  # r03 red; now scalar rows + md5_60 oracle
+    "dedup_simhash",  # now oracle-checked (Arrow md5_60 signatures)
+    "dedup_token_jaccard",  # now auto-dispatched onto the bitset form
     "events_hourly",
     "events_hopping",
-    "sql_balances",
-    "emb_label_centroids",
-    "emb_normalize",
-    "emb_quantize_int8",
-    "emb_quantize_sym",
+    "sessionize_events",
     "events_attribution",
-]
-
-# (c) green only in round 1 — oldest evidence; fills the remaining slots
-# of a 50-query check before anything round 2 already re-confirmed.
-_STALE_EVIDENCE = [
+    "asof_purchase_click",
     "payments_source",
     "payments_filter_rails",
     "payments_branch_gbp",
@@ -663,23 +642,15 @@ _STALE_EVIDENCE = [
     "payments_rails_foo",
     "payments_rails_bar",
     "payments_balances",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "order_count_by_status",
-    "sessionize_events",
-    "distinct_users_by_type",
-    "approx_users_by_type",
-    "q6_forecast_revenue",
-    "rollup_orders",
-    "cube_events",
-    "customers_with_orders",
-    "customers_without_orders",
-    "price_quantiles",
-    "asof_purchase_click",
-    "pivot_events",
-    "q4_order_priority",
-    "q14_promo_revenue",
-    "daily_revenue_window",
+    "sql_balances",
+    "dsl_balances",
+    "knn_batch",
+    "decontaminate_emb",
+]
+
+# (b) newest driver green is round 1 — two rounds stale; must re-confirm
+# this round. (dsl_balances is in the changed set above.)
+_STALE_EVIDENCE = [
     "q7_volume_shipping",
     "q12_ship_delay",
     "q13_customer_distribution",
@@ -691,7 +662,49 @@ _STALE_EVIDENCE = [
     "q22_prospect_customers",
     "funnel_conversions",
     "cohort_retention",
-    "dsl_balances",
+    # (c) newest green is round 2 — fill the remaining first-50 slots
+    # before anything round 3 already re-confirmed
+    "q1_pricing_summary",
+    "q2_cheapest_supplier",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q18_large_orders",
+    "q20_heavy_suppliers",
+    "top_orders_per_customer",
+    "orders_enriched",
+    "dedup_exact",
+    "dedup_exact_rows",
+    "dedup_token_jaccard_prefix",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "emb_near_dup_exact",
+    "knn_vec0",
+    "doc_stats",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "top_tokens",
+    "doc_length_buckets",
+    "repetition_stats",
+    "pii_scan",
+    "tf_idf_top_terms",
+    "domain_stats",
+    "curate_corpus",
+    "curate_corpus_fuzzy",
+    "decontaminate",
+    "hash_sample_docs",
+    "temperature_mix_docs",
+    "chunk_documents",
+    "chunk_dup_stats",
+    "pack_token_shards",
+    "profile_documents",
+    "media_image_features",
+    "media_audio_features",
+    "media_resize",
+    "media_video_frames",
 ]
 
 
