@@ -11,6 +11,16 @@ of two back-to-back runs: the first run pays one-time JVM/codegen
 compilation (~2s on e.g. the 64-aggregate MinHash signature) that
 amortizes away in any long-running deployment, so steady-state is the
 number that predicts cluster throughput.
+
+METHODOLOGY PIN (round-over-round comparability): since round 3 every
+timed query runs against a CLEAN cache (`clearCache()` before each
+run — see run()). Round 1/2 numbers were measured with a leaked
+`persist()` warm in memory, which deflated some timings by 3-6 s;
+r01/r02 BENCH files are therefore NOT directly comparable to r03+ on
+cache-sensitive queries (dedup_token_jaccard is the documented case:
+2.75 s warm in r01 vs 5.35 s honest-cold in r03). Diff rounds with
+tools/bench_diff.py and read flagged deltas against this note before
+calling them regressions.
 """
 
 from __future__ import annotations

@@ -244,9 +244,29 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
     for t in TABLES:  # warm the schema cache (footer-read jobs)
         load_table(spark, sf_dir, t)
     qs = entry.queries()
-    for name in ["tf_idf_top_terms", "knn_lsh_vec0", "dedup_token_jaccard"]:
+    for name in ["tf_idf_top_terms", "knn_lsh_vec0", "dedup_token_jaccard_prefix"]:
         _, n_jobs = jobs_run_during(spark, lambda: qs[name](spark, sf_dir))
         assert n_jobs == 0, f"{name} ran {n_jobs} jobs during construction"
+
+
+def test_jaccard_auto_dispatch_stats_jobs_bounded(spark, sf_dir):
+    """dedup_token_jaccard rides the auto-dispatcher, which is the
+    documented second exception (after IVF KMeans) to no-jobs-during-
+    construction: it runs BOUNDED stats jobs (block counts, a sampled
+    density probe, and — on the bitset route — the tiny-vocab collect)
+    that pick the physical plan. Pin that the job count stays small and
+    none of them scans more than the corpus once."""
+    import __spark_entry__ as entry
+    from kafka_streams_spark.plans.audit import jobs_run_during
+    from kafka_streams_spark.sources.testdata import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t)
+    qs = entry.queries()
+    _, n_jobs = jobs_run_during(
+        spark, lambda: qs["dedup_token_jaccard"](spark, sf_dir)
+    )
+    assert 0 < n_jobs <= 12, f"dispatch stats ran {n_jobs} jobs"
 
 
 def test_stratified_sample_is_pure_scan_filter(spark, sf_dir):
