@@ -167,9 +167,13 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_minhash_nd(spark, sf_dir):
+    # md5_32 shingle hash + concat band keys: deterministic banding that
+    # DuckDB reproduces end-to-end, so this LSH contract is
+    # oracle-checked (was rows-only). crc32 stays the default fast path
+    # on the operator API.
     from kafka_streams_spark.operators.dedup import minhash_near_duplicates
 
-    return minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    return minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5, hash_fn="md5_32")
 
 
 def _q_simhash_nd(spark, sf_dir):
@@ -627,6 +631,7 @@ _NEEDS_DRIVER_ROW = [
     # (a) code changed this round
     "winnowing_fingerprints",  # r03 red; now scalar rows + md5_60 oracle
     "dedup_simhash",  # now oracle-checked (Arrow md5_60 signatures)
+    "dedup_minhash_lsh",  # now oracle-checked (md5_32 deterministic banding)
     "dedup_token_jaccard",  # now auto-dispatched onto the bitset form
     "events_hourly",
     "events_hopping",
@@ -782,7 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- the 100 TB dedup composition end-to-end (rows-only) --
         "dedup_clusters_lsh": _q_dedup_clusters_lsh,
         # -- remaining rows-only (sketch / LSH-randomized) --
-        "dedup_minhash_lsh": _q_minhash_nd,  # salted-hash LSH: rows-only
+        "dedup_minhash_lsh": _q_minhash_nd,  # md5_32 contract: oracle-checked
         "dedup_simhash": _q_simhash_nd,  # md5_60 contract: oracle-checked
         "knn_lsh_vec0": _q_knn_lsh_vec0,  # randomized probe set: rows-only
         "knn_ivf_vec0": _q_knn_ivf_vec0,  # learned index: rows-only

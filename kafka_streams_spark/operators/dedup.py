@@ -626,27 +626,39 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    hash_fn: str = "crc32",
 ) -> DataFrame:
     """Per-doc MinHash signature as `num_hashes` columns ``mh0..mhN`` —
     one Arrow map-side pass, NO shuffle.
 
     Each Arrow batch: shingle in Python (unique-token cache), hash each
-    distinct shingle once (crc32, cached across the batch), then one
-    numpy outer affine remix ``(a_i * h32 + b_i) mod p`` and a min over
-    the shingle axis. The signature leaves the operator as 64 int
-    columns per doc; nothing per-token ever crosses a stage boundary.
-    Replaces the explode → 64 min-aggregates formulation
+    distinct shingle once (cached across the batch), then one numpy
+    outer affine remix ``(a_i * h32 + b_i) mod p`` and a min over the
+    shingle axis. The signature leaves the operator as 64 int columns
+    per doc; nothing per-token ever crosses a stage boundary. Replaces
+    the explode → 64 min-aggregates formulation
     (:func:`minhash_signatures_expr`): that kept tokens in their doc's
     partition (map-side partial min), but still paid the exploded-row
     HashAggregate — measured 1.31 s vs 0.26 s at sf0.1. At 100 TB the
     win is structural: signatures are a narrow map output, so the only
     shuffle in the whole dedup pipeline is the banded bucket join.
+
+    ``hash_fn``: ``"crc32"`` (default shingle hash, fastest) or
+    ``"md5_32"`` (first 8 hex chars of md5 as a 32-bit int — the same
+    hash DuckDB computes with ``CAST('0x' || substr(md5(s),1,8) AS
+    BIGINT)``, making the whole banding pipeline deterministic and
+    oracle-checkable; the affine coeffs are already deterministic).
+    Signatures equal :func:`minhash_signatures_expr`'s md5_32 output
+    exactly (pinned in tests). Overflow-safe in both engines:
+    a < 2³¹, h32 < 2³² ⇒ a·h32+b < 2⁶³.
     """
     import zlib
 
     import numpy as np
     from pyspark.sql.types import LongType, StructField, StructType
 
+    if hash_fn not in ("crc32", "md5_32"):
+        raise ValueError(f"hash_fn must be 'crc32' or 'md5_32', got {hash_fn!r}")
     coeffs = _minhash_coeffs(num_hashes)
     a_vec = [a for a, _ in coeffs]
     b_vec = [b for _, b in coeffs]
@@ -657,9 +669,12 @@ def minhash_signatures(
     )
     n = shingle_n
     prime = MINHASH_PRIME
+    use_md5 = hash_fn == "md5_32"
 
     # self-contained closure: shipped by value to Python workers
     def process(batches):
+        import hashlib
+
         import numpy as _np
         import pandas as _pd
 
@@ -670,7 +685,10 @@ def minhash_signatures(
         def h32(s: str) -> int:
             v = hcache.get(s)
             if v is None:
-                v = zlib.crc32(s.encode("utf-8"))
+                if use_md5:
+                    v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                else:
+                    v = zlib.crc32(s.encode("utf-8"))
                 hcache[s] = v
             return v
 
@@ -701,21 +719,31 @@ def minhash_signatures_expr(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pure-expression twin of :func:`minhash_signatures` (JVM-only
-    pipelines): explode shingles → ONE xxhash64 per (doc, shingle),
-    reduced to 32 bits → `num_hashes` affine remixes → min-aggregates.
+    pipelines): explode shingles → ONE hash per (doc, shingle), reduced
+    to 32 bits → `num_hashes` affine remixes → min-aggregates.
     Map-side partial mins keep the shuffle to one row per doc, but the
-    exploded-row HashAggregate still costs ~5× the Arrow pass. (The
-    hash family differs — xxhash64 vs crc32 — so signatures are not
-    byte-identical across the twins; banding statistics are.)
+    exploded-row HashAggregate still costs ~5× the Arrow pass.
+
+    ``hash_fn``: ``"xxhash64"`` (default; differs from the Arrow twin's
+    crc32, so signatures are not byte-identical across those twins —
+    banding statistics are) or ``"md5_32"`` (bit-identical to the Arrow
+    twin's md5_32 AND to the DuckDB oracle).
     """
     from kafka_streams_spark.functions.partitioning import spread
 
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("shingle").bitwiseAND(F.lit(0xFFFFFFFF))
+    elif hash_fn == "md5_32":
+        h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5_32', got {hash_fn!r}")
     sh = spread(docs).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    ).withColumn("h32", F.xxhash64("shingle").bitwiseAND(F.lit(0xFFFFFFFF)))
+    ).withColumn("h32", h)
     coeffs = _minhash_coeffs(num_hashes)
     return sh.groupBy(id_col).agg(
         *[
@@ -734,6 +762,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 32,
     shingle_n: int = 3,
+    hash_fn: str = "crc32",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
@@ -749,19 +778,27 @@ def minhash_lsh_candidates(
 
     Scale shape: the explode produces n·bands rows; one shuffle on the
     band hash. Output: distinct (id_a, id_b), id_a < id_b.
+
+    ``hash_fn``: shingle hash, passed to :func:`minhash_signatures`.
+    On the ``md5_32`` path the band bucket key is the concatenated sig
+    values (string) instead of xxhash64 — key equality is then EXACTLY
+    tuple equality (no band-hash collisions), which both makes the
+    output deterministic-reproducible in the DuckDB oracle and removes
+    the (negligible but nonzero) collision term from the S-curve.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, hash_fn)
+    if hash_fn == "md5_32":
+        def band_key(b: int):
+            return F.concat_ws("_", *[F.col(f"mh{b * r + i}") for i in range(r)])
+    else:
+        def band_key(b: int):
+            return F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)])
     banded = sig.select(
         F.col(id_col),
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)])
-                    for b in range(bands)
-                ]
-            )
+            F.array(*[band_key(b) for b in range(bands)])
         ).alias("band_idx", "band_hash"),
     )
     return (
@@ -779,14 +816,19 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     bands: int = 32,
     shingle_n: int = 3,
+    hash_fn: str = "crc32",
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact shingle Jaccard.
 
     The standard two-phase shape: cheap recall via banding, exact
     precision via a join back to the shingle sets — only candidate pairs
-    pay the exact-Jaccard cost.
+    pay the exact-Jaccard cost. With ``hash_fn="md5_32"`` the banding is
+    deterministic and DuckDB-reproducible, so the output is
+    oracle-checkable (candidates = pairs sharing ≥1 exact band tuple).
     """
-    cands = minhash_lsh_candidates(docs, id_col, text_col, num_hashes, bands, shingle_n)
+    cands = minhash_lsh_candidates(
+        docs, id_col, text_col, num_hashes, bands, shingle_n, hash_fn
+    )
     sh = docs.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
     )

@@ -642,6 +642,63 @@ _CURATE_FUZZY_SQL = f"""
     WHERE rn = 1
 """
 
+# MinHash md5_32 twin: deterministic banding reproduced end-to-end.
+# Shingle hash = first 8 hex chars of md5 (32-bit, same rule family as
+# winnowing/simhash); the 64 affine remixes use the engine's own
+# deterministic coefficients (imported, not re-derived); band keys are
+# concatenated sig tuples, so bucket equality IS tuple equality and the
+# candidate set is exactly "pairs sharing >= 1 band", verified here with
+# an OR-of-32-band-equalities join; exact jaccard filters candidates.
+def _minhash_lsh_sql(threshold: float = 0.5, num_hashes: int = 64, bands: int = 32) -> str:
+    from kafka_streams_spark.operators.dedup import MINHASH_PRIME, _minhash_coeffs
+
+    coeffs = _minhash_coeffs(num_hashes)
+    r = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min(({a} * h32 + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_keys = ",\n               ".join(
+        "concat_ws('_', " + ", ".join(f"mh{b * r + i}" for i in range(r)) + f") AS b{b}"
+        for b in range(bands)
+    )
+    any_band = "\n                OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    return f"""
+        WITH {_shingle_cte(3)},
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        h AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h32
+            FROM ex
+        ),
+        sig AS (
+            SELECT doc_id,
+               {mins}
+            FROM h GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id,
+               {band_keys}
+            FROM sig
+        ),
+        cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.doc_id < b.doc_id
+             AND ({any_band})
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT c.id_a, c.id_b,
+                   CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+                   (len(x.shingles) + len(y.shingles)
+                    - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.id_a
+            JOIN sh y ON y.doc_id = c.id_b
+        ) WHERE jaccard >= {threshold}
+    """
+
+
 # SimHash md5_60 twin: per-token 60-bit hash (15 hex chars of md5, the
 # same rule as winnowing_fingerprints), ±1 votes per bit, sign vector
 # packed into a BIGINT. The 60 conditional sums / shift-adds are
@@ -658,6 +715,7 @@ _SIMHASH60_SIG = "\n             + ".join(
 )
 
 DEDUP_ORACLES = {
+    "dedup_minhash_lsh": _minhash_lsh_sql(threshold=0.5),
     "dedup_simhash": f"""
         WITH tok AS (
             SELECT doc_id, unnest({_TOKS}) AS tok FROM documents

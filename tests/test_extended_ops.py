@@ -246,6 +246,27 @@ def test_jaccard_auto_dispatch(docs):
     )
 
 
+def test_minhash_md5_arrow_equals_expr(docs):
+    """md5_32 signatures from the Arrow pass must equal the expression
+    twin's bit-for-bit — the equality the DuckDB minhash oracle also
+    relies on (hashlib.md5 hexdigest == F.md5 == DuckDB md5, identical
+    affine coeffs and prime)."""
+    from kafka_streams_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_expr,
+    )
+
+    arrow = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(16))
+        for r in minhash_signatures(docs, num_hashes=16, hash_fn="md5_32").collect()
+    }
+    expr = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(16))
+        for r in minhash_signatures_expr(docs, num_hashes=16, hash_fn="md5_32").collect()
+    }
+    assert arrow == expr and arrow
+
+
 def test_simhash_md5_arrow_equals_expr(docs):
     """The contract's Arrow md5_60 signatures must equal the expression
     twin's bit-for-bit (hashlib.md5 hexdigest == F.md5 == DuckDB md5),
