@@ -5,9 +5,13 @@ the §2.5 north-star extensions) as (spark, sf_dir) -> DataFrame
 callables; ``oracle_sql()`` gives each one's DuckDB twin (see
 kafka_streams_spark/oracles.py for the cross-engine determinism rules).
 Reference-parity operators run against `events` shaped as payments
-(FIXTURES.md §5); extended operators use documents/embeddings; sketch/
-LSH-randomized operators are registered without oracles (rows-only
-check, as the contract allows for non-SQL-expressible ops).
+(FIXTURES.md §5); extended operators use documents/embeddings. Every
+DETERMINISTIC pipeline is oracle-checked — including the LSH family,
+whose contract paths use md5-derived hashes / literal seed-42
+hyperplanes that DuckDB reproduces bit-for-bit; only genuinely
+non-reproducible ops (HLL++ sketches, the learned KMeans IVF index)
+are registered without oracles (rows-only check, as the contract
+allows for non-SQL-expressible ops).
 """
 
 from __future__ import annotations
@@ -228,10 +232,13 @@ def _q_winnowing(spark, sf_dir):
 def _q_knn_lsh_vec0(spark, sf_dir):
     # Collect-free: query vector + bucket come from the index itself via
     # a broadcast single-row join; probe set is a bit_count predicate.
+    # Oracle-checked: seed-42 planes are literals in the DuckDB twin, so
+    # buckets, probe set, and ranking are all reproducible.
     from kafka_streams_spark.operators.similarity import build_lsh_index, knn_lsh_to_id
 
     indexed, _planes = build_lsh_index(_embs(spark, sf_dir), dim=64, n_planes=6)
-    return knn_lsh_to_id(indexed, query_id=0, k=10, multiprobe_hamming=2)
+    top = knn_lsh_to_id(indexed, query_id=0, k=10, multiprobe_hamming=2)
+    return top.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
 def _q_emb_near_dup(spark, sf_dir):
@@ -246,17 +253,21 @@ def _q_emb_near_dup_lsh(spark, sf_dir):
 
     # banded LSH: p=1-θ/π ≈ 0.6 at cosine 0.3 → 4 planes × 8 tables
     # gives ≥2/3 per-pair recall (1-(1-p^4)^8); verified exactly.
-    return embedding_near_duplicates(
+    # Oracle-checked: the seed-42 hyperplanes are embedded in the DuckDB
+    # twin as literals, so the banded candidate set is reproducible.
+    pairs = embedding_near_duplicates(
         _embs(spark, sf_dir), threshold=0.3, n_planes=4, n_tables=8
     )
+    return pairs.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
 def _q_dedup_clusters_lsh(spark, sf_dir):
     """The 100 TB dedup composition end-to-end: LSH-bucketed candidate
     pairs (no all-pairs join anywhere) -> connected components ->
-    (node, cluster_id). Rows-only contract (LSH bucketing is
-    probabilistic); its recall vs the exact blocked composition is
-    pinned in tests/test_extended_ops.py."""
+    (node, cluster_id). Oracle-checked: deterministic seed-42 banding
+    (planes embedded in the DuckDB twin) + the recursive-CTE fixpoint
+    already proven on dedup_clusters; recall vs the exact blocked
+    composition is additionally pinned in tests/test_extended_ops.py."""
     from kafka_streams_spark.operators.dedup import duplicate_clusters
     from kafka_streams_spark.operators.similarity import embedding_near_duplicates
 
@@ -632,6 +643,9 @@ _NEEDS_DRIVER_ROW = [
     "winnowing_fingerprints",  # r03 red; now scalar rows + md5_60 oracle
     "dedup_simhash",  # now oracle-checked (Arrow md5_60 signatures)
     "dedup_minhash_lsh",  # now oracle-checked (md5_32 deterministic banding)
+    "emb_near_dup_lsh",  # now oracle-checked (literal seed-42 planes)
+    "dedup_clusters_lsh",  # now oracle-checked (LSH pairs + recursive CTE)
+    "knn_lsh_vec0",  # now oracle-checked (literal planes + xor probes)
     "dedup_token_jaccard",  # now auto-dispatched onto the bitset form
     "events_hourly",
     "events_hopping",
@@ -784,17 +798,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_features": _q_media_audio_features,
         "media_resize": _q_media_resize,
         "media_video_frames": _q_media_frames,
-        # -- the 100 TB dedup composition end-to-end (rows-only) --
-        "dedup_clusters_lsh": _q_dedup_clusters_lsh,
-        # -- remaining rows-only (sketch / LSH-randomized) --
+        # -- the 100 TB dedup composition end-to-end --
+        "dedup_clusters_lsh": _q_dedup_clusters_lsh,  # oracle-checked r04
+        # -- sketch/LSH family: every DETERMINISTIC pipeline is
+        # oracle-checked as of r04 (md5-derived hashes / literal seed-42
+        # hyperplanes reproduced in DuckDB); only the genuinely
+        # non-reproducible ops remain rows-only --
         "dedup_minhash_lsh": _q_minhash_nd,  # md5_32 contract: oracle-checked
         "dedup_simhash": _q_simhash_nd,  # md5_60 contract: oracle-checked
-        "knn_lsh_vec0": _q_knn_lsh_vec0,  # randomized probe set: rows-only
-        "knn_ivf_vec0": _q_knn_ivf_vec0,  # learned index: rows-only
+        "knn_lsh_vec0": _q_knn_lsh_vec0,  # literal-plane probes: oracle-checked
+        "knn_ivf_vec0": _q_knn_ivf_vec0,  # learned KMeans index: rows-only
         "winnowing_fingerprints": _q_winnowing,  # md5_60 contract: oracle-checked
-        "emb_near_dup_lsh": _q_emb_near_dup_lsh,  # rows-only
+        "emb_near_dup_lsh": _q_emb_near_dup_lsh,  # oracle-checked r04
         "profile_documents_approx": _q_profile_documents_approx,  # HLL++: rows-only
-        "approx_users_by_type": A.approx_users_by_type,  # sketch: rows-only
+        "approx_users_by_type": A.approx_users_by_type,  # HLL++ sketch: rows-only
         # -- driver-green in CORRECTNESS_r01: payment topology parity --
         "payments_source": _payments,
         "payments_filter_rails": _q_filter_rails,

@@ -801,7 +801,97 @@ DEDUP_ORACLES = {
 # similarity search
 # --------------------------------------------------------------------------
 
+# Hyperplane-LSH twins: the signatures are DETERMINISTIC (seed-42
+# Gaussian planes, generated by the engine's own random_hyperplanes and
+# embedded here as literals), so the banded candidate set — pairs
+# colliding in >= 1 table's sign-bit bucket — is reproducible in SQL:
+# per table, bucket = Σ_p (dot(v, plane_tp) >= 0) << p. The only
+# cross-engine risk is a sign flip on a dot within ~1 ulp of zero
+# (numpy BLAS vs DuckDB sequential summation); no such dot exists in
+# the fixed testdata, and the oracle gate at sf0.01 would catch one.
+def _lsh_bucket_sql(n_planes: int, n_tables: int, dim: int, seed: int = 42) -> str:
+    from kafka_streams_spark.operators.similarity import random_hyperplanes
+
+    buckets = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]::DOUBLE[]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        buckets.append(f"({bits}) AS t{t}")
+    return ",\n               ".join(buckets)
+
+
+def _emb_lsh_pairs_cte(threshold: float, n_planes: int, n_tables: int, dim: int) -> str:
+    any_table = " OR ".join(f"a.t{t} = b.t{t}" for t in range(n_tables))
+    return f"""
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sig AS (
+            SELECT vec_id, v,
+               {_lsh_bucket_sql(n_planes, n_tables, dim)}
+            FROM e
+        ),
+        lsh_pairs AS (
+            SELECT id_a, id_b, sim FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_cosine_similarity(a.v, b.v) AS sim
+                FROM sig a JOIN sig b
+                  ON a.vec_id < b.vec_id AND ({any_table})
+            ) WHERE sim >= {threshold}
+        )
+    """
+
+
+def _knn_lsh_sql(
+    query_id: int, k: int, n_planes: int, dim: int, multiprobe_hamming: int
+) -> str:
+    from kafka_streams_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, 42)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, ({bucket}) AS bucket FROM e),
+        q AS (SELECT v AS qv, bucket AS qb FROM sig WHERE vec_id = {query_id})
+        SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine_sim
+        FROM sig, q
+        WHERE bit_count(xor(CAST(bucket AS BIGINT), CAST(qb AS BIGINT))) <= {multiprobe_hamming}
+        ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+        LIMIT {k}
+    """
+
+
 SIMILARITY_ORACLES = {
+    # Single-table hyperplane LSH top-k with multiprobe: deterministic
+    # seed-42 planes embedded as literals; the probe set is the exact
+    # bit_count(xor) <= h predicate the Spark plan uses; ranking matches
+    # the knn contract order (raw cosine desc, id tiebreak; 6-dp output).
+    "knn_lsh_vec0": _knn_lsh_sql(
+        query_id=0, k=10, n_planes=6, dim=64, multiprobe_hamming=2
+    ),
+    "emb_near_dup_lsh": f"""
+        WITH {_emb_lsh_pairs_cte(0.3, 4, 8, 64)}
+        SELECT id_a, id_b, round(sim, 6) AS cosine_sim FROM lsh_pairs
+    """,
+    "dedup_clusters_lsh": f"""
+        WITH RECURSIVE {_emb_lsh_pairs_cte(0.3, 4, 8, 64)},
+        edges AS (SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+                  UNION SELECT id_b, id_a FROM lsh_pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        reach(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT ed.dst, r.label FROM reach r JOIN edges ed ON r.node = ed.src
+        )
+        SELECT node, CAST(min(label) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    """,
     # int8 affine quantization codes; rounding is java-round
     # (floor(x+0.5)), arithmetic order pinned to match the Spark
     # expression term-for-term ((x-mn)/range*254.0+0.5).
