@@ -110,6 +110,12 @@ def _q_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
+def _q_lm_unigram(spark, sf_dir):
+    from kafka_streams_spark.operators.text import lm_unigram_score
+
+    return lm_unigram_score(_docs(spark, sf_dir))
+
+
 def _q_language_id(spark, sf_dir):
     from kafka_streams_spark.operators.text import language_id
 
@@ -647,6 +653,7 @@ _NEEDS_DRIVER_ROW = [
     "dedup_clusters_lsh",  # now oracle-checked (LSH pairs + recursive CTE)
     "knn_lsh_vec0",  # now oracle-checked (literal planes + xor probes)
     "dedup_token_jaccard",  # now auto-dispatched onto the bitset form
+    "lm_unigram_score",  # NEW in r04: no driver row yet
     "events_hourly",
     "events_hopping",
     "sessionize_events",
@@ -749,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- unchecked in round 1: text analysis --
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality,
+        "lm_unigram_score": _q_lm_unigram,  # new r04: perplexity-proxy gate
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
         "top_tokens": _q_top_tokens,

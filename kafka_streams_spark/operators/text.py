@@ -414,6 +414,42 @@ def pii_redact(
     )
 
 
+def lm_unigram_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-unigram language-model score per document — the cheap
+    perplexity proxy used as a quality gate in large-corpus curation
+    (docs whose tokens are improbable under the corpus's own unigram
+    distribution are boilerplate, binary junk, or wrong-language):
+    mean log10 probability of the document's token occurrences under
+    the add-one-smoothed corpus unigram model,
+    p(tok) = (count(tok) + 1) / (total_tokens + |vocab|).
+
+    Shape: one explode pass feeds BOTH the vocabulary aggregation and
+    the scoring join (Spark reuses the scan); the (token, count) table
+    joins back on the token key — broadcast when the vocabulary is
+    small, AQE-planned shuffle join otherwise (token-key skew on
+    stopwords is exactly what AQE skew-splitting handles); the 1-row
+    totals ride a broadcast cross join (the corpus_stats pattern — no
+    driver action). Per-doc mean folds in one map-side-partial
+    aggregation. Output: (id, n_tokens, avg_logprob), rounded 6 dp —
+    cross-engine double sums agree well past that.
+    """
+    from kafka_streams_spark.functions.partitioning import spread
+
+    tok = spread(docs).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("_n"))
+    totals = vocab.agg(
+        F.sum("_n").alias("_t"), F.count("*").alias("_vsz")
+    )
+    scored = tok.join(vocab, "tok").crossJoin(F.broadcast(totals))
+    logp = F.log10((F.col("_n") + F.lit(1.0)) / (F.col("_t") + F.col("_vsz")))
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(F.avg(logp), 6).alias("avg_logprob"),
+    )
+
+
 DOMAIN_REGEX = r"https?://([^/\s]+)"
 
 

@@ -353,6 +353,19 @@ TEXT_ORACLES = {
         ORDER BY n DESC, tok
         LIMIT 20
     """,
+    # Add-one-smoothed corpus unigram LM: p(tok) = (n+1)/(T+|V|); per-doc
+    # mean log10 over token OCCURRENCES (not distinct tokens). Docs with
+    # zero tokens drop out (unnest), mirroring Spark's explode.
+    "lm_unigram_score": f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        v AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+        tot AS (SELECT sum(n) AS t, count(*) AS vsz FROM v)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(log10((n + 1.0) / (t + vsz))), 6) AS avg_logprob
+        FROM tok JOIN v USING (tok), tot
+        GROUP BY doc_id
+    """,
     "corpus_stats": f"""
         WITH v AS (
             SELECT tok, count(*) AS n

@@ -278,6 +278,26 @@ def test_simhash_md5_arrow_equals_expr(docs):
     assert arrow == expr and arrow
 
 
+def test_lm_unigram_score_semantics(spark):
+    """Perplexity-proxy sanity: a doc of corpus-common tokens scores
+    higher (less negative) than a doc of hapax junk; n_tokens counts
+    occurrences; empty docs drop out."""
+    from kafka_streams_spark.operators.text import lm_unigram_score
+
+    rows = [
+        (1, "the the the cat cat"),
+        (2, "the cat sat"),
+        (3, "zqx jkw vvb pqm"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in lm_unigram_score(df).collect()}
+    assert set(out) == {1, 2, 3}  # empty doc dropped
+    assert out[1]["n_tokens"] == 5 and out[3]["n_tokens"] == 4
+    assert out[1]["avg_logprob"] > out[3]["avg_logprob"]
+    assert all(r["avg_logprob"] < 0 for r in out.values())
+
+
 def test_no_zero_norm_embeddings(embs):
     """Contract precondition: the cosine operators map zero-norm vectors
     to similarity 0, but the DuckDB oracles call list_cosine_similarity
