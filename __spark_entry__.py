@@ -110,6 +110,12 @@ def _q_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
+def _q_dedup_lines(spark, sf_dir):
+    from kafka_streams_spark.operators.text import dedup_lines
+
+    return dedup_lines(_docs(spark, sf_dir))
+
+
 def _q_lm_unigram(spark, sf_dir):
     from kafka_streams_spark.operators.text import lm_unigram_score
 
@@ -654,6 +660,7 @@ _NEEDS_DRIVER_ROW = [
     "knn_lsh_vec0",  # now oracle-checked (literal planes + xor probes)
     "dedup_token_jaccard",  # now auto-dispatched onto the bitset form
     "lm_unigram_score",  # NEW in r04: no driver row yet
+    "dedup_lines",  # NEW in r04: no driver row yet
     "events_hourly",
     "events_hopping",
     "sessionize_events",
@@ -757,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality,
         "lm_unigram_score": _q_lm_unigram,  # new r04: perplexity-proxy gate
+        "dedup_lines": _q_dedup_lines,  # new r04: C4-style line dedup
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
         "top_tokens": _q_top_tokens,

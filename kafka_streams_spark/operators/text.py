@@ -414,6 +414,49 @@ def pii_redact(
     )
 
 
+def dedup_lines(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4-style boilerplate pass):
+    every non-blank line that occurs at more than one (doc, position)
+    in the corpus keeps only its FIRST occurrence (min doc id, then min
+    position); navigation chrome, cookie banners and licence footers
+    collapse to one copy corpus-wide. Docs whose every line is a later
+    duplicate drop out entirely.
+
+    Shape: posexplode lines → the first occurrence per line is an
+    AGGREGATE (``min(struct(doc, pos))`` with map-side partial combine),
+    NOT a window — a window would hash-partition by line and sort
+    within line groups, and the super-common lines (exactly the ones
+    being deduped) are maximal skew; the min-struct aggregate reduces
+    them map-side to one row per line per task. Join back (broadcast
+    when the distinct-line table is small, AQE otherwise), keep rows
+    that ARE their line's first occurrence, reassemble per doc with an
+    expression-level sort of (pos, line) structs. Two shuffles total:
+    line agg+join key, then the doc regroup.
+
+    Output: (id, text, n_lines) — the reassembled text and surviving
+    line count.
+    """
+    from kafka_streams_spark.functions.partitioning import spread
+
+    raw_lines = F.split(F.col(text_col), "\n")
+    lines = spread(docs).select(
+        F.col(id_col), F.posexplode(raw_lines).alias("pos", "ln")
+    ).filter(F.trim(F.col("ln")) != "")
+    firsts = lines.groupBy("ln").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("_first")
+    )
+    kept = lines.join(firsts, "ln").filter(
+        (F.col(id_col) == F.col("_first.d")) & (F.col("pos") == F.col("_first.p"))
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "ln")))
+    return kept.groupBy(id_col).agg(
+        F.array_join(F.transform(ordered, lambda s: s["ln"]), "\n").alias("text"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
 def lm_unigram_score(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

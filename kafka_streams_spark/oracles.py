@@ -353,6 +353,28 @@ TEXT_ORACLES = {
         ORDER BY n DESC, tok
         LIMIT 20
     """,
+    # C4-style corpus line dedup: non-blank lines keep only their first
+    # (doc, pos) occurrence; reassembly order by position. rn=1 covers
+    # both unique lines and first-of-duplicates; 1-based i here vs the
+    # 0-based posexplode only affects internal ordering, which agrees.
+    "dedup_lines": """
+        WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        l AS (
+            SELECT doc_id, i AS pos, ls[i] AS ln
+            FROM t, unnest(range(1, len(ls) + 1)) AS u(i)
+            WHERE trim(ls[i]) != ''
+        ),
+        r AS (
+            SELECT doc_id, pos, ln,
+                   row_number() OVER (PARTITION BY ln ORDER BY doc_id, pos) AS rn
+            FROM l
+        )
+        SELECT doc_id,
+               string_agg(ln, chr(10) ORDER BY pos) AS text,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM r WHERE rn = 1
+        GROUP BY doc_id
+    """,
     # Add-one-smoothed corpus unigram LM: p(tok) = (n+1)/(T+|V|); per-doc
     # mean log10 over token OCCURRENCES (not distinct tokens). Docs with
     # zero tokens drop out (unnest), mirroring Spark's explode.

@@ -278,6 +278,26 @@ def test_simhash_md5_arrow_equals_expr(docs):
     assert arrow == expr and arrow
 
 
+def test_dedup_lines_semantics(spark):
+    """C4-style line dedup: the first (doc, pos) occurrence of a
+    repeated line survives, later ones drop; blank lines are stripped;
+    a doc made entirely of later duplicates disappears."""
+    from kafka_streams_spark.operators.text import dedup_lines
+
+    rows = [
+        (1, "keep me\nCOOKIE BANNER\nunique one"),
+        (2, "COOKIE BANNER\nanother line\n\n  "),
+        (3, "COOKIE BANNER"),
+        (4, "COOKIE BANNER\nkeep me"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert out[1]["text"] == "keep me\nCOOKIE BANNER\nunique one"
+    assert out[2]["text"] == "another line" and out[2]["n_lines"] == 1
+    assert 3 not in out  # every line was a later duplicate
+    assert 4 not in out  # "COOKIE BANNER" first in doc 1, "keep me" first in doc 1
+
+
 def test_lm_unigram_score_semantics(spark):
     """Perplexity-proxy sanity: a doc of corpus-common tokens scores
     higher (less negative) than a doc of hapax junk; n_tokens counts
