@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     "pii_redact",
     "decontaminate_emb",
     "corpus_stats",
+    "lm_unigram_score",
+    "dedup_lines",
+    "knn_lsh_vec0",
 ]
 
 
