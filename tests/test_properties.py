@@ -105,3 +105,34 @@ def test_cosine_similarity_matches_model(vecs):
 
     for i, v in enumerate(vecs):
         assert abs(got[i] - model(v)) < 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abc ", min_size=0, max_size=40), min_size=2, max_size=8),
+    st.sampled_from([0.3, 0.6, 0.9]),
+)
+def test_jaccard_three_forms_agree(texts, threshold):
+    """The three physical forms of exact n-gram Jaccard — blocked
+    array-intersect, prefix-filtered AllPairs, and the bitset encoding —
+    must be output-identical on arbitrary corpora (same pairs, same
+    doubles), including all-empty docs, single-token docs, and exact
+    duplicates hypothesis likes to generate."""
+    from kafka_streams_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_bitset,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+    def norm(out):
+        return sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in out.collect())
+
+    blocked = norm(ngram_jaccard_pairs(df, n=1, threshold=threshold))
+    prefix = norm(ngram_jaccard_pairs_prefix(df, n=1, threshold=threshold))
+    bitset = norm(ngram_jaccard_pairs_bitset(df, n=1, threshold=threshold))
+    assert blocked == prefix == bitset
