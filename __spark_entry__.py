@@ -628,6 +628,52 @@ def _q_dedup_incremental(spark, sf_dir):
     return dedup_incremental(new, existing).select("doc_id", "source")
 
 
+def _q_assign_splits(spark, sf_dir):
+    from kafka_streams_spark.operators.sampling import assign_splits
+
+    return assign_splits(_docs(spark, sf_dir), test_256=13, val_256=26)
+
+
+def _q_reservoir_sample(spark, sf_dir):
+    # weighted by n_chars: longer documents more likely sampled, the
+    # classic token-weighted inspection sample.
+    from kafka_streams_spark.operators.sampling import reservoir_sample
+
+    return reservoir_sample(
+        _docs(spark, sf_dir), k=50, stratum_col="lang", weight_col="n_chars"
+    )
+
+
+def _q_corpus_drift(spark, sf_dir):
+    # drift between the md5-bucket halves of the corpus — the same
+    # deterministic split rule as decontaminate/dedup_incremental.
+    from kafka_streams_spark.operators.text import corpus_drift
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return corpus_drift(docs.filter(bucket < "80"), docs.filter(bucket >= "80"))
+
+
+def _q_length_outliers(spark, sf_dir):
+    from kafka_streams_spark.operators.text import length_outliers
+
+    return length_outliers(_docs(spark, sf_dir), k=3.0)
+
+
+def _q_dedup_incremental_fuzzy(spark, sf_dir):
+    # Same corpus split as dedup_incremental (md5 bucket < '20' is the
+    # "existing corpus"); md5_32 so the banding is oracle-reproducible.
+    from kafka_streams_spark.operators.dedup import dedup_incremental_fuzzy
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    existing = docs.filter(bucket < "20")
+    new = docs.filter(bucket >= "20")
+    return dedup_incremental_fuzzy(
+        new, existing, threshold=0.5, hash_fn="md5_32"
+    ).select("doc_id", "source")
+
+
 # --------------------------------------------------------------------------
 # contract entry points
 # --------------------------------------------------------------------------
@@ -651,6 +697,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # newest green is still round 1. Re-grouping is cosmetic-free for a
 # driver that checks everything.
 _NEEDS_DRIVER_ROW = [
+    # (0) brand-new this round — no driver evidence exists at all
+    "dedup_incremental_fuzzy",
+    "reservoir_sample_docs",
+    "corpus_drift",
+    "length_outliers",
+    "assign_splits_docs",
     # (a) code changed this round
     "winnowing_fingerprints",  # r03 red; now scalar rows + md5_60 oracle
     "dedup_simhash",  # now oracle-checked (Arrow md5_60 signatures)
@@ -801,6 +853,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch": _q_knn_batch,
         "pii_redact": _q_pii_redact,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_incremental_fuzzy": _q_dedup_incremental_fuzzy,
+        "reservoir_sample_docs": _q_reservoir_sample,
+        "assign_splits_docs": _q_assign_splits,
+        "corpus_drift": _q_corpus_drift,
+        "length_outliers": _q_length_outliers,
         "decontaminate_emb": _q_decontaminate_emb,
         "corpus_stats": _q_corpus_stats,
         "chunk_documents": _q_chunk_documents,

@@ -844,6 +844,86 @@ def minhash_near_duplicates(
     )
 
 
+def dedup_incremental_fuzzy(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_n: int = 3,
+    hash_fn: str = "crc32",
+) -> DataFrame:
+    """Fuzzy membership gate for a corpus increment: drop new docs whose
+    shingle Jaccard against ANY existing doc reaches ``threshold`` —
+    the near-dup companion to :func:`dedup_incremental`'s exact gate
+    (recurring-crawl shape: today's delta must not re-admit paraphrased
+    or boilerplate-shifted copies of yesterday's corpus).
+
+    Pipeline: MinHash signatures on both sides (Arrow map pass, no
+    shuffle), banded bucket keys, a new×existing equi-join on
+    (band_idx, band_key) for candidates — never new×new, so the
+    increment's internal near-dups are deliberately out of scope (run
+    :func:`minhash_near_duplicates` on the survivors for that) — then
+    exact Jaccard verify on candidates only, and a left-anti join back.
+
+    At 100 TB the existing side's signatures are a PERSISTED table
+    (64 ints/doc, written once per corpus build — recompute nothing);
+    the per-delta cost is signatures over the delta + one bucket join
+    against the signature table. With ``hash_fn="md5_32"`` the banding
+    is deterministic and the whole gate is oracle-checkable.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+
+    def banded(docs: DataFrame) -> DataFrame:
+        sig = minhash_signatures(
+            docs, id_col, text_col, num_hashes, shingle_n, hash_fn
+        )
+        if hash_fn == "md5_32":
+            def band_key(b: int):
+                return F.concat_ws(
+                    "_", *[F.col(f"mh{b * r + i}") for i in range(r)]
+                )
+        else:
+            def band_key(b: int):
+                return F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)])
+        return sig.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(*[band_key(b) for b in range(bands)])
+            ).alias("band_idx", "band_hash"),
+        )
+
+    cand = (
+        banded(new_docs)
+        .withColumnRenamed(id_col, "new_id")
+        .join(
+            banded(existing).withColumnRenamed(id_col, "ex_id"),
+            ["band_idx", "band_hash"],
+        )
+        .select("new_id", "ex_id")
+        .distinct()
+    )
+    sh_new = new_docs.select(
+        F.col(id_col).alias("new_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh_n"),
+    )
+    sh_ex = existing.select(
+        F.col(id_col).alias("ex_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh_e"),
+    )
+    matched = (
+        cand.join(sh_new, "new_id")
+        .join(sh_ex, "ex_id")
+        .filter(token_set_jaccard(F.col("sh_n"), F.col("sh_e")) >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(matched, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

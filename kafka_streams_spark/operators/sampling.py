@@ -244,6 +244,101 @@ def shuffle_shards(
     )
 
 
+def assign_splits(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    test_256: int = 13,
+    val_256: int = 26,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: md5(id) bucket < test_256
+    → 'test', < val_256 → 'val', else 'train' (boundaries over 256, so
+    defaults give ~5% test, ~5% val).
+
+    The split every training pipeline needs, with the properties
+    `randomSplit` cannot give: disjoint by construction, stable under
+    repartitioning and re-runs, and id-keyed so joining any other table
+    hash-split with the same rule lands rows in the same split
+    (referential integrity across the corpus and its metadata tables).
+    Map-only — a projected CASE on a hash, no shuffle, no RNG.
+    """
+    if not 0 <= test_256 <= val_256 <= 256:
+        raise ValueError("need 0 <= test_256 <= val_256 <= 256")
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    split = (
+        F.when(bucket < F.lit(format(test_256, "02x")), F.lit("test"))
+        .when(bucket < F.lit(format(val_256, "02x")), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select(F.col(id_col), split.alias("split"))
+
+
+def reservoir_sample(
+    docs: DataFrame,
+    k: int = 50,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Deterministic (weighted) reservoir sample: the top-``k`` rows per
+    stratum by the Efraimidis–Spirakis priority ``u^(1/w)``, with the
+    uniform ``u`` derived from md5(id) (:func:`uniform_unit`) instead of
+    RNG state — so the "reservoir" is a pure function of the corpus, not
+    of arrival order or partitioning. With ``weight_col=None`` the
+    priority is ``u`` itself (uniform sampling without replacement).
+
+    Priorities are rounded to 9 dp (`pow` is not correctly rounded
+    across engines — same pin as :func:`temperature_mix`) and ties break
+    on id, so the selected set is bit-identical in Spark and the DuckDB
+    oracle.
+
+    Scale shape: two-phase top-k. Phase 1 ranks within (stratum, salt)
+    — ``n_salts`` hash-derived subgroups — keeping ≤ k rows each, so no
+    single window partition ever holds a full 100 TB stratum; phase 2
+    ranks the ≤ k·n_salts survivors per stratum. The final set equals
+    the single-window top-k exactly (a global top-k row is a top-k row
+    of its salt group), which is what the oracle computes.
+
+    Output: (id, stratum, priority, rk) with rk = 1..k per stratum.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    u = uniform_unit(id_col)
+    if weight_col is None:
+        priority = F.round(u, 9)
+    else:
+        w = F.col(weight_col).cast("double")
+        priority = F.round(F.pow(u, F.lit(1.0) / w), 9)
+    # salt from a DIFFERENT md5 slice than u (chars 9-16) so the salt is
+    # independent of the priority ordering
+    salt = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 9, 8), 16, 10).cast(
+            "bigint"
+        ),
+        F.lit(n_salts),
+    )
+    ranked = docs.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        priority.alias("priority"),
+        salt.alias("_salt"),
+    )
+    w1 = Window.partitionBy(stratum_col, "_salt").orderBy(
+        F.desc("priority"), F.col(id_col)
+    )
+    phase1 = ranked.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= k
+    )
+    w2 = Window.partitionBy(stratum_col).orderBy(F.desc("priority"), F.col(id_col))
+    return (
+        phase1.withColumn("rk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select(id_col, stratum_col, "priority", "rk")
+    )
+
+
 def pack_token_shards(
     docs: DataFrame,
     budget: int = 4000,

@@ -652,3 +652,125 @@ def chunk_dup_stats(
             .alias("dup_per_mille"),
         )
     )
+
+
+def corpus_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram distribution drift between two corpus slices — the QA
+    check a data-mixing pipeline runs before swapping in a new crawl
+    snapshot or re-weighting sources: did the token distribution move?
+
+    The drift metric is total variation distance, computed EXACTLY in
+    integer arithmetic: per shared-vocabulary token the numerator term
+    is ``|cnt_a·T_b − cnt_b·T_a|`` (bigint — order-independent sum,
+    unlike a float Σ|p_a−p_b| whose result depends on partition
+    ordering; that exactness is what makes the number comparable across
+    engines and re-runs), and TVD = numerator / (2·T_a·T_b) as a single
+    scalar division at the end. KL/JS variants need per-token ``ln``
+    whose last ulp differs across libm implementations — TVD is the
+    drift metric that stays bit-deterministic.
+
+    Shape: one token-count aggregate per side (the only shuffles; the
+    corpus itself is read once per side), a full-outer merge of the two
+    ~vocabulary-sized count tables, a broadcast of the 1-row totals, and
+    a final scalar aggregate. Overflow bound: cnt·T < 2^63 needs
+    T_a·T_b < 2^63 — beyond ~3·10^9 tokens per side, divide counts by a
+    common 10^3 scale first (the ratio is unchanged).
+
+    Output: 1 row — n_tokens_a/b, vocab_a/b, shared_vocab, tvd.
+    """
+    from kafka_streams_spark.operators.dedup import tokens
+
+    def counts(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias(name))
+        )
+
+    joined = (
+        counts(docs_a, "cnt_a")
+        .join(counts(docs_b, "cnt_b"), "tok", "full_outer")
+        .select(
+            "tok",
+            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("cnt_a").alias("_ta"), F.sum("cnt_b").alias("_tb")
+    )
+    agg = joined.join(F.broadcast(totals)).agg(
+        F.max("_ta").alias("n_tokens_a"),
+        F.max("_tb").alias("n_tokens_b"),
+        F.sum((F.col("cnt_a") > 0).cast("long")).alias("vocab_a"),
+        F.sum((F.col("cnt_b") > 0).cast("long")).alias("vocab_b"),
+        F.sum(((F.col("cnt_a") > 0) & (F.col("cnt_b") > 0)).cast("long")).alias(
+            "shared_vocab"
+        ),
+        F.sum(
+            F.abs(F.col("cnt_a") * F.col("_tb") - F.col("cnt_b") * F.col("_ta"))
+        ).alias("_numer"),
+    )
+    return agg.select(
+        "n_tokens_a",
+        "n_tokens_b",
+        "vocab_a",
+        "vocab_b",
+        "shared_vocab",
+        F.round(
+            F.col("_numer")
+            / (F.lit(2.0) * F.col("n_tokens_a") * F.col("n_tokens_b")),
+            9,
+        ).alias("tvd"),
+    )
+
+
+def length_outliers(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-stratum outlier gate: flag rows where
+    ``|value − median| > k·MAD`` (median absolute deviation) — the
+    quality filter that survives heavy-tailed length distributions where
+    a mean/stddev z-score would let one 10 MB page drag the threshold.
+
+    Exactness: the inputs are integers, so the exact median (and MAD)
+    land on a .0/.5 grid — every comparison operand is an exact double
+    and the flag is bit-deterministic cross-engine (no rounding pin
+    needed, unlike pow/ln-based scores).
+
+    Shape: two small per-stratum aggregates (median, then MAD over the
+    median-joined values) broadcast back onto the scan; the corpus
+    itself never shuffles. Exact percentile is a sort-based aggregate —
+    at 100 TB swap ``percentile`` for ``percentile_approx`` (the
+    operator's only order-N·logN piece) and keep the same gate; the
+    exact form stays as the oracle twin at test scale.
+
+    Output: the flagged rows — (id, stratum, value, med, mad).
+    """
+    v = F.col(value_col).cast("double")
+    med = docs.groupBy(stratum_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    with_med = docs.join(F.broadcast(med), stratum_col)
+    mad = with_med.groupBy(stratum_col).agg(
+        F.expr(f"percentile(abs({value_col} - med), 0.5)").alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), stratum_col)
+        .filter(F.abs(v - F.col("med")) > F.lit(float(k)) * F.col("mad"))
+        .select(
+            id_col,
+            stratum_col,
+            F.col(value_col).cast("long").alias(value_col),
+            "med",
+            "mad",
+        )
+    )

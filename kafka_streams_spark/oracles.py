@@ -321,6 +321,60 @@ def _sql_list(words: list[str]) -> str:
 _STOP_EN = _sql_list(STOPWORDS["en"])
 
 TEXT_ORACLES = {
+    # corpus_drift between the md5-bucket halves (< '80' vs >= '80'):
+    # exact integer-arithmetic TVD — per-token |cnt_a*T_b - cnt_b*T_a|
+    # summed as BIGINT, one scalar division at the end. ln/pow-free, so
+    # no rounding pin is needed anywhere except the final 9-dp display.
+    "corpus_drift": f"""
+        WITH da AS (SELECT text FROM documents
+                    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'),
+        db AS (SELECT text FROM documents
+               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '80'),
+        ca AS (SELECT tok, count(*) AS cnt_a
+               FROM (SELECT unnest({_TOKS}) AS tok FROM da) GROUP BY tok),
+        cb AS (SELECT tok, count(*) AS cnt_b
+               FROM (SELECT unnest({_TOKS}) AS tok FROM db) GROUP BY tok),
+        j AS (
+            SELECT coalesce(ca.tok, cb.tok) AS tok,
+                   coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+            FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok
+        ),
+        t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS ta,
+                     CAST(SUM(cnt_b) AS BIGINT) AS tb FROM j),
+        agg AS (
+            SELECT CAST(max(ta) AS BIGINT) AS n_tokens_a,
+                   CAST(max(tb) AS BIGINT) AS n_tokens_b,
+                   CAST(SUM(CASE WHEN cnt_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+                   CAST(SUM(CASE WHEN cnt_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+                   CAST(SUM(CASE WHEN cnt_a > 0 AND cnt_b > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS shared_vocab,
+                   CAST(SUM(ABS(cnt_a * tb - cnt_b * ta)) AS BIGINT) AS numer
+            FROM j CROSS JOIN t
+        )
+        SELECT n_tokens_a, n_tokens_b, vocab_a, vocab_b, shared_vocab,
+               ROUND(CAST(numer AS DOUBLE)
+                     / (2.0 * n_tokens_a * n_tokens_b), 9) AS tvd
+        FROM agg
+    """,
+    # length_outliers(k=3, stratum=source): |n_chars - median| > 3*MAD.
+    # Integer inputs put the exact median/MAD on a .0/.5 grid, so every
+    # comparison operand is an exact double — bit-deterministic without
+    # any rounding pin.
+    "length_outliers": """
+        WITH med AS (
+            SELECT source, median(n_chars) AS med FROM documents GROUP BY source
+        ),
+        mad AS (
+            SELECT d.source, median(abs(d.n_chars - med.med)) AS mad
+            FROM documents d JOIN med ON d.source = med.source
+            GROUP BY d.source
+        )
+        SELECT doc_id, d.source, CAST(n_chars AS BIGINT) AS n_chars, med.med AS med, mad.mad AS mad
+        FROM documents d
+             JOIN med ON d.source = med.source
+             JOIN mad ON d.source = mad.source
+        WHERE abs(d.n_chars - med.med) > 3.0 * mad.mad
+    """,
     # Winnowing (k=5, window=4) with the md5_60 gram hash: first 15 hex
     # chars of md5 as a 60-bit big-endian integer — bit-identical to
     # Spark's conv(substring(md5(g),1,15),16,10). 1-based i here mirrors
@@ -734,6 +788,69 @@ def _minhash_lsh_sql(threshold: float = 0.5, num_hashes: int = 64, bands: int = 
     """
 
 
+# Incremental fuzzy gate: the same md5_32 banding as _minhash_lsh_sql,
+# but candidates join NEW side × EXISTING side only (split on the md5
+# id bucket, boundary '20' — the dedup_incremental split), and the
+# output is the new docs with NO verified match (anti-join), mirroring
+# dedup_incremental_fuzzy's left-anti contract.
+def _minhash_incremental_sql(
+    threshold: float = 0.5, num_hashes: int = 64, bands: int = 32,
+    split_hex: str = "20",
+) -> str:
+    from kafka_streams_spark.operators.dedup import MINHASH_PRIME, _minhash_coeffs
+
+    coeffs = _minhash_coeffs(num_hashes)
+    r = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min(({a} * h32 + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_keys = ",\n               ".join(
+        "concat_ws('_', " + ", ".join(f"mh{b * r + i}" for i in range(r)) + f") AS b{b}"
+        for b in range(bands)
+    )
+    any_band = "\n                OR ".join(f"n.b{b} = e.b{b}" for b in range(bands))
+    return f"""
+        WITH {_shingle_cte(3)},
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        h AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h32
+            FROM ex
+        ),
+        sig AS (
+            SELECT doc_id,
+               {mins}
+            FROM h GROUP BY doc_id
+        ),
+        bandt AS (
+            SELECT doc_id,
+               {band_keys}
+            FROM sig
+        ),
+        newb AS (SELECT * FROM bandt
+                 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '{split_hex}'),
+        exb AS (SELECT * FROM bandt
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{split_hex}'),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS ex_id
+            FROM newb n JOIN exb e
+              ON ({any_band})
+        ),
+        matched AS (
+            SELECT DISTINCT c.new_id FROM cand c
+            JOIN sh x ON x.doc_id = c.new_id
+            JOIN sh y ON y.doc_id = c.ex_id
+            WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+                  (len(x.shingles) + len(y.shingles)
+                   - len(list_intersect(x.shingles, y.shingles))) >= {threshold}
+        )
+        SELECT d.doc_id, d.source FROM documents d
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) >= '{split_hex}'
+          AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.new_id = d.doc_id)
+    """
+
+
 # SimHash md5_60 twin: per-token 60-bit hash (15 hex chars of md5, the
 # same rule as winnowing_fingerprints), ±1 votes per bit, sign vector
 # packed into a BIGINT. The 60 conditional sums / shift-adds are
@@ -751,6 +868,7 @@ _SIMHASH60_SIG = "\n             + ".join(
 
 DEDUP_ORACLES = {
     "dedup_minhash_lsh": _minhash_lsh_sql(threshold=0.5),
+    "dedup_incremental_fuzzy": _minhash_incremental_sql(threshold=0.5),
     "dedup_simhash": f"""
         WITH tok AS (
             SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
@@ -1155,6 +1273,37 @@ MULTIMODAL_ORACLES = {
 # --------------------------------------------------------------------------
 
 SAMPLING_ORACLES = {
+    # assign_splits(test_256=13, val_256=26) → hex boundaries '0d'/'1a'
+    "assign_splits_docs": """
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents
+    """,
+    # reservoir_sample(k=50, stratum=lang, weight=n_chars): top-50 per
+    # lang by the Efraimidis–Spirakis priority u^(1/w), u from md5 (the
+    # same uniform_unit arithmetic as temperature_mix), priority rounded
+    # to 9 dp on BOTH sides (pow is not correctly rounded), id tiebreak.
+    # The Spark side computes this as a salted two-phase top-k; the
+    # results are equal by construction (a global top-k row is a top-k
+    # row of its salt group), so the oracle is the plain one-window form.
+    "reservoir_sample_docs": """
+        WITH p AS (
+            SELECT doc_id, lang,
+                   ROUND(POW(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                  AS BIGINT) / 4294967296.0,
+                             1.0 / n_chars), 9) AS priority
+            FROM documents
+        )
+        SELECT doc_id, lang, priority, rk FROM (
+            SELECT doc_id, lang, priority,
+                   CAST(row_number() OVER (PARTITION BY lang
+                                           ORDER BY priority DESC, doc_id)
+                        AS BIGINT) AS rk
+            FROM p
+        ) WHERE rk <= 50
+    """,
     # hash_sample(rate_256=32) → threshold '20'; lowercase-hex strings
     # order like their numeric values, so the predicate is portable.
     "domain_stats": """

@@ -1,0 +1,209 @@
+"""Round-4 corpus operators: deterministic splits, weighted reservoir
+sampling, distribution drift, robust outlier gating, and the fuzzy
+incremental dedup gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+
+# ---------------------------------------------------------------------------
+# assign_splits
+# ---------------------------------------------------------------------------
+
+
+def test_assign_splits_partition_of_corpus(spark, sf_dir):
+    from kafka_streams_spark.operators.sampling import assign_splits
+    from kafka_streams_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = assign_splits(docs, test_256=13, val_256=26)
+    n = docs.count()
+    assert out.count() == n
+    by_split = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(by_split) <= {"train", "val", "test"}
+    assert sum(by_split.values()) == n
+    # ~5% each with generous tolerance on a small corpus
+    assert by_split["test"] < 0.15 * n
+    assert by_split["val"] < 0.15 * n
+    # stable under repartitioning
+    out2 = assign_splits(docs.repartition(13), test_256=13, val_256=26)
+    assert out.exceptAll(out2).count() == 0 and out2.exceptAll(out).count() == 0
+
+
+def test_assign_splits_validates_bounds(spark):
+    from kafka_streams_spark.operators.sampling import assign_splits
+
+    d = _docs(spark, [(1, "s", "x")])
+    with pytest.raises(ValueError):
+        assign_splits(d, test_256=30, val_256=20)
+    with pytest.raises(ValueError):
+        assign_splits(d, test_256=-1, val_256=20)
+
+
+# ---------------------------------------------------------------------------
+# reservoir_sample
+# ---------------------------------------------------------------------------
+
+
+def test_reservoir_two_phase_equals_single_window(spark, sf_dir):
+    """The salted two-phase top-k must equal the plain one-window top-k."""
+    from kafka_streams_spark.operators.sampling import reservoir_sample, uniform_unit
+    from kafka_streams_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = reservoir_sample(docs, k=20, stratum_col="lang", weight_col="n_chars")
+    # naive single-window reference
+    pr = F.round(
+        F.pow(uniform_unit("doc_id"), F.lit(1.0) / F.col("n_chars").cast("double")), 9
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("priority"), F.col("doc_id"))
+    ref = (
+        docs.select("doc_id", "lang", pr.alias("priority"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 20)
+    )
+    assert out.exceptAll(ref).count() == 0 and ref.exceptAll(out).count() == 0
+
+
+def test_reservoir_unweighted_and_partition_invariant(spark, sf_dir):
+    from kafka_streams_spark.operators.sampling import reservoir_sample
+    from kafka_streams_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = reservoir_sample(docs, k=10, stratum_col="source")
+    b = reservoir_sample(docs.repartition(17), k=10, stratum_col="source")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # k per stratum, rk dense from 1
+    per = a.groupBy("source").agg(F.count("*").alias("n"), F.min("rk").alias("lo"), F.max("rk").alias("hi"))
+    for r in per.collect():
+        assert r["n"] == 10 and r["lo"] == 1 and r["hi"] == 10
+
+
+def test_reservoir_weight_bias(spark):
+    """With extreme weights, the heavy rows must win the reservoir."""
+    from kafka_streams_spark.operators.sampling import reservoir_sample
+
+    rows = [(i, "s", "x", 1_000_000 if i < 5 else 1) for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id bigint, source string, text string, w bigint")
+    out = reservoir_sample(d, k=5, stratum_col="source", weight_col="w")
+    got = {r["doc_id"] for r in out.collect()}
+    # u^(1/1e6) ~ 1 for the heavy rows; u^(1/1) = u < 1 for the light ones
+    assert got == {0, 1, 2, 3, 4}
+
+
+# ---------------------------------------------------------------------------
+# corpus_drift
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_drift_identical_sides_zero(spark):
+    from kafka_streams_spark.operators.text import corpus_drift
+
+    d = _docs(spark, [(1, "s", "a b c"), (2, "s", "c d")])
+    row = corpus_drift(d, d).collect()[0]
+    assert row["tvd"] == 0.0
+    assert row["n_tokens_a"] == row["n_tokens_b"] == 5
+    assert row["vocab_a"] == row["vocab_b"] == row["shared_vocab"] == 4
+
+
+def test_corpus_drift_disjoint_vocab_is_one(spark):
+    from kafka_streams_spark.operators.text import corpus_drift
+
+    a = _docs(spark, [(1, "s", "a a b")])
+    b = _docs(spark, [(2, "s", "x y z z")])
+    row = corpus_drift(a, b).collect()[0]
+    assert row["tvd"] == 1.0
+    assert row["shared_vocab"] == 0
+
+
+def test_corpus_drift_known_value(spark):
+    """A: {a:2, b:2} T=4; B: {a:1, b:3} T=4.
+    TVD = 0.5*(|2/4-1/4| + |2/4-3/4|) = 0.25."""
+    from kafka_streams_spark.operators.text import corpus_drift
+
+    a = _docs(spark, [(1, "s", "a a b b")])
+    b = _docs(spark, [(2, "s", "a b b b")])
+    row = corpus_drift(a, b).collect()[0]
+    assert row["tvd"] == pytest.approx(0.25)
+
+
+# ---------------------------------------------------------------------------
+# length_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_length_outliers_flags_only_the_tail(spark):
+    from kafka_streams_spark.operators.text import length_outliers
+
+    # nine values near 100 and one at 10000: med=100, MAD small
+    rows = [(i, "s", "x", 100 + i) for i in range(9)] + [(9, "s", "x", 10_000)]
+    d = spark.createDataFrame(rows, "doc_id bigint, source string, text string, n_chars bigint")
+    out = length_outliers(d, k=3.0).collect()
+    assert {r["doc_id"] for r in out} == {9}
+    r = out[0]
+    assert r["med"] == pytest.approx(104.5)  # mean of 104 and 105
+    # deviations from 104.5: .5,1.5,...,4.5 and 9895.5 → MAD = 2.5
+    assert r["mad"] == pytest.approx(2.5)
+
+
+def test_length_outliers_zero_mad_degenerate(spark):
+    """All-equal stratum: MAD=0, so ANY deviation is an outlier and the
+    equal rows themselves are not flagged."""
+    from kafka_streams_spark.operators.text import length_outliers
+
+    rows = [(i, "s", "x", 50) for i in range(5)] + [(9, "s", "x", 51)]
+    d = spark.createDataFrame(rows, "doc_id bigint, source string, text string, n_chars bigint")
+    out = length_outliers(d, k=3.0).collect()
+    assert {r["doc_id"] for r in out} == {9}
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_fuzzy
+# ---------------------------------------------------------------------------
+
+
+def _fuzzy_rows():
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy dog again and often"
+    return base, near
+
+
+def test_fuzzy_incremental_drops_near_dup_of_existing(spark):
+    from kafka_streams_spark.operators.dedup import dedup_incremental_fuzzy
+
+    base, near = _fuzzy_rows()
+    existing = _docs(spark, [(1, "s", base)])
+    new = _docs(spark, [(10, "s", near), (11, "s", "completely different words here entirely")])
+    for hash_fn in ("crc32", "md5_32"):
+        out = dedup_incremental_fuzzy(
+            new, existing, threshold=0.5, hash_fn=hash_fn
+        )
+        assert {r["doc_id"] for r in out.collect()} == {11}
+
+
+def test_fuzzy_incremental_ignores_new_new_pairs(spark):
+    """Near-dups WITHIN the increment are out of scope by contract —
+    both survive the gate (minhash_near_duplicates handles them)."""
+    from kafka_streams_spark.operators.dedup import dedup_incremental_fuzzy
+
+    base, near = _fuzzy_rows()
+    existing = _docs(spark, [(1, "s", "unrelated corpus content entirely elsewhere")])
+    new = _docs(spark, [(10, "s", base), (11, "s", near)])
+    out = dedup_incremental_fuzzy(new, existing, threshold=0.5)
+    assert {r["doc_id"] for r in out.collect()} == {10, 11}
+
+
+def test_fuzzy_incremental_exact_dup_also_dropped(spark):
+    from kafka_streams_spark.operators.dedup import dedup_incremental_fuzzy
+
+    base, _ = _fuzzy_rows()
+    existing = _docs(spark, [(1, "s", base)])
+    new = _docs(spark, [(10, "s", base)])
+    assert dedup_incremental_fuzzy(new, existing, threshold=0.5).count() == 0
