@@ -102,6 +102,11 @@ BENCH_QUERIES = [
     "lm_unigram_score",
     "dedup_lines",
     "knn_lsh_vec0",
+    "dedup_incremental_fuzzy",
+    "reservoir_sample_docs",
+    "corpus_drift",
+    "length_outliers",
+    "assign_splits_docs",
 ]
 
 

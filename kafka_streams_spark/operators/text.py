@@ -673,15 +673,23 @@ def corpus_drift(
     whose last ulp differs across libm implementations — TVD is the
     drift metric that stays bit-deterministic.
 
-    Shape: one token-count aggregate per side (the only shuffles; the
-    corpus itself is read once per side), a full-outer merge of the two
-    ~vocabulary-sized count tables, a broadcast of the 1-row totals, and
-    a final scalar aggregate. Overflow bound: cnt·T < 2^63 needs
+    Shape: one token-count aggregate per side (the only corpus-sized
+    shuffles; each side is read ONCE — the totals come from a global
+    window over the post-aggregation vocabulary table, not from a
+    second corpus pass: re-using the count subtree in a separate totals
+    aggregate plans a full re-scan of both corpora, no ReusedExchange),
+    then a full-outer merge of the two ~vocabulary-sized count tables
+    and a final scalar aggregate. The global window funnels only
+    |vocabulary| rows to one partition — orders of magnitude below the
+    corpus; for shingle-sized vocabularies, swap in a two-pass totals
+    join on a cached count table. Overflow bound: cnt·T < 2^63 needs
     T_a·T_b < 2^63 — beyond ~3·10^9 tokens per side, divide counts by a
     common 10^3 scale first (the ratio is unchanged).
 
     Output: 1 row — n_tokens_a/b, vocab_a/b, shared_vocab, tvd.
     """
+    from pyspark.sql import Window
+
     from kafka_streams_spark.operators.dedup import tokens
 
     def counts(d: DataFrame, name: str) -> DataFrame:
@@ -700,10 +708,13 @@ def corpus_drift(
             F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
         )
     )
-    totals = joined.agg(
-        F.sum("cnt_a").alias("_ta"), F.sum("cnt_b").alias("_tb")
-    )
-    agg = joined.join(F.broadcast(totals)).agg(
+    everything = Window.partitionBy()
+    agg = joined.select(
+        "cnt_a",
+        "cnt_b",
+        F.sum("cnt_a").over(everything).alias("_ta"),
+        F.sum("cnt_b").over(everything).alias("_tb"),
+    ).agg(
         F.max("_ta").alias("n_tokens_a"),
         F.max("_tb").alias("n_tokens_b"),
         F.sum((F.col("cnt_a") > 0).cast("long")).alias("vocab_a"),

@@ -323,3 +323,66 @@ def test_dedup_incremental_anti_join_ships_hashes_only(spark, sf_dir):
     a = audit(dedup_incremental(docs.filter(bucket >= "20"), docs.filter(bucket < "20")))
     # the existing side's scan must read only what md5(text) needs
     assert any("text" in s and "source" not in s for s in a.read_schemas), a.read_schemas
+
+
+def test_assign_splits_is_map_only(spark, sf_dir):
+    """Split assignment is a projected CASE on a hash: one scan, zero
+    exchanges — at 100 TB it composes into any scan for free."""
+    from kafka_streams_spark.operators.sampling import assign_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = audit(assign_splits(docs))
+    assert a.num_scans == 1, a.plan
+    assert a.num_exchanges == 0, a.plan
+
+
+def test_reservoir_sample_two_window_exchanges_only(spark, sf_dir):
+    """The salted two-phase top-k costs exactly two hash exchanges —
+    (stratum, salt) then stratum over the ≤ k·n_salts survivors; the
+    second input is tiny by construction."""
+    from kafka_streams_spark.operators.sampling import reservoir_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = audit(reservoir_sample(docs, k=20, stratum_col="lang", weight_col="n_chars"))
+    assert a.num_scans == 1, a.plan
+    assert a.num_exchanges == 2, a.plan
+
+
+def test_length_outliers_broadcasts_stats_no_corpus_shuffle(spark, sf_dir):
+    """The per-stratum median/MAD tables (a handful of rows) must
+    broadcast back onto the corpus — the corpus rows themselves only
+    shuffle inside the tiny stat aggregates, never for the gate join."""
+    from kafka_streams_spark.operators.text import length_outliers
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = audit(length_outliers(docs))
+    assert a.join_strategies.count("BroadcastHashJoin") >= 2, a.join_strategies
+    assert "SortMergeJoin" not in a.join_strategies, a.join_strategies
+
+
+def test_corpus_drift_reads_each_side_once(spark, sf_dir):
+    """The totals must come from the vocab-sized window, NOT a second
+    pass over the corpora: exactly one scan per side. (The naive
+    totals-crossjoin formulation planned 4 scans — no ReusedExchange.)"""
+    from kafka_streams_spark.operators.text import corpus_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    a = audit(corpus_drift(docs.filter(bucket < "80"), docs.filter(bucket >= "80")))
+    assert a.num_scans == 2, a.plan
+    assert a.has_partial_aggregation, a.plan
+
+
+def test_fuzzy_incremental_no_cartesian(spark, sf_dir):
+    """Candidate generation must stay an equi-join on band keys — any
+    CartesianProduct here means the LSH bucketing fell out of the plan."""
+    from kafka_streams_spark.operators.dedup import dedup_incremental_fuzzy
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    a = audit(
+        dedup_incremental_fuzzy(
+            docs.filter(bucket >= "20"), docs.filter(bucket < "20"), hash_fn="md5_32"
+        )
+    )
+    assert "CartesianProduct" not in a.join_strategies, a.join_strategies
