@@ -660,6 +660,21 @@ def _q_length_outliers(spark, sf_dir):
     return length_outliers(_docs(spark, sf_dir), k=3.0)
 
 
+def _q_quality_calibrated(spark, sf_dir):
+    from kafka_streams_spark.operators.text import quality_calibrated
+
+    return quality_calibrated(_docs(spark, sf_dir))
+
+
+def _q_emb_truncate(spark, sf_dir):
+    # Matryoshka truncation to the first 16 of 64 dims, re-normalized;
+    # exploded to scalar rows like the other vector-valued contracts.
+    from kafka_streams_spark.operators.similarity import truncate_embeddings
+
+    t = truncate_embeddings(_embs(spark, sf_dir), dim=16)
+    return t.select("vec_id", F.posexplode("unit").alias("pos", "unit_val"))
+
+
 def _q_dedup_incremental_fuzzy(spark, sf_dir):
     # Same corpus split as dedup_incremental (md5 bucket < '20' is the
     # "existing corpus"); md5_32 so the banding is oracle-reproducible.
@@ -703,6 +718,8 @@ _NEEDS_DRIVER_ROW = [
     "corpus_drift",
     "length_outliers",
     "assign_splits_docs",
+    "quality_calibrated",
+    "emb_truncate",
     # (a) code changed this round
     "winnowing_fingerprints",  # r03 red; now scalar rows + md5_60 oracle
     "dedup_simhash",  # now oracle-checked (Arrow md5_60 signatures)
@@ -858,6 +875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_splits_docs": _q_assign_splits,
         "corpus_drift": _q_corpus_drift,
         "length_outliers": _q_length_outliers,
+        "quality_calibrated": _q_quality_calibrated,
+        "emb_truncate": _q_emb_truncate,
         "decontaminate_emb": _q_decontaminate_emb,
         "corpus_stats": _q_corpus_stats,
         "chunk_documents": _q_chunk_documents,

@@ -756,6 +756,44 @@ def normalize_vectors(
     )
 
 
+def truncate_embeddings(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Matryoshka-style dimensionality truncation: keep the first
+    ``dim`` components and re-normalize to unit L2 — the standard
+    cheap-ANN trick for embeddings trained with nested (MRL) objectives,
+    where prefixes of the vector are themselves valid embeddings. A
+    truncated index is ``dim/D`` the bytes and dot-product cost of the
+    full one; retrieve with the truncated vectors, re-rank survivors
+    with the full ones.
+
+    Pure Column expressions (slice + aggregate + transform — JVM-side,
+    map-only, no shuffle); zero-norm prefixes are dropped like
+    :func:`normalize_vectors` drops zero-norm vectors.
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    from kafka_streams_spark.functions.vectors import l2_norm
+
+    prefix = F.slice(F.col(vec_col), 1, dim)
+    return (
+        embeddings.select(F.col(id_col), prefix.alias("_pre"))
+        .withColumn("_nrm", l2_norm(F.col("_pre")))
+        .filter(F.col("_nrm") > 0)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col("_pre"),
+                lambda x: F.round(x.cast("double") / F.col("_nrm"), decimals),
+            ).alias("unit"),
+        )
+    )
+
+
 def write_lsh_index(
     indexed: DataFrame, path: str, vec_col: str = "embedding"
 ) -> None:

@@ -785,3 +785,40 @@ def length_outliers(
             "mad",
         )
     )
+
+
+def quality_calibrated(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum quality calibration: each document's quality score
+    mapped to its percent rank WITHIN its source — so one global
+    threshold (e.g. "keep the top 60%") is source-fair instead of
+    letting a verbose source crowd out a terse one (raw-score
+    thresholds encode the sources' score distributions, not their
+    relative quality).
+
+    ``pct_rank`` is ``(rank-1)/(n-1)`` with a unique (quality, id)
+    ordering, so it is exact rational arithmetic — deterministic
+    cross-engine without a rounding pin (rounded to 9 dp for display
+    only). One window per stratum; at 100 TB substitute the rank with
+    a bucketed ECDF (aggregate per (stratum, score-bucket), cumulative
+    sum over the tiny bucket table) if single strata outgrow a
+    partition's sort budget.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.col("quality"), F.col(id_col))
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(stratum_col),
+            quality_expr(F.col(text_col)).alias("quality"),
+        )
+        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 9))
+    )

@@ -356,6 +356,34 @@ TEXT_ORACLES = {
                      / (2.0 * n_tokens_a * n_tokens_b), 9) AS tvd
         FROM agg
     """,
+    # quality_calibrated: percent_rank of the quality score within each
+    # source, unique (quality, doc_id) ordering → exact (rank-1)/(n-1)
+    # rational arithmetic; 9-dp rounding is display-only.
+    "quality_calibrated": f"""
+        WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
+        s AS (
+            SELECT doc_id, source,
+                   len(toks) AS n_words,
+                   CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) AS chars_per_word,
+                   CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS punct_ratio,
+                   CAST(len(list_intersect(toks, {_STOP_EN})) AS DOUBLE)
+                       / greatest(len(list_distinct(toks)), 1) AS stopword_ratio
+            FROM t
+        ),
+        q AS (
+            SELECT doc_id, source,
+                   ((CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN chars_per_word >= 3 AND chars_per_word <= 12 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN stopword_ratio > 0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+            FROM s
+        )
+        SELECT doc_id, source, quality,
+               ROUND(percent_rank() OVER (PARTITION BY source
+                                          ORDER BY quality, doc_id), 9) AS pct_rank
+        FROM q
+    """,
     # length_outliers(k=3, stratum=source): |n_chars - median| > 3*MAD.
     # Integer inputs put the exact median/MAD on a .0/.5 grid, so every
     # comparison operand is an exact double — bit-deterministic without
@@ -1154,6 +1182,24 @@ SIMILARITY_ORACLES = {
                CAST(pos AS INT) AS pos,
                round(avg(CAST(x AS DOUBLE)), 6) AS centroid_val
         FROM ex GROUP BY label, pos
+    """,
+    # Matryoshka truncation to 16 dims: prefix slice, re-normalized —
+    # emb_normalize's oracle over embedding[1:16].
+    "emb_truncate": """
+        WITH n AS (
+            SELECT vec_id, embedding[1:16] AS pre,
+                   sqrt(list_sum(list_transform(
+                       embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ),
+        ex AS (
+            SELECT vec_id, nrm,
+                   unnest(range(len(pre))) AS pos,
+                   CAST(unnest(pre) AS DOUBLE) AS x
+            FROM n WHERE nrm > 0
+        )
+        SELECT vec_id, CAST(pos AS INT) AS pos, round(x / nrm, 6) AS unit_val
+        FROM ex
     """,
     "emb_normalize": """
         WITH n AS (

@@ -207,3 +207,87 @@ def test_fuzzy_incremental_exact_dup_also_dropped(spark):
     existing = _docs(spark, [(1, "s", base)])
     new = _docs(spark, [(10, "s", base)])
     assert dedup_incremental_fuzzy(new, existing, threshold=0.5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# quality_calibrated
+# ---------------------------------------------------------------------------
+
+
+def test_quality_calibrated_rank_properties(spark, sf_dir):
+    from kafka_streams_spark.operators.text import quality_calibrated
+    from kafka_streams_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_calibrated(docs)
+    stats = out.groupBy("source").agg(
+        F.min("pct_rank").alias("lo"), F.max("pct_rank").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    for r in stats.collect():
+        assert r["lo"] == 0.0
+        assert r["hi"] == (1.0 if r["n"] > 1 else 0.0)
+    # higher quality never maps to a lower rank within a source
+    a = out.alias("a")
+    b = out.alias("b")
+    inversions = (
+        a.join(b, (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.quality") > F.col("b.quality"))
+               & (F.col("a.pct_rank") < F.col("b.pct_rank")))
+        .count()
+    )
+    assert inversions == 0
+
+
+def test_quality_calibrated_partition_invariant(spark, sf_dir):
+    from kafka_streams_spark.operators.text import quality_calibrated
+    from kafka_streams_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    x = quality_calibrated(docs)
+    y = quality_calibrated(docs.repartition(11))
+    assert x.exceptAll(y).count() == 0 and y.exceptAll(x).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# truncate_embeddings
+# ---------------------------------------------------------------------------
+
+
+def test_truncate_embeddings_prefix_unit_norm(spark, sf_dir):
+    from kafka_streams_spark.operators.similarity import truncate_embeddings
+    from kafka_streams_spark.sources.testdata import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    out = truncate_embeddings(embs, dim=16)
+    checked = out.select(
+        F.size("unit").alias("d"),
+        F.aggregate("unit", F.lit(0.0), lambda acc, v: acc + v * v).alias("sq"),
+    )
+    row = checked.agg(
+        F.min("d"), F.max("d"), F.min("sq"), F.max("sq")
+    ).collect()[0]
+    assert row[0] == row[1] == 16
+    # unit norm within the 6-dp component rounding budget
+    assert abs(row[2] - 1.0) < 1e-3 and abs(row[3] - 1.0) < 1e-3
+
+
+def test_truncate_full_dim_equals_normalize(spark, sf_dir):
+    from kafka_streams_spark.operators.similarity import (
+        normalize_vectors,
+        truncate_embeddings,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    t = truncate_embeddings(embs, dim=64)
+    n = normalize_vectors(embs)
+    assert t.exceptAll(n).count() == 0 and n.exceptAll(t).count() == 0
+
+
+def test_truncate_validates_dim(spark, sf_dir):
+    from kafka_streams_spark.operators.similarity import truncate_embeddings
+    from kafka_streams_spark.sources.testdata import load_table
+
+    with pytest.raises(ValueError):
+        truncate_embeddings(load_table(spark, sf_dir, "embeddings"), dim=0)
