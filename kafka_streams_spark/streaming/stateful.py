@@ -78,6 +78,39 @@ def dedup_stream(
     )
 
 
+def dedup_stream_vs_corpus(
+    stream_docs: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming incremental dedup against a STATIC curated corpus — the
+    streaming form of ``operators.dedup.dedup_incremental``: documents
+    arriving on the stream are dropped when their content hash already
+    exists in yesterday's corpus (stream-static left-anti join on
+    md5(text)), and within the stream itself each hash passes at most
+    once per watermark span (``dropDuplicatesWithinWatermark`` — bounded
+    state on an infinite stream).
+
+    Scale shape: the static side projects to ONE 32-char hash column
+    before the join — the curated corpus's payload never loads; Spark
+    re-plans the static side per micro-batch, so persist the hash
+    projection (or maintain it as a compact parquet table, the streaming
+    analog of the persisted signature table in
+    ``dedup_incremental_fuzzy``) to avoid re-reading 100 TB of text
+    every trigger.
+    """
+    seen = existing.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    hashed = stream_docs.withColumn("_h", F.md5(F.col(text_col)))
+    fresh = hashed.join(seen, "_h", "left_anti")
+    return (
+        fresh.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )
+
+
 def session_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -239,3 +239,48 @@ def test_hopping_counts_batch_streaming_equivalence(spark, tmp_path):
     }
     q.stop()
     assert got == expected
+
+
+def test_dedup_stream_vs_corpus(spark, tmp_path):
+    """Stream-static incremental dedup: docs whose content hash exists
+    in the static corpus are dropped; within the stream, repeated
+    content passes once; novel content passes."""
+    from kafka_streams_spark.streaming.stateful import dedup_stream_vs_corpus
+
+    doc_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("text", StringType()),
+        ]
+    )
+    existing = spark.createDataFrame(
+        [(100, "already curated content"), (101, "another known doc")],
+        "doc_id bigint, text string",
+    )
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01T00:10:00Z", "text": "already curated content"},
+        {"doc_id": 2, "ts": "2024-01-01T00:11:00Z", "text": "genuinely new content"},
+        {"doc_id": 3, "ts": "2024-01-01T00:12:00Z", "text": "genuinely new content"},
+        {"doc_id": 4, "ts": "2024-01-01T00:13:00Z", "text": "also novel text here"},
+    ]
+    src = str(tmp_path / "src")
+    _write_jsonl(os.path.join(src, "a.json"), rows)
+    stream = spark.readStream.schema(doc_schema).json(src)
+    q = (
+        dedup_stream_vs_corpus(stream, existing)
+        .writeStream.format("memory")
+        .queryName("dedup_corpus_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            r["doc_id"] for r in spark.table("dedup_corpus_out").collect()
+        )
+        # 1 dropped (in corpus); 2 or 3 passes once (same content); 4 passes
+        assert len(got) == 2 and got[0] in (2, 3) and got[1] == 4
+    finally:
+        q.stop()
