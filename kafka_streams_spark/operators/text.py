@@ -709,21 +709,34 @@ def corpus_drift(
         )
     )
     everything = Window.partitionBy()
+    # coalesce(…, 0): a completely token-less side leaves `joined` with
+    # zero rows, where a bare global aggregate returns NULLs — the
+    # contract is counts 0 and tvd NULL.
     agg = joined.select(
         "cnt_a",
         "cnt_b",
         F.sum("cnt_a").over(everything).alias("_ta"),
         F.sum("cnt_b").over(everything).alias("_tb"),
     ).agg(
-        F.max("_ta").alias("n_tokens_a"),
-        F.max("_tb").alias("n_tokens_b"),
-        F.sum((F.col("cnt_a") > 0).cast("long")).alias("vocab_a"),
-        F.sum((F.col("cnt_b") > 0).cast("long")).alias("vocab_b"),
-        F.sum(((F.col("cnt_a") > 0) & (F.col("cnt_b") > 0)).cast("long")).alias(
-            "shared_vocab"
+        F.coalesce(F.max("_ta"), F.lit(0)).alias("n_tokens_a"),
+        F.coalesce(F.max("_tb"), F.lit(0)).alias("n_tokens_b"),
+        F.coalesce(F.sum((F.col("cnt_a") > 0).cast("long")), F.lit(0)).alias(
+            "vocab_a"
         ),
-        F.sum(
-            F.abs(F.col("cnt_a") * F.col("_tb") - F.col("cnt_b") * F.col("_ta"))
+        F.coalesce(F.sum((F.col("cnt_b") > 0).cast("long")), F.lit(0)).alias(
+            "vocab_b"
+        ),
+        F.coalesce(
+            F.sum(((F.col("cnt_a") > 0) & (F.col("cnt_b") > 0)).cast("long")),
+            F.lit(0),
+        ).alias("shared_vocab"),
+        F.coalesce(
+            F.sum(
+                F.abs(
+                    F.col("cnt_a") * F.col("_tb") - F.col("cnt_b") * F.col("_ta")
+                )
+            ),
+            F.lit(0),
         ).alias("_numer"),
     )
     return agg.select(
@@ -732,10 +745,15 @@ def corpus_drift(
         "vocab_a",
         "vocab_b",
         "shared_vocab",
-        F.round(
-            F.col("_numer")
-            / (F.lit(2.0) * F.col("n_tokens_a") * F.col("n_tokens_b")),
-            9,
+        # NULL, not NaN, when a side has no tokens at all — there is no
+        # distribution to compare (0/0 under IEEE would yield NaN here).
+        F.when(
+            (F.col("n_tokens_a") > 0) & (F.col("n_tokens_b") > 0),
+            F.round(
+                F.col("_numer")
+                / (F.lit(2.0) * F.col("n_tokens_a") * F.col("n_tokens_b")),
+                9,
+            ),
         ).alias("tvd"),
     )
 

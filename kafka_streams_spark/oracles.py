@@ -353,7 +353,8 @@ TEXT_ORACLES = {
         )
         SELECT n_tokens_a, n_tokens_b, vocab_a, vocab_b, shared_vocab,
                ROUND(CAST(numer AS DOUBLE)
-                     / (2.0 * n_tokens_a * n_tokens_b), 9) AS tvd
+                     / (2.0 * NULLIF(n_tokens_a, 0) * NULLIF(n_tokens_b, 0)),
+                     9) AS tvd
         FROM agg
     """,
     # quality_calibrated: percent_rank of the quality score within each

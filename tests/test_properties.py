@@ -136,3 +136,69 @@ def test_jaccard_three_forms_agree(texts, threshold):
     prefix = norm(ngram_jaccard_pairs_prefix(df, n=1, threshold=threshold))
     bitset = norm(ngram_jaccard_pairs_bitset(df, n=1, threshold=threshold))
     assert blocked == prefix == bitset
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abc xyz", min_size=0, max_size=40), min_size=1, max_size=8),
+    st.lists(st.text(alphabet="abc xyz", min_size=0, max_size=40), min_size=1, max_size=8),
+)
+def test_corpus_drift_matches_tvd_model(texts_a, texts_b):
+    """corpus_drift's integer-arithmetic TVD == the Python float model
+    0.5*Σ|p_a − p_b|, for arbitrary corpora (including empty-token
+    sides, where TVD is defined only if both totals are nonzero)."""
+    from collections import Counter
+
+    from kafka_streams_spark.operators.text import corpus_drift
+
+    spark = _spark()
+    da = spark.createDataFrame([(i, t) for i, t in enumerate(texts_a)], ["doc_id", "text"])
+    db = spark.createDataFrame([(i, t) for i, t in enumerate(texts_b)], ["doc_id", "text"])
+    ca = Counter(w for t in texts_a for w in t.lower().split() if w)
+    cb = Counter(w for t in texts_b for w in t.lower().split() if w)
+    ta, tb = sum(ca.values()), sum(cb.values())
+    row = corpus_drift(da, db).collect()[0]
+    assert row["n_tokens_a"] == ta and row["n_tokens_b"] == tb
+    if ta == 0 or tb == 0:
+        assert row["tvd"] is None  # 0-denominator: no distribution to compare
+        return
+    expected = 0.5 * sum(
+        abs(ca.get(w, 0) / ta - cb.get(w, 0) / tb) for w in set(ca) | set(cb)
+    )
+    assert abs(row["tvd"] - expected) < 1e-8, (texts_a, texts_b)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(1, 10**4)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 8),
+)
+def test_reservoir_sample_matches_priority_model(rows, k):
+    """reservoir_sample == the Python model: top-k by round(u^(1/w), 9)
+    with id tiebreak, u = md5-derived uniform — for arbitrary ids,
+    weights, and k."""
+    import hashlib
+
+    from kafka_streams_spark.operators.sampling import reservoir_sample
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, "s", w) for i, w in rows], "doc_id bigint, source string, w bigint"
+    )
+    got = sorted(
+        (r["doc_id"], r["rk"])
+        for r in reservoir_sample(df, k=k, stratum_col="source", weight_col="w").collect()
+    )
+
+    def priority(i, w):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 16**8
+        return round(u ** (1.0 / w), 9)
+
+    ranked = sorted(rows, key=lambda t: (-priority(*t), t[0]))[:k]
+    expected = sorted((i, pos + 1) for pos, (i, _) in enumerate(ranked))
+    assert got == expected, (rows, k)
