@@ -675,6 +675,19 @@ def _q_emb_truncate(spark, sf_dir):
     return t.select("vec_id", F.posexplode("unit").alias("pos", "unit_val"))
 
 
+def _q_curate_increment(spark, sf_dir):
+    # Same split as dedup_incremental_fuzzy; md5_32 so the fuzzy gate's
+    # banding is oracle-reproducible end-to-end.
+    from kafka_streams_spark.operators.pipelines import curate_increment
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return curate_increment(
+        docs.filter(bucket >= "20"), docs.filter(bucket < "20"),
+        jaccard_threshold=0.5, hash_fn="md5_32",
+    )
+
+
 def _q_dedup_incremental_fuzzy(spark, sf_dir):
     # Same corpus split as dedup_incremental (md5 bucket < '20' is the
     # "existing corpus"); md5_32 so the banding is oracle-reproducible.
@@ -720,6 +733,7 @@ _NEEDS_DRIVER_ROW = [
     "assign_splits_docs",
     "quality_calibrated",
     "emb_truncate",
+    "curate_increment",
     # (a) code changed this round
     "winnowing_fingerprints",  # r03 red; now scalar rows + md5_60 oracle
     "dedup_simhash",  # now oracle-checked (Arrow md5_60 signatures)
@@ -877,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_outliers": _q_length_outliers,
         "quality_calibrated": _q_quality_calibrated,
         "emb_truncate": _q_emb_truncate,
+        "curate_increment": _q_curate_increment,
         "decontaminate_emb": _q_decontaminate_emb,
         "corpus_stats": _q_corpus_stats,
         "chunk_documents": _q_chunk_documents,

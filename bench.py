@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "corpus_drift",
     "length_outliers",
     "assign_splits_docs",
+    "quality_calibrated",
+    "emb_truncate",
+    "curate_increment",
 ]
 
 

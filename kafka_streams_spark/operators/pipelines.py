@@ -140,3 +140,50 @@ def decontaminate(
         .withColumn("contaminated", F.col("n_overlap") >= min_overlap)
         .select(id_col, "n_overlap", "contaminated")
     )
+
+
+def curate_increment(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    jaccard_threshold: float = 0.5,
+    min_quality: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "crc32",
+) -> DataFrame:
+    """The recurring-crawl curation pipeline end-to-end: curate a corpus
+    INCREMENT against an already-final corpus — exact membership gate
+    (:func:`~kafka_streams_spark.operators.dedup.dedup_incremental`:
+    anti-join on content hash + internal exact dedup), fuzzy membership
+    gate (:func:`~kafka_streams_spark.operators.dedup.
+    dedup_incremental_fuzzy`: MinHash bands vs the existing corpus,
+    exact Jaccard verify), then the manifest gates
+    (:func:`curate_corpus`: quality, PII, normalized-text dedup, token
+    budget).
+
+    Ordering is the cost ladder: the exact gate is the cheapest (hashes
+    only) and removes re-crawled bulk before the fuzzy gate pays for
+    signatures; the expression gates run last, over survivors only.
+    At 100 TB the existing side contributes ONLY its hash column and its
+    persisted signature table — yesterday's text never loads.
+
+    Output: (doc_id, source, n_tokens_bpe, quality) — the delta-day
+    manifest to append to the corpus.
+    """
+    from kafka_streams_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_incremental_fuzzy,
+    )
+
+    fresh = dedup_incremental(new_docs, existing, id_col=id_col, text_col=text_col)
+    survivors = dedup_incremental_fuzzy(
+        fresh,
+        existing,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=jaccard_threshold,
+        hash_fn=hash_fn,
+    )
+    return curate_corpus(
+        survivors, min_quality=min_quality, id_col=id_col, text_col=text_col
+    )

@@ -880,6 +880,115 @@ def _minhash_incremental_sql(
     """
 
 
+# curate_increment: the full recurring-crawl composition — exact gate
+# (anti-join on md5(text) + min-id winner within the increment), fuzzy
+# gate (the _minhash_incremental_sql machinery; matched-vs-existing is
+# per-doc independent, so computing it over ALL new docs and
+# intersecting with the exact survivors equals running it on the
+# survivors), then the curate_corpus gates over the kept set.
+def _curate_increment_sql(
+    threshold: float = 0.5, num_hashes: int = 64, bands: int = 32,
+    split_hex: str = "20", min_quality: float = 0.75,
+) -> str:
+    from kafka_streams_spark.operators.dedup import MINHASH_PRIME, _minhash_coeffs
+
+    coeffs = _minhash_coeffs(num_hashes)
+    r = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min(({a} * h32 + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_keys = ",\n               ".join(
+        "concat_ws('_', " + ", ".join(f"mh{b * r + i}" for i in range(r)) + f") AS b{b}"
+        for b in range(bands)
+    )
+    any_band = "\n                OR ".join(f"n.b{b} = e.b{b}" for b in range(bands))
+    return f"""
+        WITH {_shingle_cte(3)},
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        h AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h32
+            FROM ex
+        ),
+        sig AS (
+            SELECT doc_id,
+               {mins}
+            FROM h GROUP BY doc_id
+        ),
+        bandt AS (
+            SELECT doc_id,
+               {band_keys}
+            FROM sig
+        ),
+        newb AS (SELECT * FROM bandt
+                 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '{split_hex}'),
+        exb AS (SELECT * FROM bandt
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{split_hex}'),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS ex_id
+            FROM newb n JOIN exb e
+              ON ({any_band})
+        ),
+        matched AS (
+            SELECT DISTINCT c.new_id FROM cand c
+            JOIN sh x ON x.doc_id = c.new_id
+            JOIN sh y ON y.doc_id = c.ex_id
+            WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+                  (len(x.shingles) + len(y.shingles)
+                   - len(list_intersect(x.shingles, y.shingles))) >= {threshold}
+        ),
+        nw AS (
+            SELECT doc_id, source, text, md5(text) AS hh FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '{split_hex}'
+        ),
+        exh AS (
+            SELECT DISTINCT md5(text) AS hh FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{split_hex}'
+        ),
+        fresh AS (
+            SELECT doc_id, source, text FROM (
+                SELECT f.doc_id, f.source, f.text,
+                       row_number() OVER (PARTITION BY f.hh ORDER BY f.doc_id) AS rn
+                FROM nw f ANTI JOIN exh USING (hh)
+            ) WHERE rn = 1
+        ),
+        kept AS (
+            SELECT k.* FROM fresh k
+            WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.new_id = k.doc_id)
+        ),
+        kt AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM kept),
+        ks AS (
+            SELECT doc_id, source, toks,
+                   len(toks) AS n_words,
+                   CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) AS chars_per_word,
+                   CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS punct_ratio,
+                   CAST(len(list_intersect(toks, {_STOP_EN})) AS DOUBLE)
+                       / greatest(len(list_distinct(toks)), 1) AS stopword_ratio,
+                   (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) > 0
+                    OR len(regexp_extract_all(text, 'https?://[^\\s]+')) > 0
+                    OR len(regexp_extract_all(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) > 0)
+                       AS has_pii,
+                   md5(array_to_string(toks, ' ')) AS exact_md5,
+                   CAST(len(regexp_extract_all(text, '{BPE_ISH_REGEX}')) AS INTEGER) AS n_tokens_bpe
+            FROM kt
+        ),
+        gated AS (
+            SELECT doc_id, source, n_tokens_bpe, exact_md5,
+                   ((CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN chars_per_word >= 3 AND chars_per_word <= 12 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN stopword_ratio > 0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+            FROM ks WHERE NOT has_pii
+        )
+        SELECT doc_id, source, n_tokens_bpe, quality
+        FROM (SELECT *, row_number() OVER (PARTITION BY exact_md5 ORDER BY doc_id) AS rn
+              FROM gated WHERE quality >= {min_quality})
+        WHERE rn = 1
+    """
+
+
 # SimHash md5_60 twin: per-token 60-bit hash (15 hex chars of md5, the
 # same rule as winnowing_fingerprints), ±1 votes per bit, sign vector
 # packed into a BIGINT. The 60 conditional sums / shift-adds are
@@ -898,6 +1007,7 @@ _SIMHASH60_SIG = "\n             + ".join(
 DEDUP_ORACLES = {
     "dedup_minhash_lsh": _minhash_lsh_sql(threshold=0.5),
     "dedup_incremental_fuzzy": _minhash_incremental_sql(threshold=0.5),
+    "curate_increment": _curate_increment_sql(threshold=0.5),
     "dedup_simhash": f"""
         WITH tok AS (
             SELECT doc_id, unnest({_TOKS}) AS tok FROM documents

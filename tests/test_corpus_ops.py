@@ -291,3 +291,54 @@ def test_truncate_validates_dim(spark, sf_dir):
 
     with pytest.raises(ValueError):
         truncate_embeddings(load_table(spark, sf_dir, "embeddings"), dim=0)
+
+
+# ---------------------------------------------------------------------------
+# curate_increment
+# ---------------------------------------------------------------------------
+
+
+def test_curate_increment_equals_manual_composition(spark, sf_dir):
+    """The fused pipeline must equal running its three stages by hand."""
+    from pyspark.sql import functions as F2
+
+    from kafka_streams_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_incremental_fuzzy,
+    )
+    from kafka_streams_spark.operators.pipelines import curate_corpus, curate_increment
+    from kafka_streams_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F2.substring(F2.md5(F2.col("doc_id").cast("string")), 1, 2)
+    new, ex = docs.filter(bucket >= "20"), docs.filter(bucket < "20")
+    fused = curate_increment(new, ex, jaccard_threshold=0.5, hash_fn="md5_32")
+    manual = curate_corpus(
+        dedup_incremental_fuzzy(
+            dedup_incremental(new, ex), ex, threshold=0.5, hash_fn="md5_32"
+        )
+    )
+    assert fused.exceptAll(manual).count() == 0
+    assert manual.exceptAll(fused).count() == 0
+
+
+def test_curate_increment_drops_near_dup_despite_quality(spark):
+    """A high-quality increment doc that near-duplicates the existing
+    corpus must still be dropped — the membership gates run BEFORE the
+    quality gates."""
+    from kafka_streams_spark.operators.pipelines import curate_increment
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away to the forest where it finds a quiet place to rest."
+    )
+    near = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away to the forest where it finds a quiet place to sleep."
+    )
+    existing = _docs(spark, [(1, "s", good)])
+    new = _docs(spark, [(10, "s", near), (11, "s",
+        "completely different sentences speak of the sea and of the "
+        "mountains that rise in the distant north beyond all maps.")])
+    out = curate_increment(new, existing, jaccard_threshold=0.5)
+    assert {r["doc_id"] for r in out.collect()} == {11}
