@@ -264,9 +264,18 @@ def assign_splits(
     if not 0 <= test_256 <= val_256 <= 256:
         raise ValueError("need 0 <= test_256 <= val_256 <= 256")
     bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+
+    # format(256,'02x') is the 3-char '100', which breaks the 2-char
+    # lexicographic compare (same pitfall hash_sample special-cases):
+    # a boundary of 256 means "everything below" — always true.
+    def below(boundary: int):
+        if boundary >= 256:
+            return F.lit(True)
+        return bucket < F.lit(format(boundary, "02x"))
+
     split = (
-        F.when(bucket < F.lit(format(test_256, "02x")), F.lit("test"))
-        .when(bucket < F.lit(format(val_256, "02x")), F.lit("val"))
+        F.when(below(test_256), F.lit("test"))
+        .when(below(val_256), F.lit("val"))
         .otherwise(F.lit("train"))
     )
     return docs.select(F.col(id_col), split.alias("split"))
@@ -309,8 +318,13 @@ def reservoir_sample(
     if weight_col is None:
         priority = F.round(u, 9)
     else:
+        # nonpositive weight ⇒ priority 0 (never sampled ahead of any
+        # positive-weight row) — the E-S limit as w→0⁺, made explicit so
+        # a stray w=0 doesn't feed pow a division-by-zero infinity.
         w = F.col(weight_col).cast("double")
-        priority = F.round(F.pow(u, F.lit(1.0) / w), 9)
+        priority = F.round(
+            F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(0.0)), 9
+        )
     # salt from a DIFFERENT md5 slice than u (chars 9-16) so the salt is
     # independent of the priority ordering
     salt = F.pmod(

@@ -342,3 +342,17 @@ def test_curate_increment_drops_near_dup_despite_quality(spark):
         "mountains that rise in the distant north beyond all maps.")])
     out = curate_increment(new, existing, jaccard_threshold=0.5)
     assert {r["doc_id"] for r in out.collect()} == {11}
+
+
+def test_assign_splits_boundary_256(spark):
+    """A 256 boundary means the whole range: val_256=256 leaves no
+    train rows (the 3-char hex '100' must not silently break the
+    2-char lexicographic compare)."""
+    from kafka_streams_spark.operators.sampling import assign_splits
+
+    d = _docs(spark, [(i, "s", "x") for i in range(64)])
+    out = assign_splits(d, test_256=13, val_256=256)
+    splits = {r["split"] for r in out.collect()}
+    assert "train" not in splits and "val" in splits
+    all_test = assign_splits(d, test_256=256, val_256=256)
+    assert {r["split"] for r in all_test.collect()} == {"test"}
