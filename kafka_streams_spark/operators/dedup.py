@@ -844,6 +844,31 @@ def minhash_near_duplicates(
     )
 
 
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    hash_fn: str = "crc32",
+) -> None:
+    """Materialize the corpus's MinHash signature table — (id, mh0..mhN)
+    parquet, ~64 ints/doc — so recurring delta-ingest runs
+    (:func:`dedup_incremental_fuzzy` with ``existing_sig``) never
+    recompute signatures over the final corpus. Written once per corpus
+    build; at 100 TB this is the difference between re-shingling
+    yesterday's corpus every day and reading a few GB of integers."""
+    minhash_signatures(
+        docs, id_col, text_col, num_hashes, shingle_n, hash_fn
+    ).write.mode("overwrite").parquet(path)
+
+
+def read_minhash_index(spark, path: str) -> DataFrame:
+    """Read a signature table written by :func:`write_minhash_index`."""
+    return spark.read.parquet(path)
+
+
 def dedup_incremental_fuzzy(
     new_docs: DataFrame,
     existing: DataFrame,
@@ -854,6 +879,7 @@ def dedup_incremental_fuzzy(
     bands: int = 32,
     shingle_n: int = 3,
     hash_fn: str = "crc32",
+    existing_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy membership gate for a corpus increment: drop new docs whose
     shingle Jaccard against ANY existing doc reaches ``threshold`` —
@@ -869,18 +895,22 @@ def dedup_incremental_fuzzy(
     exact Jaccard verify on candidates only, and a left-anti join back.
 
     At 100 TB the existing side's signatures are a PERSISTED table
-    (64 ints/doc, written once per corpus build — recompute nothing);
-    the per-delta cost is signatures over the delta + one bucket join
-    against the signature table. With ``hash_fn="md5_32"`` the banding
+    (64 ints/doc, written once per corpus build via
+    :func:`write_minhash_index` — recompute nothing): pass it as
+    ``existing_sig`` and the per-delta cost is signatures over the delta
+    + one bucket join against the signature table (the existing TEXT is
+    still read, but only for the candidate pairs' exact-verify join —
+    id-pruned, not corpus-wide). With ``hash_fn="md5_32"`` the banding
     is deterministic and the whole gate is oracle-checkable.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
 
-    def banded(docs: DataFrame) -> DataFrame:
-        sig = minhash_signatures(
-            docs, id_col, text_col, num_hashes, shingle_n, hash_fn
-        )
+    def banded(docs: DataFrame, sig: DataFrame | None = None) -> DataFrame:
+        if sig is None:
+            sig = minhash_signatures(
+                docs, id_col, text_col, num_hashes, shingle_n, hash_fn
+            )
         if hash_fn == "md5_32":
             def band_key(b: int):
                 return F.concat_ws(
@@ -900,7 +930,7 @@ def dedup_incremental_fuzzy(
         banded(new_docs)
         .withColumnRenamed(id_col, "new_id")
         .join(
-            banded(existing).withColumnRenamed(id_col, "ex_id"),
+            banded(existing, existing_sig).withColumnRenamed(id_col, "ex_id"),
             ["band_idx", "band_hash"],
         )
         .select("new_id", "ex_id")

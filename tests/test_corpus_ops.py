@@ -356,3 +356,27 @@ def test_assign_splits_boundary_256(spark):
     assert "train" not in splits and "val" in splits
     all_test = assign_splits(d, test_256=256, val_256=256)
     assert {r["split"] for r in all_test.collect()} == {"test"}
+
+
+def test_fuzzy_incremental_with_persisted_signature_index(spark, sf_dir, tmp_path):
+    """Gating against a persisted signature table must equal
+    recomputing signatures from the existing corpus's text."""
+    from kafka_streams_spark.operators.dedup import (
+        dedup_incremental_fuzzy,
+        read_minhash_index,
+        write_minhash_index,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    new, ex = docs.filter(bucket >= "20"), docs.filter(bucket < "20")
+    idx_path = str(tmp_path / "minhash_idx")
+    write_minhash_index(ex, idx_path, hash_fn="md5_32")
+    via_index = dedup_incremental_fuzzy(
+        new, ex, threshold=0.5, hash_fn="md5_32",
+        existing_sig=read_minhash_index(spark, idx_path),
+    )
+    recomputed = dedup_incremental_fuzzy(new, ex, threshold=0.5, hash_fn="md5_32")
+    assert via_index.exceptAll(recomputed).count() == 0
+    assert recomputed.exceptAll(via_index).count() == 0
