@@ -1,0 +1,73 @@
+"""Driver-evidence freshness lint.
+
+The driver's correctness gate checks only the FIRST ~50 entries of
+``__spark_entry__.queries()`` each round, so a query registered beyond
+that window gets no fresh driver row. Two failure classes this lint
+catches before the driver runs:
+
+1. a query with NO driver evidence in any prior round sitting outside
+   the first-50 window (it would stay evidence-less forever), and
+2. (warning only) queries whose newest evidence is ≥2 rounds stale and
+   still outside the window.
+
+Usage: python tools/freshness_lint.py   (exit 1 on class-1 violations)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+WINDOW = 50
+
+
+def main() -> int:
+    import __spark_entry__ as e
+
+    root = Path(__file__).resolve().parent.parent
+    rounds: list[tuple[int, set[str]]] = []
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(f.read_text())
+        except json.JSONDecodeError:
+            continue
+        rnd = int(f.stem.rsplit("r", 1)[-1])
+        rounds.append((rnd, set(data)))
+
+    evidence: dict[str, int] = {}
+    for rnd, names in rounds:
+        for n in names:
+            evidence[n] = max(evidence.get(n, 0), rnd)
+
+    order = list(e.queries())
+    latest_round = max((r for r, _ in rounds), default=0)
+    head, tail = order[:WINDOW], order[WINDOW:]
+
+    never = [q for q in tail if q not in evidence]
+    stale = [
+        (q, evidence[q])
+        for q in tail
+        if q in evidence and evidence[q] <= latest_round - 2
+    ]
+
+    print(f"registered: {len(order)}; window: {WINDOW}; "
+          f"prior evidence for {len(evidence)} names "
+          f"(latest round r{latest_round:02d})")
+    if never:
+        print("FAIL — no driver evidence AND outside the first-50 window:")
+        for q in never:
+            print(f"  {q}  (move into the head of the registration order)")
+    if stale:
+        print("warn — evidence ≥2 rounds stale and outside the window:")
+        for q, r in stale:
+            print(f"  {q}  (newest green r{r:02d})")
+    if not never and not stale:
+        print("ok — every unevidenced/stale query sits inside the window")
+    return 1 if never else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
