@@ -675,6 +675,16 @@ def _q_emb_truncate(spark, sf_dir):
     return t.select("vec_id", F.posexplode("unit").alias("pos", "unit_val"))
 
 
+def _q_substring_overlap(spark, sf_dir):
+    # md5_60 fingerprints so the DuckDB twin reproduces the join keys;
+    # min_shared=2 keeps single-span coincidences out of the contract.
+    from kafka_streams_spark.operators.text import substring_overlap_pairs
+
+    return substring_overlap_pairs(
+        _docs(spark, sf_dir), min_shared=2, hash_fn="md5_60"
+    )
+
+
 def _q_curate_increment(spark, sf_dir):
     # Same split as dedup_incremental_fuzzy; md5_32 so the fuzzy gate's
     # banding is oracle-reproducible end-to-end.
@@ -734,6 +744,7 @@ _NEEDS_DRIVER_ROW = [
     "quality_calibrated",
     "emb_truncate",
     "curate_increment",
+    "substring_overlap_pairs",
     # (a) code changed this round
     "winnowing_fingerprints",  # r03 red; now scalar rows + md5_60 oracle
     "dedup_simhash",  # now oracle-checked (Arrow md5_60 signatures)
@@ -892,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibrated": _q_quality_calibrated,
         "emb_truncate": _q_emb_truncate,
         "curate_increment": _q_curate_increment,
+        "substring_overlap_pairs": _q_substring_overlap,
         "decontaminate_emb": _q_decontaminate_emb,
         "corpus_stats": _q_corpus_stats,
         "chunk_documents": _q_chunk_documents,

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "quality_calibrated",
     "emb_truncate",
     "curate_increment",
+    "substring_overlap_pairs",
 ]
 
 

@@ -840,3 +840,54 @@ def quality_calibrated(
         )
         .withColumn("pct_rank", F.round(F.percent_rank().over(w), 9))
     )
+
+
+def substring_overlap_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 1,
+    max_bucket: int | None = None,
+    hash_fn: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing VERBATIM token spans — exact-substring
+    cross-document duplication (quotations, mirrored boilerplate,
+    copy-paste) found by joining winnowing fingerprints instead of
+    scanning substrings: any common span of ≥ k+window-1 tokens
+    guarantees ≥1 shared fingerprint (:func:`winnowing_fingerprint`'s
+    detection guarantee), so recall for long spans is 1.0 and the whole
+    search is one bucket equi-join on fingerprint values — the LSH cost
+    shape, never O(n²) text compare.
+
+    ``max_bucket`` drops fingerprints appearing in more than that many
+    documents BEFORE pair expansion — the stop-fingerprint guard for
+    corpus-wide boilerplate (a navbar span shared by a million pages
+    would otherwise expand to ~10¹² pairs in one bucket). Spans shared
+    by > max_bucket docs stop being reported pairwise — at 100 TB you
+    want them surfaced by :func:`dedup_lines`-style line counts anyway,
+    not as pairs. ``None`` keeps the exact guarantee (and is what the
+    oracle-checked contract uses at test scale).
+
+    Output: (id_a, id_b, n_shared_fps) with n_shared_fps ≥ min_shared.
+    """
+    from kafka_streams_spark.operators.dedup import _bucket_pairs
+
+    fps = winnowing_fingerprint(
+        docs, id_col=id_col, text_col=text_col, k=k, window=window,
+        hash_fn=hash_fn,
+    )
+    ex = fps.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
+    if max_bucket is not None:
+        df_counts = ex.groupBy("fp").agg(F.count("*").alias("_df"))
+        ex = (
+            ex.join(df_counts.filter(F.col("_df") <= max_bucket), "fp")
+            .drop("_df")
+        )
+    pairs = _bucket_pairs(ex, ["fp"], id_col).toDF("id_a", "id_b")
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )

@@ -429,6 +429,36 @@ TEXT_ORACLES = {
         SELECT DISTINCT doc_id, fp AS fingerprint FROM w
         WHERE i <= n - 3 OR i = 1
     """,
+    # substring_overlap_pairs (md5_60, min_shared=2): the winnowing CTE
+    # above, self-joined on fingerprint value — pairs sharing >= 2
+    # selected fingerprints. Same detection guarantee as the Spark side;
+    # no max_bucket cap, so the sets are exactly equal.
+    "substring_overlap_pairs": rf"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (
+            SELECT doc_id, i,
+                   greatest(len(toks) - 4, 1) AS n,
+                   CAST(concat('0x', substr(md5(coalesce(
+                        array_to_string(toks[i:i+4], ' '), '')), 1, 15))
+                        AS BIGINT) AS h
+            FROM t, unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS u(i)
+        ),
+        w AS (
+            SELECT doc_id, i, n,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM g
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id, fp FROM w
+            WHERE i <= n - 3 OR i = 1
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*) AS n_shared_fps
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    """,
     "top_tokens": f"""
         SELECT tok, count(*) AS n
         FROM (SELECT unnest({_TOKS}) AS tok FROM documents)

@@ -380,3 +380,41 @@ def test_fuzzy_incremental_with_persisted_signature_index(spark, sf_dir, tmp_pat
     recomputed = dedup_incremental_fuzzy(new, ex, threshold=0.5, hash_fn="md5_32")
     assert via_index.exceptAll(recomputed).count() == 0
     assert recomputed.exceptAll(via_index).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# substring_overlap_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_substring_overlap_detects_long_shared_span(spark):
+    """Two docs sharing a >= k+window-1 (8) token span must pair (the
+    winnowing guarantee); docs with no shared span must not."""
+    from kafka_streams_spark.operators.text import substring_overlap_pairs
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    d = _docs(spark, [
+        (1, "s", "intro words then " + span + " and a tail"),
+        (2, "s", span + " with a different ending entirely"),
+        (3, "s", "nothing in common with the others at all here"),
+    ])
+    out = substring_overlap_pairs(d, min_shared=1)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_substring_overlap_max_bucket_drops_boilerplate(spark):
+    """A span shared by MANY docs is boilerplate: max_bucket excludes
+    its fingerprints from pair expansion, while a rare pair survives."""
+    from kafka_streams_spark.operators.text import substring_overlap_pairs
+
+    boiler = "this site uses cookies to improve your experience okay"
+    rare = "one singular sentence appearing in exactly two documents yes"
+    rows = [(i, "s", boiler + f" filler{i} pad pad") for i in range(10)]
+    rows += [(100, "s", rare), (101, "s", rare + " trailing")]
+    d = _docs(spark, rows)
+    out = substring_overlap_pairs(d, min_shared=1, max_bucket=5)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs), pairs
