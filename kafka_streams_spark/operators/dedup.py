@@ -755,6 +755,35 @@ def minhash_signatures_expr(
     )
 
 
+def _banded_keys(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    hash_fn: str,
+) -> DataFrame:
+    """Explode a signature table into (id, band_idx, band_hash) rows —
+    the ONE place band keys are constructed (minhash_lsh_candidates and
+    dedup_incremental_fuzzy both route here, and the DuckDB oracles
+    encode the same rule). On the ``md5_32`` path the key is the
+    concatenated sig tuple (bucket equality ⇔ tuple equality, no
+    band-hash collision term, oracle-reproducible); otherwise xxhash64
+    of the tuple."""
+    r = num_hashes // bands
+    if hash_fn == "md5_32":
+        def band_key(b: int):
+            return F.concat_ws("_", *[F.col(f"mh{b * r + i}") for i in range(r)])
+    else:
+        def band_key(b: int):
+            return F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)])
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[band_key(b) for b in range(bands)])
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -787,20 +816,8 @@ def minhash_lsh_candidates(
     the (negligible but nonzero) collision term from the S-curve.
     """
     assert num_hashes % bands == 0
-    r = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, hash_fn)
-    if hash_fn == "md5_32":
-        def band_key(b: int):
-            return F.concat_ws("_", *[F.col(f"mh{b * r + i}") for i in range(r)])
-    else:
-        def band_key(b: int):
-            return F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)])
-    banded = sig.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(*[band_key(b) for b in range(bands)])
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = _banded_keys(sig, id_col, num_hashes, bands, hash_fn)
     return (
         _bucket_pairs(banded, ["band_idx", "band_hash"], id_col)
         .toDF("id_a", "id_b")
@@ -904,28 +921,18 @@ def dedup_incremental_fuzzy(
     is deterministic and the whole gate is oracle-checkable.
     """
     assert num_hashes % bands == 0
-    r = num_hashes // bands
 
     def banded(docs: DataFrame, sig: DataFrame | None = None) -> DataFrame:
         if sig is None:
             sig = minhash_signatures(
                 docs, id_col, text_col, num_hashes, shingle_n, hash_fn
             )
-        if hash_fn == "md5_32":
-            def band_key(b: int):
-                return F.concat_ws(
-                    "_", *[F.col(f"mh{b * r + i}") for i in range(r)]
-                )
-        else:
-            def band_key(b: int):
-                return F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)])
-        return sig.select(
-            F.col(id_col),
-            F.posexplode(
-                F.array(*[band_key(b) for b in range(bands)])
-            ).alias("band_idx", "band_hash"),
-        )
+        return _banded_keys(sig, id_col, num_hashes, bands, hash_fn)
 
+    # persisted: the candidate pairs are read THREE times below (both
+    # verify joins plus the two id-pruning semi-joins) — without the
+    # persist each consumer re-runs the banding subtree, including the
+    # Arrow signature passes. Tiny (two id columns).
     cand = (
         banded(new_docs)
         .withColumnRenamed(id_col, "new_id")
@@ -935,12 +942,19 @@ def dedup_incremental_fuzzy(
         )
         .select("new_id", "ex_id")
         .distinct()
+        .persist()
     )
-    sh_new = new_docs.select(
+    # id-prune BEFORE shingling: the exact-verify pass must only shingle
+    # candidate docs — without the semi-joins Catalyst cannot push the
+    # candidate-id filter below the shingle projection and the whole
+    # existing corpus pays the Arrow pass every delta run.
+    cand_new_ids = cand.select(F.col("new_id").alias(id_col)).distinct()
+    cand_ex_ids = cand.select(F.col("ex_id").alias(id_col)).distinct()
+    sh_new = new_docs.join(cand_new_ids, id_col, "left_semi").select(
         F.col(id_col).alias("new_id"),
         word_shingles(F.col(text_col), shingle_n).alias("sh_n"),
     )
-    sh_ex = existing.select(
+    sh_ex = existing.join(cand_ex_ids, id_col, "left_semi").select(
         F.col(id_col).alias("ex_id"),
         word_shingles(F.col(text_col), shingle_n).alias("sh_e"),
     )

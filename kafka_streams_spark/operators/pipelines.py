@@ -150,6 +150,7 @@ def curate_increment(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "crc32",
+    existing_sig: DataFrame | None = None,
 ) -> DataFrame:
     """The recurring-crawl curation pipeline end-to-end: curate a corpus
     INCREMENT against an already-final corpus — exact membership gate
@@ -164,8 +165,11 @@ def curate_increment(
     Ordering is the cost ladder: the exact gate is the cheapest (hashes
     only) and removes re-crawled bulk before the fuzzy gate pays for
     signatures; the expression gates run last, over survivors only.
-    At 100 TB the existing side contributes ONLY its hash column and its
-    persisted signature table — yesterday's text never loads.
+    At 100 TB pass the persisted signature table (written once per
+    corpus build by ``write_minhash_index``) as ``existing_sig``: the
+    existing side then contributes its hash column, its signature table,
+    and an id-pruned read of just the candidate pairs' text for the
+    exact verify — never a full-corpus text pass.
 
     Output: (doc_id, source, n_tokens_bpe, quality) — the delta-day
     manifest to append to the corpus.
@@ -183,6 +187,7 @@ def curate_increment(
         text_col=text_col,
         threshold=jaccard_threshold,
         hash_fn=hash_fn,
+        existing_sig=existing_sig,
     )
     return curate_corpus(
         survivors, min_quality=min_quality, id_col=id_col, text_col=text_col

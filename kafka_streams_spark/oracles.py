@@ -341,14 +341,19 @@ TEXT_ORACLES = {
         ),
         t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS ta,
                      CAST(SUM(cnt_b) AS BIGINT) AS tb FROM j),
+        -- coalesce(…, 0) mirrors the Spark side's empty-corpus edge: a
+        -- token-less side leaves j with zero rows, where a bare global
+        -- aggregate is NULL — the contract is counts 0, tvd NULL.
         agg AS (
-            SELECT CAST(max(ta) AS BIGINT) AS n_tokens_a,
-                   CAST(max(tb) AS BIGINT) AS n_tokens_b,
-                   CAST(SUM(CASE WHEN cnt_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
-                   CAST(SUM(CASE WHEN cnt_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
-                   CAST(SUM(CASE WHEN cnt_a > 0 AND cnt_b > 0 THEN 1 ELSE 0 END)
+            SELECT CAST(coalesce(max(ta), 0) AS BIGINT) AS n_tokens_a,
+                   CAST(coalesce(max(tb), 0) AS BIGINT) AS n_tokens_b,
+                   CAST(coalesce(SUM(CASE WHEN cnt_a > 0 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS vocab_a,
+                   CAST(coalesce(SUM(CASE WHEN cnt_b > 0 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS vocab_b,
+                   CAST(coalesce(SUM(CASE WHEN cnt_a > 0 AND cnt_b > 0 THEN 1 ELSE 0 END), 0)
                         AS BIGINT) AS shared_vocab,
-                   CAST(SUM(ABS(cnt_a * tb - cnt_b * ta)) AS BIGINT) AS numer
+                   CAST(coalesce(SUM(ABS(cnt_a * tb - cnt_b * ta)), 0) AS BIGINT) AS numer
             FROM j CROSS JOIN t
         )
         SELECT n_tokens_a, n_tokens_b, vocab_a, vocab_b, shared_vocab,
@@ -847,14 +852,14 @@ def _minhash_lsh_sql(threshold: float = 0.5, num_hashes: int = 64, bands: int = 
     """
 
 
-# Incremental fuzzy gate: the same md5_32 banding as _minhash_lsh_sql,
-# but candidates join NEW side × EXISTING side only (split on the md5
-# id bucket, boundary '20' — the dedup_incremental split), and the
-# output is the new docs with NO verified match (anti-join), mirroring
-# dedup_incremental_fuzzy's left-anti contract.
-def _minhash_incremental_sql(
-    threshold: float = 0.5, num_hashes: int = 64, bands: int = 32,
-    split_hex: str = "20",
+# Shared CTE chain for the incremental fuzzy gate: the md5_32 banding
+# of _minhash_lsh_sql with candidates joined NEW side × EXISTING side
+# only (split on the md5 id bucket), ending at `matched` (new-side doc
+# ids with a verified near-dup in the existing corpus). ONE definition
+# — both the dedup_incremental_fuzzy and curate_increment oracles
+# compose it, so the banding arithmetic cannot desynchronize.
+def _minhash_incremental_ctes(
+    threshold: float, num_hashes: int, bands: int, split_hex: str
 ) -> str:
     from kafka_streams_spark.operators.dedup import MINHASH_PRIME, _minhash_coeffs
 
@@ -869,8 +874,7 @@ def _minhash_incremental_sql(
         for b in range(bands)
     )
     any_band = "\n                OR ".join(f"n.b{b} = e.b{b}" for b in range(bands))
-    return f"""
-        WITH {_shingle_cte(3)},
+    return f"""{_shingle_cte(3)},
         ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
         h AS (
             SELECT doc_id,
@@ -903,7 +907,15 @@ def _minhash_incremental_sql(
             WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
                   (len(x.shingles) + len(y.shingles)
                    - len(list_intersect(x.shingles, y.shingles))) >= {threshold}
-        )
+        )"""
+
+
+def _minhash_incremental_sql(
+    threshold: float = 0.5, num_hashes: int = 64, bands: int = 32,
+    split_hex: str = "20",
+) -> str:
+    return f"""
+        WITH {_minhash_incremental_ctes(threshold, num_hashes, bands, split_hex)}
         SELECT d.doc_id, d.source FROM documents d
         WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) >= '{split_hex}'
           AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.new_id = d.doc_id)
@@ -920,54 +932,8 @@ def _curate_increment_sql(
     threshold: float = 0.5, num_hashes: int = 64, bands: int = 32,
     split_hex: str = "20", min_quality: float = 0.75,
 ) -> str:
-    from kafka_streams_spark.operators.dedup import MINHASH_PRIME, _minhash_coeffs
-
-    coeffs = _minhash_coeffs(num_hashes)
-    r = num_hashes // bands
-    mins = ",\n               ".join(
-        f"min(({a} * h32 + {b}) % {MINHASH_PRIME}) AS mh{i}"
-        for i, (a, b) in enumerate(coeffs)
-    )
-    band_keys = ",\n               ".join(
-        "concat_ws('_', " + ", ".join(f"mh{b * r + i}" for i in range(r)) + f") AS b{b}"
-        for b in range(bands)
-    )
-    any_band = "\n                OR ".join(f"n.b{b} = e.b{b}" for b in range(bands))
     return f"""
-        WITH {_shingle_cte(3)},
-        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        h AS (
-            SELECT doc_id,
-                   CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h32
-            FROM ex
-        ),
-        sig AS (
-            SELECT doc_id,
-               {mins}
-            FROM h GROUP BY doc_id
-        ),
-        bandt AS (
-            SELECT doc_id,
-               {band_keys}
-            FROM sig
-        ),
-        newb AS (SELECT * FROM bandt
-                 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '{split_hex}'),
-        exb AS (SELECT * FROM bandt
-                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{split_hex}'),
-        cand AS (
-            SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS ex_id
-            FROM newb n JOIN exb e
-              ON ({any_band})
-        ),
-        matched AS (
-            SELECT DISTINCT c.new_id FROM cand c
-            JOIN sh x ON x.doc_id = c.new_id
-            JOIN sh y ON y.doc_id = c.ex_id
-            WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
-                  (len(x.shingles) + len(y.shingles)
-                   - len(list_intersect(x.shingles, y.shingles))) >= {threshold}
-        ),
+        WITH {_minhash_incremental_ctes(threshold, num_hashes, bands, split_hex)},
         nw AS (
             SELECT doc_id, source, text, md5(text) AS hh FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '{split_hex}'
