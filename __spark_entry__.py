@@ -675,6 +675,12 @@ def _q_emb_truncate(spark, sf_dir):
     return t.select("vec_id", F.posexplode("unit").alias("pos", "unit_val"))
 
 
+def _q_pack_sequences(spark, sf_dir):
+    from kafka_streams_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=512)
+
+
 def _q_substring_overlap(spark, sf_dir):
     # md5_60 fingerprints so the DuckDB twin reproduces the join keys;
     # min_shared=2 keeps single-span coincidences out of the contract.
@@ -745,6 +751,7 @@ _NEEDS_DRIVER_ROW = [
     "emb_truncate",
     "curate_increment",
     "substring_overlap_pairs",
+    "pack_sequences",
     # (a) code changed this round
     "winnowing_fingerprints",  # r03 red; now scalar rows + md5_60 oracle
     "dedup_simhash",  # now oracle-checked (Arrow md5_60 signatures)
@@ -904,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_truncate": _q_emb_truncate,
         "curate_increment": _q_curate_increment,
         "substring_overlap_pairs": _q_substring_overlap,
+        "pack_sequences": _q_pack_sequences,
         "decontaminate_emb": _q_decontaminate_emb,
         "corpus_stats": _q_corpus_stats,
         "chunk_documents": _q_chunk_documents,

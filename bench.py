@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "emb_truncate",
     "curate_increment",
     "substring_overlap_pairs",
+    "pack_sequences",
 ]
 
 

@@ -395,3 +395,77 @@ def pack_token_shards(
         "n_tokens",
         F.expr(f"(_cum - n_tokens) div {budget}").alias("shard_id"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Token-offset sequence packing: lay documents end-to-end in
+    deterministic (stratum, id) order and cut the token stream into
+    fixed ``seq_len`` training sequences, SPLITTING documents across
+    sequence boundaries — the packing semantics
+    :func:`pack_token_shards` deliberately leaves to the tokenizer,
+    made explicit: each output row is the exact slice of one document
+    that lands in one sequence.
+
+    Arithmetic: a document occupying global token span
+    ``[cum−n, cum)`` within its stratum touches sequences
+    ``⌊(cum−n)/L⌋ .. ⌊(cum−1)/L⌋``; its slice in sequence k starts at
+    document-token ``max(0, k·L − (cum−n))`` and holds
+    ``min(n, (k+1)·L − (cum−n)) − start`` tokens. Pure integer
+    arithmetic — reproducible, partition-invariant, and every sequence
+    except each stratum's last is exactly ``seq_len`` tokens by
+    construction (pinned in tests). Token currency is the BPE-ish
+    count, same as the shard packer.
+
+    Shape: one windowed running sum per stratum + a map-only explode of
+    each doc into the (usually 1–2) sequences it touches. Same skew
+    note as pack_token_shards: a dominant stratum means one window
+    partition — pre-split hot strata on a higher-level grouping.
+
+    Output: (id, stratum, seq_id, doc_start, n_tokens_in_seq, seq_off)
+    — ``doc_start`` = first document token in this slice, ``seq_off`` =
+    where the slice begins inside the sequence.
+    """
+    from kafka_streams_spark.operators.text import bpe_ish_count
+
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n = bpe_ish_count(F.col(text_col)).cast("long").alias("_n")
+    with_cum = (
+        docs.select(F.col(id_col), F.col(stratum_col), n)
+        .withColumn("_cum", F.sum("_n").over(w))
+        .filter(F.col("_n") > 0)
+        .withColumn("_lo", F.col("_cum") - F.col("_n"))
+    )
+    L = F.lit(int(seq_len))
+    first_k = F.expr(f"_lo div {seq_len}")
+    last_k = F.expr(f"(_cum - 1) div {seq_len}")
+    exploded = with_cum.select(
+        id_col,
+        stratum_col,
+        "_n",
+        "_lo",
+        F.explode(F.sequence(first_k, last_k)).alias("seq_id"),
+    )
+    doc_start = F.greatest(F.lit(0), F.col("seq_id") * L - F.col("_lo"))
+    doc_end = F.least(F.col("_n"), (F.col("seq_id") + 1) * L - F.col("_lo"))
+    return exploded.select(
+        id_col,
+        stratum_col,
+        F.col("seq_id").cast("long").alias("seq_id"),
+        doc_start.cast("long").alias("doc_start"),
+        (doc_end - doc_start).cast("long").alias("n_tokens_in_seq"),
+        F.greatest(F.lit(0), F.col("_lo") - F.col("seq_id") * L)
+        .cast("long")
+        .alias("seq_off"),
+    )

@@ -1555,6 +1555,37 @@ SAMPLING_ORACLES = {
                CAST(len(toks[k*12 + 1 : k*12 + 16]) AS INTEGER) AS n_tokens
         FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS k)
     """,
+    # pack_sequences(seq_len=512): documents laid end-to-end per source,
+    # split across fixed 512-token sequences — pure integer arithmetic
+    # on the running token sum.
+    "pack_sequences": f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len(regexp_extract_all(text, '{BPE_ISH_REGEX}')) AS BIGINT) AS n
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source, n,
+                   SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t
+        ),
+        -- windowed SUM is HUGEINT in DuckDB; generate_series needs BIGINT
+        d AS (SELECT doc_id, source, n, CAST(cum AS BIGINT) AS cum,
+                     CAST(cum - n AS BIGINT) AS lo
+              FROM c WHERE n > 0),
+        e AS (
+            SELECT doc_id, source, n, lo,
+                   unnest(generate_series(lo // 512, (cum - 1) // 512)) AS seq_id
+            FROM d
+        )
+        SELECT doc_id, source, CAST(seq_id AS BIGINT) AS seq_id,
+               CAST(greatest(0, seq_id * 512 - lo) AS BIGINT) AS doc_start,
+               CAST(least(n, (seq_id + 1) * 512 - lo)
+                    - greatest(0, seq_id * 512 - lo) AS BIGINT) AS n_tokens_in_seq,
+               CAST(greatest(0, lo - seq_id * 512) AS BIGINT) AS seq_off
+        FROM e
+    """,
     "pack_token_shards": f"""
         WITH t AS (
             SELECT doc_id, source,

@@ -96,3 +96,39 @@ def test_corpus_stats_golden(spark):
     r = corpus_stats(df).collect()[0]
     assert (r.n_docs, r.n_tokens, r.n_distinct_tokens, r.n_hapax, r.top_token_freq) \
         == (3, 6, 4, 2, 2)  # hapax: c, d; top: a or b at 2
+
+
+def test_pack_sequences_exact_coverage_and_lengths(spark, sf_dir):
+    """Every document's slices cover it exactly once, and every sequence
+    except each stratum's last holds exactly seq_len tokens."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.operators.sampling import pack_sequences
+    from kafka_streams_spark.operators.text import bpe_ish_count
+    from kafka_streams_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    L = 512
+    out = pack_sequences(docs, seq_len=L)
+    # per-doc coverage: slices sum to the doc's token count
+    per_doc = out.groupBy("doc_id").agg(F.sum("n_tokens_in_seq").alias("got"))
+    truth = docs.select(
+        "doc_id", bpe_ish_count(F.col("text")).cast("long").alias("n")
+    ).filter(F.col("n") > 0)
+    bad = per_doc.join(truth, "doc_id").filter(F.col("got") != F.col("n"))
+    assert bad.count() == 0
+    # per-sequence fullness: all but the last per stratum == L
+    per_seq = out.groupBy("source", "seq_id").agg(
+        F.sum("n_tokens_in_seq").alias("tok")
+    )
+    last = per_seq.groupBy("source").agg(F.max("seq_id").alias("last_seq"))
+    partial = (
+        per_seq.join(last, "source")
+        .filter((F.col("seq_id") != F.col("last_seq")) & (F.col("tok") != L))
+    )
+    assert partial.count() == 0
+    # slices stay inside their sequence
+    assert out.filter(F.col("seq_off") + F.col("n_tokens_in_seq") > L).count() == 0
+    # partition invariance
+    out2 = pack_sequences(docs.repartition(19), seq_len=L)
+    assert out.exceptAll(out2).count() == 0 and out2.exceptAll(out).count() == 0
