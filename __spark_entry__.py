@@ -675,6 +675,28 @@ def _q_emb_truncate(spark, sf_dir):
     return t.select("vec_id", F.posexplode("unit").alias("pos", "unit_val"))
 
 
+def _q_normalize_text(spark, sf_dir):
+    from kafka_streams_spark.operators.text import normalize_text
+
+    return normalize_text(_docs(spark, sf_dir))
+
+
+def _q_decontaminate_exact(spark, sf_dir):
+    # benchmark probes = 60-char substrings of the md5-bucket < '08'
+    # docs (guaranteed contained in their source), checked corpus-wide.
+    from kafka_streams_spark.operators.text import decontaminate_exact
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    bench = (
+        docs.filter(bucket < "08")
+        .select(F.substring("text", 10, 60).alias("text"))
+        .filter(F.length("text") >= 30)
+        .distinct()
+    )
+    return decontaminate_exact(docs, bench)
+
+
 def _q_pack_sequences(spark, sf_dir):
     from kafka_streams_spark.operators.sampling import pack_sequences
 
@@ -752,6 +774,8 @@ _NEEDS_DRIVER_ROW = [
     "curate_increment",
     "substring_overlap_pairs",
     "pack_sequences",
+    "normalize_text",
+    "decontaminate_exact",
     # (a) code changed this round
     "winnowing_fingerprints",  # r03 red; now scalar rows + md5_60 oracle
     "dedup_simhash",  # now oracle-checked (Arrow md5_60 signatures)
@@ -912,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_increment": _q_curate_increment,
         "substring_overlap_pairs": _q_substring_overlap,
         "pack_sequences": _q_pack_sequences,
+        "normalize_text": _q_normalize_text,
+        "decontaminate_exact": _q_decontaminate_exact,
         "decontaminate_emb": _q_decontaminate_emb,
         "corpus_stats": _q_corpus_stats,
         "chunk_documents": _q_chunk_documents,

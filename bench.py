@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "curate_increment",
     "substring_overlap_pairs",
     "pack_sequences",
+    "normalize_text",
+    "decontaminate_exact",
 ]
 
 

@@ -891,3 +891,63 @@ def substring_overlap_pairs(
         .agg(F.count("*").alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= min_shared)
     )
+
+
+def normalize_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Canonical text normalization for hashing/dedup keys: lowercase,
+    collapse all whitespace runs to single spaces, trim. Running exact
+    dedup on ``norm_text`` (instead of raw text) is what catches the
+    re-crawl that only changed indentation or line wrapping — the
+    cheapest recall win in any dedup stack. Map-only expression; at
+    100 TB it fuses into whatever scan feeds the hasher.
+
+    (Unicode NFKC folding belongs here too when a normalizer is
+    available in the container; the whitespace/case canon is the
+    engine-portable core that the oracle can reproduce.)
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return docs.select(F.col(id_col), norm.alias("norm_text"))
+
+
+def decontaminate_exact(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Verbatim eval-set leak check: flag training documents that contain
+    a FULL benchmark document as a substring — the strictest
+    decontamination predicate (n-gram overlap finds paraphrase-level
+    leaks; this finds the benchmark pasted wholesale into a web page).
+
+    Shape: benchmark suites are tiny next to the training corpus, so
+    the benchmark texts BROADCAST and each training doc runs |bench|
+    `contains` probes map-side (a BroadcastNestedLoopJoin — the
+    deliberate broadcast-cross pattern, not a flag); only hit
+    incidences reach the per-doc count. At 100 TB cost is
+    |corpus| · |bench| substring probes, linear in the corpus because
+    |bench| is a constant; for large suites, pre-filter with the
+    n-gram :func:`~kafka_streams_spark.operators.pipelines.decontaminate`
+    and run this exact pass on its flagged survivors.
+
+    Output: (id, n_bench_hits, contaminated).
+    """
+    bench = benchmark.select(F.col(bench_text_col).alias("_bench_text")).distinct()
+    hits = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .join(F.broadcast(bench))
+        .filter(F.expr(f"contains({text_col}, _bench_text)"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bench_hits"))
+    )
+    return (
+        docs.join(hits, id_col, "left_outer")
+        .withColumn("n_bench_hits", F.coalesce(F.col("n_bench_hits"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_bench_hits") >= 1)
+        .select(id_col, "n_bench_hits", "contaminated")
+    )

@@ -362,6 +362,32 @@ TEXT_ORACLES = {
                      9) AS tvd
         FROM agg
     """,
+    "normalize_text": r"""
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+        FROM documents
+    """,
+    # decontaminate_exact: the benchmark set is 60-char substrings of
+    # the md5-bucket < '08' docs (guaranteed-contained probes), checked
+    # against the WHOLE corpus — flags docs containing any benchmark
+    # text verbatim.
+    "decontaminate_exact": """
+        WITH bench AS (
+            SELECT DISTINCT substring(text, 10, 60) AS b FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '08'
+              AND length(substring(text, 10, 60)) >= 30
+        ),
+        hits AS (
+            SELECT d.doc_id, count(*) AS n_bench_hits
+            FROM documents d CROSS JOIN bench
+            WHERE contains(d.text, bench.b)
+            GROUP BY d.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(h.n_bench_hits, 0) AS n_bench_hits,
+               coalesce(h.n_bench_hits, 0) >= 1 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
     # quality_calibrated: percent_rank of the quality score within each
     # source, unique (quality, doc_id) ordering → exact (rank-1)/(n-1)
     # rational arithmetic; 9-dp rounding is display-only.

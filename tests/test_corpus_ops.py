@@ -418,3 +418,34 @@ def test_substring_overlap_max_bucket_drops_boilerplate(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (100, 101) in pairs
     assert all(a >= 100 for a, _ in pairs), pairs
+
+
+# ---------------------------------------------------------------------------
+# normalize_text / decontaminate_exact
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_canon(spark):
+    from kafka_streams_spark.operators.text import normalize_text
+
+    d = _docs(spark, [(1, "s", "  Hello\t\tWORLD \n new\r\nlines  ")])
+    got = normalize_text(d).collect()[0]["norm_text"]
+    assert got == "hello world new lines"
+
+
+def test_decontaminate_exact_flags_verbatim_containment(spark):
+    from kafka_streams_spark.operators.text import decontaminate_exact
+
+    bench = spark.createDataFrame(
+        [("the secret benchmark passage",)], "text string"
+    )
+    d = _docs(spark, [
+        (1, "s", "prefix text the secret benchmark passage suffix text"),
+        (2, "s", "the secret benchmark paraphrase entirely reworded"),
+        (3, "s", "nothing related at all"),
+    ])
+    out = {r["doc_id"]: (r["n_bench_hits"], r["contaminated"])
+           for r in decontaminate_exact(d, bench).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
