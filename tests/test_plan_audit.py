@@ -386,3 +386,37 @@ def test_fuzzy_incremental_no_cartesian(spark, sf_dir):
         )
     )
     assert "CartesianProduct" not in a.join_strategies, a.join_strategies
+
+
+def test_normalize_text_is_map_only(spark, sf_dir):
+    from kafka_streams_spark.operators.text import normalize_text
+
+    a = audit(normalize_text(load_table(spark, sf_dir, "documents")))
+    assert a.num_scans == 1 and a.num_exchanges == 0, a.plan
+
+
+def test_pack_sequences_single_window_exchange(spark, sf_dir):
+    """One windowed running sum per stratum; the sequence fan-out is a
+    map-only explode — no second shuffle."""
+    from kafka_streams_spark.operators.sampling import pack_sequences
+
+    a = audit(pack_sequences(load_table(spark, sf_dir, "documents"), seq_len=512))
+    assert a.num_scans == 1 and a.num_exchanges == 1, a.plan
+
+
+def test_decontaminate_exact_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark probes must broadcast (the deliberate
+    broadcast-cross pattern); the corpus side must not shuffle for the
+    probe join."""
+    from kafka_streams_spark.operators.text import decontaminate_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    bench = (
+        docs.filter(bucket < "08")
+        .select(F.substring("text", 10, 60).alias("text"))
+        .filter(F.length("text") >= 30)
+        .distinct()
+    )
+    a = audit(decontaminate_exact(docs, bench))
+    assert "BroadcastNestedLoopJoin" in a.join_strategies, a.join_strategies
