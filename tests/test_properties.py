@@ -202,3 +202,45 @@ def test_reservoir_sample_matches_priority_model(rows, k):
     ranked = sorted(rows, key=lambda t: (-priority(*t), t[0]))[:k]
     expected = sorted((i, pos + 1) for pos, (i, _) in enumerate(ranked))
     assert got == expected, (rows, k)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.text(alphabet="ab cd", max_size=40)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 32),
+)
+def test_pack_sequences_matches_python_model(rows, L):
+    """pack_sequences == a straight-line Python packer for arbitrary
+    docs and sequence lengths: same slices, full coverage, all
+    non-final sequences exactly L tokens."""
+    import re
+
+    from kafka_streams_spark.operators.sampling import pack_sequences
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in rows], "doc_id bigint, source string, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["seq_id"], r["doc_start"], r["n_tokens_in_seq"], r["seq_off"])
+        for r in pack_sequences(df, seq_len=L).collect()
+    )
+
+    bpe = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    expected = []
+    cum = 0
+    for i, t in sorted(rows):
+        n = len(bpe.findall(t))
+        if n == 0:
+            continue
+        lo, cum = cum, cum + n
+        for k in range(lo // L, (cum - 1) // L + 1):
+            start = max(0, k * L - lo)
+            end = min(n, (k + 1) * L - lo)
+            expected.append((i, k, start, end - start, max(0, lo - k * L)))
+    assert got == sorted(expected), (rows, L)
