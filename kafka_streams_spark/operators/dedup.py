@@ -875,10 +875,20 @@ def write_minhash_index(
     (:func:`dedup_incremental_fuzzy` with ``existing_sig``) never
     recompute signatures over the final corpus. Written once per corpus
     build; at 100 TB this is the difference between re-shingling
-    yesterday's corpus every day and reading a few GB of integers."""
-    minhash_signatures(
+    yesterday's corpus every day and reading a few GB of integers.
+
+    The signature parameters travel WITH the index as column metadata
+    on ``mh0`` (Spark persists field metadata in the parquet footer):
+    a reader whose hash_fn/shingle_n differ from the writer's would
+    otherwise produce band keys that never collide — a silent
+    every-duplicate-readmitted no-op that the gate now rejects loudly.
+    """
+    sig = minhash_signatures(
         docs, id_col, text_col, num_hashes, shingle_n, hash_fn
-    ).write.mode("overwrite").parquet(path)
+    )
+    meta = {"num_hashes": num_hashes, "shingle_n": shingle_n, "hash_fn": hash_fn}
+    sig = sig.withColumn("mh0", F.col("mh0").alias("mh0", metadata=meta))
+    sig.write.mode("overwrite").parquet(path)
 
 
 def read_minhash_index(spark, path: str) -> DataFrame:
@@ -921,6 +931,23 @@ def dedup_incremental_fuzzy(
     is deterministic and the whole gate is oracle-checkable.
     """
     assert num_hashes % bands == 0
+
+    if existing_sig is not None and "mh0" in existing_sig.columns:
+        # a write_minhash_index table carries its parameters as column
+        # metadata; a mismatched hash_fn/shingle_n would make band keys
+        # that never collide (silent no-op gate) — fail loudly instead.
+        meta = existing_sig.schema["mh0"].metadata or {}
+        declared = {
+            "num_hashes": num_hashes, "shingle_n": shingle_n, "hash_fn": hash_fn
+        }
+        for key, want in declared.items():
+            have = meta.get(key)
+            if have is not None and have != want:
+                raise ValueError(
+                    f"existing_sig was built with {key}={have!r} but the "
+                    f"gate was called with {key}={want!r} — signatures are "
+                    "incomparable; rebuild the index or match parameters"
+                )
 
     def banded(docs: DataFrame, sig: DataFrame | None = None) -> DataFrame:
         if sig is None:

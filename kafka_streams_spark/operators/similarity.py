@@ -773,7 +773,9 @@ def truncate_embeddings(
 
     Pure Column expressions (slice + aggregate + transform — JVM-side,
     map-only, no shuffle); zero-norm prefixes are dropped like
-    :func:`normalize_vectors` drops zero-norm vectors.
+    :func:`normalize_vectors` drops zero-norm vectors, and so are
+    vectors SHORTER than ``dim`` — ``slice`` would silently emit a
+    sub-dim "unit" row that breaks any fixed-dim consumer downstream.
     """
     if dim < 1:
         raise ValueError("dim must be >= 1")
@@ -781,7 +783,8 @@ def truncate_embeddings(
 
     prefix = F.slice(F.col(vec_col), 1, dim)
     return (
-        embeddings.select(F.col(id_col), prefix.alias("_pre"))
+        embeddings.filter(F.size(vec_col) >= dim)
+        .select(F.col(id_col), prefix.alias("_pre"))
         .withColumn("_nrm", l2_norm(F.col("_pre")))
         .filter(F.col("_nrm") > 0)
         .select(

@@ -682,9 +682,10 @@ def corpus_drift(
     and a final scalar aggregate. The global window funnels only
     |vocabulary| rows to one partition — orders of magnitude below the
     corpus; for shingle-sized vocabularies, swap in a two-pass totals
-    join on a cached count table. Overflow bound: cnt·T < 2^63 needs
-    T_a·T_b < 2^63 — beyond ~3·10^9 tokens per side, divide counts by a
-    common 10^3 scale first (the ratio is unchanged).
+    join on a cached count table. Overflow bound: the summed numerator
+    reaches 2·TVD·T_a·T_b ≤ 2·T_a·T_b, so bigint safety needs
+    2·T_a·T_b < 2^63 — beyond ~2·10^9 tokens per side, divide counts by
+    a common 10^3 scale first (the ratio is unchanged).
 
     Output: 1 row — n_tokens_a/b, vocab_a/b, shared_vocab, tvd.
     """
@@ -908,8 +909,15 @@ def normalize_text(
     (Unicode NFKC folding belongs here too when a normalizer is
     available in the container; the whitespace/case canon is the
     engine-portable core that the oracle can reproduce.)
+
+    The whitespace class is pinned EXPLICITLY rather than ``\\s``: Java
+    regex ``\\s`` includes vertical tab (U+000B) but RE2 (DuckDB) does
+    not, so a bare ``\\s+`` silently diverges across engines on that
+    character.
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[ \\t\\n\\x0B\\f\\r]+", " ")
+    )
     return docs.select(F.col(id_col), norm.alias("norm_text"))
 
 

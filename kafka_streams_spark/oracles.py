@@ -362,9 +362,11 @@ TEXT_ORACLES = {
                      9) AS tvd
         FROM agg
     """,
+    # explicit whitespace class (Java \s includes \x0B, RE2 does not)
     "normalize_text": r"""
         SELECT doc_id,
-               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+               trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))
+                   AS norm_text
         FROM documents
     """,
     # decontaminate_exact: the benchmark set is 60-char substrings of
@@ -1324,6 +1326,7 @@ SIMILARITY_ORACLES = {
                    sqrt(list_sum(list_transform(
                        embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
             FROM embeddings
+            WHERE len(embedding) >= 16
         ),
         ex AS (
             SELECT vec_id, nrm,

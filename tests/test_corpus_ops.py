@@ -428,7 +428,9 @@ def test_substring_overlap_max_bucket_drops_boilerplate(spark):
 def test_normalize_text_canon(spark):
     from kafka_streams_spark.operators.text import normalize_text
 
-    d = _docs(spark, [(1, "s", "  Hello\t\tWORLD \n new\r\nlines  ")])
+    # includes U+000B: Java \s covers it but RE2 does not — the pinned
+    # explicit class must collapse it on both engines
+    d = _docs(spark, [(1, "s", "  Hello\t\tWORLD \n new\x0b\r\nlines  ")])
     got = normalize_text(d).collect()[0]["norm_text"]
     assert got == "hello world new lines"
 
@@ -449,3 +451,25 @@ def test_decontaminate_exact_flags_verbatim_containment(spark):
     assert out[1] == (1, True)
     assert out[2] == (0, False)
     assert out[3] == (0, False)
+
+
+def test_minhash_index_rejects_parameter_mismatch(spark, sf_dir, tmp_path):
+    """An index built with one hash_fn must not silently no-op when the
+    gate is called with another — the metadata check raises."""
+    from kafka_streams_spark.operators.dedup import (
+        dedup_incremental_fuzzy,
+        read_minhash_index,
+        write_minhash_index,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    new, ex = docs.filter(bucket >= "20"), docs.filter(bucket < "20")
+    idx = str(tmp_path / "idx_crc")
+    write_minhash_index(ex, idx, hash_fn="crc32")
+    with pytest.raises(ValueError, match="hash_fn"):
+        dedup_incremental_fuzzy(
+            new, ex, hash_fn="md5_32",
+            existing_sig=read_minhash_index(spark, idx),
+        )
