@@ -842,6 +842,16 @@ def minhash_near_duplicates(
     pay the exact-Jaccard cost. With ``hash_fn="md5_32"`` the banding is
     deterministic and DuckDB-reproducible, so the output is
     oracle-checkable (candidates = pairs sharing ≥1 exact band tuple).
+
+    Verify-side pruning note (measured, sf0.1): semi-joining the
+    shingle tables down to candidate ids before the Arrow shingler —
+    the shape :func:`dedup_incremental_fuzzy` uses — LOSES here (3.3 s
+    pruned vs 2.2 s full): whole-corpus banding at θ=0.5 makes half the
+    corpus a candidate (2565/5000 docs), so the saved shingling doesn't
+    cover the extra banding materialization + semi-joins. The fuzzy
+    gate's candidates are sparse by construction (new×existing only),
+    which is why the same prune wins there (4.9 → 2.9 s). If a corpus
+    has rare duplicates AND a high threshold, borrow the pruned shape.
     """
     cands = minhash_lsh_candidates(
         docs, id_col, text_col, num_hashes, bands, shingle_n, hash_fn
@@ -974,7 +984,12 @@ def dedup_incremental_fuzzy(
     # id-prune BEFORE shingling: the exact-verify pass must only shingle
     # candidate docs — without the semi-joins Catalyst cannot push the
     # candidate-id filter below the shingle projection and the whole
-    # existing corpus pays the Arrow pass every delta run.
+    # existing corpus pays the Arrow pass every delta run. Measured at
+    # sf0.1 the prune LOSES ~0.7 s (2.2 vs 3.0 s: candidate
+    # materialization overhead vs tiny shingle savings) — kept anyway
+    # because the asymmetry inverts at scale: the delta is small, the
+    # existing corpus is the 100 TB side, and candidates are a sparse
+    # subset of it by construction.
     cand_new_ids = cand.select(F.col("new_id").alias(id_col)).distinct()
     cand_ex_ids = cand.select(F.col("ex_id").alias(id_col)).distinct()
     sh_new = new_docs.join(cand_new_ids, id_col, "left_semi").select(
