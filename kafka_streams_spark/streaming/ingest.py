@@ -1,0 +1,100 @@
+"""Self-growing curated corpus over a stream: each micro-batch is gated
+against the corpus built by all PRIOR batches and the survivors are
+appended — the corpus itself is the streaming state (batch-partitioned
+parquet, not a state store), which is the only state shape that works
+when "state" is 100 TB of accepted documents.
+
+Exactly-once corpus content under at-least-once delivery: each batch
+writes ONLY its own ``ingest_batch`` partition with dynamic partition
+overwrite, and the membership gate reads the corpus EXCLUDING that
+partition — so a crash-replayed batch recomputes the same gate verdict
+against the same prior corpus and overwrites its own partition with the
+same rows (the changelog-overwrite idempotency pattern of
+``streaming/router.py``, applied to corpus building).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def run_corpus_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    min_quality: float = 0.0,
+    max_files_per_trigger: int = 100,
+):
+    """Start the ingest loop: JSON docs stream in, the exact membership
+    gate (:func:`~kafka_streams_spark.operators.dedup.dedup_incremental`
+    — anti-join on content hash vs the accepted corpus + internal
+    dedup) and the quality gate run per micro-batch, survivors land in
+    ``corpus_dir`` partitioned by batch. Returns the StreamingQuery.
+
+    ``min_quality`` gates on :func:`~kafka_streams_spark.operators.text.
+    quality_expr`; 0.0 disables it. For the fuzzy membership gate, run
+    :func:`~kafka_streams_spark.operators.dedup.dedup_incremental_fuzzy`
+    against a periodically refreshed signature table instead of
+    per-batch (signatures over 100 TB don't belong in a micro-batch).
+    """
+    from kafka_streams_spark.operators.dedup import (
+        dedup_exact_rows,
+        dedup_incremental,
+    )
+    from kafka_streams_spark.operators.text import quality_expr
+
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        prior: DataFrame | None = None
+        if os.path.isdir(corpus_dir) and any(
+            name.startswith("ingest_batch=") for name in os.listdir(corpus_dir)
+        ):
+            prior = spark.read.parquet(corpus_dir).filter(
+                F.col("ingest_batch") != batch_id  # replay-idempotence
+            )
+        if prior is not None:
+            fresh = dedup_incremental(batch_df, prior)
+        else:
+            fresh = dedup_exact_rows(batch_df, ["text"], "doc_id")
+        accepted = fresh
+        if min_quality > 0.0:
+            accepted = accepted.filter(
+                quality_expr(F.col("text")) >= F.lit(min_quality)
+            )
+        (
+            accepted.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(corpus_dir)
+        )
+
+    return (
+        raw.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )

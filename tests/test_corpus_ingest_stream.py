@@ -1,0 +1,79 @@
+"""The self-growing-corpus ingest stream: cross-batch dedup against the
+accepted corpus, internal dedup within a batch, quality gating, and the
+batch-partition layout that makes replays idempotent."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from kafka_streams_spark.streaming.ingest import run_corpus_ingest_stream
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then keeps running "
+    "through the quiet forest until it finds a place to rest at last."
+)
+OTHER = (
+    "meanwhile across the valley a completely different story unfolds in "
+    "which nothing resembles the previous tale in any way at all here."
+)
+THIRD = (
+    "a third narrative arrives later with fresh words describing rivers "
+    "and mountains and the long roads that wander between distant towns."
+)
+
+
+def _write(src: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_corpus_ingest_grows_and_dedups_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: two unique docs + an in-batch duplicate of the first
+    _write(src, "b1.json", [
+        {"doc_id": 1, "source": "s", "text": GOOD},
+        {"doc_id": 2, "source": "s", "text": OTHER},
+        {"doc_id": 3, "source": "s", "text": GOOD},  # in-batch dup of 1
+    ])
+    q = run_corpus_ingest_stream(spark, src, corpus, ckpt)
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+        assert got == {1, 2}  # min-id winner survives the in-batch dup
+
+        # batch 2: a cross-batch duplicate (same text as doc 1) + a new doc
+        _write(src, "b2.json", [
+            {"doc_id": 10, "source": "s", "text": GOOD},  # dup of corpus
+            {"doc_id": 11, "source": "s", "text": THIRD},
+        ])
+        q.processAllAvailable()
+        rows = spark.read.parquet(corpus).collect()
+        assert {r["doc_id"] for r in rows} == {1, 2, 11}
+        # the accepted corpus carries its batch lineage
+        batches = {r["doc_id"]: r["ingest_batch"] for r in rows}
+        assert batches[11] > batches[1]
+    finally:
+        q.stop()
+
+
+def test_corpus_ingest_quality_gate(spark, tmp_path):
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    _write(src, "b1.json", [
+        {"doc_id": 1, "source": "s", "text": GOOD},
+        {"doc_id": 2, "source": "s", "text": "tiny"},  # fails length gate
+    ])
+    q = run_corpus_ingest_stream(spark, src, corpus, ckpt, min_quality=0.75)
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+        assert got == {1}
+    finally:
+        q.stop()
