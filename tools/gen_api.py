@@ -36,6 +36,7 @@ MODULES = [
     "kafka_streams_spark.sources.kafka",
     "kafka_streams_spark.streaming.router",
     "kafka_streams_spark.streaming.stateful",
+    "kafka_streams_spark.streaming.ingest",
     "kafka_streams_spark.functions.numeric",
     "kafka_streams_spark.functions.vectors",
     "kafka_streams_spark.functions.partitioning",
