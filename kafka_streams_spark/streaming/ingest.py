@@ -15,8 +15,6 @@ same rows (the changelog-overwrite idempotency pattern of
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -68,13 +66,16 @@ def run_corpus_ingest_stream(
     )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        # FS-agnostic existence probe (corpus_dir may be HDFS/S3, where
+        # os.listdir cannot look): an empty/absent corpus raises on read.
         prior: DataFrame | None = None
-        if os.path.isdir(corpus_dir) and any(
-            name.startswith("ingest_batch=") for name in os.listdir(corpus_dir)
-        ):
+        try:
             prior = spark.read.parquet(corpus_dir).filter(
                 F.col("ingest_batch") != batch_id  # replay-idempotence
             )
+            prior.schema  # force analysis while we can still catch it
+        except Exception:  # noqa: BLE001 — absent path / no parquet yet
+            prior = None
         if prior is not None:
             fresh = dedup_incremental(batch_df, prior)
         else:
