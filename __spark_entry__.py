@@ -628,6 +628,19 @@ def _q_dedup_incremental(spark, sf_dir):
     return dedup_incremental(new, existing).select("doc_id", "source")
 
 
+def _q_dedup_incremental_bloom(spark, sf_dir):
+    # Distinct split from dedup_incremental ('40' vs '20') so the two
+    # contract queries exercise different corpus shapes. Small bitmap
+    # (2^14 bits) so the maybe-leg is non-trivially exercised at sf0.01.
+    from kafka_streams_spark.operators.dedup import dedup_incremental_bloom
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    existing = docs.filter(bucket < "40")
+    new = docs.filter(bucket >= "40")
+    return dedup_incremental_bloom(new, existing, m_bits=1 << 14).select("doc_id", "source")
+
+
 def _q_assign_splits(spark, sf_dir):
     from kafka_streams_spark.operators.sampling import assign_splits
 
@@ -764,6 +777,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver that checks everything.
 _NEEDS_DRIVER_ROW = [
     # (0) brand-new this round — no driver evidence exists at all
+    "dedup_incremental_bloom",
     "dedup_incremental_fuzzy",
     "reservoir_sample_docs",
     "corpus_drift",
@@ -926,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch": _q_knn_batch,
         "pii_redact": _q_pii_redact,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_incremental_bloom": _q_dedup_incremental_bloom,
         "dedup_incremental_fuzzy": _q_dedup_incremental_fuzzy,
         "reservoir_sample_docs": _q_reservoir_sample,
         "assign_splits_docs": _q_assign_splits,

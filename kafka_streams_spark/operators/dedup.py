@@ -91,6 +91,101 @@ def dedup_incremental(
     )
 
 
+def _bloom_pos(h: Column, probe: int, m_bits: int) -> Column:
+    """Bit position of probe ``probe`` for content hash ``h``: the first
+    15 hex chars of md5(h || probe) as a 60-bit integer, mod ``m_bits``.
+    Same md5_60 construction as text.winnowing_fingerprint — uniform,
+    engine-reproducible (DuckDB: ``conv``-free via hex parse), pure
+    codegen expressions."""
+    g = F.concat(h, F.lit(str(probe)))
+    return F.pmod(
+        F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"), F.lit(m_bits)
+    )
+
+
+def bloom_bitmap(
+    existing: DataFrame, text_col: str = "text", m_bits: int = 1 << 18, k: int = 4
+) -> DataFrame:
+    """Build a Bloom-filter bitmap over ``md5(text_col)`` of the corpus as a
+    TABLE of 64-bit words: ``(word_idx int, word bigint)`` with at most
+    ``m_bits / 64`` rows — the distributed representation of a bit array.
+
+    Built entirely with aggregations (explode k probe positions →
+    group by word index → ``bit_or`` of single-bit masks), so the 100 TB
+    corpus never leaves the executors and no driver-side bitset exists.
+    The result is tiny (m_bits/64 rows ≤ a few thousand) and broadcasts.
+
+    Size m_bits for the corpus cardinality n: false-positive rate is
+    ~(1 - e^(-k·n/m))^k; at m/n = 16 and k = 4 that is ~0.24 %. At
+    100 TB scale pass m_bits in the billions — the table is still only
+    m/64 rows of 12 bytes.
+    """
+    seen = existing.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    pos = seen.select(
+        F.explode(F.array(*[_bloom_pos(F.col("_h"), j, m_bits) for j in range(k)])).alias("_p")
+    )
+    return pos.groupBy(F.shiftright("_p", 6).alias("word_idx")).agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p, 64) AS INT))")).alias("word")
+    )
+
+
+def dedup_incremental_bloom(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 18,
+    k: int = 4,
+) -> DataFrame:
+    """:func:`dedup_incremental` with a Bloom pre-gate — identical output
+    (Bloom filters have no false negatives, so every true duplicate still
+    reaches the exact verify), but at 100 TB only the Bloom-PASSING
+    fraction of the increment enters the hash anti-join.
+
+    Why it matters at scale: when yesterday's corpus hash set no longer
+    fits in a broadcast, the exact anti-join shuffles BOTH sides. The
+    bitmap from :func:`bloom_bitmap` always broadcasts (m_bits/64 rows),
+    and probing it is k map-side broadcast hash joins — no shuffle. A
+    clean increment (the common crawl-delta case) is mostly
+    definite-new: those rows skip the anti-join entirely and only the
+    ~FP-rate remainder plus the true duplicates shuffle.
+
+    Plan shape: k broadcast joins (map-only) → two filter legs off the
+    probed frame (definite-new / maybe-seen, the branch_by_currency
+    fan-out pattern) → exact anti-join on the maybe leg only → union →
+    min-id winner window within the increment.
+    """
+    h = F.md5(F.col(text_col))
+    bitmap = bloom_bitmap(existing, text_col=text_col, m_bits=m_bits, k=k)
+    probed = new_docs.withColumn("_h", h)
+    hits = []
+    for j in range(k):
+        p = _bloom_pos(F.col("_h"), j, m_bits)
+        wj, bj = f"_w{j}", f"_word{j}"
+        probed = probed.withColumn(wj, F.shiftright(p, 6)).withColumn(f"_b{j}", p % 64)
+        bm = F.broadcast(
+            bitmap.select(F.col("word_idx").alias(wj), F.col("word").alias(bj))
+        )
+        probed = probed.join(bm, wj, "left")
+        hits.append(
+            F.col(bj).isNotNull()
+            & (F.expr(f"shiftright({bj}, CAST(_b{j} AS INT)) & 1") == 1)
+        )
+    passes = functools.reduce(lambda a, b: a & b, hits)
+    aux = [c for j in range(k) for c in (f"_w{j}", f"_b{j}", f"_word{j}")]
+    probed = probed.withColumn("_maybe", passes).drop(*aux)
+    definite_new = probed.filter(~F.col("_maybe"))
+    seen = existing.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    survivors = probed.filter(F.col("_maybe")).join(seen, "_h", "left_anti")
+    fresh = definite_new.unionByName(survivors).drop("_maybe")
+    w = Window.partitionBy("_h").orderBy(F.col(id_col))
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_h")
+    )
+
+
 # ---------------------------------------------------------------------------
 # tokenization / shingling shared helpers (pure exprs)
 # ---------------------------------------------------------------------------

@@ -1056,6 +1056,26 @@ DEDUP_ORACLES = {
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
+    # Bloom-gated incremental dedup: the Bloom pre-filter has no false
+    # negatives, so the oracle is the SAME plain anti-join the exact
+    # form uses — only the contract's corpus split ('40') differs from
+    # dedup_incremental's ('20') so the two queries aren't one query.
+    "dedup_incremental_bloom": """
+        WITH nw AS (
+            SELECT doc_id, source, md5(text) AS h FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '40'
+        ),
+        ex AS (
+            SELECT DISTINCT md5(text) AS h FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        ),
+        fresh AS (SELECT nw.* FROM nw ANTI JOIN ex USING (h))
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+            FROM fresh
+        ) WHERE rn = 1
+    """,
     # Same existing/new split as decontaminate: doc_id md5-bucket < '20'
     # is the curated corpus, the rest the increment. Counts are over the
     # ORIGINAL text for all three patterns (matches pii_redact).

@@ -473,3 +473,79 @@ def test_minhash_index_rejects_parameter_mismatch(spark, sf_dir, tmp_path):
             new, ex, hash_fn="md5_32",
             existing_sig=read_minhash_index(spark, idx),
         )
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_bloom
+# ---------------------------------------------------------------------------
+
+
+def _split_docs(spark, sf_dir, at="40"):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.filter(bucket < at), docs.filter(bucket >= at)
+
+
+def test_bloom_equals_exact_incremental(spark, sf_dir):
+    """Bloom filters have no false negatives, so the gated form is
+    bit-identical to the plain anti-join — at any bitmap size, even an
+    absurdly small one where nearly everything is a false positive."""
+    from kafka_streams_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_incremental_bloom,
+    )
+
+    existing, new = _split_docs(spark, sf_dir)
+    want = sorted(r["doc_id"] for r in dedup_incremental(new, existing).collect())
+    for m_bits in (1 << 8, 1 << 14):  # saturated and realistic
+        got = sorted(
+            r["doc_id"]
+            for r in dedup_incremental_bloom(new, existing, m_bits=m_bits).collect()
+        )
+        assert got == want
+
+
+def test_bloom_bitmap_is_bounded_words(spark, sf_dir):
+    from kafka_streams_spark.operators.dedup import bloom_bitmap
+
+    existing, _ = _split_docs(spark, sf_dir)
+    m_bits = 1 << 14
+    bm = bloom_bitmap(existing, m_bits=m_bits).collect()
+    assert len(bm) <= m_bits // 64
+    assert all(0 <= r["word_idx"] < m_bits // 64 for r in bm)
+
+
+def test_bloom_gate_prunes_the_anti_join_input(spark):
+    """The point of the gate: rows missing any probe bit never reach the
+    exact membership join. With a disjoint increment and a roomy bitmap,
+    (nearly) the whole increment is definite-new."""
+    from kafka_streams_spark.operators.dedup import bloom_bitmap, _bloom_pos
+
+    existing = _docs(spark, [(i, "s", f"existing text number {i}") for i in range(50)])
+    new = _docs(spark, [(100 + i, "s", f"unseen text number {i}") for i in range(50)])
+    m_bits, k = 1 << 14, 4
+    bm = {r["word_idx"]: r["word"] for r in bloom_bitmap(existing, m_bits=m_bits, k=k).collect()}
+    probes = new.select(
+        "doc_id",
+        *[_bloom_pos(F.md5(F.col("text")), j, m_bits).alias(f"p{j}") for j in range(k)],
+    ).collect()
+    passing = sum(
+        1
+        for r in probes
+        if all((bm.get(r[f"p{j}"] >> 6, 0) >> (r[f"p{j}"] % 64)) & 1 for j in range(k))
+    )
+    # FP rate at this load is ~1e-9; every disjoint row should short-circuit.
+    assert passing == 0
+
+
+def test_bloom_true_duplicates_always_pass(spark):
+    from kafka_streams_spark.operators.dedup import dedup_incremental_bloom
+
+    existing = _docs(spark, [(1, "s", "shared payload"), (2, "s", "other corpus text")])
+    new = _docs(
+        spark,
+        [(10, "s", "shared payload"), (11, "s", "novel payload"), (12, "s", "novel payload")],
+    )
+    out = sorted(r["doc_id"] for r in dedup_incremental_bloom(new, existing, m_bits=1 << 10).collect())
+    # 10 is a true dup of the corpus; 12 loses the in-increment window to 11.
+    assert out == [11]
