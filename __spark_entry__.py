@@ -628,6 +628,16 @@ def _q_dedup_incremental(spark, sf_dir):
     return dedup_incremental(new, existing).select("doc_id", "source")
 
 
+def _q_dsir_logratio(spark, sf_dir):
+    # Target distribution = the md5-bucket < '30' slice (plays the
+    # "high-quality reference corpus"); base = the full corpus.
+    from kafka_streams_spark.operators.text import dsir_logratio
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return dsir_logratio(docs, docs.filter(bucket < "30"))
+
+
 def _q_dedup_incremental_bloom(spark, sf_dir):
     # Distinct split from dedup_incremental ('40' vs '20') so the two
     # contract queries exercise different corpus shapes. Small bitmap
@@ -778,6 +788,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEEDS_DRIVER_ROW = [
     # (0) brand-new this round — no driver evidence exists at all
     "dedup_incremental_bloom",
+    "dsir_logratio",
     "dedup_incremental_fuzzy",
     "reservoir_sample_docs",
     "corpus_drift",
@@ -903,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality,
         "lm_unigram_score": _q_lm_unigram,  # new r04: perplexity-proxy gate
+        "dsir_logratio": _q_dsir_logratio,  # new r04: importance-resampling weights
         "dedup_lines": _q_dedup_lines,  # new r04: C4-style line dedup
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,

@@ -493,6 +493,92 @@ def lm_unigram_score(
     )
 
 
+def dsir_logratio(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    n: int = 2,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public arXiv
+    2302.03169): score every document by how much more likely its hashed
+    n-gram features are under a TARGET distribution (the high-quality
+    reference corpus) than under the raw corpus's own distribution.
+    Documents with high log-ratio resemble the target; feeding the
+    weights to ``sampling.hash_sample``/``reservoir_sample`` completes
+    the importance-resampling pipeline.
+
+    Features are word n-grams hashed into ``n_buckets`` buckets
+    (md5_32 % n_buckets — engine-reproducible, same construction as the
+    MinHash contract path). Per occurrence of a feature in bucket b:
+
+        log10((t_b + 1) / (T + B)) - log10((r_b + 1) / (R + B))
+
+    with t/r the target/raw bucket counts, T/R their totals, B the
+    bucket count (add-one smoothing both sides). Output per doc:
+    ``(id, n_features, logratio)`` rounded 6 dp; docs with fewer than
+    ``n`` tokens have no features and drop out (pinned by the oracle).
+
+    Plan shape at 100 TB: both bucket-count tables collapse to
+    ≤ n_buckets rows (one shuffle each, map-side partials); their join +
+    windowed totals stay on that tiny table (the corpus_drift
+    one-scan-per-side rule — no 1-row crossjoin re-planning the count
+    subtree); the scoring join is a BROADCAST of the ≤4096-row stats
+    table against the exploded corpus — map-only — and the per-doc sum
+    is the only full-width shuffle. The raw corpus is scanned twice
+    (count pass + score pass); at scale, persist the exploded features
+    or fold this into the ingest pipeline's existing tokenize pass.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    from pyspark.sql import Window
+
+    from kafka_streams_spark.functions.partitioning import spread
+
+    def features(frame: DataFrame, cols: list[Column]) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        g = F.explode(grams).alias("_g")
+        out = spread(frame).select(*cols, g)
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("bigint"),
+            F.lit(n_buckets),
+        )
+        return out.withColumn("_b", bucket)
+
+    raw = features(docs, [F.col(id_col)])
+    base_counts = raw.groupBy("_b").agg(F.count("*").alias("_rn"))
+    tgt_counts = features(target, []).groupBy("_b").agg(F.count("*").alias("_tn"))
+    w = Window.partitionBy()
+    stats = (
+        base_counts.join(tgt_counts, "_b", "left")
+        .withColumn("_tn", F.coalesce(F.col("_tn"), F.lit(0)))
+        .withColumn("_R", F.sum("_rn").over(w))
+        .withColumn("_T", F.coalesce(F.sum("_tn").over(w), F.lit(0)))
+    )
+    contrib = F.log10((F.col("_tn") + 1.0) / (F.col("_T") + F.lit(n_buckets))) - F.log10(
+        (F.col("_rn") + 1.0) / (F.col("_R") + F.lit(n_buckets))
+    )
+    return (
+        raw.join(F.broadcast(stats), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_features"),
+            F.round(F.sum(contrib), 6).alias("logratio"),
+        )
+    )
+
+
 DOMAIN_REGEX = r"https?://([^/\s]+)"
 
 

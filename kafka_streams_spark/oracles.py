@@ -534,6 +534,39 @@ TEXT_ORACLES = {
         FROM tok JOIN v USING (tok), tot
         GROUP BY doc_id
     """,
+    # DSIR importance weights: hashed-bigram (md5_32 % 4096) bucket
+    # counts, add-one smoothing both sides, per-occurrence log10 ratio.
+    # Target slice = doc_id md5-bucket < '30'; base = the full corpus.
+    "dsir_logratio": f"""
+        WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        nb AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                                             i -> t[i] || ' ' || t[i+1])) AS g
+                FROM tok WHERE len(t) >= 2
+            )
+        ),
+        base AS (SELECT b, count(*) AS rn FROM nb GROUP BY b),
+        tgt AS (
+            SELECT b, count(*) AS tn FROM nb
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '30'
+            GROUP BY b
+        ),
+        stats AS (
+            SELECT base.b, rn, coalesce(tn, 0) AS tn,
+                   (SELECT sum(rn) FROM base) AS r_tot,
+                   (SELECT coalesce(sum(tn), 0) FROM tgt) AS t_tot
+            FROM base LEFT JOIN tgt USING (b)
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+               round(sum(log10((tn + 1.0) / (t_tot + 4096))
+                         - log10((rn + 1.0) / (r_tot + 4096))), 6) AS logratio
+        FROM nb JOIN stats USING (b)
+        GROUP BY doc_id
+    """,
     "corpus_stats": f"""
         WITH v AS (
             SELECT tok, count(*) AS n

@@ -549,3 +549,52 @@ def test_bloom_true_duplicates_always_pass(spark):
     out = sorted(r["doc_id"] for r in dedup_incremental_bloom(new, existing, m_bits=1 << 10).collect())
     # 10 is a true dup of the corpus; 12 loses the in-increment window to 11.
     assert out == [11]
+
+
+# ---------------------------------------------------------------------------
+# dsir_logratio
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_target_equals_base_is_zero(spark):
+    """When the target IS the base corpus, every bucket has t_b == r_b
+    and T == R, so each contribution — and the sum — is exactly 0."""
+    from kafka_streams_spark.operators.text import dsir_logratio
+
+    docs = _docs(spark, [(i, "s", f"alpha beta gamma delta {i}") for i in range(8)])
+    out = dsir_logratio(docs, docs).collect()
+    assert len(out) == 8
+    assert all(r["logratio"] == 0.0 for r in out)
+
+
+def test_dsir_short_docs_have_no_features(spark):
+    from kafka_streams_spark.operators.text import dsir_logratio
+
+    docs = _docs(spark, [(1, "s", "solo"), (2, "s", "two tokens here")])
+    out = {r["doc_id"]: r["n_features"] for r in dsir_logratio(docs, docs).collect()}
+    assert out == {2: 2}  # bigrams only; the 1-token doc drops out
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    from kafka_streams_spark.operators.text import dsir_logratio
+
+    target_text = "quick brown fox jumps over lazy dog again and again"
+    other_text = "stock market closed lower on heavy trading volume today"
+    docs = _docs(
+        spark,
+        [(i, "s", target_text) for i in range(5)]
+        + [(10 + i, "s", other_text) for i in range(5)],
+    )
+    target = _docs(spark, [(100, "t", target_text)])
+    got = {r["doc_id"]: r["logratio"] for r in dsir_logratio(docs, target).collect()}
+    assert got[0] > got[10]
+
+
+def test_dsir_validates_params(spark):
+    from kafka_streams_spark.operators.text import dsir_logratio
+
+    docs = _docs(spark, [(1, "s", "a b c")])
+    with pytest.raises(ValueError, match="n must"):
+        dsir_logratio(docs, docs, n=0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_logratio(docs, docs, n_buckets=1)
