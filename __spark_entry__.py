@@ -638,6 +638,12 @@ def _q_dsir_logratio(spark, sf_dir):
     return dsir_logratio(docs, docs.filter(bucket < "30"))
 
 
+def _q_bm25_search(spark, sf_dir):
+    from kafka_streams_spark.operators.text import keyword_search_bm25
+
+    return keyword_search_bm25(_docs(spark, sf_dir), ["spark", "join", "window"], k=20)
+
+
 def _q_dedup_incremental_bloom(spark, sf_dir):
     # Distinct split from dedup_incremental ('40' vs '20') so the two
     # contract queries exercise different corpus shapes. Small bitmap
@@ -789,6 +795,7 @@ _NEEDS_DRIVER_ROW = [
     # (0) brand-new this round — no driver evidence exists at all
     "dedup_incremental_bloom",
     "dsir_logratio",
+    "bm25_search",
     "dedup_incremental_fuzzy",
     "reservoir_sample_docs",
     "corpus_drift",
@@ -915,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "lm_unigram_score": _q_lm_unigram,  # new r04: perplexity-proxy gate
         "dsir_logratio": _q_dsir_logratio,  # new r04: importance-resampling weights
+        "bm25_search": _q_bm25_search,  # new r04: Okapi BM25 keyword ranking
         "dedup_lines": _q_dedup_lines,  # new r04: C4-style line dedup
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,

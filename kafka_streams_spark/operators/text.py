@@ -579,6 +579,70 @@ def dsir_logratio(
     )
 
 
+def keyword_search_bm25(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 keyword search over the corpus: rank documents for a
+    bag-of-terms query (Robertson & Spärck Jones; the public BM25
+    formula as used by Lucene/Elasticsearch). idf uses the
+    non-negative variant log10(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Output: top-``k`` ``(id, score)`` rows, score rounded 6 dp, ordered
+    by (score desc, id) — the rounded score is what's ranked so the
+    cut-off is engine-reproducible.
+
+    Plan shape: one pass over the text carries the document length
+    through the explode (no lengths join); tokens are filtered to the
+    query's terms BEFORE the tf aggregation, so the shuffle holds only
+    docs that matched at least one term. The per-term df table is ≤
+    |query| rows (broadcast), corpus N/avgdl ride the 1-row broadcast
+    cross join (corpus_stats pattern), and the final top-k is a
+    TakeOrderedAndProject heap — no global sort. The corpus text is
+    scanned twice (N/avgdl pass + tf pass); at scale, maintain corpus
+    stats as a tiny side table updated at ingest instead.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    terms = [t.lower() for t in query_terms]
+    toks = tokens(F.col(text_col))
+    stats = docs.agg(
+        F.count("*").alias("_N"), F.avg(F.size(toks)).alias("_avgdl")
+    )
+    tf = (
+        docs.select(
+            F.col(id_col),
+            F.size(toks).alias("_dl"),
+            F.explode(F.filter(toks, lambda t: t.isin(terms))).alias("_t"),
+        )
+        .groupBy(id_col, "_t")
+        .agg(F.count("*").alias("_tf"), F.first("_dl").alias("_dl"))
+    )
+    df_t = tf.groupBy("_t").agg(F.count("*").alias("_df"))
+    scored = tf.join(F.broadcast(df_t), "_t").crossJoin(F.broadcast(stats))
+    idf = F.log10(
+        1.0 + (F.col("_N") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    term_score = idf * (
+        F.col("_tf")
+        * (k1 + 1.0)
+        / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl")))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum(term_score), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 DOMAIN_REGEX = r"https?://([^/\s]+)"
 
 

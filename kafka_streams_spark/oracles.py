@@ -534,6 +534,27 @@ TEXT_ORACLES = {
         FROM tok JOIN v USING (tok), tot
         GROUP BY doc_id
     """,
+    # Okapi BM25 for the fixed 3-term contract query; the rounded score
+    # is what's ranked so the top-20 cut is engine-reproducible.
+    "bm25_search": f"""
+        WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM tok),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+            FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok)
+            WHERE term IN ('spark', 'join', 'window')
+            GROUP BY doc_id, term
+        ),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        SELECT doc_id,
+               round(sum(log10(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * (1.2 + 1.0)
+                         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+        FROM tf JOIN dft USING (term), stats
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+    """,
     # DSIR importance weights: hashed-bigram (md5_32 % 4096) bucket
     # counts, add-one smoothing both sides, per-occurrence log10 ratio.
     # Target slice = doc_id md5-bucket < '30'; base = the full corpus.

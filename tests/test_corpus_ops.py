@@ -598,3 +598,56 @@ def test_dsir_validates_params(spark):
         dsir_logratio(docs, docs, n=0)
     with pytest.raises(ValueError, match="n_buckets"):
         dsir_logratio(docs, docs, n_buckets=1)
+
+
+# ---------------------------------------------------------------------------
+# keyword_search_bm25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    from kafka_streams_spark.operators.text import keyword_search_bm25
+
+    docs = _docs(
+        spark,
+        [
+            (1, "s", "spark spark spark streaming engine"),
+            (2, "s", "spark appears once in this much longer document about other things"),
+            (3, "s", "nothing relevant whatsoever in here"),
+        ],
+    )
+    out = keyword_search_bm25(docs, ["spark"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids[0] == 1  # higher tf, shorter doc
+    assert 3 not in ids  # no term match → no row
+
+
+def test_bm25_idf_downweights_ubiquitous_terms(spark):
+    from kafka_streams_spark.operators.text import keyword_search_bm25
+
+    # 'common' is in every doc (df=N → tiny idf); 'rare' in one.
+    docs = _docs(
+        spark,
+        [(i, "s", "common filler words here") for i in range(9)]
+        + [(9, "s", "common rare words here")],
+    )
+    out = {r["doc_id"]: r["score"] for r in keyword_search_bm25(docs, ["common", "rare"], k=10).collect()}
+    assert out[9] > max(v for i, v in out.items() if i != 9)
+
+
+def test_bm25_k_limits_and_validates(spark):
+    from kafka_streams_spark.operators.text import keyword_search_bm25
+
+    docs = _docs(spark, [(i, "s", f"term filler {i}") for i in range(5)])
+    assert keyword_search_bm25(docs, ["term"], k=3).count() == 3
+    with pytest.raises(ValueError, match="query_terms"):
+        keyword_search_bm25(docs, [])
+    with pytest.raises(ValueError, match="k must"):
+        keyword_search_bm25(docs, ["term"], k=0)
+
+
+def test_bm25_query_terms_lowercased(spark):
+    from kafka_streams_spark.operators.text import keyword_search_bm25
+
+    docs = _docs(spark, [(1, "s", "Spark On Mixed Case")])
+    assert keyword_search_bm25(docs, ["SPARK"], k=5).count() == 1
