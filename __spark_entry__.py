@@ -241,6 +241,16 @@ def _q_winnowing(spark, sf_dir):
     return fps.select("doc_id", F.explode("fingerprints").alias("fingerprint"))
 
 
+def _q_knn_ivf_label_vec0(spark, sf_dir):
+    # Deterministic IVF: inverted lists = the existing `label` column,
+    # centroids = per-label means (no KMeans fit, no training action) —
+    # the oracle-checked twin of the learned-index knn_ivf_vec0.
+    from kafka_streams_spark.operators.similarity import knn_ivf_label_to_id
+
+    top = knn_ivf_label_to_id(_embs(spark, sf_dir), query_id=0, k=10, n_probe=2)
+    return top.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
 def _q_knn_lsh_vec0(spark, sf_dir):
     # Collect-free: query vector + bucket come from the index itself via
     # a broadcast single-row join; probe set is a bit_count predicate.
@@ -796,6 +806,7 @@ _NEEDS_DRIVER_ROW = [
     "dedup_incremental_bloom",
     "dsir_logratio",
     "bm25_search",
+    "knn_ivf_label_vec0",
     "dedup_incremental_fuzzy",
     "reservoir_sample_docs",
     "corpus_drift",
@@ -996,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash_nd,  # md5_60 contract: oracle-checked
         "knn_lsh_vec0": _q_knn_lsh_vec0,  # literal-plane probes: oracle-checked
         "knn_ivf_vec0": _q_knn_ivf_vec0,  # learned KMeans index: rows-only
+        "knn_ivf_label_vec0": _q_knn_ivf_label_vec0,  # label-cell IVF: oracle-checked
         "winnowing_fingerprints": _q_winnowing,  # md5_60 contract: oracle-checked
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,  # oracle-checked r04
         "profile_documents_approx": _q_profile_documents_approx,  # HLL++: rows-only

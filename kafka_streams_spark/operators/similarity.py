@@ -545,6 +545,66 @@ def knn_ivf_to_id(
     )
 
 
+def knn_ivf_label_to_id(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    decimals: int = 6,
+) -> DataFrame:
+    """IVF top-k where the inverted lists are an EXISTING partition key
+    (here the ``label`` column) and the cell centroids are that key's
+    mean vectors — the fully deterministic IVF: no KMeans fit, no
+    training action, and every step (centroids, probe choice, exact
+    rescore) is reproducible in plain SQL. Use when the corpus already
+    carries a semantically meaningful shard key (class label, source,
+    language cluster) — the common case for curated training corpora —
+    and keep :func:`build_ivf_index`'s learned KMeans cells for corpora
+    without one.
+
+    Everything is in-plan: centroids via :func:`label_centroids` (tiny
+    table, one exploded shuffle), the query vector a broadcast
+    single-row join, probe selection a ``row_number`` over the ≤|labels|
+    centroid table ranked by (centroid cosine desc, group asc), and the
+    exact cosine rescore runs only over the ``n_probe`` chosen cells —
+    with the corpus partitioned/bucketed by the group key, that scan
+    PRUNES at the source (the predicate is a broadcast semi join on the
+    partition column). No driver-side collect anywhere.
+    """
+    if n_probe < 1:
+        raise ValueError("n_probe must be >= 1")
+    from pyspark.sql import Window
+
+    cent = label_centroids(embeddings, group_col=group_col, vec_col=vec_col, decimals=decimals)
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    cell_rank = Window.orderBy(F.col("_cs").desc(), F.col(group_col))
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            F.col(group_col),
+            cosine_similarity(F.col("centroid"), F.col("_qvec")).alias("_cs"),
+        )
+        .withColumn("_r", F.row_number().over(cell_rank))
+        .filter(F.col("_r") <= n_probe)
+        .select(group_col)
+    )
+    cand = embeddings.join(F.broadcast(probe), group_col)
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

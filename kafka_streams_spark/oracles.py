@@ -1265,6 +1265,29 @@ SIMILARITY_ORACLES = {
     "knn_lsh_vec0": _knn_lsh_sql(
         query_id=0, k=10, n_planes=6, dim=64, multiprobe_hamming=2
     ),
+    # Label-cell IVF: centroids = per-label means (6-dp, matching
+    # label_centroids), probe = top-2 cells by (centroid cosine desc,
+    # label asc), exact rescore within the probed cells only. Fully
+    # deterministic — no learned index.
+    "knn_ivf_label_vec0": """
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        ex AS (SELECT label, unnest(range(len(v))) AS pos, unnest(v) AS x FROM e),
+        cm AS (SELECT label, pos, round(avg(x), 6) AS m FROM ex GROUP BY label, pos),
+        cent AS (SELECT label, list(m ORDER BY pos) AS c FROM cm GROUP BY label),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        pc AS (SELECT label, list_cosine_similarity(c, qv) AS cs FROM cent, q),
+        probe AS (
+            SELECT label FROM (
+                SELECT label, row_number() OVER (ORDER BY cs DESC, label) AS r
+                FROM pc
+            ) WHERE r <= 2
+        )
+        SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine_sim
+        FROM e JOIN probe USING (label), q
+        ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+        LIMIT 10
+    """,
     "emb_near_dup_lsh": f"""
         WITH {_emb_lsh_pairs_cte(0.3, 4, 8, 64)}
         SELECT id_a, id_b, round(sim, 6) AS cosine_sim FROM lsh_pairs

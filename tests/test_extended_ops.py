@@ -819,3 +819,50 @@ def test_prefix_jaccard_randomized_equivalence(spark, seed, threshold):
     prefix = norm(ngram_jaccard_pairs_prefix(df, n=1, threshold=threshold))
     assert blocked == prefix
     assert blocked  # non-vacuous: the tiny vocabulary guarantees matches
+
+
+def test_knn_ivf_label_recall_and_probe_pruning(embs):
+    """Label-cell IVF: self-match first (the query's own label is always
+    the rank-1 probe), candidates restricted to exactly n_probe labels,
+    decent overlap with brute-force exact."""
+    from kafka_streams_spark.operators.similarity import (
+        knn_brute_force,
+        knn_ivf_label_to_id,
+    )
+
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [r["vec_id"] for r in knn_brute_force(embs, qvec, k=10).collect()]
+    approx = [
+        r["vec_id"] for r in knn_ivf_label_to_id(embs, query_id=0, k=10, n_probe=3).collect()
+    ]
+    assert approx[0] == 0
+    assert len(set(exact) & set(approx)) >= 3
+    # returned ids live in at most n_probe distinct labels
+    got_labels = (
+        embs.filter(F.col("vec_id").isin(approx)).select("label").distinct().count()
+    )
+    assert got_labels <= 3
+
+
+def test_knn_ivf_label_full_probe_equals_exact(embs):
+    """Probing every cell degenerates to exact brute force."""
+    from kafka_streams_spark.operators.similarity import (
+        knn_brute_force,
+        knn_ivf_label_to_id,
+    )
+
+    n_labels = embs.select("label").distinct().count()
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [r["vec_id"] for r in knn_brute_force(embs, qvec, k=10).collect()]
+    full = [
+        r["vec_id"]
+        for r in knn_ivf_label_to_id(embs, query_id=0, k=10, n_probe=n_labels).collect()
+    ]
+    assert full == exact
+
+
+def test_knn_ivf_label_validates_n_probe(embs):
+    from kafka_streams_spark.operators.similarity import knn_ivf_label_to_id
+
+    with pytest.raises(ValueError, match="n_probe"):
+        knn_ivf_label_to_id(embs, query_id=0, n_probe=0)
