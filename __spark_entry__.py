@@ -648,6 +648,16 @@ def _q_dsir_logratio(spark, sf_dir):
     return dsir_logratio(docs, docs.filter(bucket < "30"))
 
 
+def _q_containment_pairs(spark, sf_dir):
+    # Asymmetric twin of dedup_token_jaccard: same source-blocked join,
+    # containment = |A∩B| / min(|A|,|B|) instead of Jaccard.
+    from kafka_streams_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs(spark, sf_dir), n=1, threshold=0.8, block_col="source"
+    ).select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+
+
 def _q_bm25_search(spark, sf_dir):
     from kafka_streams_spark.operators.text import keyword_search_bm25
 
@@ -807,6 +817,7 @@ _NEEDS_DRIVER_ROW = [
     "dsir_logratio",
     "bm25_search",
     "knn_ivf_label_vec0",
+    "containment_pairs",
     "dedup_incremental_fuzzy",
     "reservoir_sample_docs",
     "corpus_drift",
@@ -952,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_rows": _q_dedup_exact_rows,
         "dedup_token_jaccard": _q_token_jaccard,
         "dedup_token_jaccard_prefix": _q_token_jaccard_prefix,
+        "containment_pairs": _q_containment_pairs,  # new r04: asymmetric near-dup
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,  # iterative CC, recursive-CTE oracle
         # -- unchecked in round 1: similarity / embeddings --

@@ -313,6 +313,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle-set CONTAINMENT:
+    max(|A∩B|/|A|, |A∩B|/|B|) ≥ threshold. Catches what Jaccard
+    structurally cannot — a short document verbatim-embedded in a much
+    longer one has tiny Jaccard (|A∩B|/|A∪B| shrinks with the length
+    gap) but containment 1.0 from the short side. This is the Broder
+    (1997) containment measure; quote/boilerplate/subset dedup uses it
+    where symmetric near-dup uses Jaccard.
+
+    Same blocked self-join shape (and the same scale rule) as
+    :func:`ngram_jaccard_pairs`: the O(block²) pair space is confined to
+    ``block_col`` groups. The LSH analogue for containment at 100 TB is
+    a bottom-k sketch (MinHash bands estimate Jaccard, not containment);
+    until one is wired, route big corpora through
+    :func:`minhash_lsh_candidates` with a low threshold and rescore the
+    candidates with this metric — see ``substring_overlap_pairs`` for
+    the fingerprint-join alternative on verbatim spans.
+
+    Output: (id_a, id_b, containment) with id_a < id_b, where
+    containment = the max over the two directions.
+    """
+    from kafka_streams_spark.functions.partitioning import spread
+
+    sh = spread(docs, block_col).select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+            .cast("double")
+            .alias("_inter"),
+            F.least(F.size(F.col("a.shingles")), F.size(F.col("b.shingles")))
+            .cast("double")
+            .alias("_min_sz"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.when(F.col("_min_sz") == 0, F.lit(0.0))
+            .otherwise(F.col("_inter") / F.col("_min_sz"))
+            .alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     docs: DataFrame,
     id_col: str = "doc_id",

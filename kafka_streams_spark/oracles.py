@@ -1157,6 +1157,19 @@ DEDUP_ORACLES = {
         SELECT * FROM documents
         QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
     """,
+    # Asymmetric containment pairs: |A∩B| / min(|A|,|B|) over distinct
+    # unigram shingles, source-blocked, 0.8 threshold, 6-dp output.
+    "containment_pairs": f"""
+        WITH {_shingle_cte(1)}
+        SELECT id_a, id_b, round(containment, 6) AS containment FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CASE WHEN least(len(a.shingles), len(b.shingles)) = 0 THEN 0.0
+                        ELSE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                             / least(len(a.shingles), len(b.shingles))
+                   END AS containment
+            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        ) WHERE containment >= 0.8
+    """,
     "dedup_token_jaccard": _jaccard_pairs_sql(1, 0.8),
     # prefix-filtered AllPairs twin — identical output by construction,
     # checked against the same SQL

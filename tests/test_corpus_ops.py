@@ -651,3 +651,41 @@ def test_bm25_query_terms_lowercased(spark):
 
     docs = _docs(spark, [(1, "s", "Spark On Mixed Case")])
     assert keyword_search_bm25(docs, ["SPARK"], k=5).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A 4-token doc verbatim inside a 40-token doc: containment = 1.0
+    from the short side while Jaccard is ~0.1 — the case the asymmetric
+    metric exists for."""
+    from kafka_streams_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta"
+    long = short + " " + " ".join(f"tok{i}" for i in range(36))
+    docs = _docs(spark, [(1, "s", short), (2, "s", long)])
+    cont = containment_pairs(docs, n=1, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["containment"]) for r in cont] == [(1, 2, 1.0)]
+    assert ngram_jaccard_pairs(docs, n=1, threshold=0.5).count() == 0
+
+
+def test_containment_blocked_respects_block(spark):
+    from kafka_streams_spark.operators.dedup import containment_pairs
+
+    docs = _docs(
+        spark,
+        [(1, "a", "same words here"), (2, "b", "same words here"), (3, "a", "same words here")],
+    )
+    out = {(r["id_a"], r["id_b"]) for r in containment_pairs(docs, block_col="source").collect()}
+    assert out == {(1, 3)}  # cross-source pair (1,2) never joins
+
+
+def test_containment_symmetric_on_equal_sets(spark):
+    from kafka_streams_spark.operators.dedup import containment_pairs
+
+    docs = _docs(spark, [(1, "s", "x y z"), (2, "s", "z y x")])
+    out = containment_pairs(docs, threshold=0.99).collect()
+    assert len(out) == 1 and out[0]["containment"] == 1.0
