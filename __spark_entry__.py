@@ -648,6 +648,12 @@ def _q_dsir_logratio(spark, sf_dir):
     return dsir_logratio(docs, docs.filter(bucket < "30"))
 
 
+def _q_lm_bigram(spark, sf_dir):
+    from kafka_streams_spark.operators.text import lm_bigram_score
+
+    return lm_bigram_score(_docs(spark, sf_dir))
+
+
 def _q_containment_pairs(spark, sf_dir):
     # Asymmetric twin of dedup_token_jaccard: same source-blocked join,
     # containment = |A∩B| / min(|A|,|B|) instead of Jaccard.
@@ -818,6 +824,7 @@ _NEEDS_DRIVER_ROW = [
     "bm25_search",
     "knn_ivf_label_vec0",
     "containment_pairs",
+    "lm_bigram_score",
     "dedup_incremental_fuzzy",
     "reservoir_sample_docs",
     "corpus_drift",
@@ -944,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "lm_unigram_score": _q_lm_unigram,  # new r04: perplexity-proxy gate
         "dsir_logratio": _q_dsir_logratio,  # new r04: importance-resampling weights
+        "lm_bigram_score": _q_lm_bigram,  # new r04: order-aware LM gate
         "bm25_search": _q_bm25_search,  # new r04: Okapi BM25 keyword ranking
         "dedup_lines": _q_dedup_lines,  # new r04: C4-style line dedup
         "language_id": _q_language_id,

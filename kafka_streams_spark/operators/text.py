@@ -493,6 +493,57 @@ def lm_unigram_score(
     )
 
 
+def lm_bigram_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-bigram conditional LM score per document — the order-aware
+    upgrade of :func:`lm_unigram_score`: mean log10 of the add-one
+    smoothed conditional p(w2|w1) = (c(w1 w2) + 1) / (c1(w1) + |V|)
+    over the document's bigram occurrences, where c1(w1) counts w1 as a
+    bigram CONTEXT (occurrences as a bigram's first token) and |V| is
+    the distinct unigram vocabulary. A document whose tokens are
+    corpus-plausible but shuffled scores high under the unigram model
+    and low here — the scrambled-text / template-spam gate.
+
+    Plan shape: one bigram explode feeds both the count aggregation and
+    the scoring join (scan reuse, the lm_unigram_score pattern); context
+    counts derive from the already-aggregated bigram table (groupBy its
+    first token — no second corpus pass); |V| rides a 1-row broadcast.
+    The scoring join is token-keyed — stopword-context skew is AQE
+    skew-split territory, same note as lm_unigram_score. Docs with < 2
+    tokens have no bigrams and drop out. Output: (id, n_bigrams,
+    avg_logprob) rounded 6 dp.
+    """
+    from kafka_streams_spark.functions.partitioning import spread
+
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ng = spread(docs).select(F.col(id_col), F.explode(grams).alias("_g"))
+    gc = ng.groupBy("_g").agg(F.count("*").alias("_cg"))
+    cc = gc.groupBy(F.substring_index("_g", " ", 1).alias("_w1")).agg(
+        F.sum("_cg").alias("_cw")
+    )
+    vsz = docs.select(F.explode(toks).alias("_t")).agg(
+        F.countDistinct("_t").alias("_v")
+    )
+    scored = (
+        ng.join(gc, "_g")
+        .join(cc, F.substring_index(F.col("_g"), " ", 1) == F.col("_w1"))
+        .crossJoin(F.broadcast(vsz))
+    )
+    logp = F.log10((F.col("_cg") + 1.0) / (F.col("_cw") + F.col("_v")))
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg(logp), 6).alias("avg_logprob"),
+    )
+
+
 def dsir_logratio(
     docs: DataFrame,
     target: DataFrame,

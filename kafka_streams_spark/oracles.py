@@ -588,6 +588,27 @@ TEXT_ORACLES = {
         FROM nb JOIN stats USING (b)
         GROUP BY doc_id
     """,
+    # Bigram conditional LM: p(w2|w1) = (c(w1 w2)+1)/(c1(w1)+|V|), c1 =
+    # occurrences as bigram context, |V| = distinct unigram vocab.
+    "lm_bigram_score": f"""
+        WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        vsz AS (SELECT count(DISTINCT u) AS v
+                FROM (SELECT unnest(t) AS u FROM tok)),
+        ng AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i+1])) AS g
+            FROM tok WHERE len(t) >= 2
+        ),
+        gc AS (SELECT g, count(*) AS cg FROM ng GROUP BY g),
+        cc AS (SELECT split_part(g, ' ', 1) AS w1, sum(cg) AS cw
+               FROM gc GROUP BY w1)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(log10((cg + 1.0) / (cw + v))), 6) AS avg_logprob
+        FROM ng JOIN gc USING (g)
+             JOIN cc ON split_part(ng.g, ' ', 1) = cc.w1, vsz
+        GROUP BY doc_id
+    """,
     "corpus_stats": f"""
         WITH v AS (
             SELECT tok, count(*) AS n

@@ -689,3 +689,34 @@ def test_containment_symmetric_on_equal_sets(spark):
     docs = _docs(spark, [(1, "s", "x y z"), (2, "s", "z y x")])
     out = containment_pairs(docs, threshold=0.99).collect()
     assert len(out) == 1 and out[0]["containment"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# lm_bigram_score
+# ---------------------------------------------------------------------------
+
+
+def test_lm_bigram_penalizes_scrambled_order(spark):
+    """Docs with corpus-typical bigrams score higher than a doc whose
+    tokens are corpus-plausible but order-scrambled — the separation the
+    unigram model cannot make."""
+    from kafka_streams_spark.operators.text import lm_bigram_score, lm_unigram_score
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    scrambled = "dog the over quick lazy fox brown jumps the"
+    docs = _docs(
+        spark,
+        [(i, "s", fluent) for i in range(6)] + [(10, "s", scrambled)],
+    )
+    bi = {r["doc_id"]: r["avg_logprob"] for r in lm_bigram_score(docs).collect()}
+    uni = {r["doc_id"]: r["avg_logprob"] for r in lm_unigram_score(docs).collect()}
+    assert bi[0] > bi[10]
+    assert abs(uni[0] - uni[10]) < 1e-9  # same bag of tokens → same unigram score
+
+
+def test_lm_bigram_short_docs_drop(spark):
+    from kafka_streams_spark.operators.text import lm_bigram_score
+
+    docs = _docs(spark, [(1, "s", "solo"), (2, "s", "two words")])
+    out = {r["doc_id"]: r["n_bigrams"] for r in lm_bigram_score(docs).collect()}
+    assert out == {2: 1}
