@@ -837,39 +837,10 @@ _NEEDS_DRIVER_ROW = [
     "pack_sequences",
     "normalize_text",
     "decontaminate_exact",
-    # (a) code changed this round
-    "winnowing_fingerprints",  # r03 red; now scalar rows + md5_60 oracle
-    "dedup_simhash",  # now oracle-checked (Arrow md5_60 signatures)
-    "dedup_minhash_lsh",  # now oracle-checked (md5_32 deterministic banding)
-    "emb_near_dup_lsh",  # now oracle-checked (literal seed-42 planes)
-    "dedup_clusters_lsh",  # now oracle-checked (LSH pairs + recursive CTE)
-    "knn_lsh_vec0",  # now oracle-checked (literal planes + xor probes)
-    "dedup_token_jaccard",  # now auto-dispatched onto the bitset form
     "lm_unigram_score",  # NEW in r04: no driver row yet
     "dedup_lines",  # NEW in r04: no driver row yet
-    "events_hourly",
-    "events_hopping",
-    "sessionize_events",
-    "events_attribution",
-    "asof_purchase_click",
-    "payments_source",
-    "payments_filter_rails",
-    "payments_branch_gbp",
-    "payments_branch_usd",
-    "payments_fx_convert",
-    "payments_merged",
-    "payments_rails_foo",
-    "payments_rails_bar",
-    "payments_balances",
-    "sql_balances",
-    "dsl_balances",
-    "knn_batch",
-    "decontaminate_emb",
-]
-
-# (b) newest driver green is round 1 — two rounds stale; must re-confirm
-# this round. (dsl_balances is in the changed set above.)
-_STALE_EVIDENCE = [
+    # (b) newest driver green is round 1 — two rounds stale; these MUST
+    # land in the 50-row window ahead of anything r03 re-confirmed
     "q7_volume_shipping",
     "q12_ship_delay",
     "q13_customer_distribution",
@@ -881,6 +852,41 @@ _STALE_EVIDENCE = [
     "q22_prospect_customers",
     "funnel_conversions",
     "cohort_retention",
+    # (a) code changed this round (all r03-green, but the contract path
+    # or a shared input changed): contract rewrites first, then the
+    # rounding-touched similarity pair, then the events-loader family.
+    "winnowing_fingerprints",  # r03 red; now scalar rows + md5_60 oracle
+    "dedup_simhash",  # now oracle-checked (Arrow md5_60 signatures)
+    "dedup_minhash_lsh",  # now oracle-checked (md5_32 deterministic banding)
+    "emb_near_dup_lsh",  # now oracle-checked (literal seed-42 planes)
+    "dedup_clusters_lsh",  # now oracle-checked (LSH pairs + recursive CTE)
+    "knn_lsh_vec0",  # now oracle-checked (literal planes + xor probes)
+    "dedup_token_jaccard",  # now auto-dispatched onto the bitset form
+    "knn_batch",  # Arrow rounding now HALF_UP
+    "decontaminate_emb",  # Arrow rounding now HALF_UP
+    "events_hourly",  # loader NTZ→epoch expression changed …
+    "events_hopping",
+    "sessionize_events",
+    "events_attribution",
+    "asof_purchase_click",
+    "payments_balances",  # … payments parse from the same loader
+    "sql_balances",
+    "dsl_balances",
+    "payments_source",
+    "payments_fx_convert",
+]
+
+# Overflow of group (a): filter/branch legs of the payment topology —
+# lowest re-evidence priority (r03-green; the loader change touches only
+# the timestamp expression these projections don't read). They head the
+# post-window order so any driver slack still reaches them first.
+_STALE_EVIDENCE = [
+    "payments_filter_rails",
+    "payments_branch_gbp",
+    "payments_branch_usd",
+    "payments_merged",
+    "payments_rails_foo",
+    "payments_rails_bar",
     # (c) newest green is round 2 — fill the remaining first-50 slots
     # before anything round 3 already re-confirmed
     "q1_pricing_summary",

@@ -114,6 +114,12 @@ BENCH_QUERIES = [
     "pack_sequences",
     "normalize_text",
     "decontaminate_exact",
+    "dedup_incremental_bloom",
+    "dsir_logratio",
+    "bm25_search",
+    "knn_ivf_label_vec0",
+    "containment_pairs",
+    "lm_bigram_score",
 ]
 
 

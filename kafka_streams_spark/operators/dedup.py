@@ -158,21 +158,37 @@ def dedup_incremental_bloom(
     h = F.md5(F.col(text_col))
     bitmap = bloom_bitmap(existing, text_col=text_col, m_bits=m_bits, k=k)
     probed = new_docs.withColumn("_h", h)
-    hits = []
     for j in range(k):
         p = _bloom_pos(F.col("_h"), j, m_bits)
-        wj, bj = f"_w{j}", f"_word{j}"
-        probed = probed.withColumn(wj, F.shiftright(p, 6)).withColumn(f"_b{j}", p % 64)
-        bm = F.broadcast(
-            bitmap.select(F.col("word_idx").alias(wj), F.col("word").alias(bj))
+        probed = probed.withColumn(f"_w{j}", F.shiftright(p, 6)).withColumn(
+            f"_b{j}", p % 64
         )
-        probed = probed.join(bm, wj, "left")
-        hits.append(
-            F.col(bj).isNotNull()
-            & (F.expr(f"shiftright({bj}, CAST(_b{j} AS INT)) & 1") == 1)
+        # Alias (not rename) the bitmap per probe: the subtree under the
+        # BroadcastExchange stays canonical-identical across all k joins,
+        # so Spark builds the bitmap ONCE and reuses the exchange
+        # (ReusedExchange ×(k-1) — pinned by the plan-audit test).
+        bm = bitmap.alias(f"_bm{j}")
+        probed = (
+            probed.join(
+                F.broadcast(bm),
+                F.col(f"_w{j}") == F.col(f"_bm{j}.word_idx"),
+                "left",
+            )
+            .withColumn(
+                f"_hit{j}",
+                F.col(f"_bm{j}.word").isNotNull()
+                & (
+                    F.expr(f"shiftright(_bm{j}.word, CAST(_b{j} AS INT)) & 1")
+                    == 1
+                ),
+            )
+            .drop(F.col(f"_bm{j}.word_idx"))
+            .drop(F.col(f"_bm{j}.word"))
         )
-    passes = functools.reduce(lambda a, b: a & b, hits)
-    aux = [c for j in range(k) for c in (f"_w{j}", f"_b{j}", f"_word{j}")]
+    passes = functools.reduce(
+        lambda a, b: a & b, [F.col(f"_hit{j}") for j in range(k)]
+    )
+    aux = [c for j in range(k) for c in (f"_w{j}", f"_b{j}", f"_hit{j}")]
     probed = probed.withColumn("_maybe", passes).drop(*aux)
     definite_new = probed.filter(~F.col("_maybe"))
     seen = existing.select(F.md5(F.col(text_col)).alias("_h")).distinct()

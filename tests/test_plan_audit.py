@@ -420,3 +420,22 @@ def test_decontaminate_exact_broadcasts_benchmark(spark, sf_dir):
     )
     a = audit(decontaminate_exact(docs, bench))
     assert "BroadcastNestedLoopJoin" in a.join_strategies, a.join_strategies
+
+
+def test_bloom_bitmap_broadcast_reused_across_probes(spark, sf_dir):
+    """All k probe joins broadcast the SAME canonical bitmap subtree, so
+    AQE builds the bloom aggregation once and reuses the exchange for
+    the other probes (k probes × 2 legs − 1 ≥ reuses ≥ k − 1). The
+    per-probe alias (not a rename below the exchange) is what makes the
+    subtrees canonical-identical — regression pin for that choice."""
+    from kafka_streams_spark.operators.dedup import dedup_incremental_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    out = dedup_incremental_bloom(
+        docs.filter(bucket >= "40"), docs.filter(bucket < "40"), m_bits=1 << 14
+    )
+    out.collect()  # reuse is an AQE runtime decision — need the final plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 3, plan.count("ReusedExchange")
