@@ -683,6 +683,50 @@ def _q_dedup_incremental_bloom(spark, sf_dir):
     return dedup_incremental_bloom(new, existing, m_bits=1 << 14).select("doc_id", "source")
 
 
+def _q_gopher_quality(spark, sf_dir):
+    from kafka_streams_spark.operators.text import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir))
+
+
+def _q_c4_clean(spark, sf_dir):
+    # Testdata docs are single-line with no terminal punctuation, so the
+    # contract exercises the word-count rule (≥60 words keeps roughly
+    # half the corpus); the punctuation/javascript/lorem-ipsum rules are
+    # pinned by the crafted-docs unit test.
+    from kafka_streams_spark.operators.text import c4_clean
+
+    return c4_clean(
+        _docs(spark, sf_dir), min_words_per_line=60, require_terminal_punct=False
+    )
+
+
+def _q_cms_sketch(spark, sf_dir):
+    from kafka_streams_spark.operators.text import cms_token_sketch
+
+    return cms_token_sketch(_docs(spark, sf_dir), d=4, w=256)
+
+
+def _q_cms_estimates(spark, sf_dir):
+    from kafka_streams_spark.operators.text import cms_token_estimates
+
+    return cms_token_estimates(
+        _docs(spark, sf_dir),
+        ["the", "spark", "join", "window", "quantum"],
+        d=4,
+        w=256,
+    )
+
+
+def _q_semdedup(spark, sf_dir):
+    # Same cell key + threshold as emb_near_dup_exact, so the two
+    # contracts pin the pair stage and the survivor stage of the same
+    # semantic-dedup composition.
+    from kafka_streams_spark.operators.similarity import semdedup
+
+    return semdedup(_embs(spark, sf_dir), threshold=0.3, cell_col="label")
+
+
 def _q_assign_splits(spark, sf_dir):
     from kafka_streams_spark.operators.sampling import assign_splits
 
@@ -819,6 +863,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver that checks everything.
 _NEEDS_DRIVER_ROW = [
     # (0) brand-new this round — no driver evidence exists at all
+    "gopher_quality",
+    "c4_clean",
+    "cms_sketch",
+    "cms_estimates",
+    "semdedup",
     "dedup_incremental_bloom",
     "dsir_logratio",
     "bm25_search",
@@ -852,6 +901,7 @@ _NEEDS_DRIVER_ROW = [
     "q22_prospect_customers",
     "funnel_conversions",
     "cohort_retention",
+    "dsl_balances",  # r01-stale AND events-loader-touched — keep in window
     # (a) code changed this round (all r03-green, but the contract path
     # or a shared input changed): contract rewrites first, then the
     # rounding-touched similarity pair, then the events-loader family.
@@ -871,7 +921,6 @@ _NEEDS_DRIVER_ROW = [
     "asof_purchase_click",
     "payments_balances",  # … payments parse from the same loader
     "sql_balances",
-    "dsl_balances",
     "payments_source",
     "payments_fx_convert",
 ]
@@ -960,6 +1009,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_score": _q_lm_bigram,  # new r04: order-aware LM gate
         "bm25_search": _q_bm25_search,  # new r04: Okapi BM25 keyword ranking
         "dedup_lines": _q_dedup_lines,  # new r04: C4-style line dedup
+        "gopher_quality": _q_gopher_quality,  # new r04: Gopher rule gate
+        "c4_clean": _q_c4_clean,  # new r04: C4 line/doc cleaning
+        "cms_sketch": _q_cms_sketch,  # new r04: count-min sketch table
+        "cms_estimates": _q_cms_estimates,  # new r04: CMS point estimates
+        "semdedup": _q_semdedup,  # new r04: semantic dedup survivors
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
         "top_tokens": _q_top_tokens,

@@ -120,6 +120,11 @@ BENCH_QUERIES = [
     "knn_ivf_label_vec0",
     "containment_pairs",
     "lm_bigram_score",
+    "gopher_quality",
+    "c4_clean",
+    "cms_sketch",
+    "cms_estimates",
+    "semdedup",
 ]
 
 

@@ -1026,3 +1026,37 @@ def quantize_embeddings_symmetric(
     return embeddings.withColumn("scale", scale).select(
         F.col(id_col), codes.alias("codes"), "scale"
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    public arXiv 2303.09540): partition the corpus into cells, compare
+    embeddings only WITHIN a cell, and drop every vector whose cosine to
+    some lower-id vector in its cell is ≥ threshold. The min-id vector of
+    each near-dup pair survives — the same deterministic winner rule as
+    dedup_exact, applied per EDGE (a vector drops if ANY lower-id cell
+    neighbor is close, whether or not that neighbor itself survives —
+    matching the paper's drop-all-but-one-per-ε-neighborhood semantics
+    without an iterative clustering pass).
+
+    The cell column is what makes this 100 TB-shaped: the paper uses
+    k-means cluster ids (use :func:`build_ivf_index` to mint them when the
+    corpus has no key); curated corpora usually already carry a semantic
+    shard key (label, source, language cluster). Pairs never cross cells,
+    so the quadratic term is bounded by the largest cell and every stage
+    is an equi-join Catalyst can shuffle-partition on the cell key.
+
+    Output: surviving rows (id_col, cell_col), one per kept vector.
+    """
+    pairs = exact_pairs_cosine(
+        embeddings, threshold, id_col=id_col, vec_col=vec_col, block_col=cell_col
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return embeddings.select(id_col, cell_col).join(dropped, id_col, "left_anti")

@@ -1160,3 +1160,239 @@ def decontaminate_exact(
         .withColumn("contaminated", F.col("n_bench_hits") >= 1)
         .select(id_col, "n_bench_hits", "contaminated")
     )
+
+
+def gopher_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    Methods, Analysis & Insights from Training Gopher", public arXiv
+    2112.11446, Table A1): the repetition-free subset of the published
+    document-quality heuristics, each emitted as its measured value plus
+    a single ``passes_gopher`` verdict — word-count band, mean word
+    length band, symbol-to-word ratio (``#`` and ``...``), bullet-line
+    and ellipsis-line ratios, alphabetic-word ratio, and a minimum
+    stopword-hit count (the frozen ``STOPWORDS['en']`` list, so the rule
+    is reproducible in SQL). :func:`repetition_stats` covers the paper's
+    repetition rules; compose both for the full gate.
+
+    Pure per-row Column expressions — map-only, zero shuffles, fuses
+    into any wider single-scan projection. Ratios are single int/int
+    divisions (IEEE-identical cross-engine, no rounding pin needed).
+
+    Output: (id, n_words bigint, mean_word_len, symbol_ratio,
+    bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+    stop_hits bigint, passes_gopher boolean).
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks).cast("bigint")
+    denom_w = F.greatest(n_words, F.lit(1)).cast("double")
+    # sum of token lengths == non-whitespace char count (tokens() drops
+    # only whitespace), so mean word length needs no per-token pass.
+    mean_word_len = F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / denom_w
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    n_ellipsis = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), F.lit(0)))
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / denom_w
+    lines = F.split(t, "\n")
+    denom_l = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("- ")
+            | F.ltrim(l).startswith("* ")
+            | F.ltrim(l).startswith("•"),
+        )
+    )
+    ellipsis_l = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    )
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+        )
+    ).cast("bigint")
+    out = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        (bullet.cast("double") / denom_l).alias("bullet_line_ratio"),
+        (ellipsis_l.cast("double") / denom_l).alias("ellipsis_line_ratio"),
+        (alpha.cast("double") / denom_w).alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+    )
+    passes = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_word_len, max_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_ratio") <= max_bullet_ratio)
+        & (F.col("ellipsis_line_ratio") <= max_ellipsis_ratio)
+        & (F.col("alpha_word_ratio") >= min_alpha_ratio)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn("passes_gopher", passes)
+
+
+def c4_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    require_terminal_punct: bool = True,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """C4-style line/document cleaning (Raffel et al. 2020, "Exploring
+    the Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer", public arXiv 1910.10683 §2.2): keep only lines that
+    end in a terminal punctuation mark (``.!?"``) and contain at least
+    ``min_words_per_line`` words, drop lines mentioning ``javascript``,
+    and drop whole documents containing ``lorem ipsum`` or a ``{`` (the
+    paper's code/boilerplate tells). Documents keep ≥ ``min_kept_lines``
+    cleaned lines or drop out (the paper uses 5 sentences; default 1
+    here so the gate composes rather than dictates).
+
+    ``require_terminal_punct=False`` disables the punctuation rule for
+    corpora that aren't sentence-structured (transcripts, logs, the
+    synthetic testdata) — the word-count and token rules still apply.
+
+    Map-only per-row array expressions: split → filter → rejoin, zero
+    shuffles, no Python workers. (:func:`dedup_lines` is the companion
+    CORPUS-level C4 pass — cross-document duplicate lines — and needs
+    the shuffle this one avoids.)
+
+    Output: (id, n_lines bigint, n_lines_kept bigint, text_clean) for
+    surviving documents.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def _kept(l: Column) -> Column:
+        trimmed = F.trim(l)
+        words_ok = F.size(
+            F.filter(F.split(trimmed, r"\s+"), lambda w: w != "")
+        ) >= F.lit(min_words_per_line)
+        no_js = ~F.lower(l).contains("javascript")
+        cond = words_ok & no_js
+        if require_terminal_punct:
+            punct_ok = (
+                trimmed.endswith(".")
+                | trimmed.endswith("!")
+                | trimmed.endswith("?")
+                | trimmed.endswith('"')
+            )
+            cond = cond & punct_ok
+        return cond
+
+    kept = F.filter(lines, _kept)
+    doc_ok = ~F.lower(t).contains("lorem ipsum") & ~t.contains("{")
+    return (
+        docs.filter(doc_ok)
+        .select(
+            F.col(id_col),
+            F.size(lines).cast("bigint").alias("n_lines"),
+            F.size(kept).cast("bigint").alias("n_lines_kept"),
+            F.array_join(kept, "\n").alias("text_clean"),
+        )
+        .filter(F.col("n_lines_kept") >= min_kept_lines)
+    )
+
+
+def _cms_bucket(tok: Column, row_idx: int, w: int) -> Column:
+    """Deterministic CMS hash row ``row_idx``: first 8 hex chars of
+    md5('<j>:' + token) as a 32-bit int, mod ``w`` — the same md5_32
+    family as the MinHash/DSIR hashes, reproducible in DuckDB as
+    ``CAST(concat('0x', substr(md5(...), 1, 8)) AS BIGINT) % w``."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{row_idx}:"), tok)), 1, 8), 16, 10
+    ).cast("bigint")
+    return h % F.lit(w)
+
+
+def cms_token_sketch(
+    docs: DataFrame,
+    d: int = 4,
+    w: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005, public) over the
+    corpus token stream, as a TABLE of counters: ``(row_idx, bucket,
+    counter)`` with at most ``d·w`` rows. Fully deterministic (md5-keyed
+    hash rows, no randomness), so the sketch itself is oracle-checkable
+    — unlike HLL++/KLL sketches whose internals are implementation-
+    defined.
+
+    Why a table and not a driver-side array: ``d·w`` is fixed and tiny,
+    but the INPUT is the 100 TB token stream — this shape is one explode
+    (d rows per token occurrence) into one aggregation shuffle whose
+    map-side partial combine collapses every partition to ≤ d·w rows
+    before any network transfer. Sketches of two corpora merge by
+    summing counters on (row_idx, bucket) — the mergeability that makes
+    CMS the per-shard/per-day frequency summary at scale.
+
+    Point estimates: :func:`cms_token_estimates` (min over rows; always
+    ≥ the true count — one-sided error ≤ e·N/w with prob 1−e^−d).
+    """
+    tok = docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    probes = F.array(*[_cms_bucket(F.col("tok"), j, w) for j in range(d)])
+    rows = tok.select(F.posexplode(probes).alias("row_idx", "bucket"))
+    return rows.groupBy("row_idx", "bucket").agg(F.count("*").alias("counter"))
+
+
+def cms_token_estimates(
+    docs: DataFrame,
+    terms: list[str],
+    d: int = 4,
+    w: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-min point estimates for ``terms`` next to their true
+    counts: ``(token, cms_count, exact_count)``. cms_count =
+    min over hash rows of the probed counter (0 if a bucket is empty);
+    the CMS guarantee cms_count ≥ exact_count is pinned by a property
+    test. The exact side filters the token stream to ``terms`` BEFORE
+    aggregating, so the full-vocabulary aggregation never runs — at
+    scale the only unbounded work is the sketch build itself.
+    """
+    spark = docs.sparkSession
+    sketch = cms_token_sketch(docs, d=d, w=w, id_col=id_col, text_col=text_col)
+    tdf = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in terms])).alias("token")
+    )
+    probes = tdf.select(
+        "token",
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("token"), j, w) for j in range(d)])
+        ).alias("row_idx", "bucket"),
+    )
+    est = (
+        probes.join(sketch, ["row_idx", "bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("counter"), F.lit(0))).alias("cms_count"))
+    )
+    exact = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token").isin(list(terms)))
+        .groupBy("token")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return est.join(exact, "token", "left").select(
+        "token", "cms_count", F.coalesce("exact_count", F.lit(0)).alias("exact_count")
+    )

@@ -807,6 +807,115 @@ TEXT_ORACLES = {
               FROM gated WHERE quality >= 0.75)
         WHERE rn = 1
     """,
+    # Gopher rule gate (arXiv 2112.11446 Table A1 subset): every ratio
+    # is a single int/int double division — IEEE-identical cross-engine,
+    # no rounding pin needed.
+    "gopher_quality": f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks,
+                          string_split(text, chr(10)) AS lines
+                   FROM documents),
+        s AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                       / greatest(len(toks), 1) AS mean_word_len,
+                   CAST(length(text) - length(replace(text, '#', ''))
+                        + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+                       / greatest(len(toks), 1) AS symbol_ratio,
+                   CAST(len(list_filter(lines, l ->
+                            starts_with(ltrim(l), '- ')
+                            OR starts_with(ltrim(l), '* ')
+                            OR starts_with(ltrim(l), '•'))) AS DOUBLE)
+                       / greatest(len(lines), 1) AS bullet_line_ratio,
+                   CAST(len(list_filter(lines, l ->
+                            ends_with(rtrim(l), '...')
+                            OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+                       / greatest(len(lines), 1) AS ellipsis_line_ratio,
+                   CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                        AS DOUBLE) / greatest(len(toks), 1) AS alpha_word_ratio,
+                   CAST(len(list_intersect(list_distinct(toks), {_STOP_EN}))
+                        AS BIGINT) AS stop_hits
+            FROM t
+        )
+        SELECT *,
+               (n_words BETWEEN 50 AND 100000)
+               AND (mean_word_len BETWEEN 3.0 AND 10.0)
+               AND symbol_ratio <= 0.1
+               AND bullet_line_ratio <= 0.9
+               AND ellipsis_line_ratio <= 0.3
+               AND alpha_word_ratio >= 0.8
+               AND stop_hits >= 2 AS passes_gopher
+        FROM s
+    """,
+    # C4 cleaning (arXiv 1910.10683 §2.2), contract parameters: the
+    # word-count rule at ≥60 words/line, punctuation rule off (testdata
+    # is single-line unpunctuated; the punct/javascript/lorem rules are
+    # pinned by the crafted-docs unit test).
+    "c4_clean": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, chr(10)) AS lines
+            FROM documents
+            WHERE NOT contains(lower(text), 'lorem ipsum')
+              AND NOT contains(text, '{{')
+        ),
+        k AS (
+            SELECT doc_id, lines,
+                   list_filter(lines, l ->
+                       len(list_filter(string_split_regex(trim(l), '\\s+'),
+                                       x -> x != '')) >= 60
+                       AND NOT contains(lower(l), 'javascript')) AS kept
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_lines_kept,
+               array_to_string(kept, chr(10)) AS text_clean
+        FROM k WHERE len(kept) >= 1
+    """,
+    # Count-min sketch counters: md5_32('<j>:' || tok) % w hash rows —
+    # the same md5_32 family as MinHash/DSIR, bit-identical both engines.
+    "cms_sketch": f"""
+        WITH tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+        probes AS (
+            SELECT CAST(j AS INTEGER) AS row_idx,
+                   CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', tok)),
+                                            1, 8)) AS BIGINT) % 256 AS bucket
+            FROM tok, (SELECT unnest(range(4)) AS j)
+        )
+        SELECT row_idx, bucket, count(*) AS counter
+        FROM probes GROUP BY row_idx, bucket
+    """,
+    "cms_estimates": f"""
+        WITH tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+        sk AS (
+            SELECT row_idx, bucket, count(*) AS counter FROM (
+                SELECT CAST(j AS INTEGER) AS row_idx,
+                       CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', tok)),
+                                                1, 8)) AS BIGINT) % 256 AS bucket
+                FROM tok, (SELECT unnest(range(4)) AS j)
+            ) GROUP BY row_idx, bucket
+        ),
+        terms AS (SELECT unnest(['the', 'spark', 'join', 'window', 'quantum']) AS token),
+        tp AS (
+            SELECT token, CAST(j AS INTEGER) AS row_idx,
+                   CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', token)),
+                                            1, 8)) AS BIGINT) % 256 AS bucket
+            FROM terms, (SELECT unnest(range(4)) AS j)
+        ),
+        est AS (
+            SELECT token, min(coalesce(counter, 0)) AS cms_count
+            FROM tp LEFT JOIN sk USING (row_idx, bucket)
+            GROUP BY token
+        ),
+        ex AS (
+            SELECT tok AS token, count(*) AS exact_count FROM tok
+            WHERE tok IN ('the', 'spark', 'join', 'window', 'quantum')
+            GROUP BY tok
+        )
+        SELECT token, cms_count,
+               CAST(coalesce(exact_count, 0) AS BIGINT) AS exact_count
+        FROM est LEFT JOIN ex USING (token)
+    """,
 }
 
 # --------------------------------------------------------------------------
@@ -1510,6 +1619,19 @@ SIMILARITY_ORACLES = {
                    list_cosine_similarity(a.v, b.v) AS sim
             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         ) WHERE sim >= 0.3
+    """,
+    # SemDeDup survivors: drop every vector with cosine ≥ 0.3 to a
+    # lower-id vector in its label cell (same pair stage as
+    # emb_near_dup_exact; min-id winner per edge).
+    "semdedup": """
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        )
+        SELECT vec_id, label FROM e
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
     """,
 }
 

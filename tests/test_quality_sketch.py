@@ -1,0 +1,179 @@
+"""Round-4 quality gates and sketches: Gopher rules, C4 cleaning,
+count-min sketch, SemDeDup semantic dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_spark.plans import audit
+from kafka_streams_spark.sources.testdata import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------------------
+# c4_clean — crafted docs exercise the rules the testdata contract can't
+# (terminal punctuation, javascript lines, lorem ipsum / brace drops)
+# ---------------------------------------------------------------------------
+
+
+def test_c4_clean_line_rules(spark):
+    from kafka_streams_spark.operators.text import c4_clean
+
+    doc = "\n".join(
+        [
+            "This is a good sentence.",  # kept
+            "Too short.",  # < 3 words
+            "no terminal punctuation on this line",  # no .!?"
+            "This line mentions JavaScript explicitly.",  # token drop
+            "Another perfectly fine line!",  # kept
+            '  He said "stop."  ',  # kept (quote terminal, trimmed)
+        ]
+    )
+    out = c4_clean(_docs(spark, [(1, doc)])).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_lines"] == 6
+    assert r["n_lines_kept"] == 3
+    assert r["text_clean"] == (
+        "This is a good sentence.\nAnother perfectly fine line!\n"
+        '  He said "stop."  '
+    )
+
+
+def test_c4_clean_document_drops(spark):
+    from kafka_streams_spark.operators.text import c4_clean
+
+    rows = [
+        (1, "A clean document sentence."),
+        (2, "Contains Lorem Ipsum dolor sit amet."),  # dropped (case-insens)
+        (3, "Some code { return 1; } in the text."),  # dropped (brace)
+        (4, "no punctuation at all here"),  # kept doc, 0 kept lines → out
+    ]
+    out = c4_clean(_docs(spark, rows))
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_c4_clean_is_map_only(spark, sf_dir):
+    from kafka_streams_spark.operators.text import c4_clean
+
+    a = audit(c4_clean(load_table(spark, sf_dir, "documents")))
+    assert a.num_exchanges == 0, a.plan
+    assert a.num_scans == 1
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_fire_individually(spark):
+    from kafka_streams_spark.operators.text import gopher_quality
+
+    good = "the quick brown fox jumps over a lazy dog and " * 8  # 80 words
+    rows = [
+        (1, good),
+        (2, "the of and to"),  # too few words
+        (3, "### " * 60 + good),  # symbol ratio
+        (4, "\n".join(["- bullet item the a of"] * 10)),  # bullets (and len)
+        (5, ("zz1 " * 60) + "the a"),  # alpha ok (zz1 has letters)
+        (6, ("123 456 789 " * 30) + "the a of"),  # alpha ratio fails
+    ]
+    out = {r["doc_id"]: r for r in gopher_quality(_docs(spark, rows)).collect()}
+    assert out[1]["passes_gopher"]
+    assert not out[2]["passes_gopher"] and out[2]["n_words"] == 4
+    assert not out[3]["passes_gopher"] and out[3]["symbol_ratio"] > 0.1
+    assert not out[4]["passes_gopher"] and out[4]["bullet_line_ratio"] == 1.0
+    assert not out[6]["passes_gopher"] and out[6]["alpha_word_ratio"] < 0.8
+    # mean word length: all non-ws chars / words
+    assert abs(out[2]["mean_word_len"] - (len("theofandto") / 4)) < 1e-12
+
+
+def test_gopher_is_map_only(spark, sf_dir):
+    from kafka_streams_spark.operators.text import gopher_quality
+
+    a = audit(gopher_quality(load_table(spark, sf_dir, "documents")))
+    assert a.num_exchanges == 0, a.plan
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_estimate_dominates_exact_count(spark, sf_dir):
+    """The CMS guarantee: est ≥ exact for EVERY token, tight for hot
+    tokens when w ≫ vocab."""
+    from kafka_streams_spark.operators.dedup import tokens
+    from kafka_streams_spark.operators.text import cms_token_estimates
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = [
+        r["t"]
+        for r in docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .distinct()
+        .collect()
+    ]
+    out = cms_token_estimates(docs, vocab + ["absent-token"], d=4, w=512).collect()
+    assert len(out) == len(vocab) + 1
+    for r in out:
+        assert r["cms_count"] >= r["exact_count"], r
+    # the absent token may collide but must report exact 0
+    absent = [r for r in out if r["token"] == "absent-token"][0]
+    assert absent["exact_count"] == 0
+
+
+def test_cms_sketch_merges_by_addition(spark, sf_dir):
+    """Sketch of the whole corpus == per-(row,bucket) sum of the two
+    half-corpus sketches — the mergeability that makes CMS a per-shard
+    summary at 100 TB."""
+    from kafka_streams_spark.operators.text import cms_token_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    whole = cms_token_sketch(docs, d=3, w=128)
+    half_a = cms_token_sketch(docs.filter(F.col("doc_id") % 2 == 0), d=3, w=128)
+    half_b = cms_token_sketch(docs.filter(F.col("doc_id") % 2 == 1), d=3, w=128)
+    merged = (
+        half_a.unionByName(half_b)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("counter").alias("counter"))
+    )
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
+
+
+def test_cms_sketch_single_shuffle_bounded_output(spark, sf_dir):
+    from kafka_streams_spark.operators.text import cms_token_sketch
+
+    sk = cms_token_sketch(load_table(spark, sf_dir, "documents"), d=4, w=64)
+    a = audit(sk)
+    assert a.num_exchanges == 1, a.plan
+    assert a.has_partial_aggregation, a.plan  # map-side combine to ≤ d·w rows
+    assert sk.count() <= 4 * 64
+
+
+# ---------------------------------------------------------------------------
+# semdedup
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_survivors_complement_dropped(spark, sf_dir):
+    from kafka_streams_spark.operators.similarity import (
+        exact_pairs_cosine,
+        semdedup,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    survivors = {r["vec_id"] for r in semdedup(embs, threshold=0.3).collect()}
+    pairs = exact_pairs_cosine(embs, 0.3, block_col="label").collect()
+    dropped = {r["id_b"] for r in pairs}
+    all_ids = {r["vec_id"] for r in embs.select("vec_id").collect()}
+    assert survivors == all_ids - dropped
+    # min-id vector of every cell always survives
+    min_ids = {
+        r["m"]
+        for r in embs.groupBy("label").agg(F.min("vec_id").alias("m")).collect()
+    }
+    assert min_ids <= survivors
