@@ -683,6 +683,32 @@ def _q_dedup_incremental_bloom(spark, sf_dir):
     return dedup_incremental_bloom(new, existing, m_bits=1 << 14).select("doc_id", "source")
 
 
+def _q_minhash_jaccard_est(spark, sf_dir):
+    # md5_32 so the banding + estimate are DuckDB-reproducible; every
+    # output value is an exact rational (matches/64, |A∩B|/|A∪B|), so
+    # no rounding is applied.
+    from kafka_streams_spark.operators.dedup import minhash_jaccard_estimate
+
+    return minhash_jaccard_estimate(_docs(spark, sf_dir), hash_fn="md5_32")
+
+
+def _q_hashed_bow(spark, sf_dir):
+    # Array trap: posexplode to scalar rows; zero components dropped on
+    # both sides (the oracle only materializes touched buckets).
+    from kafka_streams_spark.operators.text import hashed_bow_embedding
+
+    emb = hashed_bow_embedding(_docs(spark, sf_dir), dim=64)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("pos", "value")
+    ).filter(F.col("value") != 0.0)
+
+
+def _q_zipf_fit(spark, sf_dir):
+    from kafka_streams_spark.operators.text import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), k=100)
+
+
 def _q_gopher_quality(spark, sf_dir):
     from kafka_streams_spark.operators.text import gopher_quality
 
@@ -863,6 +889,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver that checks everything.
 _NEEDS_DRIVER_ROW = [
     # (0) brand-new this round — no driver evidence exists at all
+    "minhash_jaccard_est",
+    "hashed_bow",
+    "zipf_fit",
     "gopher_quality",
     "c4_clean",
     "cms_sketch",
@@ -1014,6 +1043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_sketch": _q_cms_sketch,  # new r04: count-min sketch table
         "cms_estimates": _q_cms_estimates,  # new r04: CMS point estimates
         "semdedup": _q_semdedup,  # new r04: semantic dedup survivors
+        "minhash_jaccard_est": _q_minhash_jaccard_est,  # new r04: estimator audit
+        "hashed_bow": _q_hashed_bow,  # new r04: feature-hashing embedding
+        "zipf_fit": _q_zipf_fit,  # new r04: corpus Zipf slope
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
         "top_tokens": _q_top_tokens,

@@ -125,6 +125,9 @@ BENCH_QUERIES = [
     "cms_sketch",
     "cms_estimates",
     "semdedup",
+    "minhash_jaccard_est",
+    "hashed_bow",
+    "zipf_fit",
 ]
 
 

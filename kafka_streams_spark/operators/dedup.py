@@ -1473,3 +1473,84 @@ def duplicate_clusters(
             break
         prev = cur
     return labels
+
+
+def minhash_jaccard_estimate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_n: int = 3,
+    hash_fn: str = "crc32",
+) -> DataFrame:
+    """Estimator-accuracy audit for the MinHash pipeline: every LSH
+    candidate pair with its MinHash ESTIMATE of Jaccard (fraction of
+    equal signature components — the unbiased estimator the S-curve
+    math assumes, stderr ≈ √(j(1−j)/k)) next to the EXACT shingle
+    Jaccard and the absolute error. Run it on a sample before trusting
+    a (num_hashes, bands) configuration on the full corpus: if the
+    observed error is fatter than √(j(1−j)/k), the shingle space is too
+    small for the hash family (or docs too short) and the banding
+    threshold needs margin.
+
+    Plan shape: the signature table is computed ONCE and feeds both the
+    banding (candidates) and the two estimate-join sides — the
+    component-equality sum is a `num_hashes`-term codegen CASE sum,
+    same as the SimHash bit expressions. Exact Jaccard joins back to
+    the shingle arrays for candidate pairs only. est_jaccard is an
+    exact rational (matches/num_hashes) and jaccard a single int/int
+    division, so no rounding pin is needed.
+
+    Output: (id_a, id_b, est_jaccard, jaccard, abs_err).
+    """
+    assert num_hashes % bands == 0
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, hash_fn)
+    banded = _banded_keys(sig, id_col, num_hashes, bands, hash_fn)
+    cands = (
+        _bucket_pairs(banded, ["band_idx", "band_hash"], id_col)
+        .toDF("id_a", "id_b")
+        .distinct()
+    )
+    a = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)]
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)]
+    )
+    matches = functools.reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        ],
+    )
+    est = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )
+    sh = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    )
+    return (
+        est.join(
+            sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            token_set_jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .withColumn("abs_err", F.abs(F.col("est_jaccard") - F.col("jaccard")))
+    )

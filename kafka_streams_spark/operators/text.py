@@ -1396,3 +1396,109 @@ def cms_token_estimates(
     return est.join(exact, "token", "left").select(
         "token", "cms_count", F.coalesce("exact_count", F.lit(0)).alias("exact_count")
     )
+
+
+def hashed_bow_embedding(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing bag-of-words document embedding (Weinberger et
+    al. 2009, "Feature Hashing for Large Scale Multitask Learning",
+    public arXiv 0902.2206): each token occurrence lands in bucket
+    ``(md5_32(tok) >> 1) % dim`` with sign from bit 0 (the signed hash
+    kernel — unbiased inner products), summed per document and
+    L2-normalized. The model-free way to put a text corpus into the
+    similarity family: the output schema matches the ``embeddings``
+    table, so knn/near-dup/decontaminate/semdedup all compose on it.
+
+    Scale shape: one token explode → one (id, bucket) aggregation
+    shuffle with map-side combine (≤ dim rows per doc survive) → one
+    per-doc reassembly aggregation. The dense vector is rebuilt with a
+    map lookup over 0..dim-1 (absent buckets → 0.0); norm is
+    √(sum of squared ints) so every component is a single int/√int
+    division — deterministic cross-engine with no rounding pin.
+
+    Output: (id, embedding array<double>).
+    """
+    from kafka_streams_spark.functions.partitioning import spread
+
+    tok = spread(docs).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    h32 = F.conv(F.substring(F.md5(F.col("_t")), 1, 8), 16, 10).cast("bigint")
+    hashed = tok.select(
+        F.col(id_col),
+        (F.shiftright(h32, 1) % F.lit(dim)).alias("_bucket"),
+        F.when(h32.bitwiseAND(F.lit(1)) == 0, F.lit(1)).otherwise(F.lit(-1)).alias("_sgn"),
+    )
+    sums = hashed.groupBy(id_col, "_bucket").agg(F.sum("_sgn").alias("_v"))
+    per_doc = sums.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("_bucket", "_v"))).alias("_m"),
+        F.sqrt(F.sum(F.col("_v") * F.col("_v")).cast("double")).alias("_nrm"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(
+            F.col("_nrm") == 0, F.lit(0.0)
+        ).otherwise(F.coalesce(F.col("_m")[i], F.lit(0)).cast("double") / F.col("_nrm")),
+    )
+    return per_doc.select(F.col(id_col), dense.alias("embedding"))
+
+
+def zipf_fit(
+    docs: DataFrame,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit over the top-``k`` corpus tokens: least-squares
+    slope/intercept of log10(freq) against log10(rank) — the corpus
+    health number (natural text ≈ −1; template spam and synthetic
+    word-salad flatten toward 0, tokenizer glitches steepen it).
+
+    Scale shape: the full-vocabulary aggregation is the only unbounded
+    stage; the fit itself runs on the top-``k`` rows delivered by a
+    heap top-k (freq desc, token asc tiebreak), so the rank window and
+    the closed-form regression touch ≤ k rows — fitting the HEAD is
+    also statistically right, since the tail (hapax plateau) isn't
+    Zipfian and would bias the slope. Output doubles are sums of ≤ k
+    log terms → rounded 6 dp to absorb summation-order ulps.
+
+    Output: one row (n_tokens bigint, slope, intercept).
+    """
+    from pyspark.sql import Window
+
+    freq = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count("*").alias("_f"))
+        .orderBy(F.col("_f").desc(), F.col("_t"))
+        .limit(k)
+    )
+    # rank window runs on the ≤ k-row top-k result — bounded by design
+    ranked = freq.withColumn(
+        "_r", F.row_number().over(Window.orderBy(F.col("_f").desc(), F.col("_t")))
+    )
+    xy = ranked.select(
+        F.log10(F.col("_r").cast("double")).alias("_x"),
+        F.log10(F.col("_f").cast("double")).alias("_y"),
+    )
+    s = xy.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    slope = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    return s.select(
+        F.col("_n").cast("bigint").alias("n_tokens"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("_sy") - slope * F.col("_sx")) / F.col("_n"), 6).alias(
+            "intercept"
+        ),
+    )

@@ -916,6 +916,44 @@ TEXT_ORACLES = {
                CAST(coalesce(exact_count, 0) AS BIGINT) AS exact_count
         FROM est LEFT JOIN ex USING (token)
     """,
+    # Feature-hashing BoW embedding: signed md5_32 hash kernel, summed
+    # per (doc, bucket), L2-normalized. Contract emits NONZERO
+    # components as scalar rows (the same posexplode rule as emb_*).
+    # Every value is int/√int — deterministic, no rounding pin.
+    "hashed_bow": f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        h AS (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h32
+              FROM tok),
+        b AS (SELECT doc_id, (h32 // 2) % 64 AS bucket,
+                     CASE WHEN h32 % 2 = 0 THEN 1 ELSE -1 END AS sgn
+              FROM h),
+        s AS (SELECT doc_id, bucket, sum(sgn) AS v FROM b GROUP BY doc_id, bucket),
+        n AS (SELECT doc_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm
+              FROM s GROUP BY doc_id)
+        SELECT s.doc_id, CAST(bucket AS INTEGER) AS pos,
+               CAST(v AS DOUBLE) / nrm AS value
+        FROM s JOIN n USING (doc_id)
+        WHERE v != 0
+    """,
+    # Zipf fit over the top-100 tokens: closed-form least squares of
+    # log10(freq) on log10(rank); deterministic (freq desc, token)
+    # ranking; 6-dp round absorbs summation-order ulps.
+    "zipf_fit": f"""
+        WITH tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+        f AS (SELECT tok, count(*) AS f FROM tok GROUP BY tok
+              ORDER BY f DESC, tok LIMIT 100),
+        r AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM f),
+        xy AS (SELECT log10(CAST(r AS DOUBLE)) AS x,
+                      log10(CAST(f AS DOUBLE)) AS y FROM r),
+        s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+        SELECT CAST(n AS BIGINT) AS n_tokens,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+                   AS intercept
+        FROM s
+    """,
 }
 
 # --------------------------------------------------------------------------
@@ -1014,7 +1052,11 @@ _CURATE_FUZZY_SQL = f"""
 # concatenated sig tuples, so bucket equality IS tuple equality and the
 # candidate set is exactly "pairs sharing >= 1 band", verified here with
 # an OR-of-32-band-equalities join; exact jaccard filters candidates.
-def _minhash_lsh_sql(threshold: float = 0.5, num_hashes: int = 64, bands: int = 32) -> str:
+# Shared CTE chain — shingles → md5_32 shingle hashes → 64 affine-min
+# signatures → concatenated band tuples → candidate pairs. ONE
+# definition: _minhash_lsh_sql and _minhash_estimate_sql both compose
+# it, so the banding arithmetic cannot desynchronize between oracles.
+def _minhash_sig_cand_ctes(num_hashes: int, bands: int) -> str:
     from kafka_streams_spark.operators.dedup import MINHASH_PRIME, _minhash_coeffs
 
     coeffs = _minhash_coeffs(num_hashes)
@@ -1028,8 +1070,7 @@ def _minhash_lsh_sql(threshold: float = 0.5, num_hashes: int = 64, bands: int = 
         for b in range(bands)
     )
     any_band = "\n                OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
-    return f"""
-        WITH {_shingle_cte(3)},
+    return f"""{_shingle_cte(3)},
         ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
         h AS (
             SELECT doc_id,
@@ -1051,7 +1092,12 @@ def _minhash_lsh_sql(threshold: float = 0.5, num_hashes: int = 64, bands: int = 
             FROM bands a JOIN bands b
               ON a.doc_id < b.doc_id
              AND ({any_band})
-        )
+        )"""
+
+
+def _minhash_lsh_sql(threshold: float = 0.5, num_hashes: int = 64, bands: int = 32) -> str:
+    return f"""
+        WITH {_minhash_sig_cand_ctes(num_hashes, bands)}
         SELECT id_a, id_b, jaccard FROM (
             SELECT c.id_a, c.id_b,
                    CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
@@ -1061,6 +1107,30 @@ def _minhash_lsh_sql(threshold: float = 0.5, num_hashes: int = 64, bands: int = 
             JOIN sh x ON x.doc_id = c.id_a
             JOIN sh y ON y.doc_id = c.id_b
         ) WHERE jaccard >= {threshold}
+    """
+
+
+def _minhash_estimate_sql(num_hashes: int = 64, bands: int = 32) -> str:
+    eq_sum = "\n                 + ".join(
+        f"(CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+        WITH {_minhash_sig_cand_ctes(num_hashes, bands)}
+        SELECT id_a, id_b, est_jaccard, jaccard,
+               abs(est_jaccard - jaccard) AS abs_err
+        FROM (
+            SELECT c.id_a, c.id_b,
+                   ({eq_sum}) / {num_hashes}.0 AS est_jaccard,
+                   CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+                   (len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+            FROM cand c
+            JOIN sig x ON x.doc_id = c.id_a
+            JOIN sig y ON y.doc_id = c.id_b
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b
+        )
     """
 
 
@@ -1214,6 +1284,7 @@ _SIMHASH60_SIG = "\n             + ".join(
 
 DEDUP_ORACLES = {
     "dedup_minhash_lsh": _minhash_lsh_sql(threshold=0.5),
+    "minhash_jaccard_est": _minhash_estimate_sql(),
     "dedup_incremental_fuzzy": _minhash_incremental_sql(threshold=0.5),
     "curate_increment": _curate_increment_sql(threshold=0.5),
     "dedup_simhash": f"""

@@ -177,3 +177,97 @@ def test_semdedup_survivors_complement_dropped(spark, sf_dir):
         for r in embs.groupBy("label").agg(F.min("vec_id").alias("m")).collect()
     }
     assert min_ids <= survivors
+
+
+# ---------------------------------------------------------------------------
+# minhash_jaccard_estimate
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
+    from kafka_streams_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+        minhash_lsh_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = minhash_jaccard_estimate(docs, hash_fn="md5_32").collect()
+    assert rows, "banding should produce candidates on the testdata"
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert r["abs_err"] == abs(r["est_jaccard"] - r["jaccard"])
+    # k=64 ⇒ stderr ≤ √(.25/64) ≈ 0.0625; mean |err| must be well inside
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err < 0.12, mean_err
+    # exactly the candidate pairs the banding produces — no more, no less
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, hash_fn="md5_32").collect()
+    }
+    assert {(r["id_a"], r["id_b"]) for r in rows} == cands
+
+
+# ---------------------------------------------------------------------------
+# hashed_bow_embedding
+# ---------------------------------------------------------------------------
+
+
+def test_hashed_bow_unit_norm_and_stability(spark, sf_dir):
+    import math
+
+    from kafka_streams_spark.operators.text import hashed_bow_embedding
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hashed_bow_embedding(docs, dim=32)
+    rows = out.collect()
+    assert all(len(r["embedding"]) == 32 for r in rows)
+    for r in rows[:50]:
+        nrm = math.sqrt(sum(x * x for x in r["embedding"]))
+        assert nrm == 0.0 or abs(nrm - 1.0) < 1e-9
+    # partition-invariant (pure hash arithmetic, no nondeterminism)
+    again = hashed_bow_embedding(docs.repartition(17), dim=32)
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_hashed_bow_composes_with_similarity_ops(spark, sf_dir):
+    """The output schema matches the embeddings table, so the whole
+    similarity family runs on text docs with no model in the loop."""
+    from kafka_streams_spark.operators.similarity import exact_pairs_cosine
+    from kafka_streams_spark.operators.text import hashed_bow_embedding
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = hashed_bow_embedding(docs, dim=32).withColumnRenamed("doc_id", "vec_id")
+    pairs = exact_pairs_cosine(emb, threshold=0.9)
+    assert pairs.columns == ["id_a", "id_b", "cosine_sim"]
+    pairs.count()  # runs end-to-end
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_closed_form_matches_numpy(spark):
+    import numpy as np
+
+    from kafka_streams_spark.operators.text import zipf_fit
+
+    # one doc per token occurrence: freqs 8,4,2,1 → known rank/freq line
+    rows = [(i, w) for i, w in enumerate(
+        ["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"]
+    )]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = zipf_fit(docs, k=10).collect()[0]
+    x = np.log10(np.arange(1, 5))
+    y = np.log10(np.array([8.0, 4.0, 2.0, 1.0]))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert out["n_tokens"] == 4
+    assert abs(out["slope"] - round(slope, 6)) <= 1e-6
+    assert abs(out["intercept"] - round(intercept, 6)) <= 1e-6
+
+
+def test_zipf_fit_negative_slope_on_testdata(spark, sf_dir):
+    from kafka_streams_spark.operators.text import zipf_fit
+
+    out = zipf_fit(load_table(spark, sf_dir, "documents"), k=100).collect()[0]
+    assert out["slope"] < 0, out
