@@ -683,6 +683,32 @@ def _q_dedup_incremental_bloom(spark, sf_dir):
     return dedup_incremental_bloom(new, existing, m_bits=1 << 14).select("doc_id", "source")
 
 
+# token_budget_mix contract parameters — mirrored verbatim in the
+# oracle SQL (kafka_streams_spark/oracles.py "token_budget_mix").
+_MIX_SHARES = {"src1": 0.5, "src2": 0.3, "src3": 0.2}
+_MIX_BUDGET = 5000
+
+
+def _q_token_budget_mix(spark, sf_dir):
+    from kafka_streams_spark.operators.sampling import token_budget_mix
+
+    return token_budget_mix(
+        _docs(spark, sf_dir), _MIX_SHARES, _MIX_BUDGET
+    ).select("doc_id", "source")
+
+
+def _q_split_sentences(spark, sf_dir):
+    from kafka_streams_spark.operators.text import split_sentences
+
+    return split_sentences(_docs(spark, sf_dir))
+
+
+def _q_ccnet_buckets(spark, sf_dir):
+    from kafka_streams_spark.operators.text import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf_dir))
+
+
 def _q_minhash_jaccard_est(spark, sf_dir):
     # md5_32 so the banding + estimate are DuckDB-reproducible; every
     # output value is an exact rational (matches/64, |A∩B|/|A∪B|), so
@@ -892,6 +918,9 @@ _NEEDS_DRIVER_ROW = [
     "minhash_jaccard_est",
     "hashed_bow",
     "zipf_fit",
+    "token_budget_mix",
+    "split_sentences",
+    "ccnet_buckets",
     "gopher_quality",
     "c4_clean",
     "cms_sketch",
@@ -1046,6 +1075,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_jaccard_est": _q_minhash_jaccard_est,  # new r04: estimator audit
         "hashed_bow": _q_hashed_bow,  # new r04: feature-hashing embedding
         "zipf_fit": _q_zipf_fit,  # new r04: corpus Zipf slope
+        "token_budget_mix": _q_token_budget_mix,  # new r04: mixture-to-budget
+        "split_sentences": _q_split_sentences,  # new r04: sentence primitive
+        "ccnet_buckets": _q_ccnet_buckets,  # new r04: perplexity terciles
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
         "top_tokens": _q_top_tokens,

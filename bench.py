@@ -128,6 +128,9 @@ BENCH_QUERIES = [
     "minhash_jaccard_est",
     "hashed_bow",
     "zipf_fit",
+    "token_budget_mix",
+    "split_sentences",
+    "ccnet_buckets",
 ]
 
 

@@ -469,3 +469,60 @@ def pack_sequences(
         .cast("long")
         .alias("seq_off"),
     )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    target_shares: dict[str, float],
+    budget_tokens: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sample the corpus down to an explicit TOKEN budget with explicit
+    per-stratum mixture shares — the "data mixing" step of a training
+    run (the static counterpart of DoReMi-style learned mixtures):
+    stratum ``s`` keeps ``rate_s = min(1, budget·share_s / tokens_s)``
+    of its rows, so post-mix expected token mass per stratum is
+    ``budget·share_s`` (or everything the stratum has, when it can't
+    cover its share — downsampling only, no replication; use
+    :func:`upsample_epochs` on top when a short stratum must repeat).
+    Strata absent from ``target_shares`` drop out (share 0) — the
+    mixture is a whitelist.
+
+    Shape: the temperature_mix pattern — one per-stratum token-count
+    aggregate (map-side partial sums) broadcast back, then the
+    deterministic per-row :func:`uniform_unit` predicate; the corpus
+    itself never shuffles. Rates round to 9 dp so the keep boundary is
+    bit-identical in Spark and the oracle.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be > 0")
+    for s, p in target_shares.items():
+        if not (0.0 < p <= 1.0):
+            raise ValueError(f"share for {s!r} must be in (0, 1], got {p}")
+    from kafka_streams_spark.operators.text import token_count
+
+    counts = (
+        docs.filter(F.col(stratum_col).isin(list(target_shares)))
+        .groupBy(stratum_col)
+        .agg(F.sum(token_count(F.col(text_col))).alias("_tok_s"))
+    )
+    share = F.lit(None).cast("double")
+    for s, p in target_shares.items():
+        share = F.when(F.col(stratum_col) == s, F.lit(float(p))).otherwise(share)
+    rates = counts.select(
+        stratum_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_tokens)) * share / F.col("_tok_s"),
+            ),
+            9,
+        ).alias("_keep_rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), stratum_col)
+        .filter(uniform_unit(id_col) < F.col("_keep_rate"))
+        .drop("_keep_rate")
+    )

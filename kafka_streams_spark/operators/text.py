@@ -1502,3 +1502,77 @@ def zipf_fit(
             "intercept"
         ),
     )
+
+
+def split_sentences(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Naive sentence segmentation: maximal runs of non-terminal
+    characters plus their trailing ``.!?`` run, trimmed, empties
+    dropped — the primitive under sentence-level dedup, per-sentence
+    quality scoring, and sentence-pair mining. Deliberately
+    abbreviation-blind ("Mr. Smith" splits) so the rule stays a single
+    regex reproducible in any engine; swap a model segmenter behind the
+    same (id, sent_idx, sentence) contract when one is available.
+
+    The pattern avoids lookbehind on purpose: RE2-based engines (DuckDB,
+    Go) don't support it, so extraction (`[^.!?]+[.!?]*`) is the
+    portable formulation of terminal-punctuation splitting.
+
+    Map-only: one regexp extraction + posexplode per row, zero shuffles.
+    Output: (id, sent_idx int, sentence).
+    """
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), F.lit(0)),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(sents).alias("sent_idx", "sentence")
+    )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    public arXiv 1911.00359): score every document with the corpus LM
+    proxy (:func:`lm_unigram_score`) and split each LANGUAGE into
+    equal-thirds head/middle/tail buckets — head = most corpus-plausible
+    (highest avg log-prob = lowest perplexity), the slice CCNet keeps
+    for LM training; tail = the junk candidate pool.
+
+    Bucketing is ntile(3) over the deterministic (avg_logprob desc, id)
+    order within each language — reproducible in ANSI SQL. The per-lang
+    sort is a real shuffle+sort at 100 TB; when ranks aren't needed
+    downstream, the cheaper two-pass form is percentile_approx tercile
+    thresholds per lang broadcast back as a CASE filter (the
+    length_outliers pattern) — same buckets up to threshold ties.
+
+    Output: (id, lang, n_tokens, avg_logprob, bucket ∈ head|middle|tail).
+    """
+    from pyspark.sql import Window
+
+    scored = lm_unigram_score(docs, id_col, text_col).join(
+        docs.select(F.col(id_col), F.col(lang_col)), id_col
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col)
+    )
+    t = F.ntile(3).over(w)
+    bucket = (
+        F.when(t == 1, "head").when(t == 2, "middle").otherwise("tail")
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col(lang_col),
+        "n_tokens",
+        "avg_logprob",
+        bucket.alias("bucket"),
+    )

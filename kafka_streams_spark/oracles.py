@@ -954,6 +954,46 @@ TEXT_ORACLES = {
                    AS intercept
         FROM s
     """,
+    # Sentence segmentation: `[^.!?]+[.!?]*` extraction (the lookbehind-
+    # free formulation — portable to RE2 engines), trimmed, empties
+    # dropped, 0-based index.
+    "split_sentences": """
+        WITH s AS (
+            SELECT doc_id,
+                   list_filter(list_transform(
+                       regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                       x -> trim(x)), x -> x != '') AS sents
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(generate_subscripts(sents, 1) - 1 AS INTEGER) AS sent_idx,
+               unnest(sents) AS sentence
+        FROM s
+    """,
+    # CCNet terciles: the lm_unigram_score CTEs, then ntile(3) per lang
+    # over the deterministic (rounded score desc, doc_id) order.
+    "ccnet_buckets": f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        v AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+        tot AS (SELECT sum(n) AS t, count(*) AS vsz FROM v),
+        scored AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(log10((n + 1.0) / (t + vsz))), 6) AS avg_logprob
+            FROM tok JOIN v USING (tok), tot
+            GROUP BY doc_id
+        ),
+        b AS (
+            SELECT s.doc_id, d.lang, s.n_tokens, s.avg_logprob,
+                   ntile(3) OVER (PARTITION BY d.lang
+                                  ORDER BY s.avg_logprob DESC, s.doc_id) AS t3
+            FROM scored s JOIN documents d USING (doc_id)
+        )
+        SELECT doc_id, lang, n_tokens, avg_logprob,
+               CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket
+        FROM b
+    """,
 }
 
 # --------------------------------------------------------------------------
@@ -1839,6 +1879,29 @@ SAMPLING_ORACLES = {
                    ROUND(LEAST(1.0, POW(CAST(n_s AS DOUBLE) / n_min, 1.0/2.0 - 1.0)), 9)
                        AS keep_rate
             FROM c, m
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN r USING (source)
+        WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              / 4294967296.0 < keep_rate
+    """,
+    # Shares/budget literals mirror _MIX_SHARES/_MIX_BUDGET in
+    # __spark_entry__.py; per-source token sums use the same tokenizer
+    # as doc_stats; 9-dp rate rounding pins the keep boundary.
+    "token_budget_mix": f"""
+        WITH c AS (
+            SELECT source, sum(len({_TOKS})) AS tok_s
+            FROM documents WHERE source IN ('src1', 'src2', 'src3')
+            GROUP BY source
+        ),
+        r AS (
+            SELECT source,
+                   ROUND(LEAST(1.0,
+                       5000.0 * CASE source WHEN 'src1' THEN 0.5
+                                            WHEN 'src2' THEN 0.3
+                                            ELSE 0.2 END
+                       / tok_s), 9) AS keep_rate
+            FROM c
         )
         SELECT d.doc_id, d.source
         FROM documents d JOIN r USING (source)

@@ -271,3 +271,110 @@ def test_zipf_fit_negative_slope_on_testdata(spark, sf_dir):
 
     out = zipf_fit(load_table(spark, sf_dir, "documents"), k=100).collect()[0]
     assert out["slope"] < 0, out
+
+
+# ---------------------------------------------------------------------------
+# split_sentences
+# ---------------------------------------------------------------------------
+
+
+def test_split_sentences_rules(spark):
+    from kafka_streams_spark.operators.text import split_sentences
+
+    rows = [
+        (1, "First sentence. Second one!  Third?No space... and last"),
+        (2, "no terminal punct at all"),
+        (3, "..."),  # only punctuation → no sentences
+    ]
+    out = split_sentences(_docs(spark, rows)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["sent_idx"], r["sentence"]))
+    assert by_doc[1] == [
+        (0, "First sentence."),
+        (1, "Second one!"),
+        (2, "Third?"),
+        (3, "No space..."),
+        (4, "and last"),
+    ]
+    assert by_doc[2] == [(0, "no terminal punct at all")]
+    assert 3 not in by_doc
+
+
+def test_split_sentences_is_map_only(spark, sf_dir):
+    from kafka_streams_spark.operators.text import split_sentences
+
+    a = audit(split_sentences(load_table(spark, sf_dir, "documents")))
+    assert a.num_exchanges == 0, a.plan
+
+
+# ---------------------------------------------------------------------------
+# token_budget_mix
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_mix_hits_budget_shares(spark, sf_dir):
+    from kafka_streams_spark.operators.sampling import token_budget_mix
+    from kafka_streams_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    shares = {"src1": 0.5, "src2": 0.5}
+    out = token_budget_mix(docs, shares, budget_tokens=2000)
+    got = {
+        r["source"]: r["tok"]
+        for r in out.groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).alias("tok"))
+        .collect()
+    }
+    # whitelist: only the named strata survive
+    assert set(got) <= set(shares)
+    # each stratum lands within sampling noise of budget·share (the
+    # expectation); generous band for the small corpus
+    for s, tok in got.items():
+        assert 0.4 * 1000 < tok < 2.0 * 1000, (s, tok)
+
+
+def test_token_budget_mix_caps_rate_at_one(spark, sf_dir):
+    from kafka_streams_spark.operators.sampling import token_budget_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_src1 = docs.filter(F.col("source") == "src1").count()
+    # absurd budget → rate 1.0 → the whole stratum survives
+    out = token_budget_mix(docs, {"src1": 1.0}, budget_tokens=10**9)
+    assert out.count() == n_src1
+
+
+def test_token_budget_mix_validates(spark, sf_dir):
+    import pytest
+
+    from kafka_streams_spark.operators.sampling import token_budget_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        token_budget_mix(docs, {"src1": 1.5}, budget_tokens=100)
+    with pytest.raises(ValueError):
+        token_budget_mix(docs, {"src1": 0.5}, budget_tokens=0)
+
+
+# ---------------------------------------------------------------------------
+# ccnet_buckets
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_equal_thirds_ordered(spark, sf_dir):
+    from kafka_streams_spark.operators.text import ccnet_buckets
+
+    out = ccnet_buckets(load_table(spark, sf_dir, "documents")).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        sizes = {"head": 0, "middle": 0, "tail": 0}
+        for r in rows:
+            sizes[r["bucket"]] += 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        # every head score ≥ every tail score within the language
+        heads = [r["avg_logprob"] for r in rows if r["bucket"] == "head"]
+        tails = [r["avg_logprob"] for r in rows if r["bucket"] == "tail"]
+        if heads and tails:
+            assert min(heads) >= max(tails), lang
