@@ -683,6 +683,29 @@ def _q_dedup_incremental_bloom(spark, sf_dir):
     return dedup_incremental_bloom(new, existing, m_bits=1 << 14).select("doc_id", "source")
 
 
+def _q_weighted_jaccard(spark, sf_dir):
+    from kafka_streams_spark.operators.dedup import weighted_jaccard_pairs
+
+    return weighted_jaccard_pairs(
+        _docs(spark, sf_dir), n=1, threshold=0.2, block_col="source"
+    )
+
+
+def _q_knn_text_vec0(spark, sf_dir):
+    # The text→similarity bridge as one contract: feature-hash the
+    # corpus, then the standard rounded-rank top-k around doc 0. The
+    # oracle replays the whole chain (hash buckets → unit vectors →
+    # knn's second normalize → pos-ORDERED dot sums, which match
+    # Spark's sequential array folds bit-for-bit).
+    from kafka_streams_spark.operators.similarity import knn_batch_to_ids
+    from kafka_streams_spark.operators.text import hashed_bow_embedding
+
+    emb = hashed_bow_embedding(_docs(spark, sf_dir), dim=64).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    return knn_batch_to_ids(emb, query_ids=[0], k=10)
+
+
 # token_budget_mix contract parameters — mirrored verbatim in the
 # oracle SQL (kafka_streams_spark/oracles.py "token_budget_mix").
 _MIX_SHARES = {"src1": 0.5, "src2": 0.3, "src3": 0.2}
@@ -921,6 +944,8 @@ _NEEDS_DRIVER_ROW = [
     "token_budget_mix",
     "split_sentences",
     "ccnet_buckets",
+    "weighted_jaccard",
+    "knn_text_vec0",
     "gopher_quality",
     "c4_clean",
     "cms_sketch",
@@ -1078,6 +1103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": _q_token_budget_mix,  # new r04: mixture-to-budget
         "split_sentences": _q_split_sentences,  # new r04: sentence primitive
         "ccnet_buckets": _q_ccnet_buckets,  # new r04: perplexity terciles
+        "weighted_jaccard": _q_weighted_jaccard,  # new r04: idf-weighted pairs
+        "knn_text_vec0": _q_knn_text_vec0,  # new r04: text→similarity bridge
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
         "top_tokens": _q_top_tokens,

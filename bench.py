@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "token_budget_mix",
     "split_sentences",
     "ccnet_buckets",
+    "weighted_jaccard",
+    "knn_text_vec0",
 ]
 
 

@@ -1554,3 +1554,98 @@ def minhash_jaccard_estimate(
         )
         .withColumn("abs_err", F.abs(F.col("est_jaccard") - F.col("jaccard")))
     )
+
+
+def weighted_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    block_col: str | None = None,
+) -> DataFrame:
+    """idf-WEIGHTED Jaccard near-dup pairs: shingle ``s`` contributes
+    weight ``w_s = log10(N / df_s)`` instead of 1, so two documents
+    sharing RARE shingles score high while overlap made of boilerplate
+    shingles (df→N ⇒ w→0) scores near zero — the precision upgrade over
+    plain Jaccard for template-heavy corpora. wj(A,B) =
+    Σ_{s∈A∩B} w_s / Σ_{s∈A∪B} w_s.
+
+    Plan shape — posting lists, not array intersects: one shingle
+    explode builds (doc, shingle) postings, immediately repartitioned
+    BY SHINGLE, and document frequency is a count-over-window ON that
+    partitioning rather than a separate aggregate joined back — so the
+    whole weighted-posting table is ONE subtree whose single exchange
+    every consumer (both self-join sides, per-doc totals) reuses, and
+    the Arrow shingler runs once. The aggregate+join formulation looks
+    equivalent but is not at plan level: column pruning gives each
+    consumer a differently-pruned scan subtree, canonical equality
+    fails, and the shingler re-runs per consumer (measured 4× the
+    Python work, zero ReusedExchange). The pair join's clustering
+    requirement (shingle [, block]) is satisfied by the shingle
+    partitioning, so the quadratic stage adds NO shuffle and is
+    bounded per POSTING LIST (max df), not per block row count; a hot
+    shingle is visible directly as a long posting list (and is exactly
+    the row a stop-shingle cut would drop). ``block_col`` confines
+    pairs within blocks.
+
+    Sharing caveat, measured: exchange reuse does NOT deduplicate this
+    subtree — consumers prune different columns, and subtrees
+    containing an ArrowEvalPython stage fail canonical equality even
+    when column-identical — so without intervention the shingler runs
+    once per consumer (4× the Python work). The weighted postings are
+    therefore lazily ``localCheckpoint``ed: one materialization at
+    first action, every consumer reads it (4.9 → 3.5 s at sf0.1).
+    Lineage-cut caveat at cluster scale (a lost executor fails the job
+    instead of recomputing); for recurring 100 TB runs materialize the
+    weighted postings to a bucketed table instead (the
+    write_minhash_index pattern) and this checkpoint disappears. Output
+    rounds to 6 dp (weight sums are float sums in partition order —
+    cross-engine agreement holds well past 6 dp); the threshold
+    compares the ROUNDED value so the keep boundary is
+    engine-identical.
+
+    Output: (id_a, id_b, weighted_jaccard), id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    from kafka_streams_spark.functions.partitioning import spread
+
+    post = spread(docs, block_col).select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_s"),
+    ).repartition("_s")
+    n_docs = docs.agg(F.count("*").cast("double").alias("_n"))
+    pw = (
+        post.withColumn("_df", F.count("*").over(Window.partitionBy("_s")))
+        .join(F.broadcast(n_docs))
+        .withColumn("_w", F.log10(F.col("_n") / F.col("_df")))
+        .drop("_n", "_df")
+    ).localCheckpoint(eager=False)
+    tot = pw.groupBy(id_col).agg(F.sum("_w").alias("_tw"))
+    a = pw.alias("a")
+    b = pw.alias("b")
+    cond = (F.col("a._s") == F.col("b._s")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.sum("a._w").alias("_iw"))
+    )
+    ta = tot.select(F.col(id_col).alias("id_a"), F.col("_tw").alias("_ta"))
+    tb = tot.select(F.col(id_col).alias("id_b"), F.col("_tw").alias("_tb"))
+    wj = F.round(
+        F.col("_iw") / (F.col("_ta") + F.col("_tb") - F.col("_iw")), 6
+    )
+    return (
+        inter.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", wj.alias("weighted_jaccard"))
+        .filter(F.col("weighted_jaccard") >= threshold)
+    )

@@ -994,6 +994,47 @@ TEXT_ORACLES = {
                        ELSE 'tail' END AS bucket
         FROM b
     """,
+    # hashed_bow → knn composition around doc 0. Every float stage
+    # replays Spark's arithmetic exactly: unit vectors from int sums,
+    # knn's SECOND normalize (÷‖u‖, which is 1±ulp — not skippable),
+    # and pos-ORDERED dot/norm sums, which equal Spark's sequential
+    # array folds bitwise because the skipped zero terms are exact
+    # no-ops. Ranking is on the 6-dp rounded cosine with id tiebreak —
+    # the knn_batch contract rule.
+    "knn_text_vec0": f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        hh AS (SELECT doc_id,
+                      CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h32
+               FROM tok),
+        bk AS (SELECT doc_id, (h32 // 2) % 64 AS pos,
+                      CASE WHEN h32 % 2 = 0 THEN 1 ELSE -1 END AS sgn
+               FROM hh),
+        sm AS (SELECT doc_id, pos, sum(sgn) AS v FROM bk GROUP BY doc_id, pos),
+        n1 AS (SELECT doc_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm
+               FROM sm GROUP BY doc_id),
+        comp AS (SELECT sm.doc_id, pos, CAST(v AS DOUBLE) / nrm AS u
+                 FROM sm JOIN n1 USING (doc_id) WHERE nrm > 0 AND v != 0),
+        n2 AS (SELECT doc_id, sqrt(sum(u * u ORDER BY pos)) AS nrm2
+               FROM comp GROUP BY doc_id),
+        unit AS (SELECT c.doc_id, pos, u / nrm2 AS u
+                 FROM comp c JOIN n2 USING (doc_id)),
+        q AS (SELECT pos, u AS qu FROM unit WHERE doc_id = 0),
+        cs AS (SELECT u.doc_id, sum(u.u * q.qu ORDER BY u.pos) AS c
+               FROM unit u JOIN q USING (pos) GROUP BY u.doc_id),
+        scored AS (
+            SELECT d.doc_id AS vec_id,
+                   round(coalesce(cs.c, 0.0), 6) AS cosine_sim
+            FROM (SELECT DISTINCT doc_id FROM comp) d
+            LEFT JOIN cs ON cs.doc_id = d.doc_id
+        ),
+        ranked AS (
+            SELECT CAST(0 AS BIGINT) AS query_id, vec_id, cosine_sim,
+                   CAST(row_number() OVER (ORDER BY cosine_sim DESC, vec_id)
+                        AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10
+    """,
 }
 
 # --------------------------------------------------------------------------
@@ -1325,6 +1366,30 @@ _SIMHASH60_SIG = "\n             + ".join(
 DEDUP_ORACLES = {
     "dedup_minhash_lsh": _minhash_lsh_sql(threshold=0.5),
     "minhash_jaccard_est": _minhash_estimate_sql(),
+    # idf-weighted Jaccard (n=1, source-blocked): posting-list pair
+    # sums; w_s = log10(N/df_s); ROUNDED value carries the threshold.
+    "weighted_jaccard": f"""
+        WITH {_shingle_cte(1)},
+        ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+        dfs AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        w AS (SELECT s, log10(n / df) AS w FROM dfs, nd),
+        pw AS (SELECT doc_id, source, ex.s, w FROM ex JOIN w USING (s)),
+        tot AS (SELECT doc_id, sum(w) AS tw FROM pw GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w) AS iw
+            FROM pw a JOIN pw b
+              ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, weighted_jaccard FROM (
+            SELECT id_a, id_b,
+                   round(iw / (ta.tw + tb.tw - iw), 6) AS weighted_jaccard
+            FROM inter
+            JOIN tot ta ON ta.doc_id = id_a
+            JOIN tot tb ON tb.doc_id = id_b
+        ) WHERE weighted_jaccard >= 0.2
+    """,
     "dedup_incremental_fuzzy": _minhash_incremental_sql(threshold=0.5),
     "curate_increment": _curate_increment_sql(threshold=0.5),
     "dedup_simhash": f"""

@@ -378,3 +378,61 @@ def test_ccnet_buckets_equal_thirds_ordered(spark, sf_dir):
         tails = [r["avg_logprob"] for r in rows if r["bucket"] == "tail"]
         if heads and tails:
             assert min(heads) >= max(tails), lang
+
+
+# ---------------------------------------------------------------------------
+# weighted_jaccard_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_jaccard_downweights_boilerplate(spark):
+    from kafka_streams_spark.operators.dedup import weighted_jaccard_pairs
+
+    # 'footer' appears in EVERY doc → w=log10(4/4)=0; docs 1,2 share the
+    # rare pair (aardvark, quux); docs 3,4 overlap ONLY on boilerplate.
+    rows = [
+        (1, "aardvark quux footer alpha"),
+        (2, "aardvark quux footer beta"),
+        (3, "gamma delta footer"),
+        (4, "epsilon zeta footer"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["weighted_jaccard"]
+        for r in weighted_jaccard_pairs(docs, n=1, threshold=0.0).collect()
+    }
+    # hand-check: w(aardvark)=w(quux)=log10(2), w(alpha)=w(beta)=log10(4),
+    # w(footer)=0 → wj = 2·log10(2) / (2·log10(2) + 2·log10(4)) = 1/3
+    assert abs(out[(1, 2)] - round(1 / 3, 6)) <= 1e-6
+    # boilerplate-only overlap scores exactly 0 (weight of 'footer' is 0)
+    assert out.get((3, 4), 0.0) == 0.0
+
+
+def test_weighted_jaccard_bounded_and_symmetric_inputs(spark, sf_dir):
+    from kafka_streams_spark.operators.dedup import weighted_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = weighted_jaccard_pairs(
+        docs, n=1, threshold=0.2, block_col="source"
+    ).collect()
+    assert rows
+    for r in rows[:200]:
+        assert 0.0 <= r["weighted_jaccard"] <= 1.0
+        assert r["id_a"] < r["id_b"]
+
+
+# ---------------------------------------------------------------------------
+# knn over hashed-BoW text embeddings (the composition contract)
+# ---------------------------------------------------------------------------
+
+
+def test_knn_text_self_is_rank_one(spark, sf_dir):
+    from kafka_streams_spark.operators.similarity import knn_batch_to_ids
+    from kafka_streams_spark.operators.text import hashed_bow_embedding
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = hashed_bow_embedding(docs, dim=64).withColumnRenamed("doc_id", "vec_id")
+    out = knn_batch_to_ids(emb, query_ids=[0], k=5).orderBy("rank").collect()
+    assert out[0]["vec_id"] == 0 and out[0]["cosine_sim"] == 1.0
+    sims = [r["cosine_sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
