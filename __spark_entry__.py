@@ -937,6 +937,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # newest green is still round 1. Re-grouping is cosmetic-free for a
 # driver that checks everything.
 _NEEDS_DRIVER_ROW = [
+    # r03's one RED row, fixed this round (scalar rows + md5_60 oracle)
+    # — pinned to position 1 so no amount of new-query registration can
+    # push it out of the evidence window (verdict item #1).
+    "winnowing_fingerprints",
     # (0) brand-new this round — no driver evidence exists at all
     "minhash_jaccard_est",
     "hashed_bow",
@@ -988,7 +992,7 @@ _NEEDS_DRIVER_ROW = [
     # (a) code changed this round (all r03-green, but the contract path
     # or a shared input changed): contract rewrites first, then the
     # rounding-touched similarity pair, then the events-loader family.
-    "winnowing_fingerprints",  # r03 red; now scalar rows + md5_60 oracle
+    # (winnowing_fingerprints leads the whole list — see position 1.)
     "dedup_simhash",  # now oracle-checked (Arrow md5_60 signatures)
     "dedup_minhash_lsh",  # now oracle-checked (md5_32 deterministic banding)
     "emb_near_dup_lsh",  # now oracle-checked (literal seed-42 planes)
