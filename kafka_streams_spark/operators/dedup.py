@@ -1605,12 +1605,21 @@ def weighted_jaccard_pairs(
     compares the ROUNDED value so the keep boundary is
     engine-identical.
 
-    Output: (id_a, id_b, weighted_jaccard), id_a < id_b.
+    Output: (id_a, id_b, weighted_jaccard), id_a < id_b. Pairs with an
+    EMPTY shingle intersection are never emitted (a posting join only
+    meets pairs that share a shingle), and pairs whose union weight is
+    0 (all-ubiquitous overlap) are undefined and dropped — hence the
+    threshold must be > 0, enforced here.
     """
     from pyspark.sql import Window
 
     from kafka_streams_spark.functions.partitioning import spread
 
+    if threshold <= 0:
+        raise ValueError(
+            "threshold must be > 0: the posting-list join never emits "
+            f"zero-overlap pairs, got {threshold}"
+        )
     post = spread(docs, block_col).select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
@@ -1640,9 +1649,13 @@ def weighted_jaccard_pairs(
     )
     ta = tot.select(F.col(id_col).alias("id_a"), F.col("_tw").alias("_ta"))
     tb = tot.select(F.col(id_col).alias("id_b"), F.col("_tw").alias("_tb"))
-    wj = F.round(
-        F.col("_iw") / (F.col("_ta") + F.col("_tb") - F.col("_iw")), 6
-    )
+    # Zero union weight (every shingle of A∪B is corpus-ubiquitous,
+    # w=0 all round) makes wj 0/0 — undefined, and an ANSI
+    # divide-by-zero error if computed. Such pairs drop out (the null
+    # fails the threshold filter), matching the oracle, where 0/0 → NaN
+    # also fails the comparison. Found by the hypothesis model test.
+    denom = F.col("_ta") + F.col("_tb") - F.col("_iw")
+    wj = F.when(denom > 0, F.round(F.col("_iw") / denom, 6))
     return (
         inter.join(ta, "id_a")
         .join(tb, "id_b")

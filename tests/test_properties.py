@@ -244,3 +244,128 @@ def test_pack_sequences_matches_python_model(rows, L):
             end = min(n, (k + 1) * L - lo)
             expected.append((i, k, start, end - start, max(0, lo - k * L)))
     assert got == sorted(expected), (rows, L)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abc xyz", min_size=1, max_size=40), min_size=2, max_size=6)
+)
+def test_weighted_jaccard_matches_idf_model(texts):
+    """weighted_jaccard_pairs(n=1) == the Python idf-weighted set model:
+    wj = Σ_{A∩B} log10(N/df) / Σ_{A∪B} log10(N/df). The posting-list
+    join emits only pairs sharing ≥1 shingle with positive, defined
+    scores — the model mirrors that."""
+    from kafka_streams_spark.operators.dedup import weighted_jaccard_pairs
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    thr = 1e-9
+    got = {
+        (r["id_a"], r["id_b"]): r["weighted_jaccard"]
+        for r in weighted_jaccard_pairs(df, n=1, threshold=thr).collect()
+    }
+
+    def toks(t):
+        s = {w for w in t.lower().split() if w}
+        return s if s else {""}
+
+    sets = [toks(t) for t in texts]
+    n = len(sets)
+    df_count: dict[str, int] = {}
+    for s in sets:
+        for w in s:
+            df_count[w] = df_count.get(w, 0) + 1
+    w_of = {w: math.log10(n / c) for w, c in df_count.items()}
+    for i in range(n):
+        for j in range(i + 1, n):
+            shared = sets[i] & sets[j]
+            union = sum(w_of[w] for w in sets[i] | sets[j])
+            if (i, j) in got:
+                assert shared and union > 0, (i, j)
+                inter = sum(w_of[w] for w in shared)
+                assert abs(got[(i, j)] - round(inter / union, 6)) <= 1e-6
+            else:
+                # absent ⇒ no shared shingle, undefined 0/0, or a score
+                # at/under the threshold once rounded
+                if shared and union > 0:
+                    inter = sum(w_of[w] for w in shared)
+                    assert inter / union < 2e-6, (i, j)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.text(alphabet="pq r", min_size=0, max_size=30), min_size=1, max_size=6),
+    st.integers(min_value=2, max_value=4),
+    st.integers(min_value=8, max_value=64),
+)
+def test_cms_estimates_match_python_sketch(texts, d, w):
+    """cms_token_estimates == a straight-line Python count-min sketch
+    with the same md5 hash family, for every token in the corpus."""
+    import hashlib
+
+    from kafka_streams_spark.operators.text import cms_token_estimates
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    stream = [tok for t in texts for tok in t.lower().split() if tok]
+    if not stream:
+        return
+    vocab = sorted(set(stream))
+
+    def bucket(j, tok):
+        return int(hashlib.md5(f"{j}:{tok}".encode()).hexdigest()[:8], 16) % w
+
+    counters: dict[tuple[int, int], int] = {}
+    for tok in stream:
+        for j in range(d):
+            key = (j, bucket(j, tok))
+            counters[key] = counters.get(key, 0) + 1
+    got = {
+        r["token"]: (r["cms_count"], r["exact_count"])
+        for r in cms_token_estimates(df, vocab, d=d, w=w).collect()
+    }
+    for tok in vocab:
+        est = min(counters.get((j, bucket(j, tok)), 0) for j in range(d))
+        exact = sum(1 for s in stream if s == tok)
+        assert got[tok] == (est, exact), tok
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["en", "de"]), st.text(alphabet="mn o", min_size=1, max_size=25)),
+        min_size=3,
+        max_size=9,
+    )
+)
+def test_ccnet_buckets_match_ntile_model(rows):
+    """Per-lang bucket assignment == the Python ntile(3) model over the
+    (rounded score desc, id) order."""
+    from kafka_streams_spark.operators.text import ccnet_buckets
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, t, lang) for i, (lang, t) in enumerate(rows)],
+        "doc_id bigint, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in ccnet_buckets(df).collect()}
+    # docs with ≥1 token only (the LM score drops token-less docs)
+    scored = {i for i, (_, t) in enumerate(rows) if t.split()}
+    assert set(out) == scored
+    by_lang: dict[str, list] = {}
+    for i in scored:
+        by_lang.setdefault(rows[i][0], []).append(
+            (-out[i]["avg_logprob"], i)
+        )
+    for lang, docs in by_lang.items():
+        docs.sort()
+        k = len(docs)
+        base, extra = divmod(k, 3)
+        sizes = [base + (1 if t < extra else 0) for t in range(3)]
+        labels = ["head"] * sizes[0] + ["middle"] * sizes[1] + ["tail"] * sizes[2]
+        for (_, i), want in zip(docs, labels):
+            assert out[i]["bucket"] == want, (lang, i)

@@ -399,7 +399,7 @@ def test_weighted_jaccard_downweights_boilerplate(spark):
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
     out = {
         (r["id_a"], r["id_b"]): r["weighted_jaccard"]
-        for r in weighted_jaccard_pairs(docs, n=1, threshold=0.0).collect()
+        for r in weighted_jaccard_pairs(docs, n=1, threshold=1e-9).collect()
     }
     # hand-check: w(aardvark)=w(quux)=log10(2), w(alpha)=w(beta)=log10(4),
     # w(footer)=0 → wj = 2·log10(2) / (2·log10(2) + 2·log10(4)) = 1/3
