@@ -1,0 +1,77 @@
+"""Streaming corpus-frequency monitor: a count-min sketch maintained
+over a document stream as batch-partitioned DELTAS — the changelog
+pattern of ``streaming/router.py`` applied to a mergeable sketch.
+
+Each micro-batch writes only its own ``ingest_batch`` partition, holding
+the CMS counters of that batch's tokens (≤ d·w rows regardless of batch
+size); the live sketch is the per-(row_idx, bucket) SUM over all
+partitions, which is exactly CMS mergeability (pinned in
+tests/test_quality_sketch.py::test_cms_sketch_merges_by_addition).
+Exactly-once counters under at-least-once delivery for the same reason
+the router is idempotent: a replayed batch recomputes the same
+deterministic delta (md5-keyed hashes, no randomness) and overwrites
+its own partition with the same rows.
+
+This is the 100 TB shape for "what are the hot tokens in today's
+crawl": state is O(d·w·batches) tiny rows, the merge is one partial-
+aggregated shuffle of those rows, and no full-vocabulary aggregation
+ever runs. Compact by summing all partitions into one and re-writing —
+the delta/compaction economics are the router's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_spark.streaming.ingest import DOC_SCHEMA
+
+
+def run_cms_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    d: int = 4,
+    w: int = 1024,
+    max_files_per_trigger: int = 100,
+):
+    """Start the sketch-maintenance loop over a JSON document stream;
+    returns the StreamingQuery. Read the live sketch with
+    :func:`read_cms_sketch` at any time — readers never block the
+    writer (plain parquet partitions, no state-store API)."""
+    from kafka_streams_spark.operators.text import cms_token_sketch
+
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        delta = cms_token_sketch(batch_df, d=d, w=w)
+        (
+            delta.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(sketch_dir)
+        )
+
+    return (
+        raw.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+
+def read_cms_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """The live merged sketch: per-(row_idx, bucket) sum over every
+    batch delta — identical to the batch sketch of the full corpus
+    ingested so far. Output: (row_idx, bucket, counter)."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("counter").alias("counter"))
+    )

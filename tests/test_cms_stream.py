@@ -1,0 +1,103 @@
+"""Streaming count-min sketch: per-batch deltas, merged-on-read state,
+replay idempotence — the changelog pattern applied to a mergeable
+sketch."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from kafka_streams_spark.streaming.sketch_stream import (
+    read_cms_sketch,
+    run_cms_stream,
+)
+
+DOCS_A = [
+    {"doc_id": 1, "source": "s", "text": "alpha beta gamma alpha"},
+    {"doc_id": 2, "source": "s", "text": "beta delta"},
+]
+DOCS_B = [
+    {"doc_id": 3, "source": "s", "text": "alpha epsilon epsilon zeta"},
+    {"doc_id": 4, "source": "s", "text": "gamma gamma"},
+]
+
+
+def _write(src: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_cms_stream_equals_batch_sketch_of_everything(spark, tmp_path):
+    """After N micro-batches, the merged streamed sketch must be
+    IDENTICAL to the one-shot batch sketch over all ingested docs —
+    CMS mergeability end-to-end through the streaming path."""
+    from kafka_streams_spark.operators.text import cms_token_sketch
+
+    src = str(tmp_path / "src")
+    sketch = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write(src, "b1.json", DOCS_A)
+    q = run_cms_stream(spark, src, sketch, ckpt, d=3, w=64)
+    try:
+        q.processAllAvailable()
+        _write(src, "b2.json", DOCS_B)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    merged = read_cms_sketch(spark, sketch)
+    all_docs = spark.createDataFrame(
+        [(r["doc_id"], r["source"], r["text"]) for r in DOCS_A + DOCS_B],
+        "doc_id bigint, source string, text string",
+    )
+    expected = cms_token_sketch(all_docs, d=3, w=64)
+    assert merged.exceptAll(expected).count() == 0
+    assert expected.exceptAll(merged).count() == 0
+    # state is bounded: ≤ d·w rows per batch partition
+    per_batch = spark.read.parquet(sketch).groupBy("ingest_batch").count().collect()
+    assert len(per_batch) == 2
+    assert all(r["count"] <= 3 * 64 for r in per_batch)
+
+
+def test_cms_stream_replay_is_idempotent(spark, tmp_path):
+    """Re-writing a batch's own partition with its deterministic delta
+    leaves the merged sketch unchanged — the at-least-once story."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.operators.text import cms_token_sketch
+
+    src = str(tmp_path / "src")
+    sketch = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    _write(src, "b1.json", DOCS_A)
+    q = run_cms_stream(spark, src, sketch, ckpt, d=3, w=64)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    before = {
+        (r["row_idx"], r["bucket"]): r["counter"]
+        for r in read_cms_sketch(spark, sketch).collect()
+    }
+    # simulate the crash-replay: batch 0's delta recomputed and
+    # dynamically overwritten into the same partition
+    batch_df = spark.createDataFrame(
+        [(r["doc_id"], r["source"], r["text"]) for r in DOCS_A],
+        "doc_id bigint, source string, text string",
+    )
+    (
+        cms_token_sketch(batch_df, d=3, w=64)
+        .withColumn("ingest_batch", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(sketch)
+    )
+    after = {
+        (r["row_idx"], r["bucket"]): r["counter"]
+        for r in read_cms_sketch(spark, sketch).collect()
+    }
+    assert before == after
