@@ -511,15 +511,17 @@ def token_budget_mix(
     share = F.lit(None).cast("double")
     for s, p in target_shares.items():
         share = F.when(F.col(stratum_col) == s, F.lit(float(p))).otherwise(share)
+    # A whitelisted stratum with zero total tokens (all-empty texts)
+    # costs nothing toward the budget — keep it whole rather than
+    # tripping the ANSI divide-by-zero.
+    rate = F.when(
+        F.col("_tok_s") > 0,
+        F.least(
+            F.lit(1.0), F.lit(float(budget_tokens)) * share / F.col("_tok_s")
+        ),
+    ).otherwise(F.lit(1.0))
     rates = counts.select(
-        stratum_col,
-        F.round(
-            F.least(
-                F.lit(1.0),
-                F.lit(float(budget_tokens)) * share / F.col("_tok_s"),
-            ),
-            9,
-        ).alias("_keep_rate"),
+        stratum_col, F.round(rate, 9).alias("_keep_rate")
     )
     return (
         docs.join(F.broadcast(rates), stratum_col)

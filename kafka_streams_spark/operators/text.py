@@ -1492,8 +1492,12 @@ def zipf_fit(
         F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
         F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
     )
-    slope = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
-        F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    # With one distinct token every x is log10(1)=0 and the regression
+    # denominator is 0 — slope is undefined (null), not an ANSI error.
+    denom = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = F.when(
+        denom != 0,
+        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / denom,
     )
     return s.select(
         F.col("_n").cast("bigint").alias("n_tokens"),

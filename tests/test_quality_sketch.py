@@ -436,3 +436,25 @@ def test_knn_text_self_is_rank_one(spark, sf_dir):
     assert out[0]["vec_id"] == 0 and out[0]["cosine_sim"] == 1.0
     sims = [r["cosine_sim"] for r in out]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_token_budget_mix_zero_token_stratum_survives(spark):
+    from kafka_streams_spark.operators.sampling import token_budget_mix
+
+    docs = spark.createDataFrame(
+        [(1, "", "empty"), (2, "", "empty"), (3, "some words here", "full")],
+        "doc_id bigint, text string, source string",
+    )
+    out = token_budget_mix(docs, {"empty": 0.5, "full": 0.5}, budget_tokens=100)
+    # zero-token stratum keeps everything (rate 1), no ANSI error
+    assert {r["doc_id"] for r in out.filter(F.col("source") == "empty").collect()} == {1, 2}
+
+
+def test_zipf_fit_single_token_slope_null(spark):
+    from kafka_streams_spark.operators.text import zipf_fit
+
+    docs = spark.createDataFrame(
+        [(1, "same same same")], "doc_id bigint, text string"
+    )
+    row = zipf_fit(docs, k=10).collect()[0]
+    assert row["n_tokens"] == 1 and row["slope"] is None
