@@ -458,3 +458,28 @@ def test_zipf_fit_single_token_slope_null(spark):
     )
     row = zipf_fit(docs, k=10).collect()[0]
     assert row["n_tokens"] == 1 and row["slope"] is None
+
+
+def test_semdedup_over_learned_kmeans_cells(spark, sf_dir):
+    """The paper's actual configuration: k-means cluster ids as the
+    cells. semdedup must compose with build_ivf_index's `cell` column
+    and obey the same survivor rule per cell."""
+    from kafka_streams_spark.operators.similarity import (
+        build_ivf_index,
+        exact_pairs_cosine,
+        semdedup,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    indexed, _ = build_ivf_index(embs, n_cells=4)
+    survivors = {
+        r["vec_id"]
+        for r in semdedup(indexed, threshold=0.3, cell_col="cell").collect()
+    }
+    dropped = {
+        r["id_b"]
+        for r in exact_pairs_cosine(indexed, 0.3, block_col="cell").collect()
+    }
+    all_ids = {r["vec_id"] for r in embs.select("vec_id").collect()}
+    assert survivors == all_ids - dropped
+    assert survivors and dropped  # non-trivial at sf0.001+
