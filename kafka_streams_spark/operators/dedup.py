@@ -599,7 +599,15 @@ def ngram_jaccard_pairs_bitset(
             pdf_out.columns = [f.name for f in out_schema.fields]
             yield pdf_out
 
-    enc = spread(docs, block_col).select(*cols).mapInPandas(encode, schema=out_schema)
+    # Self-joined a/b — one materialization of the Arrow bitmask pass
+    # (exchange reuse never dedups Arrow subtrees; see
+    # weighted_jaccard_pairs for the measurement and caveats).
+    enc = (
+        spread(docs, block_col)
+        .select(*cols)
+        .mapInPandas(encode, schema=out_schema)
+        .localCheckpoint(eager=False)
+    )
     a, b = enc.alias("a"), enc.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
