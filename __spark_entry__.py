@@ -700,13 +700,15 @@ def _q_knn_text_vec0(spark, sf_dir):
     from kafka_streams_spark.operators.similarity import knn_batch_to_ids
     from kafka_streams_spark.operators.text import hashed_bow_embedding
 
-    emb = (
-        hashed_bow_embedding(_docs(spark, sf_dir), dim=64)
-        .withColumnRenamed("doc_id", "vec_id")
-        # knn consumes the embedding table on both the query and corpus
-        # sides; materialize the hashed-BoW aggregation once (2.5 →
-        # 2.0 s warm at sf0.1 — the multi-consumer-subtree rule).
-        .localCheckpoint(eager=False)
+    from kafka_streams_spark.functions.partitioning import materialize_shared
+
+    # knn consumes the embedding table on both the query and corpus
+    # sides; materialize the hashed-BoW aggregation once (2.5 →
+    # 2.0 s warm at sf0.1 — the multi-consumer-subtree rule).
+    emb = materialize_shared(
+        hashed_bow_embedding(_docs(spark, sf_dir), dim=64).withColumnRenamed(
+            "doc_id", "vec_id"
+        )
     )
     return knn_batch_to_ids(emb, query_ids=[0], k=10)
 

@@ -117,3 +117,29 @@ def spread(df: DataFrame, by: str | None = None) -> DataFrame:
     if by is not None:
         return df.repartition(target, F.col(by))
     return df.repartition(target)
+
+
+def materialize_shared(df: DataFrame) -> DataFrame:
+    """Lazy local checkpoint for a subtree consumed by MULTIPLE
+    downstream branches. Spark re-executes such a subtree once per
+    consumer: exchange reuse cannot prove canonical equality for
+    subtrees containing an Arrow/Python stage, and usually not even for
+    pure-expression subtrees (each consumer prunes different columns
+    below the exchange) — measured per call site, see the operators'
+    docstrings and ROUND4_NOTES §19.
+
+    eager=False: no job runs at construction; the first action
+    materializes once and every consumer reads it. Caveat at cluster
+    scale: the lineage cut means a lost executor fails the job instead
+    of recomputing — recurring 100 TB runs should write the shared
+    table (bucketed postings / signature index) instead.
+
+    Set ``SPARK_GRAFT_NO_CKPT=1`` to disable (tools/dump_plans.py does:
+    the checkpoint otherwise collapses the audited plan to an opaque
+    RDD scan, hiding the logical shape PLANS.md exists to show).
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_CKPT") == "1":
+        return df
+    return df.localCheckpoint(eager=False)

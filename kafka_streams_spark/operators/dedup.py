@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import functools
 
+from kafka_streams_spark.functions.partitioning import materialize_shared
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -300,7 +302,8 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
         word_shingles(F.col(text_col), n).alias("shingles"),
-    ).localCheckpoint(eager=False)
+    )
+    sh = materialize_shared(sh)
     a = sh.alias("a")
     b = sh.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -369,7 +372,8 @@ def containment_pairs(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
         word_shingles(F.col(text_col), n).alias("shingles"),
-    ).localCheckpoint(eager=False)
+    )
+    sh = materialize_shared(sh)
     a = sh.alias("a")
     b = sh.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -602,11 +606,8 @@ def ngram_jaccard_pairs_bitset(
     # Self-joined a/b — one materialization of the Arrow bitmask pass
     # (exchange reuse never dedups Arrow subtrees; see
     # weighted_jaccard_pairs for the measurement and caveats).
-    enc = (
-        spread(docs, block_col)
-        .select(*cols)
-        .mapInPandas(encode, schema=out_schema)
-        .localCheckpoint(eager=False)
+    enc = materialize_shared(
+        spread(docs, block_col).select(*cols).mapInPandas(encode, schema=out_schema)
     )
     a, b = enc.alias("a"), enc.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -1048,9 +1049,12 @@ def minhash_near_duplicates(
     # exchange reuse — materialize the shingle table once (2.5 → 1.7 s
     # warm, 10 → 1.9 s cold at sf0.1; same lineage-cut caveat and
     # bucketed-table alternative as weighted_jaccard_pairs).
-    sh = docs.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
-    ).localCheckpoint(eager=False)
+    sh = materialize_shared(
+        docs.select(
+            F.col(id_col),
+            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        )
+    )
     return (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
@@ -1527,9 +1531,9 @@ def minhash_jaccard_estimate(
     Output: (id_a, id_b, est_jaccard, jaccard, abs_err).
     """
     assert num_hashes % bands == 0
-    sig = minhash_signatures(
-        docs, id_col, text_col, num_hashes, shingle_n, hash_fn
-    ).localCheckpoint(eager=False)
+    sig = materialize_shared(
+        minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, hash_fn)
+    )
     banded = _banded_keys(sig, id_col, num_hashes, bands, hash_fn)
     cands = (
         _bucket_pairs(banded, ["band_idx", "band_hash"], id_col)
@@ -1655,7 +1659,8 @@ def weighted_jaccard_pairs(
         .join(F.broadcast(n_docs))
         .withColumn("_w", F.log10(F.col("_n") / F.col("_df")))
         .drop("_n", "_df")
-    ).localCheckpoint(eager=False)
+    )
+    pw = materialize_shared(pw)
     tot = pw.groupBy(id_col).agg(F.sum("_w").alias("_tw"))
     a = pw.alias("a")
     b = pw.alias("b")

@@ -12,6 +12,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kafka_streams_spark.functions.partitioning import materialize_shared
 from kafka_streams_spark.operators.dedup import tokens
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
@@ -836,10 +837,10 @@ def chunk_dup_stats(
     # The narrow (id, hash) chunk table feeds the count aggregate AND
     # the join-back — materialize the chunk explode once (see
     # weighted_jaccard_pairs for the reuse mechanics and caveats).
-    chunks = chunk_documents(
-        docs, chunk_tokens=chunk_tokens, overlap=0, id_col=id_col, text_col=text_col
-    ).select(id_col, F.xxhash64("chunk_text").alias("_h")).localCheckpoint(
-        eager=False
+    chunks = materialize_shared(
+        chunk_documents(
+            docs, chunk_tokens=chunk_tokens, overlap=0, id_col=id_col, text_col=text_col
+        ).select(id_col, F.xxhash64("chunk_text").alias("_h"))
     )
     counts = chunks.groupBy("_h").agg(F.count("*").alias("_n"))
     return (
@@ -1090,9 +1091,9 @@ def substring_overlap_pairs(
     # the (expensive) winnowing expression tree through exchange reuse,
     # so materialize it once (4.0 → 1.5 s warm at sf0.1 — same caveats
     # as weighted_jaccard_pairs).
-    ex = fps.select(
-        F.col(id_col), F.explode("fingerprints").alias("fp")
-    ).localCheckpoint(eager=False)
+    ex = materialize_shared(
+        fps.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
+    )
     if max_bucket is not None:
         df_counts = ex.groupBy("fp").agg(F.count("*").alias("_df"))
         ex = (

@@ -12,10 +12,15 @@ Usage: python tools/dump_plans.py [sf_dir]   (default sf0.01)
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Audit the LOGICAL shape: materialize_shared() checkpoints would
+# otherwise collapse several queries' plans to opaque RDD scans.
+os.environ["SPARK_GRAFT_NO_CKPT"] = "1"
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = Path(__file__).resolve().parent.parent / "PLANS.md"
@@ -48,7 +53,11 @@ def main() -> None:
         "Columns: parquet scans, shuffle exchanges, broadcast exchanges, join\n"
         "strategies, map-side partial aggregation, TakeOrderedAndProject top-k,\n"
         "whole-stage-codegen spans. Plan regressions diff here before they cost\n"
-        "anything at scale.\n\n"
+        "anything at scale. Audited with SPARK_GRAFT_NO_CKPT=1 — the\n"
+        "LOGICAL shape, as if materialize_shared() checkpoints were\n"
+        "absent; a subtree feeding k consumers therefore appears k\n"
+        "times in these counts even though at runtime it executes once\n"
+        "(ROUND4_NOTES §19).\n\n"
         "| query | scans | shuffles | bcasts | joins | partial-agg | top-k | codegen |\n"
         "|---|---|---|---|---|---|---|---|\n" + body + "\n"
     )
