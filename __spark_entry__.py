@@ -922,6 +922,73 @@ def _q_dedup_incremental_fuzzy(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# round-5 wave: corpus audits + coreset selection (registered BEHIND the
+# round-4 evidence window — see _ROUND5_QUEUE)
+# --------------------------------------------------------------------------
+
+
+def _q_ngram_novelty(spark, sf_dir):
+    """Share of each doc's distinct 3-grams that no other doc contains."""
+    from kafka_streams_spark.operators.text import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), n=3)
+
+
+def _q_corpus_overlap(spark, sf_dir):
+    """Token-vocabulary Venn between the two md5-bucket halves of the
+    corpus (the 'two snapshot dates' shape)."""
+    from kafka_streams_spark.operators.text import corpus_overlap
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return corpus_overlap(docs.filter(bucket < "80"), docs.filter(bucket >= "80"), n=1)
+
+
+def _q_contamination_report(spark, sf_dir):
+    """Per-benchmark-item leak share vs the training remainder — the
+    same md5-bucket benchmark split as `decontaminate`, scored from the
+    benchmark side."""
+    from kafka_streams_spark.operators.pipelines import contamination_report
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return contamination_report(
+        docs.filter(bucket >= "10"), docs.filter(bucket < "10"), n=3
+    )
+
+
+def _q_dedup_cluster_sizes(spark, sf_dir):
+    """Cluster-size histogram over the embedding near-dup components
+    (the dedup_clusters contract's graph, summarized)."""
+    from kafka_streams_spark.operators.dedup import cluster_size_stats
+
+    return cluster_size_stats(_q_dedup_clusters(spark, sf_dir))
+
+
+def _q_gate_agreement(spark, sf_dir):
+    """Gopher × C4 × quality-threshold contingency table in one scan.
+    C4 at the testdata contract parameters (word rule ≥60, punctuation
+    rule off — single-line unpunctuated docs), quality at τ=0.5."""
+    from kafka_streams_spark.operators.pipelines import quality_gate_agreement
+
+    return quality_gate_agreement(
+        _docs(spark, sf_dir),
+        min_quality=0.5,
+        min_words_per_line=60,
+        require_terminal_punct=False,
+    )
+
+
+def _q_emb_kcenter(spark, sf_dir):
+    """Greedy k-center coreset (k=8) over the embeddings — rows-only:
+    the sequential argmax loop is not single-query SQL (IVF-KMeans
+    class); NumPy-model equality is pinned in tests."""
+    from kafka_streams_spark.operators.similarity import kcenter_select
+
+    return kcenter_select(_embs(spark, sf_dir), k=8)
+
+
+# --------------------------------------------------------------------------
 # contract entry points
 # --------------------------------------------------------------------------
 
@@ -1023,6 +1090,19 @@ _NEEDS_DRIVER_ROW = [
 # lowest re-evidence priority (r03-green; the loader change touches only
 # the timestamp expression these projections don't read). They head the
 # post-window order so any driver slack still reaches them first.
+# Queries registered AFTER the round-4 evidence window filled (50/50):
+# they sit behind the window this round by design and move to the HEAD
+# of the round-5 registration order (tools/freshness_lint.py treats
+# names listed here as queued, not starving).
+_ROUND5_QUEUE = [
+    "ngram_novelty",
+    "corpus_overlap",
+    "contamination_report",
+    "dedup_cluster_sizes",
+    "gate_agreement",
+    "emb_kcenter",
+]
+
 _STALE_EVIDENCE = [
     "payments_filter_rails",
     "payments_branch_gbp",
@@ -1236,6 +1316,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": A.cohort_retention,
         # DSL facade, same oracle as payments_balances
         "dsl_balances": _q_dsl_balances,
+        # -- round-5 queue (see _ROUND5_QUEUE): registered behind the
+        # full round-4 evidence window, evidenced at the head of r05 --
+        "ngram_novelty": _q_ngram_novelty,
+        "corpus_overlap": _q_corpus_overlap,
+        "contamination_report": _q_contamination_report,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+        "gate_agreement": _q_gate_agreement,
+        "emb_kcenter": _q_emb_kcenter,  # rows-only: iterative argmax loop
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).
     ordered = {n: qs[n] for n in _NEEDS_DRIVER_ROW + _STALE_EVIDENCE}

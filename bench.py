@@ -133,6 +133,12 @@ BENCH_QUERIES = [
     "ccnet_buckets",
     "weighted_jaccard",
     "knn_text_vec0",
+    "ngram_novelty",
+    "corpus_overlap",
+    "contamination_report",
+    "dedup_cluster_sizes",
+    "gate_agreement",
+    "emb_kcenter",
 ]
 
 

@@ -1691,3 +1691,29 @@ def weighted_jaccard_pairs(
         .select("id_a", "id_b", wj.alias("weighted_jaccard"))
         .filter(F.col("weighted_jaccard") >= threshold)
     )
+
+
+def cluster_size_stats(labels: DataFrame, cluster_col: str = "cluster_id") -> DataFrame:
+    """Duplicate-cluster size histogram — the report every dedup run
+    ends with: how many clusters of each size the near-dup graph
+    contains (2 = simple pairs; a heavy tail of large clusters means
+    boilerplate families that pair-wise thresholds alone under-count).
+
+    Input is :func:`duplicate_clusters` output (node, cluster_id), which
+    covers only nodes with at least one duplicate edge — so every
+    cluster here has size ≥ 2 and singletons (the non-duplicated
+    majority of the corpus) are excluded by construction.
+
+    Two aggregations, both tiny on the reduce side: per-cluster size
+    (map-side partial over |duplicate nodes| rows), then the histogram
+    over |clusters| rows. The expensive part is whatever built the
+    pair list; this summary adds no scan of the corpus itself.
+
+    Output: (cluster_size bigint, n_clusters bigint).
+    """
+    sizes = labels.groupBy(cluster_col).agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("bigint").alias("n_clusters")
+    )

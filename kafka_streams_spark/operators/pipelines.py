@@ -192,3 +192,98 @@ def curate_increment(
     return curate_corpus(
         survivors, min_quality=min_quality, id_col=id_col, text_col=text_col
     )
+
+
+def contamination_report(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-benchmark-item leak report — the mirror image of
+    :func:`decontaminate`: instead of flagging TRAINING docs that share
+    n-grams with the benchmark, score each BENCHMARK item by how much of
+    its n-gram set already appears anywhere in the training corpus.
+    ``leak_share`` near 1.0 means the eval item is effectively inside
+    the training set and its score is memorization, not generalization —
+    the per-item audit table behind a decontamination sign-off.
+
+    Shape: the training side collapses to a DISTINCT n-gram set (the
+    expensive step — one shuffle, map-side partial dedup; at corpus
+    scale this is the same persisted gram table decontaminate would
+    reuse), the benchmark side explodes per (item, gram), and one left
+    join + per-item aggregate scores each item. The benchmark is tiny
+    relative to training, so AQE broadcasts the exploded benchmark side
+    of the join, and the training gram table never moves twice.
+
+    ``leak_share`` is one double division (IEEE-identical in the DuckDB
+    oracle); every doc emits ≥1 shingle, so no zero guard is needed.
+
+    Output: (id, n_grams bigint, n_leaked bigint, leak_share double).
+    """
+    from kafka_streams_spark.operators.dedup import word_shingles
+
+    bsh = bench.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    )
+    tset = (
+        train.select(F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    leaked = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).cast("bigint")
+    return (
+        bsh.join(tset, "gram", "left")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_grams"), leaked.alias("n_leaked"))
+        .withColumn(
+            "leak_share",
+            F.col("n_leaked").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )
+
+
+def quality_gate_agreement(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    min_words_per_line: int = 3,
+    require_terminal_punct: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gate-agreement audit: evaluate the three document-quality gates
+    the engine ships (Gopher rules, C4 cleaning survival, the composite
+    ``quality_expr`` threshold) on every document IN ONE SCAN and count
+    each verdict combination. The 2³ contingency table is how a curation
+    team picks gates: cells where gates disagree are exactly the docs to
+    sample and eyeball before betting a training run on one gate.
+
+    All three verdicts are pure Column expressions over the same row
+    (``gopher_passes_expr`` / ``c4_passes_expr`` / ``quality_expr``), so
+    Catalyst fuses them into a single map-only projection — one corpus
+    read, one tiny aggregate exchange collapsing to ≤ 8 rows map-side.
+    ``share`` divides by the total via a window over the 8-row result,
+    not a second scan.
+
+    Output: (passes_gopher, passes_c4, passes_quality boolean,
+    n_docs bigint, share double).
+    """
+    from kafka_streams_spark.operators.text import c4_passes_expr, gopher_passes_expr
+
+    t = F.col(text_col)
+    flags = docs.select(
+        gopher_passes_expr(t).alias("passes_gopher"),
+        c4_passes_expr(
+            t,
+            min_words_per_line=min_words_per_line,
+            require_terminal_punct=require_terminal_punct,
+        ).alias("passes_c4"),
+        (quality_expr(t) >= F.lit(min_quality)).alias("passes_quality"),
+    )
+    counts = flags.groupBy("passes_gopher", "passes_c4", "passes_quality").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return counts.withColumn(
+        "share", F.col("n_docs").cast("double") / total.cast("double")
+    )

@@ -1060,3 +1060,81 @@ def semdedup(
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return embeddings.select(id_col, cell_col).join(dropped, id_col, "left_anti")
+
+
+def kcenter_select(
+    embs: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point traversal) coreset selection: pick
+    ``k`` embeddings that 2-approximate the optimal covering radius
+    (Gonzalez 1985) — the diversity-selection step of coreset-based data
+    pruning: where :func:`semdedup` REMOVES redundant vectors,
+    k-center KEEPS a maximally spread subset (seed sets for active
+    learning, eval-set subsampling, prototype picking).
+
+    Deterministic by construction: the seed is the minimum id, each
+    round adds the point with the LARGEST distance to its nearest
+    already-selected center (squared L2 in doubles, array-order
+    summation), ties broken by minimum id. k driver round-trips of ONE
+    row each (the argmax), like the connected-components convergence
+    scalar — the selection loop is inherently sequential; everything per
+    round (distance update + top-1) is distributed. The running
+    min-distance column is re-materialized each round
+    (``materialize_shared``), so round r costs one linear pass against
+    ONE new center, not r re-computations: total work is O(k·N·dim)
+    with k scans of the cached (id, vec, mind) table, corpus scanned
+    once.
+
+    Not oracle-checked: the per-round argmax is an iterative fixpoint a
+    single SQL query can't express (same class as the IVF KMeans fit);
+    the driver records the rows-only check and unit tests pin the
+    traversal against a NumPy reference model.
+
+    Output: (rank int, id, center_dist double — distance from the
+    previously selected set at pick time, 0.0 for the seed; rounded to
+    6 dp HALF_UP like every similarity output).
+    """
+    from kafka_streams_spark.functions.partitioning import materialize_shared
+    from kafka_streams_spark.functions.vectors import dot
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def sq_dist(vec: Column, center: list[float]) -> Column:
+        c = F.array(*[F.lit(float(x)) for x in center])
+        d = F.zip_with(vec, c, lambda x, y: x.cast("double") - y.cast("double"))
+        return dot(d, d)
+
+    seed = (
+        embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .orderBy("id")
+        .limit(1)
+        .collect()[0]
+    )
+    picked = [(1, seed["id"], 0.0)]
+    center = [float(x) for x in seed["vec"]]
+    state = embs.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).filter(F.col("id") != seed["id"])
+    for rank in range(2, k + 1):
+        state = materialize_shared(
+            state.withColumn("_d", sq_dist(F.col("vec"), center)).withColumn(
+                "mind",
+                F.least("_d", "mind") if "mind" in state.columns else F.col("_d"),
+            ).drop("_d")
+        )
+        far = state.orderBy(F.col("mind").desc(), F.col("id")).limit(1).collect()
+        if not far:
+            break
+        row = far[0]
+        dist = float(np.sqrt(row["mind"]))
+        picked.append((rank, row["id"], float(_round_half_up6(np.array([dist]))[0])))
+        center = [float(x) for x in row["vec"]]
+        state = state.filter(F.col("id") != row["id"])
+    spark = embs.sparkSession
+    return spark.createDataFrame(
+        picked, schema=f"rank int, {id_col} bigint, center_dist double"
+    )

@@ -1209,6 +1209,32 @@ def gopher_quality(
     stop_hits bigint, passes_gopher boolean).
     """
     t = F.col(text_col)
+    m = _gopher_metric_exprs(t)
+    passes = _gopher_passes(
+        m,
+        min_words,
+        max_words,
+        min_word_len,
+        max_word_len,
+        max_symbol_ratio,
+        max_bullet_ratio,
+        max_ellipsis_ratio,
+        min_alpha_ratio,
+        min_stop_hits,
+    )
+    return docs.select(
+        F.col(id_col),
+        *[m[name].alias(name) for name in _GOPHER_METRICS],
+        passes.alias("passes_gopher"),
+    )
+
+
+def _gopher_metric_exprs(t: Column) -> dict[str, Column]:
+    """The Gopher Table-A1 metric expressions over one text Column, in
+    ``_GOPHER_METRICS`` order — shared by :func:`gopher_quality` (which
+    aliases them into output columns) and :func:`gopher_passes_expr`
+    (which folds them straight into the verdict predicate so gate
+    compositions stay single-scan)."""
     toks = tokens(t)
     n_words = F.size(toks).cast("bigint")
     denom_w = F.greatest(n_words, F.lit(1)).cast("double")
@@ -1240,26 +1266,78 @@ def gopher_quality(
             F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS["en"]])
         )
     ).cast("bigint")
-    out = docs.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        (bullet.cast("double") / denom_l).alias("bullet_line_ratio"),
-        (ellipsis_l.cast("double") / denom_l).alias("ellipsis_line_ratio"),
-        (alpha.cast("double") / denom_w).alias("alpha_word_ratio"),
-        stop_hits.alias("stop_hits"),
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "bullet_line_ratio": bullet.cast("double") / denom_l,
+        "ellipsis_line_ratio": ellipsis_l.cast("double") / denom_l,
+        "alpha_word_ratio": alpha.cast("double") / denom_w,
+        "stop_hits": stop_hits,
+    }
+
+
+_GOPHER_METRICS = (
+    "n_words",
+    "mean_word_len",
+    "symbol_ratio",
+    "bullet_line_ratio",
+    "ellipsis_line_ratio",
+    "alpha_word_ratio",
+    "stop_hits",
+)
+
+
+def _gopher_passes(
+    m: dict[str, Column],
+    min_words: int,
+    max_words: int,
+    min_word_len: float,
+    max_word_len: float,
+    max_symbol_ratio: float,
+    max_bullet_ratio: float,
+    max_ellipsis_ratio: float,
+    min_alpha_ratio: float,
+    min_stop_hits: int,
+) -> Column:
+    return (
+        m["n_words"].between(min_words, max_words)
+        & m["mean_word_len"].between(min_word_len, max_word_len)
+        & (m["symbol_ratio"] <= max_symbol_ratio)
+        & (m["bullet_line_ratio"] <= max_bullet_ratio)
+        & (m["ellipsis_line_ratio"] <= max_ellipsis_ratio)
+        & (m["alpha_word_ratio"] >= min_alpha_ratio)
+        & (m["stop_hits"] >= min_stop_hits)
     )
-    passes = (
-        F.col("n_words").between(min_words, max_words)
-        & F.col("mean_word_len").between(min_word_len, max_word_len)
-        & (F.col("symbol_ratio") <= max_symbol_ratio)
-        & (F.col("bullet_line_ratio") <= max_bullet_ratio)
-        & (F.col("ellipsis_line_ratio") <= max_ellipsis_ratio)
-        & (F.col("alpha_word_ratio") >= min_alpha_ratio)
-        & (F.col("stop_hits") >= min_stop_hits)
+
+
+def gopher_passes_expr(
+    t: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> Column:
+    """The ``passes_gopher`` verdict of :func:`gopher_quality` as a bare
+    Column expression, for single-scan gate compositions (see
+    :func:`~kafka_streams_spark.operators.pipelines.quality_gate_agreement`)."""
+    return _gopher_passes(
+        _gopher_metric_exprs(t),
+        min_words,
+        max_words,
+        min_word_len,
+        max_word_len,
+        max_symbol_ratio,
+        max_bullet_ratio,
+        max_ellipsis_ratio,
+        min_alpha_ratio,
+        min_stop_hits,
     )
-    return out.withColumn("passes_gopher", passes)
 
 
 def c4_clean(
@@ -1294,6 +1372,25 @@ def c4_clean(
     """
     t = F.col(text_col)
     lines = F.split(t, "\n")
+    kept = _c4_kept_lines(lines, min_words_per_line, require_terminal_punct)
+    return (
+        docs.filter(_c4_doc_ok(t))
+        .select(
+            F.col(id_col),
+            F.size(lines).cast("bigint").alias("n_lines"),
+            F.size(kept).cast("bigint").alias("n_lines_kept"),
+            F.array_join(kept, "\n").alias("text_clean"),
+        )
+        .filter(F.col("n_lines_kept") >= min_kept_lines)
+    )
+
+
+def _c4_kept_lines(
+    lines: Column, min_words_per_line: int, require_terminal_punct: bool
+) -> Column:
+    """The C4 line filter shared by :func:`c4_clean` and
+    :func:`c4_passes_expr`: lines surviving the word-count /
+    javascript / (optional) terminal-punctuation rules."""
 
     def _kept(l: Column) -> Column:
         trimmed = F.trim(l)
@@ -1312,18 +1409,24 @@ def c4_clean(
             cond = cond & punct_ok
         return cond
 
-    kept = F.filter(lines, _kept)
-    doc_ok = ~F.lower(t).contains("lorem ipsum") & ~t.contains("{")
-    return (
-        docs.filter(doc_ok)
-        .select(
-            F.col(id_col),
-            F.size(lines).cast("bigint").alias("n_lines"),
-            F.size(kept).cast("bigint").alias("n_lines_kept"),
-            F.array_join(kept, "\n").alias("text_clean"),
-        )
-        .filter(F.col("n_lines_kept") >= min_kept_lines)
-    )
+    return F.filter(lines, _kept)
+
+
+def _c4_doc_ok(t: Column) -> Column:
+    return ~F.lower(t).contains("lorem ipsum") & ~t.contains("{")
+
+
+def c4_passes_expr(
+    t: Column,
+    min_words_per_line: int = 3,
+    require_terminal_punct: bool = True,
+    min_kept_lines: int = 1,
+) -> Column:
+    """Boolean: would this document survive :func:`c4_clean` with the
+    same parameters? A bare Column expression so gate compositions stay
+    single-scan (c4_clean itself also rewrites the text)."""
+    kept = _c4_kept_lines(F.split(t, "\n"), min_words_per_line, require_terminal_punct)
+    return _c4_doc_ok(t) & (F.size(kept) >= F.lit(min_kept_lines))
 
 
 def _cms_bucket(tok: Column, row_idx: int, w: int) -> Column:
@@ -1592,4 +1695,112 @@ def ccnet_buckets(
         "n_tokens",
         "avg_logprob",
         bucket.alias("bucket"),
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's distinct
+    word n-grams that appear in NO other document — the memorization /
+    boilerplate mirror image of :func:`corpus_drift`'s distribution
+    view. High novelty marks genuinely new text worth keeping; near-zero
+    novelty marks templated or duplicated content that n-gram dedup
+    should have caught (so this doubles as a post-dedup audit metric).
+
+    Shape: one corpus scan shingles every doc (Arrow shingler, distinct
+    n-grams per doc), the exploded gram table aggregates to document
+    frequencies (map-side partial → |distinct grams| rows), and a join
+    back on gram tags each doc's grams as unique-to-it or shared. The
+    exploded gram subtree has TWO consumers (the frequency aggregate and
+    the join probe), so it is materialized once via
+    ``materialize_shared`` (ROUND4_NOTES §19: exchange reuse cannot
+    deduplicate Arrow-stage subtrees); the recurring-run form at corpus
+    scale is a written gram posting table, bucketed by gram.
+
+    Novelty frequency is DOCUMENT frequency over per-doc DISTINCT grams
+    (a gram repeated inside one doc is still novel if no other doc has
+    it). ``novelty`` is a single double division — IEEE-identical in the
+    DuckDB oracle, no rounding pin needed. Every doc emits ≥1 shingle
+    (docs shorter than n words shingle to the whole doc), so no
+    zero-denominator guard is needed.
+
+    Output: (id, n_grams bigint, n_novel bigint, novelty double).
+    """
+    from kafka_streams_spark.functions.partitioning import spread
+    from kafka_streams_spark.operators.dedup import word_shingles
+
+    g = materialize_shared(
+        spread(docs).select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
+        )
+    )
+    freq = g.groupBy("gram").agg(F.count("*").alias("df"))
+    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("bigint")
+    return (
+        g.join(freq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            novel.alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
+        )
+    )
+
+
+def corpus_overlap(
+    a: DataFrame, b: DataFrame, n: int = 1, text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary-overlap audit between two corpus slices: how many
+    distinct word n-grams each side has, how many they share, and the
+    Jaccard of the two n-gram sets — the set-membership companion to
+    :func:`corpus_drift`'s mass-shift view (drift says the token
+    DISTRIBUTION moved; overlap says whether the n-gram INVENTORIES
+    even intersect — the first question when merging two crawls or
+    diffing two snapshot dates).
+
+    Each side is scanned once: explode n-grams → distinct (map-side
+    partial dedup), then one full-outer join on the gram aligns the two
+    sets and a single 1-row aggregate counts the Venn regions. No
+    driver-side collection; both distinct tables shuffle once on the
+    gram key and AQE broadcast-joins whichever side is small. Empty ∪
+    empty follows the :func:`~kafka_streams_spark.operators.dedup.token_set_jaccard`
+    convention (Jaccard 1.0).
+
+    Output: 1 row (n_grams_a, n_grams_b, n_shared bigint, overlap_jaccard).
+    """
+    from kafka_streams_spark.operators.dedup import word_shingles
+
+    def gram_set(df: DataFrame, flag: str) -> DataFrame:
+        grams = (
+            F.array_distinct(tokens(F.col(text_col)))
+            if n == 1
+            else word_shingles(F.col(text_col), n)
+        )
+        return (
+            df.select(F.explode(grams).alias("gram"))
+            .distinct()
+            .withColumn(flag, F.lit(True))
+        )
+
+    j = gram_set(a, "in_a").join(gram_set(b, "in_b"), "gram", "full_outer")
+    n_a = F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint")
+    n_b = F.sum(F.when(F.col("in_b"), 1).otherwise(0)).cast("bigint")
+    shared = F.sum(
+        F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)
+    ).cast("bigint")
+    out = j.agg(
+        n_a.alias("n_grams_a"), n_b.alias("n_grams_b"), shared.alias("n_shared")
+    )
+    union = (F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_shared")).cast(
+        "double"
+    )
+    return out.withColumn(
+        "overlap_jaccard",
+        F.when(union == 0, F.lit(1.0)).otherwise(
+            F.col("n_shared").cast("double") / union
+        ),
     )

@@ -2425,6 +2425,149 @@ TPCH_EXTRA_ORACLES = {
 }
 
 
+# --------------------------------------------------------------------------
+# round-5 wave: corpus audits (registered behind the round-4 evidence
+# window — __spark_entry__._ROUND5_QUEUE). Post-dict assignments so
+# dedup_cluster_sizes can wrap the dedup_clusters recursive CTE.
+# --------------------------------------------------------------------------
+
+TEXT_ORACLES["ngram_novelty"] = f"""
+    WITH {_shingle_cte(3)},
+    g AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+    freq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS novelty
+    FROM g JOIN freq USING (gram)
+    GROUP BY doc_id
+"""
+
+TEXT_ORACLES["corpus_overlap"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    a AS (SELECT DISTINCT unnest(t) AS gram FROM toks
+          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'),
+    b AS (SELECT DISTINCT unnest(t) AS gram FROM toks
+          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '80'),
+    j AS (SELECT a.gram AS ga, b.gram AS gb
+          FROM a FULL OUTER JOIN b ON a.gram = b.gram),
+    c AS (SELECT
+            CAST(sum(CASE WHEN ga IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_grams_a,
+            CAST(sum(CASE WHEN gb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_grams_b,
+            CAST(sum(CASE WHEN ga IS NOT NULL AND gb IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+          FROM j)
+    SELECT n_grams_a, n_grams_b, n_shared,
+           CASE WHEN n_grams_a + n_grams_b - n_shared = 0 THEN 1.0
+                ELSE CAST(n_shared AS DOUBLE)
+                     / CAST(n_grams_a + n_grams_b - n_shared AS DOUBLE)
+           END AS overlap_jaccard
+    FROM c
+"""
+
+# Mirror of the `decontaminate` oracle with the roles swapped: score
+# each benchmark item (md5 bucket < '10') against the distinct 3-gram
+# set of the training remainder.
+DEDUP_ORACLES["contamination_report"] = f"""
+    WITH {_shingle_cte(3)},
+    bench AS (SELECT doc_id, shingles FROM sh
+              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10'),
+    train AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '10'),
+    expl AS (SELECT doc_id, unnest(shingles) AS s FROM bench)
+    SELECT expl.doc_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN train.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaked,
+           CAST(sum(CASE WHEN train.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS leak_share
+    FROM expl LEFT JOIN train ON expl.s = train.s
+    GROUP BY expl.doc_id
+"""
+
+SIMILARITY_ORACLES["dedup_cluster_sizes"] = f"""
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM (
+        SELECT cluster_id, count(*) AS cluster_size
+        FROM ({SIMILARITY_ORACLES["dedup_clusters"]})
+        GROUP BY cluster_id
+    )
+    GROUP BY cluster_size
+"""
+
+# Gopher metrics verbatim from the gopher_quality oracle; C4 survival at
+# the c4_clean contract parameters (word rule >= 60, punctuation rule
+# off); composite quality verbatim from the quality_score oracle.
+TEXT_ORACLES["gate_agreement"] = f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks,
+                      string_split(text, chr(10)) AS lines
+               FROM documents),
+    s AS (
+        SELECT
+            CAST(len(toks) AS BIGINT) AS n_words,
+            CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                / greatest(len(toks), 1) AS mean_word_len,
+            CAST(length(text) - length(replace(text, '#', ''))
+                 + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+                / greatest(len(toks), 1) AS symbol_ratio,
+            CAST(len(list_filter(lines, l ->
+                     starts_with(ltrim(l), '- ')
+                     OR starts_with(ltrim(l), '* ')
+                     OR starts_with(ltrim(l), '•'))) AS DOUBLE)
+                / greatest(len(lines), 1) AS bullet_line_ratio,
+            CAST(len(list_filter(lines, l ->
+                     ends_with(rtrim(l), '...')
+                     OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+                / greatest(len(lines), 1) AS ellipsis_line_ratio,
+            CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                 AS DOUBLE) / greatest(len(toks), 1) AS alpha_word_ratio,
+            CAST(len(list_intersect(list_distinct(toks), {_STOP_EN}))
+                 AS BIGINT) AS stop_hits,
+            (NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(text, '{{')
+             AND len(list_filter(lines, l ->
+                   len(list_filter(string_split_regex(trim(l), '\\s+'),
+                                   x -> x != '')) >= 60
+                   AND NOT contains(lower(l), 'javascript'))) >= 1)
+                AS passes_c4,
+            ((CASE WHEN len(toks) >= 10 AND len(toks) <= 100000
+                   THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) >= 3
+                    AND CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) <= 12
+                   THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                         AS DOUBLE) / greatest(length(text), 1) <= 0.2
+                   THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN CAST(len(list_intersect(toks, {_STOP_EN})) AS DOUBLE)
+                        / greatest(len(list_distinct(toks)), 1) > 0
+                   THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+        FROM t
+    ),
+    f AS (
+        SELECT
+            (n_words BETWEEN 50 AND 100000)
+            AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND symbol_ratio <= 0.1
+            AND bullet_line_ratio <= 0.9
+            AND ellipsis_line_ratio <= 0.3
+            AND alpha_word_ratio >= 0.8
+            AND stop_hits >= 2 AS passes_gopher,
+            passes_c4,
+            quality >= 0.5 AS passes_quality
+        FROM s
+    )
+    SELECT passes_gopher, passes_c4, passes_quality,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE)
+               AS share
+    FROM f GROUP BY 1, 2, 3
+"""
+
+
 ALL_ORACLES = {
     **PAYMENT_ORACLES,
     **ANALYTICS_ORACLES,

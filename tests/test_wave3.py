@@ -1,0 +1,220 @@
+"""Round-5 queue wave: n-gram novelty, corpus overlap, contamination
+report, duplicate-cluster histogram, gate agreement, k-center coreset."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from kafka_streams_spark.sources.testdata import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_novelty_crafted(spark):
+    from kafka_streams_spark.operators.text import ngram_novelty
+
+    rows = [
+        (1, "a b c d"),  # grams: "a b c", "b c d"
+        (2, "a b c e"),  # grams: "a b c", "b c e"
+        (3, "x y z w"),  # grams: "x y z", "y z w" — all unique
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in ngram_novelty(_docs(spark, rows), n=3).collect()
+    }
+    # "a b c" appears in docs 1 and 2 → not novel; the other grams are.
+    assert out[1]["n_grams"] == 2 and out[1]["n_novel"] == 1
+    assert out[2]["n_grams"] == 2 and out[2]["n_novel"] == 1
+    assert out[3]["n_grams"] == 2 and out[3]["n_novel"] == 2
+    assert out[1]["novelty"] == 0.5 and out[3]["novelty"] == 1.0
+
+
+def test_ngram_novelty_short_doc_whole_text_shingle(spark):
+    from kafka_streams_spark.operators.text import ngram_novelty
+
+    # Docs shorter than n shingle to the whole doc (word_shingles
+    # semantics) — both docs collapse to the same single gram.
+    rows = [(1, "hi there"), (2, "hi  THERE")]
+    out = {r["doc_id"]: r for r in ngram_novelty(_docs(spark, rows), n=3).collect()}
+    assert out[1]["n_grams"] == 1 and out[1]["n_novel"] == 0
+    assert out[2]["novelty"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# corpus_overlap
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_overlap_tokens(spark):
+    from kafka_streams_spark.operators.text import corpus_overlap
+
+    a = _docs(spark, [(1, "red green blue"), (2, "red cyan")])
+    b = _docs(spark, [(3, "blue yellow"), (4, "yellow magenta")])
+    r = corpus_overlap(a, b, n=1).collect()[0]
+    # A = {red, green, blue, cyan}; B = {blue, yellow, magenta}
+    assert r["n_grams_a"] == 4 and r["n_grams_b"] == 3
+    assert r["n_shared"] == 1
+    assert r["overlap_jaccard"] == 1.0 / 6.0
+
+
+def test_corpus_overlap_bigrams_and_case(spark):
+    from kafka_streams_spark.operators.text import corpus_overlap
+
+    a = _docs(spark, [(1, "Big Data Rocks")])  # bigrams: "big data", "data rocks"
+    b = _docs(spark, [(2, "big data stinks")])  # "big data", "data stinks"
+    r = corpus_overlap(a, b, n=2).collect()[0]
+    assert (r["n_grams_a"], r["n_grams_b"], r["n_shared"]) == (2, 2, 1)
+    assert r["overlap_jaccard"] == 1.0 / 3.0
+
+
+# ---------------------------------------------------------------------------
+# contamination_report
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_report_crafted(spark):
+    from kafka_streams_spark.operators.pipelines import contamination_report
+
+    train = _docs(spark, [(10, "the quick brown fox jumps"), (11, "lazy dog sleeps")])
+    bench = _docs(
+        spark,
+        [
+            (1, "the quick brown fox"),  # both 3-grams in train
+            (2, "quick brown fox dances"),  # 1 of 2 in train
+            (3, "totally novel eval item"),  # nothing leaked
+        ],
+    )
+    out = {r["doc_id"]: r for r in contamination_report(train, bench, n=3).collect()}
+    assert out[1]["n_grams"] == 2 and out[1]["n_leaked"] == 2
+    assert out[1]["leak_share"] == 1.0
+    assert out[2]["n_grams"] == 2 and out[2]["n_leaked"] == 1
+    assert out[3]["n_leaked"] == 0 and out[3]["leak_share"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# cluster_size_stats
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_size_stats(spark):
+    from kafka_streams_spark.operators.dedup import cluster_size_stats
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6), (7, 6)],
+        "node bigint, cluster_id bigint",
+    )
+    out = {r["cluster_size"]: r["n_clusters"] for r in cluster_size_stats(labels).collect()}
+    assert out == {3: 1, 2: 2}
+
+
+# ---------------------------------------------------------------------------
+# quality_gate_agreement + the passes-expr refactor pins
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_passes_expr_matches_operator(spark, sf_dir):
+    from kafka_streams_spark.operators.text import gopher_passes_expr, gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    via_op = gopher_quality(docs).select("doc_id", "passes_gopher")
+    via_expr = docs.select(
+        "doc_id", gopher_passes_expr(F.col("text")).alias("passes_gopher")
+    )
+    assert via_op.exceptAll(via_expr).count() == 0
+    assert via_expr.exceptAll(via_op).count() == 0
+
+
+def test_c4_passes_expr_matches_operator(spark, sf_dir):
+    from kafka_streams_spark.operators.text import c4_clean, c4_passes_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = {
+        r["doc_id"]
+        for r in c4_clean(
+            docs, min_words_per_line=60, require_terminal_punct=False
+        ).collect()
+    }
+    flagged = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id",
+            c4_passes_expr(
+                F.col("text"), min_words_per_line=60, require_terminal_punct=False
+            ).alias("p"),
+        ).collect()
+        if r["p"]
+    }
+    assert survivors == flagged
+
+
+def test_quality_gate_agreement_counts(spark, sf_dir):
+    from kafka_streams_spark.operators.pipelines import quality_gate_agreement
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = quality_gate_agreement(
+        docs, min_quality=0.5, min_words_per_line=60, require_terminal_punct=False
+    ).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-12
+    # combinations are unique
+    combos = [(r["passes_gopher"], r["passes_c4"], r["passes_quality"]) for r in rows]
+    assert len(combos) == len(set(combos))
+
+
+# ---------------------------------------------------------------------------
+# kcenter_select vs a NumPy reference model
+# ---------------------------------------------------------------------------
+
+
+def _kcenter_model(ids, vecs, k):
+    order = np.argsort(ids)
+    ids, vecs = np.asarray(ids)[order], np.asarray(vecs, dtype=np.float64)[order]
+    picked = [0]
+    out = [(1, int(ids[0]), 0.0)]
+    mind = np.full(len(ids), np.inf)
+    for rank in range(2, min(k, len(ids)) + 1):
+        d = ((vecs - vecs[picked[-1]]) ** 2).sum(axis=1)
+        mind = np.minimum(mind, d)
+        mind[picked] = -np.inf  # already selected: never re-picked
+        best = np.lexsort((ids, -mind))[0]
+        out.append((rank, int(ids[best]), float(np.sqrt(mind[best]))))
+        picked.append(best)
+    return out
+
+
+def test_kcenter_matches_numpy_model(spark, sf_dir):
+    from kafka_streams_spark.operators.similarity import kcenter_select
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    rows = embs.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    vecs = [[float(x) for x in r["embedding"]] for r in rows]
+    expect = _kcenter_model(ids, vecs, 6)
+    got = [
+        (r["rank"], r["vec_id"], r["center_dist"])
+        for r in kcenter_select(embs, k=6).orderBy("rank").collect()
+    ]
+    assert [(r, i) for r, i, _ in got] == [(r, i) for r, i, _ in expect]
+    for (_, _, d_got), (_, _, d_exp) in zip(got, expect):
+        assert abs(d_got - d_exp) < 1e-6
+
+
+def test_kcenter_k_exceeding_corpus_stops_early(spark):
+    from kafka_streams_spark.operators.similarity import kcenter_select
+
+    embs = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0]), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = kcenter_select(embs, k=10).orderBy("rank").collect()
+    assert [r["vec_id"] for r in out] == [1, 2, 3]
+    # second pick is the farthest point (dist 5), third the remaining one
+    assert out[1]["center_dist"] == 5.0

