@@ -1787,10 +1787,17 @@ def corpus_overlap(
         )
 
     j = gram_set(a, "in_a").join(gram_set(b, "in_b"), "gram", "full_outer")
-    n_a = F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint")
-    n_b = F.sum(F.when(F.col("in_b"), 1).otherwise(0)).cast("bigint")
-    shared = F.sum(
-        F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)
+    # coalesce: two all-empty-doc slices join to ZERO rows, and a sum
+    # over an empty frame is NULL — the empty Venn must count 0, not
+    # NULL (hypothesis-found edge, test_corpus_overlap_matches_set_model)
+    n_a = F.coalesce(F.sum(F.when(F.col("in_a"), 1).otherwise(0)), F.lit(0)).cast(
+        "bigint"
+    )
+    n_b = F.coalesce(F.sum(F.when(F.col("in_b"), 1).otherwise(0)), F.lit(0)).cast(
+        "bigint"
+    )
+    shared = F.coalesce(
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)), F.lit(0)
     ).cast("bigint")
     out = j.agg(
         n_a.alias("n_grams_a"), n_b.alias("n_grams_b"), shared.alias("n_shared")

@@ -2453,12 +2453,12 @@ TEXT_ORACLES["corpus_overlap"] = f"""
     j AS (SELECT a.gram AS ga, b.gram AS gb
           FROM a FULL OUTER JOIN b ON a.gram = b.gram),
     c AS (SELECT
-            CAST(sum(CASE WHEN ga IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-                AS n_grams_a,
-            CAST(sum(CASE WHEN gb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-                AS n_grams_b,
-            CAST(sum(CASE WHEN ga IS NOT NULL AND gb IS NOT NULL
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+            CAST(COALESCE(sum(CASE WHEN ga IS NOT NULL THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS n_grams_a,
+            CAST(COALESCE(sum(CASE WHEN gb IS NOT NULL THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS n_grams_b,
+            CAST(COALESCE(sum(CASE WHEN ga IS NOT NULL AND gb IS NOT NULL
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_shared
           FROM j)
     SELECT n_grams_a, n_grams_b, n_shared,
            CASE WHEN n_grams_a + n_grams_b - n_shared = 0 THEN 1.0

@@ -369,3 +369,62 @@ def test_ccnet_buckets_match_ntile_model(rows):
         labels = ["head"] * sizes[0] + ["middle"] * sizes[1] + ["tail"] * sizes[2]
         for (_, i), want in zip(docs, labels):
             assert out[i]["bucket"] == want, (lang, i)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=24), min_size=1, max_size=8
+    )
+)
+def test_ngram_novelty_matches_set_model(texts):
+    """ngram_novelty == Python model: doc-frequency-1 share over per-doc
+    DISTINCT shingles (docs shorter than n shingle to the whole doc)."""
+    from kafka_streams_spark.operators.text import ngram_novelty
+
+    spark = _spark()
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"])
+        for r in ngram_novelty(df, n=2).collect()
+    }
+
+    def grams(t):
+        toks = t.lower().split()
+        if len(toks) <= 2:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    sets = {i: grams(t) for i, t in enumerate(texts)}
+    from collections import Counter
+
+    df_count = Counter(g for s in sets.values() for g in s)
+    for i, s in sets.items():
+        novel = sum(1 for g in s if df_count[g] == 1)
+        assert got[i] == (len(s), novel)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.text(alphabet="xy ", min_size=0, max_size=20), min_size=1, max_size=5),
+    st.lists(st.text(alphabet="yz ", min_size=0, max_size=20), min_size=1, max_size=5),
+)
+def test_corpus_overlap_matches_set_model(ta, tb):
+    """corpus_overlap(n=1) == Python token-set Venn (empty docs emit no
+    tokens; empty-union Jaccard convention is 1.0)."""
+    from kafka_streams_spark.operators.text import corpus_overlap
+
+    spark = _spark()
+    a = spark.createDataFrame([(i, t) for i, t in enumerate(ta)], ["doc_id", "text"])
+    b = spark.createDataFrame([(i, t) for i, t in enumerate(tb)], ["doc_id", "text"])
+    r = corpus_overlap(a, b, n=1).collect()[0]
+    sa = {w for t in ta for w in t.lower().split() if w}
+    sb = {w for t in tb for w in t.lower().split() if w}
+    assert (r["n_grams_a"], r["n_grams_b"], r["n_shared"]) == (
+        len(sa),
+        len(sb),
+        len(sa & sb),
+    )
+    union = len(sa | sb)
+    expect_j = 1.0 if union == 0 else len(sa & sb) / union
+    assert abs(r["overlap_jaccard"] - expect_j) < 1e-12
