@@ -979,6 +979,14 @@ def _q_gate_agreement(spark, sf_dir):
     )
 
 
+def _q_dedup_spans(spark, sf_dir):
+    """RefinedWeb-style exact-substring span removal (k=5 token grams):
+    later docs lose token spans already present in a lower-id doc."""
+    from kafka_streams_spark.operators.dedup import dedup_substring_remove
+
+    return dedup_substring_remove(_docs(spark, sf_dir), k=5)
+
+
 def _q_emb_kcenter(spark, sf_dir):
     """Greedy k-center coreset (k=8) over the embeddings — rows-only:
     the sequential argmax loop is not single-query SQL (IVF-KMeans
@@ -1100,6 +1108,7 @@ _ROUND5_QUEUE = [
     "contamination_report",
     "dedup_cluster_sizes",
     "gate_agreement",
+    "dedup_spans",
     "emb_kcenter",
 ]
 
@@ -1323,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": _q_contamination_report,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "gate_agreement": _q_gate_agreement,
+        "dedup_spans": _q_dedup_spans,
         "emb_kcenter": _q_emb_kcenter,  # rows-only: iterative argmax loop
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).

@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "contamination_report",
     "dedup_cluster_sizes",
     "gate_agreement",
+    "dedup_spans",
     "emb_kcenter",
 ]
 

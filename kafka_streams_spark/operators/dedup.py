@@ -1717,3 +1717,105 @@ def cluster_size_stats(labels: DataFrame, cluster_col: str = "cluster_id") -> Da
     return sizes.groupBy("cluster_size").agg(
         F.count("*").cast("bigint").alias("n_clusters")
     )
+
+
+def dedup_substring_remove(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring span REMOVAL (the RefinedWeb/MassiveText policy:
+    arXiv 2306.01116 §3.3 removes duplicated spans instead of dropping
+    whole near-dup documents): every token k-gram that also appears in a
+    LOWER-id document is treated as duplicated text, the covered token
+    intervals are merged per document, the covered tokens are cut, and
+    the remaining tokens are reassembled in order. The first document
+    containing a span keeps it; later documents lose exactly the
+    duplicated tokens and keep their novel text — the surgical
+    complement of :func:`dedup_exact` (whole-doc drop) and
+    :func:`substring_overlap_pairs` (pair REPORT, no rewrite).
+
+    Everything is JVM expressions — no Python stage:
+
+    1. one scan explodes (doc, pos, k-gram) rows (1-based pos);
+    2. the gram table aggregates to min-doc-per-gram (map-side partial)
+       and joins back to tag occurrences whose gram has a lower-id
+       owner — the gram subtree has those TWO consumers, so it is
+       materialized once (`materialize_shared`, ROUND4_NOTES §19);
+    3. covered intervals [pos, pos+k-1] merge per doc with the classic
+       running-max window (new-group flag where pos > max end of all
+       preceding intervals + 1 step, cumulative-sum group ids) — the
+       per-doc window partitions on the doc key, so no global sort;
+    4. merged intervals collect per doc (bounded: ≤ n_tokens/1 rows)
+       and a positional `F.filter((tok, i) -> no interval covers i+1)`
+       cuts covered tokens; `array_join(..., ' ')` reassembles.
+
+    Output text is the SPACE-JOINED kept tokens — original inter-token
+    whitespace is not preserved (the tokenizer collapsed it; testdata
+    is single-space already). Docs shorter than k tokens emit no grams
+    and pass through unchanged. A doc whose every token is covered
+    survives with empty text (drop-empty is a policy gate downstream,
+    not this operator's call).
+
+    At corpus scale the cost is the gram shuffle (n·k rows of (hash,
+    doc, pos)) + one join back — the same posting-table shape as the
+    prefix-AllPairs family; the window and interval merge are per-doc
+    local after one hash exchange on the doc key.
+
+    Output: (id, text_clean, n_tokens bigint, n_tokens_removed bigint).
+    """
+    from pyspark.sql import Window
+
+    from kafka_streams_spark.functions.partitioning import materialize_shared, spread
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    toks = tokens(F.col(text_col))
+    base = spread(docs).select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    grams = materialize_shared(
+        base.filter(F.size("_toks") >= k).select(
+            "_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - k + 1),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i, k))),
+                )
+            ).alias("_off", "gram"),
+        ).select("_id", (F.col("_off") + 1).alias("pos"), "gram")
+    )
+    first = grams.groupBy("gram").agg(F.min("_id").alias("_first"))
+    dup = (
+        grams.join(first, "gram")
+        .filter(F.col("_id") > F.col("_first"))
+        .select("_id", "pos")
+    )
+    # classic interval merge in token space: intervals are [pos, pos+k-1]
+    w = Window.partitionBy("_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "_new", F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1).otherwise(0)
+    )
+    grouped = flagged.withColumn("_grp", F.sum("_new").over(w))
+    merged = grouped.groupBy("_id", "_grp").agg(
+        F.min("pos").alias("s"), (F.max("pos") + (k - 1)).alias("e")
+    )
+    spans = merged.groupBy("_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_spans")
+    )
+    joined = base.join(spans, "_id", "left").withColumn(
+        "_spans", F.coalesce("_spans", F.array().cast("array<struct<s:bigint,e:bigint>>"))
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — positional-lambda helper
+        F.col("_spans"), lambda iv: (i >= iv["s"]) & (i <= iv["e"])
+    )
+    kept = F.filter(F.col("_toks"), lambda x, i: ~covered(i + 1))
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
+    )

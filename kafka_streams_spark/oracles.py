@@ -2488,6 +2488,54 @@ DEDUP_ORACLES["contamination_report"] = f"""
     GROUP BY expl.doc_id
 """
 
+# Exact-substring span removal, k=5 token grams: occurrences whose gram
+# has a lower-id owner are covered intervals [pos, pos+4]; the classic
+# running-max window merge, positional anti-join, ordered string_agg
+# reassembly — the same algorithm as the Spark windows, step for step.
+DEDUP_ORACLES["dedup_spans"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    grams AS (
+        SELECT doc_id, i AS pos, md5(array_to_string(tk[i:i+4], ' ')) AS gram
+        FROM t, unnest(generate_series(1, len(tk) - 4)) AS g(i)
+        WHERE len(tk) >= 5
+    ),
+    firsts AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram),
+    dup AS (SELECT doc_id, pos FROM grams JOIN firsts USING (gram)
+            WHERE doc_id > first_doc),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN max(pos + 4) OVER w IS NULL
+                    OR pos > max(pos + 4) OVER w + 1
+                    THEN 1 ELSE 0 END AS newg
+        FROM dup
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    grouped AS (SELECT doc_id, pos,
+                       sum(newg) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM flagged),
+    merged AS (SELECT doc_id, grp, min(pos) AS s, max(pos) + 4 AS e
+               FROM grouped GROUP BY doc_id, grp),
+    toks_pos AS (SELECT doc_id, i, tk[i] AS tok
+                 FROM t, unnest(generate_series(1, len(tk))) AS g(i)),
+    kept AS (
+        SELECT tp.doc_id, tp.i, tp.tok
+        FROM toks_pos tp
+        WHERE NOT EXISTS (SELECT 1 FROM merged m
+                          WHERE m.doc_id = tp.doc_id
+                            AND tp.i BETWEEN m.s AND m.e)
+    ),
+    agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(agg.text_clean, '') AS text_clean,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(len(t.tk) - COALESCE(agg.n_kept, 0) AS BIGINT)
+               AS n_tokens_removed
+    FROM t LEFT JOIN agg USING (doc_id)
+"""
+
 SIMILARITY_ORACLES["dedup_cluster_sizes"] = f"""
     SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
            CAST(count(*) AS BIGINT) AS n_clusters

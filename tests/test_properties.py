@@ -428,3 +428,41 @@ def test_corpus_overlap_matches_set_model(ta, tb):
     union = len(sa | sb)
     expect_j = 1.0 if union == 0 else len(sa & sb) / union
     assert abs(r["overlap_jaccard"] - expect_j) < 1e-12
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=2, max_size=6
+    )
+)
+def test_dedup_spans_matches_python_model(texts):
+    """dedup_substring_remove(k=2) == Python model: cover every 2-gram
+    occurrence whose gram appears in a lower-id doc, union the
+    intervals, keep the rest in order."""
+    from kafka_streams_spark.operators.dedup import dedup_substring_remove
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    k = 2
+    toks = {i: t.lower().split() for i, t in enumerate(texts)}
+    first: dict[tuple, int] = {}
+    for i in sorted(toks):
+        for p in range(len(toks[i]) - k + 1):
+            g = tuple(toks[i][p : p + k])
+            first.setdefault(g, i)
+    expect = {}
+    for i, tk in toks.items():
+        covered = set()
+        for p in range(len(tk) - k + 1):
+            if first[tuple(tk[p : p + k])] < i:
+                covered.update(range(p, p + k))
+        kept = [w for j, w in enumerate(tk) if j not in covered]
+        expect[i] = (" ".join(kept), len(tk), len(tk) - len(kept))
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_tokens_removed"])
+        for r in dedup_substring_remove(df, k=k).collect()
+    }
+    assert got == expect

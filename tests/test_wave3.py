@@ -218,3 +218,53 @@ def test_kcenter_k_exceeding_corpus_stops_early(spark):
     assert [r["vec_id"] for r in out] == [1, 2, 3]
     # second pick is the farthest point (dist 5), third the remaining one
     assert out[1]["center_dist"] == 5.0
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_remove
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_substring_remove_crafted(spark):
+    from kafka_streams_spark.operators.dedup import dedup_substring_remove
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "x y a b c d e z w q"),  # contains doc1's "a b c d e"
+            (3, "totally different tokens here indeed"),
+            (4, "x y a b c d e z w q"),  # exact copy of doc2 → fully covered
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_substring_remove(docs, k=5).collect()
+    }
+    assert out[1]["text_clean"] == "a b c d e f g h"  # first owner keeps
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["text_clean"] == "x y z w q"
+    assert out[2]["n_tokens_removed"] == 5
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[4]["text_clean"] == "" and out[4]["n_tokens_removed"] == 10
+
+
+def test_dedup_substring_remove_overlapping_spans_merge(spark):
+    from kafka_streams_spark.operators.dedup import dedup_substring_remove
+
+    # doc2 shares the 6-token run "a b c d e f" with doc1: two
+    # overlapping 5-gram hits (pos 2 and 3) must merge to ONE covered
+    # interval [2,7], not double-count.
+    docs = _docs(spark, [(1, "a b c d e f"), (2, "z a b c d e f z z z")])
+    out = {r["doc_id"]: r for r in dedup_substring_remove(docs, k=5).collect()}
+    assert out[2]["text_clean"] == "z z z z"
+    assert out[2]["n_tokens_removed"] == 6
+
+
+def test_dedup_substring_remove_short_docs_pass_through(spark):
+    from kafka_streams_spark.operators.dedup import dedup_substring_remove
+
+    docs = _docs(spark, [(1, "a b c"), (2, "a b c")])  # < k tokens
+    out = {r["doc_id"]: r for r in dedup_substring_remove(docs, k=5).collect()}
+    assert out[1]["n_tokens_removed"] == 0 and out[2]["n_tokens_removed"] == 0
+    assert out[2]["text_clean"] == "a b c"
