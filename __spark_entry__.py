@@ -1109,6 +1109,8 @@ _ROUND5_QUEUE = [
     "dedup_cluster_sizes",
     "gate_agreement",
     "dedup_spans",
+    "event_transitions",
+    "rfm_scores",
     "emb_kcenter",
 ]
 
@@ -1333,6 +1335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "gate_agreement": _q_gate_agreement,
         "dedup_spans": _q_dedup_spans,
+        "event_transitions": A.event_transitions,
+        "rfm_scores": A.rfm_scores,
         "emb_kcenter": _q_emb_kcenter,  # rows-only: iterative argmax loop
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).

@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "dedup_cluster_sizes",
     "gate_agreement",
     "dedup_spans",
+    "event_transitions",
+    "rfm_scores",
     "emb_kcenter",
 ]
 

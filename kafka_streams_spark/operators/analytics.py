@@ -1044,3 +1044,75 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: for every (event_type → next_event_type) pair, the
+    transition count and conditional probability — the behavioral
+    fingerprint behind next-action prediction, funnel-leak diagnosis,
+    and bot detection (bots have near-degenerate rows).
+
+    One shuffle partitions by user for the `lead` window (event order =
+    (ts, event_id) — ts is exact epoch-nanos, the id breaks ties
+    deterministically, so the sequence is partition-invariant), then the
+    pair counts aggregate map-side to ≤ |types|² rows. `prob` divides by
+    the per-source-type total via a window over that tiny grouped table
+    — one double division, no second scan (the gate_agreement pattern).
+
+    Output: (event_type, next_event_type, n_transitions bigint, prob).
+    """
+    from kafka_streams_spark.sources.testdata import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    ).filter(F.col("next_event_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_event_type").agg(
+        F.count("*").cast("bigint").alias("n_transitions")
+    )
+    total = F.sum("n_transitions").over(Window.partitionBy("event_type"))
+    return counts.withColumn(
+        "prob", F.col("n_transitions").cast("double") / total.cast("double")
+    )
+
+
+def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user Recency (latest event, exact
+    epoch-nanos), Frequency (event count), Monetary (exact integer
+    cents) plus 1–5 `ntile` scores per dimension — the classic
+    customer-value grid, computed with the engine's exact-arithmetic
+    discipline so the contract is bit-deterministic (no double sums, no
+    approximate quantiles).
+
+    One shuffle for the per-user aggregate (map-side partial), then
+    three global `ntile(5)` windows over the |users| rows. Ties order by
+    user_id, so bucket assignment is deterministic and
+    partition-invariant. The global windows are single-partition over
+    |users| rows — fine up to hundreds of millions of users; past that,
+    swap ntile for percent-rank thresholds from `percentile_approx`
+    (the length_outliers pattern) at the cost of tie-exactness.
+
+    Output: (user_id, recency_ns bigint, frequency bigint,
+    monetary_cents bigint, r_score, f_score, m_score int).
+    """
+    from kafka_streams_spark.sources.testdata import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max("ts").cast("bigint").alias("recency_ns"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(_cents("value")).cast("bigint").alias("monetary_cents"),
+    )
+    # higher recency/frequency/monetary = better = higher score: ntile
+    # ascending puts the best in bucket 5 when ordered ascending.
+    r_w = Window.orderBy(F.col("recency_ns"), F.col("user_id"))
+    f_w = Window.orderBy(F.col("frequency"), F.col("user_id"))
+    m_w = Window.orderBy(F.col("monetary_cents"), F.col("user_id"))
+    return (
+        per_user.withColumn("r_score", F.ntile(5).over(r_w))
+        .withColumn("f_score", F.ntile(5).over(f_w))
+        .withColumn("m_score", F.ntile(5).over(m_w))
+    )

@@ -2488,6 +2488,42 @@ DEDUP_ORACLES["contamination_report"] = f"""
     GROUP BY expl.doc_id
 """
 
+ANALYTICS_ORACLES["event_transitions"] = """
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_ns(ts), event_id)
+                   AS next_event_type
+        FROM events
+    ),
+    c AS (SELECT event_type, next_event_type,
+                 CAST(count(*) AS BIGINT) AS n_transitions
+          FROM seq WHERE next_event_type IS NOT NULL GROUP BY 1, 2)
+    SELECT event_type, next_event_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+               / CAST(sum(n_transitions) OVER (PARTITION BY event_type)
+                      AS DOUBLE) AS prob
+    FROM c
+"""
+
+ANALYTICS_ORACLES["rfm_scores"] = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(max(epoch_ns(ts)) AS BIGINT) AS recency_ns,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(SUM({_cents_sql('value')}) AS BIGINT) AS monetary_cents
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, recency_ns, frequency, monetary_cents,
+           CAST(ntile(5) OVER (ORDER BY recency_ns, user_id) AS INTEGER)
+               AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS INTEGER)
+               AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS INTEGER)
+               AS m_score
+    FROM per_user
+"""
+
 # Exact-substring span removal, k=5 token grams: occurrences whose gram
 # has a lower-id owner are covered intervals [pos, pos+4]; the classic
 # running-max window merge, positional anti-join, ordered string_agg

@@ -90,3 +90,64 @@ def test_cohort_retention_offsets(spark, sf_dir):
     }
     # offset-0 always exists per cohort: the first-seen event itself
     assert week0 == cohort_sizes
+
+
+# ---------------------------------------------------------------------------
+# event_transitions / rfm_scores (round-5 queue)
+# ---------------------------------------------------------------------------
+
+
+def test_event_transitions_probs(spark, sf_dir):
+    from kafka_streams_spark.operators.analytics import event_transitions
+
+    rows = event_transitions(spark, sf_dir).collect()
+    assert rows, "testdata has multi-event users"
+    from collections import defaultdict
+
+    by_src = defaultdict(float)
+    for r in rows:
+        assert r["prob"] > 0
+        by_src[r["event_type"]] += r["prob"]
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 1e-12, src
+
+
+def test_event_transitions_crafted_sequence(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # Model check on a crafted frame via the same lead-window shape:
+    # user 1: a->b->a ; user 2: a->b  ==> a->b twice, b->a once.
+    e = spark.createDataFrame(
+        [(1, 1, 10, "a"), (2, 1, 20, "b"), (3, 1, 30, "a"), (4, 2, 5, "a"), (5, 2, 6, "b")],
+        "event_id bigint, user_id bigint, ts bigint, event_type string",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    got = {
+        (r["event_type"], r["nxt"]): r["n"]
+        for r in seq.groupBy("event_type", "nxt").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_rfm_scores_shape(spark, sf_dir):
+    from kafka_streams_spark.operators.analytics import rfm_scores
+
+    rows = rfm_scores(spark, sf_dir).collect()
+    users = [r["user_id"] for r in rows]
+    assert len(users) == len(set(users))
+    for col in ("r_score", "f_score", "m_score"):
+        vals = [r[col] for r in rows]
+        assert set(vals) <= {1, 2, 3, 4, 5}
+        # ntile: bucket sizes differ by at most 1
+        from collections import Counter
+
+        sizes = Counter(vals).values()
+        assert max(sizes) - min(sizes) <= 1
+    # monotone: sorting by the metric never decreases the score
+    by_freq = sorted(rows, key=lambda r: (r["frequency"], r["user_id"]))
+    scores = [r["f_score"] for r in by_freq]
+    assert scores == sorted(scores)
