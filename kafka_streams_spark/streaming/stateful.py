@@ -297,3 +297,77 @@ def running_balances_stateful(merged: DataFrame) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+TRANSITION_STATE_SCHEMA = StructType([StructField("last_type", StringType())])
+TRANSITION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("next_event_type", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def transition_counts_stateful(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch
+    :func:`~kafka_streams_spark.operators.analytics.event_transitions`
+    Markov matrix: per-user transition-count DELTAS per micro-batch,
+    with each user's LAST event type carried as keyed state so the
+    boundary transition between two micro-batches is counted exactly
+    once — the cross-batch edge a stateless per-batch lead() would drop.
+
+    Within a batch, a user's events order by (ts, event_id) — the same
+    deterministic sequence as the batch operator — and fold left from
+    the stored last type. The emitted rows are additive deltas (the CMS
+    changelog pattern, `streaming/sketch_stream.py`): the global matrix
+    is `SUM(n) GROUP BY (event_type, next_event_type)` over the sink
+    table, so replayed batches stay idempotent under the router's
+    partition-overwrite discipline rather than by double-counting state.
+
+    State is one string per user (bounded by |users|, not history);
+    at 10⁹ users swap to the transformWithState TTL form exactly like
+    :func:`running_balances_ttl`.
+
+    Input columns: (user_id long, event_id long, ts long/timestamp,
+    event_type string). The closure is self-contained (workers can't
+    import this package).
+    """
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        chunks = [pdf for pdf in pdfs]
+        rows = _pd.concat(chunks) if chunks else _pd.DataFrame()
+        pairs: dict[tuple, int] = {}
+        cur = state.get[0] if state.exists else None
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+            for t in rows["event_type"]:
+                if cur is not None:
+                    pairs[(cur, t)] = pairs.get((cur, t), 0) + 1
+                cur = t
+        if cur is not None:
+            state.update((cur,))
+        if pairs:
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(pairs),
+                    "event_type": [p for p, _ in pairs],
+                    "next_event_type": [n for _, n in pairs],
+                    "n": list(pairs.values()),
+                }
+            )
+
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=TRANSITION_OUTPUT_SCHEMA,
+            stateStructType=TRANSITION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -284,3 +284,58 @@ def test_dedup_stream_vs_corpus(spark, tmp_path):
         assert len(got) == 2 and got[0] in (2, 3) and got[1] == 4
     finally:
         q.stop()
+
+
+def test_transition_counts_stateful_cross_batch(spark, tmp_path):
+    """Two micro-batches; the batch-boundary transition (last event of
+    batch 1 → first event of batch 2, per user) must be counted exactly
+    once via the keyed state, and the summed deltas must equal the batch
+    Markov matrix over the concatenated sequence."""
+    from kafka_streams_spark.streaming.stateful import transition_counts_stateful
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    # user 1: a b | a  => a->b, b->a ; user 2: a | b => a->b
+    _write_jsonl(
+        os.path.join(src, "b1.json"),
+        [
+            {"user_id": 1, "event_id": 1, "ts": 10, "event_type": "a"},
+            {"user_id": 1, "event_id": 2, "ts": 20, "event_type": "b"},
+            {"user_id": 2, "event_id": 3, "ts": 10, "event_type": "a"},
+        ],
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        transition_counts_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("trans_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_jsonl(
+            os.path.join(src, "b2.json"),
+            [
+                {"user_id": 1, "event_id": 4, "ts": 30, "event_type": "a"},
+                {"user_id": 2, "event_id": 5, "ts": 20, "event_type": "b"},
+            ],
+        )
+        q.processAllAvailable()
+        rows = spark.table("trans_counts").collect()
+        from collections import defaultdict
+
+        matrix = defaultdict(int)
+        for r in rows:
+            matrix[(r["event_type"], r["next_event_type"])] += r["n"]
+        assert dict(matrix) == {("a", "b"): 2, ("b", "a"): 1}
+    finally:
+        q.stop()
