@@ -987,6 +987,20 @@ def _q_dedup_spans(spark, sf_dir):
     return dedup_substring_remove(_docs(spark, sf_dir), k=5)
 
 
+def _q_language_confusion(spark, sf_dir):
+    """Declared `lang` column × stopword-LID guess contingency table."""
+    from kafka_streams_spark.operators.text import language_confusion
+
+    return language_confusion(_docs(spark, sf_dir))
+
+
+def _q_shard_skew(spark, sf_dir):
+    """Per-source shard-balance report over the token-budget packing."""
+    from kafka_streams_spark.operators.sampling import shard_skew_report
+
+    return shard_skew_report(_docs(spark, sf_dir), budget=4000)
+
+
 def _q_emb_kcenter(spark, sf_dir):
     """Greedy k-center coreset (k=8) over the embeddings — rows-only:
     the sequential argmax loop is not single-query SQL (IVF-KMeans
@@ -1111,6 +1125,8 @@ _ROUND5_QUEUE = [
     "dedup_spans",
     "event_transitions",
     "rfm_scores",
+    "language_confusion",
+    "shard_skew_report",
     "emb_kcenter",
 ]
 
@@ -1337,6 +1353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": _q_dedup_spans,
         "event_transitions": A.event_transitions,
         "rfm_scores": A.rfm_scores,
+        "language_confusion": _q_language_confusion,
+        "shard_skew_report": _q_shard_skew,
         "emb_kcenter": _q_emb_kcenter,  # rows-only: iterative argmax loop
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).

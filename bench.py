@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "dedup_spans",
     "event_transitions",
     "rfm_scores",
+    "language_confusion",
+    "shard_skew_report",
     "emb_kcenter",
 ]
 

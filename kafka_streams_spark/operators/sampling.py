@@ -528,3 +528,44 @@ def token_budget_mix(
         .filter(uniform_unit(id_col) < F.col("_keep_rate"))
         .drop("_keep_rate")
     )
+
+
+def shard_skew_report(
+    docs: DataFrame,
+    budget: int = 4000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Shard-balance audit over :func:`pack_token_shards`: per stratum,
+    how many shards the packing produced and how skewed their token
+    loads are (min/max/total, all exact integers). The number every
+    training-infra review asks for before a run — a max/min ratio far
+    from 1 means stragglers: some data-loader workers finish their
+    shards early and idle while the fat shard trails the epoch.
+
+    The packing guarantees every shard except the LAST per stratum
+    holds ≥ budget tokens (greedy contiguous fill) and any shard
+    overshoots by at most one document — so skew here is bounded by
+    (budget + max_doc_tokens) / budget, and the report verifies that
+    bound held on real data.
+
+    Same cost as the packing itself (one stratum-key shuffle + running
+    sum) plus two tiny aggregates: shard loads (≤ |shards| rows
+    map-side), then the per-stratum rollup.
+
+    Output: (stratum, n_shards bigint, min_shard_tokens bigint,
+    max_shard_tokens bigint, total_tokens bigint).
+    """
+    packed = pack_token_shards(
+        docs, budget=budget, id_col=id_col, text_col=text_col, stratum_col=stratum_col
+    )
+    loads = packed.groupBy(stratum_col, "shard_id").agg(
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens")
+    )
+    return loads.groupBy(stratum_col).agg(
+        F.count("*").cast("bigint").alias("n_shards"),
+        F.min("shard_tokens").alias("min_shard_tokens"),
+        F.max("shard_tokens").alias("max_shard_tokens"),
+        F.sum("shard_tokens").cast("bigint").alias("total_tokens"),
+    )

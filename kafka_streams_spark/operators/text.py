@@ -1811,3 +1811,50 @@ def corpus_overlap(
             F.col("n_shared").cast("double") / union
         ),
     )
+
+
+def language_confusion(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Declared-vs-predicted language confusion matrix: cross-tabulate
+    the corpus's ``lang`` metadata column against :func:`language_id`'s
+    stopword-heuristic guess. Off-diagonal mass is either mislabeled
+    metadata or LID failure — the first audit before trusting either
+    side for per-language sampling/filtering decisions (`ccnet_buckets`,
+    `token_budget_mix` keyed on lang are only as good as this matrix).
+
+    The LID scores are pure per-row expressions, so the whole matrix is
+    one scan + one tiny aggregate exchange (≤ |langs|² + und rows);
+    `share_of_declared` normalizes per declared language via a window
+    over the grouped result, not a second scan.
+
+    Output: (lang, lang_guess, n_docs bigint, share_of_declared double).
+    """
+    from pyspark.sql import Window
+
+    # language_id projects (id, lang_guess) and a re-join on id would
+    # cost a shuffle; the guess is a pure expression, so carry the
+    # declared column through the SAME scan instead. The expression is
+    # language_id's verbatim (equality pinned in tests).
+    t = F.col(text_col)
+    toks = F.array_distinct(tokens(t))
+    hit_cols = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in STOPWORDS.items()
+    }
+    langs = list(STOPWORDS)
+    best = F.greatest(*hit_cols.values())
+    guess = F.lit("und")
+    for lang in reversed(langs):
+        guess = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(guess)
+    guess = F.when(best == 0, F.lit("und")).otherwise(guess)
+    counts = (
+        docs.select(F.col(lang_col).alias("lang"), guess.alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    total = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return counts.withColumn(
+        "share_of_declared", F.col("n_docs").cast("double") / total.cast("double")
+    )

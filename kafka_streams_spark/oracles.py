@@ -2488,6 +2488,51 @@ DEDUP_ORACLES["contamination_report"] = f"""
     GROUP BY expl.doc_id
 """
 
+# Declared-vs-guessed language confusion matrix: the language_id guess
+# expression verbatim, cross-tabbed against the lang metadata column.
+TEXT_ORACLES["language_confusion"] = f"""
+    WITH t AS (SELECT lang, list_distinct({_TOKS}) AS toks FROM documents),
+    h AS (
+        SELECT lang,
+               {", ".join(
+                   f"CAST(len(list_intersect(toks, {_sql_list(ws)})) AS INTEGER) AS hits_{lang}"
+                   for lang, ws in STOPWORDS.items()
+               )}
+        FROM t
+    ),
+    g AS (
+        SELECT lang,
+               CASE WHEN greatest({", ".join(f"hits_{lang}" for lang in STOPWORDS)}) = 0 THEN 'und'
+                    {" ".join(
+                        f"WHEN hits_{lang} = greatest({', '.join(f'hits_{x}' for x in STOPWORDS)}) THEN '{lang}'"
+                        for lang in STOPWORDS
+                    )}
+               END AS lang_guess
+        FROM h
+    ),
+    c AS (SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n_docs
+          FROM g GROUP BY 1, 2)
+    SELECT lang, lang_guess, n_docs,
+           CAST(n_docs AS DOUBLE)
+               / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE)
+               AS share_of_declared
+    FROM c
+"""
+
+SAMPLING_ORACLES["shard_skew_report"] = f"""
+    WITH packed AS ({SAMPLING_ORACLES["pack_token_shards"]}),
+    loads AS (
+        SELECT source, shard_id, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+        FROM packed GROUP BY source, shard_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_shards,
+           CAST(min(shard_tokens) AS BIGINT) AS min_shard_tokens,
+           CAST(max(shard_tokens) AS BIGINT) AS max_shard_tokens,
+           CAST(sum(shard_tokens) AS BIGINT) AS total_tokens
+    FROM loads GROUP BY source
+"""
+
 ANALYTICS_ORACLES["event_transitions"] = """
     WITH seq AS (
         SELECT event_type,

@@ -268,3 +268,70 @@ def test_dedup_substring_remove_short_docs_pass_through(spark):
     out = {r["doc_id"]: r for r in dedup_substring_remove(docs, k=5).collect()}
     assert out[1]["n_tokens_removed"] == 0 and out[2]["n_tokens_removed"] == 0
     assert out[2]["text_clean"] == "a b c"
+
+
+# ---------------------------------------------------------------------------
+# language_confusion / shard_skew_report
+# ---------------------------------------------------------------------------
+
+
+def test_language_confusion_matches_language_id(spark, sf_dir):
+    """The fused single-scan guess expression must equal language_id's
+    output exactly (same argmax, tiebreak, und rule)."""
+    from kafka_streams_spark.operators.text import language_confusion, language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    via_op = (
+        language_id(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "lang_guess")
+        .count()
+    )
+    expect = {(r["lang"], r["lang_guess"]): r["count"] for r in via_op.collect()}
+    got = {
+        (r["lang"], r["lang_guess"]): r["n_docs"]
+        for r in language_confusion(docs).collect()
+    }
+    assert got == expect
+    # per-declared-language shares sum to 1
+    from collections import defaultdict
+
+    shares = defaultdict(float)
+    for r in language_confusion(docs).collect():
+        shares[r["lang"]] += r["share_of_declared"]
+    for lang, s in shares.items():
+        assert abs(s - 1.0) < 1e-12, lang
+
+
+def test_shard_skew_report_bounds(spark, sf_dir):
+    """Every shard except the last per stratum must hold >= budget
+    tokens (greedy contiguous fill); totals must equal the corpus."""
+    from kafka_streams_spark.operators.sampling import (
+        pack_token_shards,
+        shard_skew_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 4000
+    report = {r["source"]: r for r in shard_skew_report(docs, budget=budget).collect()}
+    packed = pack_token_shards(docs, budget=budget)
+    loads = {
+        (r["source"], r["shard_id"]): r["tok"]
+        for r in packed.groupBy("source", "shard_id")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    from collections import defaultdict
+
+    last_shard = defaultdict(int)
+    for (src, sid), _ in loads.items():
+        last_shard[src] = max(last_shard[src], sid)
+    for (src, sid), tok in loads.items():
+        if sid < last_shard[src]:
+            assert tok >= budget, (src, sid, tok)
+    for src, r in report.items():
+        per_src = [t for (s, _), t in loads.items() if s == src]
+        assert r["n_shards"] == len(per_src)
+        assert r["total_tokens"] == sum(per_src)
+        assert r["min_shard_tokens"] == min(per_src)
+        assert r["max_shard_tokens"] == max(per_src)
