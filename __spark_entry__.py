@@ -1001,6 +1001,15 @@ def _q_shard_skew(spark, sf_dir):
     return shard_skew_report(_docs(spark, sf_dir), budget=4000)
 
 
+def _q_lsh_bucket_stats(spark, sf_dir):
+    """Bucket-occupancy / candidate-pair-count audit of the banded LSH
+    at the emb_near_dup_lsh contract's exact knobs (6 planes × 8
+    tables, seed 42)."""
+    from kafka_streams_spark.operators.similarity import lsh_bucket_stats
+
+    return lsh_bucket_stats(_embs(spark, sf_dir))
+
+
 def _q_emb_kcenter(spark, sf_dir):
     """Greedy k-center coreset (k=8) over the embeddings — rows-only:
     the sequential argmax loop is not single-query SQL (IVF-KMeans
@@ -1127,6 +1136,7 @@ _ROUND5_QUEUE = [
     "rfm_scores",
     "language_confusion",
     "shard_skew_report",
+    "lsh_bucket_stats",
     "emb_kcenter",
 ]
 
@@ -1355,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_scores": A.rfm_scores,
         "language_confusion": _q_language_confusion,
         "shard_skew_report": _q_shard_skew,
+        "lsh_bucket_stats": _q_lsh_bucket_stats,
         "emb_kcenter": _q_emb_kcenter,  # rows-only: iterative argmax loop
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).

@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "rfm_scores",
     "language_confusion",
     "shard_skew_report",
+    "lsh_bucket_stats",
     "emb_kcenter",
 ]
 

@@ -1138,3 +1138,47 @@ def kcenter_select(
     return spark.createDataFrame(
         picked, schema=f"rank int, {id_col} bigint, center_dist double"
     )
+
+
+def lsh_bucket_stats(
+    embeddings: DataFrame,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucket-occupancy audit for the banded hyperplane LSH — the
+    tuning instrument for :func:`embedding_near_duplicates`' knobs:
+    per table, how many buckets are occupied, the largest bucket, and
+    the EXACT candidate-pair count Σ n·(n−1)/2 the bucket equi-join
+    will emit. Run this narrow pass before the pair join on a new
+    corpus: candidate pairs scale the join's output, so this one
+    aggregate predicts the expensive stage's cost, and a max_bucket
+    blowing up says "grow n_planes" before the cluster finds out the
+    hard way (the same pre-flight role `minhash_jaccard_estimate`
+    plays for the MinHash banding).
+
+    One Arrow signature pass (the same `_banded_signatures_arrow`
+    matmul as the pair operator, so the audit measures the REAL
+    buckets), one (table, bucket) aggregate that collapses map-side,
+    then a per-table rollup of ≤ n_tables·2^n_planes rows. All counts
+    are exact integers — the DuckDB oracle recomputes the sign-bit
+    buckets from the same literal seed-42 planes.
+
+    Output: (lsh_table int, n_buckets bigint, max_bucket bigint,
+    n_candidate_pairs bigint).
+    """
+    planes_per_table = [
+        random_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    sigs = _banded_signatures_arrow(planes_per_table)(F.col(vec_col))
+    keys = embeddings.select(
+        F.posexplode(sigs).alias("lsh_table", "_bucket")
+    )
+    occ = keys.groupBy("lsh_table", "_bucket").agg(F.count("*").alias("n"))
+    return occ.groupBy("lsh_table").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.max("n").cast("bigint").alias("max_bucket"),
+        F.sum(F.expr("n * (n - 1) div 2")).cast("bigint").alias("n_candidate_pairs"),
+    )

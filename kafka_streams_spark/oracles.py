@@ -2488,6 +2488,29 @@ DEDUP_ORACLES["contamination_report"] = f"""
     GROUP BY expl.doc_id
 """
 
+# LSH bucket-occupancy audit: sign-bit buckets from the same literal
+# seed-42 planes as emb_near_dup_lsh; tables unpivot via UNION ALL.
+SIMILARITY_ORACLES["lsh_bucket_stats"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sig AS (
+        SELECT vec_id,
+               {_lsh_bucket_sql(6, 8, 64)}
+        FROM e
+    ),
+    k AS (
+        {" UNION ALL ".join(
+            f"SELECT CAST({t} AS INTEGER) AS lsh_table, t{t} AS bucket FROM sig"
+            for t in range(8)
+        )}
+    ),
+    occ AS (SELECT lsh_table, bucket, count(*) AS n FROM k GROUP BY 1, 2)
+    SELECT lsh_table,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(n) AS BIGINT) AS max_bucket,
+           CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_candidate_pairs
+    FROM occ GROUP BY lsh_table
+"""
+
 # Declared-vs-guessed language confusion matrix: the language_id guess
 # expression verbatim, cross-tabbed against the lang metadata column.
 TEXT_ORACLES["language_confusion"] = f"""

@@ -335,3 +335,32 @@ def test_shard_skew_report_bounds(spark, sf_dir):
         assert r["total_tokens"] == sum(per_src)
         assert r["min_shard_tokens"] == min(per_src)
         assert r["max_shard_tokens"] == max(per_src)
+
+
+def test_lsh_bucket_stats_pair_math(spark, sf_dir):
+    """The per-table candidate-pair count must equal the Python model
+    Σ n·(n−1)/2 over the REAL bucket occupancies (same signature UDF)."""
+    from collections import Counter, defaultdict
+
+    from kafka_streams_spark.operators.similarity import (
+        _banded_signatures_arrow,
+        lsh_bucket_stats,
+        random_hyperplanes,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    planes = [random_hyperplanes(64, 6, 42 + 1000 * t) for t in range(8)]
+    keys = embs.select(
+        F.posexplode(_banded_signatures_arrow(planes)(F.col("embedding"))).alias(
+            "t", "b"
+        )
+    ).collect()
+    occ = defaultdict(Counter)
+    for r in keys:
+        occ[r["t"]][r["b"]] += 1
+    got = {r["lsh_table"]: r for r in lsh_bucket_stats(embs).collect()}
+    assert set(got) == set(occ)
+    for t, c in occ.items():
+        assert got[t]["n_buckets"] == len(c)
+        assert got[t]["max_bucket"] == max(c.values())
+        assert got[t]["n_candidate_pairs"] == sum(n * (n - 1) // 2 for n in c.values())
