@@ -34,6 +34,7 @@ MODULES = [
     "kafka_streams_spark.sources.bucketed",
     "kafka_streams_spark.sources.branched",
     "kafka_streams_spark.sources.kafka",
+    "kafka_streams_spark.sources.jsonl",
     "kafka_streams_spark.streaming.router",
     "kafka_streams_spark.streaming.stateful",
     "kafka_streams_spark.streaming.ingest",
