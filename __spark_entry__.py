@@ -1001,6 +1001,17 @@ def _q_shard_skew(spark, sf_dir):
     return shard_skew_report(_docs(spark, sf_dir), budget=4000)
 
 
+def _q_media_dedup(spark, sf_dir):
+    """Exact media dedup over the deterministic fixture with injected
+    duplicate payloads (200 media, 120 distinct payloads)."""
+    from kafka_streams_spark.operators.multimodal import (
+        dedup_media_exact,
+        synthesize_media,
+    )
+
+    return dedup_media_exact(synthesize_media(spark, 200, distinct_payloads=120))
+
+
 def _q_lsh_bucket_stats(spark, sf_dir):
     """Bucket-occupancy / candidate-pair-count audit of the banded LSH
     at the emb_near_dup_lsh contract's exact knobs (6 planes × 8
@@ -1137,6 +1148,7 @@ _ROUND5_QUEUE = [
     "language_confusion",
     "shard_skew_report",
     "lsh_bucket_stats",
+    "media_dedup",
     "emb_kcenter",
 ]
 
@@ -1366,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_confusion": _q_language_confusion,
         "shard_skew_report": _q_shard_skew,
         "lsh_bucket_stats": _q_lsh_bucket_stats,
+        "media_dedup": _q_media_dedup,
         "emb_kcenter": _q_emb_kcenter,  # rows-only: iterative argmax loop
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).

@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "language_confusion",
     "shard_skew_report",
     "lsh_bucket_stats",
+    "media_dedup",
     "emb_kcenter",
 ]
 

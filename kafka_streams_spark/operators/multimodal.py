@@ -275,17 +275,26 @@ def resize_images(media: DataFrame, max_dim: int = 256, codec: str = "fake") -> 
     )
 
 
-def synthesize_media(spark, n: int = 100) -> DataFrame:
+def synthesize_media(spark, n: int = 100, distinct_payloads: int | None = None) -> DataFrame:
     """Deterministic fake media table for tests: payload bytes derived
-    from media_id. Built distributed (spark.range), not driver-side."""
+    from media_id. Built distributed (spark.range), not driver-side.
+
+    ``distinct_payloads=K`` keys the payload on ``media_id % K`` instead
+    of the id itself, so the table contains exact duplicate payloads
+    (n − K of them) — the fixture for :func:`dedup_media_exact`."""
     # Partition count tracks the data, not the cluster: each partition
     # spawns a Python worker in the mapInPandas consumer, and 32 workers
     # for 200 rows is all spawn cost. Real media tables size partitions
     # by bytes (maxPartitionBytes), not row counts.
     slices = max(1, min(spark.sparkContext.defaultParallelism, n // 32))
     df = spark.range(0, n, 1, slices).withColumnRenamed("id", "media_id")
+    key = F.col("media_id")
+    if distinct_payloads is not None:
+        if distinct_payloads < 1:
+            raise ValueError("distinct_payloads must be >= 1")
+        key = key % distinct_payloads
     payload = F.encode(
-        F.concat(F.lit("media-payload-"), F.sha2(F.col("media_id").cast("string"), 256)),
+        F.concat(F.lit("media-payload-"), F.sha2(key.cast("string"), 256)),
         "utf-8",
     )
     return df.select(
@@ -296,4 +305,33 @@ def synthesize_media(spark, n: int = 100) -> DataFrame:
         F.lit(-1).cast("int").alias("width"),
         F.lit(-1).cast("int").alias("height"),
         F.lit(0).cast("long").alias("duration_ms"),
+    )
+
+
+def dedup_media_exact(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Exact media deduplication by payload digest — byte-identical
+    images/audio re-crawled under different ids collapse to one
+    surviving row (min-id winner) with a copy count. The multimodal
+    face of :func:`~kafka_streams_spark.operators.dedup.dedup_exact`:
+    at corpus scale the md5 computes as a map-side projection at the
+    scan, so only (digest, id) pairs — never the multi-MB payloads —
+    enter the shuffle (the same bytes-stay-put discipline as
+    `extract_image_features` dropping the payload from its output).
+
+    Near-dup (perceptually-similar) media is the feature path instead:
+    `extract_image_features` → `feature_hex`/embedding → the
+    similarity family; this operator is the exact gate that runs first
+    and is the cheapest 90% of media dedup in practice.
+
+    Output: (payload_md5, id — minimum id holding these bytes,
+    n_copies bigint).
+    """
+    h = media.select(
+        F.col(id_col), F.md5(F.col(payload_col)).alias("payload_md5")
+    )
+    return h.groupBy("payload_md5").agg(
+        F.min(id_col).alias(id_col),
+        F.count("*").cast("bigint").alias("n_copies"),
     )

@@ -2488,6 +2488,20 @@ DEDUP_ORACLES["contamination_report"] = f"""
     GROUP BY expl.doc_id
 """
 
+# Exact media dedup over the synthesized fixture: payload string keyed
+# on media_id % 120 (the duplicate-injecting fixture), min-id winner.
+MULTIMODAL_ORACLES["media_dedup"] = """
+    WITH m AS (
+        SELECT range AS media_id,
+               'media-payload-' || sha256(CAST(range % 120 AS VARCHAR)) AS s
+        FROM range(200)
+    )
+    SELECT md5(s) AS payload_md5,
+           CAST(min(media_id) AS BIGINT) AS media_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM m GROUP BY md5(s)
+"""
+
 # LSH bucket-occupancy audit: sign-bit buckets from the same literal
 # seed-42 planes as emb_near_dup_lsh; tables unpivot via UNION ALL.
 SIMILARITY_ORACLES["lsh_bucket_stats"] = f"""

@@ -364,3 +364,32 @@ def test_lsh_bucket_stats_pair_math(spark, sf_dir):
         assert got[t]["n_buckets"] == len(c)
         assert got[t]["max_bucket"] == max(c.values())
         assert got[t]["n_candidate_pairs"] == sum(n * (n - 1) // 2 for n in c.values())
+
+
+def test_dedup_media_exact(spark):
+    from kafka_streams_spark.operators.multimodal import (
+        dedup_media_exact,
+        synthesize_media,
+    )
+
+    out = dedup_media_exact(synthesize_media(spark, 50, distinct_payloads=20)).collect()
+    assert len(out) == 20
+    # min-id winner: ids 0..19 survive; copies 3 for key<10, 2 for >=10 (50 = 2*20+10)
+    assert {r["media_id"] for r in out} == set(range(20))
+    copies = {r["media_id"]: r["n_copies"] for r in out}
+    for k in range(20):
+        assert copies[k] == (3 if k < 10 else 2)
+    assert sum(copies.values()) == 50
+
+
+def test_synthesize_media_distinct_payloads_validation(spark):
+    import pytest
+
+    from kafka_streams_spark.operators.multimodal import synthesize_media
+
+    with pytest.raises(ValueError):
+        synthesize_media(spark, 10, distinct_payloads=0)
+    # default (no dup injection): all payloads distinct
+    from kafka_streams_spark.operators.multimodal import dedup_media_exact
+
+    assert dedup_media_exact(synthesize_media(spark, 30)).count() == 30
