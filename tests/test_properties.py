@@ -466,3 +466,37 @@ def test_dedup_spans_matches_python_model(texts):
         for r in dedup_substring_remove(df, k=k).collect()
     }
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.text(alphabet="pq ", min_size=1, max_size=24), min_size=1, max_size=4),
+    st.lists(st.text(alphabet="qr ", min_size=1, max_size=24), min_size=1, max_size=4),
+)
+def test_contamination_report_matches_set_model(train_texts, bench_texts):
+    """contamination_report(n=2) == Python model: per bench item, the
+    share of its distinct 2-grams present in the train gram set."""
+    from kafka_streams_spark.operators.pipelines import contamination_report
+
+    spark = _spark()
+    train = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(train_texts)], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bench_texts)], ["doc_id", "text"]
+    )
+
+    def grams(t):
+        toks = t.lower().split()
+        if len(toks) <= 2:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    tset = {g for t in train_texts for g in grams(t)}
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_leaked"])
+        for r in contamination_report(train, bench, n=2).collect()
+    }
+    for i, t in enumerate(bench_texts):
+        s = grams(t)
+        assert got[i] == (len(s), sum(1 for g in s if g in tset)), (i, t)

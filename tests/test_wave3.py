@@ -393,3 +393,38 @@ def test_synthesize_media_distinct_payloads_validation(spark):
     from kafka_streams_spark.operators.multimodal import dedup_media_exact
 
     assert dedup_media_exact(synthesize_media(spark, 30)).count() == 30
+
+
+def test_event_transitions_full_model(spark, sf_dir):
+    """Full matrix equality against a pandas model over the real
+    events table (order = (epoch-nanos, event_id), per user)."""
+    from collections import defaultdict
+
+    from kafka_streams_spark.operators.analytics import event_transitions
+
+    e = load_table(spark, sf_dir, "events")
+    rows = e.select("user_id", "event_id", "ts", "event_type").collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    counts = defaultdict(int)
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+    got = {
+        (r["event_type"], r["next_event_type"]): r["n_transitions"]
+        for r in event_transitions(spark, sf_dir).collect()
+    }
+    assert got == dict(counts)
+
+
+def test_dedup_spans_whitespace_normalization(spark):
+    """Reassembly is SPACE-joined tokens: multi-space and tab runs in
+    the input collapse (documented operator contract)."""
+    from kafka_streams_spark.operators.dedup import dedup_substring_remove
+
+    docs = _docs(spark, [(1, "a  b\tc   d e")])
+    out = dedup_substring_remove(docs, k=3).collect()[0]
+    assert out["text_clean"] == "a b c d e"
+    assert out["n_tokens"] == 5 and out["n_tokens_removed"] == 0
