@@ -143,3 +143,96 @@ def materialize_shared(df: DataFrame) -> DataFrame:
     if os.environ.get("SPARK_GRAFT_NO_CKPT") == "1":
         return df
     return df.localCheckpoint(eager=False)
+
+
+def exact_global_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    rank_col: str = "rank",
+    buckets: int = 256,
+) -> DataFrame:
+    """EXACT 1-based global rank by ``(value_col, tiebreak_col)``
+    ascending — without the single-partition sort that
+    ``Window.orderBy(...)`` (no partition key) plans. That window moves
+    EVERY row to one task; at 10⁸–10⁹ rows it is the canonical
+    local-mode-hides-it scale-killer (round-4 verdict on `rfm_scores`).
+
+    Shape (the distributed sort-rank decomposition):
+    1. ``percentile_approx`` thresholds — a 1-row aggregate, broadcast.
+       Approximation placement only affects partition BALANCE, never the
+       rank: bucket assignment is monotone in ``value_col`` (count of
+       thresholds strictly below the value), so bucket b's rows all
+       precede bucket b+1's in the global order, whatever the
+       thresholds are.
+    2. Per-bucket row counts → cumulative offsets. The cumulative window
+       is over ≤ ``buckets`` rows — bounded, the engine's documented
+       exemption for unpartitioned windows.
+    3. rank = bucket offset + local ``row_number`` over a window
+       PARTITIONED by bucket — parallel across ``buckets`` tasks.
+
+    Degenerate case: a (near-)constant ``value_col`` collapses every row
+    into one bucket and the local window re-creates the single-partition
+    sort — rank needs a total order, so salting cannot apply. Real
+    ranking dimensions are non-constant; pick ``buckets`` ≳ cluster
+    cores so balance survives moderate repetition.
+
+    ``value_col`` must be non-null numeric; (value, tiebreak) pairs must
+    be distinct for the rank to be total (tiebreak is typically the
+    primary key).
+    """
+    from pyspark.sql import Window
+
+    probs = [i / buckets for i in range(1, buckets)]
+    th = df.agg(
+        F.percentile_approx(value_col, probs, 10_000).alias("_th")
+    )
+    b = (
+        df.crossJoin(F.broadcast(th))
+        .withColumn(
+            "_bkt",
+            F.aggregate(
+                "_th",
+                F.lit(0),
+                lambda acc, t: acc
+                + F.when(F.col(value_col) > t, 1).otherwise(0),
+            ),
+        )
+        .drop("_th")
+    )
+    counts = b.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
+    cum = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "_bkt", F.coalesce(F.sum("_cnt").over(cum), F.lit(0)).alias("_off")
+    )
+    local = Window.partitionBy("_bkt").orderBy(value_col, tiebreak_col)
+    return (
+        b.join(F.broadcast(offs), "_bkt")
+        .withColumn(
+            rank_col,
+            (F.col("_off") + F.row_number().over(local)).cast("bigint"),
+        )
+        .drop("_bkt", "_off")
+    )
+
+
+def ntile_from_rank(rank: Column, n: Column, tiles: int) -> Column:
+    """SQL ``ntile(tiles)`` bucket from an exact 1-based rank and the
+    total row count — bit-identical to the window function: the first
+    ``n mod tiles`` buckets take ``n div tiles + 1`` rows, the rest
+    ``n div tiles``. Lets :func:`exact_global_rank` replace an
+    unpartitioned ``ntile`` window without changing a single output
+    value. Float division is exact here for any n < 2^53.
+    """
+    q = F.floor(n / tiles).cast("bigint")  # base bucket size
+    m = (n % tiles).cast("bigint")  # buckets holding q+1 rows
+    big = q + F.lit(1)
+    in_big = rank <= big * m
+    # greatest(q, 1): the otherwise-branch is only reachable when q > 0,
+    # but keep the denominator nonzero so ANSI mode can never trip.
+    q_safe = F.greatest(q, F.lit(1))
+    return (
+        F.when(in_big, F.ceil(rank / big))
+        .otherwise(m + F.ceil((rank - big * m) / q_safe))
+        .cast("int")
+    )

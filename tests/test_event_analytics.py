@@ -151,3 +151,96 @@ def test_rfm_scores_shape(spark, sf_dir):
     by_freq = sorted(rows, key=lambda r: (r["frequency"], r["user_id"]))
     scores = [r["f_score"] for r in by_freq]
     assert scores == sorted(scores)
+
+
+def test_rfm_scores_no_global_sort_window(spark, sf_dir):
+    """Round-4 verdict "What's wrong #2": no literal ntile windows (each
+    one plans a single-partition sort of |users| rows). The rank windows
+    must be partitioned by the quantile bucket."""
+    from kafka_streams_spark.operators.analytics import rfm_scores
+    from kafka_streams_spark.plans.audit import audit
+
+    a = audit(rfm_scores(spark, sf_dir))
+    assert "ntile(" not in a.plan, a.plan
+    assert "hashpartitioning(_bkt" in a.plan, a.plan
+
+
+def test_rfm_scores_matches_exact_ntile_twin(spark, sf_dir):
+    """exact_global_rank + ntile_from_rank must be bit-identical to the
+    SQL ntile(5) OVER (ORDER BY dim, user_id) the oracle runs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.operators.analytics import _cents, rfm_scores
+    from kafka_streams_spark.sources.testdata import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.max("ts").cast("bigint").alias("recency_ns"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(_cents("value")).cast("bigint").alias("monetary_cents"),
+    )
+    twin = (
+        pu.withColumn(
+            "r_score", F.ntile(5).over(Window.orderBy("recency_ns", "user_id"))
+        )
+        .withColumn(
+            "f_score", F.ntile(5).over(Window.orderBy("frequency", "user_id"))
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(Window.orderBy("monetary_cents", "user_id")),
+        )
+    )
+    got = [r.asDict() for r in rfm_scores(spark, sf_dir).orderBy("user_id").collect()]
+    want = [r.asDict() for r in twin.orderBy("user_id").collect()]
+    assert got == want
+
+
+def test_exact_global_rank_model(spark):
+    """Rank over a crafted frame == sorted-order position, including
+    value ties broken by the tiebreak column and a constant column
+    (single-bucket degenerate case)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.functions.partitioning import exact_global_rank
+
+    rows = [(i, v) for i, v in enumerate([5, 3, 3, 9, 1, 3, 5, 0])]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    got = {
+        r["id"]: r["rank"]
+        for r in exact_global_rank(df, "v", "id", "rank", buckets=4).collect()
+    }
+    want = {
+        i: pos + 1
+        for pos, (v, i) in enumerate(sorted((v, i) for i, v in rows))
+    }
+    assert got == want
+    const = spark.createDataFrame([(i, 7) for i in range(10)], "id bigint, v bigint")
+    got_c = {
+        r["id"]: r["rank"]
+        for r in exact_global_rank(const, "v", "id", "rank", buckets=4).collect()
+    }
+    assert got_c == {i: i + 1 for i in range(10)}
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    """ntile_from_rank == the ntile window function for every n in
+    1..23 and tiles in (2, 5, 7) — including n < tiles."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.functions.partitioning import ntile_from_rank
+
+    for tiles in (2, 5, 7):
+        rows = [(n, r) for n in range(1, 24) for r in range(1, n + 1)]
+        df = spark.createDataFrame(rows, "n bigint, r bigint")
+        w = Window.partitionBy("n").orderBy("r")
+        cmp = df.select(
+            "n",
+            "r",
+            ntile_from_rank(F.col("r"), F.col("n"), tiles).alias("got"),
+            F.ntile(tiles).over(w).alias("want"),
+        )
+        bad = cmp.filter(F.col("got") != F.col("want")).collect()
+        assert not bad, (tiles, bad[:5])

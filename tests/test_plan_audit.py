@@ -361,16 +361,30 @@ def test_length_outliers_broadcasts_stats_no_corpus_shuffle(spark, sf_dir):
 
 
 def test_corpus_drift_reads_each_side_once(spark, sf_dir):
-    """The totals must come from the vocab-sized window, NOT a second
-    pass over the corpora: exactly one scan per side. (The naive
-    totals-crossjoin formulation planned 4 scans — no ReusedExchange.)"""
+    """Two pins on the r5 broadcast-totals form (round-4 verdict #2):
+
+    1. NO unpartitioned window — the r4 form computed totals with
+       ``sum(...) over ()`` on the vocabulary table, funnelling every
+       vocab row (10⁸–10⁹ at web scale) through one partition. Only
+       SinglePartition *aggregate* exchanges (map-side reduced to a
+       handful of rows) may remain.
+    2. One scan per side at EXECUTION: the totals branch duplicates the
+       count subtrees statically, but AQE stage reuse must resolve both
+       copies to ReusedExchange in the final adaptive plan — so the
+       corpora are scanned once each at runtime.
+    """
     from kafka_streams_spark.operators.text import corpus_drift
 
     docs = load_table(spark, sf_dir, "documents")
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    a = audit(corpus_drift(docs.filter(bucket < "80"), docs.filter(bucket >= "80")))
-    assert a.num_scans == 2, a.plan
+    df = corpus_drift(docs.filter(bucket < "80"), docs.filter(bucket >= "80"))
+    a = audit(df)
+    assert "Window" not in a.plan, a.plan  # no WindowExec at all
     assert a.has_partial_aggregation, a.plan
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final, final
+    assert final.count("ReusedExchange") >= 2, final
 
 
 def test_fuzzy_incremental_no_cartesian(spark, sf_dir):
