@@ -922,8 +922,8 @@ def _q_dedup_incremental_fuzzy(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# round-5 wave: corpus audits + coreset selection (registered BEHIND the
-# round-4 evidence window — see _ROUND5_QUEUE)
+# round-5 wave: corpus audits + coreset selection (r4-late queue,
+# evidenced at the head of round 5)
 # --------------------------------------------------------------------------
 
 
@@ -1053,71 +1053,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # newest green is still round 1. Re-grouping is cosmetic-free for a
 # driver that checks everything.
 _NEEDS_DRIVER_ROW = [
-    # r03's one RED row, fixed this round (scalar rows + md5_60 oracle)
-    # — pinned to position 1 so no amount of new-query registration can
-    # push it out of the evidence window (verdict item #1).
-    "winnowing_fingerprints",
-    # (0) brand-new this round — no driver evidence exists at all
-    "minhash_jaccard_est",
-    "hashed_bow",
-    "zipf_fit",
-    "token_budget_mix",
-    "split_sentences",
-    "ccnet_buckets",
-    "weighted_jaccard",
-    "knn_text_vec0",
-    "gopher_quality",
-    "c4_clean",
-    "cms_sketch",
-    "cms_estimates",
-    "semdedup",
-    "dedup_incremental_bloom",
-    "dsir_logratio",
-    "bm25_search",
-    "knn_ivf_label_vec0",
-    "containment_pairs",
-    "lm_bigram_score",
-    "dedup_incremental_fuzzy",
-    "reservoir_sample_docs",
-    "corpus_drift",
-    "length_outliers",
-    "assign_splits_docs",
-    "quality_calibrated",
-    "emb_truncate",
-    "curate_increment",
-    "substring_overlap_pairs",
-    "pack_sequences",
-    "normalize_text",
-    "decontaminate_exact",
-    "lm_unigram_score",  # NEW in r04: no driver row yet
-    "dedup_lines",  # NEW in r04: no driver row yet
-    # (b) newest driver green is round 1 — two rounds stale; these MUST
-    # land in the 50-row window ahead of anything r03 re-confirmed
-    "q7_volume_shipping",
-    "q12_ship_delay",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_variety",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q21_waiting_suppliers",
-    "q22_prospect_customers",
-    "funnel_conversions",
-    "cohort_retention",
-    "dsl_balances",  # r01-stale AND events-loader-touched — keep in window
-    # (a) code changed this round (all r03-green, but the contract path
-    # or a shared input changed): contract rewrites first, then the
-    # rounding-touched similarity pair, then the events-loader family.
-    # (winnowing_fingerprints leads the whole list — see position 1.)
-    "dedup_simhash",  # now oracle-checked (Arrow md5_60 signatures)
-    "dedup_minhash_lsh",  # now oracle-checked (md5_32 deterministic banding)
-    "emb_near_dup_lsh",  # now oracle-checked (literal seed-42 planes)
-    "dedup_clusters_lsh",  # now oracle-checked (LSH pairs + recursive CTE)
-    "knn_lsh_vec0",  # now oracle-checked (literal planes + xor probes)
-    "dedup_token_jaccard",  # now auto-dispatched onto the bitset form
-    "knn_batch",  # Arrow rounding now HALF_UP
-    "decontaminate_emb",  # Arrow rounding now HALF_UP
-    "events_hourly",  # loader NTZ→epoch expression changed …
+    # -- round-5 head (round-4 verdict item #1): close the driver-
+    # evidence backlog. Order: (a) the 13 contracts queued behind the
+    # full r04 window (no driver row exists at all), (b) contracts whose
+    # code changed in r4/r5 but whose newest driver row predates the
+    # change, (c) stalest-evidence refresh (newest green is r02).
+    # (a) the r4-late queue — never driver-evidenced
+    "ngram_novelty",
+    "corpus_overlap",
+    "contamination_report",
+    "dedup_cluster_sizes",
+    "gate_agreement",
+    "dedup_spans",
+    "event_transitions",  # r5: unchanged (rfm sibling changed)
+    "rfm_scores",  # r5: scale form (exact_global_rank, no global ntile)
+    "language_confusion",
+    "shard_skew_report",
+    "lsh_bucket_stats",
+    "media_dedup",
+    "emb_kcenter",
+    # (b) code changed after the newest driver row
+    "corpus_drift",  # r5: broadcast totals, unpartitioned window removed
+    "knn_lsh_vec0",  # r4: now oracle-checked (flips r03 no_oracle row)
+    "dedup_token_jaccard",  # r4: bitset auto-dispatch (newest row r02)
+    "knn_batch",  # r4: Arrow rounding HALF_UP (newest row r03)
+    "decontaminate_emb",  # r4: same rounding change
+    "events_hourly",  # r4: events loader NTZ->epoch expression change …
     "events_hopping",
     "sessionize_events",
     "events_attribution",
@@ -1126,41 +1087,8 @@ _NEEDS_DRIVER_ROW = [
     "sql_balances",
     "payments_source",
     "payments_fx_convert",
-]
-
-# Overflow of group (a): filter/branch legs of the payment topology —
-# lowest re-evidence priority (r03-green; the loader change touches only
-# the timestamp expression these projections don't read). They head the
-# post-window order so any driver slack still reaches them first.
-# Queries registered AFTER the round-4 evidence window filled (50/50):
-# they sit behind the window this round by design and move to the HEAD
-# of the round-5 registration order (tools/freshness_lint.py treats
-# names listed here as queued, not starving).
-_ROUND5_QUEUE = [
-    "ngram_novelty",
-    "corpus_overlap",
-    "contamination_report",
-    "dedup_cluster_sizes",
-    "gate_agreement",
-    "dedup_spans",
-    "event_transitions",
-    "rfm_scores",
-    "language_confusion",
-    "shard_skew_report",
-    "lsh_bucket_stats",
-    "media_dedup",
-    "emb_kcenter",
-]
-
-_STALE_EVIDENCE = [
-    "payments_filter_rails",
-    "payments_branch_gbp",
-    "payments_branch_usd",
-    "payments_merged",
-    "payments_rails_foo",
-    "payments_rails_bar",
-    # (c) newest green is round 2 — fill the remaining first-50 slots
-    # before anything round 3 already re-confirmed
+    # (c) newest driver green is round 2 — stalest refresh fills the
+    # remaining window slots
     "q1_pricing_summary",
     "q2_cheapest_supplier",
     "q8_market_share",
@@ -1176,7 +1104,6 @@ _STALE_EVIDENCE = [
     "dedup_token_jaccard_prefix",
     "dedup_ngram_jaccard",
     "dedup_clusters",
-    "dedup_clusters_lsh",
     "emb_near_dup_exact",
     "knn_vec0",
     "doc_stats",
@@ -1185,6 +1112,18 @@ _STALE_EVIDENCE = [
     "fingerprint",
     "top_tokens",
     "doc_length_buckets",
+]
+
+# Contracts registered after this round's evidence window filled: they
+# sit behind the window by design and move to the HEAD of the next
+# round's registration order (tools/freshness_lint.py treats names
+# listed here as queued, not starving; a queued name inside the window
+# is flagged as a stale declaration).
+_NEXT_ROUND_QUEUE: list[str] = []
+
+_STALE_EVIDENCE = [
+    # Post-window order: any driver slack reaches these first.
+    # Remaining r02-stale contracts that did not fit the 50-row window:
     "repetition_stats",
     "pii_scan",
     "tf_idf_top_terms",
@@ -1202,6 +1141,14 @@ _STALE_EVIDENCE = [
     "media_audio_features",
     "media_resize",
     "media_video_frames",
+    # r03-green payment filter/branch legs (loader change does not touch
+    # the projections they read):
+    "payments_filter_rails",
+    "payments_branch_gbp",
+    "payments_branch_usd",
+    "payments_merged",
+    "payments_rails_foo",
+    "payments_rails_bar",
 ]
 
 
@@ -1365,8 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": A.cohort_retention,
         # DSL facade, same oracle as payments_balances
         "dsl_balances": _q_dsl_balances,
-        # -- round-5 queue (see _ROUND5_QUEUE): registered behind the
-        # full round-4 evidence window, evidenced at the head of r05 --
+        # -- r4-late contracts (evidence-priority head of round 5) --
         "ngram_novelty": _q_ngram_novelty,
         "corpus_overlap": _q_corpus_overlap,
         "contamination_report": _q_contamination_report,

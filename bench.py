@@ -1,8 +1,14 @@
 """Benchmark harness: runs the engine's headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE compact JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "n_queries": M,
+     "queries": {<top-5 slowest>}, "detail": "BENCH_DETAIL.json", "sf": ...}
+
+The FULL per-query map (plus per-query sample counts) is written to
+``BENCH_DETAIL.json`` next to this file — the stdout line is kept small
+because the driver's tail capture truncated round 4's ~4 KB line
+(BENCH_r04.json ``parsed: null``).
 
 Each query materializes through the `noop` sink — full execution, no
 driver-side collect cost. Session startup and the warmup query are
@@ -175,14 +181,17 @@ def main() -> None:
     run("repetition_stats")
 
     times: dict[str, float] = {}
+    samples: dict[str, int] = {}
     for name in BENCH_QUERIES:
         t = min(run(name), run(name))
+        samples[name] = 2
         # Sub-second queries are the ones host-throttle jitter distorts
         # most in RELATIVE terms (ROUND4_NOTES §6b: spreads to 3× with
         # identical code) — one extra sample there buys the most
         # round-over-round comparability for the least wall time.
         if t < 0.8:
             t = min(t, run(name))
+            samples[name] = 3
         times[name] = round(t, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -190,13 +199,39 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # The full per-query map goes to a repo artifact, NOT stdout: the
+    # driver's tail capture truncated round 4's single ~4 KB JSON line
+    # (BENCH_r04.json parsed: null — round-4 verdict #3). The final
+    # stdout line stays compact (~bounded by the top-5 slowest), so it
+    # parses whatever the capture window is; tools/bench_diff.py prefers
+    # the detail artifact when present. `samples` records the per-query
+    # min-of-N protocol (2, or 3 below 0.8 s — ADVICE r4) so diffs can
+    # tell protocol changes from performance changes.
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "samples": samples,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    slowest = dict(
+        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
-                "queries": times,
+                "n_queries": len(times),
+                "queries": slowest,
+                "detail": "BENCH_DETAIL.json",
                 "sf": sf_val,
             }
         )

@@ -1135,8 +1135,11 @@ def kcenter_select(
         center = [float(x) for x in row["vec"]]
         state = state.filter(F.col("id") != row["id"])
     spark = embs.sparkSession
+    # id field type follows the input (embeddings may carry string ids);
+    # a hardcoded bigint would fail or silently coerce (ADVICE r4).
+    id_type = embs.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
-        picked, schema=f"rank int, {id_col} bigint, center_dist double"
+        picked, schema=f"rank int, {id_col} {id_type}, center_dist double"
     )
 
 

@@ -65,15 +65,16 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     with the rescue column dropped, and quarantined raw lines for the
     dead-letter path (the branched-sink pattern, `sources/branched.py`).
 
-    The parsed frame is materialized once (`materialize_shared`) for
-    BATCH inputs: Spark refuses to query ONLY the internal corrupt
-    column off a raw JSON scan (UNSUPPORTED_FEATURE.QUERY_ONLY_
-    CORRUPT_RECORD_COLUMN — the documented fix is to materialize the
-    parse first), and the split has two consumers anyway, so the cut
-    also removes the double parse. Streaming frames can't checkpoint
-    mid-plan; there the quarantine keeps the (all-NULL) declared
-    columns alongside ``raw``, which references real columns and
-    side-steps the restriction.
+    The quarantine frame has the SAME shape in batch and streaming —
+    the declared (all-NULL) columns plus ``raw`` — so dead-letter sink
+    code is shared across the two modes (ADVICE r4). The parsed frame
+    is materialized once (`materialize_shared`) for BATCH inputs: Spark
+    refuses to query ONLY the internal corrupt column off a raw JSON
+    scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — the
+    documented fix is to materialize the parse first), and the split
+    has two consumers anyway, so the cut also removes the double parse.
+    Streaming frames can't checkpoint mid-plan; there the quarantine's
+    reference to real declared columns side-steps the restriction.
     """
     if CORRUPT_COL not in df.columns:
         return df, df.limit(0)
@@ -82,10 +83,6 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         from kafka_streams_spark.functions.partitioning import materialize_shared
 
         df = materialize_shared(df)
-        return (
-            df.filter(~bad).drop(CORRUPT_COL),
-            df.filter(bad).select(F.col(CORRUPT_COL).alias("raw")),
-        )
     return (
         df.filter(~bad).drop(CORRUPT_COL),
         df.filter(bad).withColumnRenamed(CORRUPT_COL, "raw"),

@@ -19,7 +19,21 @@ def load(path: str) -> dict:
     with open(path) as f:
         data = json.load(f)
     # driver BENCH_r{N}.json wraps bench.py's line under "parsed"
-    return data.get("parsed", data)
+    data = data.get("parsed", data) or {}
+    # r5+ compact headline: stdout carries only the top-5 slowest; the
+    # full per-query map lives in the sibling BENCH_DETAIL.json the
+    # bench run wrote. Follow the pointer when the file is still there
+    # (same-round diffs); otherwise diff the compact subset.
+    if data.get("detail"):
+        import os
+
+        cand = os.path.join(os.path.dirname(os.path.abspath(path)), data["detail"])
+        if os.path.exists(cand):
+            with open(cand) as f:
+                detail = json.load(f)
+            if detail.get("value") == data.get("value"):
+                return detail
+    return data
 
 
 def main() -> int:
@@ -31,6 +45,7 @@ def main() -> int:
 
     old, new = load(args.old), load(args.new)
     oq, nq = old.get("queries", {}), new.get("queries", {})
+    osamp, nsamp = old.get("samples", {}), new.get("samples", {})
 
     regressed: list[tuple[str, float, float, float]] = []
     improved: list[tuple[str, float, float, float]] = []
@@ -51,6 +66,10 @@ def main() -> int:
         elif ratio < 1 / args.threshold:
             improved.append((name, oq[name], nq[name], ratio))
             flag = "  improved"
+        # min-of-N protocol changed for this query (ADVICE r4): the
+        # delta conflates sample count with performance — annotate.
+        if name in osamp and name in nsamp and osamp[name] != nsamp[name]:
+            flag += f"  [samples {osamp[name]}->{nsamp[name]}]"
         print(f"{name:34s} {oq[name]:8.3f} {nq[name]:8.3f} {ratio:6.2f}x{flag}")
 
     print(

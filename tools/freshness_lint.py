@@ -57,14 +57,17 @@ def main() -> int:
     latest_round = max((r for r, _ in rounds), default=0)
     head, tail = order[:WINDOW], order[WINDOW:]
 
-    # Names declared in __spark_entry__._ROUND5_QUEUE are registered
-    # behind an already-full window ON PURPOSE (they take the head of
-    # the next round's order) — queued, not starving. Still a failure
-    # if a queued name somehow sits INSIDE the window with no evidence
-    # while the queue claims it's deferred (stale declaration).
-    queue = list(getattr(e, "_ROUND5_QUEUE", []))
+    # Names declared in the next-round queue are registered behind an
+    # already-full window ON PURPOSE (they take the head of the next
+    # round's order) — queued, not starving. A queued name sitting
+    # INSIDE the window is a stale declaration (the queue should have
+    # been emptied when its names moved into the head) — failure.
+    queue = list(
+        getattr(e, "_NEXT_ROUND_QUEUE", getattr(e, "_ROUND5_QUEUE", []))
+    )
     never = [q for q in tail if q not in evidence and q not in queue]
     queued = [q for q in tail if q not in evidence and q in queue]
+    stale_queue = [q for q in head if q in queue]
     stale = [
         (q, evidence[q])
         for q in tail
@@ -82,11 +85,16 @@ def main() -> int:
         print("warn — evidence ≥2 rounds stale and outside the window:")
         for q, r in stale:
             print(f"  {q}  (newest green r{r:02d})")
+    if stale_queue:
+        print("FAIL — queued names already inside the window "
+              "(empty the queue when its names move into the head):")
+        for q in stale_queue:
+            print(f"  {q}")
     if queued:
-        print(f"queued for next round (declared in _ROUND5_QUEUE): {', '.join(queued)}")
-    if not never and not stale:
+        print(f"queued for next round: {', '.join(queued)}")
+    if not never and not stale and not stale_queue:
         print("ok — every unevidenced/stale query sits inside the window or the queue")
-    return 1 if never else 0
+    return 1 if (never or stale_queue) else 0
 
 
 if __name__ == "__main__":

@@ -5,7 +5,7 @@ strays, then queries by stalest evidence, up to the 50-row window.
 
 Run at the START of a round, after the driver wrote the new
 CORRECTNESS_r{N}.json, and paste the result into __spark_entry__ (then
-empty _ROUND5_QUEUE). Pure report — changes nothing.
+empty _NEXT_ROUND_QUEUE). Pure report — changes nothing.
 
 Usage: python tools/next_round_order.py
 """
@@ -40,7 +40,7 @@ def main() -> int:
                 evidence[n] = max(evidence.get(n, 0), rnd)
 
     order = list(e.queries())
-    queue = [q for q in getattr(e, "_ROUND5_QUEUE", []) if q in order]
+    queue = [q for q in getattr(e, "_NEXT_ROUND_QUEUE", getattr(e, "_ROUND5_QUEUE", [])) if q in order]
     strays = [q for q in order if q not in evidence and q not in queue]
     refresh = sorted(
         (q for q in order if q in evidence and q not in queue),
