@@ -987,6 +987,22 @@ def _q_dedup_spans(spark, sf_dir):
     return dedup_substring_remove(_docs(spark, sf_dir), k=5)
 
 
+def _q_dedup_spans_incremental(spark, sf_dir):
+    """Delta-ingest span removal: new docs (md5 bucket < '20') lose
+    token spans already present anywhere in the existing corpus
+    (bucket >= '20') — the continuously-run composition of the
+    RefinedWeb policy with the incremental-dedup shape."""
+    from kafka_streams_spark.operators.dedup import (
+        dedup_substring_remove_incremental,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return dedup_substring_remove_incremental(
+        docs.filter(bucket < "20"), docs.filter(bucket >= "20"), k=5
+    )
+
+
 def _q_language_confusion(spark, sf_dir):
     """Declared `lang` column × stopword-LID guess contingency table."""
     from kafka_streams_spark.operators.text import language_confusion
@@ -1119,7 +1135,9 @@ _NEEDS_DRIVER_ROW = [
 # round's registration order (tools/freshness_lint.py treats names
 # listed here as queued, not starving; a queued name inside the window
 # is flagged as a stale declaration).
-_NEXT_ROUND_QUEUE: list[str] = []
+_NEXT_ROUND_QUEUE: list[str] = [
+    "dedup_spans_incremental",
+]
 
 _STALE_EVIDENCE = [
     # Post-window order: any driver slack reaches these first.
@@ -1326,6 +1344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_stats": _q_lsh_bucket_stats,
         "media_dedup": _q_media_dedup,
         "emb_kcenter": _q_emb_kcenter,  # rows-only: iterative argmax loop
+        # -- round-5 additions (behind the window; queued for round 6) --
+        "dedup_spans_incremental": _q_dedup_spans_incremental,
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).
     ordered = {n: qs[n] for n in _NEEDS_DRIVER_ROW + _STALE_EVIDENCE}

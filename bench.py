@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "lsh_bucket_stats",
     "media_dedup",
     "emb_kcenter",
+    "dedup_spans_incremental",
 ]
 
 

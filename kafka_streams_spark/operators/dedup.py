@@ -1765,8 +1765,6 @@ def dedup_substring_remove(
 
     Output: (id, text_clean, n_tokens bigint, n_tokens_removed bigint).
     """
-    from pyspark.sql import Window
-
     from kafka_streams_spark.functions.partitioning import materialize_shared, spread
 
     if k < 1:
@@ -1774,8 +1772,23 @@ def dedup_substring_remove(
 
     toks = tokens(F.col(text_col))
     base = spread(docs).select(F.col(id_col).alias("_id"), toks.alias("_toks"))
-    grams = materialize_shared(
-        base.filter(F.size("_toks") >= k).select(
+    grams = materialize_shared(_gram_table(base, k))
+    first = grams.groupBy("gram").agg(F.min("_id").alias("_first"))
+    dup = (
+        grams.join(first, "gram")
+        .filter(F.col("_id") > F.col("_first"))
+        .select("_id", "pos")
+    )
+    return _cut_covered_spans(base, dup, k, id_col)
+
+
+def _gram_table(base: DataFrame, k: int) -> DataFrame:
+    """(_id, pos, gram) token k-gram occurrences (1-based pos, md5 gram
+    digests) from a (_id, _toks) frame — the posting-table primitive the
+    span-removal family shares. Docs shorter than k emit no rows."""
+    return (
+        base.filter(F.size("_toks") >= k)
+        .select(
             "_id",
             F.posexplode(
                 F.transform(
@@ -1783,15 +1796,21 @@ def dedup_substring_remove(
                     lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i, k))),
                 )
             ).alias("_off", "gram"),
-        ).select("_id", (F.col("_off") + 1).alias("pos"), "gram")
+        )
+        .select("_id", (F.col("_off") + 1).alias("pos"), "gram")
     )
-    first = grams.groupBy("gram").agg(F.min("_id").alias("_first"))
-    dup = (
-        grams.join(first, "gram")
-        .filter(F.col("_id") > F.col("_first"))
-        .select("_id", "pos")
-    )
-    # classic interval merge in token space: intervals are [pos, pos+k-1]
+
+
+def _cut_covered_spans(
+    base: DataFrame, dup: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Shared tail of the span-removal family: merge the covered token
+    intervals ``[pos, pos+k-1]`` per doc (classic running-max window —
+    partitioned by doc key, no global sort), cut the covered tokens
+    positionally, reassemble. ``base`` is (_id, _toks); ``dup`` is
+    (_id, pos) duplicated-gram occurrences."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("_id").orderBy("pos")
     prev_max_end = F.max(F.col("pos") + (k - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -1819,3 +1838,101 @@ def dedup_substring_remove(
         F.size("_toks").cast("bigint").alias("n_tokens"),
         (F.size("_toks") - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
     )
+
+
+def write_gram_index(
+    docs: DataFrame,
+    path: str,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the corpus's DISTINCT token-k-gram digest table —
+    one md5 string per distinct k-gram — so recurring delta-ingest span
+    removal (:func:`dedup_substring_remove_incremental` with
+    ``existing_grams``) never re-shingles the final corpus. The
+    companion of :func:`write_minhash_index` for the exact-substring
+    policy: written once per corpus build; each day's delta then joins
+    its grams against this table instead of re-reading 100 TB of text.
+
+    ``k`` travels with the index as column metadata on ``gram`` (same
+    loud-mismatch gate as the MinHash index: a reader whose k differs
+    would silently remove nothing).
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    grams = _gram_table(base, k).select("gram").distinct()
+    meta = {"k": k}
+    grams = grams.withColumn("gram", F.col("gram").alias("gram", metadata=meta))
+    grams.write.mode("overwrite").parquet(path)
+
+
+def read_gram_index(spark, path: str) -> DataFrame:
+    """Read a gram-digest table written by :func:`write_gram_index`."""
+    return spark.read.parquet(path)
+
+
+def dedup_substring_remove_incremental(
+    new_docs: DataFrame,
+    existing: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    existing_grams: DataFrame | None = None,
+) -> DataFrame:
+    """Delta-ingest exact-substring span removal: every token k-gram of
+    a NEW document that already appears ANYWHERE in the existing corpus
+    is duplicated text — the covered intervals are merged and cut
+    exactly as in :func:`dedup_substring_remove`. This is the policy a
+    continuously-ingesting pipeline actually runs (RefinedWeb removes
+    duplicated spans, and a recurring crawl must apply it against
+    yesterday's corpus, not just within today's batch): the existing
+    corpus keeps its text; today's documents keep only their novel
+    spans. Spans duplicated WITHIN the increment are deliberately out
+    of scope — run :func:`dedup_substring_remove` on the survivors for
+    that (the same division of labor as `dedup_incremental_fuzzy`).
+
+    Shape: the new side explodes to (id, pos, gram) postings; the
+    existing side reduces to DISTINCT gram digests (map-side partial,
+    16-byte strings — the text never shuffles); a semi-join marks
+    covered occurrences; the per-doc interval merge + positional cut
+    run exactly as in the batch form (shared `_cut_covered_spans`).
+
+    At 100 TB the existing side is a PERSISTED digest table written
+    once per corpus build (:func:`write_gram_index`) — pass it as
+    ``existing_grams`` and the per-delta cost is shingling the delta
+    plus one hash semi-join against the index. With ``existing`` given
+    instead, the digests are computed inline (one extra corpus scan —
+    fine for tests, wrong shape for recurring production runs).
+
+    Output: (id, text_clean, n_tokens bigint, n_tokens_removed bigint)
+    for the NEW documents only.
+    """
+    from kafka_streams_spark.functions.partitioning import spread
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if (existing is None) == (existing_grams is None):
+        raise ValueError("pass exactly one of existing / existing_grams")
+    if existing_grams is None:
+        ex_base = existing.select(
+            F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+        )
+        existing_grams = _gram_table(ex_base, k).select("gram").distinct()
+    else:
+        meta = existing_grams.schema["gram"].metadata
+        if meta and "k" in meta and int(meta["k"]) != k:
+            raise ValueError(
+                f"gram index was written with k={meta['k']}, caller wants k={k}: "
+                "band digests would never match — rebuild the index or match k"
+            )
+        existing_grams = existing_grams.select("gram")
+    base = spread(new_docs).select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    dup = (
+        _gram_table(base, k)
+        .join(existing_grams, "gram", "left_semi")
+        .select("_id", "pos")
+    )
+    return _cut_covered_spans(base, dup, k, id_col)

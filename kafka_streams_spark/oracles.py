@@ -2734,6 +2734,60 @@ TEXT_ORACLES["gate_agreement"] = f"""
 """
 
 
+# Delta-ingest span removal: NEW docs (md5 bucket < '20') lose every
+# k=5 gram occurrence whose gram exists anywhere in the EXISTING corpus
+# (bucket >= '20'); merge + cut identical to dedup_spans.
+DEDUP_ORACLES["dedup_spans_incremental"] = f"""
+    WITH nt AS (SELECT doc_id, {_TOKS} AS tk FROM documents
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'),
+    et AS (SELECT doc_id, {_TOKS} AS tk FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '20'),
+    ngrams AS (
+        SELECT doc_id, i AS pos, md5(array_to_string(tk[i:i+4], ' ')) AS gram
+        FROM nt, unnest(generate_series(1, len(tk) - 4)) AS g(i)
+        WHERE len(tk) >= 5
+    ),
+    egrams AS (
+        SELECT DISTINCT md5(array_to_string(tk[i:i+4], ' ')) AS gram
+        FROM et, unnest(generate_series(1, len(tk) - 4)) AS g(i)
+        WHERE len(tk) >= 5
+    ),
+    dup AS (SELECT doc_id, pos FROM ngrams
+            WHERE gram IN (SELECT gram FROM egrams)),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN max(pos + 4) OVER w IS NULL
+                    OR pos > max(pos + 4) OVER w + 1
+                    THEN 1 ELSE 0 END AS newg
+        FROM dup
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    grouped AS (SELECT doc_id, pos,
+                       sum(newg) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM flagged),
+    merged AS (SELECT doc_id, grp, min(pos) AS s, max(pos) + 4 AS e
+               FROM grouped GROUP BY doc_id, grp),
+    toks_pos AS (SELECT doc_id, i, tk[i] AS tok
+                 FROM nt, unnest(generate_series(1, len(tk))) AS g(i)),
+    kept AS (
+        SELECT tp.doc_id, tp.i, tp.tok
+        FROM toks_pos tp
+        WHERE NOT EXISTS (SELECT 1 FROM merged m
+                          WHERE m.doc_id = tp.doc_id
+                            AND tp.i BETWEEN m.s AND m.e)
+    ),
+    agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(agg.text_clean, '') AS text_clean,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(len(t.tk) - COALESCE(agg.n_kept, 0) AS BIGINT)
+               AS n_tokens_removed
+    FROM nt t LEFT JOIN agg USING (doc_id)
+"""
+
 ALL_ORACLES = {
     **PAYMENT_ORACLES,
     **ANALYTICS_ORACLES,

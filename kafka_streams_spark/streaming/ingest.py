@@ -40,6 +40,7 @@ def run_corpus_ingest_stream(
     checkpoint_dir: str,
     min_quality: float = 0.0,
     max_files_per_trigger: int = 100,
+    remove_spans: int = 0,
 ):
     """Start the ingest loop: JSON docs stream in, the exact membership
     gate (:func:`~kafka_streams_spark.operators.dedup.dedup_incremental`
@@ -52,10 +53,23 @@ def run_corpus_ingest_stream(
     :func:`~kafka_streams_spark.operators.dedup.dedup_incremental_fuzzy`
     against a periodically refreshed signature table instead of
     per-batch (signatures over 100 TB don't belong in a micro-batch).
+
+    ``remove_spans`` (a k-gram size; 0 disables) additionally runs
+    :func:`~kafka_streams_spark.operators.dedup.
+    dedup_substring_remove_incremental` on the gate survivors: token
+    spans already present anywhere in the prior corpus are CUT from the
+    accepted text (the RefinedWeb policy, applied continuously). The
+    replay-idempotence argument is unchanged — span removal reads the
+    same prior-corpus view as the membership gate, so a crash-replayed
+    batch cuts the same spans. At 100 TB, swap the inline gram scan for
+    a persisted :func:`~kafka_streams_spark.operators.dedup.
+    write_gram_index` table, refreshed per corpus build like the
+    signature table.
     """
     from kafka_streams_spark.operators.dedup import (
         dedup_exact_rows,
         dedup_incremental,
+        dedup_substring_remove_incremental,
     )
     from kafka_streams_spark.operators.text import quality_expr
 
@@ -85,6 +99,11 @@ def run_corpus_ingest_stream(
             accepted = accepted.filter(
                 quality_expr(F.col("text")) >= F.lit(min_quality)
             )
+        if remove_spans and prior is not None:
+            cleaned = dedup_substring_remove_incremental(
+                accepted, prior, k=remove_spans
+            ).select("doc_id", F.col("text_clean").alias("text"))
+            accepted = accepted.drop("text").join(cleaned, "doc_id")
         (
             accepted.withColumn("ingest_batch", F.lit(batch_id))
             .write.mode("overwrite")

@@ -77,3 +77,28 @@ def test_corpus_ingest_quality_gate(spark, tmp_path):
         assert got == {1}
     finally:
         q.stop()
+
+
+def test_corpus_ingest_span_removal_across_batches(spark, tmp_path):
+    """remove_spans: a later batch's doc keeps only its novel tokens —
+    spans already owned by the prior corpus are cut, continuously."""
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write(src, "b1.json", [{"doc_id": 1, "source": "s", "text": GOOD}])
+    q = run_corpus_ingest_stream(spark, src, corpus, ckpt, remove_spans=5)
+    try:
+        q.processAllAvailable()
+        # batch 2: novel prefix/suffix around a 6-token run lifted from GOOD
+        lifted = "the quick brown fox jumps over"
+        _write(src, "b2.json", [
+            {"doc_id": 20, "source": "s", "text": f"fresh opening words {lifted} and a brand new ending"},
+        ])
+        q.processAllAvailable()
+        rows = {r["doc_id"]: r for r in spark.read.parquet(corpus).collect()}
+        assert set(rows) == {1, 20}
+        assert rows[1]["text"] == GOOD  # prior corpus text untouched
+        assert rows[20]["text"] == "fresh opening words and a brand new ending"
+    finally:
+        q.stop()

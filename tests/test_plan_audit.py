@@ -453,3 +453,23 @@ def test_bloom_bitmap_broadcast_reused_across_probes(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") >= 3, plan.count("ReusedExchange")
+
+
+def test_dedup_spans_incremental_digest_only_join(spark, sf_dir):
+    """The existing side must reduce to DISTINCT gram digests (map-side
+    partial agg) before the semi-join — the text never shuffles — and
+    candidate marking stays an equi-join."""
+    from kafka_streams_spark.operators.dedup import (
+        dedup_substring_remove_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    a = audit(
+        dedup_substring_remove_incremental(
+            docs.filter(bucket < "20"), docs.filter(bucket >= "20"), k=5
+        )
+    )
+    assert "CartesianProduct" not in a.join_strategies, a.join_strategies
+    assert a.has_partial_aggregation, a.plan
+    assert "LeftSemi" in a.plan, a.plan

@@ -428,3 +428,86 @@ def test_dedup_spans_whitespace_normalization(spark):
     out = dedup_substring_remove(docs, k=3).collect()[0]
     assert out["text_clean"] == "a b c d e"
     assert out["n_tokens"] == 5 and out["n_tokens_removed"] == 0
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_remove_incremental / write_gram_index
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_spans_incremental_crafted(spark):
+    from kafka_streams_spark.operators.dedup import (
+        dedup_substring_remove_incremental,
+    )
+
+    existing = _docs(spark, [(1, "a b c d e f g h")])
+    new = _docs(
+        spark,
+        [
+            (10, "x y a b c d e z w q"),  # loses existing's "a b c d e"
+            (11, "totally different tokens here indeed"),
+            (12, "x y a b c d e z w q"),  # same as 10 — BOTH keep novel
+            # text: increment-internal dup is out of scope by contract
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_substring_remove_incremental(new, existing, k=5).collect()
+    }
+    assert set(out) == {10, 11, 12}  # existing docs are not emitted
+    assert out[10]["text_clean"] == "x y z w q"
+    assert out[10]["n_tokens_removed"] == 5
+    assert out[11]["n_tokens_removed"] == 0
+    assert out[12]["text_clean"] == "x y z w q"
+
+
+def test_dedup_spans_incremental_gram_index_roundtrip(spark, tmp_path):
+    from kafka_streams_spark.operators.dedup import (
+        dedup_substring_remove_incremental,
+        read_gram_index,
+        write_gram_index,
+    )
+
+    existing = _docs(spark, [(1, "a b c d e f g h")])
+    new = _docs(spark, [(10, "x y a b c d e z w q")])
+    path = str(tmp_path / "grams")
+    write_gram_index(existing, path, k=5)
+    idx = read_gram_index(spark, path)
+    via_index = dedup_substring_remove_incremental(
+        new, existing_grams=idx, k=5
+    ).collect()
+    inline = dedup_substring_remove_incremental(new, existing, k=5).collect()
+    assert sorted(map(tuple, via_index)) == sorted(map(tuple, inline))
+
+
+def test_dedup_spans_incremental_k_mismatch_rejected(spark, tmp_path):
+    import pytest
+
+    from kafka_streams_spark.operators.dedup import (
+        dedup_substring_remove_incremental,
+        read_gram_index,
+        write_gram_index,
+    )
+
+    existing = _docs(spark, [(1, "a b c d e f g h")])
+    path = str(tmp_path / "grams")
+    write_gram_index(existing, path, k=5)
+    idx = read_gram_index(spark, path)
+    with pytest.raises(ValueError, match="k=5"):
+        dedup_substring_remove_incremental(
+            _docs(spark, [(10, "a b c d e")]), existing_grams=idx, k=3
+        )
+
+
+def test_dedup_spans_incremental_requires_one_side(spark):
+    import pytest
+
+    from kafka_streams_spark.operators.dedup import (
+        dedup_substring_remove_incremental,
+    )
+
+    d = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup_substring_remove_incremental(d)
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup_substring_remove_incremental(d, d, existing_grams=d)
