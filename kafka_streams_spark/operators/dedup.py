@@ -1423,14 +1423,35 @@ def duplicate_clusters(
     the step that turns pairwise matches into dedup groups with a
     canonical (min-id) representative.
 
-    Iterative min-label propagation: each round joins labels across
-    edges and keeps the per-node minimum; converges in O(component
-    diameter) rounds (near-dup components are shallow — boilerplate
-    clusters are dense, so diameters are small). This is the engine's
-    one deliberately ITERATIVE operator: each round is a declarative
-    join+agg plan, but the fixpoint check is a driver-side count — the
-    documented exception to "no driver loops", exactly like Spark's own
-    GraphX/ML iterations.
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014 — the
+    published O(log² n)-round CC for exactly this execution model).
+    Each round rewrites the EDGE SET:
+
+    - large-star(u): every strictly-larger neighbor of u reconnects to
+      m(u) = min(neighbors(u) ∪ {u});
+    - small-star(u): every smaller neighbor, and u itself, reconnects
+      to m(u).
+
+    Both preserve connectivity; the fixpoint is a set of STARS, each
+    centered at its component's minimum id, read off directly as the
+    label table. Round count is logarithmic in component diameter where
+    plain min-label propagation is LINEAR — measured on the embedding
+    near-dup contract graph: 5 rounds vs 21 (its borderline-similarity
+    chains have diameter ≈ 21, and real web-dedup graphs are worse);
+    64-node chain: 7 vs 64. At a billion edges every round is a full
+    edge shuffle, so round count IS the cost of this operator.
+    (Pointer-jumping over min-label propagation was measured first and
+    rejected: 21 → 16 rounds only — jumps compound poorly when ids are
+    random relative to topology.)
+
+    Per round: two grouped min-aggregations and two join+dedup edge
+    rewrites — all map-side-combinable equi-shuffles on node keys, no
+    windows. This is the engine's one deliberately ITERATIVE operator:
+    each round is a declarative plan; the fixpoint check is driver-side
+    (edge count equal, then one exceptAll emptiness probe — exact, not
+    a hash checksum), the documented exception to "no driver loops",
+    exactly like Spark's own GraphX/ML iterations.
 
     Lineage is cut per round with ``localCheckpoint(eager=True)``, NOT
     ``persist``: persist caches data but the logical plan keeps
@@ -1442,59 +1463,85 @@ def duplicate_clusters(
     to durable storage; the loop shape is unchanged.
 
     Output: (node, cluster_id); singleton nodes never in ``pairs`` are
-    absent (callers union them back as their own cluster if needed).
+    absent (callers union them back as their own cluster if needed; a
+    degenerate self-pair (x, x) does register x as its own singleton
+    cluster, matching the propagation form this replaces).
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # canonical undirected edges, stored (big, small)
+    E = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("big"), F.least("a", "b").alias("small")
         )
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
+    selfnodes = (
+        raw.filter(F.col("a") == F.col("b"))
+        .select(F.col("a").alias("node"), F.col("a").alias("cluster_id"))
         .distinct()
-        .withColumn("cluster_id", F.col("node"))
-        .localCheckpoint(eager=True)
     )
-    # Convergence test: labels only ever decrease (least of own + neighbor
-    # mins), so SUM(cluster_id) strictly decreases on any change and a
-    # fixpoint shows as an unchanged checksum. One scan-agg over the
-    # freshly checkpointed labels per round — replaces the earlier
-    # join(new, old)+count, which paid a full extra shuffle per round.
-    # decimal(38,0) so the sum can't overflow at any node-id scale.
-    def _checksum(lbls: DataFrame) -> tuple:
-        row = lbls.agg(
-            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s"),
-            F.count("*").alias("n"),
-        ).head()
-        return (row["s"], row["n"])
 
-    prev = _checksum(labels)
-    for _ in range(max_iter):
-        # label each node with min(own label, neighbors' labels)
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nmin"))
+    def both(e: DataFrame) -> DataFrame:
+        return e.select(
+            F.col("big").alias("u"), F.col("small").alias("v")
+        ).unionByName(e.select(F.col("small").alias("u"), F.col("big").alias("v")))
+
+    def mins(e: DataFrame) -> DataFrame:
+        # m(u) = min(neighbors(u) ∪ {u})
+        return (
+            both(e)
+            .groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", "u").alias("m"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
+
+    n_prev = E.count()
+    for _ in range(max_iter):
+        m1 = mins(E)
+        # large-star: (v, m(u)) for every neighbor v > u. v > u ≥ m(u),
+        # so the emitted edge is already canonical (big=v, small=m).
+        lg = (
+            both(E)
+            .filter(F.col("v") > F.col("u"))
+            .join(m1, "u")
+            .select(F.col("v").alias("big"), F.col("m").alias("small"))
+            .filter(F.col("big") != F.col("small"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        labels = new_labels
-        cur = _checksum(labels)
-        if cur == prev:
+        m2 = mins(lg)
+        # small-star: (v, m(u)) for every neighbor v < u, plus (u, m(u))
+        sm_edges = (
+            both(lg)
+            .filter(F.col("v") < F.col("u"))
+            .join(m2, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        )
+        sm_self = m2.select(F.col("u").alias("x"), F.col("m").alias("y"))
+        E2 = (
+            sm_edges.unionByName(sm_self)
+            .filter(F.col("x") != F.col("y"))
+            .select(
+                F.greatest("x", "y").alias("big"), F.least("x", "y").alias("small")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n2 = E2.count()
+        # star ops never grow the distinct edge set, so equal counts +
+        # one-sided exceptAll emptiness ⇔ set equality (exact fixpoint
+        # test, two cheap jobs on checkpointed frames).
+        if n2 == n_prev and E2.exceptAll(E).isEmpty():
+            E = E2
             break
-        prev = cur
-    return labels
+        E, n_prev = E2, n2
+    centers = E.select(
+        F.col("small").alias("node"), F.col("small").alias("cluster_id")
+    ).distinct()
+    leaves = E.select(F.col("big").alias("node"), F.col("small").alias("cluster_id"))
+    return leaves.unionByName(centers).unionByName(selfnodes).distinct()
 
 
 def minhash_jaccard_estimate(

@@ -500,3 +500,59 @@ def test_contamination_report_matches_set_model(train_texts, bench_texts):
     for i, t in enumerate(bench_texts):
         s = grams(t)
         assert got[i] == (len(s), sum(1 for g in s if g in tset)), (i, t)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_duplicate_clusters_matches_union_find_model(raw_pairs):
+    """Alternating-star CC == a Python union-find with min-id
+    representatives, over random graphs including self-pairs, parallel
+    edges, and multi-component topologies."""
+    from kafka_streams_spark.operators.dedup import duplicate_clusters
+
+    spark = _spark()
+    df = spark.createDataFrame(raw_pairs, "id_a bigint, id_b bigint")
+    got = {
+        r["node"]: r["cluster_id"] for r in duplicate_clusters(df).collect()
+    }
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw_pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+    # one row per node — a leaf with two centers would be a broken star
+    assert len(got) == len(want)
+
+
+def test_duplicate_clusters_deep_chain_logarithmic_rounds(spark):
+    """A 64-node chain must converge well under the O(diameter) bound
+    that plain propagation pays (64 rounds): max_iter=10 must suffice —
+    the round count IS the edge-shuffle count at 100 TB."""
+    from kafka_streams_spark.operators.dedup import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a bigint, id_b bigint"
+    )
+    labels = duplicate_clusters(chain, max_iter=10).collect()
+    assert len(labels) == 64
+    assert all(r["cluster_id"] == 0 for r in labels)
