@@ -1137,6 +1137,7 @@ _NEEDS_DRIVER_ROW = [
 # is flagged as a stale declaration).
 _NEXT_ROUND_QUEUE: list[str] = [
     "dedup_spans_incremental",
+    "events_props_profile",
 ]
 
 _STALE_EVIDENCE = [
@@ -1346,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kcenter": _q_emb_kcenter,  # rows-only: iterative argmax loop
         # -- round-5 additions (behind the window; queued for round 6) --
         "dedup_spans_incremental": _q_dedup_spans_incremental,
+        "events_props_profile": A.events_props_profile,
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).
     ordered = {n: qs[n] for n in _NEEDS_DRIVER_ROW + _STALE_EVIDENCE}

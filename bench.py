@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "media_dedup",
     "emb_kcenter",
     "dedup_spans_incremental",
+    "events_props_profile",
 ]
 
 

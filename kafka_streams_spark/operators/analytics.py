@@ -1147,3 +1147,39 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_score",
         "m_score",
     )
+
+
+def events_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction: parse the `props` JSON column
+    with an EXPLICIT schema (`from_json` — never schema inference, which
+    is a full extra pass at 100 TB) and profile the extracted field per
+    event type. The engine's serde policy (schema.py / sources/jsonl.py)
+    applied to an embedded column: malformed or missing payloads
+    surface as a NULL extraction and are COUNTED (`n_null_props`), not
+    silently dropped — the quarantine discipline, in aggregate form.
+
+    `from_json` is a JVM expression inside whole-stage codegen (no UDF,
+    no Python boundary) and composes with predicate pushdown on the
+    OTHER columns; the aggregate collapses map-side to ≤ |event types|
+    rows. All outputs are exact integers (sums/min/max of the extracted
+    bigint), so the DuckDB twin (json_extract) matches bit-for-bit.
+
+    Output: (event_type, n_events, n_null_props, sum_k, min_k, max_k,
+    n_distinct_k).
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "struct<k: bigint>")["k"]
+    return (
+        e.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("_k").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_null_props"),
+            F.coalesce(F.sum("_k"), F.lit(0)).cast("bigint").alias("sum_k"),
+            F.min("_k").cast("bigint").alias("min_k"),
+            F.max("_k").cast("bigint").alias("max_k"),
+            F.count_distinct(F.col("_k")).cast("bigint").alias("n_distinct_k"),
+        )
+    )

@@ -2788,6 +2788,23 @@ DEDUP_ORACLES["dedup_spans_incremental"] = f"""
     FROM nt t LEFT JOIN agg USING (doc_id)
 """
 
+# Semi-structured extraction: json_extract == from_json on an explicit
+# schema; all outputs exact integers.
+ANALYTICS_ORACLES["events_props_profile"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_props,
+           CAST(COALESCE(sum(k), 0) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+    FROM (SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+"""
+
 ALL_ORACLES = {
     **PAYMENT_ORACLES,
     **ANALYTICS_ORACLES,

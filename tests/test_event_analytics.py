@@ -244,3 +244,44 @@ def test_ntile_from_rank_matches_sql_ntile(spark):
         )
         bad = cmp.filter(F.col("got") != F.col("want")).collect()
         assert not bad, (tiles, bad[:5])
+
+
+def test_events_props_profile_counts_malformed_as_null(spark):
+    """from_json with an explicit schema quarantines malformed/missing
+    payloads as NULL extractions — counted, never dropped."""
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [
+            (1, "click", '{"k": 5}'),
+            (2, "click", "not json"),
+            (3, "click", None),
+            (4, "view", '{"other": 1}'),
+            (5, "view", '{"k": 7}'),
+        ],
+        "event_id bigint, event_type string, props string",
+    )
+    k = F.from_json(F.col("props"), "struct<k: bigint>")["k"]
+    got = {
+        r["event_type"]: (r["n_null"], r["sum_k"])
+        for r in e.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("_k").isNull().cast("bigint")).alias("n_null"),
+            F.coalesce(F.sum("_k"), F.lit(0)).alias("sum_k"),
+        )
+        .collect()
+    }
+    assert got == {"click": (2, 5), "view": (1, 7)}
+
+
+def test_events_props_profile_shape(spark, sf_dir):
+    from kafka_streams_spark.operators.analytics import events_props_profile
+    from kafka_streams_spark.plans.audit import audit
+
+    df = events_props_profile(spark, sf_dir)
+    a = audit(df)
+    assert a.has_partial_aggregation, a.plan
+    assert "BatchEvalPython" not in a.plan and "ArrowEvalPython" not in a.plan
+    rows = df.collect()
+    assert rows and all(r["n_null_props"] == 0 for r in rows)
