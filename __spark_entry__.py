@@ -1003,6 +1003,37 @@ def _q_dedup_spans_incremental(spark, sf_dir):
     )
 
 
+def _q_knn_pq_label_vec0(spark, sf_dir):
+    """PQ ADC top-10 for vec 0 with exact label-centroid codebooks —
+    training, encoding, and the asymmetric-distance ranking all run in
+    scaled-integer arithmetic, so the DuckDB oracle reproduces the
+    whole compressed-domain search bit-for-bit (the knn_ivf_label twin
+    pattern). The codebook collect is a bounded construction job."""
+    from kafka_streams_spark.operators.similarity import (
+        pq_label_codebooks,
+        pq_topk_to_id,
+    )
+
+    embs = _embs(spark, sf_dir)
+    books = pq_label_codebooks(embs, m=4)
+    return pq_topk_to_id(embs, books, query_id=0, k=10)
+
+
+def _q_knn_pq_vec0(spark, sf_dir):
+    """PQ ADC top-10 with LEARNED codebooks (deterministic seeded
+    Lloyd's on the first-2048 sample) — rows-only like knn_ivf_vec0:
+    a learned index has no closed-form SQL twin; the label-codebook
+    contract above value-checks the identical encode/ADC machinery."""
+    from kafka_streams_spark.operators.similarity import (
+        pq_topk_to_id,
+        pq_train_codebooks,
+    )
+
+    embs = _embs(spark, sf_dir)
+    books = pq_train_codebooks(embs, m=4, k=8)
+    return pq_topk_to_id(embs, books, query_id=0, k=10)
+
+
 def _q_language_confusion(spark, sf_dir):
     """Declared `lang` column × stopword-LID guess contingency table."""
     from kafka_streams_spark.operators.text import language_confusion
@@ -1138,6 +1169,8 @@ _NEEDS_DRIVER_ROW = [
 _NEXT_ROUND_QUEUE: list[str] = [
     "dedup_spans_incremental",
     "events_props_profile",
+    "knn_pq_label_vec0",
+    "knn_pq_vec0",
 ]
 
 _STALE_EVIDENCE = [
@@ -1348,6 +1381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 additions (behind the window; queued for round 6) --
         "dedup_spans_incremental": _q_dedup_spans_incremental,
         "events_props_profile": A.events_props_profile,
+        "knn_pq_label_vec0": _q_knn_pq_label_vec0,
+        "knn_pq_vec0": _q_knn_pq_vec0,  # rows-only: learned codebooks
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).
     ordered = {n: qs[n] for n in _NEEDS_DRIVER_ROW + _STALE_EVIDENCE}

@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "emb_kcenter",
     "dedup_spans_incremental",
     "events_props_profile",
+    "knn_pq_label_vec0",
 ]
 
 

@@ -1185,3 +1185,250 @@ def lsh_bucket_stats(
         F.max("n").cast("bigint").alias("max_bucket"),
         F.sum(F.expr("n * (n - 1) div 2")).cast("bigint").alias("n_candidate_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+PQ_SCALE = 10**6
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    sample_size: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Train PQ codebooks: split each vector into ``m`` subvectors and
+    Lloyd's-cluster each subspace into ``k`` centroids (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+    A vector then compresses to ``m`` small codes — at (m=8, k=256)
+    that is 8 bytes instead of 256 float bytes, the memory step that
+    makes billion-vector ANN fit a cluster's RAM.
+
+    DETERMINISTIC by construction (the learned-index twin of the
+    literal-planes LSH pattern): the training sample is the first
+    ``sample_size`` vectors by id (not a random split), inputs are
+    scaled integers (`_pq_int`), init is ``k`` evenly-spaced sample
+    points in id order, ties in assignment break to the lowest centroid
+    index, and the returned centroids are re-quantized to integers —
+    identical inputs give identical codebooks, so a DuckDB oracle can
+    embed them as literals. The sample collect is a bounded driver-side
+    training action (the IVF-KMeans precedent — the documented
+    exception to no-jobs-during-construction).
+
+    Returns ``codebooks[m][k][dsub]`` as Python ints (scaled by
+    ``PQ_SCALE``).
+    """
+    rows = (
+        embeddings.orderBy(id_col)
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot train PQ codebooks on an empty table")
+    dim = len(rows[0][0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    X = np.array(
+        [[math.floor(float(x) * PQ_SCALE + 0.5) for x in r[0]] for r in rows],
+        dtype=np.float64,
+    )
+    books: list[list[list[int]]] = []
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        n = sub.shape[0]
+        init_idx = [min(int(i * n / k), n - 1) for i in range(k)]
+        cent = sub[init_idx].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # lowest index wins ties
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    cent[j] = sub[mask].mean(axis=0)
+        books.append(
+            [[int(math.floor(c + 0.5)) for c in cent[j]] for j in range(k)]
+        )
+    return books
+
+
+def _pq_scaled(vec: Column) -> Column:
+    """Whole embedding as an exact scaled-integer array (one floor per
+    element — hoisted so distance expressions never re-quantize).
+    Bounds: |scaled x| ≤ ~2²⁰ ⇒ per-term square ≤ 2⁴², ×dsub ≪ 2⁶³."""
+    return F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") * PQ_SCALE + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+
+
+def _int_sqdist(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 between two bigint arrays. Integer sums
+    are associative-exact, so ANY engine's fold order gives the same
+    value — no float-order pinning needed anywhere in PQ."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _lit_ints(xs: list[int]) -> Column:
+    return F.array(*[F.lit(int(x)) for x in xs])
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector its ``m`` PQ codes — a map-only pass of pure
+    JVM expressions (integer distance arrays + the engine's
+    ``array_position(dists, array_min(dists))`` argmin, lowest index on
+    ties), no shuffle, no Python boundary. The scaled-int array and the
+    per-subspace slices are hoisted into named columns so the k distance
+    expressions per subspace share them instead of re-quantizing.
+    Output: (id, codes array<int>)."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    sliced = embeddings.select(
+        F.col(id_col), _pq_scaled(F.col(vec_col)).alias("_xi")
+    ).select(
+        F.col(id_col),
+        *[
+            F.slice("_xi", s * dsub + 1, dsub).alias(f"_s{s}")
+            for s in range(m)
+        ],
+    )
+
+    def code(sub: int) -> Column:
+        dists = F.array(
+            *[
+                _int_sqdist(F.col(f"_s{sub}"), _lit_ints(codebooks[sub][j]))
+                for j in range(k)
+            ]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return sliced.select(
+        F.col(id_col), F.array(*[code(s) for s in range(m)]).alias("codes")
+    )
+
+
+def pq_topk_to_id(
+    embeddings: DataFrame,
+    codebooks: list[list[list[int]]],
+    query_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k neighbors of corpus vector ``query_id`` by
+    asymmetric distance (ADC): the query stays exact, every corpus
+    vector is represented by its PQ centroids, and the distance is
+    Σ_sub ||q_sub − centroid[code_sub]||² — computed here as an exact
+    BIGINT, so the ranking is bit-deterministic and the DuckDB twin
+    reproduces it from the literal codebooks.
+
+    Collect-free (the ``*_to_id`` convention): the query row arrives by
+    broadcast single-row cross join, and the per-row centroid lookup is
+    ``element_at`` into the literal codebook arrays selected by the
+    row's code — all JVM expressions. Top-k compiles to
+    TakeOrderedAndProject (ascending distance, id tiebreak).
+
+    At scale the codes table is tiny (m ints/vector) and is the thing
+    you persist (`write`-once like the MinHash/gram indexes); the
+    full-precision vectors are only read to encode and to serve exact
+    re-ranking of the returned candidates.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        _pq_scaled(F.col(vec_col)).alias("_q")
+    )
+    # literal codebooks: books_lit[sub] is an array<array<bigint>>
+    books_lit = [
+        F.array(*[_lit_ints(centroid) for centroid in codebooks[sub]])
+        for sub in range(m)
+    ]
+
+    def sub_dist(sub: int) -> Column:
+        cent = F.element_at(books_lit[sub], F.col("codes")[sub] + 1)
+        qsub = F.slice(F.col("_q"), sub * dsub + 1, dsub)
+        return _int_sqdist(qsub, cent)
+
+    dist = sub_dist(0)
+    for s in range(1, m):
+        dist = dist + sub_dist(s)
+    return (
+        codes.crossJoin(F.broadcast(q))
+        .select(F.col(id_col), dist.cast("bigint").alias("pq_dist"))
+        .orderBy(F.col("pq_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_label_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Deterministic PQ codebooks WITHOUT a learned fit: per-label mean
+    vectors (exact integer arithmetic: scaled-int sums, java-round of
+    s/c computed as ``floor((2s+c)/(2c))`` — both engines evaluate the
+    same float64 division over exactly-representable ints, so the
+    centroids are bit-identical), split into ``m`` subspaces, centroid
+    index = label rank ascending. The oracle-checkable twin of
+    :func:`pq_train_codebooks`, exactly as `knn_ivf_label_vec0` twins
+    the learned IVF — a DuckDB oracle reproduces training, encoding,
+    and ADC end-to-end because every step is integer-exact.
+
+    The collect is ≤ |labels|·dim rows — a bounded construction job
+    (the IVF-fit / dispatch-stats exception).
+    """
+    ex = embeddings.select(
+        F.col(label_col).alias("_lbl"),
+        F.posexplode(_pq_scaled(F.col(vec_col))).alias("pos", "x"),
+    )
+    cent = (
+        ex.groupBy("_lbl", "pos")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+        .select(
+            "_lbl",
+            "pos",
+            F.floor(
+                (2 * F.col("s") + F.col("c")) / (2 * F.col("c"))
+            )
+            .cast("bigint")
+            .alias("cm"),
+        )
+    )
+    rows = cent.collect()
+    by_label: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_label.setdefault(r["_lbl"], {})[r["pos"]] = r["cm"]
+    labels = sorted(by_label)
+    dim = len(by_label[labels[0]])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [
+            [by_label[lbl][s * dsub + i] for i in range(dsub)]
+            for lbl in labels
+        ]
+        for s in range(m)
+    ]

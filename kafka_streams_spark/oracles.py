@@ -2805,6 +2805,58 @@ ANALYTICS_ORACLES["events_props_profile"] = """
     GROUP BY event_type
 """
 
+# PQ with exact label-centroid codebooks: the whole compressed-domain
+# search — scaled-int quantization, java-round centroid means, per-
+# subspace argmin codes (label-rank tiebreak), ADC bigint ranking — is
+# integer-exact, so this reproduces the Spark plan bit-for-bit.
+# m=4 subspaces over dim 64 => dsub=16; centroid index = label rank.
+SIMILARITY_ORACLES["knn_pq_label_vec0"] = """
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS xi
+        FROM embeddings
+    ),
+    ex AS (SELECT label, unnest(range(1, len(xi) + 1)) AS pos,
+                  unnest(xi) AS x
+           FROM e),
+    cm AS (SELECT label, pos,
+                  CAST(floor((2.0 * sum(x) + count(*))
+                             / (2.0 * count(*))) AS BIGINT) AS m
+           FROM ex GROUP BY label, pos),
+    cent AS (SELECT label, list(m ORDER BY pos) AS c FROM cm GROUP BY label),
+    subs AS (SELECT unnest(range(4)) AS sub),
+    dists AS (
+        SELECT e.vec_id, cent.label, subs.sub,
+               list_sum(list_transform(range(1, 17),
+                   i -> (xi[sub * 16 + i] - c[sub * 16 + i])
+                        * (xi[sub * 16 + i] - c[sub * 16 + i]))) AS d
+        FROM e, cent, subs
+    ),
+    codes AS (
+        SELECT vec_id, sub, label AS code_label FROM (
+            SELECT vec_id, sub, label,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d, label) AS r
+            FROM dists
+        ) WHERE r = 1
+    ),
+    q AS (SELECT xi AS qx FROM e WHERE vec_id = 0),
+    adc AS (
+        SELECT cd.vec_id,
+               CAST(sum(list_sum(list_transform(range(1, 17),
+                   i -> (qx[cd.sub * 16 + i] - ct.c[cd.sub * 16 + i])
+                        * (qx[cd.sub * 16 + i] - ct.c[cd.sub * 16 + i]))))
+                    AS BIGINT) AS pq_dist
+        FROM codes cd JOIN cent ct ON cd.code_label = ct.label, q
+        GROUP BY cd.vec_id
+    )
+    SELECT vec_id, pq_dist FROM adc
+    ORDER BY pq_dist, vec_id
+    LIMIT 10
+"""
+
 ALL_ORACLES = {
     **PAYMENT_ORACLES,
     **ANALYTICS_ORACLES,

@@ -56,3 +56,80 @@ def test_decontaminate_emb_arrow_matches_expression(spark, sf_dir):
         map(tuple, max_benchmark_cosine_arrow(train, bvecs, 0.3).collect())
     )
     assert expr == arrow and len(expr) > 0
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+
+def test_pq_train_deterministic_and_shaped(spark, sf_dir):
+    from kafka_streams_spark.operators.similarity import pq_train_codebooks
+    from kafka_streams_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = pq_train_codebooks(emb, m=4, k=8)
+    b2 = pq_train_codebooks(emb, m=4, k=8)
+    assert b1 == b2  # identical inputs -> identical codebooks
+    assert len(b1) == 4 and len(b1[0]) == 8 and len(b1[0][0]) == 16
+    assert all(isinstance(c, int) for c in b1[0][0])
+
+
+def test_pq_encode_crafted_argmin_ties_lowest_index(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.operators.similarity import pq_encode
+
+    # 1-D subspaces; centroids [0, 1000000] per subspace. x = 0.5 scales
+    # to 500000 — equidistant, must take code 0 (lowest index).
+    books = [[[0], [1_000_000]], [[0], [1_000_000]]]
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.9]), (2, [0.1, 0.2])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: list(r["codes"]) for r in pq_encode(df, books).collect()
+    }
+    assert got == {1: [0, 1], 2: [0, 0]}
+
+
+def test_pq_topk_self_is_rank_one_and_plan_shape(spark, sf_dir):
+    """The query vector's own PQ cell distance is minimal (ADC of q vs
+    its own codes) — vec 0 must rank first; the plan must be a
+    TakeOrderedAndProject with no Python stage and the encode pass must
+    add no shuffle (the crossJoin broadcast is the only join)."""
+    from kafka_streams_spark.operators.similarity import (
+        pq_label_codebooks,
+        pq_topk_to_id,
+    )
+    from kafka_streams_spark.plans.audit import audit
+    from kafka_streams_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_label_codebooks(emb, m=4)
+    top = pq_topk_to_id(emb, books, query_id=0, k=10)
+    a = audit(top)
+    assert a.has_take_ordered, a.plan
+    assert "EvalPython" not in a.plan, a.plan
+    assert a.num_exchanges == 0, a.plan
+    rows = top.collect()
+    assert rows[0]["vec_id"] == 0
+    assert all(r["pq_dist"] >= rows[0]["pq_dist"] for r in rows)
+
+
+def test_pq_label_codebooks_match_learned_machinery(spark, sf_dir):
+    """Label codebooks and learned codebooks drive the SAME encode/ADC
+    expressions — encoding under either must give one code per subspace
+    within [0, k)."""
+    from kafka_streams_spark.operators.similarity import (
+        pq_encode,
+        pq_label_codebooks,
+        pq_train_codebooks,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for books in (pq_label_codebooks(emb, m=4), pq_train_codebooks(emb, m=4, k=8)):
+        k = len(books[0])
+        rows = pq_encode(emb, books).collect()
+        assert all(0 <= c < k for r in rows for c in r["codes"])
