@@ -1019,6 +1019,19 @@ def _q_knn_pq_label_vec0(spark, sf_dir):
     return pq_topk_to_id(embs, books, query_id=0, k=10)
 
 
+def _q_knn_pq_rerank_vec0(spark, sf_dir):
+    """Two-stage ANN: integer-exact PQ shortlist (top-100 ADC), exact
+    cosine re-rank on the shortlist only — the production compose."""
+    from kafka_streams_spark.operators.similarity import (
+        pq_label_codebooks,
+        pq_topk_rerank_to_id,
+    )
+
+    embs = _embs(spark, sf_dir)
+    books = pq_label_codebooks(embs, m=4)
+    return pq_topk_rerank_to_id(embs, books, query_id=0, k=10, shortlist=100)
+
+
 def _q_knn_pq_vec0(spark, sf_dir):
     """PQ ADC top-10 with LEARNED codebooks (deterministic seeded
     Lloyd's on the first-2048 sample) — rows-only like knn_ivf_vec0:
@@ -1170,6 +1183,7 @@ _NEXT_ROUND_QUEUE: list[str] = [
     "dedup_spans_incremental",
     "events_props_profile",
     "knn_pq_label_vec0",
+    "knn_pq_rerank_vec0",
     "knn_pq_vec0",
 ]
 
@@ -1382,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_incremental": _q_dedup_spans_incremental,
         "events_props_profile": A.events_props_profile,
         "knn_pq_label_vec0": _q_knn_pq_label_vec0,
+        "knn_pq_rerank_vec0": _q_knn_pq_rerank_vec0,
         "knn_pq_vec0": _q_knn_pq_vec0,  # rows-only: learned codebooks
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).

@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "dedup_spans_incremental",
     "events_props_profile",
     "knn_pq_label_vec0",
+    "knn_pq_rerank_vec0",
 ]
 
 

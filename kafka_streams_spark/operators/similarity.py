@@ -1432,3 +1432,50 @@ def pq_label_codebooks(
         ]
         for s in range(m)
     ]
+
+
+def pq_topk_rerank_to_id(
+    embeddings: DataFrame,
+    codebooks: list[list[list[int]]],
+    query_id: int = 0,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production ANN shape: PQ ADC produces a cheap ``shortlist``
+    of candidates from the compressed codes, then ONLY those rows are
+    re-scored with exact cosine against the full-precision query — the
+    two-stage compose that makes billion-vector search affordable
+    (compressed scan everywhere, float math on 100 rows). Recall is the
+    shortlist's recall; exactness of the final ORDER is restored by the
+    re-rank, so the output ranking is as stable as :func:`knn_to_id`'s
+    (rounded 6 dp, id tiebreak).
+
+    Collect-free and oracle-checkable with label codebooks: the
+    shortlist is a deterministic integer ranking, the re-rank the same
+    rounded-cosine contract every knn query uses. At scale the
+    shortlist semi-join back to the vector table is an id-equi-join
+    that prunes to ``shortlist`` rows before any float math runs.
+
+    Output: (id, cosine_sim) — top ``k`` of the re-ranked shortlist.
+    """
+    cand = pq_topk_to_id(
+        embeddings, codebooks, query_id, shortlist, id_col, vec_col
+    ).select(id_col)
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    rescored = (
+        embeddings.join(F.broadcast(cand), id_col, "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("_sim"),
+        )
+    )
+    return (
+        rescored.orderBy(F.col("_sim").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("_sim", 6).alias("cosine_sim"))
+    )

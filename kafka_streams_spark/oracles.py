@@ -2810,8 +2810,8 @@ ANALYTICS_ORACLES["events_props_profile"] = """
 # subspace argmin codes (label-rank tiebreak), ADC bigint ranking — is
 # integer-exact, so this reproduces the Spark plan bit-for-bit.
 # m=4 subspaces over dim 64 => dsub=16; centroid index = label rank.
-SIMILARITY_ORACLES["knn_pq_label_vec0"] = """
-    WITH e AS (
+_PQ_LABEL_CTE = """
+    e AS (
         SELECT vec_id, label,
                list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
@@ -2843,7 +2843,7 @@ SIMILARITY_ORACLES["knn_pq_label_vec0"] = """
         ) WHERE r = 1
     ),
     q AS (SELECT xi AS qx FROM e WHERE vec_id = 0),
-    adc AS (
+    pq AS (
         SELECT cd.vec_id,
                CAST(sum(list_sum(list_transform(range(1, 17),
                    i -> (qx[cd.sub * 16 + i] - ct.c[cd.sub * 16 + i])
@@ -2852,8 +2852,29 @@ SIMILARITY_ORACLES["knn_pq_label_vec0"] = """
         FROM codes cd JOIN cent ct ON cd.code_label = ct.label, q
         GROUP BY cd.vec_id
     )
-    SELECT vec_id, pq_dist FROM adc
+"""
+
+SIMILARITY_ORACLES["knn_pq_label_vec0"] = f"""
+    WITH {_PQ_LABEL_CTE.strip()}
+    SELECT vec_id, pq_dist FROM pq
     ORDER BY pq_dist, vec_id
+    LIMIT 10
+"""
+
+# Two-stage ANN: integer-exact ADC shortlist (top-100), exact cosine
+# re-rank on the shortlist only — the knn contract ranking (raw cosine
+# desc, id tiebreak, 6-dp output).
+SIMILARITY_ORACLES["knn_pq_rerank_vec0"] = f"""
+    WITH {_PQ_LABEL_CTE.strip()},
+    short AS (SELECT vec_id FROM pq ORDER BY pq_dist, vec_id LIMIT 100),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id = 0)
+    SELECT e2.vec_id,
+           round(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]),
+                                        qv.v), 6) AS cosine_sim
+    FROM embeddings e2 JOIN short USING (vec_id), qv
+    ORDER BY list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), qv.v)
+             DESC, e2.vec_id
     LIMIT 10
 """
 

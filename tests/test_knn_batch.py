@@ -133,3 +133,30 @@ def test_pq_label_codebooks_match_learned_machinery(spark, sf_dir):
         k = len(books[0])
         rows = pq_encode(emb, books).collect()
         assert all(0 <= c < k for r in rows for c in r["codes"])
+
+
+def test_pq_rerank_recovers_exact_order_on_shortlist(spark, sf_dir):
+    """With shortlist = |corpus| the two-stage result must equal the
+    exact knn — the re-rank stage is lossless; only the shortlist cut
+    costs recall."""
+    from kafka_streams_spark.operators.similarity import (
+        knn_to_id,
+        pq_label_codebooks,
+        pq_topk_rerank_to_id,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    books = pq_label_codebooks(emb, m=4)
+    got = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in pq_topk_rerank_to_id(
+            emb, books, query_id=0, k=10, shortlist=n
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in knn_to_id(emb, query_id=0, k=10).collect()
+    ]
+    assert got == want
