@@ -453,10 +453,12 @@ def ngram_jaccard_pairs_prefix(
 
     blk = [F.col(block_col)] if block_col else []
     blk_names = [block_col] if block_col else []
-    sh = spread(docs, block_col).select(
-        F.col(id_col),
-        *blk,
-        word_shingles(F.col(text_col), n).alias("shingles"),
+    sh = materialize_shared(
+        spread(docs, block_col).select(
+            F.col(id_col),
+            *blk,
+            word_shingles(F.col(text_col), n).alias("shingles"),
+        )
     )
     tok = sh.select(
         F.col(id_col),
