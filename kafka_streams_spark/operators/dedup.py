@@ -1466,8 +1466,9 @@ def duplicate_clusters(
 
     Output: (node, cluster_id); singleton nodes never in ``pairs`` are
     absent (callers union them back as their own cluster if needed; a
-    degenerate self-pair (x, x) does register x as its own singleton
-    cluster, matching the propagation form this replaces).
+    degenerate self-pair (x, x) registers x as its own singleton
+    cluster only when x has no real edge — a node with both keeps
+    exactly its star label, one row per node).
     """
     raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     # canonical undirected edges, stored (big, small)
@@ -1479,10 +1480,21 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # A self-pair (x, x) registers x as its own singleton cluster ONLY
+    # when x has no real edge: a node with both a self-pair and a real
+    # edge must emit exactly one (node, cluster_id) row — the star
+    # label — not a conflicting (x, x) row beside it (one-row-per-node
+    # contract; downstream winner-joins break on duplicates).
+    real_nodes = (
+        E.select(F.col("big").alias("node"))
+        .unionByName(E.select(F.col("small").alias("node")))
+        .distinct()
+    )
     selfnodes = (
         raw.filter(F.col("a") == F.col("b"))
         .select(F.col("a").alias("node"), F.col("a").alias("cluster_id"))
         .distinct()
+        .join(real_nodes, "node", "left_anti")
     )
 
     def both(e: DataFrame) -> DataFrame:

@@ -2789,7 +2789,10 @@ DEDUP_ORACLES["dedup_spans_incremental"] = f"""
 """
 
 # Semi-structured extraction: json_extract == from_json on an explicit
-# schema; all outputs exact integers.
+# schema; all outputs exact integers. The json_valid guard reproduces
+# from_json's quarantine semantics (malformed payloads → NULL, counted
+# in n_null_props) — unguarded, DuckDB raises on the first bad row
+# instead of diverging loudly.
 ANALYTICS_ORACLES["events_props_profile"] = """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -2800,7 +2803,9 @@ ANALYTICS_ORACLES["events_props_profile"] = """
            CAST(max(k) AS BIGINT) AS max_k,
            CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
     FROM (SELECT event_type,
-                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                 CASE WHEN props IS NOT NULL AND json_valid(props)
+                      THEN CAST(json_extract(props, '$.k') AS BIGINT)
+                 END AS k
           FROM events)
     GROUP BY event_type
 """

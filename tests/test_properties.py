@@ -521,9 +521,8 @@ def test_duplicate_clusters_matches_union_find_model(raw_pairs):
 
     spark = _spark()
     df = spark.createDataFrame(raw_pairs, "id_a bigint, id_b bigint")
-    got = {
-        r["node"]: r["cluster_id"] for r in duplicate_clusters(df).collect()
-    }
+    out_rows = duplicate_clusters(df).collect()
+    got = {r["node"]: r["cluster_id"] for r in out_rows}
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -540,8 +539,24 @@ def test_duplicate_clusters_matches_union_find_model(raw_pairs):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
-    # one row per node — a leaf with two centers would be a broken star
-    assert len(got) == len(want)
+    # one row per node — a self-pair beside a real edge must NOT emit
+    # a second conflicting row (dict construction would mask it)
+    assert len(out_rows) == len(want)
+
+
+def test_duplicate_clusters_self_pair_with_real_edge(spark):
+    """A node carrying both a self-pair and a real edge emits exactly
+    one row — its component label, not an extra (x, x) singleton
+    (regression: [(0,5),(9,7),(17,11),(12,11),(0,5),(9,9)] used to
+    yield both (9,7) and (9,9))."""
+    from kafka_streams_spark.operators.dedup import duplicate_clusters
+
+    df = spark.createDataFrame(
+        [(0, 5), (9, 7), (17, 11), (12, 11), (0, 5), (9, 9)],
+        "id_a bigint, id_b bigint",
+    )
+    rows = sorted((r["node"], r["cluster_id"]) for r in duplicate_clusters(df).collect())
+    assert rows == [(0, 0), (5, 0), (7, 7), (9, 7), (11, 11), (12, 11), (17, 11)]
 
 
 def test_duplicate_clusters_deep_chain_logarithmic_rounds(spark):

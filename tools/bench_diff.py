@@ -18,8 +18,17 @@ import sys
 def load(path: str) -> dict:
     with open(path) as f:
         data = json.load(f)
-    # driver BENCH_r{N}.json wraps bench.py's line under "parsed"
-    data = data.get("parsed", data) or {}
+    # driver BENCH_r{N}.json wraps bench.py's line under "parsed".
+    # A present-but-null "parsed" means the driver's capture truncated
+    # the bench line — diffing {} would print an empty comparison with
+    # exit 0, hiding exactly the failure this gate exists to catch.
+    if "parsed" in data:
+        if data["parsed"] is None:
+            raise SystemExit(
+                f"{path}: 'parsed' is null (truncated bench capture) — "
+                "cannot diff this round's record"
+            )
+        data = data["parsed"]
     # r5+ compact headline: stdout carries only the top-5 slowest; the
     # full per-query map lives in the sibling BENCH_DETAIL.json the
     # bench run wrote. Follow the pointer when the file is still there
