@@ -1090,6 +1090,46 @@ def _q_emb_kcenter(spark, sf_dir):
     return kcenter_select(_embs(spark, sf_dir), k=8)
 
 
+def _q_events_session_native(spark, sf_dir):
+    from kafka_streams_spark.operators.analytics import events_session_native
+
+    return events_session_native(spark, sf_dir)
+
+
+def _q_oov_rate(spark, sf_dir):
+    from kafka_streams_spark.operators.text import oov_rate
+
+    return oov_rate(_docs(spark, sf_dir))
+
+
+def _q_dedup_normalized(spark, sf_dir):
+    from kafka_streams_spark.operators.text import dedup_normalized
+
+    return dedup_normalized(_docs(spark, sf_dir))
+
+
+def _q_emb_gram(spark, sf_dir):
+    from kafka_streams_spark.operators.similarity import embedding_gram
+
+    return embedding_gram(_embs(spark, sf_dir))
+
+
+def _q_emb_norm_outliers(spark, sf_dir):
+    from kafka_streams_spark.operators.similarity import norm_outliers
+
+    return norm_outliers(_embs(spark, sf_dir))
+
+
+def _q_emb_whiten(spark, sf_dir):
+    """PCA whitening — rows-only: the driver-side eigensolve is a
+    learned step (IVF/PQ class); NumPy-model equality and the exact
+    second-moment input are pinned in tests (emb_gram carries the
+    oracle-checked half of the math)."""
+    from kafka_streams_spark.operators.similarity import whiten_embeddings
+
+    return whiten_embeddings(_embs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # contract entry points
 # --------------------------------------------------------------------------
@@ -1113,89 +1153,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # newest green is still round 1. Re-grouping is cosmetic-free for a
 # driver that checks everything.
 _NEEDS_DRIVER_ROW = [
-    # -- round-5 head (round-4 verdict item #1): close the driver-
-    # evidence backlog. Order: (a) the 13 contracts queued behind the
-    # full r04 window (no driver row exists at all), (b) contracts whose
-    # code changed in r4/r5 but whose newest driver row predates the
-    # change, (c) stalest-evidence refresh (newest green is r02).
-    # (a) the r4-late queue — never driver-evidenced
-    "ngram_novelty",
-    "corpus_overlap",
-    "contamination_report",
-    "dedup_cluster_sizes",
-    "gate_agreement",
-    "dedup_spans",
-    "event_transitions",  # r5: unchanged (rfm sibling changed)
-    "rfm_scores",  # r5: scale form (exact_global_rank, no global ntile)
-    "language_confusion",
-    "shard_skew_report",
-    "lsh_bucket_stats",
-    "media_dedup",
-    "emb_kcenter",
-    # (b) code changed after the newest driver row
-    "corpus_drift",  # r5: broadcast totals, unpartitioned window removed
-    "knn_lsh_vec0",  # r4: now oracle-checked (flips r03 no_oracle row)
-    "dedup_token_jaccard",  # r4: bitset auto-dispatch (newest row r02)
-    "knn_batch",  # r4: Arrow rounding HALF_UP (newest row r03)
-    "decontaminate_emb",  # r4: same rounding change
-    "events_hourly",  # r4: events loader NTZ->epoch expression change …
-    "events_hopping",
-    "sessionize_events",
-    "events_attribution",
-    "asof_purchase_click",
-    "payments_balances",  # … payments parse from the same loader
-    "sql_balances",
-    "payments_source",
-    "payments_fx_convert",
-    # (c) newest driver green is round 2 — stalest refresh fills the
-    # remaining window slots
-    "q1_pricing_summary",
-    "q2_cheapest_supplier",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q18_large_orders",
-    "q20_heavy_suppliers",
-    "top_orders_per_customer",
-    "orders_enriched",
-    "dedup_exact",
-    "dedup_exact_rows",
-    "dedup_token_jaccard_prefix",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "emb_near_dup_exact",
-    "knn_vec0",
-    "doc_stats",
-    "quality_score",
-    "language_id",
-    "fingerprint",
-    "top_tokens",
-    "doc_length_buckets",
-]
-
-# Contracts registered after this round's evidence window filled: they
-# sit behind the window by design and move to the HEAD of the next
-# round's registration order (tools/freshness_lint.py treats names
-# listed here as queued, not starving; a queued name inside the window
-# is flagged as a stale declaration).
-_NEXT_ROUND_QUEUE: list[str] = [
+    # -- round-6 head. Order: (a) the 5 contracts queued behind the
+    # full r05 window (no driver row exists), (b) the 5 round-6
+    # registrations, (c) contracts whose code or oracle changed in r6
+    # (duplicate_clusters self-pair fix reaches all CC consumers;
+    # events_props_profile's oracle gained the json_valid guard — it is
+    # already in (a)), (d) stalest-evidence refresh (r02, then r03).
+    # (a) queued from round 5 — never driver-evidenced
     "dedup_spans_incremental",
-    "events_props_profile",
+    "events_props_profile",  # + r6 oracle json_valid guard
     "knn_pq_label_vec0",
     "knn_pq_rerank_vec0",
-    "knn_pq_vec0",
-]
-
-_STALE_EVIDENCE = [
-    # Post-window order: any driver slack reaches these first.
-    # Remaining r02-stale contracts that did not fit the 50-row window:
+    "knn_pq_vec0",  # rows-only: learned codebooks
+    # (b) new round-6 contracts
+    "events_session_native",
+    "oov_rate",
+    "dedup_normalized",
+    "emb_gram",
+    "emb_whiten",  # rows-only: learned eigenbasis
+    "emb_norm_outliers",
+    # (c) duplicate_clusters changed r6 (self-pair/real-edge fix)
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "dedup_cluster_sizes",
+    "curate_corpus_fuzzy",
+    # (d) newest driver green is round 2
     "repetition_stats",
     "pii_scan",
     "tf_idf_top_terms",
     "domain_stats",
     "curate_corpus",
-    "curate_corpus_fuzzy",
     "decontaminate",
     "hash_sample_docs",
     "temperature_mix_docs",
@@ -1207,14 +1194,52 @@ _STALE_EVIDENCE = [
     "media_audio_features",
     "media_resize",
     "media_video_frames",
-    # r03-green payment filter/branch legs (loader change does not touch
-    # the projections they read):
+    # (d) newest driver green is round 3
     "payments_filter_rails",
     "payments_branch_gbp",
     "payments_branch_usd",
     "payments_merged",
     "payments_rails_foo",
     "payments_rails_bar",
+    "emb_label_centroids",
+    "emb_normalize",
+    "emb_quantize_int8",
+    "emb_quantize_sym",
+    "stratified_sample_docs",
+    "upsample_epochs_docs",
+    "shuffle_shards_docs",
+    "ngram_counts",
+    "pii_redact",
+    "dedup_incremental",
+    "corpus_stats",
+    "knn_ivf_vec0",
+    "profile_documents_approx",
+    "approx_users_by_type",
+]
+
+# Contracts registered after this round's evidence window filled: they
+# sit behind the window by design and move to the HEAD of the next
+# round's registration order (tools/freshness_lint.py treats names
+# listed here as queued, not starving; a queued name inside the window
+# is flagged as a stale declaration).
+_NEXT_ROUND_QUEUE: list[str] = []
+
+_STALE_EVIDENCE = [
+    # Post-window order: any driver slack reaches these first
+    # (remaining r03-stale contracts).
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "order_count_by_status",
+    "distinct_users_by_type",
+    "q6_forecast_revenue",
+    "rollup_orders",
+    "cube_events",
+    "customers_with_orders",
+    "customers_without_orders",
+    "price_quantiles",
+    "daily_revenue_window",
+    "funnel_conversions",
+    "cohort_retention",
 ]
 
 
@@ -1398,6 +1423,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq_label_vec0": _q_knn_pq_label_vec0,
         "knn_pq_rerank_vec0": _q_knn_pq_rerank_vec0,
         "knn_pq_vec0": _q_knn_pq_vec0,  # rows-only: learned codebooks
+        # -- round-6 additions --
+        "events_session_native": _q_events_session_native,
+        "oov_rate": _q_oov_rate,
+        "dedup_normalized": _q_dedup_normalized,
+        "emb_gram": _q_emb_gram,
+        "emb_whiten": _q_emb_whiten,  # rows-only: learned eigenbasis
+        "emb_norm_outliers": _q_emb_norm_outliers,
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).
     ordered = {n: qs[n] for n in _NEEDS_DRIVER_ROW + _STALE_EVIDENCE}

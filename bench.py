@@ -156,6 +156,13 @@ BENCH_QUERIES = [
     "events_props_profile",
     "knn_pq_label_vec0",
     "knn_pq_rerank_vec0",
+    # round-6 additions
+    "events_session_native",
+    "oov_rate",
+    "dedup_normalized",
+    "emb_gram",
+    "emb_whiten",
+    "emb_norm_outliers",
 ]
 
 

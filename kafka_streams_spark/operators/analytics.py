@@ -235,6 +235,50 @@ def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
     )
 
 
+def events_session_native(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Gap-based sessionization via the NATIVE ``F.session_window``
+    operator — the same semantics as :func:`sessionize_events`'s
+    lag+cumsum formulation (merge while the gap is <= the threshold;
+    verified boundary-inclusive), but expressed as the built-in session
+    aggregate. This is the form that transfers verbatim to Structured
+    Streaming (``streaming/stateful.py`` runs it with a watermark for
+    late-event session merge), so the batch contract pins the exact
+    boundary semantics the streaming path inherits.
+
+    Plan: one shuffle on the session key; Spark's SessionWindow node
+    sorts within partitions and merges adjacent windows — no
+    unpartitioned window, no self-join. ``ts`` arrives as int64
+    nanoseconds (the loader's nanosAsLong convention) and converts by
+    integer division — ``ts/1000`` through a double would lose
+    precision at 10^18 magnitudes.
+
+    Output: (user_id, session_start_us, session_end_us, n_events,
+    first_event) with end = last event + gap, Spark's native window
+    close rule.
+    """
+    e = load_table(spark, sf_dir, "events")
+    e2 = e.withColumn("_t", F.timestamp_micros(F.expr("ts div 1000")))
+    gap = f"{int(gap_minutes)} minutes"
+    return (
+        e2.groupBy(
+            F.col("user_id"), F.session_window(F.col("_t"), gap).alias("w")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "first_event",
+        )
+    )
+
+
 def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-count per type (the oracle-checkable variant;
     `approx_users_by_type` is the HLL++ scale path)."""

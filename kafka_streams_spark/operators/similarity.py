@@ -1479,3 +1479,199 @@ def pq_topk_rerank_to_id(
         .limit(k)
         .select(F.col(id_col), F.round("_sim", 6).alias("cosine_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed second-moment statistics: Gram / covariance → PCA whitening
+# ---------------------------------------------------------------------------
+
+
+def embedding_gram(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = PQ_SCALE,
+) -> DataFrame:
+    """Exact integer-scaled second-moment table over the embedding
+    column — the distributed primitive under PCA / whitening / mean
+    subtraction: one row per dimension pair (i ≤ j) carrying the count,
+    per-dimension sums, and the cross-product sum, from which mean and
+    covariance follow (cov = sum_prod/n − (sum_i/n)(sum_j/n)).
+
+    Scale shape: one Arrow ``mapInPandas`` pass computes a PER-BATCH
+    partial Gram with a single int64 matmul — d(d+1)/2 rows per batch
+    (d=64 → 2 080), never per ROW — and the only exchange reduces those
+    partials, map-side-combined, to one d(d+1)/2-row table. The corpus
+    is scanned once and never reshuffled; this is textbook
+    tree-aggregation expressed as groupBy.
+
+    Exactness: inputs quantize to integers (``floor(x·scale + 0.5)``,
+    the PQ_SCALE convention), so sums are order-independent int64
+    arithmetic — bit-identical to any other engine, hence
+    oracle-checkable. Overflow bound: |sum_prod| < n·(scale·max|x|)²
+    must stay under 2⁶³ (scale 10⁶, |x| ≤ 4 → n < 5·10⁵; drop to
+    scale 10³ for corpus-scale runs, which still carries mantissa-exact
+    float32 information).
+
+    Output: (dim_i, dim_j, n, sum_i, sum_j, sum_prod), i ≤ j.
+    """
+    from collections.abc import Iterator
+
+    s = int(scale)
+
+    def gram_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xi = np.floor(X * s + 0.5).astype(np.int64)
+            d = Xi.shape[1]
+            G = Xi.T @ Xi  # exact: int64 matmul
+            sums = Xi.sum(axis=0)
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "dim_i": iu.astype(np.int32),
+                    "dim_j": ju.astype(np.int32),
+                    "n": np.int64(len(pdf)),
+                    "sum_i": sums[iu],
+                    "sum_j": sums[ju],
+                    "sum_prod": G[iu, ju],
+                }
+            )
+
+    partial = embeddings.select(vec_col).mapInPandas(
+        gram_partials,
+        "dim_i int, dim_j int, n long, sum_i long, sum_j long, sum_prod long",
+    )
+    return partial.groupBy("dim_i", "dim_j").agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_i").alias("sum_i"),
+        F.sum("sum_j").alias("sum_j"),
+        F.sum("sum_prod").alias("sum_prod"),
+    )
+
+
+def whiten_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 1e-6,
+    scale: int = PQ_SCALE,
+) -> DataFrame:
+    """PCA whitening: project every embedding onto the covariance
+    eigenbasis and rescale each component to unit variance — the
+    standard conditioning step before cosine-based near-dup /
+    clustering when raw dimensions are correlated (whitened cosine ≈
+    Mahalanobis affinity).
+
+    Train/apply split, same shape as the PQ/IVF learned operators: the
+    d(d+1)/2-row :func:`embedding_gram` table (BOUNDED — d², never n)
+    collects to the driver, ``np.linalg.eigh`` runs on the d×d
+    covariance there, and the d×d projection ``W = V·Λ^(-1/2)`` ships
+    back as a broadcast constant; application is one Arrow matmul pass,
+    map-only, corpus never shuffles. Eigenvector sign is pinned (each
+    column's max-|component| entry made positive, first index wins
+    ties) so output is deterministic; like the other learned operators
+    the float eigensolve itself is NumPy-model-pinned in tests and the
+    contract registers rows-only.
+
+    Output: (id, pos, val) — whitened components exploded to scalar
+    rows (the vector-valued-contract convention), val rounded 6 dp.
+    """
+    from collections.abc import Iterator
+
+    rows = embedding_gram(embeddings, vec_col=vec_col, scale=scale).collect()
+    d = max(r["dim_j"] for r in rows) + 1
+    n = rows[0]["n"]
+    s = float(scale)
+    mean = np.zeros(d)
+    cov = np.zeros((d, d))
+    for r in rows:
+        i, j = r["dim_i"], r["dim_j"]
+        if i == j:
+            mean[i] = (r["sum_i"] / s) / n
+        e2 = r["sum_prod"] / (s * s) / n
+        c = e2 - (r["sum_i"] / s / n) * (r["sum_j"] / s / n)
+        cov[i, j] = cov[j, i] = c
+    lam, V = np.linalg.eigh(cov)
+    flip = np.sign(V[np.argmax(np.abs(V), axis=0), np.arange(d)])
+    flip[flip == 0] = 1.0
+    V = V * flip
+    W = V / np.sqrt(np.maximum(lam, 0.0) + eps)
+    Wb, mu = W.copy(), mean.copy()
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xq = np.floor(X * s + 0.5) / s  # same quantized view the stats saw
+            Y = _round_half_up6((Xq - mu) @ Wb)
+            ids = pdf[id_col].to_numpy()
+            k = Y.shape[1]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, k),
+                    "pos": np.tile(np.arange(k, dtype=np.int32), len(ids)),
+                    "val": Y.ravel(),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        project, f"{id_col} long, pos int, val double"
+    )
+
+
+def norm_outliers(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: float = 3.0,
+    scale: int = 10**3,
+) -> DataFrame:
+    """Embedding sanity gate: flag vectors whose (integer-scaled)
+    squared norm deviates more than ``k·MAD`` from their label's
+    median — the vector-space twin of ``length_outliers``. Catches the
+    failure modes that poison cosine math downstream: zero/near-zero
+    vectors from upstream encoder errors, un-normalized rows mixed into
+    a normalized corpus, fp-overflow blowups.
+
+    Exactness (the length_outliers argument verbatim): squared norms
+    are exact int64 (``Σ floor(x·scale+0.5)²`` — scale 10³ bounds the
+    sum at d·(scale·max|x|)² ≈ 10⁹, far inside int64), so the exact
+    median/MAD land on a .0/.5 grid and every comparison operand is an
+    exact double — bit-deterministic cross-engine, no rounding pin.
+
+    Shape: the squared norm is a codegen ``aggregate`` over the array —
+    no Python, no explode; then two tiny per-label aggregates broadcast
+    back onto the scan. The corpus never shuffles. Exact percentile is
+    the only N·logN piece — at 100 TB swap ``percentile_approx`` into
+    the same gate (the exact form stays as the oracle twin).
+
+    Output: flagged rows — (id, label, sqnorm, med, mad).
+    """
+    s = int(scale)
+    xi = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * s + F.lit(0.5)).cast("long"),
+    )
+    sq = F.aggregate(
+        xi, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    ).alias("sqnorm")
+    base = embeddings.select(F.col(id_col), F.col(label_col), sq)
+    med = base.groupBy(label_col).agg(
+        F.expr("percentile(sqnorm, 0.5)").alias("med")
+    )
+    with_med = base.join(F.broadcast(med), label_col)
+    mad = with_med.groupBy(label_col).agg(
+        F.expr("percentile(abs(sqnorm - med), 0.5)").alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), label_col)
+        .filter(
+            F.abs(F.col("sqnorm").cast("double") - F.col("med"))
+            > F.lit(float(k)) * F.col("mad")
+        )
+        .select(id_col, label_col, "sqnorm", "med", "mad")
+    )

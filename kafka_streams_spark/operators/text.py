@@ -1858,3 +1858,90 @@ def language_confusion(
     return counts.withColumn(
         "share_of_declared", F.col("n_docs").cast("double") / total.cast("double")
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary counts against the corpus's own
+    top-``vocab_size`` token vocabulary — the coverage signal a
+    tokenizer/vocab decision starts from (a doc whose tokens mostly
+    miss the head vocabulary is boilerplate, another language, or
+    junk; the corpus-level OOV mass bounds <unk> rates downstream).
+
+    Vocabulary selection is deterministic: count per token, then top-V
+    by (count desc, token asc) — compiles to TakeOrderedAndProject, so
+    each partition forwards at most V candidate rows and only V rows
+    ever centralize. The per-doc pass uses ``explode_outer`` (empty
+    docs keep a null-token row, so zeros survive WITHOUT a join back
+    to the doc spine — an n×n join the first draft paid), left-joins
+    the V-row vocabulary as a BROADCAST, and folds n_tokens/n_oov in
+    one map-side-combined aggregation keyed on the doc id: one shuffle
+    total. The corpus is scanned twice (once per pass) — at 100 TB two
+    cheap scans beat materializing the exploded token table, and a
+    recurring pipeline reuses a persisted vocabulary anyway.
+
+    Output: (doc_id, n_tokens, n_oov), both bigint.
+    """
+    from kafka_streams_spark.functions.partitioning import spread
+
+    toks = tokens(F.col(text_col))
+    vocab = (
+        spread(docs)
+        .select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    tok = spread(docs).select(
+        F.col(id_col), F.explode_outer(toks).alias("tok")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("tok").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.col("tok").isNotNull() & F.col("_in_vocab").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )
+
+
+def dedup_normalized(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on the NORMALIZED text (:func:`normalize_text`'s
+    lowercase/whitespace canon) — the cheapest recall win over raw
+    exact dedup: re-crawls that only changed case, indentation, or line
+    wrapping collapse into one group. RefinedWeb/C4-style stacks run
+    exactly this before any fuzzy stage.
+
+    The group key that shuffles is the 64-hex SHA-256 of the normalized
+    text, not the text itself — at 100 TB the exchange carries 64 bytes
+    per row regardless of document size (the digest-only-shuffle rule
+    every dedup operator here follows). Winner is min id, count kept,
+    same contract as :func:`~kafka_streams_spark.operators.dedup.dedup_exact`.
+
+    Output: (norm_hash, keep_id, dup_count).
+    """
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[ \\t\\n\\x0B\\f\\r]+", " ")
+    )
+    return (
+        docs.select(F.col(id_col), F.sha2(norm, 256).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("bigint").alias("dup_count"),
+        )
+    )

@@ -2883,6 +2883,111 @@ SIMILARITY_ORACLES["knn_pq_rerank_vec0"] = f"""
     LIMIT 10
 """
 
+# Native-session-window sessionization: the gaps-and-islands CTE is the
+# SQL twin of Spark's SessionWindow merge rule — boundary-INCLUSIVE
+# (diff <= gap merges; empirically pinned), end = last event + gap.
+ANALYTICS_ORACLES["events_session_native"] = """
+    WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events),
+    lagd AS (
+        SELECT event_id, user_id, us,
+               CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+        SELECT *, SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY us, event_id
+            ROWS UNBOUNDED PRECEDING) AS seq
+        FROM lagd
+    )
+    SELECT user_id,
+           CAST(min(us) AS BIGINT) AS session_start_us,
+           CAST(max(us) + 1800000000 AS BIGINT) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(event_id) AS first_event
+    FROM sess GROUP BY user_id, seq
+"""
+
+# OOV vs the corpus's own top-1000 vocabulary; vocab tiebreak (count
+# desc, token asc) pinned on both engines, zeros kept via the doc spine.
+TEXT_ORACLES["oov_rate"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS n FROM tok GROUP BY tok
+            ORDER BY n DESC, tok LIMIT 1000
+        )
+    ),
+    per AS (
+        SELECT t.doc_id, count(*) AS n_tokens,
+               sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+# Exact dedup on the normalize_text canon, keyed by SHA-256 of the
+# normalized text (both engines emit lowercase hex).
+TEXT_ORACLES["dedup_normalized"] = r"""
+    SELECT sha256(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')))
+               AS norm_hash,
+           min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY 1
+"""
+
+# Exact integer-scaled second-moment (Gram) table: PQ_SCALE quantization
+# makes every sum order-independent int64 arithmetic, so the unnest
+# self-join reproduces the Arrow partial-Gram path bit-for-bit.
+SIMILARITY_ORACLES["emb_gram"] = """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS xi
+        FROM embeddings
+    ),
+    ex AS (SELECT vec_id, unnest(range(1, len(xi) + 1)) AS pos,
+                  unnest(xi) AS x
+           FROM e)
+    SELECT CAST(a.pos - 1 AS INTEGER) AS dim_i,
+           CAST(b.pos - 1 AS INTEGER) AS dim_j,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a.x) AS BIGINT) AS sum_i,
+           CAST(sum(b.x) AS BIGINT) AS sum_j,
+           CAST(sum(a.x * b.x) AS BIGINT) AS sum_prod
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+    GROUP BY 1, 2
+"""
+
+# Per-label median/MAD gate on exact int-scaled squared norms — the
+# length_outliers determinism argument: int inputs put median/MAD on a
+# .0/.5 grid, every comparison operand exact.
+SIMILARITY_ORACLES["emb_norm_outliers"] = """
+    WITH sq AS (
+        SELECT vec_id, label,
+               CAST(list_sum(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                        * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS sqnorm
+        FROM embeddings
+    ),
+    med AS (SELECT label, median(sqnorm) AS med FROM sq GROUP BY label),
+    mad AS (
+        SELECT s.label, median(abs(s.sqnorm - med.med)) AS mad
+        FROM sq s JOIN med ON s.label = med.label
+        GROUP BY s.label
+    )
+    SELECT s.vec_id, s.label, s.sqnorm, med.med AS med, mad.mad AS mad
+    FROM sq s
+         JOIN med ON s.label = med.label
+         JOIN mad ON s.label = mad.label
+    WHERE abs(CAST(s.sqnorm AS DOUBLE) - med.med) > 3.0 * mad.mad
+"""
+
 ALL_ORACLES = {
     **PAYMENT_ORACLES,
     **ANALYTICS_ORACLES,

@@ -75,3 +75,97 @@ def read_cms_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
         .groupBy("row_idx", "bucket")
         .agg(F.sum("counter").alias("counter"))
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming second-moment (Gram) maintenance — covariance drift monitoring
+# ---------------------------------------------------------------------------
+
+EMB_STREAM_SCHEMA = None  # built lazily to keep pyspark imports at module top
+
+
+def _emb_schema():
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+            StructField("label", StringType()),
+        ]
+    )
+
+
+def run_gram_stream(
+    spark: SparkSession,
+    source_dir: str,
+    gram_dir: str,
+    checkpoint_dir: str,
+    scale: int = 10**3,
+    max_files_per_trigger: int = 100,
+):
+    """Maintain the exact second-moment (Gram) table of an embedding
+    stream — the state a live covariance/whitening/drift monitor reads
+    — as batch-partitioned DELTAS, the CMS pattern applied to
+    :func:`~kafka_streams_spark.operators.similarity.embedding_gram`:
+    each micro-batch writes its own d(d+1)/2-row partial (bounded by
+    d², never batch size), and the live statistic is the per-(i,j) SUM
+    over partitions — exactly the mergeability the int64-quantized Gram
+    was built for. Replay-idempotent for the router's reason: a
+    re-delivered batch recomputes the same deterministic delta into its
+    own partition.
+
+    Reading covariance "as of now" costs one tiny merge; comparing the
+    latest k batch partials against the all-time merge is an embedding
+    DRIFT detector (the corpus_drift shape in vector space) with no
+    corpus re-scan. Default scale 10³ keeps ``n·(scale·max|x|)²``
+    inside int64 out to ~10¹² streamed rows.
+    """
+    from kafka_streams_spark.operators.similarity import embedding_gram
+
+    raw = (
+        spark.readStream.schema(_emb_schema())
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        delta = embedding_gram(batch_df, scale=scale)
+        (
+            delta.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(gram_dir)
+        )
+
+    return (
+        raw.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+
+def read_gram(spark: SparkSession, gram_dir: str) -> DataFrame:
+    """The live merged second-moment table: per-(dim_i, dim_j) sums over
+    every batch delta — identical to the batch ``embedding_gram`` of all
+    rows ingested so far. Output: (dim_i, dim_j, n, sum_i, sum_j,
+    sum_prod)."""
+    return (
+        spark.read.parquet(gram_dir)
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_i").alias("sum_i"),
+            F.sum("sum_j").alias("sum_j"),
+            F.sum("sum_prod").alias("sum_prod"),
+        )
+    )

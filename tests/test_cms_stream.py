@@ -101,3 +101,53 @@ def test_cms_stream_replay_is_idempotent(spark, tmp_path):
         for r in read_cms_sketch(spark, sketch).collect()
     }
     assert before == after
+
+
+EMBS_A = [
+    {"vec_id": 1, "embedding": [1.0, 2.0, 0.5], "label": "a"},
+    {"vec_id": 2, "embedding": [0.25, -1.0, 3.0], "label": "b"},
+]
+EMBS_B = [
+    {"vec_id": 3, "embedding": [-0.5, 0.125, 2.0], "label": "a"},
+]
+
+
+def test_gram_stream_equals_batch_gram_of_everything(spark, tmp_path):
+    """After N micro-batches the merged streamed Gram must be
+    IDENTICAL (exact int64 equality) to the one-shot batch
+    embedding_gram over all ingested vectors, and a replayed batch
+    must not change it (idempotent deltas)."""
+    from kafka_streams_spark.operators.similarity import embedding_gram
+    from kafka_streams_spark.streaming.sketch_stream import (
+        read_gram,
+        run_gram_stream,
+    )
+
+    src = str(tmp_path / "src")
+    gram = str(tmp_path / "gram")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write(src, "b1.json", EMBS_A)
+    q = run_gram_stream(spark, src, gram, ckpt)
+    try:
+        q.processAllAvailable()
+        _write(src, "b2.json", EMBS_B)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    merged = read_gram(spark, gram)
+    all_embs = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"], r["label"]) for r in EMBS_A + EMBS_B],
+        "vec_id bigint, embedding array<double>, label string",
+    )
+    expected = embedding_gram(all_embs, scale=10**3)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    # state bounded by d(d+1)/2 per batch partition, not batch size
+    per_batch = {
+        r["ingest_batch"]: r["count"]
+        for r in spark.read.parquet(gram).groupBy("ingest_batch").count().collect()
+    }
+    assert all(c == 6 for c in per_batch.values())  # d=3 -> 6 pairs

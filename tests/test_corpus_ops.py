@@ -720,3 +720,52 @@ def test_lm_bigram_short_docs_drop(spark):
     docs = _docs(spark, [(1, "s", "solo"), (2, "s", "two words")])
     out = {r["doc_id"]: r["n_bigrams"] for r in lm_bigram_score(docs).collect()}
     assert out == {2: 1}
+
+
+def test_oov_rate_crafted(spark):
+    """Top-V vocab with deterministic (count desc, token asc) tiebreak;
+    OOV = tokens outside it; empty docs keep a zero row."""
+    from kafka_streams_spark.operators.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b b c"),
+            (2, "b c d"),
+            (3, "   "),
+            (4, "A d e"),
+        ],
+        ["doc_id", "text"],
+    )
+    # counts: a=4 (incl. lowercased A), b=3, c=2, d=2, e=1
+    # V=2 -> vocab {a, b}; V=3 tiebreak at count 2 -> c before d
+    got2 = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"])
+        for r in oov_rate(docs, vocab_size=2).collect()
+    }
+    assert got2 == {1: (6, 1), 2: (3, 2), 3: (0, 0), 4: (3, 2)}
+    got3 = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"])
+        for r in oov_rate(docs, vocab_size=3).collect()
+    }
+    assert got3 == {1: (6, 0), 2: (3, 1), 3: (0, 0), 4: (3, 2)}
+
+
+def test_dedup_normalized_collapses_case_and_whitespace(spark):
+    """Case/indentation/line-wrap variants share one group; winner is
+    min id; distinct normalized texts stay separate."""
+    import hashlib
+
+    from kafka_streams_spark.operators.text import dedup_normalized
+
+    docs = spark.createDataFrame(
+        [
+            (10, "Hello   World"),
+            (3, "hello world"),
+            (7, "hello\n\tworld "),
+            (5, "goodbye world"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["norm_hash"]: (r["keep_id"], r["dup_count"]) for r in dedup_normalized(docs).collect()}
+    h = lambda s: hashlib.sha256(s.encode()).hexdigest()
+    assert rows == {h("hello world"): (3, 3), h("goodbye world"): (5, 1)}

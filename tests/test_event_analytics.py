@@ -285,3 +285,83 @@ def test_events_props_profile_shape(spark, sf_dir):
     assert "BatchEvalPython" not in a.plan and "ArrowEvalPython" not in a.plan
     rows = df.collect()
     assert rows and all(r["n_null_props"] == 0 for r in rows)
+
+
+def test_session_native_agrees_with_lag_form(spark, sf_dir):
+    """The native F.session_window contract and the lag+cumsum
+    sessionizer must induce the SAME session partition of events:
+    per user, identical session count and identical (n_events,
+    first_event) multisets. (Both use the boundary-inclusive merge —
+    diff <= gap stays in-session.)"""
+    from collections import Counter
+
+    from kafka_streams_spark.operators.analytics import (
+        events_session_native,
+        sessionize_events,
+    )
+
+    native = events_session_native(spark, sf_dir)
+    lagf = sessionize_events(spark, sf_dir)
+
+    n_native = {
+        (r["user_id"]): r["n"]
+        for r in native.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    n_lag = {
+        (r["user_id"]): r["n"]
+        for r in lagf.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert n_native == n_lag
+
+    m_native = Counter(
+        (r["user_id"], r["n_events"], r["first_event"]) for r in native.collect()
+    )
+    m_lag = Counter(
+        (r["user_id"], r["n_events"], r["first_event"]) for r in lagf.collect()
+    )
+    assert m_native == m_lag
+
+
+def test_session_native_boundary_inclusive(spark, tmp_path):
+    """An event exactly gap after the previous one MERGES (Spark's
+    session_window close rule is exclusive of the instant end); one
+    microsecond later starts a new session. End = last event + gap."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    gap_us = 30 * 60 * 1_000_000
+    base = 1_700_000_000_000_000_000  # ns
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [
+                base,
+                base + gap_us * 1000,              # exactly gap later -> merges
+                base + (2 * gap_us + 1) * 1000,    # 1 us past gap -> new session
+            ],
+            "user_id": [42, 42, 42],
+            "event_type": ["view"] * 3,
+            "value": [1.0] * 3,
+            "props": [None] * 3,
+        }
+    )
+    tbl = pa.Table.from_pandas(rows)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"),
+        pa.field("ts", pa.timestamp("ns")),
+        tbl["ts"].cast(pa.timestamp("ns")),
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    from kafka_streams_spark.operators.analytics import events_session_native
+
+    got = sorted(
+        (r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in events_session_native(spark, str(tmp_path)).collect()
+    )
+    b_us = base // 1000
+    assert got == [
+        (b_us, b_us + 2 * gap_us, 2),
+        (b_us + 2 * gap_us + 1, b_us + 3 * gap_us + 1, 1),
+    ]

@@ -1,0 +1,110 @@
+"""Second-moment statistics + PCA whitening: the Arrow partial-Gram
+path must be bit-identical to direct NumPy int64 sums, and the whitened
+projection must match the NumPy model (including the eigenvector sign
+pin) and actually decorrelate the data."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kafka_streams_spark.operators.similarity import (
+    PQ_SCALE,
+    embedding_gram,
+    whiten_embeddings,
+)
+from kafka_streams_spark.sources.testdata import load_table
+
+
+def _np_inputs(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    X = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    Xi = np.floor(X * PQ_SCALE + 0.5).astype(np.int64)
+    return ids, Xi
+
+
+def test_embedding_gram_matches_numpy_int_sums(spark, sf_dir):
+    _, Xi = _np_inputs(spark, sf_dir)
+    n, d = Xi.shape
+    G = Xi.T @ Xi
+    s = Xi.sum(axis=0)
+
+    got = {
+        (r["dim_i"], r["dim_j"]): (r["n"], r["sum_i"], r["sum_j"], r["sum_prod"])
+        for r in embedding_gram(
+            load_table(spark, sf_dir, "embeddings")
+        ).collect()
+    }
+    assert len(got) == d * (d + 1) // 2
+    for i in range(d):
+        for j in range(i, d):
+            assert got[(i, j)] == (n, s[i], s[j], G[i, j]), (i, j)
+
+
+def _np_whiten(Xi, eps=1e-6):
+    Xq = Xi / PQ_SCALE
+    mu = Xq.mean(axis=0)
+    C = np.cov(Xq, rowvar=False, bias=True)
+    lam, V = np.linalg.eigh(C)
+    flip = np.sign(V[np.argmax(np.abs(V), axis=0), np.arange(V.shape[1])])
+    flip[flip == 0] = 1.0
+    V = V * flip
+    W = V / np.sqrt(np.maximum(lam, 0.0) + eps)
+    Y = (Xq - mu) @ W
+    return np.sign(Y) * np.floor(np.abs(Y) * 1e6 + 0.5) / 1e6
+
+
+def test_whiten_embeddings_matches_numpy_model(spark, sf_dir):
+    ids, Xi = _np_inputs(spark, sf_dir)
+    want = _np_whiten(Xi)
+    idx = {int(v): k for k, v in enumerate(ids)}
+
+    rows = whiten_embeddings(load_table(spark, sf_dir, "embeddings")).collect()
+    assert len(rows) == want.size
+    for r in rows:
+        assert want[idx[r["vec_id"]], r["pos"]] == r["val"], (
+            r["vec_id"],
+            r["pos"],
+        )
+
+
+def test_whiten_output_is_decorrelated(spark, sf_dir):
+    """Covariance of the whitened output ≈ identity (variance 1 per
+    component up to eps damping, cross-covariance ~0) — the semantic
+    point of whitening, checked independently of the model pin."""
+    rows = whiten_embeddings(load_table(spark, sf_dir, "embeddings")).collect()
+    by_id: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_id.setdefault(r["vec_id"], {})[r["pos"]] = r["val"]
+    Y = np.asarray(
+        [[by_id[i][p] for p in sorted(by_id[i])] for i in sorted(by_id)]
+    )
+    C = np.cov(Y, rowvar=False, bias=True)
+    d = C.shape[0]
+    offdiag = C - np.diag(np.diag(C))
+    assert np.abs(offdiag).max() < 1e-3
+    # eigenvalues well above eps → variance ≈ 1
+    assert np.all(np.abs(np.diag(C) - 1.0) < 1e-2)
+
+
+def test_norm_outliers_flags_zero_and_blowup_vectors(spark):
+    """A zero vector and a 100× blowup must be flagged against a tight
+    cluster of unit-ish vectors; in-distribution rows must not be."""
+    from kafka_streams_spark.operators.similarity import norm_outliers
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = (
+        [(i, [v * 1.0 for v in base], "a") for i in range(10)]
+        + [(100, [0.0, 0.0, 0.0, 0.0], "a")]          # dead encoder row
+        + [(101, [100.0, 0.0, 0.0, 0.0], "a")]        # overflow blowup
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    got = {r["vec_id"]: r["sqnorm"] for r in norm_outliers(df).collect()}
+    assert set(got) == {100, 101}
+    assert got[100] == 0
+    assert got[101] == 100_000 ** 2
