@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "emb_gram",
     "emb_whiten",
     "emb_norm_outliers",
+    "emb_drift",
 ]
 
 

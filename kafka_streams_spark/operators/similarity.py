@@ -1675,3 +1675,52 @@ def norm_outliers(
         )
         .select(id_col, label_col, "sqnorm", "med", "mad")
     )
+
+
+def embedding_drift(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 10**3,
+) -> DataFrame:
+    """Embedding-space distribution drift between two corpus slices
+    (yesterday's crawl vs today's, source A vs source B): per
+    dimension, exact counts and integer-scaled sums for both sides —
+    mean shift and variance shift follow exactly, the vector-space
+    analog of ``corpus_drift``'s total-variation audit. A drifting
+    encoder or a source-mix change shows up as per-dimension mean
+    displacement long before downstream quality metrics move.
+
+    Composition, not new machinery: each side is the DIAGONAL of
+    :func:`embedding_gram` (dim_i == dim_j rows — count, sum, and
+    sum-of-squares per dimension), so the cost is one Arrow partial
+    pass per side reducing to d rows each, then a d-row full outer
+    join. Nothing corpus-sized shuffles; the streamed-gram state
+    (``run_gram_stream``) can stand in for either side without a
+    re-scan.
+
+    Output: (pos, n_a, sum_a, sumsq_a, n_b, sum_b, sumsq_b) — exact
+    int64, one row per dimension.
+    """
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        g = embedding_gram(df, vec_col=vec_col, scale=scale)
+        return g.filter(F.col("dim_i") == F.col("dim_j")).select(
+            F.col("dim_i").alias("pos"),
+            F.col("n").alias(f"n_{tag}"),
+            F.col("sum_i").alias(f"sum_{tag}"),
+            F.col("sum_prod").alias(f"sumsq_{tag}"),
+        )
+
+    zero = F.lit(0).cast("long")
+    return (
+        side(a, "a")
+        .join(side(b, "b"), "pos", "full_outer")
+        .select(
+            "pos",
+            *[
+                F.coalesce(c, zero).alias(c)
+                for c in ["n_a", "sum_a", "sumsq_a", "n_b", "sum_b", "sumsq_b"]
+            ],
+        )
+    )

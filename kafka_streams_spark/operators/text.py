@@ -1865,6 +1865,7 @@ def oov_rate(
     vocab_size: int = 1000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document out-of-vocabulary counts against the corpus's own
     top-``vocab_size`` token vocabulary — the coverage signal a
@@ -1884,20 +1885,27 @@ def oov_rate(
     cheap scans beat materializing the exploded token table, and a
     recurring pipeline reuses a persisted vocabulary anyway.
 
+    Recurring-run form: pass ``vocab`` (a ``tok``-column frame, e.g.
+    :func:`read_vocab`) to skip the vocabulary pass entirely — one scan,
+    and the OOV definition stays FIXED across daily increments instead
+    of drifting with each day's counts (the write_minhash_index
+    pattern).
+
     Output: (doc_id, n_tokens, n_oov), both bigint.
     """
     from kafka_streams_spark.functions.partitioning import spread
 
     toks = tokens(F.col(text_col))
-    vocab = (
-        spread(docs)
-        .select(F.explode(toks).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("_n"))
-        .orderBy(F.col("_n").desc(), F.col("tok"))
-        .limit(vocab_size)
-        .select("tok", F.lit(1).alias("_in_vocab"))
-    )
+    if vocab is None:
+        vocab = (
+            spread(docs)
+            .select(F.explode(toks).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("_n"))
+            .orderBy(F.col("_n").desc(), F.col("tok"))
+            .limit(vocab_size)
+        )
+    vocab = vocab.select("tok", F.lit(1).alias("_in_vocab"))
     tok = spread(docs).select(
         F.col(id_col), F.explode_outer(toks).alias("tok")
     )
@@ -1945,3 +1953,47 @@ def dedup_normalized(
             F.count("*").cast("bigint").alias("dup_count"),
         )
     )
+
+
+def write_vocab(
+    docs: DataFrame,
+    path: str,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+) -> None:
+    """Materialize the corpus's top-``vocab_size`` token vocabulary —
+    a (tok, n) parquet of V rows — so recurring :func:`oov_rate` runs
+    (``vocab=read_vocab(...)``) skip the vocabulary pass AND measure
+    every increment against the SAME fixed vocabulary (a vocabulary
+    recomputed per increment silently redefines "out of vocabulary"
+    each day). ``vocab_size`` travels as column metadata on ``tok``
+    (parquet footer), so a reader expecting a different V fails loudly
+    instead of comparing incompatible coverage numbers.
+    """
+    from kafka_streams_spark.functions.partitioning import spread
+
+    vocab = (
+        spread(docs)
+        .select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(vocab_size)
+        .withMetadata("tok", {"vocab_size": vocab_size})
+    )
+    vocab.write.mode("overwrite").parquet(path)
+
+
+def read_vocab(spark, path: str, expect_vocab_size: int | None = None) -> DataFrame:
+    """Read a vocabulary written by :func:`write_vocab`; rejects a
+    ``vocab_size`` mismatch loudly (the index-metadata gate every
+    persisted artifact here uses)."""
+    df = spark.read.parquet(path)
+    if expect_vocab_size is not None:
+        meta = df.schema["tok"].metadata
+        if meta.get("vocab_size") != expect_vocab_size:
+            raise ValueError(
+                f"vocabulary at {path} was built with vocab_size="
+                f"{meta.get('vocab_size')}, reader expects {expect_vocab_size}"
+            )
+    return df

@@ -2988,6 +2988,34 @@ SIMILARITY_ORACLES["emb_norm_outliers"] = """
     WHERE abs(CAST(s.sqnorm AS DOUBLE) - med.med) > 3.0 * mad.mad
 """
 
+# Per-dimension exact drift sums between the md5-bucket slices — both
+# sides are the gram diagonal, reproduced by unnest + int64 sums.
+SIMILARITY_ORACLES["emb_drift"] = """
+    WITH e AS (
+        SELECT vec_id,
+               substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) AS bkt,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xi
+        FROM embeddings
+    ),
+    ex AS (SELECT bkt, unnest(range(1, len(xi) + 1)) AS pos1, unnest(xi) AS x
+           FROM e),
+    sa AS (SELECT pos1 - 1 AS pos, count(*) AS n_a, sum(x) AS sum_a,
+                  sum(x * x) AS sumsq_a
+           FROM ex WHERE bkt < '20' GROUP BY 1),
+    sb AS (SELECT pos1 - 1 AS pos, count(*) AS n_b, sum(x) AS sum_b,
+                  sum(x * x) AS sumsq_b
+           FROM ex WHERE bkt >= '20' GROUP BY 1)
+    SELECT CAST(COALESCE(sa.pos, sb.pos) AS INTEGER) AS pos,
+           CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+           CAST(COALESCE(sum_a, 0) AS BIGINT) AS sum_a,
+           CAST(COALESCE(sumsq_a, 0) AS BIGINT) AS sumsq_a,
+           CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+           CAST(COALESCE(sum_b, 0) AS BIGINT) AS sum_b,
+           CAST(COALESCE(sumsq_b, 0) AS BIGINT) AS sumsq_b
+    FROM sa FULL OUTER JOIN sb ON sa.pos = sb.pos
+"""
+
 ALL_ORACLES = {
     **PAYMENT_ORACLES,
     **ANALYTICS_ORACLES,

@@ -769,3 +769,32 @@ def test_dedup_normalized_collapses_case_and_whitespace(spark):
     rows = {r["norm_hash"]: (r["keep_id"], r["dup_count"]) for r in dedup_normalized(docs).collect()}
     h = lambda s: hashlib.sha256(s.encode()).hexdigest()
     assert rows == {h("hello world"): (3, 3), h("goodbye world"): (5, 1)}
+
+
+def test_oov_rate_with_persisted_vocab(spark, tmp_path):
+    """write_vocab -> read_vocab -> oov_rate(vocab=...) equals the
+    inline-vocab run; a vocab_size mismatch is rejected loudly."""
+    import pytest
+
+    from kafka_streams_spark.operators.text import (
+        oov_rate,
+        read_vocab,
+        write_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b c d"), (3, "   "), (4, "A d e")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "vocab")
+    write_vocab(docs, path, vocab_size=2)
+
+    v = read_vocab(spark, path, expect_vocab_size=2)
+    assert sorted(r["tok"] for r in v.collect()) == ["a", "b"]
+
+    inline = sorted(map(tuple, oov_rate(docs, vocab_size=2).collect()))
+    persisted = sorted(map(tuple, oov_rate(docs, vocab=v).collect()))
+    assert inline == persisted
+
+    with pytest.raises(ValueError, match="vocab_size"):
+        read_vocab(spark, path, expect_vocab_size=500)

@@ -108,3 +108,24 @@ def test_norm_outliers_flags_zero_and_blowup_vectors(spark):
     assert set(got) == {100, 101}
     assert got[100] == 0
     assert got[101] == 100_000 ** 2
+
+
+def test_embedding_drift_exact_sums(spark):
+    """Drift table == direct NumPy int sums per side; dimensions exact,
+    both sides present after the full outer join."""
+    from kafka_streams_spark.operators.similarity import embedding_drift
+
+    a = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, [0.5, 0.25])],
+        "vec_id long, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(3, [2.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    got = {r["pos"]: (r["n_a"], r["sum_a"], r["sumsq_a"], r["n_b"], r["sum_b"], r["sumsq_b"])
+           for r in embedding_drift(a, b).collect()}
+    # scale 1000: a dim0 = [1000, 500], dim1 = [-2000, 250]; b = [2000], [2000]
+    assert got == {
+        0: (2, 1500, 1000**2 + 500**2, 1, 2000, 2000**2),
+        1: (2, -1750, 2000**2 + 250**2, 1, 2000, 2000**2),
+    }

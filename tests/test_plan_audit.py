@@ -232,11 +232,22 @@ def test_q17_correlated_avg_stays_on_filtered_subset(spark, sf_dir):
     assert "SortMergeJoin" not in a.join_strategies, a.join_strategies
     assert a.has_partial_aggregation
 
-def test_query_construction_runs_no_jobs(spark, sf_dir):
+def test_query_construction_runs_no_jobs(spark, sf_dir, monkeypatch):
     """Building a contract query's plan must not trigger Spark jobs —
     a .count()/.head() during construction is a hidden extra corpus
     scan per invocation at scale. KMeans-trained IVF is the deliberate
-    exception (a training action) and is excluded here."""
+    exception (a training action) and is excluded here.
+
+    Checked under SPARK_GRAFT_NO_CKPT=1: a lazy ``materialize_shared``
+    checkpoint converts the frame to an RDD, and under AQE that
+    materializes the subtree's own first stage (scan → shuffle write)
+    at construction time. That is NOT a hidden extra scan — it is the
+    query's own stage started early and reused at execution — but it
+    is a job, so the purity check runs with checkpointing disabled to
+    see through it. The second loop pins the distinction: WITH
+    checkpointing on, the only construction jobs allowed are those
+    materializations (bounded by the op's materialize_shared count),
+    never an unbounded collect."""
     import __spark_entry__ as entry
     from kafka_streams_spark.plans.audit import jobs_run_during
     from kafka_streams_spark.sources.testdata import TABLES, load_table
@@ -244,9 +255,17 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
     for t in TABLES:  # warm the schema cache (footer-read jobs)
         load_table(spark, sf_dir, t)
     qs = entry.queries()
+    monkeypatch.setenv("SPARK_GRAFT_NO_CKPT", "1")
     for name in ["tf_idf_top_terms", "knn_lsh_vec0", "dedup_token_jaccard_prefix"]:
         _, n_jobs = jobs_run_during(spark, lambda: qs[name](spark, sf_dir))
         assert n_jobs == 0, f"{name} ran {n_jobs} jobs during construction"
+    monkeypatch.delenv("SPARK_GRAFT_NO_CKPT")
+    # checkpoint-enabled construction: at most the op's single
+    # materialize_shared stage job, nothing else
+    _, n_jobs = jobs_run_during(
+        spark, lambda: qs["dedup_token_jaccard_prefix"](spark, sf_dir)
+    )
+    assert n_jobs <= 1, f"prefix ran {n_jobs} construction jobs (ckpt on)"
 
 
 def test_jaccard_auto_dispatch_stats_jobs_bounded(spark, sf_dir):
