@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "emb_whiten",
     "emb_norm_outliers",
     "emb_drift",
+    "knn_recall_vec0",
 ]
 
 

@@ -1724,3 +1724,45 @@ def embedding_drift(
             ],
         )
     )
+
+
+def knn_recall_audit(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 6,
+    multiprobe_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k pre-flight for the hyperplane-LSH path: the approximate
+    top-k's overlap with the EXACT top-k for one probe query — run on a
+    sample of queries before trusting an (n_planes, multiprobe) config
+    on the full corpus, exactly like :func:`minhash_jaccard_estimate`
+    audits the MinHash banding and :func:`lsh_bucket_stats` audits
+    candidate volume. A recall of k/k says the probe radius covers this
+    query's true neighborhood; persistent n_hits < k says add probes or
+    drop planes.
+
+    Composition of two already-verified contracts (both collect-free,
+    single-row broadcast query): exact ranking and LSH ranking join on
+    the id — the k-row join is driver-free and the audit row is exact
+    integers, so the whole audit is oracle-checkable (deterministic
+    seed-42 planes).
+
+    Output: one row — (query_id, k, n_hits), n_hits = |approx ∩ exact|.
+    """
+    exact = knn_to_id(embeddings, query_id, k, id_col, vec_col).select(id_col)
+    indexed, _planes = build_lsh_index(
+        embeddings, dim=dim, n_planes=n_planes, vec_col=vec_col
+    )
+    approx = knn_lsh_to_id(
+        indexed, query_id, k, id_col, vec_col, multiprobe_hamming
+    ).select(id_col)
+    hits = approx.join(exact, id_col, "left_semi")
+    return hits.agg(
+        F.lit(int(query_id)).alias("query_id"),
+        F.lit(int(k)).alias("k"),
+        F.count("*").cast("bigint").alias("n_hits"),
+    )

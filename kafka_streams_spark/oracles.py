@@ -2988,6 +2988,46 @@ SIMILARITY_ORACLES["emb_norm_outliers"] = """
     WHERE abs(CAST(s.sqnorm AS DOUBLE) - med.med) > 3.0 * mad.mad
 """
 
+def _knn_recall_sql(
+    query_id: int, k: int, n_planes: int, dim: int, multiprobe_hamming: int
+) -> str:
+    """Recall@k audit twin: |LSH top-k ∩ exact top-k| with the same
+    literal seed-42 planes, probe predicate, and ranking order as the
+    knn_lsh_vec0 / knn_vec0 oracles it composes."""
+    from kafka_streams_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, 42)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, ({bucket}) AS bucket FROM e),
+        q AS (SELECT v AS qv, bucket AS qb FROM sig WHERE vec_id = {query_id}),
+        exact AS (
+            SELECT vec_id FROM e, q
+            ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+            LIMIT {k}
+        ),
+        approx AS (
+            SELECT vec_id FROM sig, q
+            WHERE bit_count(xor(CAST(bucket AS BIGINT), CAST(qb AS BIGINT)))
+                      <= {multiprobe_hamming}
+            ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+            LIMIT {k}
+        )
+        SELECT {query_id} AS query_id, {k} AS k,
+               CAST(count(*) AS BIGINT) AS n_hits
+        FROM approx WHERE vec_id IN (SELECT vec_id FROM exact)
+    """
+
+
+SIMILARITY_ORACLES["knn_recall_vec0"] = _knn_recall_sql(
+    query_id=0, k=10, n_planes=6, dim=64, multiprobe_hamming=2
+)
+
 # Per-dimension exact drift sums between the md5-bucket slices — both
 # sides are the gram diagonal, reproduced by unnest + int64 sums.
 SIMILARITY_ORACLES["emb_drift"] = """

@@ -129,3 +129,14 @@ def test_embedding_drift_exact_sums(spark):
         0: (2, 1500, 1000**2 + 500**2, 1, 2000, 2000**2),
         1: (2, -1750, 2000**2 + 250**2, 1, 2000, 2000**2),
     }
+
+
+def test_knn_recall_audit_perfect_on_single_bucket(spark):
+    """Vectors clustered tightly on one side of every hyperplane share
+    a bucket, so the LSH ranking equals the exact ranking: recall k/k."""
+    from kafka_streams_spark.operators.similarity import knn_recall_audit
+
+    rows = [(i, [1.0 + 0.001 * i] * 64) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = knn_recall_audit(df, query_id=0, k=5).collect()[0]
+    assert (r["query_id"], r["k"], r["n_hits"]) == (0, 5, 5)

@@ -571,3 +571,41 @@ def test_duplicate_clusters_deep_chain_logarithmic_rounds(spark):
     labels = duplicate_clusters(chain, max_iter=10).collect()
     assert len(labels) == 64
     assert all(r["cluster_id"] == 0 for r in labels)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab c", min_size=0, max_size=20), min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=4),
+)
+def test_oov_rate_matches_vocab_model(texts, vocab_size):
+    """oov_rate == Python model: vocabulary is the top-V tokens by
+    (count desc, token asc); per doc, n_tokens and the count of tokens
+    outside that vocabulary; empty docs keep a zero row."""
+    from collections import Counter
+
+    from kafka_streams_spark.operators.text import oov_rate
+
+    spark = _spark()
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    counts = Counter(tok for t in texts for tok in t.lower().split())
+    vocab = {
+        tok
+        for tok, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :vocab_size
+        ]
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"])
+        for r in oov_rate(docs, vocab_size=vocab_size).collect()
+    }
+    want = {
+        i: (
+            len(t.lower().split()),
+            sum(1 for tok in t.lower().split() if tok not in vocab),
+        )
+        for i, t in enumerate(texts)
+    }
+    assert got == want
