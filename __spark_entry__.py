@@ -1141,6 +1141,16 @@ def _q_emb_drift(spark, sf_dir):
     return embedding_drift(embs.filter(bucket < "20"), embs.filter(bucket >= "20"))
 
 
+def _q_knn_lsh_mt_vec0(spark, sf_dir):
+    # OR-amplification answer to the recall audit: 4 tables x 4 planes
+    # measures 8/10 recall@10 where the single 6-plane table saturates
+    # at 4/10 (h<=2) to 7-8/10 (h<=4). Literal seed planes per table
+    # keep it oracle-checked end-to-end.
+    from kafka_streams_spark.operators.similarity import knn_lsh_multitable
+
+    return knn_lsh_multitable(_embs(spark, sf_dir), query_id=0, k=10)
+
+
 def _q_knn_recall_vec0(spark, sf_dir):
     # Same (planes=6, h=2) config as knn_lsh_vec0; composes the two
     # verified rankings into a one-row recall@10 audit.
@@ -1203,6 +1213,7 @@ _NEEDS_DRIVER_ROW = [
     "emb_norm_outliers",
     "emb_drift",
     "knn_recall_vec0",
+    "knn_lsh_mt_vec0",
     # (c) changed in r6: duplicate_clusters self-pair/real-edge fix
     # reaches all CC consumers; decontaminate_emb now routes the Arrow
     # scale path
@@ -1244,7 +1255,6 @@ _NEEDS_DRIVER_ROW = [
     "shuffle_shards_docs",
     "ngram_counts",
     "pii_redact",
-    "dedup_incremental",
 ]
 
 # Contracts registered after this round's evidence window filled: they
@@ -1257,6 +1267,7 @@ _NEXT_ROUND_QUEUE: list[str] = []
 _STALE_EVIDENCE = [
     # Post-window order: any driver slack reaches these first
     # (remaining r03-stale contracts).
+    "dedup_incremental",
     "corpus_stats",
     "knn_ivf_vec0",
     "profile_documents_approx",
@@ -1466,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_norm_outliers": _q_emb_norm_outliers,
         "emb_drift": _q_emb_drift,
         "knn_recall_vec0": _q_knn_recall_vec0,
+        "knn_lsh_mt_vec0": _q_knn_lsh_mt_vec0,
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).
     ordered = {n: qs[n] for n in _NEEDS_DRIVER_ROW + _STALE_EVIDENCE}

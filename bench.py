@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "emb_norm_outliers",
     "emb_drift",
     "knn_recall_vec0",
+    "knn_lsh_mt_vec0",
 ]
 
 

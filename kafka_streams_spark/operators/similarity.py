@@ -9,6 +9,7 @@ Python boundary per row.
 
 from __future__ import annotations
 
+import functools
 import math
 import random
 
@@ -1765,4 +1766,63 @@ def knn_recall_audit(
         F.lit(int(query_id)).alias("query_id"),
         F.lit(int(k)).alias("k"),
         F.count("*").cast("bigint").alias("n_hits"),
+    )
+
+
+def knn_lsh_multitable(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table hyperplane-LSH top-k — OR-amplification, the standard
+    recall repair when single-table probing saturates (measured here:
+    the 6-plane/h≤2 single table scores 4/10 recall on the contract
+    corpus and widening probes plateaus at 7-8/10, while 4 tables ×
+    4 planes reaches 8/10 touching ~25% of the corpus —
+    :func:`knn_recall_audit` is how you learn this per corpus). Each
+    table uses independent planes (seed+t); a vector is a candidate if
+    it shares its EXACT bucket with the query in ANY table; candidates
+    re-rank by exact cosine under the knn contract order.
+
+    Plan shape: ONE corpus scan computes all L signatures (L·p codegen
+    dot products per row), the query row broadcasts back from the table
+    itself (collect-free, the knn_to_id pattern), candidacy is an OR of
+    L integer equalities, and the re-rank is TakeOrderedAndProject over
+    the candidate subset. At scale, write the L signatures out
+    partitioned by (table, bucket) once and each query prunes to L file
+    groups — same economics as the single-table index, L× storage.
+
+    Output: (id, cosine_sim) — top k of the candidate set.
+    """
+    sig_cols = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + t)
+        sig_cols.append(
+            hyperplane_signature(F.col(vec_col), planes).alias(f"_b{t}")
+        )
+    sig = embeddings.select(F.col(id_col), F.col(vec_col), *sig_cols)
+    q = sig.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec"),
+        *[F.col(f"_b{t}").alias(f"_qb{t}") for t in range(n_tables)],
+    )
+    joined = sig.crossJoin(F.broadcast(q))
+    cand = functools.reduce(
+        lambda a, b: a | b,
+        [F.col(f"_b{t}") == F.col(f"_qb{t}") for t in range(n_tables)],
+    )
+    return (
+        joined.filter(cand)
+        .select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("_sim"),
+        )
+        .orderBy(F.col("_sim").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("_sim", 6).alias("cosine_sim"))
     )

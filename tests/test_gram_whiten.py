@@ -140,3 +140,27 @@ def test_knn_recall_audit_perfect_on_single_bucket(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     r = knn_recall_audit(df, query_id=0, k=5).collect()[0]
     assert (r["query_id"], r["k"], r["n_hits"]) == (0, 5, 5)
+
+
+def test_multitable_lsh_recall_beats_single_table(spark, sf_dir):
+    """The OR-amplified 4x4 multitable candidate set must recover at
+    least as many exact top-10 neighbors as the single-table 6-plane
+    h<=2 config it replaces (measured: 8/10 vs 4/10 at sf0.01)."""
+    from kafka_streams_spark.operators.similarity import (
+        build_lsh_index,
+        knn_lsh_multitable,
+        knn_lsh_to_id,
+        knn_to_id,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    exact = {r["vec_id"] for r in knn_to_id(embs, 0, 10).collect()}
+    indexed, _ = build_lsh_index(embs, dim=64, n_planes=6)
+    single = {
+        r["vec_id"]
+        for r in knn_lsh_to_id(indexed, 0, 10, multiprobe_hamming=2).collect()
+    }
+    multi = {r["vec_id"] for r in knn_lsh_multitable(embs, 0, k=10).collect()}
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi & exact) >= 5  # the measured 8/10 with margin
