@@ -1159,6 +1159,17 @@ def _q_knn_recall_vec0(spark, sf_dir):
     return knn_recall_audit(_embs(spark, sf_dir), query_id=0, k=10)
 
 
+def _q_knn_recall_mt_vec0(spark, sf_dir):
+    # The other half of the tuning comparison: audits the multitable
+    # path at its contract config (4 tables x 4 planes).
+    from kafka_streams_spark.operators.similarity import knn_recall_audit
+
+    return knn_recall_audit(
+        _embs(spark, sf_dir), query_id=0, k=10,
+        n_planes=4, method="multitable", n_tables=4,
+    )
+
+
 def _q_emb_whiten(spark, sf_dir):
     """PCA whitening — rows-only: the driver-side eigensolve is a
     learned step (IVF/PQ class); NumPy-model equality and the exact
@@ -1214,6 +1225,7 @@ _NEEDS_DRIVER_ROW = [
     "emb_drift",
     "knn_recall_vec0",
     "knn_lsh_mt_vec0",
+    "knn_recall_mt_vec0",
     # (c) changed in r6: duplicate_clusters self-pair/real-edge fix
     # reaches all CC consumers; decontaminate_emb now routes the Arrow
     # scale path
@@ -1254,7 +1266,6 @@ _NEEDS_DRIVER_ROW = [
     "upsample_epochs_docs",
     "shuffle_shards_docs",
     "ngram_counts",
-    "pii_redact",
 ]
 
 # Contracts registered after this round's evidence window filled: they
@@ -1267,6 +1278,7 @@ _NEXT_ROUND_QUEUE: list[str] = []
 _STALE_EVIDENCE = [
     # Post-window order: any driver slack reaches these first
     # (remaining r03-stale contracts).
+    "pii_redact",
     "dedup_incremental",
     "corpus_stats",
     "knn_ivf_vec0",
@@ -1478,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_drift": _q_emb_drift,
         "knn_recall_vec0": _q_knn_recall_vec0,
         "knn_lsh_mt_vec0": _q_knn_lsh_mt_vec0,
+        "knn_recall_mt_vec0": _q_knn_recall_mt_vec0,
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).
     ordered = {n: qs[n] for n in _NEEDS_DRIVER_ROW + _STALE_EVIDENCE}

@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "emb_drift",
     "knn_recall_vec0",
     "knn_lsh_mt_vec0",
+    "knn_recall_mt_vec0",
 ]
 
 

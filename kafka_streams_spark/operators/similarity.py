@@ -1582,6 +1582,8 @@ def whiten_embeddings(
     from collections.abc import Iterator
 
     rows = embedding_gram(embeddings, vec_col=vec_col, scale=scale).collect()
+    if not rows:
+        raise ValueError("whiten_embeddings: input has no rows — no covariance to learn")
     d = max(r["dim_j"] for r in rows) + 1
     n = rows[0]["n"]
     s = float(scale)
@@ -1736,6 +1738,8 @@ def knn_recall_audit(
     multiprobe_hamming: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "single",
+    n_tables: int = 4,
 ) -> DataFrame:
     """Recall@k pre-flight for the hyperplane-LSH path: the approximate
     top-k's overlap with the EXACT top-k for one probe query — run on a
@@ -1752,15 +1756,27 @@ def knn_recall_audit(
     integers, so the whole audit is oracle-checkable (deterministic
     seed-42 planes).
 
+    ``method="multitable"`` audits :func:`knn_lsh_multitable` with the
+    same (n_planes, n_tables) it would run — the two audits side by
+    side are the single-vs-OR-amplified comparison that picks the
+    production config.
+
     Output: one row — (query_id, k, n_hits), n_hits = |approx ∩ exact|.
     """
     exact = knn_to_id(embeddings, query_id, k, id_col, vec_col).select(id_col)
-    indexed, _planes = build_lsh_index(
-        embeddings, dim=dim, n_planes=n_planes, vec_col=vec_col
-    )
-    approx = knn_lsh_to_id(
-        indexed, query_id, k, id_col, vec_col, multiprobe_hamming
-    ).select(id_col)
+    if method == "single":
+        indexed, _planes = build_lsh_index(
+            embeddings, dim=dim, n_planes=n_planes, vec_col=vec_col
+        )
+        approx = knn_lsh_to_id(
+            indexed, query_id, k, id_col, vec_col, multiprobe_hamming
+        ).select(id_col)
+    elif method == "multitable":
+        approx = knn_lsh_multitable(
+            embeddings, query_id, k, dim, n_planes, n_tables, id_col, vec_col
+        ).select(id_col)
+    else:
+        raise ValueError(f"unknown method {method!r}")
     hits = approx.join(exact, id_col, "left_semi")
     return hits.agg(
         F.lit(int(query_id)).alias("query_id"),

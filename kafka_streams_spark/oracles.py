@@ -3059,6 +3059,49 @@ SIMILARITY_ORACLES["knn_lsh_mt_vec0"] = _knn_lsh_mt_sql(
     query_id=0, k=10, n_planes=4, n_tables=4, dim=64
 )
 
+def _knn_recall_mt_sql(
+    query_id: int, k: int, n_planes: int, n_tables: int, dim: int, seed: int = 42
+) -> str:
+    """Multitable recall twin: |multitable top-k ∩ exact top-k|."""
+    from kafka_streams_spark.operators.similarity import random_hyperplanes
+
+    def bucket(table_seed: int) -> str:
+        planes = random_hyperplanes(dim, n_planes, table_seed)
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]::DOUBLE[]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    bcols = ", ".join(f"({bucket(seed + t)}) AS b{t}" for t in range(n_tables))
+    qcols = ", ".join(f"b{t} AS qb{t}" for t in range(n_tables))
+    anymatch = " OR ".join(f"b{t} = qb{t}" for t in range(n_tables))
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, {bcols} FROM e),
+        q AS (SELECT v AS qv, {qcols} FROM sig WHERE vec_id = {query_id}),
+        exact AS (
+            SELECT vec_id FROM e, (SELECT v AS qv FROM e WHERE vec_id = {query_id})
+            ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+            LIMIT {k}
+        ),
+        approx AS (
+            SELECT vec_id FROM sig, q
+            WHERE {anymatch}
+            ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+            LIMIT {k}
+        )
+        SELECT {query_id} AS query_id, {k} AS k,
+               CAST(count(*) AS BIGINT) AS n_hits
+        FROM approx WHERE vec_id IN (SELECT vec_id FROM exact)
+    """
+
+
+SIMILARITY_ORACLES["knn_recall_mt_vec0"] = _knn_recall_mt_sql(
+    query_id=0, k=10, n_planes=4, n_tables=4, dim=64
+)
+
+
 SIMILARITY_ORACLES["knn_recall_vec0"] = _knn_recall_sql(
     query_id=0, k=10, n_planes=6, dim=64, multiprobe_hamming=2
 )

@@ -169,3 +169,20 @@ def read_gram(spark: SparkSession, gram_dir: str) -> DataFrame:
             F.sum("sum_prod").alias("sum_prod"),
         )
     )
+
+
+def compact_gram(spark: SparkSession, gram_dir: str) -> None:
+    """Fold all batch-delta partitions into a single partition holding
+    their sums — the changelog compaction step (same economics as the
+    router's): read cost of :func:`read_gram` drops from d²·batches
+    rows back to d², and the stream keeps appending new deltas after.
+    Uses partition id -1 (never a real batch id) so an in-flight
+    writer's next `ingest_batch=N` overwrite cannot collide with the
+    compacted partition."""
+    merged = read_gram(spark, gram_dir).withColumn("ingest_batch", F.lit(-1))
+    staged = merged.localCheckpoint(eager=True)  # read fully before overwrite
+    (
+        staged.write.mode("overwrite")
+        .partitionBy("ingest_batch")  # keep the delta layout for the writer
+        .parquet(gram_dir)
+    )

@@ -151,3 +151,51 @@ def test_gram_stream_equals_batch_gram_of_everything(spark, tmp_path):
         for r in spark.read.parquet(gram).groupBy("ingest_batch").count().collect()
     }
     assert all(c == 6 for c in per_batch.values())  # d=3 -> 6 pairs
+
+
+def test_compact_gram_preserves_merged_state(spark, tmp_path):
+    """Compaction folds N delta partitions into one without changing
+    the merged statistic; subsequent deltas keep accumulating."""
+    from kafka_streams_spark.operators.similarity import embedding_gram
+    from kafka_streams_spark.streaming.sketch_stream import (
+        compact_gram,
+        read_gram,
+        run_gram_stream,
+    )
+
+    src = str(tmp_path / "src")
+    gram = str(tmp_path / "gram")
+    ckpt = str(tmp_path / "ckpt")
+    _write(src, "b1.json", EMBS_A)
+    q = run_gram_stream(spark, src, gram, ckpt)
+    try:
+        q.processAllAvailable()
+        _write(src, "b2.json", EMBS_B)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    before = sorted(map(tuple, read_gram(spark, gram).collect()))
+    compact_gram(spark, gram)
+    after = sorted(map(tuple, read_gram(spark, gram).collect()))
+    assert before == after
+    n_parts = spark.read.parquet(gram).select("ingest_batch").distinct().count()
+    assert n_parts == 1
+
+    # the stream keeps appending deltas after compaction and the merge
+    # still equals the batch gram of everything
+    _write(src, "b3.json", [{"vec_id": 9, "embedding": [4.0, 0.5, -1.0], "label": "b"}])
+    q2 = run_gram_stream(spark, src, gram, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    all_embs = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"], r["label"]) for r in EMBS_A + EMBS_B]
+        + [(9, [4.0, 0.5, -1.0], "b")],
+        "vec_id bigint, embedding array<double>, label string",
+    )
+    expected = embedding_gram(all_embs, scale=10**3)
+    assert sorted(map(tuple, read_gram(spark, gram).collect())) == sorted(
+        map(tuple, expected.collect())
+    )

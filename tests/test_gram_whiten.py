@@ -164,3 +164,32 @@ def test_multitable_lsh_recall_beats_single_table(spark, sf_dir):
     multi = {r["vec_id"] for r in knn_lsh_multitable(embs, 0, k=10).collect()}
     assert len(multi & exact) >= len(single & exact)
     assert len(multi & exact) >= 5  # the measured 8/10 with margin
+
+
+def test_whiten_rejects_empty_input(spark):
+    import pytest
+
+    from kafka_streams_spark.operators.similarity import whiten_embeddings
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no rows"):
+        whiten_embeddings(empty)
+
+
+def test_recall_audit_multitable_method(spark, sf_dir):
+    """method='multitable' audits knn_lsh_multitable: n_hits equals the
+    direct overlap computation."""
+    from kafka_streams_spark.operators.similarity import (
+        knn_lsh_multitable,
+        knn_recall_audit,
+        knn_to_id,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    exact = {r["vec_id"] for r in knn_to_id(embs, 0, 10).collect()}
+    multi = {r["vec_id"] for r in knn_lsh_multitable(embs, 0, k=10).collect()}
+    r = knn_recall_audit(
+        embs, 0, k=10, n_planes=4, method="multitable", n_tables=4
+    ).collect()[0]
+    assert r["n_hits"] == len(multi & exact)
