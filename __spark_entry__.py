@@ -1159,6 +1159,20 @@ def _q_knn_recall_vec0(spark, sf_dir):
     return knn_recall_audit(_embs(spark, sf_dir), query_id=0, k=10)
 
 
+def _q_knn_ivfpq_vec0(spark, sf_dir):
+    """IVF-PQ: cell probing (n_probe=2 deterministic label cells) ->
+    PQ ADC shortlist over probed cells only -> exact cosine re-rank —
+    the billion-scale composition, oracle-checked end-to-end."""
+    from kafka_streams_spark.operators.similarity import (
+        ivfpq_topk_to_id,
+        pq_label_codebooks,
+    )
+
+    embs = _embs(spark, sf_dir)
+    books = pq_label_codebooks(embs, m=4)
+    return ivfpq_topk_to_id(embs, books, query_id=0, k=10, n_probe=2, shortlist=100)
+
+
 def _q_knn_recall_mt_vec0(spark, sf_dir):
     # The other half of the tuning comparison: audits the multitable
     # path at its contract config (4 tables x 4 planes).
@@ -1226,6 +1240,7 @@ _NEEDS_DRIVER_ROW = [
     "knn_recall_vec0",
     "knn_lsh_mt_vec0",
     "knn_recall_mt_vec0",
+    "knn_ivfpq_vec0",
     # (c) changed in r6: duplicate_clusters self-pair/real-edge fix
     # reaches all CC consumers; decontaminate_emb now routes the Arrow
     # scale path
@@ -1265,7 +1280,6 @@ _NEEDS_DRIVER_ROW = [
     "stratified_sample_docs",
     "upsample_epochs_docs",
     "shuffle_shards_docs",
-    "ngram_counts",
 ]
 
 # Contracts registered after this round's evidence window filled: they
@@ -1278,6 +1292,7 @@ _NEXT_ROUND_QUEUE: list[str] = []
 _STALE_EVIDENCE = [
     # Post-window order: any driver slack reaches these first
     # (remaining r03-stale contracts).
+    "ngram_counts",
     "pii_redact",
     "dedup_incremental",
     "corpus_stats",
@@ -1491,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_recall_vec0": _q_knn_recall_vec0,
         "knn_lsh_mt_vec0": _q_knn_lsh_mt_vec0,
         "knn_recall_mt_vec0": _q_knn_recall_mt_vec0,
+        "knn_ivfpq_vec0": _q_knn_ivfpq_vec0,
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).
     ordered = {n: qs[n] for n in _NEEDS_DRIVER_ROW + _STALE_EVIDENCE}

@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "knn_recall_vec0",
     "knn_lsh_mt_vec0",
     "knn_recall_mt_vec0",
+    "knn_ivfpq_vec0",
 ]
 
 

@@ -1334,6 +1334,7 @@ def pq_topk_to_id(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k neighbors of corpus vector ``query_id`` by
     asymmetric distance (ADC): the query stays exact, every corpus
@@ -1355,7 +1356,13 @@ def pq_topk_to_id(
     """
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    # `candidates` restricts the RANKED set (e.g. IVF-probed cells);
+    # the query row always resolves against the full table, so a query
+    # outside the probed cells still works.
+    codes = pq_encode(
+        embeddings if candidates is None else candidates,
+        codebooks, id_col, vec_col,
+    )
     q = embeddings.filter(F.col(id_col) == query_id).select(
         _pq_scaled(F.col(vec_col)).alias("_q")
     )
@@ -1839,6 +1846,78 @@ def knn_lsh_multitable(
             cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("_sim"),
         )
         .orderBy(F.col("_sim").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("_sim", 6).alias("cosine_sim"))
+    )
+
+
+def ivfpq_topk_to_id(
+    embeddings: DataFrame,
+    codebooks: list[list[list[int]]],
+    query_id: int = 0,
+    k: int = 10,
+    n_probe: int = 2,
+    shortlist: int = 100,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """IVF-PQ — the canonical billion-scale ANN composition, assembled
+    from this engine's two verified halves: IVF cell probing restricts
+    the search to ``n_probe`` inverted lists (here the deterministic
+    label cells of :func:`knn_ivf_label_to_id`), PQ ADC ranks ONLY
+    those cells' compressed codes into a ``shortlist``, and exact
+    cosine re-ranks the shortlist into the final top-k (the
+    :func:`pq_topk_rerank_to_id` tail). Per query the heavy scan
+    touches |corpus|·n_probe/|cells| code rows — with the corpus
+    bucketed by the cell key the probe semi-join prunes at the source —
+    and float math runs on ``shortlist`` rows.
+
+    Fully in-plan and collect-free (probe choice is a row_number over
+    the ≤|cells| centroid table; query rows broadcast from the table
+    itself); with label codebooks every stage is integer-exact or
+    6-dp-pinned, so the WHOLE composition is oracle-checked — probe
+    selection, encoding, ADC, re-rank — not just its pieces.
+
+    Output: (id, cosine_sim) — top ``k``, knn contract ranking.
+    """
+    if n_probe < 1:
+        raise ValueError("n_probe must be >= 1")
+    from pyspark.sql import Window
+
+    cent = label_centroids(
+        embeddings, group_col=group_col, vec_col=vec_col, decimals=decimals
+    )
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    cell_rank = Window.orderBy(F.col("_cs").desc(), F.col(group_col))
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            F.col(group_col),
+            cosine_similarity(F.col("centroid"), F.col("_qvec")).alias("_cs"),
+        )
+        .withColumn("_r", F.row_number().over(cell_rank))
+        .filter(F.col("_r") <= n_probe)
+        .select(group_col)
+    )
+    cells = embeddings.join(F.broadcast(probe), group_col)
+    cand = pq_topk_to_id(
+        embeddings, codebooks, query_id, shortlist, id_col, vec_col,
+        candidates=cells,
+    ).select(id_col)
+    rescored = (
+        embeddings.join(F.broadcast(cand), id_col, "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("_sim"),
+        )
+    )
+    return (
+        rescored.orderBy(F.col("_sim").desc(), F.col(id_col))
         .limit(k)
         .select(F.col(id_col), F.round("_sim", 6).alias("cosine_sim"))
     )

@@ -2883,6 +2883,41 @@ SIMILARITY_ORACLES["knn_pq_rerank_vec0"] = f"""
     LIMIT 10
 """
 
+# IVF-PQ: the full composition oracle — float-centroid cell probing
+# (the knn_ivf_label CTEs), integer-exact PQ encoding + ADC restricted
+# to the probed cells, exact cosine re-rank of the shortlist. Every
+# stage is the already-pinned twin of its Spark half.
+SIMILARITY_ORACLES["knn_ivfpq_vec0"] = f"""
+    WITH {_PQ_LABEL_CTE.strip()},
+    fe AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+    fex AS (SELECT label, unnest(range(len(v))) AS pos, unnest(v) AS x FROM fe),
+    fcm AS (SELECT label, pos, round(avg(x), 6) AS m FROM fex GROUP BY label, pos),
+    fcent AS (SELECT label, list(m ORDER BY pos) AS c FROM fcm GROUP BY label),
+    fq AS (SELECT v AS qv FROM fe WHERE vec_id = 0),
+    pc AS (SELECT label, list_cosine_similarity(c, qv) AS cs FROM fcent, fq),
+    probe AS (
+        SELECT label FROM (
+            SELECT label, row_number() OVER (ORDER BY cs DESC, label) AS r
+            FROM pc
+        ) WHERE r <= 2
+    ),
+    short AS (
+        SELECT pq.vec_id FROM pq
+             JOIN fe ON pq.vec_id = fe.vec_id
+             JOIN probe ON fe.label = probe.label
+        ORDER BY pq_dist, pq.vec_id
+        LIMIT 100
+    )
+    SELECT e2.vec_id,
+           round(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]),
+                                        fq.qv), 6) AS cosine_sim
+    FROM embeddings e2 JOIN short USING (vec_id), fq
+    ORDER BY list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), fq.qv)
+             DESC, e2.vec_id
+    LIMIT 10
+"""
+
 # Native-session-window sessionization: the gaps-and-islands CTE is the
 # SQL twin of Spark's SessionWindow merge rule — boundary-INCLUSIVE
 # (diff <= gap merges; empirically pinned), end = last event + gap.

@@ -160,3 +160,61 @@ def test_pq_rerank_recovers_exact_order_on_shortlist(spark, sf_dir):
         for r in knn_to_id(emb, query_id=0, k=10).collect()
     ]
     assert got == want
+
+
+def test_ivfpq_all_probes_full_shortlist_is_exact(spark, sf_dir):
+    """With every cell probed and shortlist = corpus size, IVF-PQ is
+    lossless: output equals exact knn under the contract ranking."""
+    from kafka_streams_spark.operators.similarity import (
+        ivfpq_topk_to_id,
+        knn_to_id,
+        pq_label_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_cells = emb.select("label").distinct().count()
+    books = pq_label_codebooks(emb, m=4)
+    got = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ivfpq_topk_to_id(
+            emb, books, query_id=0, k=10, n_probe=n_cells, shortlist=n
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in knn_to_id(emb, query_id=0, k=10).collect()
+    ]
+    assert got == want
+
+
+def test_ivfpq_prunes_to_probed_cells(spark, sf_dir):
+    """With n_probe=1 every returned id lives in the single probed cell
+    — the pruning is real, not advisory."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.operators.similarity import (
+        cosine_similarity,
+        ivfpq_topk_to_id,
+        label_centroids,
+        pq_label_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_label_codebooks(emb, m=4)
+    got_ids = [
+        r["vec_id"]
+        for r in ivfpq_topk_to_id(emb, books, query_id=0, k=10, n_probe=1).collect()
+    ]
+    # recompute the probed cell the same way the operator does
+    cent = label_centroids(emb)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qvec"))
+    best = (
+        cent.crossJoin(F.broadcast(q))
+        .select("label", cosine_similarity(F.col("centroid"), F.col("_qvec")).alias("cs"))
+        .orderBy(F.col("cs").desc(), "label")
+        .limit(1)
+        .collect()[0]["label"]
+    )
+    cell_ids = {r["vec_id"] for r in emb.filter(F.col("label") == best).collect()}
+    assert set(got_ids) <= cell_ids
