@@ -1173,6 +1173,19 @@ def _q_knn_ivfpq_vec0(spark, sf_dir):
     return ivfpq_topk_to_id(embs, books, query_id=0, k=10, n_probe=2, shortlist=100)
 
 
+def _q_pq_error_vec0(spark, sf_dir):
+    # Distance-fidelity leg of the audit family: ADC vs exact int
+    # squared distance on the top-50 ADC candidates.
+    from kafka_streams_spark.operators.similarity import (
+        pq_error_audit,
+        pq_label_codebooks,
+    )
+
+    embs = _embs(spark, sf_dir)
+    books = pq_label_codebooks(embs, m=4)
+    return pq_error_audit(embs, books, query_id=0, k=50)
+
+
 def _q_knn_recall_mt_vec0(spark, sf_dir):
     # The other half of the tuning comparison: audits the multitable
     # path at its contract config (4 tables x 4 planes).
@@ -1241,6 +1254,7 @@ _NEEDS_DRIVER_ROW = [
     "knn_lsh_mt_vec0",
     "knn_recall_mt_vec0",
     "knn_ivfpq_vec0",
+    "pq_error_vec0",
     # (c) changed in r6: duplicate_clusters self-pair/real-edge fix
     # reaches all CC consumers; decontaminate_emb now routes the Arrow
     # scale path
@@ -1279,7 +1293,6 @@ _NEEDS_DRIVER_ROW = [
     "emb_quantize_sym",
     "stratified_sample_docs",
     "upsample_epochs_docs",
-    "shuffle_shards_docs",
 ]
 
 # Contracts registered after this round's evidence window filled: they
@@ -1292,6 +1305,7 @@ _NEXT_ROUND_QUEUE: list[str] = []
 _STALE_EVIDENCE = [
     # Post-window order: any driver slack reaches these first
     # (remaining r03-stale contracts).
+    "shuffle_shards_docs",
     "ngram_counts",
     "pii_redact",
     "dedup_incremental",
@@ -1507,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_mt_vec0": _q_knn_lsh_mt_vec0,
         "knn_recall_mt_vec0": _q_knn_recall_mt_vec0,
         "knn_ivfpq_vec0": _q_knn_ivfpq_vec0,
+        "pq_error_vec0": _q_pq_error_vec0,
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).
     ordered = {n: qs[n] for n in _NEEDS_DRIVER_ROW + _STALE_EVIDENCE}

@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "knn_lsh_mt_vec0",
     "knn_recall_mt_vec0",
     "knn_ivfpq_vec0",
+    "pq_error_vec0",
 ]
 
 

@@ -2883,6 +2883,23 @@ SIMILARITY_ORACLES["knn_pq_rerank_vec0"] = f"""
     LIMIT 10
 """
 
+# PQ quantization-error audit: ADC distance vs exact int squared
+# distance for the top-k ADC candidates — all integer arithmetic.
+SIMILARITY_ORACLES["pq_error_vec0"] = f"""
+    WITH {_PQ_LABEL_CTE.strip()},
+    cand AS (SELECT vec_id, pq_dist FROM pq ORDER BY pq_dist, vec_id LIMIT 50),
+    exact AS (
+        SELECT e.vec_id,
+               CAST(list_sum(list_transform(range(1, len(e.xi) + 1),
+                   i -> (e.xi[i] - q.qx[i]) * (e.xi[i] - q.qx[i])))
+                    AS BIGINT) AS exact_dist
+        FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+    )
+    SELECT cand.vec_id, cand.pq_dist, exact.exact_dist,
+           CAST(cand.pq_dist - exact.exact_dist AS BIGINT) AS err
+    FROM cand JOIN exact ON cand.vec_id = exact.vec_id
+"""
+
 # IVF-PQ: the full composition oracle — float-centroid cell probing
 # (the knn_ivf_label CTEs), integer-exact PQ encoding + ADC restricted
 # to the probed cells, exact cosine re-rank of the shortlist. Every

@@ -218,3 +218,54 @@ def test_ivfpq_prunes_to_probed_cells(spark, sf_dir):
     )
     cell_ids = {r["vec_id"] for r in emb.filter(F.col("label") == best).collect()}
     assert set(got_ids) <= cell_ids
+
+
+def test_write_read_pq_codes_roundtrip_and_gate(spark, sf_dir, tmp_path):
+    """Persisted codes equal a fresh encode; reading with different
+    codebooks is rejected loudly (silent garbage ranking otherwise)."""
+    import pytest
+
+    from kafka_streams_spark.operators.similarity import (
+        pq_encode,
+        pq_label_codebooks,
+        read_pq_codes,
+        write_pq_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_label_codebooks(emb, m=4)
+    path = str(tmp_path / "codes")
+    write_pq_codes(emb, books, path)
+
+    got = sorted(
+        (r["vec_id"], list(r["codes"]))
+        for r in read_pq_codes(spark, path, codebooks=books).collect()
+    )
+    want = sorted(
+        (r["vec_id"], list(r["codes"])) for r in pq_encode(emb, books).collect()
+    )
+    assert got == want
+
+    other = pq_label_codebooks(emb, m=2)
+    with pytest.raises(ValueError, match="different codebooks"):
+        read_pq_codes(spark, path, codebooks=other)
+
+
+def test_pq_error_audit_zero_on_centroid_vectors(spark):
+    """Vectors that ARE their cell centroid quantize losslessly: ADC
+    distance == exact distance, err == 0 for every candidate."""
+    from kafka_streams_spark.operators.similarity import (
+        pq_error_audit,
+        pq_label_codebooks,
+    )
+
+    # two labels, each with identical vectors -> centroid == the vector
+    rows = [(i, [1.0, 2.0, 3.0, 4.0], "a") for i in range(3)] + [
+        (10 + i, [5.0, 6.0, 7.0, 8.0], "b") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    books = pq_label_codebooks(df, m=2)
+    out = pq_error_audit(df, books, query_id=0, k=6).collect()
+    assert len(out) == 6
+    assert all(r["err"] == 0 for r in out)
+    assert all(r["pq_dist"] == r["exact_dist"] for r in out)
