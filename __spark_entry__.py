@@ -1197,6 +1197,12 @@ def _q_knn_recall_mt_vec0(spark, sf_dir):
     )
 
 
+def _q_badword_filter(spark, sf_dir):
+    from kafka_streams_spark.operators.text import badword_filter
+
+    return badword_filter(_docs(spark, sf_dir))
+
+
 def _q_emb_whiten(spark, sf_dir):
     """PCA whitening — rows-only: the driver-side eigensolve is a
     learned step (IVF/PQ class); NumPy-model equality and the exact
@@ -1255,6 +1261,7 @@ _NEEDS_DRIVER_ROW = [
     "knn_recall_mt_vec0",
     "knn_ivfpq_vec0",
     "pq_error_vec0",
+    "badword_filter",
     # (c) changed in r6: duplicate_clusters self-pair/real-edge fix
     # reaches all CC consumers; decontaminate_emb now routes the Arrow
     # scale path
@@ -1292,7 +1299,6 @@ _NEEDS_DRIVER_ROW = [
     "emb_quantize_int8",
     "emb_quantize_sym",
     "stratified_sample_docs",
-    "upsample_epochs_docs",
 ]
 
 # Contracts registered after this round's evidence window filled: they
@@ -1305,6 +1311,7 @@ _NEXT_ROUND_QUEUE: list[str] = []
 _STALE_EVIDENCE = [
     # Post-window order: any driver slack reaches these first
     # (remaining r03-stale contracts).
+    "upsample_epochs_docs",
     "shuffle_shards_docs",
     "ngram_counts",
     "pii_redact",
@@ -1522,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_recall_mt_vec0": _q_knn_recall_mt_vec0,
         "knn_ivfpq_vec0": _q_knn_ivfpq_vec0,
         "pq_error_vec0": _q_pq_error_vec0,
+        "badword_filter": _q_badword_filter,
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).
     ordered = {n: qs[n] for n in _NEEDS_DRIVER_ROW + _STALE_EVIDENCE}

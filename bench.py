@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "knn_recall_mt_vec0",
     "knn_ivfpq_vec0",
     "pq_error_vec0",
+    "badword_filter",
 ]
 
 

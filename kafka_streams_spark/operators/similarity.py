@@ -1335,6 +1335,7 @@ def pq_topk_to_id(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     candidates: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k neighbors of corpus vector ``query_id`` by
     asymmetric distance (ADC): the query stays exact, every corpus
@@ -1358,11 +1359,19 @@ def pq_topk_to_id(
     dsub = len(codebooks[0][0])
     # `candidates` restricts the RANKED set (e.g. IVF-probed cells);
     # the query row always resolves against the full table, so a query
-    # outside the probed cells still works.
-    codes = pq_encode(
-        embeddings if candidates is None else candidates,
-        codebooks, id_col, vec_col,
-    )
+    # outside the probed cells still works. `codes` is the recurring-run
+    # input (read_pq_codes): the encode pass is skipped entirely and the
+    # scan is m ints per vector — pass codes built from the SAME
+    # codebooks (read_pq_codes enforces the fingerprint).
+    if codes is None:
+        codes = pq_encode(
+            embeddings if candidates is None else candidates,
+            codebooks, id_col, vec_col,
+        )
+    elif candidates is not None:
+        # id-equi semi-join, no broadcast hint: the candidate set can be
+        # corpus-scale (an IVF cell) — let AQE pick the strategy
+        codes = codes.join(candidates.select(id_col), id_col, "left_semi")
     q = embeddings.filter(F.col(id_col) == query_id).select(
         _pq_scaled(F.col(vec_col)).alias("_q")
     )

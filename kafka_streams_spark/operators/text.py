@@ -1997,3 +1997,41 @@ def read_vocab(spark, path: str, expect_vocab_size: int | None = None) -> DataFr
                 f"{meta.get('vocab_size')}, reader expects {expect_vocab_size}"
             )
     return df
+
+
+# Tiny frozen placeholder blocklist — the real deployments swap in the
+# full "Dirty, Naughty, Obscene..." list (C4 §2.2) or a policy list;
+# frozen + lowercase so the oracle reproduces the gate exactly.
+BADWORDS = ["badword", "slur1", "slur2", "obscene1"]
+
+
+def badword_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    badwords: list[str] | None = None,
+) -> DataFrame:
+    """C4-style blocklist gate (C4 §2.2 dropped any page containing a
+    word from the "Dirty, Naughty, Obscene or Otherwise Bad Words"
+    list): per document, the count of blocklisted TOKEN occurrences and
+    the drop flag. Token-level membership, not substring — "class"
+    must not trip an "ass" entry (the classic blocklist false-positive)
+    — so the check is an ``array_intersect`` on the lowercased
+    whitespace tokens plus an exploded count, both codegen; the
+    blocklist is a literal array (wordlists are KBs even in full form,
+    broadcast-free as plan constants).
+
+    Map-only: fuses into whatever scan feeds the curation pipeline,
+    same as the Gopher/C4 rule gates it composes with.
+
+    Output: (doc_id, n_badwords, drop) — drop = any hit, the C4 rule.
+    """
+    words = [w.lower() for w in (badwords if badwords is not None else BADWORDS)]
+    toks = tokens(F.col(text_col))
+    bad_lit = F.array(*[F.lit(w) for w in words])
+    n_bad = F.size(F.filter(toks, lambda t: F.array_contains(bad_lit, t)))
+    return docs.select(
+        F.col(id_col),
+        n_bad.cast("bigint").alias("n_badwords"),
+        (n_bad > 0).alias("drop"),
+    )

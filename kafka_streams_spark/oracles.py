@@ -3186,6 +3186,19 @@ SIMILARITY_ORACLES["emb_drift"] = """
     FROM sa FULL OUTER JOIN sb ON sa.pos = sb.pos
 """
 
+# C4-style blocklist gate: token-level membership on the frozen
+# placeholder list, exploded count + any-hit flag.
+TEXT_ORACLES["badword_filter"] = f"""
+    SELECT doc_id,
+           CAST(len(list_filter({_TOKS},
+               t -> list_contains(['badword', 'slur1', 'slur2', 'obscene1'], t)))
+               AS BIGINT) AS n_badwords,
+           len(list_filter({_TOKS},
+               t -> list_contains(['badword', 'slur1', 'slur2', 'obscene1'], t))) > 0
+               AS "drop"
+    FROM documents
+"""
+
 ALL_ORACLES = {
     **PAYMENT_ORACLES,
     **ANALYTICS_ORACLES,

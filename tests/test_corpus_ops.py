@@ -798,3 +798,24 @@ def test_oov_rate_with_persisted_vocab(spark, tmp_path):
 
     with pytest.raises(ValueError, match="vocab_size"):
         read_vocab(spark, path, expect_vocab_size=500)
+
+
+def test_badword_filter_token_level_membership(spark):
+    """Token membership, not substring: 'classic' must not trip a
+    blocklist entry 'ass'; real token hits count occurrences."""
+    from kafka_streams_spark.operators.text import badword_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a classic essay"),        # substring-only: clean
+            (2, "an ASS appears"),         # case-folded token hit
+            (3, "ass and ass again"),      # two occurrences
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_badwords"], r["drop"])
+        for r in badword_filter(docs, badwords=["ass"]).collect()
+    }
+    assert got == {1: (0, False), 2: (1, True), 3: (2, True), 4: (0, False)}

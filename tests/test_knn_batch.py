@@ -269,3 +269,26 @@ def test_pq_error_audit_zero_on_centroid_vectors(spark):
     assert len(out) == 6
     assert all(r["err"] == 0 for r in out)
     assert all(r["pq_dist"] == r["exact_dist"] for r in out)
+
+
+def test_pq_topk_with_persisted_codes_matches_inline(spark, sf_dir, tmp_path):
+    """The recurring-run path (codes=read_pq_codes) ranks identically
+    to inline encoding."""
+    from kafka_streams_spark.operators.similarity import (
+        pq_label_codebooks,
+        pq_topk_to_id,
+        read_pq_codes,
+        write_pq_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_label_codebooks(emb, m=4)
+    path = str(tmp_path / "codes")
+    write_pq_codes(emb, books, path)
+    codes = read_pq_codes(spark, path, codebooks=books)
+
+    inline = sorted(map(tuple, pq_topk_to_id(emb, books, 0, 20).collect()))
+    persisted = sorted(
+        map(tuple, pq_topk_to_id(emb, books, 0, 20, codes=codes).collect())
+    )
+    assert inline == persisted
