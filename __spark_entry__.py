@@ -1203,6 +1203,12 @@ def _q_badword_filter(spark, sf_dir):
     return badword_filter(_docs(spark, sf_dir))
 
 
+def _q_emb_profile(spark, sf_dir):
+    from kafka_streams_spark.operators.similarity import embedding_profile
+
+    return embedding_profile(_embs(spark, sf_dir))
+
+
 def _q_emb_whiten(spark, sf_dir):
     """PCA whitening — rows-only: the driver-side eigensolve is a
     learned step (IVF/PQ class); NumPy-model equality and the exact
@@ -1262,6 +1268,7 @@ _NEEDS_DRIVER_ROW = [
     "knn_ivfpq_vec0",
     "pq_error_vec0",
     "badword_filter",
+    "emb_profile",
     # (c) changed in r6: duplicate_clusters self-pair/real-edge fix
     # reaches all CC consumers; decontaminate_emb now routes the Arrow
     # scale path
@@ -1298,7 +1305,6 @@ _NEEDS_DRIVER_ROW = [
     "emb_normalize",
     "emb_quantize_int8",
     "emb_quantize_sym",
-    "stratified_sample_docs",
 ]
 
 # Contracts registered after this round's evidence window filled: they
@@ -1311,6 +1317,7 @@ _NEXT_ROUND_QUEUE: list[str] = []
 _STALE_EVIDENCE = [
     # Post-window order: any driver slack reaches these first
     # (remaining r03-stale contracts).
+    "stratified_sample_docs",
     "upsample_epochs_docs",
     "shuffle_shards_docs",
     "ngram_counts",
@@ -1530,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq_vec0": _q_knn_ivfpq_vec0,
         "pq_error_vec0": _q_pq_error_vec0,
         "badword_filter": _q_badword_filter,
+        "emb_profile": _q_emb_profile,
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).
     ordered = {n: qs[n] for n in _NEEDS_DRIVER_ROW + _STALE_EVIDENCE}

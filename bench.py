@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "knn_ivfpq_vec0",
     "pq_error_vec0",
     "badword_filter",
+    "emb_profile",
 ]
 
 

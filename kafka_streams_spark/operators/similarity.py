@@ -2029,3 +2029,49 @@ def pq_error_audit(
         "exact_dist",
         (F.col("pq_dist") - F.col("exact_dist")).cast("bigint").alias("err"),
     )
+
+
+def embedding_profile(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row integrity profile of an embedding column — the pre-flight
+    every vector pipeline here assumes has passed: NULL rows, ragged
+    dimensions (``np.stack`` in any Arrow stage hard-fails on them),
+    NaN/Inf components (which poison every cosine they touch and
+    propagate through aggregates), and all-zero vectors (whose "unit"
+    normalization is a division guard away from garbage). Run it before
+    gram/whiten/ANN on a new corpus drop; a non-zero count in any
+    defect column routes to quarantine, same policy as the JSONL
+    corrupt-row split.
+
+    Pure codegen expressions over one scan (exists/filter/aggregate
+    HOFs — no explode, no Python), folding into a single 1-row
+    partial+final aggregate.
+
+    Output: (n_vecs, n_null, dim_min, dim_max, n_with_nan, n_with_inf,
+    n_zero) — all exact integers.
+    """
+    v = F.col(vec_col)
+    has_nan = F.exists(v, lambda x: F.isnan(x.cast("double")))
+    has_inf = F.exists(
+        v,
+        lambda x: (x.cast("double") == F.lit(float("inf")))
+        | (x.cast("double") == F.lit(float("-inf"))),
+    )
+    all_zero = ~F.exists(v, lambda x: x.cast("double") != 0.0)
+    return embeddings.agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+        F.min(F.size(v)).cast("bigint").alias("dim_min"),
+        F.max(F.size(v)).cast("bigint").alias("dim_max"),
+        F.sum(F.when(v.isNotNull() & has_nan, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_nan"),
+        F.sum(F.when(v.isNotNull() & has_inf, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_inf"),
+        F.sum(F.when(v.isNotNull() & all_zero, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )

@@ -3199,6 +3199,26 @@ TEXT_ORACLES["badword_filter"] = f"""
     FROM documents
 """
 
+# One-row embedding integrity profile: NULL / ragged / NaN / Inf /
+# all-zero counts, exact integers over one scan.
+SIMILARITY_ORACLES["emb_profile"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(min(len(embedding)) AS BIGINT) AS dim_min,
+           CAST(max(len(embedding)) AS BIGINT) AS dim_max,
+           CAST(sum(CASE WHEN embedding IS NOT NULL AND len(list_filter(
+                   embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_with_nan,
+           CAST(sum(CASE WHEN embedding IS NOT NULL AND len(list_filter(
+                   embedding, x -> isinf(CAST(x AS DOUBLE)))) > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_with_inf,
+           CAST(sum(CASE WHEN embedding IS NOT NULL AND len(list_filter(
+                   embedding, x -> CAST(x AS DOUBLE) != 0.0)) = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+    FROM embeddings
+"""
+
 ALL_ORACLES = {
     **PAYMENT_ORACLES,
     **ANALYTICS_ORACLES,

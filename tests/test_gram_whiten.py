@@ -193,3 +193,24 @@ def test_recall_audit_multitable_method(spark, sf_dir):
         embs, 0, k=10, n_planes=4, method="multitable", n_tables=4
     ).collect()[0]
     assert r["n_hits"] == len(multi & exact)
+
+
+def test_embedding_profile_counts_each_defect(spark):
+    """NULL vector, NaN component, Inf component, all-zero vector, and
+    a ragged dimension each land in exactly their own counter."""
+    from kafka_streams_spark.operators.similarity import embedding_profile
+
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, None),
+        (3, [float("nan"), 1.0]),
+        (4, [float("inf"), 1.0]),
+        (5, [0.0, 0.0]),
+        (6, [1.0, 2.0, 3.0]),  # ragged
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_profile(df).collect()[0]
+    assert (
+        r["n_vecs"], r["n_null"], r["dim_min"], r["dim_max"],
+        r["n_with_nan"], r["n_with_inf"], r["n_zero"],
+    ) == (6, 1, 2, 3, 1, 1, 1)
