@@ -186,3 +186,85 @@ def compact_gram(spark: SparkSession, gram_dir: str) -> None:
         .partitionBy("ingest_batch")  # keep the delta layout for the writer
         .parquet(gram_dir)
     )
+
+
+def run_pq_encode_stream(
+    spark: SparkSession,
+    source_dir: str,
+    codes_dir: str,
+    checkpoint_dir: str,
+    codebooks: list,
+    max_files_per_trigger: int = 100,
+):
+    """Streaming half of the recurring ANN deployment: new vectors
+    arrive as a JSON stream and each micro-batch appends its PQ CODES
+    (m ints per vector) to the persisted code index — the
+    ``write_pq_codes`` table kept live. Codebooks are FROZEN inputs
+    (train once per corpus generation; re-encoding the world on a
+    codebook change is a batch rebuild, not a streaming concern), and
+    every delta carries the same codebook fingerprint metadata the
+    batch writer stamps, so readers gate-check exactly as for the
+    batch table. Idempotent under replay for the standard reason: a
+    re-delivered batch recomputes the same deterministic codes into
+    its own partition.
+
+    ADC queries read the merged table with :func:`read_pq_codes_stream`
+    and never touch the float vectors of already-encoded rows — the
+    100 TB economics this index exists for.
+    """
+    import hashlib
+    import json as _json
+
+    from kafka_streams_spark.operators.similarity import pq_encode
+
+    fp = hashlib.md5(
+        _json.dumps(codebooks, separators=(",", ":")).encode()
+    ).hexdigest()
+
+    raw = (
+        spark.readStream.schema(_emb_schema())
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        delta = pq_encode(batch_df, codebooks).withMetadata(
+            "codes", {"m": len(codebooks), "codebook_md5": fp}
+        )
+        (
+            delta.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(codes_dir)
+        )
+
+    return (
+        raw.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+
+def read_pq_codes_stream(
+    spark: SparkSession, codes_dir: str, codebooks: list | None = None
+) -> DataFrame:
+    """Read the live streamed code index (all batch partitions, the
+    ``ingest_batch`` column dropped) with the same codebook-fingerprint
+    gate as :func:`~kafka_streams_spark.operators.similarity.read_pq_codes`."""
+    import hashlib
+    import json as _json
+
+    df = spark.read.parquet(codes_dir).drop("ingest_batch")
+    if codebooks is not None:
+        fp = hashlib.md5(
+            _json.dumps(codebooks, separators=(",", ":")).encode()
+        ).hexdigest()
+        meta = df.schema["codes"].metadata
+        if meta.get("codebook_md5") != fp:
+            raise ValueError(
+                f"streamed PQ codes at {codes_dir} were encoded with "
+                f"different codebooks (md5 {meta.get('codebook_md5')} != {fp})"
+            )
+    return df

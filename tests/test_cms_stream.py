@@ -199,3 +199,64 @@ def test_compact_gram_preserves_merged_state(spark, tmp_path):
     assert sorted(map(tuple, read_gram(spark, gram).collect())) == sorted(
         map(tuple, expected.collect())
     )
+
+
+def test_pq_encode_stream_builds_live_code_index(spark, tmp_path):
+    """Streamed codes == batch pq_encode over all ingested vectors;
+    ADC against the streamed index ranks identically to inline; a
+    foreign-codebook read is rejected."""
+    import pytest
+
+    from kafka_streams_spark.operators.similarity import (
+        pq_encode,
+        pq_label_codebooks,
+        pq_topk_to_id,
+    )
+    from kafka_streams_spark.streaming.sketch_stream import (
+        read_pq_codes_stream,
+        run_pq_encode_stream,
+    )
+
+    base = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"], r["label"]) for r in EMBS_A + EMBS_B],
+        "vec_id bigint, embedding array<double>, label string",
+    )
+    # dim 3 not divisible by m=2 -> pad to dim 4 via a 4th component
+    padded = [
+        {**r, "embedding": r["embedding"] + [float(r["vec_id"])]}
+        for r in EMBS_A + EMBS_B
+    ]
+    base = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"], r["label"]) for r in padded],
+        "vec_id bigint, embedding array<double>, label string",
+    )
+    books = pq_label_codebooks(base, m=2)
+
+    src = str(tmp_path / "src")
+    codes_dir = str(tmp_path / "codes")
+    ckpt = str(tmp_path / "ckpt")
+    _write(src, "b1.json", padded[:2])
+    q = run_pq_encode_stream(spark, src, codes_dir, ckpt, books)
+    try:
+        q.processAllAvailable()
+        _write(src, "b2.json", padded[2:])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = read_pq_codes_stream(spark, codes_dir, codebooks=books)
+    want = sorted(
+        (r["vec_id"], list(r["codes"])) for r in pq_encode(base, books).collect()
+    )
+    got = sorted((r["vec_id"], list(r["codes"])) for r in streamed.collect())
+    assert got == want
+
+    inline = sorted(map(tuple, pq_topk_to_id(base, books, 1, 3).collect()))
+    via_index = sorted(
+        map(tuple, pq_topk_to_id(base, books, 1, 3, codes=streamed).collect())
+    )
+    assert inline == via_index
+
+    other = pq_label_codebooks(base, m=4)
+    with pytest.raises(ValueError, match="different codebooks"):
+        read_pq_codes_stream(spark, codes_dir, codebooks=other)
