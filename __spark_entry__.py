@@ -1209,6 +1209,12 @@ def _q_emb_profile(spark, sf_dir):
     return embedding_profile(_embs(spark, sf_dir))
 
 
+def _q_events_rate_anomaly(spark, sf_dir):
+    from kafka_streams_spark.operators.analytics import events_rate_anomaly
+
+    return events_rate_anomaly(spark, sf_dir)
+
+
 def _q_emb_whiten(spark, sf_dir):
     """PCA whitening — rows-only: the driver-side eigensolve is a
     learned step (IVF/PQ class); NumPy-model equality and the exact
@@ -1269,6 +1275,7 @@ _NEEDS_DRIVER_ROW = [
     "pq_error_vec0",
     "badword_filter",
     "emb_profile",
+    "events_rate_anomaly",
     # (c) changed in r6: duplicate_clusters self-pair/real-edge fix
     # reaches all CC consumers; decontaminate_emb now routes the Arrow
     # scale path
@@ -1304,7 +1311,6 @@ _NEEDS_DRIVER_ROW = [
     "emb_label_centroids",
     "emb_normalize",
     "emb_quantize_int8",
-    "emb_quantize_sym",
 ]
 
 # Contracts registered after this round's evidence window filled: they
@@ -1317,6 +1323,7 @@ _NEXT_ROUND_QUEUE: list[str] = []
 _STALE_EVIDENCE = [
     # Post-window order: any driver slack reaches these first
     # (remaining r03-stale contracts).
+    "emb_quantize_sym",
     "stratified_sample_docs",
     "upsample_epochs_docs",
     "shuffle_shards_docs",
@@ -1538,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_error_vec0": _q_pq_error_vec0,
         "badword_filter": _q_badword_filter,
         "emb_profile": _q_emb_profile,
+        "events_rate_anomaly": _q_events_rate_anomaly,
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).
     ordered = {n: qs[n] for n in _NEEDS_DRIVER_ROW + _STALE_EVIDENCE}

@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "pq_error_vec0",
     "badword_filter",
     "emb_profile",
+    "events_rate_anomaly",
 ]
 
 

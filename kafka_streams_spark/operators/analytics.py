@@ -279,6 +279,51 @@ def events_session_native(
     )
 
 
+def events_rate_anomaly(
+    spark: SparkSession, sf_dir: str, k: float = 3.0
+) -> DataFrame:
+    """Per-type hourly-rate anomaly flags: an hour whose event count
+    deviates more than ``k·MAD`` from that type's median hourly count —
+    the pipeline-health audit that catches a stuck producer (rate → 0
+    on observed hours), a replay storm, or a bot burst, per event type.
+    Robust median/MAD (the length_outliers estimator) because event
+    rates are heavy-tailed exactly when something is wrong.
+
+    Exactness: hourly counts are integers, so median and MAD land on
+    the .0/.5 grid and the flag comparison is bit-deterministic
+    cross-engine. Hours with ZERO events are absent from the input by
+    construction (no row → no count) — this audits observed hours;
+    dead-air detection composes it with a calendar spine.
+
+    Shape: one shuffle to (type, hour) counts — map-side combined —
+    then two tiny per-type aggregates broadcast back onto the ≤
+    |types|·|hours| count table. Exact percentile is the only N·logN
+    piece; swap percentile_approx at 100 TB, keep the exact form as the
+    oracle twin.
+
+    Output: flagged rows — (event_type, epoch_hour, n_events, med, mad).
+    """
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        "event_type", F.expr("ts div 3600000000000").alias("epoch_hour")
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    med = counts.groupBy("event_type").agg(
+        F.expr("percentile(n_events, 0.5)").alias("med")
+    )
+    with_med = counts.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.expr("percentile(abs(n_events - med), 0.5)").alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .filter(
+            F.abs(F.col("n_events").cast("double") - F.col("med"))
+            > F.lit(float(k)) * F.col("mad")
+        )
+        .select("event_type", "epoch_hour", "n_events", "med", "mad")
+    )
+
+
 def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-count per type (the oracle-checkable variant;
     `approx_users_by_type` is the HLL++ scale path)."""

@@ -3219,6 +3219,27 @@ SIMILARITY_ORACLES["emb_profile"] = """
     FROM embeddings
 """
 
+# Per-type hourly-rate anomalies: integer hourly counts put median/MAD
+# on the .0/.5 grid — flag comparison bit-deterministic.
+ANALYTICS_ORACLES["events_rate_anomaly"] = """
+    WITH c AS (
+        SELECT event_type, epoch_ns(ts) // 3600000000000 AS epoch_hour,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (SELECT event_type, median(n_events) AS med FROM c GROUP BY event_type),
+    mad AS (
+        SELECT c.event_type, median(abs(c.n_events - med.med)) AS mad
+        FROM c JOIN med ON c.event_type = med.event_type
+        GROUP BY c.event_type
+    )
+    SELECT c.event_type, c.epoch_hour, c.n_events, med.med AS med, mad.mad AS mad
+    FROM c
+         JOIN med ON c.event_type = med.event_type
+         JOIN mad ON c.event_type = mad.event_type
+    WHERE abs(CAST(c.n_events AS DOUBLE) - med.med) > 3.0 * mad.mad
+"""
+
 ALL_ORACLES = {
     **PAYMENT_ORACLES,
     **ANALYTICS_ORACLES,

@@ -365,3 +365,38 @@ def test_session_native_boundary_inclusive(spark, tmp_path):
         (b_us, b_us + 2 * gap_us, 2),
         (b_us + 2 * gap_us + 1, b_us + 3 * gap_us + 1, 1),
     ]
+
+
+def test_events_rate_anomaly_flags_burst_hour(spark, tmp_path):
+    """A 50x burst hour is flagged; steady hours are not."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    hour_ns = 3_600_000_000_000
+    base = 1_700_000_000_000_000_000
+    base_hour = base // hour_ns
+    rows = []
+    eid = 0
+    for h in range(9):          # steady: 2 events/hour
+        for i in range(2):
+            rows.append((eid, base + h * hour_ns + i, 1, "view", 1.0, None))
+            eid += 1
+    for i in range(100):        # burst hour
+        rows.append((eid, base + 9 * hour_ns + i, 1, "view", 1.0, None))
+        eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    tbl = pa.Table.from_pandas(df)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"),
+        pa.field("ts", pa.timestamp("ns")),
+        tbl["ts"].cast(pa.timestamp("ns")),
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    from kafka_streams_spark.operators.analytics import events_rate_anomaly
+
+    got = events_rate_anomaly(spark, str(tmp_path)).collect()
+    assert [(r["event_type"], r["epoch_hour"], r["n_events"]) for r in got] == [
+        ("view", base_hour + 9, 100)
+    ]
