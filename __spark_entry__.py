@@ -1215,6 +1215,29 @@ def _q_events_rate_anomaly(spark, sf_dir):
     return events_rate_anomaly(spark, sf_dir)
 
 
+def _q_corpus_diff(spark, sf_dir):
+    # Two synthetic corpus versions from one table so all four statuses
+    # occur: old = md5 bucket >= '20'; new = bucket < '80' with every
+    # 7th doc's text perturbed ("changed").
+    from kafka_streams_spark.operators.pipelines import corpus_diff
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    old = docs.filter(bucket >= "20")
+    new = docs.filter(bucket < "80").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit("x")))
+        .otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
+def _q_corpus_scorecard(spark, sf_dir):
+    from kafka_streams_spark.operators.pipelines import corpus_scorecard
+
+    return corpus_scorecard(_docs(spark, sf_dir))
+
+
 def _q_emb_whiten(spark, sf_dir):
     """PCA whitening — rows-only: the driver-side eigensolve is a
     learned step (IVF/PQ class); NumPy-model equality and the exact
@@ -1276,6 +1299,8 @@ _NEEDS_DRIVER_ROW = [
     "badword_filter",
     "emb_profile",
     "events_rate_anomaly",
+    "corpus_diff",
+    "corpus_scorecard",
     # (c) changed in r6: duplicate_clusters self-pair/real-edge fix
     # reaches all CC consumers; decontaminate_emb now routes the Arrow
     # scale path
@@ -1310,7 +1335,6 @@ _NEEDS_DRIVER_ROW = [
     "payments_rails_bar",
     "emb_label_centroids",
     "emb_normalize",
-    "emb_quantize_int8",
 ]
 
 # Contracts registered after this round's evidence window filled: they
@@ -1323,6 +1347,7 @@ _NEXT_ROUND_QUEUE: list[str] = []
 _STALE_EVIDENCE = [
     # Post-window order: any driver slack reaches these first
     # (remaining r03-stale contracts).
+    "emb_quantize_int8",
     "emb_quantize_sym",
     "stratified_sample_docs",
     "upsample_epochs_docs",
@@ -1546,6 +1571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "badword_filter": _q_badword_filter,
         "emb_profile": _q_emb_profile,
         "events_rate_anomaly": _q_events_rate_anomaly,
+        "corpus_diff": _q_corpus_diff,
+        "corpus_scorecard": _q_corpus_scorecard,
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).
     ordered = {n: qs[n] for n in _NEEDS_DRIVER_ROW + _STALE_EVIDENCE}

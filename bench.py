@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "badword_filter",
     "emb_profile",
     "events_rate_anomaly",
+    "corpus_diff",
+    "corpus_scorecard",
 ]
 
 

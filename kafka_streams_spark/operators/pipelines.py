@@ -287,3 +287,74 @@ def quality_gate_agreement(
     return counts.withColumn(
         "share", F.col("n_docs").cast("double") / total.cast("double")
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Id-level diff between two corpus versions — the release audit a
+    recurring pipeline runs before shipping snapshot N+1: every doc id
+    classified ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    (changed = same id, different text). Complements
+    :func:`~kafka_streams_spark.operators.text.corpus_overlap`'s
+    n-gram-content Venn with exact id accounting — together they answer
+    "what changed" and "does it still cover the same content".
+
+    Texts compare by md5 digest computed MAP-SIDE, so the full outer
+    join shuffles (id, 32-byte digest) — document bodies never move,
+    the digest-only-shuffle rule. One shuffle per side.
+
+    Output: (doc_id, status) for every id in either version.
+    """
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("_ho"))
+    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("_hn"))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col(id_col), status.alias("status"))
+
+
+def corpus_scorecard(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row corpus release scorecard: document count and how many
+    pass each curation gate — Gopher rules, C4 cleaning, the blocklist,
+    and PII presence — in ONE scan (every gate is a map-only
+    expression, so they all fold into a single partial+final
+    aggregate). The executive twin of ``quality_gate_agreement``'s
+    2³ contingency table; run per snapshot and trend the columns.
+
+    Output: (n_docs, n_gopher_pass, n_c4_pass, n_badword_free,
+    n_pii_free) — exact integers.
+    """
+    from kafka_streams_spark.operators.text import (
+        BADWORDS,
+        PII_PATTERNS,
+        c4_passes_expr,
+        gopher_passes_expr,
+    )
+    from kafka_streams_spark.operators.dedup import tokens
+
+    t = F.col(text_col)
+    bad_lit = F.array(*[F.lit(w) for w in BADWORDS])
+    n_bad = F.size(F.filter(tokens(t), lambda x: F.array_contains(bad_lit, x)))
+    pii_hit = None
+    for rx in PII_PATTERNS.values():
+        c = F.size(F.regexp_extract_all(t, F.lit(rx), F.lit(0))) > 0
+        pii_hit = c if pii_hit is None else pii_hit | c
+    return docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(gopher_passes_expr(t).cast("int")).cast("bigint").alias("n_gopher_pass"),
+        F.sum(c4_passes_expr(t).cast("int")).cast("bigint").alias("n_c4_pass"),
+        F.sum(F.when(n_bad == 0, 1).otherwise(0)).cast("bigint").alias("n_badword_free"),
+        F.sum(F.when(~pii_hit, 1).otherwise(0)).cast("bigint").alias("n_pii_free"),
+    )

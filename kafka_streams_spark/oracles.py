@@ -3240,6 +3240,86 @@ ANALYTICS_ORACLES["events_rate_anomaly"] = """
     WHERE abs(CAST(c.n_events AS DOUBLE) - med.med) > 3.0 * mad.mad
 """
 
+# Id-level corpus version diff: digests compared, bodies never shuffled.
+# Twin splits documents by the md5-bucket rule (old = bucket >= '20',
+# new = bucket < '80' — overlapping slices so all four statuses occur)
+# and perturbs nothing: see the contract wrapper for the slice spec.
+TEXT_ORACLES["corpus_diff"] = """
+    WITH o AS (SELECT doc_id, md5(text) AS ho FROM documents
+               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '20'),
+    n AS (SELECT doc_id, md5(text || CASE WHEN doc_id % 7 = 0 THEN 'x' ELSE '' END) AS hn
+          FROM documents
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80')
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.ho IS NULL THEN 'added'
+                WHEN n.hn IS NULL THEN 'removed'
+                WHEN o.ho != n.hn THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+# One-row release scorecard: the gate_agreement flag expressions
+# re-aggregated as pass counts, plus blocklist and PII gates.
+TEXT_ORACLES["corpus_scorecard"] = f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks,
+                      string_split(text, chr(10)) AS lines
+               FROM documents),
+    s AS (
+        SELECT
+            CAST(len(toks) AS BIGINT) AS n_words,
+            CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                / greatest(len(toks), 1) AS mean_word_len,
+            CAST(length(text) - length(replace(text, '#', ''))
+                 + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+                / greatest(len(toks), 1) AS symbol_ratio,
+            CAST(len(list_filter(lines, l ->
+                     starts_with(ltrim(l), '- ')
+                     OR starts_with(ltrim(l), '* ')
+                     OR starts_with(ltrim(l), '•'))) AS DOUBLE)
+                / greatest(len(lines), 1) AS bullet_line_ratio,
+            CAST(len(list_filter(lines, l ->
+                     ends_with(rtrim(l), '...')
+                     OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+                / greatest(len(lines), 1) AS ellipsis_line_ratio,
+            CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                 AS DOUBLE) / greatest(len(toks), 1) AS alpha_word_ratio,
+            CAST(len(list_intersect(list_distinct(toks), {_STOP_EN}))
+                 AS BIGINT) AS stop_hits,
+            (NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(text, '{{')
+             AND len(list_filter(lines, l ->
+                   len(list_filter(string_split_regex(trim(l), '\\s+'),
+                                   x -> x != '')) >= 3
+                   AND NOT contains(lower(l), 'javascript')
+                   AND (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+                        OR ends_with(trim(l), '?')
+                        OR ends_with(trim(l), '"')))) >= 1)
+                AS passes_c4,
+            len(list_filter(toks, x -> list_contains(
+                ['badword', 'slur1', 'slur2', 'obscene1'], x))) = 0
+                AS badword_free,
+            (len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) = 0
+             AND len(regexp_extract_all(text, 'https?://[^\\s]+')) = 0
+             AND len(regexp_extract_all(text,
+                 '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) = 0)
+                AS pii_free
+        FROM t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN (n_words BETWEEN 50 AND 100000)
+                AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                AND symbol_ratio <= 0.1
+                AND bullet_line_ratio <= 0.9
+                AND ellipsis_line_ratio <= 0.3
+                AND alpha_word_ratio >= 0.8
+                AND stop_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+           CAST(sum(CASE WHEN passes_c4 THEN 1 ELSE 0 END) AS BIGINT) AS n_c4_pass,
+           CAST(sum(CASE WHEN badword_free THEN 1 ELSE 0 END) AS BIGINT) AS n_badword_free,
+           CAST(sum(CASE WHEN pii_free THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_free
+    FROM s
+"""
+
 ALL_ORACLES = {
     **PAYMENT_ORACLES,
     **ANALYTICS_ORACLES,

@@ -819,3 +819,48 @@ def test_badword_filter_token_level_membership(spark):
         for r in badword_filter(docs, badwords=["ass"]).collect()
     }
     assert got == {1: (0, False), 2: (1, True), 3: (2, True), 4: (0, False)}
+
+
+def test_corpus_diff_all_statuses(spark):
+    """added / removed / changed / unchanged each classified from
+    crafted versions."""
+    from kafka_streams_spark.operators.pipelines import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "goes away")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_corpus_scorecard_counts_gates(spark):
+    """Gate counts follow the individual gate operators on a crafted
+    frame (cross-checked per gate, not hand-computed)."""
+    from kafka_streams_spark.operators.pipelines import corpus_scorecard
+    from kafka_streams_spark.operators.text import (
+        badword_filter,
+        c4_clean,
+        gopher_quality,
+        pii_scan,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the and of to in is that a " * 10 + "sentence ends here."),
+            (2, "short"),
+            (3, "contact me@example.com for the badword files."),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    r = corpus_scorecard(docs).collect()[0]
+    assert r["n_docs"] == 4
+    assert r["n_gopher_pass"] == gopher_quality(docs).filter("passes_gopher").count()
+    assert r["n_c4_pass"] == c4_clean(docs).count()
+    assert r["n_badword_free"] == badword_filter(docs).filter("NOT drop").count()
+    assert r["n_pii_free"] == pii_scan(docs).filter("NOT has_pii").count()
