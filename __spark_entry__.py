@@ -1238,6 +1238,12 @@ def _q_corpus_scorecard(spark, sf_dir):
     return corpus_scorecard(_docs(spark, sf_dir))
 
 
+def _q_events_dead_hours(spark, sf_dir):
+    from kafka_streams_spark.operators.analytics import events_dead_hours
+
+    return events_dead_hours(spark, sf_dir)
+
+
 def _q_emb_whiten(spark, sf_dir):
     """PCA whitening — rows-only: the driver-side eigensolve is a
     learned step (IVF/PQ class); NumPy-model equality and the exact
@@ -1301,6 +1307,7 @@ _NEEDS_DRIVER_ROW = [
     "events_rate_anomaly",
     "corpus_diff",
     "corpus_scorecard",
+    "events_dead_hours",
     # (c) changed in r6: duplicate_clusters self-pair/real-edge fix
     # reaches all CC consumers; decontaminate_emb now routes the Arrow
     # scale path
@@ -1334,7 +1341,6 @@ _NEEDS_DRIVER_ROW = [
     "payments_rails_foo",
     "payments_rails_bar",
     "emb_label_centroids",
-    "emb_normalize",
 ]
 
 # Contracts registered after this round's evidence window filled: they
@@ -1347,6 +1353,7 @@ _NEXT_ROUND_QUEUE: list[str] = []
 _STALE_EVIDENCE = [
     # Post-window order: any driver slack reaches these first
     # (remaining r03-stale contracts).
+    "emb_normalize",
     "emb_quantize_int8",
     "emb_quantize_sym",
     "stratified_sample_docs",
@@ -1573,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rate_anomaly": _q_events_rate_anomaly,
         "corpus_diff": _q_corpus_diff,
         "corpus_scorecard": _q_corpus_scorecard,
+        "events_dead_hours": _q_events_dead_hours,
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).
     ordered = {n: qs[n] for n in _NEEDS_DRIVER_ROW + _STALE_EVIDENCE}

@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "events_rate_anomaly",
     "corpus_diff",
     "corpus_scorecard",
+    "events_dead_hours",
 ]
 
 

@@ -324,6 +324,37 @@ def events_rate_anomaly(
     )
 
 
+def events_dead_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-air detector: hours with ZERO events inside each type's
+    observed [first, last] hour range — the complement of
+    :func:`events_rate_anomaly` (which can only flag hours that have
+    rows). A stuck producer shows up here first: the hour simply never
+    arrives.
+
+    The calendar spine comes from ``F.sequence`` over each type's
+    bounded hour range exploded to one row per expected hour — a
+    |types|-row aggregate fans out to |types|·|hours| spine rows, never
+    a corpus-sized generate — anti-joined against the observed (type,
+    hour) pairs. Both sides reduce map-side before the anti-join.
+
+    Output: (event_type, epoch_hour) for every silent hour.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hr = F.expr("ts div 3600000000000")
+    observed = e.select(
+        F.col("event_type"), hr.alias("epoch_hour")
+    ).distinct()
+    spine = (
+        e.groupBy("event_type")
+        .agg(F.min(hr).alias("_h0"), F.max(hr).alias("_h1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("_h0"), F.col("_h1"))).alias("epoch_hour"),
+        )
+    )
+    return spine.join(observed, ["event_type", "epoch_hour"], "left_anti")
+
+
 def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-count per type (the oracle-checkable variant;
     `approx_users_by_type` is the HLL++ scale path)."""

@@ -3320,6 +3320,21 @@ TEXT_ORACLES["corpus_scorecard"] = f"""
     FROM s
 """
 
+# Dead hours: generate_series spine per type minus observed hours.
+ANALYTICS_ORACLES["events_dead_hours"] = """
+    WITH o AS (SELECT DISTINCT event_type,
+                      epoch_ns(ts) // 3600000000000 AS epoch_hour
+               FROM events),
+    r AS (SELECT event_type, min(epoch_hour) AS h0, max(epoch_hour) AS h1
+          FROM o GROUP BY event_type),
+    spine AS (SELECT event_type, unnest(generate_series(h0, h1)) AS epoch_hour
+              FROM r)
+    SELECT s.event_type, CAST(s.epoch_hour AS BIGINT) AS epoch_hour
+    FROM spine s LEFT JOIN o
+         ON s.event_type = o.event_type AND s.epoch_hour = o.epoch_hour
+    WHERE o.event_type IS NULL
+"""
+
 ALL_ORACLES = {
     **PAYMENT_ORACLES,
     **ANALYTICS_ORACLES,

@@ -400,3 +400,33 @@ def test_events_rate_anomaly_flags_burst_hour(spark, tmp_path):
     assert [(r["event_type"], r["epoch_hour"], r["n_events"]) for r in got] == [
         ("view", base_hour + 9, 100)
     ]
+
+
+def test_events_dead_hours_finds_gap(spark, tmp_path):
+    """A silent hour inside the active range is reported; hours outside
+    the range are not."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    hour_ns = 3_600_000_000_000
+    base = 1_700_000_000_000_000_000
+    base_hour = base // hour_ns
+    # events in hours 0,1,3,4 -> hour 2 is dead air
+    rows = [
+        (i, base + h * hour_ns, 1, "view", 1.0, None)
+        for i, h in enumerate([0, 1, 3, 4])
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    tbl = pa.Table.from_pandas(df)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"),
+        pa.field("ts", pa.timestamp("ns")),
+        tbl["ts"].cast(pa.timestamp("ns")),
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    from kafka_streams_spark.operators.analytics import events_dead_hours
+
+    got = [(r["event_type"], r["epoch_hour"]) for r in events_dead_hours(spark, str(tmp_path)).collect()]
+    assert got == [("view", base_hour + 2)]
