@@ -1340,7 +1340,6 @@ _NEEDS_DRIVER_ROW = [
     "payments_merged",
     "payments_rails_foo",
     "payments_rails_bar",
-    "emb_label_centroids",
 ]
 
 # Contracts registered after this round's evidence window filled: they
@@ -1353,6 +1352,7 @@ _NEXT_ROUND_QUEUE: list[str] = []
 _STALE_EVIDENCE = [
     # Post-window order: any driver slack reaches these first
     # (remaining r03-stale contracts).
+    "emb_label_centroids",
     "emb_normalize",
     "emb_quantize_int8",
     "emb_quantize_sym",
