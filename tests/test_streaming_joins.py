@@ -193,3 +193,42 @@ def test_late_event_beyond_watermark_ignored(spark, tmp_path):
         assert len(rows) == 1 and rows[0]["n_events"] == 1  # unchanged
     finally:
         q.stop()
+
+
+def test_session_late_bridge_event_merges_two_sessions(spark, tmp_path):
+    """The session-window MERGE rule across micro-batches: batch 1
+    creates two separate sessions (00:00 and 00:50, gap 30 min); a
+    LATE bridging event at 00:25 in batch 2 is within the gap of both,
+    so the state store must fuse all three into ONE session."""
+    src = str(tmp_path / "src")
+    _write_jsonl(
+        os.path.join(src, "b1.json"),
+        [
+            _ev(1, "2024-01-01T00:00:00Z", "u1", "click"),
+            _ev(2, "2024-01-01T00:50:00Z", "u1", "click"),
+        ],
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+    q = (
+        session_counts(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_bridge")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        counts = sorted(r["n_events"] for r in spark.table("sess_bridge").collect())
+        assert counts == [1, 1]  # two separate sessions before the bridge
+        _write_jsonl(
+            os.path.join(src, "b2.json"),
+            [_ev(3, "2024-01-01T00:25:00Z", "u1", "click")],
+        )
+        q.processAllAvailable()
+        rows = spark.table("sess_bridge").collect()
+        assert [r["n_events"] for r in rows] == [3]  # fused into one
+        assert str(rows[0]["session_start"]) == "2024-01-01 00:00:00"
+        assert str(rows[0]["session_end"]) == "2024-01-01 01:20:00"  # last + gap
+    finally:
+        q.stop()
