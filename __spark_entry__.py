@@ -1244,6 +1244,22 @@ def _q_events_dead_hours(spark, sf_dir):
     return events_dead_hours(spark, sf_dir)
 
 
+def _q_knn_recall_ivfpq_vec0(spark, sf_dir):
+    # Third leg of the ANN recall comparison: audits ivfpq_topk_to_id
+    # at its contract config (label codebooks, n_probe=2, shortlist=100).
+    from kafka_streams_spark.operators.similarity import (
+        knn_recall_audit,
+        pq_label_codebooks,
+    )
+
+    embs = _embs(spark, sf_dir)
+    books = pq_label_codebooks(embs, m=4)
+    return knn_recall_audit(
+        embs, query_id=0, k=10, method="ivfpq",
+        codebooks=books, n_probe=2, shortlist=100,
+    )
+
+
 def _q_emb_whiten(spark, sf_dir):
     """PCA whitening — rows-only: the driver-side eigensolve is a
     learned step (IVF/PQ class); NumPy-model equality and the exact
@@ -1308,6 +1324,7 @@ _NEEDS_DRIVER_ROW = [
     "corpus_diff",
     "corpus_scorecard",
     "events_dead_hours",
+    "knn_recall_ivfpq_vec0",
     # (c) changed in r6: duplicate_clusters self-pair/real-edge fix
     # reaches all CC consumers; decontaminate_emb now routes the Arrow
     # scale path
@@ -1339,7 +1356,6 @@ _NEEDS_DRIVER_ROW = [
     "payments_branch_usd",
     "payments_merged",
     "payments_rails_foo",
-    "payments_rails_bar",
 ]
 
 # Contracts registered after this round's evidence window filled: they
@@ -1352,6 +1368,7 @@ _NEXT_ROUND_QUEUE: list[str] = []
 _STALE_EVIDENCE = [
     # Post-window order: any driver slack reaches these first
     # (remaining r03-stale contracts).
+    "payments_rails_bar",
     "emb_label_centroids",
     "emb_normalize",
     "emb_quantize_int8",
@@ -1581,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": _q_corpus_diff,
         "corpus_scorecard": _q_corpus_scorecard,
         "events_dead_hours": _q_events_dead_hours,
+        "knn_recall_ivfpq_vec0": _q_knn_recall_ivfpq_vec0,
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).
     ordered = {n: qs[n] for n in _NEEDS_DRIVER_ROW + _STALE_EVIDENCE}

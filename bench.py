@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "corpus_diff",
     "corpus_scorecard",
     "events_dead_hours",
+    "knn_recall_ivfpq_vec0",
 ]
 
 

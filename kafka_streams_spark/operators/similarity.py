@@ -1756,6 +1756,9 @@ def knn_recall_audit(
     vec_col: str = "embedding",
     method: str = "single",
     n_tables: int = 4,
+    codebooks: list | None = None,
+    n_probe: int = 2,
+    shortlist: int = 100,
 ) -> DataFrame:
     """Recall@k pre-flight for the hyperplane-LSH path: the approximate
     top-k's overlap with the EXACT top-k for one probe query — run on a
@@ -1773,9 +1776,10 @@ def knn_recall_audit(
     seed-42 planes).
 
     ``method="multitable"`` audits :func:`knn_lsh_multitable` with the
-    same (n_planes, n_tables) it would run — the two audits side by
-    side are the single-vs-OR-amplified comparison that picks the
-    production config.
+    same (n_planes, n_tables) it would run, and ``method="ivfpq"``
+    (with ``codebooks``/``n_probe``/``shortlist``) audits
+    :func:`ivfpq_topk_to_id` — the three audits side by side are the
+    comparison that picks the production ANN config per corpus.
 
     Output: one row — (query_id, k, n_hits), n_hits = |approx ∩ exact|.
     """
@@ -1790,6 +1794,14 @@ def knn_recall_audit(
     elif method == "multitable":
         approx = knn_lsh_multitable(
             embeddings, query_id, k, dim, n_planes, n_tables, id_col, vec_col
+        ).select(id_col)
+    elif method == "ivfpq":
+        if codebooks is None:
+            raise ValueError("method='ivfpq' requires codebooks")
+        approx = ivfpq_topk_to_id(
+            embeddings, codebooks, query_id, k,
+            n_probe=n_probe, shortlist=shortlist,
+            id_col=id_col, vec_col=vec_col,
         ).select(id_col)
     else:
         raise ValueError(f"unknown method {method!r}")

@@ -3335,6 +3335,44 @@ ANALYTICS_ORACLES["events_dead_hours"] = """
     WHERE o.event_type IS NULL
 """
 
+SIMILARITY_ORACLES["knn_recall_ivfpq_vec0"] = f"""
+    WITH {_PQ_LABEL_CTE.strip()},
+    fe AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+    fex AS (SELECT label, unnest(range(len(v))) AS pos, unnest(v) AS x FROM fe),
+    fcm AS (SELECT label, pos, round(avg(x), 6) AS m FROM fex GROUP BY label, pos),
+    fcent AS (SELECT label, list(m ORDER BY pos) AS c FROM fcm GROUP BY label),
+    fq AS (SELECT v AS qv FROM fe WHERE vec_id = 0),
+    pc AS (SELECT label, list_cosine_similarity(c, qv) AS cs FROM fcent, fq),
+    probe AS (
+        SELECT label FROM (
+            SELECT label, row_number() OVER (ORDER BY cs DESC, label) AS r
+            FROM pc
+        ) WHERE r <= 2
+    ),
+    short AS (
+        SELECT pq.vec_id FROM pq
+             JOIN fe ON pq.vec_id = fe.vec_id
+             JOIN probe ON fe.label = probe.label
+        ORDER BY pq_dist, pq.vec_id
+        LIMIT 100
+    ),
+    approx AS (
+        SELECT e2.vec_id
+        FROM embeddings e2 JOIN short USING (vec_id), fq
+        ORDER BY list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), fq.qv)
+                 DESC, e2.vec_id
+        LIMIT 10
+    ),
+    exact AS (
+        SELECT vec_id FROM fe, fq
+        ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+        LIMIT 10
+    )
+    SELECT 0 AS query_id, 10 AS k, CAST(count(*) AS BIGINT) AS n_hits
+    FROM approx WHERE vec_id IN (SELECT vec_id FROM exact)
+"""
+
 ALL_ORACLES = {
     **PAYMENT_ORACLES,
     **ANALYTICS_ORACLES,

@@ -214,3 +214,36 @@ def test_embedding_profile_counts_each_defect(spark):
         r["n_vecs"], r["n_null"], r["dim_min"], r["dim_max"],
         r["n_with_nan"], r["n_with_inf"], r["n_zero"],
     ) == (6, 1, 2, 3, 1, 1, 1)
+
+
+def test_recall_audit_ivfpq_method(spark, sf_dir):
+    """method='ivfpq' audits ivfpq_topk_to_id: n_hits equals the direct
+    overlap, and lossless config (all probes, full shortlist) scores
+    k/k."""
+    from kafka_streams_spark.operators.similarity import (
+        ivfpq_topk_to_id,
+        knn_recall_audit,
+        knn_to_id,
+        pq_label_codebooks,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    books = pq_label_codebooks(embs, m=4)
+    exact = {r["vec_id"] for r in knn_to_id(embs, 0, 10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ivfpq_topk_to_id(embs, books, 0, 10, n_probe=2, shortlist=100).collect()
+    }
+    r = knn_recall_audit(
+        embs, 0, k=10, method="ivfpq", codebooks=books, n_probe=2, shortlist=100
+    ).collect()[0]
+    assert r["n_hits"] == len(approx & exact)
+
+    n = embs.count()
+    n_cells = embs.select("label").distinct().count()
+    r2 = knn_recall_audit(
+        embs, 0, k=10, method="ivfpq", codebooks=books,
+        n_probe=n_cells, shortlist=n,
+    ).collect()[0]
+    assert r2["n_hits"] == 10
