@@ -609,3 +609,69 @@ def test_oov_rate_matches_vocab_model(texts, vocab_size):
         for i, t in enumerate(texts)
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-4.0, max_value=4.0, allow_nan=False, width=32),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_embedding_gram_matches_numpy_model(vecs):
+    """embedding_gram == direct NumPy int64 sums over arbitrary floats
+    (negatives, near-zero, float32 grid) — the order-independence and
+    quantization claims, fuzzed."""
+    import numpy as np
+
+    from kafka_streams_spark.operators.similarity import embedding_gram
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    s = 10**3
+    X = np.asarray(vecs, dtype=np.float64)
+    Xi = np.floor(X * s + 0.5).astype(np.int64)
+    G = Xi.T @ Xi
+    sums = Xi.sum(axis=0)
+    got = {
+        (r["dim_i"], r["dim_j"]): (r["n"], r["sum_i"], r["sum_j"], r["sum_prod"])
+        for r in embedding_gram(df, scale=s).collect()
+    }
+    for i in range(3):
+        for j in range(i, 3):
+            assert got[(i, j)] == (len(vecs), sums[i], sums[j], G[i, j])
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="aB \t\n", min_size=0, max_size=30), min_size=1, max_size=8))
+def test_dedup_normalized_matches_canon_model(texts):
+    """dedup_normalized == Python model: groups keyed by sha256 of the
+    lowercase/whitespace-collapsed canon, min-id winner, full count."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from kafka_streams_spark.operators.text import dedup_normalized
+
+    spark = _spark()
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    groups = defaultdict(list)
+    for i, t in enumerate(texts):
+        canon = re.sub(r"[ \t\n\x0b\f\r]+", " ", t.lower()).strip()
+        groups[hashlib.sha256(canon.encode()).hexdigest()].append(i)
+    want = {h: (min(ids), len(ids)) for h, ids in groups.items()}
+    got = {
+        r["norm_hash"]: (r["keep_id"], r["dup_count"])
+        for r in dedup_normalized(docs).collect()
+    }
+    assert got == want
