@@ -1260,6 +1260,36 @@ def _q_knn_recall_ivfpq_vec0(spark, sf_dir):
     )
 
 
+def _q_price_histogram(spark, sf_dir):
+    # Mergeable fixed-bin distribution sketch (the quantile-family
+    # sketch next to HLL++/CMS): one map-side-combined shuffle of
+    # ≤ range/bin_width rows; deterministic int-grid bucketing keeps it
+    # oracle-checkable unlike KLL/GK internals.
+    from kafka_streams_spark.operators.profiling import value_histogram
+    from kafka_streams_spark.sources.testdata import load_table
+
+    return value_histogram(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", bin_width_cents=1_000_000
+    )
+
+
+def _q_price_quantiles_hist(spark, sf_dir):
+    # Quantiles read off the histogram sketch — the constant-state
+    # estimate that sits next to the exact `price_quantiles` contract
+    # (estimate error ≤ one bin by construction).
+    from kafka_streams_spark.operators.profiling import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    from kafka_streams_spark.sources.testdata import load_table
+
+    h = value_histogram(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", bin_width_cents=1_000_000
+    )
+    return histogram_quantiles(h, [0.25, 0.5, 0.75, 0.9, 0.99], bin_width_cents=1_000_000)
+
+
 def _q_emb_whiten(spark, sf_dir):
     """PCA whitening — rows-only: the driver-side eigensolve is a
     learned step (IVF/PQ class); NumPy-model equality and the exact
@@ -1599,6 +1629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_scorecard": _q_corpus_scorecard,
         "events_dead_hours": _q_events_dead_hours,
         "knn_recall_ivfpq_vec0": _q_knn_recall_ivfpq_vec0,
+        "price_histogram": _q_price_histogram,
+        "price_quantiles_hist": _q_price_quantiles_hist,
     }
     # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).
     ordered = {n: qs[n] for n in _NEEDS_DRIVER_ROW + _STALE_EVIDENCE}

@@ -56,3 +56,94 @@ def profile_columns(
         ),
         F.col("_rows").alias("n_rows"),
     ).select("col_name", "n_rows", "n_null", "n_distinct", "min_str", "max_str")
+
+
+def value_histogram(
+    df: DataFrame, value_col: str, bin_width_cents: int = 100_000, scale: int = 100
+) -> DataFrame:
+    """Mergeable fixed-bin histogram sketch of a numeric column — the
+    quantile-family member of the engine's sketch trio (HLL++ for
+    distincts, CMS for frequencies, this for quantiles/distributions).
+
+    Values are first snapped to an integer grid (``floor(x·scale+0.5)``,
+    the engine's money convention — see oracles.py header), then bucketed
+    with INTEGER division ``cents div bin_width_cents``; both steps are
+    bit-deterministic cross-engine, so unlike KLL/GK (whose internals are
+    implementation-defined, the reason ``percentile_approx`` is a
+    rows-only path) the sketch itself is oracle-checkable.
+
+    Scale shape: one map-only projection into one aggregation shuffle
+    whose map-side partial combine collapses every partition to
+    ≤ value_range/bin_width rows before network transfer. Histograms of
+    two corpora merge by summing counters on ``bucket`` — the
+    mergeability that makes this the per-shard/per-day distribution
+    summary (streamed twin: ``streaming/sketch_stream.run_histogram_stream``).
+    NULL values are excluded (SQL aggregate semantics; pair with
+    ``profile_columns`` for null accounting).
+
+    Output: (bucket BIGINT, counter BIGINT) — bucket b covers
+    [b·bin_width, (b+1)·bin_width) in cents.
+    """
+    cents = F.floor(F.col(value_col) * F.lit(scale) + F.lit(0.5)).cast("bigint")
+    # FLOOR division in pure int64: pmod makes the remainder non-negative,
+    # so the truncating `div` is exact — no double round-trip (bigint/int
+    # division would go through double and lose precision past 2^53), and
+    # negative values land in their floor bucket (`%`would truncate
+    # toward zero and disagree with the oracle's Python-style `//`).
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(cents.alias("_cents"))
+        .select(
+            F.expr(
+                f"(_cents - pmod(_cents, {int(bin_width_cents)})) "
+                f"div {int(bin_width_cents)}"
+            )
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("counter"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, qs: list[float], bin_width_cents: int = 100_000, scale: int = 100
+) -> DataFrame:
+    """Quantile estimates read off a :func:`value_histogram` sketch:
+    for each q, the UPPER EDGE of the first bucket whose cumulative
+    count reaches rank ``max(1, ceil(q·n))`` — a deterministic estimate
+    within one bin width of the exact quantile (the trade the sketch
+    makes: constant state, mergeable, rank error bounded by the bucket
+    population).
+
+    The cumulative window runs over the HISTOGRAM table, which is
+    bounded by value_range/bin_width by construction (≤ a few thousand
+    rows for any sane bin choice) — the documented bounded-table
+    exception to the no-global-window rule (same class as zipf's ≤k
+    head, text.py:1598). The corpus itself is never windowed.
+
+    Output: (q DOUBLE, est DOUBLE) — est in original value units.
+    """
+    from pyspark.sql import Window
+
+    n_total = hist.agg(F.sum("counter").alias("_n"))
+    cum = hist.withColumn(
+        "_cum",
+        F.sum("counter").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).crossJoin(F.broadcast(n_total))
+    qdf = cum.select(
+        "bucket",
+        "_cum",
+        "_n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    rank = F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("_n")))
+    hit = qdf.filter(F.col("_cum") >= rank)
+    est_cents = (F.min("bucket") + F.lit(1)) * F.lit(bin_width_cents)
+    return (
+        hit.groupBy("q")
+        .agg((est_cents / F.lit(float(scale))).alias("est"))
+        .select("q", "est")
+    )

@@ -3373,6 +3373,30 @@ SIMILARITY_ORACLES["knn_recall_ivfpq_vec0"] = f"""
     FROM approx WHERE vec_id IN (SELECT vec_id FROM exact)
 """
 
+# Mergeable fixed-bin histogram sketch + quantile read-off
+# (operators/profiling.py value_histogram / histogram_quantiles).
+# Bucketing is FLOOR division in int64: DuckDB's `//` truncates toward
+# zero on integers (-7//2 = -3, verified), so the non-negative-remainder
+# form mirrors Spark's pmod+div exactly for negative cents too.
+ANALYTICS_ORACLES["price_histogram"] = """
+    SELECT ((c - ((c % 1000000 + 1000000) % 1000000)) // 1000000) AS bucket,
+           CAST(count(*) AS BIGINT) AS counter
+    FROM (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+          FROM orders WHERE o_totalprice IS NOT NULL)
+    GROUP BY 1
+"""
+
+ANALYTICS_ORACLES["price_quantiles_hist"] = f"""
+    WITH h AS ({ANALYTICS_ORACLES["price_histogram"]}),
+    n AS (SELECT sum(counter) AS n FROM h),
+    c AS (SELECT bucket, sum(counter) OVER (ORDER BY bucket) AS cum FROM h),
+    q AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+    SELECT q, CAST((min(bucket) + 1) * 1000000 AS DOUBLE) / 100.0 AS est
+    FROM c, n, q
+    WHERE cum >= greatest(1, ceil(q * n))
+    GROUP BY q
+"""
+
 ALL_ORACLES = {
     **PAYMENT_ORACLES,
     **ANALYTICS_ORACLES,

@@ -268,3 +268,90 @@ def read_pq_codes_stream(
                 f"different codebooks (md5 {meta.get('codebook_md5')} != {fp})"
             )
     return df
+
+
+# ---------------------------------------------------------------------------
+# streaming value-distribution (histogram) maintenance — quantile monitoring
+# ---------------------------------------------------------------------------
+
+
+def run_histogram_stream(
+    spark: SparkSession,
+    source_dir: str,
+    hist_dir: str,
+    checkpoint_dir: str,
+    bin_width_cents: int = 1600,
+    scale: int = 100,
+    max_files_per_trigger: int = 100,
+):
+    """Maintain the doc-length distribution of a document stream as a
+    mergeable :func:`~kafka_streams_spark.operators.profiling.value_histogram`
+    kept live — the CMS changelog pattern applied to the quantile
+    sketch. Each micro-batch writes only its own ``ingest_batch``
+    partition (≤ range/bin_width rows regardless of batch size); the
+    live histogram is the per-bucket SUM over partitions, and reading a
+    quantile "as of now" is :func:`histogram_quantiles` over that tiny
+    merge — no corpus re-scan. This is the live "are today's documents
+    suddenly shorter" detector (truncation bugs, boilerplate storms)
+    that pairs with the batch `length_outliers` audit. Replay-idempotent
+    for the router's reason: a re-delivered batch recomputes the same
+    deterministic delta into its own partition.
+
+    Default bin = 16 chars (1600 cents at scale 100): doc-length grids
+    are integer-valued, so the snap step is exact and the estimate
+    error is bounded by 16 characters.
+    """
+    from kafka_streams_spark.operators.profiling import value_histogram
+
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        lengths = batch_df.select(
+            F.length("text").cast("double").alias("n_chars")
+        )
+        delta = value_histogram(
+            lengths, "n_chars", bin_width_cents=bin_width_cents, scale=scale
+        )
+        (
+            delta.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(hist_dir)
+        )
+
+    return (
+        raw.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+
+def read_histogram(spark: SparkSession, hist_dir: str) -> DataFrame:
+    """The live merged histogram: per-bucket counter sums over every
+    batch delta — identical to the batch ``value_histogram`` of all rows
+    ingested so far. Output: (bucket, counter)."""
+    return (
+        spark.read.parquet(hist_dir)
+        .groupBy("bucket")
+        .agg(F.sum("counter").alias("counter"))
+    )
+
+
+def compact_histogram(spark: SparkSession, hist_dir: str) -> None:
+    """Fold all batch-delta partitions into the reserved ``-1``
+    partition (same economics and collision rule as
+    :func:`compact_gram`): read cost drops from buckets·batches rows
+    back to buckets, and the stream keeps appending new deltas after."""
+    merged = read_histogram(spark, hist_dir).withColumn("ingest_batch", F.lit(-1))
+    staged = merged.localCheckpoint(eager=True)  # read fully before overwrite
+    (
+        staged.write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(hist_dir)
+    )

@@ -260,3 +260,52 @@ def test_pq_encode_stream_builds_live_code_index(spark, tmp_path):
     other = pq_label_codebooks(base, m=4)
     with pytest.raises(ValueError, match="different codebooks"):
         read_pq_codes_stream(spark, codes_dir, codebooks=other)
+
+
+# ---------------------------------------------------------------------------
+# streaming value histogram (quantile sketch kept live)
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_stream_equals_batch_and_compacts(spark, tmp_path):
+    """Merged streamed doc-length histogram == one-shot batch histogram
+    of everything ingested; compaction folds deltas into the reserved
+    -1 partition without changing the merged view; replayed batches are
+    idempotent (same deterministic delta overwrites its own partition)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.operators.profiling import value_histogram
+    from kafka_streams_spark.streaming.sketch_stream import (
+        compact_histogram,
+        read_histogram,
+        run_histogram_stream,
+    )
+
+    src = str(tmp_path / "src")
+    hist = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write(src, "b1.json", DOCS_A)
+    q = run_histogram_stream(spark, src, hist, ckpt, bin_width_cents=400)
+    try:
+        q.processAllAvailable()
+        _write(src, "b2.json", DOCS_B)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_docs = spark.createDataFrame(
+        [(r["doc_id"], r["source"], r["text"]) for r in DOCS_A + DOCS_B],
+        "doc_id bigint, source string, text string",
+    ).select(F.length("text").cast("double").alias("n_chars"))
+    expected = sorted(
+        map(tuple, value_histogram(all_docs, "n_chars", bin_width_cents=400).collect())
+    )
+    merged = sorted(map(tuple, read_histogram(spark, hist).collect()))
+    assert merged == expected
+
+    compact_histogram(spark, hist)
+    after = sorted(map(tuple, read_histogram(spark, hist).collect()))
+    assert after == expected
+    parts = {r["ingest_batch"] for r in spark.read.parquet(hist).select("ingest_batch").distinct().collect()}
+    assert parts == {-1}

@@ -483,3 +483,83 @@ def test_semdedup_over_learned_kmeans_cells(spark, sf_dir):
     all_ids = {r["vec_id"] for r in embs.select("vec_id").collect()}
     assert survivors == all_ids - dropped
     assert survivors and dropped  # non-trivial at sf0.001+
+
+
+# ---------------------------------------------------------------------------
+# value histogram (mergeable quantile sketch)
+# ---------------------------------------------------------------------------
+
+
+def test_value_histogram_floor_buckets_and_null_excluded(spark):
+    """Negative values land in their FLOOR bucket (not truncation toward
+    zero) and NULLs are excluded — the two edge rules the oracle mirrors
+    with the non-negative-remainder form."""
+    from kafka_streams_spark.operators.profiling import value_histogram
+
+    df = spark.createDataFrame(
+        [(-7.5,), (-0.01,), (0.0,), (999.99,), (1000.0,), (None,)], "v double"
+    )
+    got = {
+        r["bucket"]: r["counter"]
+        for r in value_histogram(df, "v", bin_width_cents=100_000).collect()
+    }
+    # cents: -750, -1, 0, 99999, 100000 → buckets -1, -1, 0, 0, 1
+    assert got == {-1: 2, 0: 2, 1: 1}
+
+
+def test_value_histogram_merges_by_addition(spark, sf_dir):
+    """Sketch of A ∪ B == per-bucket sum of sketch(A) + sketch(B) — the
+    mergeability that makes it the per-shard distribution summary."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.operators.profiling import value_histogram
+    from kafka_streams_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b = orders.filter(F.col("o_orderkey") % 2 != 0)
+    merged = (
+        value_histogram(a, "o_totalprice")
+        .unionAll(value_histogram(b, "o_totalprice"))
+        .groupBy("bucket")
+        .agg(F.sum("counter").alias("counter"))
+    )
+    whole = value_histogram(orders, "o_totalprice")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_histogram_quantiles_within_one_bin_of_exact(spark, sf_dir):
+    """The sketch estimate must sit within one bin width above the exact
+    rank quantile (upper-edge convention: est ≥ exact > est − bin)."""
+    from kafka_streams_spark.operators.profiling import (
+        histogram_quantiles,
+        value_histogram,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    bw = 1_000_000  # 10 000.00 in value units
+    h = value_histogram(orders, "o_totalprice", bin_width_cents=bw)
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    est = {r["q"]: r["est"] for r in histogram_quantiles(h, qs, bin_width_cents=bw).collect()}
+    import math
+
+    vals = sorted(r["o_totalprice"] for r in orders.select("o_totalprice").collect())
+    n = len(vals)
+    for q in qs:
+        exact = vals[max(1, math.ceil(q * n)) - 1]
+        assert est[q] >= exact, (q, est[q], exact)
+        assert est[q] - bw / 100.0 <= exact, (q, est[q], exact)
+
+
+def test_value_histogram_single_shuffle_bounded_output(spark, sf_dir):
+    """Plan shape: one exchange (the bucket aggregation), map-side
+    partial combine before it; output rows bounded by range/bin."""
+    from kafka_streams_spark.operators.profiling import value_histogram
+    from kafka_streams_spark.sources.testdata import load_table
+
+    h = value_histogram(load_table(spark, sf_dir, "orders"), "o_totalprice")
+    plan = h._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert h.count() <= 520  # ~500k value range / 1000.00 default bin
