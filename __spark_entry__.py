@@ -1084,6 +1084,21 @@ def _q_media_dedup(spark, sf_dir):
     return dedup_media_exact(synthesize_media(spark, 200, distinct_payloads=120))
 
 
+def _q_media_near_dup(spark, sf_dir):
+    """Perceptual near-dup media pairs over the duplicate-injecting
+    fixture: Arrow pHash (60-bit md5_60 fake codec, payloads never
+    shuffle) → generic hamming pigeonhole. Oracle brute-forces all
+    200×200 hamming distances in DuckDB."""
+    from kafka_streams_spark.operators.multimodal import (
+        dedup_media_near,
+        synthesize_media,
+    )
+
+    return dedup_media_near(
+        synthesize_media(spark, 200, distinct_payloads=120), max_hamming=8
+    )
+
+
 def _q_lsh_bucket_stats(spark, sf_dir):
     """Bucket-occupancy / candidate-pair-count audit of the banded LSH
     at the emb_near_dup_lsh contract's exact knobs (6 planes × 8
@@ -1629,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_scorecard": _q_corpus_scorecard,
         "events_dead_hours": _q_events_dead_hours,
         "knn_recall_ivfpq_vec0": _q_knn_recall_ivfpq_vec0,
+        "media_near_dup": _q_media_near_dup,
         "price_histogram": _q_price_histogram,
         "price_quantiles_hist": _q_price_quantiles_hist,
     }

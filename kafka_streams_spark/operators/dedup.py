@@ -1371,26 +1371,51 @@ def simhash_near_duplicates(
     at max_hamming=3), or ``"xxhash64"`` (the expression twin, for
     JVM-only pipelines).
     """
-    k = max_hamming + 1
     if hash_fn in ("blake2b", "md5_60"):
         bits = 60 if hash_fn == "md5_60" else SIMHASH_BITS
         sigs = simhash(docs, id_col, text_col, hash_fn=hash_fn)
     else:
         bits = SIMHASH_BITS
         sigs = simhash_expr(docs, id_col, text_col, hash_fn=hash_fn)
+    return hamming_pairs(sigs, id_col, "simhash", bits, max_hamming)
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """All pairs of rows whose ``sig_col`` bit signatures differ in at
+    most ``max_hamming`` of the low ``bits`` bits — the generic
+    pigeonhole core shared by :func:`simhash_near_duplicates` (text)
+    and multimodal perceptual-hash dedup
+    (:func:`~kafka_streams_spark.operators.multimodal.dedup_media_near`).
+
+    Pigeonhole LSH: split the bits into (max_hamming+1) chunks — any
+    pair within distance d shares at least one exact chunk, so the
+    bucketing is EXACT (no false negatives) and deterministic given the
+    signatures. Bucket pair expansion on (chunk_idx, chunk_value); the
+    signature rides inside the bucket payload struct so no join back is
+    needed; Hamming distance verified exactly via bit_count(xor).
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, distinct.
+    """
+    k = max_hamming + 1
     # k chunks covering all `bits` (first bits%k chunks one wider) — the
     # pigeonhole guarantee needs full coverage, not equal widths.
     base, rem = divmod(bits, k)
     widths = [base + (1 if i < rem else 0) for i in range(k)]
     offsets = [sum(widths[:i]) for i in range(k)]
     chunks = sigs.select(
-        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig")).alias(
+        F.struct(F.col(id_col).alias("id"), F.col(sig_col).alias("sig")).alias(
             "payload"
         ),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND((1 << widths[i]) - 1)
+                    F.shiftrightunsigned(F.col(sig_col), offsets[i]).bitwiseAND((1 << widths[i]) - 1)
                     for i in range(k)
                 ]
             )

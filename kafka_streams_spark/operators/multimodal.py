@@ -335,3 +335,78 @@ def dedup_media_exact(
         F.min(id_col).alias(id_col),
         F.count("*").cast("bigint").alias("n_copies"),
     )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def media_phash(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """Perceptual hash per media row: a 60-bit content signature whose
+    Hamming distance tracks perceptual similarity (pHash: grayscale →
+    32×32 DCT → sign-of-low-frequency-coefficients bit vector). A real
+    codec computes that from decoded pixels; this container's
+    deterministic fake codec derives the 60 bits from md5(payload)
+    (first 15 hex chars — the md5_60 convention), which DuckDB
+    reproduces exactly, so the full near-dup contract is
+    oracle-checkable end-to-end.
+
+    Same Arrow mapInPandas shape as `extract_image_features` — decode
+    happens where a real codec needs it (Python, batched), and the
+    payload bytes never leave the map stage: only (media_id, phash)
+    rows exist downstream, so the banding shuffle in
+    :func:`dedup_media_near` moves 16 bytes per image regardless of
+    image size.
+    """
+    if codec != "fake":
+        decode_image(b"")  # raises NotImplementedError with guidance
+
+    # self-contained closure: shipped by value to Python workers
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "phash": [
+                        int(hashlib.md5(p).hexdigest()[:15], 16)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        process, schema=PHASH_SCHEMA
+    )
+
+
+def dedup_media_near(
+    media: DataFrame, max_hamming: int = 8, codec: str = "fake"
+) -> DataFrame:
+    """Near-duplicate media pairs: re-encoded / resized / watermarked
+    copies of the same image land within a few pHash bits of each other,
+    so pairs with Hamming distance ≤ ``max_hamming`` are dedup
+    candidates — the perceptual complement to byte-exact
+    :func:`dedup_media_exact` (which only catches identical files).
+
+    Composition: :func:`media_phash` (Arrow decode, payloads stay put)
+    → the generic pigeonhole
+    :func:`~kafka_streams_spark.operators.dedup.hamming_pairs` over the
+    60-bit signatures — EXACT within the radius (no false negatives),
+    (max_hamming+1) bucket chunks, one bucket-join shuffle of 16-byte
+    rows. The same scale argument as text SimHash dedup: at 100 TB of
+    images the only corpus-sized shuffle is (chunk, 16 bytes/row).
+
+    Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    from kafka_streams_spark.operators.dedup import hamming_pairs
+
+    sigs = media_phash(media, codec=codec)
+    return hamming_pairs(sigs, "media_id", "phash", 60, max_hamming)

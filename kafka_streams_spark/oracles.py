@@ -2502,6 +2502,25 @@ MULTIMODAL_ORACLES["media_dedup"] = """
     FROM m GROUP BY md5(s)
 """
 
+# Perceptual near-dup media: md5_60 pHash (fake codec) brute-force
+# hamming join — the O(n^2) oracle the pigeonhole banding must equal.
+MULTIMODAL_ORACLES["media_near_dup"] = """
+    WITH m AS (
+        SELECT range AS media_id,
+               'media-payload-' || sha256(CAST(range % 120 AS VARCHAR)) AS s
+        FROM range(200)
+    ),
+    p AS (
+        SELECT media_id,
+               CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS phash
+        FROM m
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM p a JOIN p b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 8
+"""
+
 # LSH bucket-occupancy audit: sign-bit buckets from the same literal
 # seed-42 planes as emb_near_dup_lsh; tables unpivot via UNION ALL.
 SIMILARITY_ORACLES["lsh_bucket_stats"] = f"""

@@ -511,3 +511,92 @@ def test_dedup_spans_incremental_requires_one_side(spark):
         dedup_substring_remove_incremental(d)
     with pytest.raises(ValueError, match="exactly one"):
         dedup_substring_remove_incremental(d, d, existing_grams=d)
+
+
+# ---------------------------------------------------------------------------
+# perceptual media near-dup (pHash + hamming pigeonhole)
+# ---------------------------------------------------------------------------
+
+
+def test_hamming_pairs_nonzero_distance_vs_brute_force(spark):
+    """The generic pigeonhole must find ALL pairs within the radius —
+    including non-zero distances — and nothing outside it. Crafted
+    signatures with known pairwise distances, checked against an exact
+    brute force computed in Python."""
+    from itertools import combinations
+
+    from kafka_streams_spark.operators.dedup import hamming_pairs
+
+    sigs = [
+        (1, 0b101010),
+        (2, 0b101011),          # d(1,2)=1
+        (3, 0b101010 ^ 0b111),  # d(1,3)=3
+        (4, (1 << 59) | 0b101010),  # d(1,4)=1 in the high chunk
+        (5, 0),
+    ]
+    df = spark.createDataFrame(sigs, "id bigint, sig bigint")
+    for r in (1, 3):
+        want = sorted(
+            (a, b, bin(sa ^ sb).count("1"))
+            for (a, sa), (b, sb) in combinations(sigs, 2)
+            if bin(sa ^ sb).count("1") <= r
+        )
+        got = sorted(map(tuple, hamming_pairs(df, "id", "sig", 60, r).collect()))
+        assert got == want, (r, got, want)
+
+
+def test_media_phash_matches_expression_form(spark):
+    """The Arrow decode pass (where a real codec computes pHash from
+    pixels) must emit exactly the md5_60 of the payload bytes — pinned
+    against the pure-expression JVM form."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.operators.multimodal import media_phash, synthesize_media
+
+    media = synthesize_media(spark, 40)
+    arrow = {r["media_id"]: r["phash"] for r in media_phash(media).collect()}
+    expr = {
+        r["media_id"]: r["ph"]
+        for r in media.select(
+            "media_id",
+            F.conv(F.substring(F.md5("payload"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("ph"),
+        ).collect()
+    }
+    assert arrow == expr
+
+
+def test_dedup_media_near_finds_exact_copies_and_prunes_payload(spark):
+    """Exact duplicate payloads are hamming-0 pairs; the banding shuffle
+    carries only (media_id, phash) — payload bytes never enter an
+    exchange."""
+    from kafka_streams_spark.operators.multimodal import (
+        dedup_media_near,
+        synthesize_media,
+    )
+
+    from kafka_streams_spark.operators.multimodal import media_phash
+
+    media = synthesize_media(spark, 30, distinct_payloads=10)
+    out = dedup_media_near(media, max_hamming=4)
+    rows = out.collect()
+    zero = {(r["id_a"], r["id_b"]) for r in rows if r["hamming"] == 0}
+    # ids i, i+10, i+20 share payloads → 3 pairs per group × 10 groups
+    want = {
+        (i + 10 * a, i + 10 * b)
+        for i in range(10)
+        for a, b in ((0, 1), (0, 2), (1, 2))
+    }
+    assert zero == want
+    # bytes-stay-put: the Arrow pass's OUTPUT schema has no payload
+    # column, so no downstream exchange can ever carry the bytes...
+    assert set(media_phash(media).columns) == {"media_id", "phash"}
+    # ...and with a multi-partition fixture the one exchange that does
+    # run is the banding shuffle on (chunk_idx, chunk_val).
+    big = dedup_media_near(
+        synthesize_media(spark, 200, distinct_payloads=120), max_hamming=4
+    )
+    big.collect()
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(chunk_idx" in plan, plan
