@@ -1275,6 +1275,16 @@ def _q_knn_recall_ivfpq_vec0(spark, sf_dir):
     )
 
 
+def _q_remove_boilerplate(spark, sf_dir):
+    # Frequency-threshold line stripping; on the single-line synthetic
+    # corpus this fires only on exact-duplicate texts (8 at sf0.1, none
+    # at sf0.01), so the sf0.01 gate is a bit-exact reconstruction
+    # identity and the crafted tests pin the firing behavior.
+    from kafka_streams_spark.operators.text import remove_boilerplate
+
+    return remove_boilerplate(_docs(spark, sf_dir), min_docs=2)
+
+
 def _q_price_histogram(spark, sf_dir):
     # Mergeable fixed-bin distribution sketch (the quantile-family
     # sketch next to HLL++/CMS): one map-side-combined shuffle of
@@ -1645,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dead_hours": _q_events_dead_hours,
         "knn_recall_ivfpq_vec0": _q_knn_recall_ivfpq_vec0,
         "media_near_dup": _q_media_near_dup,
+        "remove_boilerplate": _q_remove_boilerplate,
         "price_histogram": _q_price_histogram,
         "price_quantiles_hist": _q_price_quantiles_hist,
     }

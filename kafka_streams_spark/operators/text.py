@@ -458,6 +458,63 @@ def dedup_lines(
     )
 
 
+def remove_boilerplate(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-threshold boilerplate stripping: every non-blank line
+    that appears in at least ``min_docs`` DISTINCT documents is removed
+    from ALL of them (navigation chrome, cookie banners, licence
+    footers). The policy complement of :func:`dedup_lines` — that keeps
+    each duplicated line's first occurrence; a boilerplate line is junk
+    *everywhere*, including its first home.
+
+    Every input document survives with a row (possibly empty text) —
+    curation gates decide drops, this operator only edits; keeping the
+    doc count stable is what lets it sit mid-pipeline. Blank lines are
+    neither counted nor kept (the C4 line discipline `dedup_lines`
+    follows).
+
+    Shape: posexplode lines → per-line distinct-doc counts (two-phase
+    aggregate, map-side partial; the super-common lines being removed
+    are maximal skew and collapse map-side) → line-key join back
+    (broadcast when the boilerplate table is small, AQE otherwise) →
+    one per-doc regroup with an expression-level (pos, line) sort.
+    Empty/fully-stripped docs keep their row because every doc
+    posexplodes to ≥1 line row and the regroup aggregates ALL of them,
+    flagging kept lines inside the aggregate instead of filtering rows
+    before it (the `oov_rate` zero-row lesson).
+
+    Output: (id, text, n_kept, n_removed).
+    """
+    from kafka_streams_spark.functions.partitioning import spread
+
+    lines = spread(docs).select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln")
+    )
+    nonblank = F.trim(F.col("ln")) != ""
+    boiler = (
+        lines.filter(nonblank)
+        .groupBy("ln")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("ln", F.lit(True).alias("_bp"))
+    )
+    flagged = lines.join(boiler, "ln", "left")
+    kept = nonblank & F.col("_bp").isNull()
+    removed = nonblank & F.col("_bp").isNotNull()
+    ordered = F.array_sort(
+        F.collect_list(F.when(kept, F.struct("pos", "ln")))
+    )  # collect_list skips the NULLs the when() leaves for dropped lines
+    return flagged.groupBy(id_col).agg(
+        F.array_join(F.transform(ordered, lambda s: s["ln"]), "\n").alias("text"),
+        F.sum(kept.cast("bigint")).alias("n_kept"),
+        F.sum(removed.cast("bigint")).alias("n_removed"),
+    )
+
+
 def lm_unigram_score(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -3392,6 +3392,34 @@ SIMILARITY_ORACLES["knn_recall_ivfpq_vec0"] = f"""
     FROM approx WHERE vec_id IN (SELECT vec_id FROM exact)
 """
 
+# Frequency-threshold boilerplate stripping (text.py remove_boilerplate):
+# a non-blank line in >= 2 distinct docs is removed everywhere; every doc
+# keeps a row (string_agg over the CASE skips removed/blank lines, the
+# 1-row-per-doc GROUP BY keeps fully-stripped docs with '' text).
+TEXT_ORACLES["remove_boilerplate"] = """
+    WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+    l AS (
+        SELECT doc_id, i AS pos, ls[i] AS ln
+        FROM t, unnest(range(1, len(ls) + 1)) AS u(i)
+    ),
+    b AS (
+        SELECT ln FROM l WHERE trim(ln) != ''
+        GROUP BY ln HAVING count(DISTINCT doc_id) >= 2
+    ),
+    f AS (
+        SELECT doc_id, pos, ln,
+               trim(ln) != '' AND ln NOT IN (SELECT ln FROM b) AS kept,
+               trim(ln) != '' AND ln IN (SELECT ln FROM b) AS removed
+        FROM l
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN kept THEN ln END, chr(10) ORDER BY pos), '') AS text,
+           CAST(coalesce(sum(CASE WHEN kept THEN 1 END), 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(CASE WHEN removed THEN 1 END), 0) AS BIGINT) AS n_removed
+    FROM f
+    GROUP BY doc_id
+"""
+
 # Mergeable fixed-bin histogram sketch + quantile read-off
 # (operators/profiling.py value_histogram / histogram_quantiles).
 # Bucketing is FLOOR division in int64: DuckDB's `//` truncates toward

@@ -864,3 +864,68 @@ def test_corpus_scorecard_counts_gates(spark):
     assert r["n_c4_pass"] == c4_clean(docs).count()
     assert r["n_badword_free"] == badword_filter(docs).filter("NOT drop").count()
     assert r["n_pii_free"] == pii_scan(docs).filter("NOT has_pii").count()
+
+
+# ---------------------------------------------------------------------------
+# remove_boilerplate (frequency-threshold line stripping)
+# ---------------------------------------------------------------------------
+
+
+def test_remove_boilerplate_strips_frequent_lines_everywhere(spark):
+    """A line in >= min_docs distinct docs vanishes from ALL docs
+    (including its first occurrence — the policy difference from
+    dedup_lines); infrequent lines survive in order; repeats WITHIN one
+    doc don't make a line boilerplate."""
+    from kafka_streams_spark.operators.text import remove_boilerplate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\nreal content one\ncookie banner"),
+            (2, "cookie banner\nreal content two"),
+            (3, "unique line\nunique line\nother"),
+            (4, "   \n\nreal content four"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_removed"])
+        for r in remove_boilerplate(docs, min_docs=2).collect()
+    }
+    assert got[1] == ("real content one", 1, 2)
+    assert got[2] == ("real content two", 1, 1)
+    # 'unique line' twice in doc 3 only → 1 distinct doc → kept
+    assert got[3] == ("unique line\nunique line\nother", 3, 0)
+    assert got[4] == ("real content four", 1, 0)
+
+
+def test_remove_boilerplate_keeps_fully_stripped_and_empty_docs(spark):
+    """Doc count is stable: fully-stripped docs and empty docs keep a
+    row with empty text — gates drop docs, this operator only edits."""
+    from kafka_streams_spark.operators.text import remove_boilerplate
+
+    docs = spark.createDataFrame(
+        [(1, "spam\nspam"), (2, "spam"), (3, ""), (4, "keep me")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_removed"])
+        for r in remove_boilerplate(docs, min_docs=2).collect()
+    }
+    assert got[1] == ("", 0, 2)
+    assert got[2] == ("", 0, 1)
+    assert got[3] == ("", 0, 0)
+    assert got[4] == ("keep me", 1, 0)
+    assert len(got) == 4
+
+
+def test_remove_boilerplate_identity_when_nothing_fires(spark, sf_dir):
+    """When no line crosses the threshold the operator must be a
+    bit-exact reconstruction identity (split → flag → regroup loses
+    nothing) — the property the sf0.01 oracle gate rides on."""
+    from kafka_streams_spark.operators.text import remove_boilerplate
+    from kafka_streams_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = remove_boilerplate(docs, min_docs=10**9).select("doc_id", "text")
+    assert out.exceptAll(docs).count() == 0
+    assert docs.exceptAll(out).count() == 0
