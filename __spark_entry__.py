@@ -1275,6 +1275,34 @@ def _q_knn_recall_ivfpq_vec0(spark, sf_dir):
     )
 
 
+def _q_bpe_pair_counts(spark, sf_dir):
+    # Oracle-checked half of BPE training: the weighted adjacent-pair
+    # statistic each merge round maximizes, over the top-1000 word table.
+    from kafka_streams_spark.operators.tokenizer import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top_words=1000, top_pairs=20)
+
+
+def _q_bpe_token_stats(spark, sf_dir):
+    """Rows-only (learned merge chain, the emb_whiten class): train 50
+    merges on the corpus's own top-1000 words, encode every doc, report
+    per-doc token budget + fertility. Model-pinned by hypothesis tests
+    (train == pure-Python reference; encode == merge-rank reference)."""
+    from kafka_streams_spark.operators.tokenizer import bpe_token_stats, bpe_train
+
+    merges = bpe_train(_docs(spark, sf_dir), n_merges=50, top_words=1000)
+    return bpe_token_stats(_docs(spark, sf_dir), merges)
+
+
+def _q_bpe_piece_counts(spark, sf_dir):
+    """Rows-only (same learned merges): corpus piece-frequency top-30 —
+    the what-did-my-vocab-learn audit."""
+    from kafka_streams_spark.operators.tokenizer import bpe_piece_counts, bpe_train
+
+    merges = bpe_train(_docs(spark, sf_dir), n_merges=50, top_words=1000)
+    return bpe_piece_counts(_docs(spark, sf_dir), merges, top_pieces=30)
+
+
 def _q_remove_boilerplate(spark, sf_dir):
     # Frequency-threshold line stripping; on the single-line synthetic
     # corpus this fires only on exact-duplicate texts (8 at sf0.1, none
@@ -1656,6 +1684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_recall_ivfpq_vec0": _q_knn_recall_ivfpq_vec0,
         "media_near_dup": _q_media_near_dup,
         "remove_boilerplate": _q_remove_boilerplate,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "bpe_piece_counts": _q_bpe_piece_counts,
         "price_histogram": _q_price_histogram,
         "price_quantiles_hist": _q_price_quantiles_hist,
     }

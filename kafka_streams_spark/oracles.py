@@ -3392,6 +3392,26 @@ SIMILARITY_ORACLES["knn_recall_ivfpq_vec0"] = f"""
     FROM approx WHERE vec_id IN (SELECT vec_id FROM exact)
 """
 
+# BPE first-round pair statistic (operators/tokenizer.py
+# bpe_pair_counts): weighted adjacent initial-symbol pairs over the
+# top-V word table — the oracle-checked half of BPE training (the merge
+# chain itself is iterative, hence rows-only).
+TEXT_ORACLES["bpe_pair_counts"] = f"""
+    WITH w AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS wn
+        FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+        GROUP BY word ORDER BY wn DESC, word LIMIT 1000
+    ),
+    s AS (SELECT wn, list_append(string_split(word, ''), '</w>') AS syms FROM w),
+    p AS (
+        SELECT wn, syms[i] AS sym_a, syms[i + 1] AS sym_b
+        FROM s, unnest(range(1, len(syms))) AS u(i)
+    )
+    SELECT sym_a, sym_b, CAST(sum(wn) AS BIGINT) AS n
+    FROM p GROUP BY sym_a, sym_b
+    ORDER BY n DESC, sym_a, sym_b LIMIT 20
+"""
+
 # Frequency-threshold boilerplate stripping (text.py remove_boilerplate):
 # a non-blank line in >= 2 distinct docs is removed everywhere; every doc
 # keeps a row (string_agg over the CASE skips removed/blank lines, the
