@@ -1778,8 +1778,10 @@ def knn_recall_audit(
     ``method="multitable"`` audits :func:`knn_lsh_multitable` with the
     same (n_planes, n_tables) it would run, and ``method="ivfpq"``
     (with ``codebooks``/``n_probe``/``shortlist``) audits
-    :func:`ivfpq_topk_to_id` — the three audits side by side are the
-    comparison that picks the production ANN config per corpus.
+    :func:`ivfpq_topk_to_id`, and ``method="hamming"`` (with
+    ``shortlist``) audits :func:`knn_hamming_to_id` — the four audits
+    side by side are the comparison that picks the production ANN
+    config per corpus.
 
     Output: one row — (query_id, k, n_hits), n_hits = |approx ∩ exact|.
     """
@@ -1801,6 +1803,11 @@ def knn_recall_audit(
         approx = ivfpq_topk_to_id(
             embeddings, codebooks, query_id, k,
             n_probe=n_probe, shortlist=shortlist,
+            id_col=id_col, vec_col=vec_col,
+        ).select(id_col)
+    elif method == "hamming":
+        approx = knn_hamming_to_id(
+            embeddings, query_id, k, shortlist=shortlist,
             id_col=id_col, vec_col=vec_col,
         ).select(id_col)
     else:
@@ -2086,4 +2093,134 @@ def embedding_profile(
         F.sum(F.when(v.isNotNull() & all_zero, 1).otherwise(0))
         .cast("bigint")
         .alias("n_zero"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# binary (sign-bit) quantization — hamming shortlist ANN
+# ---------------------------------------------------------------------------
+
+
+def binarize_embeddings(
+    embeddings: DataFrame,
+    bits: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bit binary quantization: bit i of the signature is
+    ``embedding[i] > 0`` — the axis-aligned special case of hyperplane
+    LSH (one plane per dimension instead of ``n_planes`` random ones),
+    and the binary-quantization index production vector stores ship
+    (8 bytes/vector instead of 4·d; candidate scoring is one
+    xor+popcount instead of d multiplies).
+
+    Uses the LOW ``bits`` dimensions (default 60 — the engine's md5_60
+    bit-width convention: signatures stay positive int64, DuckDB
+    reproduces them shift-for-shift, and :func:`hamming_pairs` applies
+    unchanged). Dimensions past ``bits`` are invisible to the signature
+    — the exact re-rank step of every consumer re-scores with the full
+    vector, so truncation costs shortlist quality only, never final
+    correctness. Pure expression (zip_with + aggregate): map-only, no
+    Python workers. Output: (id, bsig bigint).
+    """
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
+    sig = F.expr(
+        f"aggregate(zip_with(slice({vec_col}, 1, {bits}), "
+        f"sequence(0, {bits - 1}), "
+        f"(v, i) -> IF(v > 0D, shiftleft(1L, i), 0L)), "
+        f"0L, (acc, x) -> acc + x)"
+    )
+    return embeddings.select(F.col(id_col), sig.alias("bsig"))
+
+
+def knn_hamming_to_id(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    shortlist: int = 100,
+    bits: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantization ANN: hamming shortlist + exact re-rank — the
+    fourth audited ANN path (single-table LSH, multitable LSH, IVF-PQ,
+    and this), and the cheapest per-candidate one: the scan computes
+    ONE xor+popcount per row against the broadcast query signature
+    (map-only, 8-byte rows), a TakeOrderedAndProject keeps the
+    ``shortlist`` closest signatures (hamming asc, id tiebreak — fully
+    deterministic), and only those rows are re-scored with the full
+    float vector (rounded cosine desc, id — the knn_batch ranking
+    convention). Collect-free: query signature and query vector ride
+    1-row broadcasts from the corpus itself.
+
+    Output: (vec_id, hamming int, cosine_sim) — top-k by exact cosine.
+    """
+    sigs = binarize_embeddings(embeddings, bits=bits, id_col=id_col, vec_col=vec_col)
+    qsig = sigs.filter(F.col(id_col) == query_id).select(F.col("bsig").alias("_qsig"))
+    ham = F.bit_count(F.col("bsig").bitwiseXOR(F.col("_qsig")))
+    short = (
+        sigs.crossJoin(F.broadcast(qsig))
+        .select(F.col(id_col), ham.alias("hamming"))
+        .orderBy(F.col("hamming"), F.col(id_col))
+        .limit(shortlist)
+    )
+    qvec = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    rescored = (
+        embeddings.join(F.broadcast(short), id_col)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col(id_col),
+            F.col("hamming").cast("int").alias("hamming"),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("_qvec")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    return rescored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def emb_near_dup_binary(
+    embeddings: DataFrame,
+    max_hamming: int = 10,
+    min_cosine: float = 0.9,
+    bits: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs via binary signatures: candidates
+    from the EXACT hamming pigeonhole
+    (:func:`~kafka_streams_spark.operators.dedup.hamming_pairs` — no
+    false negatives within the radius, (r+1) bucket chunks, 8-byte
+    shuffle rows), verified with exact cosine ≥ ``min_cosine`` on the
+    candidate pairs only. The axis-aligned sibling of
+    :func:`embedding_near_duplicates_lsh`: same shape, but the
+    signature is data-independent (no plane seeds to version) and the
+    candidate scan is popcount-cheap.
+
+    Output: (id_a, id_b, hamming int, cosine_sim) — id_a < id_b.
+    """
+    from kafka_streams_spark.operators.dedup import hamming_pairs
+
+    sigs = binarize_embeddings(embeddings, bits=bits, id_col=id_col, vec_col=vec_col)
+    cand = hamming_pairs(sigs, id_col, "bsig", bits, max_hamming)
+    va = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    cos = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("hamming").cast("int").alias("hamming"),
+            cos.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= min_cosine)
     )

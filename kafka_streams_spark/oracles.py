@@ -3392,6 +3392,72 @@ SIMILARITY_ORACLES["knn_recall_ivfpq_vec0"] = f"""
     FROM approx WHERE vec_id IN (SELECT vec_id FROM exact)
 """
 
+
+# Binary (sign-bit) quantization family: signatures are pure int64
+# shift/sum expressions both sides; the hamming ANN + near-dup + recall
+# contracts brute-force their shortlists in DuckDB.
+_BSIG = """
+    SELECT vec_id,
+           CAST(list_sum(list_transform(range(1, 61),
+                i -> CASE WHEN embedding[i] > 0
+                     THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))
+           AS BIGINT) AS bsig
+    FROM embeddings
+"""
+
+SIMILARITY_ORACLES["emb_binarize"] = _BSIG
+
+SIMILARITY_ORACLES["knn_hamming_vec0"] = f"""
+    WITH s AS ({_BSIG}),
+    q AS (SELECT bsig AS qsig FROM s WHERE vec_id = 0),
+    short AS (
+        SELECT s.vec_id, bit_count(xor(s.bsig, q.qsig)) AS hamming
+        FROM s, q
+        ORDER BY hamming, s.vec_id
+        LIMIT 100
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           CAST(short.hamming AS INTEGER) AS hamming,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qvec), 6)
+               AS cosine_sim
+    FROM embeddings e JOIN short ON e.vec_id = short.vec_id, qv
+    ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qvec), 6)
+             DESC, e.vec_id
+    LIMIT 10
+"""
+
+SIMILARITY_ORACLES["knn_recall_hamming_vec0"] = f"""
+    WITH approx AS (
+        SELECT vec_id FROM ({SIMILARITY_ORACLES["knn_hamming_vec0"]})
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id = 0),
+    exact AS (
+        SELECT vec_id
+        FROM embeddings, qv
+        ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qvec)
+                 DESC, vec_id
+        LIMIT 10
+    )
+    SELECT 0 AS query_id, 10 AS k, CAST(count(*) AS BIGINT) AS n_hits
+    FROM approx WHERE vec_id IN (SELECT vec_id FROM exact)
+"""
+
+SIMILARITY_ORACLES["emb_near_dup_hamming"] = f"""
+    WITH s AS ({_BSIG}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(bit_count(xor(sa.bsig, sb.bsig)) AS INTEGER) AS hamming,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+         JOIN s sa ON sa.vec_id = a.vec_id
+         JOIN s sb ON sb.vec_id = b.vec_id
+    WHERE bit_count(xor(sa.bsig, sb.bsig)) <= 16
+      AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.2
+"""
+
 # BPE first-round pair statistic (operators/tokenizer.py
 # bpe_pair_counts): weighted adjacent initial-symbol pairs over the
 # top-V word table — the oracle-checked half of BPE training (the merge

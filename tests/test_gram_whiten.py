@@ -247,3 +247,121 @@ def test_recall_audit_ivfpq_method(spark, sf_dir):
         n_probe=n_cells, shortlist=n,
     ).collect()[0]
     assert r2["n_hits"] == 10
+
+
+# ---------------------------------------------------------------------------
+# binary (sign-bit) quantization ANN
+# ---------------------------------------------------------------------------
+
+
+def test_binarize_matches_numpy_sign_model(spark, sf_dir):
+    """bsig bit i == (embedding[i] > 0) for the low 60 dims — pinned
+    against a NumPy model over the real corpus slice."""
+    import numpy as np
+
+    from kafka_streams_spark.operators.similarity import binarize_embeddings
+    from kafka_streams_spark.sources.testdata import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings").limit(100)
+    rows = embs.collect()
+    got = {
+        r["vec_id"]: r["bsig"] for r in binarize_embeddings(embs).collect()
+    }
+    for r in rows:
+        v = np.asarray(r["embedding"][:60])
+        want = int(((v > 0).astype(np.uint64) << np.arange(60, dtype=np.uint64)).sum())
+        assert got[r["vec_id"]] == want, r["vec_id"]
+
+
+def test_knn_hamming_lossless_configuration(spark, sf_dir):
+    """shortlist >= corpus size reduces the hamming path EXACTLY to
+    knn_to_id (the pruning-is-real / recovery-is-exact pin the IVF-PQ
+    composition also carries)."""
+    from kafka_streams_spark.operators.similarity import knn_hamming_to_id, knn_to_id
+    from kafka_streams_spark.sources.testdata import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    n = embs.count()
+    full = knn_hamming_to_id(embs, query_id=0, k=10, shortlist=n).select(
+        "vec_id", "cosine_sim"
+    )
+    exact = knn_to_id(embs, query_id=0, k=10)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_knn_hamming_shortlist_prunes_for_real(spark, sf_dir):
+    """With shortlist=s the result ids must come from the s hamming-
+    closest signatures — pruning is structural, not advisory."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.operators.similarity import (
+        binarize_embeddings,
+        knn_hamming_to_id,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    s = 25
+    sigs = binarize_embeddings(embs).collect()
+    qsig = next(r["bsig"] for r in sigs if r["vec_id"] == 0)
+    ranked = sorted(
+        (bin(r["bsig"] ^ qsig).count("1"), r["vec_id"]) for r in sigs
+    )[:s]
+    allowed = {vid for _, vid in ranked}
+    got = {r["vec_id"] for r in knn_hamming_to_id(embs, 0, k=10, shortlist=s).collect()}
+    assert got <= allowed
+
+
+def test_emb_near_dup_binary_matches_brute_force(spark, sf_dir):
+    """Pigeonhole candidates + cosine verify == brute-force O(n^2)
+    filter at the same (radius, threshold)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.operators.similarity import (
+        binarize_embeddings,
+        cosine_similarity,
+        emb_near_dup_binary,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings").limit(150)
+    got = sorted(
+        map(tuple, emb_near_dup_binary(embs, max_hamming=18, min_cosine=0.0).collect())
+    )
+    sigs = embs.join(binarize_embeddings(embs), "vec_id")
+    a = sigs.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_va"),
+        F.col("bsig").alias("_sa"),
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+        F.col("bsig").alias("_sb"),
+    )
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int").alias("hamming"),
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+        )
+        .filter((F.col("hamming") <= 18) & (F.col("cosine_sim") >= 0.0))
+    )
+    assert got == sorted(map(tuple, brute.collect()))
+
+
+def test_knn_hamming_scan_is_map_only_before_shortlist(spark, sf_dir):
+    """The signature scan + hamming scoring must reach the
+    TakeOrderedAndProject without a hash exchange — the 8-byte-per-row
+    scan economics the path exists for."""
+    from kafka_streams_spark.operators.similarity import knn_hamming_to_id
+    from kafka_streams_spark.sources.testdata import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    df = knn_hamming_to_id(embs, query_id=0, k=10, shortlist=100)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
