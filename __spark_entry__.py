@@ -1414,12 +1414,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # newest green is still round 1. Re-grouping is cosmetic-free for a
 # driver that checks everything.
 _NEEDS_DRIVER_ROW = [
-    # -- round-6 head. Order: (a) the 5 contracts queued behind the
-    # full r05 window (no driver row exists), (b) the 5 round-6
-    # registrations, (c) contracts whose code or oracle changed in r6
-    # (duplicate_clusters self-pair fix reaches all CC consumers;
-    # events_props_profile's oracle gained the json_valid guard — it is
-    # already in (a)), (d) stalest-evidence refresh (r02, then r03).
+    # -- round-6 head. Order: (a0) the round-6 second-wave contracts
+    # (histogram sketch, media near-dup, boilerplate, BPE, binary
+    # quantization — never driver-evidenced), then (a) the 5 contracts
+    # queued behind the full r05 window (no driver row exists), (b) the
+    # 5 round-6 first-wave registrations, (c) contracts whose code or
+    # oracle changed in r6 (duplicate_clusters self-pair fix reaches
+    # all CC consumers; events_props_profile's oracle gained the
+    # json_valid guard — it is already in (a)), (d) stalest-evidence
+    # refresh (r02, then r03; the 11 entries displaced by (a0) moved to
+    # the head of _STALE_EVIDENCE).
+    # (a0) round-6 second wave
+    "price_histogram",
+    "price_quantiles_hist",
+    "media_near_dup",
+    "remove_boilerplate",
+    "bpe_pair_counts",
+    "bpe_token_stats",  # rows-only: learned merge chain
+    "bpe_piece_counts",  # rows-only: learned merge chain
+    "emb_binarize",
+    "knn_hamming_vec0",
+    "knn_recall_hamming_vec0",
+    "emb_near_dup_hamming",
     # (a) queued from round 5 — never driver-evidenced
     "dedup_spans_incremental",
     "events_props_profile",  # + r6 oracle json_valid guard
@@ -1465,18 +1481,6 @@ _NEEDS_DRIVER_ROW = [
     "temperature_mix_docs",
     "chunk_documents",
     "chunk_dup_stats",
-    "pack_token_shards",
-    "profile_documents",
-    "media_image_features",
-    "media_audio_features",
-    "media_resize",
-    "media_video_frames",
-    # (d) newest driver green is round 3
-    "payments_filter_rails",
-    "payments_branch_gbp",
-    "payments_branch_usd",
-    "payments_merged",
-    "payments_rails_foo",
 ]
 
 # Contracts registered after this round's evidence window filled: they
@@ -1487,8 +1491,22 @@ _NEEDS_DRIVER_ROW = [
 _NEXT_ROUND_QUEUE: list[str] = []
 
 _STALE_EVIDENCE = [
-    # Post-window order: any driver slack reaches these first
-    # (remaining r03-stale contracts).
+    # Post-window order: any driver slack reaches these first.
+    # Head: the 11 refresh entries displaced from the window by the
+    # round-6 second wave (r02-stale media family + pack/profile, then
+    # the r03-stale payments family).
+    "pack_token_shards",
+    "profile_documents",
+    "media_image_features",
+    "media_audio_features",
+    "media_resize",
+    "media_video_frames",
+    "payments_filter_rails",
+    "payments_branch_gbp",
+    "payments_branch_usd",
+    "payments_merged",
+    "payments_rails_foo",
+    # (remaining r03-stale contracts)
     "payments_rails_bar",
     "emb_label_centroids",
     "emb_normalize",
