@@ -1313,6 +1313,17 @@ def _q_emb_near_dup_hamming(spark, sf_dir):
     )
 
 
+def _q_hamming_bucket_stats(spark, sf_dir):
+    # Pre-flight for the binary near-dup radius: exact candidate-pair
+    # pricing of the r=16 pigeonhole the emb_near_dup_hamming contract
+    # runs (the lsh_bucket_stats role for the hamming family).
+    from kafka_streams_spark.operators.dedup import hamming_bucket_stats
+    from kafka_streams_spark.operators.similarity import binarize_embeddings
+
+    sigs = binarize_embeddings(_embs(spark, sf_dir))
+    return hamming_bucket_stats(sigs, "bsig", 60, 16)
+
+
 def _q_bpe_pair_counts(spark, sf_dir):
     # Oracle-checked half of BPE training: the weighted adjacent-pair
     # statistic each merge round maximizes, over the top-1000 word table.
@@ -1436,6 +1447,7 @@ _NEEDS_DRIVER_ROW = [
     "knn_hamming_vec0",
     "knn_recall_hamming_vec0",
     "emb_near_dup_hamming",
+    "hamming_bucket_stats",
     # (a) queued from round 5 — never driver-evidenced
     "dedup_spans_incremental",
     "events_props_profile",  # + r6 oracle json_valid guard
@@ -1480,7 +1492,6 @@ _NEEDS_DRIVER_ROW = [
     "hash_sample_docs",
     "temperature_mix_docs",
     "chunk_documents",
-    "chunk_dup_stats",
 ]
 
 # Contracts registered after this round's evidence window filled: they
@@ -1495,6 +1506,7 @@ _STALE_EVIDENCE = [
     # Head: the 11 refresh entries displaced from the window by the
     # round-6 second wave (r02-stale media family + pack/profile, then
     # the r03-stale payments family).
+    "chunk_dup_stats",
     "pack_token_shards",
     "profile_documents",
     "media_image_features",
@@ -1744,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hamming_vec0": _q_knn_hamming_vec0,
         "knn_recall_hamming_vec0": _q_knn_recall_hamming_vec0,
         "emb_near_dup_hamming": _q_emb_near_dup_hamming,
+        "hamming_bucket_stats": _q_hamming_bucket_stats,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_token_stats": _q_bpe_token_stats,
         "bpe_piece_counts": _q_bpe_piece_counts,

@@ -1434,6 +1434,51 @@ def hamming_pairs(
     )
 
 
+def hamming_bucket_stats(
+    sigs: DataFrame,
+    sig_col: str,
+    bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Bucket-occupancy pre-flight for :func:`hamming_pairs` — the
+    instrument that prices a radius BEFORE the pair join runs (the
+    `lsh_bucket_stats` role for the pigeonhole family): per chunk, how
+    many buckets are occupied, the largest bucket, and the EXACT
+    candidate-pair count Σ n·(n−1)/2 the bucket equi-join will emit.
+    The chunk width is bits/(max_hamming+1); a wide radius makes chunks
+    narrow and buckets dense, and the candidate count degrades toward
+    all-pairs — the round-6 scaling wave measured exactly that on the
+    contract corpus (r=16 over 60 bits: 3.9× time at 4× rows). Run this
+    narrow aggregate first; a blown-up n_candidate_pairs says "tighten
+    the radius or switch family" before the cluster finds out.
+
+    Same chunking arithmetic as :func:`hamming_pairs` (one wider for
+    the first bits%k chunks), so the audit measures the REAL buckets.
+    Output: (chunk_idx int, n_buckets bigint, max_bucket bigint,
+    n_candidate_pairs bigint).
+    """
+    k = max_hamming + 1
+    base, rem = divmod(bits, k)
+    widths = [base + (1 if i < rem else 0) for i in range(k)]
+    offsets = [sum(widths[:i]) for i in range(k)]
+    chunks = sigs.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(sig_col), offsets[i]).bitwiseAND((1 << widths[i]) - 1)
+                    for i in range(k)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    occ = chunks.groupBy("chunk_idx", "chunk_val").agg(F.count("*").alias("n"))
+    return occ.groupBy("chunk_idx").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.max("n").cast("bigint").alias("max_bucket"),
+        F.sum(F.expr("n * (n - 1) div 2")).cast("bigint").alias("n_candidate_pairs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # duplicate clustering (connected components)
 # ---------------------------------------------------------------------------

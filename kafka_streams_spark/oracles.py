@@ -3458,6 +3458,33 @@ SIMILARITY_ORACLES["emb_near_dup_hamming"] = f"""
       AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.2
 """
 
+# Pigeonhole bucket-occupancy pre-flight at the emb_near_dup_hamming
+# contract config: 17 chunks over 60 bits (the first 60%17=9 chunks are
+# 4 bits wide, the rest 3), occupancy + exact candidate-pair counts.
+SIMILARITY_ORACLES["hamming_bucket_stats"] = f"""
+    WITH s AS ({_BSIG}),
+    w AS (
+        SELECT i AS chunk_idx,
+               CASE WHEN i < 9 THEN 4 ELSE 3 END AS width,
+               CASE WHEN i < 9 THEN i * 4 ELSE 36 + (i - 9) * 3 END AS off
+        FROM unnest(range(0, 17)) AS t(i)
+    ),
+    k AS (
+        SELECT w.chunk_idx,
+               (s.bsig >> w.off) & ((1::BIGINT << w.width) - 1) AS chunk_val
+        FROM s, w
+    ),
+    occ AS (
+        SELECT chunk_idx, chunk_val, count(*) AS n
+        FROM k GROUP BY chunk_idx, chunk_val
+    )
+    SELECT CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(n) AS BIGINT) AS max_bucket,
+           CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_candidate_pairs
+    FROM occ GROUP BY chunk_idx
+"""
+
 # BPE first-round pair statistic (operators/tokenizer.py
 # bpe_pair_counts): weighted adjacent initial-symbol pairs over the
 # top-V word table — the oracle-checked half of BPE training (the merge

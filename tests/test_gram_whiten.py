@@ -365,3 +365,39 @@ def test_knn_hamming_scan_is_map_only_before_shortlist(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_hamming_bucket_stats_prices_the_real_buckets(spark, sf_dir):
+    """The audit's per-chunk candidate counts must equal a Python model
+    of the SAME chunking, and upper-bound the distinct pairs the
+    pigeonhole join emits."""
+    from kafka_streams_spark.operators.dedup import hamming_bucket_stats, hamming_pairs
+    from kafka_streams_spark.operators.similarity import binarize_embeddings
+    from kafka_streams_spark.sources.testdata import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    sigs = binarize_embeddings(embs)
+    bits, r = 60, 16
+    got = {
+        r_["chunk_idx"]: (r_["n_buckets"], r_["max_bucket"], r_["n_candidate_pairs"])
+        for r_ in hamming_bucket_stats(sigs, "bsig", bits, r).collect()
+    }
+    vals = [row["bsig"] for row in sigs.collect()]
+    k = r + 1
+    base, rem = divmod(bits, k)
+    widths = [base + (1 if i < rem else 0) for i in range(k)]
+    offsets = [sum(widths[:i]) for i in range(k)]
+    from collections import Counter
+
+    total_candidates = 0
+    for i in range(k):
+        c = Counter((v >> offsets[i]) & ((1 << widths[i]) - 1) for v in vals)
+        want = (
+            len(c),
+            max(c.values()),
+            sum(n * (n - 1) // 2 for n in c.values()),
+        )
+        assert got[i] == want, (i, got[i], want)
+        total_candidates += want[2]
+    distinct_pairs = hamming_pairs(sigs, "vec_id", "bsig", bits, r).count()
+    assert distinct_pairs <= total_candidates
