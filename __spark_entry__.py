@@ -1302,14 +1302,17 @@ def _q_knn_recall_hamming_vec0(spark, sf_dir):
 
 
 def _q_emb_near_dup_hamming(spark, sf_dir):
-    # Tight-radius binary near-dup: exact pigeonhole candidates at
-    # hamming <= 16 (min pairwise distance on this corpus is 14),
-    # exact-cosine verified. Audit-scale config; production radius
-    # guidance is in the operator docstring.
+    # Binary near-dup at hamming <= 16 (min pairwise distance on this
+    # corpus is 14), exact-cosine verified, ENGINE-DISPATCHED: auto
+    # prices the radius with hamming_bucket_stats and routes pigeonhole
+    # vs popcount-cross-join (identical exact output; at this wide
+    # radius the audit measures candidates > all-pairs, so brute wins —
+    # 0.6 s vs 2.4 s at sf0.01-isolated). The jaccard auto precedent
+    # applied to the hamming family.
     from kafka_streams_spark.operators.similarity import emb_near_dup_binary
 
     return emb_near_dup_binary(
-        _embs(spark, sf_dir), max_hamming=16, min_cosine=0.2
+        _embs(spark, sf_dir), max_hamming=16, min_cosine=0.2, strategy="auto"
     )
 
 

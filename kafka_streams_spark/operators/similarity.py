@@ -2182,6 +2182,22 @@ def knn_hamming_to_id(
     return rescored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
 
+def hamming_dispatch_choice(
+    n_rows: int, n_candidates: int, max_candidate_frac: float = 0.25
+) -> str:
+    """The pure dispatch rule of ``emb_near_dup_binary(strategy="auto")``
+    (the `jaccard_dispatch_choice` pattern — separated so tests and a
+    stats-fed planner can exercise the routing without the stats jobs):
+    the pigeonhole pays an explode + bucket-join + distinct on top of
+    the candidate set, so once the audited candidate count approaches
+    all-pairs (wide radius → dense chunks) the plain popcount cross
+    join is strictly cheaper — same output, no banding overhead."""
+    all_pairs = n_rows * (n_rows - 1) // 2
+    if all_pairs == 0:
+        return "pigeonhole"
+    return "pigeonhole" if n_candidates <= max_candidate_frac * all_pairs else "brute"
+
+
 def emb_near_dup_binary(
     embeddings: DataFrame,
     max_hamming: int = 10,
@@ -2189,23 +2205,66 @@ def emb_near_dup_binary(
     bits: int = 60,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "pigeonhole",
 ) -> DataFrame:
     """Embedding near-duplicate pairs via binary signatures: candidates
-    from the EXACT hamming pigeonhole
-    (:func:`~kafka_streams_spark.operators.dedup.hamming_pairs` — no
-    false negatives within the radius, (r+1) bucket chunks, 8-byte
-    shuffle rows), verified with exact cosine ≥ ``min_cosine`` on the
-    candidate pairs only. The axis-aligned sibling of
-    :func:`embedding_near_duplicates_lsh`: same shape, but the
-    signature is data-independent (no plane seeds to version) and the
-    candidate scan is popcount-cheap.
+    within hamming ``max_hamming``, verified with exact cosine ≥
+    ``min_cosine`` on the candidate pairs only. The axis-aligned
+    sibling of :func:`embedding_near_duplicates`: the signature is
+    data-independent (no plane seeds to version) and the candidate
+    scan is popcount-cheap.
+
+    ``strategy`` picks the candidate plan — output is identical across
+    all three (both candidate forms are EXACT within the radius):
+
+    - ``"pigeonhole"``: :func:`~kafka_streams_spark.operators.dedup.
+      hamming_pairs` — no false negatives, (r+1) bucket chunks, 8-byte
+      shuffle rows. The scale form for TIGHT radii (chunks stay wide:
+      r ≤ 6 at 60 bits keeps chunks ≥ 8 bits).
+    - ``"brute"``: popcount cross join. Wins when the radius is wide
+      enough that pigeonhole candidates approach all-pairs anyway —
+      then the banding explode/join/distinct is pure overhead (the
+      round-6 scaling wave measured the degeneration at r=16).
+    - ``"auto"``: price the radius with
+      :func:`~kafka_streams_spark.operators.dedup.hamming_bucket_stats`
+      (a bounded aggregate over the 8-byte signature table) and apply
+      :func:`hamming_dispatch_choice`. Two small plan-construction jobs
+      — the documented exception class (the `ngram_jaccard_pairs_auto`
+      precedent); at 100 TB both numbers come from the index summary
+      you'd maintain anyway.
 
     Output: (id_a, id_b, hamming int, cosine_sim) — id_a < id_b.
     """
-    from kafka_streams_spark.operators.dedup import hamming_pairs
+    from kafka_streams_spark.operators.dedup import (
+        hamming_bucket_stats,
+        hamming_pairs,
+    )
 
     sigs = binarize_embeddings(embeddings, bits=bits, id_col=id_col, vec_col=vec_col)
-    cand = hamming_pairs(sigs, id_col, "bsig", bits, max_hamming)
+    if strategy == "auto":
+        n_rows = sigs.count()
+        n_cand = (
+            hamming_bucket_stats(sigs, "bsig", bits, max_hamming)
+            .agg(F.sum("n_candidate_pairs").alias("c"))
+            .head()["c"]
+        ) or 0
+        strategy = hamming_dispatch_choice(n_rows, n_cand)
+    if strategy == "brute":
+        sa = sigs.select(F.col(id_col).alias("id_a"), F.col("bsig").alias("_ba"))
+        sb = sigs.select(F.col(id_col).alias("id_b"), F.col("bsig").alias("_bb"))
+        cand = (
+            sa.join(sb, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.bit_count(F.col("_ba").bitwiseXOR(F.col("_bb"))).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+        )
+    elif strategy == "pigeonhole":
+        cand = hamming_pairs(sigs, id_col, "bsig", bits, max_hamming)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
     va = embeddings.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
     )

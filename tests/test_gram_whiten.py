@@ -401,3 +401,35 @@ def test_hamming_bucket_stats_prices_the_real_buckets(spark, sf_dir):
         total_candidates += want[2]
     distinct_pairs = hamming_pairs(sigs, "vec_id", "bsig", bits, r).count()
     assert distinct_pairs <= total_candidates
+
+
+def test_hamming_dispatch_rule_and_strategy_equality(spark, sf_dir):
+    """The pure dispatch rule routes tight radii to pigeonhole and
+    degenerate (candidates ~ all-pairs) radii to brute; all three
+    strategies produce identical pairs."""
+    from kafka_streams_spark.operators.similarity import (
+        emb_near_dup_binary,
+        hamming_dispatch_choice,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    assert hamming_dispatch_choice(1000, 100) == "pigeonhole"
+    assert hamming_dispatch_choice(1000, 499_500) == "brute"  # == all-pairs
+    assert hamming_dispatch_choice(1000, 124_875) == "pigeonhole"  # == 0.25·all
+    assert hamming_dispatch_choice(1000, 124_876) == "brute"
+    assert hamming_dispatch_choice(0, 0) == "pigeonhole"
+    assert hamming_dispatch_choice(1, 0) == "pigeonhole"
+
+    embs = load_table(spark, sf_dir, "embeddings").limit(120)
+    outs = {
+        s: sorted(
+            map(
+                tuple,
+                emb_near_dup_binary(
+                    embs, max_hamming=18, min_cosine=0.0, strategy=s
+                ).collect(),
+            )
+        )
+        for s in ("pigeonhole", "brute", "auto")
+    }
+    assert outs["pigeonhole"] == outs["brute"] == outs["auto"]
