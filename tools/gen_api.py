@@ -27,6 +27,7 @@ MODULES = [
     "kafka_streams_spark.operators.sampling",
     "kafka_streams_spark.operators.pipelines",
     "kafka_streams_spark.operators.multimodal",
+    "kafka_streams_spark.operators.tokenizer",
     "kafka_streams_spark.operators.asof",
     "kafka_streams_spark.operators.rangejoin",
     "kafka_streams_spark.operators.profiling",
