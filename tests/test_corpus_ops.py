@@ -929,3 +929,50 @@ def test_remove_boilerplate_identity_when_nothing_fires(spark, sf_dir):
     out = remove_boilerplate(docs, min_docs=10**9).select("doc_id", "text")
     assert out.exceptAll(docs).count() == 0
     assert docs.exceptAll(out).count() == 0
+
+
+def test_remove_boilerplate_matches_python_model_random(spark):
+    """Randomized corpora (shared + unique + blank lines, within-doc
+    repeats) against a pure-Python model of the stated semantics."""
+    import random
+
+    from kafka_streams_spark.operators.text import remove_boilerplate
+
+    rng = random.Random(42)
+    pool = [f"shared-{i}" for i in range(5)] + ["", "   "]
+    for trial in range(3):
+        docs = []
+        for d in range(12):
+            n = rng.randint(0, 6)
+            lines = [
+                rng.choice(pool) if rng.random() < 0.5 else f"uniq-{d}-{j}"
+                for j in range(n)
+            ]
+            docs.append((d, "\n".join(lines)))
+        min_docs = rng.choice([2, 3])
+        # model
+        from collections import defaultdict
+
+        df_count: dict[str, set] = defaultdict(set)
+        for d, text in docs:
+            for ln in text.split("\n"):
+                if ln.strip() != "":
+                    df_count[ln].add(d)
+        boiler = {ln for ln, s in df_count.items() if len(s) >= min_docs}
+        want = {}
+        for d, text in docs:
+            kept = [
+                ln
+                for ln in text.split("\n")
+                if ln.strip() != "" and ln not in boiler
+            ]
+            removed = sum(
+                1 for ln in text.split("\n") if ln.strip() != "" and ln in boiler
+            )
+            want[d] = ("\n".join(kept), len(kept), removed)
+        sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {
+            r["doc_id"]: (r["text"], r["n_kept"], r["n_removed"])
+            for r in remove_boilerplate(sdf, min_docs=min_docs).collect()
+        }
+        assert got == want, (trial, min_docs)

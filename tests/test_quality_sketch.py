@@ -563,3 +563,53 @@ def test_value_histogram_single_shuffle_bounded_output(spark, sf_dir):
     plan = h._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert h.count() <= 520  # ~500k value range / 1000.00 default bin
+
+
+def test_histogram_quantiles_match_rank_model_random(spark):
+    """Random values (negatives, duplicates, exact bin edges) — the
+    sketch quantile must equal the model computed from the same
+    histogram rule: upper edge of the first bucket whose cumulative
+    count reaches ceil(q·n)."""
+    import math
+    import random
+
+    from kafka_streams_spark.operators.profiling import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        vals = [
+            round(rng.uniform(-50, 50), 2) for _ in range(rng.randint(1, 300))
+        ] + [10.0, -10.0, 0.0]  # exact edges
+        bw = rng.choice([500, 1000])  # cents
+        qs = [0.1, 0.5, 0.9]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = {
+            r["q"]: r["est"]
+            for r in histogram_quantiles(
+                value_histogram(df, "v", bin_width_cents=bw), qs, bin_width_cents=bw
+            ).collect()
+        }
+        # model
+        def bucket(v: float) -> int:
+            c = math.floor(v * 100 + 0.5)
+            return (c - (c % bw if c % bw >= 0 else c % bw)) // bw if c >= 0 else -((-c + bw - 1) // bw) if c % bw else c // bw
+
+        # simpler: python floor division IS floor
+        def bucket(v: float) -> int:  # noqa: F811
+            return math.floor(v * 100 + 0.5) // bw
+
+        from collections import Counter
+
+        cnt = Counter(bucket(v) for v in vals)
+        n = len(vals)
+        for q in qs:
+            rank = max(1, math.ceil(q * n))
+            cum = 0
+            for b in sorted(cnt):
+                cum += cnt[b]
+                if cum >= rank:
+                    assert got[q] == (b + 1) * bw / 100.0, (trial, q, got[q], b)
+                    break
