@@ -2157,29 +2157,9 @@ def knn_hamming_to_id(
     Output: (vec_id, hamming int, cosine_sim) — top-k by exact cosine.
     """
     sigs = binarize_embeddings(embeddings, bits=bits, id_col=id_col, vec_col=vec_col)
-    qsig = sigs.filter(F.col(id_col) == query_id).select(F.col("bsig").alias("_qsig"))
-    ham = F.bit_count(F.col("bsig").bitwiseXOR(F.col("_qsig")))
-    short = (
-        sigs.crossJoin(F.broadcast(qsig))
-        .select(F.col(id_col), ham.alias("hamming"))
-        .orderBy(F.col("hamming"), F.col(id_col))
-        .limit(shortlist)
+    return knn_hamming_index_to_id(
+        embeddings, sigs, query_id, k, shortlist, id_col, vec_col
     )
-    qvec = embeddings.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_qvec")
-    )
-    rescored = (
-        embeddings.join(F.broadcast(short), id_col)
-        .crossJoin(F.broadcast(qvec))
-        .select(
-            F.col(id_col),
-            F.col("hamming").cast("int").alias("hamming"),
-            F.round(
-                cosine_similarity(F.col(vec_col), F.col("_qvec")), 6
-            ).alias("cosine_sim"),
-        )
-    )
-    return rescored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
 
 def hamming_dispatch_choice(
@@ -2283,3 +2263,79 @@ def emb_near_dup_binary(
         )
         .filter(F.col("cosine_sim") >= min_cosine)
     )
+
+
+def write_binary_index(
+    embeddings: DataFrame,
+    path: str,
+    bits: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus's sign-bit signature table — (id, bsig),
+    8 bytes per vector — so recurring hamming-ANN queries scan the tiny
+    index instead of re-reading 100 TB of float vectors (the
+    write_minhash_index / write_pq_codes economics applied to the
+    binary family). ``bits`` travels as column metadata on ``bsig``:
+    hamming against signatures built with a different bit-width
+    compares different dimension sets silently, so the reader gate
+    rejects a mismatch loudly."""
+    sigs = binarize_embeddings(
+        embeddings, bits=bits, id_col=id_col, vec_col=vec_col
+    ).withMetadata("bsig", {"bits": bits})
+    sigs.write.mode("overwrite").parquet(path)
+
+
+def read_binary_index(spark, path: str, bits: int | None = None) -> DataFrame:
+    """Read a signature table written by :func:`write_binary_index`;
+    when the querying bit-width is passed, reject a mismatch (query
+    signatures and index must binarize the same dimensions)."""
+    df = spark.read.parquet(path)
+    if bits is not None:
+        meta = df.schema["bsig"].metadata
+        if meta.get("bits") != bits:
+            raise ValueError(
+                f"binary index at {path} was built with bits="
+                f"{meta.get('bits')}, query expects bits={bits}"
+            )
+    return df
+
+
+def knn_hamming_index_to_id(
+    embeddings: DataFrame,
+    sigs: DataFrame,
+    query_id: int,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`knn_hamming_to_id` ranking off a PRE-BUILT signature
+    table (from :func:`read_binary_index` or the streamed appender) —
+    the recurring-query path: the popcount scan touches only the 8-byte
+    index rows, and the float vectors are read just for the
+    ``shortlist`` re-rank join. Output identical to the inline form
+    (pinned in tests)."""
+    qsig = sigs.filter(F.col(id_col) == query_id).select(F.col("bsig").alias("_qsig"))
+    ham = F.bit_count(F.col("bsig").bitwiseXOR(F.col("_qsig")))
+    short = (
+        sigs.crossJoin(F.broadcast(qsig))
+        .select(F.col(id_col), ham.alias("hamming"))
+        .orderBy(F.col("hamming"), F.col(id_col))
+        .limit(shortlist)
+    )
+    qvec = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    rescored = (
+        embeddings.join(F.broadcast(short), id_col)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col(id_col),
+            F.col("hamming").cast("int").alias("hamming"),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("_qvec")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    return rescored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)

@@ -355,3 +355,65 @@ def compact_histogram(spark: SparkSession, hist_dir: str) -> None:
         .partitionBy("ingest_batch")
         .parquet(hist_dir)
     )
+
+
+def run_binarize_stream(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    bits: int = 60,
+    max_files_per_trigger: int = 100,
+):
+    """Streaming half of the binary-quantization ANN deployment: new
+    vectors arrive as a JSON stream and each micro-batch appends its
+    8-byte sign signatures to the persisted index — ``write_binary_index``
+    kept live (the run_pq_encode_stream shape without a learned
+    artifact: sign bits are data-independent, so there is nothing to
+    version except the bit-width, which every delta stamps in column
+    metadata for the reader gate). Idempotent under replay: a
+    re-delivered batch recomputes the same deterministic signatures
+    into its own partition."""
+    from kafka_streams_spark.operators.similarity import binarize_embeddings
+
+    raw = (
+        spark.readStream.schema(_emb_schema())
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        delta = binarize_embeddings(batch_df, bits=bits).withMetadata(
+            "bsig", {"bits": bits}
+        )
+        (
+            delta.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(index_dir)
+        )
+
+    return (
+        raw.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+
+def read_binary_index_stream(
+    spark: SparkSession, index_dir: str, bits: int | None = None
+) -> DataFrame:
+    """Read the live streamed signature index (all batch partitions,
+    ``ingest_batch`` dropped) with the same bit-width gate as
+    :func:`~kafka_streams_spark.operators.similarity.read_binary_index`."""
+    df = spark.read.parquet(index_dir).drop("ingest_batch")
+    if bits is not None:
+        meta = df.schema["bsig"].metadata
+        if meta.get("bits") != bits:
+            raise ValueError(
+                f"streamed binary index at {index_dir} was built with "
+                f"bits={meta.get('bits')}, query expects bits={bits}"
+            )
+    return df

@@ -309,3 +309,51 @@ def test_histogram_stream_equals_batch_and_compacts(spark, tmp_path):
     assert after == expected
     parts = {r["ingest_batch"] for r in spark.read.parquet(hist).select("ingest_batch").distinct().collect()}
     assert parts == {-1}
+
+
+def test_binarize_stream_index_equals_batch_and_ranks_identically(spark, tmp_path):
+    """Streamed signature index == batch binarize of everything
+    ingested; knn off the streamed index == inline knn; bit-width
+    mismatch rejected loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.operators.similarity import (
+        binarize_embeddings,
+        knn_hamming_index_to_id,
+        knn_hamming_to_id,
+    )
+    from kafka_streams_spark.streaming.sketch_stream import (
+        read_binary_index_stream,
+        run_binarize_stream,
+    )
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write(src, "b1.json", EMBS_A)
+    q = run_binarize_stream(spark, src, idx, ckpt, bits=3)
+    try:
+        q.processAllAvailable()
+        _write(src, "b2.json", EMBS_B)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    base = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"], r["label"]) for r in EMBS_A + EMBS_B],
+        "vec_id bigint, embedding array<double>, label string",
+    )
+    streamed = read_binary_index_stream(spark, idx, bits=3)
+    want = sorted(map(tuple, binarize_embeddings(base, bits=3).collect()))
+    assert sorted(map(tuple, streamed.select("vec_id", "bsig").collect())) == want
+
+    via_index = knn_hamming_index_to_id(base, streamed, query_id=1, k=2, shortlist=3)
+    inline = knn_hamming_to_id(base, query_id=1, k=2, shortlist=3, bits=3)
+    assert sorted(map(tuple, via_index.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+    with pytest.raises(ValueError, match="bits=3"):
+        read_binary_index_stream(spark, idx, bits=60)

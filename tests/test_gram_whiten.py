@@ -433,3 +433,30 @@ def test_hamming_dispatch_rule_and_strategy_equality(spark, sf_dir):
         for s in ("pigeonhole", "brute", "auto")
     }
     assert outs["pigeonhole"] == outs["brute"] == outs["auto"]
+
+
+def test_write_read_binary_index_roundtrip_and_gate(spark, sf_dir, tmp_path):
+    """Persisted signature index: roundtrip equality, identical ranking
+    via the index path, loud bit-width mismatch."""
+    import pytest
+
+    from kafka_streams_spark.operators.similarity import (
+        binarize_embeddings,
+        knn_hamming_index_to_id,
+        knn_hamming_to_id,
+        read_binary_index,
+        write_binary_index,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "bidx")
+    write_binary_index(embs, path)
+    idx = read_binary_index(spark, path, bits=60)
+    want = sorted(map(tuple, binarize_embeddings(embs).collect()))
+    assert sorted(map(tuple, idx.collect())) == want
+    via = knn_hamming_index_to_id(embs, idx, query_id=0, k=10)
+    inline = knn_hamming_to_id(embs, query_id=0, k=10)
+    assert sorted(map(tuple, via.collect())) == sorted(map(tuple, inline.collect()))
+    with pytest.raises(ValueError, match="bits=60"):
+        read_binary_index(spark, path, bits=32)
