@@ -176,6 +176,19 @@ BENCH_QUERIES = [
     "corpus_scorecard",
     "events_dead_hours",
     "knn_recall_ivfpq_vec0",
+    # round-6 second wave
+    "price_histogram",
+    "price_quantiles_hist",
+    "media_near_dup",
+    "remove_boilerplate",
+    "bpe_pair_counts",
+    "bpe_token_stats",
+    "bpe_piece_counts",
+    "emb_binarize",
+    "knn_hamming_vec0",
+    "knn_recall_hamming_vec0",
+    "emb_near_dup_hamming",
+    "hamming_bucket_stats",
 ]
 
 

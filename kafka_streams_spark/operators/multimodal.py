@@ -388,7 +388,10 @@ def media_phash(media: DataFrame, codec: str = "fake") -> DataFrame:
 
 
 def dedup_media_near(
-    media: DataFrame, max_hamming: int = 8, codec: str = "fake"
+    media: DataFrame,
+    max_hamming: int = 8,
+    codec: str = "fake",
+    strategy: str = "pigeonhole",
 ) -> DataFrame:
     """Near-duplicate media pairs: re-encoded / resized / watermarked
     copies of the same image land within a few pHash bits of each other,
@@ -404,9 +407,25 @@ def dedup_media_near(
     rows. The same scale argument as text SimHash dedup: at 100 TB of
     images the only corpus-sized shuffle is (chunk, 16 bytes/row).
 
+    ``strategy``: ``"pigeonhole"`` (default — the tight-radius dedup
+    use case this operator exists for), ``"brute"``, or ``"auto"``
+    (price the radius with the bucket stats and route — see
+    :func:`~kafka_streams_spark.operators.dedup.hamming_pairs_auto`).
+    Output identical across all three.
+
     Output: (id_a, id_b, hamming), id_a < id_b.
     """
-    from kafka_streams_spark.operators.dedup import hamming_pairs
+    from kafka_streams_spark.operators.dedup import (
+        hamming_pairs,
+        hamming_pairs_auto,
+        hamming_pairs_brute,
+    )
 
     sigs = media_phash(media, codec=codec)
-    return hamming_pairs(sigs, "media_id", "phash", 60, max_hamming)
+    if strategy == "auto":
+        return hamming_pairs_auto(sigs, "media_id", "phash", 60, max_hamming)
+    if strategy == "brute":
+        return hamming_pairs_brute(sigs, "media_id", "phash", max_hamming)
+    if strategy == "pigeonhole":
+        return hamming_pairs(sigs, "media_id", "phash", 60, max_hamming)
+    raise ValueError(f"unknown strategy {strategy!r}")

@@ -2162,20 +2162,12 @@ def knn_hamming_to_id(
     )
 
 
-def hamming_dispatch_choice(
-    n_rows: int, n_candidates: int, max_candidate_frac: float = 0.25
-) -> str:
-    """The pure dispatch rule of ``emb_near_dup_binary(strategy="auto")``
-    (the `jaccard_dispatch_choice` pattern — separated so tests and a
-    stats-fed planner can exercise the routing without the stats jobs):
-    the pigeonhole pays an explode + bucket-join + distinct on top of
-    the candidate set, so once the audited candidate count approaches
-    all-pairs (wide radius → dense chunks) the plain popcount cross
-    join is strictly cheaper — same output, no banding overhead."""
-    all_pairs = n_rows * (n_rows - 1) // 2
-    if all_pairs == 0:
-        return "pigeonhole"
-    return "pigeonhole" if n_candidates <= max_candidate_frac * all_pairs else "brute"
+# The pure routing rule lives next to the dispatcher it rules
+# (operators/dedup.py); re-exported here because the embedding-side
+# caller and its tests reach it through the similarity surface.
+from kafka_streams_spark.operators.dedup import (  # noqa: E402
+    hamming_dispatch_choice,
+)
 
 
 def emb_near_dup_binary(
@@ -2216,31 +2208,16 @@ def emb_near_dup_binary(
     Output: (id_a, id_b, hamming int, cosine_sim) — id_a < id_b.
     """
     from kafka_streams_spark.operators.dedup import (
-        hamming_bucket_stats,
         hamming_pairs,
+        hamming_pairs_auto,
+        hamming_pairs_brute,
     )
 
     sigs = binarize_embeddings(embeddings, bits=bits, id_col=id_col, vec_col=vec_col)
     if strategy == "auto":
-        n_rows = sigs.count()
-        n_cand = (
-            hamming_bucket_stats(sigs, "bsig", bits, max_hamming)
-            .agg(F.sum("n_candidate_pairs").alias("c"))
-            .head()["c"]
-        ) or 0
-        strategy = hamming_dispatch_choice(n_rows, n_cand)
-    if strategy == "brute":
-        sa = sigs.select(F.col(id_col).alias("id_a"), F.col("bsig").alias("_ba"))
-        sb = sigs.select(F.col(id_col).alias("id_b"), F.col("bsig").alias("_bb"))
-        cand = (
-            sa.join(sb, F.col("id_a") < F.col("id_b"))
-            .select(
-                "id_a",
-                "id_b",
-                F.bit_count(F.col("_ba").bitwiseXOR(F.col("_bb"))).alias("hamming"),
-            )
-            .filter(F.col("hamming") <= max_hamming)
-        )
+        cand = hamming_pairs_auto(sigs, id_col, "bsig", bits, max_hamming)
+    elif strategy == "brute":
+        cand = hamming_pairs_brute(sigs, id_col, "bsig", max_hamming)
     elif strategy == "pigeonhole":
         cand = hamming_pairs(sigs, id_col, "bsig", bits, max_hamming)
     else:

@@ -600,3 +600,20 @@ def test_dedup_media_near_finds_exact_copies_and_prunes_payload(spark):
     big.collect()
     plan = big._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(chunk_idx" in plan, plan
+
+
+def test_dedup_media_near_strategies_agree(spark):
+    """pigeonhole / brute / auto produce identical media pairs."""
+    from kafka_streams_spark.operators.multimodal import (
+        dedup_media_near,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 40, distinct_payloads=15)
+    outs = {
+        s: sorted(
+            map(tuple, dedup_media_near(media, max_hamming=6, strategy=s).collect())
+        )
+        for s in ("pigeonhole", "brute", "auto")
+    }
+    assert outs["pigeonhole"] == outs["brute"] == outs["auto"]
