@@ -1316,6 +1316,17 @@ def _q_emb_near_dup_hamming(spark, sf_dir):
     )
 
 
+def _q_knn_recall_hamming_multi(spark, sf_dir):
+    # Mean-recall pre-flight over a probe sample (0, 7, 23) — the
+    # production form of the recall gate; per-query rows keep the
+    # variance visible.
+    from kafka_streams_spark.operators.similarity import knn_recall_audit_batch
+
+    return knn_recall_audit_batch(
+        _embs(spark, sf_dir), [0, 7, 23], k=10, method="hamming", shortlist=100
+    )
+
+
 def _q_hamming_bucket_stats(spark, sf_dir):
     # Pre-flight for the binary near-dup radius: exact candidate-pair
     # pricing of the r=16 pigeonhole the emb_near_dup_hamming contract
@@ -1451,6 +1462,7 @@ _NEEDS_DRIVER_ROW = [
     "knn_recall_hamming_vec0",
     "emb_near_dup_hamming",
     "hamming_bucket_stats",
+    "knn_recall_hamming_multi",
     # (a) queued from round 5 — never driver-evidenced
     "dedup_spans_incremental",
     "events_props_profile",  # + r6 oracle json_valid guard
@@ -1494,7 +1506,6 @@ _NEEDS_DRIVER_ROW = [
     "decontaminate",
     "hash_sample_docs",
     "temperature_mix_docs",
-    "chunk_documents",
 ]
 
 # Contracts registered after this round's evidence window filled: they
@@ -1509,6 +1520,7 @@ _STALE_EVIDENCE = [
     # Head: the 11 refresh entries displaced from the window by the
     # round-6 second wave (r02-stale media family + pack/profile, then
     # the r03-stale payments family).
+    "chunk_documents",
     "chunk_dup_stats",
     "pack_token_shards",
     "profile_documents",
@@ -1760,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_recall_hamming_vec0": _q_knn_recall_hamming_vec0,
         "emb_near_dup_hamming": _q_emb_near_dup_hamming,
         "hamming_bucket_stats": _q_hamming_bucket_stats,
+        "knn_recall_hamming_multi": _q_knn_recall_hamming_multi,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_token_stats": _q_bpe_token_stats,
         "bpe_piece_counts": _q_bpe_piece_counts,

@@ -2316,3 +2316,34 @@ def knn_hamming_index_to_id(
         )
     )
     return rescored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def knn_recall_audit_batch(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "hamming",
+    **method_kwargs,
+) -> DataFrame:
+    """Recall@k over a SAMPLE of probe queries — the form a production
+    pre-flight actually runs (one query's recall is an anecdote; the
+    config decision wants the distribution over a query sample).
+    Composes :func:`knn_recall_audit` per probe and unions the one-row
+    audits: each leg is collect-free, the union is |Q| tiny plans, and
+    the per-query rows let the caller see variance, not just the mean
+    (``agg(avg(n_hits))`` away). Output: (query_id, k, n_hits), one row
+    per probe, ordered by query_id.
+    """
+    audits = [
+        knn_recall_audit(
+            embeddings, qid, k, id_col=id_col, vec_col=vec_col,
+            method=method, **method_kwargs,
+        )
+        for qid in query_ids
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("query_id")

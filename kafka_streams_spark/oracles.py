@@ -3485,6 +3485,13 @@ SIMILARITY_ORACLES["hamming_bucket_stats"] = f"""
     FROM occ GROUP BY chunk_idx
 """
 
+# Mean-recall pre-flight over the probe sample (0, 7, 23): UNION ALL
+# of the single-probe audit, ordered by query_id.
+SIMILARITY_ORACLES["knn_recall_hamming_multi"] = " UNION ALL ".join(
+    f"""SELECT * FROM (\n    WITH s AS ({_BSIG}),\n    q AS (SELECT bsig AS qsig FROM s WHERE vec_id = {qid}),\n    short AS (\n        SELECT s.vec_id, bit_count(xor(s.bsig, q.qsig)) AS hamming\n        FROM s, q\n        ORDER BY hamming, s.vec_id\n        LIMIT 100\n    ),\n    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec\n           FROM embeddings WHERE vec_id = {qid}),\n    approx AS (\n        SELECT e.vec_id\n        FROM embeddings e JOIN short ON e.vec_id = short.vec_id, qv\n        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qvec), 6)\n                 DESC, e.vec_id\n        LIMIT 10\n    ),\n    exact AS (\n        SELECT vec_id FROM embeddings, qv\n        ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qvec)\n                 DESC, vec_id\n        LIMIT 10\n    )\n    SELECT {qid} AS query_id, 10 AS k, CAST(count(*) AS BIGINT) AS n_hits\n    FROM approx WHERE vec_id IN (SELECT vec_id FROM exact)\n)"""
+    for qid in (0, 7, 23)
+) + " ORDER BY query_id"
+
 # BPE first-round pair statistic (operators/tokenizer.py
 # bpe_pair_counts): weighted adjacent initial-symbol pairs over the
 # top-V word table — the oracle-checked half of BPE training (the merge

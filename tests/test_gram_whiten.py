@@ -460,3 +460,18 @@ def test_write_read_binary_index_roundtrip_and_gate(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, via.collect())) == sorted(map(tuple, inline.collect()))
     with pytest.raises(ValueError, match="bits=60"):
         read_binary_index(spark, path, bits=32)
+
+
+def test_knn_recall_audit_batch_rows_and_bounds(spark, sf_dir):
+    """One row per probe, ordered, each n_hits in [0, k]; the self-hit
+    guarantees n_hits >= 1 for every probe at any shortlist >= 1."""
+    from kafka_streams_spark.operators.similarity import knn_recall_audit_batch
+    from kafka_streams_spark.sources.testdata import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    rows = knn_recall_audit_batch(
+        embs, [0, 7, 23], k=10, method="hamming", shortlist=50
+    ).collect()
+    assert [r["query_id"] for r in rows] == [0, 7, 23]
+    for r in rows:
+        assert r["k"] == 10 and 1 <= r["n_hits"] <= 10
