@@ -281,3 +281,55 @@ def bpe_piece_counts(
         .orderBy(F.col("n").desc(), "piece")
         .limit(top_pieces)
     )
+
+
+def merges_fingerprint(merges: list[tuple[str, str]]) -> str:
+    """md5 of the ranked merge list — the tokenizer's version id. Two
+    corpora encoded with different merge lists have incomparable token
+    counts (the PQ-codebook lesson), so the fingerprint travels with
+    every persisted artifact and readers gate on it."""
+    import hashlib
+    import json
+
+    return hashlib.md5(
+        json.dumps([list(m) for m in merges], separators=(",", ":")).encode()
+    ).hexdigest()
+
+
+def write_bpe_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a trained tokenizer as a (rank, sym_a, sym_b) parquet —
+    the versioned corpus artifact a recurring pipeline loads instead of
+    retraining (training is deterministic, but only over the SAME
+    corpus snapshot; an incremental corpus would silently learn a
+    different vocabulary each day). The merge-list fingerprint rides as
+    column metadata on ``rank`` for the reader gate."""
+    fp = merges_fingerprint(merges)
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, sym_a string, sym_b string",
+    ).withMetadata("rank", {"merges_md5": fp, "n_merges": len(merges)})
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_bpe_merges(
+    spark, path: str, expect: list[tuple[str, str]] | None = None
+) -> list[tuple[str, str]]:
+    """Load a persisted tokenizer back into the ranked merge list
+    :func:`bpe_apply` consumes; when ``expect`` is passed (e.g. the
+    merges a downstream config was built for), reject a fingerprint
+    mismatch loudly instead of encoding with the wrong vocabulary."""
+    df = spark.read.parquet(path)
+    meta = df.schema["rank"].metadata
+    rows = df.orderBy("rank").collect()
+    merges = [(r["sym_a"], r["sym_b"]) for r in rows]
+    if meta.get("merges_md5") != merges_fingerprint(merges):
+        raise ValueError(
+            f"BPE merges at {path} do not match their stamped fingerprint "
+            "(artifact corrupted or hand-edited)"
+        )
+    if expect is not None and merges_fingerprint(expect) != merges_fingerprint(merges):
+        raise ValueError(
+            f"BPE merges at {path} are a different tokenizer version "
+            f"(md5 {merges_fingerprint(merges)} != {merges_fingerprint(expect)})"
+        )
+    return merges

@@ -154,3 +154,35 @@ def test_fertility_and_piece_counts_contract_shapes(spark, sf_dir):
     assert top.agg(F.sum("n")).collect()[0][0] == r["p"]
     enc = bpe_apply(docs, merges)
     assert enc.filter(F.col("n_pieces") < F.col("n_words")).count() == 0
+
+
+def test_bpe_merges_roundtrip_and_gates(spark, sf_dir, tmp_path):
+    """Persisted tokenizer: roundtrip equality, self-consistency
+    fingerprint, loud version-mismatch gate, encode-equality through
+    the artifact."""
+    import pytest
+
+    from kafka_streams_spark.operators.tokenizer import (
+        bpe_apply,
+        bpe_train,
+        read_bpe_merges,
+        write_bpe_merges,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    merges = bpe_train(docs, n_merges=15, top_words=100)
+    path = str(tmp_path / "tok")
+    write_bpe_merges(spark, merges, path)
+    loaded = read_bpe_merges(spark, path, expect=merges)
+    assert loaded == merges
+    via_artifact = sorted(
+        map(tuple, bpe_apply(docs, loaded).select("doc_id", "n_pieces").collect())
+    )
+    direct = sorted(
+        map(tuple, bpe_apply(docs, merges).select("doc_id", "n_pieces").collect())
+    )
+    assert via_artifact == direct
+    other = bpe_train(docs, n_merges=5, top_words=100)
+    with pytest.raises(ValueError, match="different tokenizer version"):
+        read_bpe_merges(spark, path, expect=other)
