@@ -1043,14 +1043,22 @@ TEXT_ORACLES = {
 
 
 def _shingle_cte(n: int) -> str:
+    # ZERO-token docs: the Arrow shingler emits the whole-doc shingle
+    # for any doc of <= n tokens, which for an empty/blank doc is ''.
+    # The slice form alone loses those docs (t[1:..] of an empty list is
+    # NULL, which list_distinct silently drops — found by the
+    # differential fuzz corpus, tests/test_differential_fuzz.py), so
+    # the empty case is pinned to [''] explicitly.
     off = n - 1
     return f"""
     toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
     sh AS (
         SELECT doc_id, source,
-               list_distinct(list_transform(
-                   generate_series(1, greatest(len(t) - {off}, 1)),
-                   i -> array_to_string(t[i:i+{off}], ' '))) AS shingles
+               CASE WHEN len(t) = 0 THEN [''] ELSE
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(t) - {off}, 1)),
+                       i -> array_to_string(t[i:i+{off}], ' ')))
+               END AS shingles
         FROM toks
     )
     """

@@ -1,0 +1,112 @@
+"""Differential fuzzing of the oracle contracts on a SYNTHETIC corpus
+where the interesting paths actually fire.
+
+The driver's gate runs every oracle at sf0.01, but that corpus is
+single-line word soup with no duplicate texts — so contracts like
+remove_boilerplate and dedup_lines are verified there only on their
+identity path. This test rebuilds a documents table with injected
+boilerplate lines, exact-duplicate docs, multi-line texts, blank lines,
+empty docs and a little safe unicode, then replays the SAME
+queries-vs-oracle comparison (the check_oracle canonicalizer) against
+it — cross-engine agreement where removal/dedup/reassembly really
+happen.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# contracts whose oracles only touch `documents` and whose interesting
+# behavior the driver corpus cannot reach
+FUZZ_QUERIES = [
+    "remove_boilerplate",
+    "dedup_lines",
+    "dedup_exact",
+    "dedup_normalized",
+    "doc_stats",
+    "top_tokens",
+    "bpe_pair_counts",
+    "ngram_novelty",
+]
+
+WORDS = [
+    "spark", "join", "window", "hash", "merge", "scan", "sort", "café",
+    "naïve", "token", "the", "a", "value", "row", "batch", "shard",
+]
+BOILER = [
+    "cookie consent banner text",
+    "copyright 2026 all rights reserved",
+    "subscribe to our newsletter",
+]
+
+
+def _synth_corpus(rng: random.Random, n_docs: int) -> list[tuple[int, str, str, str, int]]:
+    rows = []
+    for d in range(n_docs):
+        n_lines = rng.randint(0, 6)
+        lines = []
+        for _ in range(n_lines):
+            r = rng.random()
+            if r < 0.25:
+                lines.append(rng.choice(BOILER))
+            elif r < 0.32:
+                lines.append(rng.choice(["", "   ", "\t"]))
+            else:
+                lines.append(
+                    " ".join(rng.choice(WORDS) for _ in range(rng.randint(1, 8)))
+                )
+        text = "\n".join(lines)
+        rows.append((d, text, "en", f"src{d % 3}", len(text)))
+    # exact duplicate docs (same text, higher ids)
+    for i, (d, text, lang, src, n) in enumerate(rows[: n_docs // 5]):
+        rows.append((n_docs + i, text, lang, src, n))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_oracles_agree_on_firing_corpus(spark, tmp_path, seed):
+    import __spark_entry__ as e
+    from tools.check_oracle import canon
+
+    rng = random.Random(seed)
+    rows = _synth_corpus(rng, 40)
+    sf_dir = str(tmp_path / f"sf-fuzz-{seed}")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    # sanity: the corpus must actually FIRE the interesting paths
+    fired = (
+        qs["remove_boilerplate"](spark, sf_dir)
+        .agg({"n_removed": "sum"})
+        .collect()[0][0]
+    )
+    assert fired and fired > 0, "fuzz corpus failed to trigger boilerplate removal"
+
+    for name in FUZZ_QUERIES:
+        spark_pd = qs[name](spark, sf_dir).toPandas()
+        duck_pd = con.execute(oracles[name]).fetchdf()
+        assert len(spark_pd) == len(duck_pd), (name, len(spark_pd), len(duck_pd))
+        assert sorted(spark_pd.columns) == sorted(duck_pd.columns), name
+        a, b = canon(spark_pd), canon(duck_pd)
+        if not a.equals(b):
+            diff = (a != b).any(axis=1)
+            i = diff[diff].index[0]
+            raise AssertionError(
+                f"{name}: {int(diff.sum())} rows differ; "
+                f"spark={a.loc[i].to_dict()} duck={b.loc[i].to_dict()}"
+            )
