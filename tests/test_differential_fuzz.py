@@ -110,3 +110,92 @@ def test_oracles_agree_on_firing_corpus(spark, tmp_path, seed):
                 f"{name}: {int(diff.sum())} rows differ; "
                 f"spark={a.loc[i].to_dict()} duck={b.loc[i].to_dict()}"
             )
+
+
+EVENT_FUZZ_QUERIES = [
+    "events_hourly",
+    "sessionize_events",
+    "event_transitions",
+    "events_rate_anomaly",
+    "events_dead_hours",
+    "events_props_profile",
+    "funnel_conversions",
+    "cohort_retention",
+]
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_event_oracles_agree_on_fuzz_stream(spark, tmp_path, seed):
+    """Random event streams with ties, bursts, dead hours, and MALFORMED
+    props JSON (the r5 advice case: the oracle's json_valid guard must
+    reproduce from_json's quarantine instead of crashing DuckDB)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from tools.check_oracle import canon
+
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase", "signup", "error"]
+    props_pool = [
+        '{"k": 7}', '{"k": 0}', '{"k": -3}',
+        '{k: broken', 'not json at all', '', '{"other": 1}',
+    ]
+    rows = []
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC in micros
+    for i in range(600):
+        user = rng.randint(1, 25)
+        # bursts + gaps: hour chosen from a skewed set, dead hours left empty
+        hour = rng.choice([0, 1, 2, 5, 6, 7, 8, 30, 31, 50])
+        us = base_us + hour * 3_600_000_000 + rng.randint(0, 3_599_999_999)
+        if rng.random() < 0.05:
+            us = rows[-1][1] if rows else us  # exact-tie timestamps
+        rows.append(
+            (
+                i,
+                us,
+                user,
+                rng.choice(types),
+                round(rng.uniform(0.5, 400.0), 2),
+                rng.choice(props_pool) if rng.random() < 0.9 else None,
+            )
+        )
+    sf_dir = str(tmp_path / f"ev-fuzz-{seed}")
+    (
+        spark.createDataFrame(
+            rows, "event_id bigint, us bigint, user_id bigint, event_type string, value double, props string"
+        )
+        .select(
+            "event_id",
+            F.expr(
+                "timestampadd(MICROSECOND, us, timestamp_ntz'1970-01-01 00:00:00')"
+            ).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    for name in EVENT_FUZZ_QUERIES:
+        spark_pd = qs[name](spark, sf_dir).toPandas()
+        duck_pd = con.execute(oracles[name]).fetchdf()
+        assert len(spark_pd) == len(duck_pd), (name, len(spark_pd), len(duck_pd))
+        assert sorted(spark_pd.columns) == sorted(duck_pd.columns), name
+        a, b = canon(spark_pd), canon(duck_pd)
+        if not a.equals(b):
+            diff = (a != b).any(axis=1)
+            i = diff[diff].index[0]
+            raise AssertionError(
+                f"{name}: {int(diff.sum())} rows differ; "
+                f"spark={a.loc[i].to_dict()} duck={b.loc[i].to_dict()}"
+            )
