@@ -199,3 +199,60 @@ def test_event_oracles_agree_on_fuzz_stream(spark, tmp_path, seed):
                 f"{name}: {int(diff.sum())} rows differ; "
                 f"spark={a.loc[i].to_dict()} duck={b.loc[i].to_dict()}"
             )
+
+
+EMB_FUZZ_QUERIES = [
+    "emb_binarize",
+    "knn_vec0",
+    "knn_hamming_vec0",
+    "emb_near_dup_hamming",
+    "hamming_bucket_stats",
+    "emb_gram",
+    "emb_norm_outliers",
+    "emb_label_centroids",
+]
+
+
+@pytest.mark.parametrize("seed", [3])
+def test_embedding_oracles_agree_on_fuzz_vectors(spark, tmp_path, seed):
+    """Random embeddings with exact-zero components (the binarize
+    boundary), duplicated vectors (rank ties), and clustered labels."""
+    import __spark_entry__ as e
+    from tools.check_oracle import canon
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(120):
+        vec = [
+            0.0 if rng.random() < 0.08 else round(rng.uniform(-2, 2), 3)
+            for _ in range(64)
+        ]
+        rows.append((i, vec, rng.randint(0, 4)))
+    # exact duplicate vectors under new ids → hamming-0 pairs + rank ties
+    for i in range(10):
+        rows.append((120 + i, rows[i][1], rows[i][2]))
+    sf_dir = str(tmp_path / f"emb-fuzz-{seed}")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    for name in EMB_FUZZ_QUERIES:
+        spark_pd = qs[name](spark, sf_dir).toPandas()
+        duck_pd = con.execute(oracles[name]).fetchdf()
+        assert len(spark_pd) == len(duck_pd), (name, len(spark_pd), len(duck_pd))
+        assert sorted(spark_pd.columns) == sorted(duck_pd.columns), name
+        a, b = canon(spark_pd), canon(duck_pd)
+        if not a.equals(b):
+            diff = (a != b).any(axis=1)
+            i = diff[diff].index[0]
+            raise AssertionError(
+                f"{name}: {int(diff.sum())} rows differ; "
+                f"spark={a.loc[i].to_dict()} duck={b.loc[i].to_dict()}"
+            )
