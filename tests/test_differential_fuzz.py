@@ -112,6 +112,22 @@ def test_oracles_agree_on_firing_corpus(spark, tmp_path, seed):
             )
 
 
+PAYMENT_FUZZ_QUERIES = [
+    "payments_source",
+    "payments_filter_rails",
+    "payments_branch_gbp",
+    "payments_branch_usd",
+    "payments_fx_convert",
+    "payments_merged",
+    "payments_balances",
+    "payments_rails_foo",
+    "payments_rails_bar",
+    "dsl_balances",
+    # sql_balances registers catalog views over every table and the fuzz
+    # dir only materializes events; the SQL surface is covered by the
+    # driver corpus where all tables exist
+]
+
 EVENT_FUZZ_QUERIES = [
     "events_hourly",
     "sessionize_events",
@@ -155,7 +171,11 @@ def test_event_oracles_agree_on_fuzz_stream(spark, tmp_path, seed):
                 us,
                 user,
                 rng.choice(types),
-                round(rng.uniform(0.5, 400.0), 2),
+                # incl. negatives (refunds) and half-cent boundaries —
+                # floor(x*100 + 0.5) must agree cross-engine on both
+                rng.choice(
+                    [round(rng.uniform(-50.0, 400.0), 2), 1.005, -1.005, 2.675]
+                ),
                 rng.choice(props_pool) if rng.random() < 0.9 else None,
             )
         )
@@ -186,7 +206,7 @@ def test_event_oracles_agree_on_fuzz_stream(spark, tmp_path, seed):
     )
 
     qs, oracles = e.queries(), e.oracle_sql()
-    for name in EVENT_FUZZ_QUERIES:
+    for name in EVENT_FUZZ_QUERIES + PAYMENT_FUZZ_QUERIES:
         spark_pd = qs[name](spark, sf_dir).toPandas()
         duck_pd = con.execute(oracles[name]).fetchdf()
         assert len(spark_pd) == len(duck_pd), (name, len(spark_pd), len(duck_pd))
