@@ -276,3 +276,137 @@ def test_embedding_oracles_agree_on_fuzz_vectors(spark, tmp_path, seed):
                 f"{name}: {int(diff.sum())} rows differ; "
                 f"spark={a.loc[i].to_dict()} duck={b.loc[i].to_dict()}"
             )
+
+
+TPCH_FUZZ_QUERIES = [
+    "q1_pricing_summary", "q2_cheapest_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_regional_revenue", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation_year",
+    "q10_returned_revenue", "q11_important_parts", "q12_ship_delay",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_part_variety", "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_discounted_revenue", "q20_heavy_suppliers", "q21_waiting_suppliers",
+    "q22_prospect_customers",
+    "order_count_by_status", "rollup_orders", "customers_with_orders",
+    "customers_without_orders", "top_orders_per_customer", "orders_enriched",
+    "price_quantiles", "price_histogram", "price_quantiles_hist",
+]
+
+
+@pytest.mark.parametrize("seed", [17])
+def test_tpch_oracles_agree_on_fuzz_tables(spark, tmp_path, seed):
+    """Coherent random TPC-H tables: zero-order customers (q13/q22),
+    orders without lineitems (q4's EXISTS), boundary dates landing
+    exactly on filter edges, price ties (q2/q15 argmin/argmax keep
+    ties), zero discounts, negative balances."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from tools.check_oracle import canon
+
+    rng = random.Random(seed)
+    sf_dir = str(tmp_path / f"tpch-fuzz-{seed}")
+
+    def write(name, rows, schema, date_cols=()):
+        df = spark.createDataFrame(rows, schema)
+        for c in date_cols:
+            df = df.withColumn(
+                c,
+                F.expr(
+                    f"timestampadd(DAY, {c}, timestamp_ntz'1990-01-01 00:00:00')"
+                ),
+            )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/{name}.parquet")
+
+    regions = [(i, n) for i, n in enumerate(
+        ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    )]
+    write("region", regions, "r_regionkey bigint, r_name string")
+    nations = [(i, f"NATION_{i}", i % 5) for i in range(25)]
+    write("nation", nations, "n_nationkey bigint, n_name string, n_regionkey int")
+    segs = ["MACHINERY", "BUILDING", "FURNITURE", "AUTOMOBILE", "HOUSEHOLD"]
+    customers = [
+        (k, f"Customer#{k}", rng.randrange(25), round(rng.uniform(-999, 9999), 2),
+         rng.choice(segs))
+        for k in range(60)
+    ]
+    write(
+        "customer", customers,
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    suppliers = [
+        (k, f"Supplier#{k}", rng.randrange(25), round(rng.uniform(-999, 9999), 2))
+        for k in range(20)
+    ]
+    write(
+        "supplier", suppliers,
+        "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+    )
+    adjs = ["cold", "small", "blue", "new", "hot"]
+    nouns = ["widget", "rod", "ring"]
+    types = ["ECONOMY", "SMALL", "LARGE", "STANDARD", "MEDIUM", "PROMO"]
+    # deliberate retail-price ties for q2's min-equality join-back
+    parts = [
+        (k, f"{rng.choice(adjs)} {rng.choice(nouns)}", f"Brand#{rng.randrange(1, 25)}",
+         rng.choice(types), rng.randrange(1, 50), rng.choice([900.0, 900.1, round(rng.uniform(100, 2000), 2)]))
+        for k in range(40)
+    ]
+    write(
+        "part", parts,
+        "p_partkey bigint, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    )
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    day95, day98 = (1995 - 1990) * 365, (1998 - 1990) * 365
+    orders = [
+        (k, rng.randrange(45), rng.choice(["F", "O", "P"]),
+         round(rng.uniform(900, 500000), 2),
+         rng.choice([day95, day95 + 1, rng.randrange(day95, day98 + 365)]),
+         rng.choice(prios))
+        for k in range(150)
+    ]  # custkey < 45 → customers 45..59 have zero orders
+    write(
+        "orders", orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate bigint, o_orderpriority string",
+        date_cols=("o_orderdate",),
+    )
+    lines = []
+    for (okey, _, _, _, oday, _) in orders:
+        for ln in range(rng.choice([0, 1, 1, 2, 3])):  # some orders no lines
+            lines.append(
+                (okey, rng.randrange(40), rng.randrange(20), ln + 1,
+                 float(rng.randrange(1, 51)),
+                 round(rng.uniform(900, 100000), 2),
+                 rng.choice([0.0, 0.05, round(rng.uniform(0, 0.1), 2)]),
+                 round(rng.uniform(0, 0.08), 2),
+                 rng.choice(["R", "A", "N"]), rng.choice(["O", "F"]),
+                 oday + rng.randrange(0, 120))
+            )
+    write(
+        "lineitem", lines,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate bigint",
+        date_cols=("l_shipdate",),
+    )
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    for name in TPCH_FUZZ_QUERIES:
+        spark_pd = qs[name](spark, sf_dir).toPandas()
+        duck_pd = con.execute(oracles[name]).fetchdf()
+        assert len(spark_pd) == len(duck_pd), (name, len(spark_pd), len(duck_pd))
+        assert sorted(spark_pd.columns) == sorted(duck_pd.columns), name
+        a, b = canon(spark_pd), canon(duck_pd)
+        if not a.equals(b):
+            diff = (a != b).any(axis=1)
+            i = diff[diff].index[0]
+            raise AssertionError(
+                f"{name}: {int(diff.sum())} rows differ; "
+                f"spark={a.loc[i].to_dict()} duck={b.loc[i].to_dict()}"
+            )
