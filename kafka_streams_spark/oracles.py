@@ -772,8 +772,8 @@ TEXT_ORACLES = {
     "fingerprint": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
         SELECT doc_id,
-               md5(array_to_string(toks, ' ')) AS exact_md5,
-               md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bag_md5
+               md5(coalesce(array_to_string(toks, ' '), '')) AS exact_md5,
+               md5(coalesce(array_to_string(list_sort(list_distinct(toks)), ' '), '')) AS bag_md5
         FROM t
     """,
     "curate_corpus": f"""
@@ -790,7 +790,7 @@ TEXT_ORACLES = {
                     OR len(regexp_extract_all(text, 'https?://[^\\s]+')) > 0
                     OR len(regexp_extract_all(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) > 0)
                        AS has_pii,
-                   md5(array_to_string(toks, ' ')) AS exact_md5,
+                   md5(coalesce(array_to_string(toks, ' '), '')) AS exact_md5,
                    CAST(len(regexp_extract_all(text, '{BPE_ISH_REGEX}')) AS INTEGER) AS n_tokens_bpe
             FROM t
         ),
@@ -1116,7 +1116,7 @@ _CURATE_FUZZY_SQL = f"""
                 OR len(regexp_extract_all(text, 'https?://[^\\s]+')) > 0
                 OR len(regexp_extract_all(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) > 0)
                    AS has_pii,
-               md5(array_to_string(toks, ' ')) AS exact_md5,
+               md5(coalesce(array_to_string(toks, ' '), '')) AS exact_md5,
                CAST(len(regexp_extract_all(text, '{BPE_ISH_REGEX}')) AS INTEGER) AS n_tokens_bpe
         FROM kt
     ),
@@ -1337,7 +1337,7 @@ def _curate_increment_sql(
                     OR len(regexp_extract_all(text, 'https?://[^\\s]+')) > 0
                     OR len(regexp_extract_all(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) > 0)
                        AS has_pii,
-                   md5(array_to_string(toks, ' ')) AS exact_md5,
+                   md5(coalesce(array_to_string(toks, ' '), '')) AS exact_md5,
                    CAST(len(regexp_extract_all(text, '{BPE_ISH_REGEX}')) AS INTEGER) AS n_tokens_bpe
             FROM kt
         ),
@@ -1909,10 +1909,16 @@ SAMPLING_ORACLES = {
     # row of its salt group), so the oracle is the plain one-window form.
     "reservoir_sample_docs": """
         WITH p AS (
+            -- nonpositive weight => priority 0 (the operator's explicit
+            -- E-S w->0+ limit; without the guard DuckDB's 1/0 feeds POW
+            -- a NULL/inf and the row diverges — caught by the fuzz
+            -- corpus, which has empty docs with n_chars = 0)
             SELECT doc_id, lang,
-                   ROUND(POW(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                                  AS BIGINT) / 4294967296.0,
-                             1.0 / n_chars), 9) AS priority
+                   CASE WHEN n_chars > 0 THEN
+                       ROUND(POW(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                      AS BIGINT) / 4294967296.0,
+                                 1.0 / n_chars), 9)
+                   ELSE 0.0 END AS priority
             FROM documents
         )
         SELECT doc_id, lang, priority, rk FROM (

@@ -34,6 +34,24 @@ FUZZ_QUERIES = [
     "top_tokens",
     "bpe_pair_counts",
     "ngram_novelty",
+    # second ring: sampling / fingerprint / quality contracts whose
+    # oracles touch only `documents`
+    "hash_sample_docs",
+    "assign_splits_docs",
+    "stratified_sample_docs",
+    "reservoir_sample_docs",
+    "doc_length_buckets",
+    "language_id",
+    "quality_score",
+    "fingerprint",
+    "normalize_text",
+    "winnowing_fingerprints",
+    "dedup_simhash",
+    "lm_unigram_score",
+    "zipf_fit",
+    "split_sentences",
+    "corpus_stats",
+    "ngram_counts",
 ]
 
 WORDS = [
