@@ -2046,7 +2046,7 @@ SAMPLING_ORACLES = {
         )
         SELECT doc_id,
                CAST(k AS INTEGER) AS chunk_idx,
-               array_to_string(toks[k*12 + 1 : k*12 + 16], ' ') AS chunk_text,
+               coalesce(array_to_string(toks[k*12 + 1 : k*12 + 16], ' '), '') AS chunk_text,
                CAST(len(toks[k*12 + 1 : k*12 + 16]) AS INTEGER) AS n_tokens
         FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS k)
     """,
@@ -2146,7 +2146,7 @@ SAMPLING_ORACLES = {
         ),
         ch AS (
             SELECT doc_id,
-                   array_to_string(toks[k*16 + 1 : k*16 + 16], ' ') AS chunk_text
+                   coalesce(array_to_string(toks[k*16 + 1 : k*16 + 16], ' '), '') AS chunk_text
             FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS k)
         ),
         cnt AS (SELECT chunk_text, count(*) AS n FROM ch GROUP BY 1)

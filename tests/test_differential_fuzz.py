@@ -52,6 +52,43 @@ FUZZ_QUERIES = [
     "split_sentences",
     "corpus_stats",
     "ngram_counts",
+    # third ring: gates, LM scores, sketches, mixes, packing, dedup
+    "gopher_quality",
+    "c4_clean",
+    "badword_filter",
+    "corpus_scorecard",
+    "length_outliers",
+    "quality_calibrated",
+    "oov_rate",
+    "lm_bigram_score",
+    "bm25_search",
+    "dsir_logratio",
+    "cms_sketch",
+    "cms_estimates",
+    "hashed_bow",
+    "corpus_drift",
+    "language_confusion",
+    "dedup_token_jaccard",
+    "containment_pairs",
+    "minhash_jaccard_est",
+    "dedup_minhash_lsh",
+    "substring_overlap_pairs",
+    "dedup_spans",
+    "token_budget_mix",
+    "pack_sequences",
+    "pack_token_shards",
+    "shard_skew_report",
+    "temperature_mix_docs",
+    "upsample_epochs_docs",
+    "shuffle_shards_docs",
+    "chunk_documents",
+    "chunk_dup_stats",
+    "ccnet_buckets",
+    "tf_idf_top_terms",
+    "repetition_stats",
+    "pii_scan",
+    "decontaminate_exact",
+    "ngram_novelty",
 ]
 
 WORDS = [
