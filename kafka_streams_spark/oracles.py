@@ -1758,7 +1758,7 @@ SIMILARITY_ORACLES = {
                    CAST(unnest(pre) AS DOUBLE) AS x
             FROM n WHERE nrm > 0
         )
-        SELECT vec_id, CAST(pos AS INT) AS pos, round(x / nrm, 6) AS unit_val
+        SELECT vec_id, CAST(pos AS INT) AS pos, round(x / nrm, 6) + 0.0 AS unit_val
         FROM ex
     """,
     "emb_normalize": """
@@ -1774,7 +1774,7 @@ SIMILARITY_ORACLES = {
                    CAST(unnest(embedding) AS DOUBLE) AS x
             FROM n WHERE nrm > 0
         )
-        SELECT vec_id, CAST(pos AS INT) AS pos, round(x / nrm, 6) AS unit_val
+        SELECT vec_id, CAST(pos AS INT) AS pos, round(x / nrm, 6) + 0.0 AS unit_val
         FROM ex
     """,
     "dedup_clusters": """

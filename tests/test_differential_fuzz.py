@@ -192,6 +192,11 @@ EVENT_FUZZ_QUERIES = [
     "events_props_profile",
     "funnel_conversions",
     "cohort_retention",
+    "events_hopping",
+    "events_session_native",
+    "asof_purchase_click",
+    "pivot_events",
+    "distinct_users_by_type",
 ]
 
 
@@ -285,6 +290,30 @@ EMB_FUZZ_QUERIES = [
     "emb_gram",
     "emb_norm_outliers",
     "emb_label_centroids",
+    "knn_batch",
+    "knn_lsh_vec0",
+    "knn_lsh_mt_vec0",
+    "knn_recall_vec0",
+    "knn_recall_mt_vec0",
+    "knn_recall_hamming_vec0",
+    "knn_recall_hamming_multi",
+    "emb_near_dup_exact",
+    "emb_near_dup_lsh",
+    "lsh_bucket_stats",
+    "semdedup",
+    "emb_normalize",
+    "emb_quantize_int8",
+    "emb_quantize_sym",
+    "emb_truncate",
+    "emb_drift",
+    "emb_profile",
+    "knn_ivf_label_vec0",
+    "knn_pq_label_vec0",
+    "knn_pq_rerank_vec0",
+    "knn_ivfpq_vec0",
+    "pq_error_vec0",
+    "knn_recall_ivfpq_vec0",
+    "decontaminate_emb",
 ]
 
 
