@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "knn_recall_hamming_vec0",
     "emb_near_dup_hamming",
     "hamming_bucket_stats",
+    "knn_recall_hamming_multi",
 ]
 
 
