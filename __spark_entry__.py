@@ -1327,6 +1327,16 @@ def _q_knn_recall_hamming_multi(spark, sf_dir):
     )
 
 
+def _q_knn_hamming_batch(spark, sf_dir):
+    # Batched form of the hamming path (the eval/recommendation shape):
+    # 3 probe queries in one signature-table pass.
+    from kafka_streams_spark.operators.similarity import knn_hamming_batch_to_ids
+
+    return knn_hamming_batch_to_ids(
+        _embs(spark, sf_dir), [0, 7, 23], k=10, shortlist=100
+    )
+
+
 def _q_hamming_bucket_stats(spark, sf_dir):
     # Pre-flight for the binary near-dup radius: exact candidate-pair
     # pricing of the r=16 pigeonhole the emb_near_dup_hamming contract
@@ -1463,6 +1473,7 @@ _NEEDS_DRIVER_ROW = [
     "emb_near_dup_hamming",
     "hamming_bucket_stats",
     "knn_recall_hamming_multi",
+    "knn_hamming_batch",
     # (a) queued from round 5 — never driver-evidenced
     "dedup_spans_incremental",
     "events_props_profile",  # + r6 oracle json_valid guard
@@ -1505,7 +1516,6 @@ _NEEDS_DRIVER_ROW = [
     "curate_corpus",
     "decontaminate",
     "hash_sample_docs",
-    "temperature_mix_docs",
 ]
 
 # Contracts registered after this round's evidence window filled: they
@@ -1520,6 +1530,7 @@ _STALE_EVIDENCE = [
     # Head: the 11 refresh entries displaced from the window by the
     # round-6 second wave (r02-stale media family + pack/profile, then
     # the r03-stale payments family).
+    "temperature_mix_docs",
     "chunk_documents",
     "chunk_dup_stats",
     "pack_token_shards",
@@ -1773,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_hamming": _q_emb_near_dup_hamming,
         "hamming_bucket_stats": _q_hamming_bucket_stats,
         "knn_recall_hamming_multi": _q_knn_recall_hamming_multi,
+        "knn_hamming_batch": _q_knn_hamming_batch,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_token_stats": _q_bpe_token_stats,
         "bpe_piece_counts": _q_bpe_piece_counts,

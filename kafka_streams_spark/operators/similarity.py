@@ -2347,3 +2347,73 @@ def knn_recall_audit_batch(
     for a in audits[1:]:
         out = out.unionByName(a)
     return out.orderBy("query_id")
+
+
+def knn_hamming_batch_to_ids(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    shortlist: int = 100,
+    bits: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched binary-quantization ANN: neighbors of SEVERAL corpus
+    vectors in one pass over the 8-byte signature table — the
+    ANN-evaluation / recommendation shape on the engine's best
+    recall/touch path. One popcount per (row, query) against the
+    broadcast query signatures (|Q| tiny), a per-query window keeps the
+    ``shortlist`` hamming-closest (rounded-cosine re-rank of those only,
+    the knn_batch ranking convention), and the float vectors are read
+    just for the shortlist join. Collect-free throughout.
+
+    The per-query rank windows partition on query_id — |corpus|·|Q|
+    narrow rows shuffle into |Q| rank partitions, the same toy-scale/
+    oracle form as :func:`knn_batch_to_ids`; at 100 TB pre-top-k the
+    hamming scan map-side per partition first (the knn_batch_arrow
+    lesson applied to int64 rows — cheap enough that the plain window
+    is usually fine at 8 bytes/row).
+
+    Output: (query_id, vec_id, hamming int, cosine_sim, rank 1..k).
+    """
+    from pyspark.sql import Window
+
+    sigs = binarize_embeddings(embeddings, bits=bits, id_col=id_col, vec_col=vec_col)
+    qsig = sigs.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col("bsig").alias("_qsig")
+    )
+    ham = F.bit_count(F.col("bsig").bitwiseXOR(F.col("_qsig")))
+    scored = sigs.crossJoin(F.broadcast(qsig)).select(
+        "query_id", F.col(id_col), ham.alias("hamming")
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("hamming"), F.col(id_col)
+    )
+    short = scored.withColumn("_sr", F.row_number().over(w_short)).filter(
+        F.col("_sr") <= shortlist
+    )
+    qvec = embeddings.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    rescored = (
+        embeddings.join(
+            F.broadcast(short.select("query_id", id_col, "hamming")), id_col
+        )
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.col("hamming").cast("int").alias("hamming"),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("_qvec")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "hamming", "cosine_sim", "rank")
+    )

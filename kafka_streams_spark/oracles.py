@@ -3506,6 +3506,39 @@ SIMILARITY_ORACLES["knn_recall_hamming_multi"] = " UNION ALL ".join(
     for qid in (0, 7, 23)
 ) + " ORDER BY query_id"
 
+SIMILARITY_ORACLES["knn_hamming_batch"] = f"""
+    WITH s AS ({_BSIG}),
+    q AS (SELECT vec_id AS query_id, bsig AS qsig FROM s WHERE vec_id IN (0, 7, 23)),
+    scored AS (
+        SELECT q.query_id, s.vec_id,
+               bit_count(xor(s.bsig, q.qsig)) AS hamming,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY bit_count(xor(s.bsig, q.qsig)), s.vec_id)
+                   AS sr
+        FROM s, q
+    ),
+    short AS (SELECT query_id, vec_id, hamming FROM scored WHERE sr <= 100),
+    qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id IN (0, 7, 23)),
+    rescored AS (
+        SELECT short.query_id, e.vec_id,
+               CAST(short.hamming AS INTEGER) AS hamming,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qvec), 6)
+                   AS cosine_sim
+        FROM embeddings e
+             JOIN short ON e.vec_id = short.vec_id
+             JOIN qv ON qv.query_id = short.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, hamming, cosine_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, vec_id)
+                    AS INTEGER) AS rank
+        FROM rescored
+    )
+    SELECT query_id, vec_id, hamming, cosine_sim, rank FROM ranked WHERE rank <= 10
+"""
+
 # BPE first-round pair statistic (operators/tokenizer.py
 # bpe_pair_counts): weighted adjacent initial-symbol pairs over the
 # top-V word table — the oracle-checked half of BPE training (the merge

@@ -475,3 +475,29 @@ def test_knn_recall_audit_batch_rows_and_bounds(spark, sf_dir):
     assert [r["query_id"] for r in rows] == [0, 7, 23]
     for r in rows:
         assert r["k"] == 10 and 1 <= r["n_hits"] <= 10
+
+
+def test_knn_hamming_batch_matches_single_query_form(spark, sf_dir):
+    """Per-query slices of the batch form must equal the single-query
+    hamming knn (same shortlist, same ranking convention)."""
+    from kafka_streams_spark.operators.similarity import (
+        knn_hamming_batch_to_ids,
+        knn_hamming_to_id,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    batch = knn_hamming_batch_to_ids(embs, [0, 7], k=5, shortlist=60)
+    rows = batch.collect()
+    for qid in (0, 7):
+        got = sorted(
+            (r["vec_id"], r["hamming"], r["cosine_sim"])
+            for r in rows
+            if r["query_id"] == qid
+        )
+        want = sorted(
+            map(tuple, knn_hamming_to_id(embs, qid, k=5, shortlist=60).collect())
+        )
+        assert got == want, qid
+    ranks = sorted(r["rank"] for r in rows if r["query_id"] == 0)
+    assert ranks == [1, 2, 3, 4, 5]
