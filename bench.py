@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "emb_near_dup_hamming",
     "hamming_bucket_stats",
     "knn_recall_hamming_multi",
+    "knn_hamming_batch",
 ]
 
 

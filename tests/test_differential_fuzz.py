@@ -297,6 +297,7 @@ EMB_FUZZ_QUERIES = [
     "knn_recall_mt_vec0",
     "knn_recall_hamming_vec0",
     "knn_recall_hamming_multi",
+    "knn_hamming_batch",
     "emb_near_dup_exact",
     "emb_near_dup_lsh",
     "lsh_bucket_stats",
