@@ -357,3 +357,67 @@ def test_binarize_stream_index_equals_batch_and_ranks_identically(spark, tmp_pat
 
     with pytest.raises(ValueError, match="bits=3"):
         read_binary_index_stream(spark, idx, bits=60)
+
+
+def test_changelog_streams_invariant_to_batch_splits(spark, tmp_path):
+    """The changelog pattern's core claim, randomized: for a random doc
+    set and RANDOM batch splits, the merged streamed state (CMS and
+    histogram) equals the one-shot batch state — mergeability holds for
+    any arrival partitioning, not just the fixture's."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.operators.profiling import value_histogram
+    from kafka_streams_spark.operators.text import cms_token_sketch
+    from kafka_streams_spark.streaming.sketch_stream import (
+        read_cms_sketch,
+        read_histogram,
+        run_cms_stream,
+        run_histogram_stream,
+    )
+
+    rng = random.Random(99)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    docs = [
+        {
+            "doc_id": i,
+            "source": "s",
+            "text": " ".join(rng.choice(words) for _ in range(rng.randint(0, 12))),
+        }
+        for i in range(30)
+    ]
+    # random split into 1-4 batches
+    cuts = sorted(rng.sample(range(1, 30), rng.randint(0, 3)))
+    batches = [docs[a:b] for a, b in zip([0] + cuts, cuts + [30])]
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)  # streams start before the first write
+    cms_dir = str(tmp_path / "cms")
+    hist_dir = str(tmp_path / "hist")
+    q1 = run_cms_stream(spark, src, cms_dir, str(tmp_path / "c1"), d=3, w=64)
+    q2 = run_histogram_stream(
+        spark, src, hist_dir, str(tmp_path / "c2"), bin_width_cents=400
+    )
+    try:
+        for bi, batch in enumerate(batches):
+            _write(src, f"b{bi}.json", batch)
+            q1.processAllAvailable()
+            q2.processAllAvailable()
+    finally:
+        q1.stop()
+        q2.stop()
+
+    all_docs = spark.createDataFrame(
+        [(d["doc_id"], d["source"], d["text"]) for d in docs],
+        "doc_id bigint, source string, text string",
+    )
+    want_cms = sorted(map(tuple, cms_token_sketch(all_docs, d=3, w=64).collect()))
+    got_cms = sorted(map(tuple, read_cms_sketch(spark, cms_dir).collect()))
+    assert got_cms == want_cms
+    lengths = all_docs.select(F.length("text").cast("double").alias("n_chars"))
+    want_h = sorted(
+        map(tuple, value_histogram(lengths, "n_chars", bin_width_cents=400).collect())
+    )
+    got_h = sorted(map(tuple, read_histogram(spark, hist_dir).collect()))
+    assert got_h == want_h
