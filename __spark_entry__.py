@@ -1327,6 +1327,38 @@ def _q_knn_recall_hamming_multi(spark, sf_dir):
     )
 
 
+def _q_ivf_centroids_int(spark, sf_dir):
+    # Exact integer cell centroids (java-round scaled-int means) — the
+    # deterministic half of residual IVF-PQ, exploded to scalar rows
+    # (array outputs are a driver canonicalizer trap).
+    from kafka_streams_spark.operators.similarity import cell_centroids_int
+
+    c = cell_centroids_int(_embs(spark, sf_dir))
+    return c.select(
+        "label", F.posexplode("cent").alias("pos", "cm")
+    ).select("label", F.col("pos").cast("int").alias("pos"), "cm")
+
+
+def _q_knn_ivfpq_res_vec0(spark, sf_dir):
+    """Rows-only (learned residual codebooks — the knn_pq_vec0 class;
+    residual books have no deterministic twin because any
+    data-independent residual grouping has ~zero mean): the FAISS
+    residual IVF-PQ composition at the knn_ivfpq_vec0 config. The
+    deterministic halves (integer centroids, probe selection, exact
+    re-rank) are oracle-covered by ivf_centroids_int/knn_ivfpq_vec0;
+    lossless-reduction and fidelity pins live in tests."""
+    from kafka_streams_spark.operators.similarity import (
+        ivfpq_residual_topk_to_id,
+        pq_train_residual_codebooks,
+    )
+
+    embs = _embs(spark, sf_dir)
+    books = pq_train_residual_codebooks(embs, m=4, k=8)
+    return ivfpq_residual_topk_to_id(
+        embs, books, query_id=0, k=10, n_probe=2, shortlist=100
+    )
+
+
 def _q_knn_hamming_batch(spark, sf_dir):
     # Batched form of the hamming path (the eval/recommendation shape):
     # 3 probe queries in one signature-table pass.
@@ -1474,6 +1506,8 @@ _NEEDS_DRIVER_ROW = [
     "hamming_bucket_stats",
     "knn_recall_hamming_multi",
     "knn_hamming_batch",
+    "ivf_centroids_int",
+    "knn_ivfpq_res_vec0",  # rows-only: learned residual codebooks
     # (a) queued from round 5 — never driver-evidenced
     "dedup_spans_incremental",
     "events_props_profile",  # + r6 oracle json_valid guard
@@ -1514,8 +1548,6 @@ _NEEDS_DRIVER_ROW = [
     "tf_idf_top_terms",
     "domain_stats",
     "curate_corpus",
-    "decontaminate",
-    "hash_sample_docs",
 ]
 
 # Contracts registered after this round's evidence window filled: they
@@ -1530,6 +1562,8 @@ _STALE_EVIDENCE = [
     # Head: the 11 refresh entries displaced from the window by the
     # round-6 second wave (r02-stale media family + pack/profile, then
     # the r03-stale payments family).
+    "decontaminate",
+    "hash_sample_docs",
     "temperature_mix_docs",
     "chunk_documents",
     "chunk_dup_stats",
@@ -1785,6 +1819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_bucket_stats": _q_hamming_bucket_stats,
         "knn_recall_hamming_multi": _q_knn_recall_hamming_multi,
         "knn_hamming_batch": _q_knn_hamming_batch,
+        "ivf_centroids_int": _q_ivf_centroids_int,
+        "knn_ivfpq_res_vec0": _q_knn_ivfpq_res_vec0,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_token_stats": _q_bpe_token_stats,
         "bpe_piece_counts": _q_bpe_piece_counts,

@@ -1233,14 +1233,24 @@ def pq_train_codebooks(
     )
     if not rows:
         raise ValueError("cannot train PQ codebooks on an empty table")
-    dim = len(rows[0][0])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
     X = np.array(
         [[math.floor(float(x) * PQ_SCALE + 0.5) for x in r[0]] for r in rows],
         dtype=np.float64,
     )
+    return _lloyd_books(X, m, k, iters)
+
+
+def _lloyd_books(
+    X: "np.ndarray", m: int, k: int, iters: int
+) -> list[list[list[int]]]:
+    """The deterministic per-subspace Lloyd loop shared by raw
+    (:func:`pq_train_codebooks`) and residual
+    (:func:`pq_train_residual_codebooks`) training: evenly-spaced
+    row-order init, lowest-index tie break, int-requantized output."""
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
     books: list[list[list[int]]] = []
     for s in range(m):
         sub = X[:, s * dsub : (s + 1) * dsub]
@@ -2416,4 +2426,198 @@ def knn_hamming_batch_to_ids(
         rescored.withColumn("rank", F.row_number().over(w_rank).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "hamming", "cosine_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# residual IVF-PQ — ADC over cell residuals (the FAISS IVFPQ composition)
+# ---------------------------------------------------------------------------
+
+
+def cell_centroids_int(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell centroid in EXACT scaled-integer space: java-round of
+    the per-dimension mean of the scaled ints (``floor((2s+c)/(2c))``,
+    the `pq_label_codebooks` convention — both engines evaluate the
+    same float64 division over exactly-representable ints). Residual
+    quantization subtracts these, so keeping them on the same int grid
+    as the vectors makes residuals pure int64 arithmetic end-to-end.
+
+    One explode → one (cell, pos) aggregation with map-side combine
+    (≤ |cells|·dim rows) → per-cell array reassembly.
+    Output: (group_col, cent array<bigint>).
+    """
+    ex = embeddings.select(
+        F.col(group_col),
+        F.posexplode(_pq_scaled(F.col(vec_col))).alias("pos", "x"),
+    )
+    per_dim = (
+        ex.groupBy(group_col, "pos")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+        .select(
+            group_col,
+            "pos",
+            F.floor((2 * F.col("s") + F.col("c")) / (2 * F.col("c")))
+            .cast("bigint")
+            .alias("cm"),
+        )
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "cm")))
+    return per_dim.groupBy(group_col).agg(
+        F.transform(ordered, lambda s: s["cm"]).alias("cent")
+    )
+
+
+def pq_train_residual_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    sample_size: int = 2048,
+    iters: int = 10,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Train PQ codebooks on CELL RESIDUALS (x − centroid[cell]) — the
+    FAISS IVFPQ refinement: within a probed cell every vector shares
+    the centroid, so quantizing the residual spends the codebook's
+    k^m cells on the WITHIN-cell structure instead of re-encoding the
+    between-cell offsets the IVF step already resolved. ADC error
+    shrinks accordingly (pinned by the fidelity test: residual ADC
+    error ≤ raw ADC error on the contract corpus).
+
+    Residual codebooks are inherently a LEARNED artifact: any
+    data-independent grouping of residuals has near-zero mean (the
+    residuals of a cell sum to ~0 by construction), so there is no
+    deterministic label-codebook twin — contracts over this path are
+    rows-only (the knn_pq_vec0 class), and the deterministic halves
+    (integer centroids, probe selection, exact re-rank) carry the
+    oracle coverage. Training itself is deterministic given the data
+    (same sample/init/tie rules as :func:`pq_train_codebooks`), so
+    replays reproduce the same books.
+
+    Bounded construction jobs: the id-ordered sample collect plus the
+    ≤ |cells|·dim centroid collect (the IVF-fit exception class).
+    """
+    cents = {
+        r[group_col]: list(r["cent"])
+        for r in cell_centroids_int(embeddings, group_col, vec_col).collect()
+    }
+    rows = (
+        embeddings.orderBy(id_col)
+        .limit(sample_size)
+        .select(group_col, vec_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot train residual codebooks on an empty table")
+    X = np.array(
+        [
+            [
+                math.floor(float(x) * PQ_SCALE + 0.5) - c
+                for x, c in zip(r[vec_col], cents[r[group_col]])
+            ]
+            for r in rows
+        ],
+        dtype=np.float64,
+    )
+    return _lloyd_books(X, m, k, iters)
+
+
+def ivfpq_residual_topk_to_id(
+    embeddings: DataFrame,
+    codebooks: list[list[list[int]]],
+    query_id: int = 0,
+    k: int = 10,
+    n_probe: int = 2,
+    shortlist: int = 100,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual IVF-PQ top-k — the canonical billion-scale composition
+    with the FAISS residual refinement: probe the ``n_probe`` cells
+    whose integer centroids are L2-closest to the query (exact int64
+    distances, cell-key tiebreak), ADC-rank ONLY those cells' residual
+    codes against the query's PER-CELL residual (q − centroid[cell] —
+    the residual ADC subtlety: the query re-expresses itself relative
+    to each probed cell), shortlist, exact cosine re-rank.
+
+    Everything stays expression-level and collect-free: centroids ride
+    a broadcast of the bounded cell table; candidate codes are computed
+    in the same map (no code table required — compose with the
+    persisted/streamed code index for the recurring form); the
+    codebook is a literal array-of-arrays indexed by the code
+    (element_at), so ADC is pure int64 arithmetic.
+
+    Output: (id, cosine_sim) — top ``k``, knn contract ranking.
+    """
+    if n_probe < 1:
+        raise ValueError("n_probe must be >= 1")
+    m = len(codebooks)
+    k_codes = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+
+    cents = cell_centroids_int(embeddings, group_col, vec_col)
+    qint = embeddings.filter(F.col(id_col) == query_id).select(
+        _pq_scaled(F.col(vec_col)).alias("_qint"),
+        F.col(vec_col).alias("_qvec"),
+    )
+    # probe: exact int64 L2 of query vs each cell centroid
+    probe = (
+        cents.crossJoin(F.broadcast(qint))
+        .select(
+            group_col,
+            "cent",
+            _int_sqdist(F.col("cent"), F.col("_qint")).alias("_cd"),
+        )
+        .orderBy(F.col("_cd"), F.col(group_col))
+        .limit(n_probe)
+        .select(group_col, "cent")
+    )
+    # candidates with residuals + per-cell query residual, all int64
+    cand = embeddings.join(F.broadcast(probe), group_col).crossJoin(
+        F.broadcast(qint.select("_qint"))
+    )
+    res = F.zip_with(
+        _pq_scaled(F.col(vec_col)), F.col("cent"), lambda x, c: x - c
+    )
+    qres = F.zip_with(F.col("_qint"), F.col("cent"), lambda x, c: x - c)
+    cand = cand.select(
+        F.col(id_col), res.alias("_res"), qres.alias("_qres")
+    )
+
+    def sub_dist(s: int) -> Column:
+        book = F.array(*[_lit_ints(codebooks[s][j]) for j in range(k_codes)])
+        rsub = F.slice("_res", s * dsub + 1, dsub)
+        dists = F.array(
+            *[_int_sqdist(rsub, _lit_ints(codebooks[s][j])) for j in range(k_codes)]
+        )
+        code = F.array_position(dists, F.array_min(dists)).cast("int")  # 1-based
+        return _int_sqdist(
+            F.slice("_qres", s * dsub + 1, dsub), F.element_at(book, code)
+        )
+
+    adc = sum(sub_dist(s) for s in range(m))
+    short = (
+        cand.select(F.col(id_col), adc.alias("_adc"))
+        .orderBy(F.col("_adc"), F.col(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    rescored = (
+        embeddings.join(F.broadcast(short), id_col, "left_semi")
+        .crossJoin(F.broadcast(qint.select("_qvec")))
+        .select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("_sim"),
+        )
+    )
+    return (
+        rescored.orderBy(F.col("_sim").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("_sim", 6).alias("cosine_sim"))
     )

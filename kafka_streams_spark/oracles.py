@@ -3539,6 +3539,19 @@ SIMILARITY_ORACLES["knn_hamming_batch"] = f"""
     SELECT query_id, vec_id, hamming, cosine_sim, rank FROM ranked WHERE rank <= 10
 """
 
+# Exact integer cell centroids: java-round of per-(label, dim) means of
+# the scaled ints — the pq_label_codebooks convention over IVF cells.
+SIMILARITY_ORACLES["ivf_centroids_int"] = """
+    WITH ex AS (
+        SELECT label, i - 1 AS pos,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    )
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           CAST(floor((2 * sum(x) + count(*)) / (2 * count(*))) AS BIGINT) AS cm
+    FROM ex GROUP BY label, pos
+"""
+
 # BPE first-round pair statistic (operators/tokenizer.py
 # bpe_pair_counts): weighted adjacent initial-symbol pairs over the
 # top-V word table — the oracle-checked half of BPE training (the merge
