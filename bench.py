@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "hamming_bucket_stats",
     "knn_recall_hamming_multi",
     "knn_hamming_batch",
+    "ivf_centroids_int",
+    "knn_ivfpq_res_vec0",
 ]
 
 

@@ -298,6 +298,7 @@ EMB_FUZZ_QUERIES = [
     "knn_recall_hamming_vec0",
     "knn_recall_hamming_multi",
     "knn_hamming_batch",
+    "ivf_centroids_int",
     "emb_near_dup_exact",
     "emb_near_dup_lsh",
     "lsh_bucket_stats",
