@@ -17,6 +17,15 @@ views. Cross-engine determinism rules (pinned by tools/check_oracle.py):
   products that differ by ≤1 ulp → outputs rounded to 6 decimals.
 - DuckDB BIGINT aggregates (SUM, len, row_number) are cast to match
   Spark's output types.
+- KNOWN CROSS-ENGINE BOUNDARY — unicode case mapping: Spark lowercases
+  with Java's full (language-aware) mapping, DuckDB with utf8proc's
+  simple fold. They agree on ASCII and accented Latin (café, naïve) but
+  DIVERGE on e.g. dotted capital İ (Java: i + combining dot; DuckDB: i)
+  and Greek final sigma (Java: context-aware ς; DuckDB: σ). No oracle
+  rewrite can reconcile this without changing operator semantics;
+  testdata and the fuzz corpora stay inside the agreeing subset, and
+  tests/test_differential_fuzz.py::test_unicode_case_boundary pins the
+  divergence so a change in either engine is noticed.
 """
 
 from __future__ import annotations

@@ -496,3 +496,31 @@ def test_tpch_oracles_agree_on_fuzz_tables(spark, tmp_path, seed):
                 f"{name}: {int(diff.sum())} rows differ; "
                 f"spark={a.loc[i].to_dict()} duck={b.loc[i].to_dict()}"
             )
+
+
+def test_unicode_case_boundary(spark):
+    """Documented cross-engine boundary (oracles.py header): Java full
+    case mapping vs DuckDB simple folding. This test PINS the known
+    divergence — if either engine changes behavior, the comparison
+    contract needs re-auditing — and confirms the agreeing subset the
+    corpora rely on."""
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+    duck = con.execute(
+        "SELECT lower('İSTANBUL'), lower('ΣΟΦΟΣ'), lower('CAFÉ NAÏVE')"
+    ).fetchone()
+    spark_vals = (
+        spark.range(1)
+        .select(
+            F.lower(F.lit("İSTANBUL")),
+            F.lower(F.lit("ΣΟΦΟΣ")),
+            F.lower(F.lit("CAFÉ NAÏVE")),
+        )
+        .collect()[0]
+    )
+    # the agreeing subset: accented Latin
+    assert spark_vals[2] == duck[2] == "café naïve"
+    # the known divergences (Java: i + combining dot / final sigma)
+    assert spark_vals[0] == "i̇stanbul" and duck[0] == "istanbul"
+    assert spark_vals[1].endswith("ς") and duck[1].endswith("σ")
