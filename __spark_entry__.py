@@ -1359,6 +1359,24 @@ def _q_knn_ivfpq_res_vec0(spark, sf_dir):
     )
 
 
+def _q_knn_recall_ivfpq_res_vec0(spark, sf_dir):
+    """Rows-only (learned residual books): recall@10 of the residual
+    IVF-PQ path at n_probe=4 — measured 3/6/7 of 10 at probes 2/4/8 on
+    this corpus, i.e. probe-limited exactly like the raw path; the
+    audit row makes that visible next to the other four paths."""
+    from kafka_streams_spark.operators.similarity import (
+        knn_recall_audit,
+        pq_train_residual_codebooks,
+    )
+
+    embs = _embs(spark, sf_dir)
+    books = pq_train_residual_codebooks(embs, m=4, k=8)
+    return knn_recall_audit(
+        embs, query_id=0, k=10, method="ivfpq_res",
+        codebooks=books, n_probe=4, shortlist=100,
+    )
+
+
 def _q_knn_hamming_batch(spark, sf_dir):
     # Batched form of the hamming path (the eval/recommendation shape):
     # 3 probe queries in one signature-table pass.
@@ -1508,6 +1526,7 @@ _NEEDS_DRIVER_ROW = [
     "knn_hamming_batch",
     "ivf_centroids_int",
     "knn_ivfpq_res_vec0",  # rows-only: learned residual codebooks
+    "knn_recall_ivfpq_res_vec0",  # rows-only: same books
     # (a) queued from round 5 — never driver-evidenced
     "dedup_spans_incremental",
     "events_props_profile",  # + r6 oracle json_valid guard
@@ -1547,7 +1566,6 @@ _NEEDS_DRIVER_ROW = [
     "pii_scan",
     "tf_idf_top_terms",
     "domain_stats",
-    "curate_corpus",
 ]
 
 # Contracts registered after this round's evidence window filled: they
@@ -1562,6 +1580,7 @@ _STALE_EVIDENCE = [
     # Head: the 11 refresh entries displaced from the window by the
     # round-6 second wave (r02-stale media family + pack/profile, then
     # the r03-stale payments family).
+    "curate_corpus",
     "decontaminate",
     "hash_sample_docs",
     "temperature_mix_docs",
@@ -1821,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hamming_batch": _q_knn_hamming_batch,
         "ivf_centroids_int": _q_ivf_centroids_int,
         "knn_ivfpq_res_vec0": _q_knn_ivfpq_res_vec0,
+        "knn_recall_ivfpq_res_vec0": _q_knn_recall_ivfpq_res_vec0,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_token_stats": _q_bpe_token_stats,
         "bpe_piece_counts": _q_bpe_piece_counts,

@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "knn_hamming_batch",
     "ivf_centroids_int",
     "knn_ivfpq_res_vec0",
+    "knn_recall_ivfpq_res_vec0",
 ]
 
 

@@ -1820,6 +1820,14 @@ def knn_recall_audit(
             embeddings, query_id, k, shortlist=shortlist,
             id_col=id_col, vec_col=vec_col,
         ).select(id_col)
+    elif method == "ivfpq_res":
+        if codebooks is None:
+            raise ValueError("method='ivfpq_res' requires (residual) codebooks")
+        approx = ivfpq_residual_topk_to_id(
+            embeddings, codebooks, query_id, k,
+            n_probe=n_probe, shortlist=shortlist,
+            id_col=id_col, vec_col=vec_col,
+        ).select(id_col)
     else:
         raise ValueError(f"unknown method {method!r}")
     hits = approx.join(exact, id_col, "left_semi")
