@@ -1426,6 +1426,22 @@ def _q_bpe_piece_counts(spark, sf_dir):
     return bpe_piece_counts(_docs(spark, sf_dir), merges, top_pieces=30)
 
 
+def _q_collocations(spark, sf_dir):
+    # PMI collocation mining over adjacent bigrams (Church & Hanks 1990)
+    # — ranked on rounded pmi so the top-k cut is engine-reproducible.
+    from kafka_streams_spark.operators.text import collocations
+
+    return collocations(_docs(spark, sf_dir), top_k=20, min_count=5)
+
+
+def _q_readability(spark, sf_dir):
+    # Flesch reading ease, map-only heuristics (vowel-group syllables,
+    # terminal-punctuation sentences).
+    from kafka_streams_spark.operators.text import readability_scores
+
+    return readability_scores(_docs(spark, sf_dir))
+
+
 def _q_remove_boilerplate(spark, sf_dir):
     # Frequency-threshold line stripping; on the single-line synthetic
     # corpus this fires only on exact-duplicate texts (8 at sf0.1, none
@@ -1527,6 +1543,8 @@ _NEEDS_DRIVER_ROW = [
     "ivf_centroids_int",
     "knn_ivfpq_res_vec0",  # rows-only: learned residual codebooks
     "knn_recall_ivfpq_res_vec0",  # rows-only: same books
+    "collocations",
+    "readability",
     # (a) queued from round 5 — never driver-evidenced
     "dedup_spans_incremental",
     "events_props_profile",  # + r6 oracle json_valid guard
@@ -1564,8 +1582,6 @@ _NEEDS_DRIVER_ROW = [
     # (d) newest driver green is round 2
     "repetition_stats",
     "pii_scan",
-    "tf_idf_top_terms",
-    "domain_stats",
 ]
 
 # Contracts registered after this round's evidence window filled: they
@@ -1580,6 +1596,8 @@ _STALE_EVIDENCE = [
     # Head: the 11 refresh entries displaced from the window by the
     # round-6 second wave (r02-stale media family + pack/profile, then
     # the r03-stale payments family).
+    "tf_idf_top_terms",
+    "domain_stats",
     "curate_corpus",
     "decontaminate",
     "hash_sample_docs",
@@ -1831,6 +1849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_recall_ivfpq_vec0": _q_knn_recall_ivfpq_vec0,
         "media_near_dup": _q_media_near_dup,
         "remove_boilerplate": _q_remove_boilerplate,
+        "collocations": _q_collocations,
+        "readability": _q_readability,
         "emb_binarize": _q_emb_binarize,
         "knn_hamming_vec0": _q_knn_hamming_vec0,
         "knn_recall_hamming_vec0": _q_knn_recall_hamming_vec0,

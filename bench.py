@@ -194,6 +194,8 @@ BENCH_QUERIES = [
     "ivf_centroids_int",
     "knn_ivfpq_res_vec0",
     "knn_recall_ivfpq_res_vec0",
+    "collocations",
+    "readability",
 ]
 
 

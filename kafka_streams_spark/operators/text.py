@@ -2092,3 +2092,129 @@ def badword_filter(
         n_bad.cast("bigint").alias("n_badwords"),
         (n_bad > 0).alias("drop"),
     )
+
+
+def collocations(
+    docs: DataFrame,
+    top_k: int = 20,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent-bigram collocation mining by pointwise mutual
+    information (Church & Hanks 1990): pairs that co-occur far more
+    than their unigram frequencies predict — multiword entities and
+    fixed phrases ("new york", "machine learning"). The corpus-analysis
+    staple for vocabulary design (what should become one token) and for
+    spotting templated text (boilerplate phrases rank top).
+
+    PMI = log(p(ab) / (p(a)·p(b))) with p from occurrence counts
+    (bigrams over the bigram total, unigrams over the token total).
+    ``min_count`` drops the unstable low-count tail FIRST (a pair seen
+    once has huge spurious PMI), then the top-``top_k`` ranks on
+    ROUNDED pmi (6 dp) with a (tok_a, tok_b) tiebreak so the cut is
+    engine-reproducible.
+
+    Shape: one token explode feeds the unigram aggregation; one
+    zip_with-shifted explode feeds the bigram aggregation (both
+    map-side combined); totals ride 1-row broadcasts; the two unigram
+    joins are vocabulary-sized (broadcast when small, AQE otherwise);
+    the final cut is a TakeOrderedAndProject heap. No window touches
+    the corpus. Output: (tok_a, tok_b, n_pair, pmi).
+    """
+    from kafka_streams_spark.functions.partitioning import spread
+
+    toks = tokens(F.col(text_col))
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")),
+    )
+    big = (
+        spread(docs)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    uni = (
+        spread(docs)
+        .select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_tok"))
+    )
+    tot = uni.agg(F.sum("n_tok").alias("_t"))
+    tot_pairs = big.agg(F.sum("n_pair").alias("_tp"))
+    a = uni.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))
+    b = uni.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))
+    scored = (
+        big.join(a, "tok_a")
+        .join(b, "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tot_pairs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("_tp"))
+                    / ((F.col("n_a") / F.col("_t")) * (F.col("n_b") / F.col("_t")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "tok_a", "tok_b"
+    ).limit(top_k)
+
+
+def readability_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease per document with the standard cheap
+    heuristics (vowel-group syllables, terminal-punctuation sentences)
+    — the readability leg of the quality-gate family: training corpora
+    routinely floor/ceiling this score to drop word-salad (score ≪ 0)
+    and trivial boilerplate (score ≈ 100+ short-sentence chrome).
+
+    flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    with sentences = max(1, count of [.!?]+ runs) and syllables =
+    per-word count of [aeiouy]+ groups, min 1 per word. Everything is
+    regexp_count/size expressions — map-only, zero shuffles, and DuckDB
+    reproduces each count exactly so the 6-dp score is oracle-checked.
+
+    Output: (id, n_words, n_sentences, n_syllables, flesch).
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    n_sentences = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.regexp_count(t, F.lit(r"[.!?]+")).cast("bigint"),
+    )
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.lit(1).cast("bigint"),
+                F.regexp_count(w, F.lit(r"[aeiouy]+")).cast("bigint"),
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    wf = F.greatest(n_words, F.lit(1)).cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (wf / n_sentences.cast("double"))
+        - F.lit(84.6) * (syl.cast("double") / wf)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch"),
+    )

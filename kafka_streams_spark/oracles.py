@@ -3581,6 +3581,55 @@ TEXT_ORACLES["bpe_pair_counts"] = f"""
     ORDER BY n DESC, sym_a, sym_b LIMIT 20
 """
 
+# PMI collocations over adjacent bigrams: rounded-pmi ranking with
+# (tok_a, tok_b) tiebreak so the top-k cut is engine-reproducible.
+TEXT_ORACLES["collocations"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    big AS (
+        SELECT toks[i] AS tok_a, toks[i + 1] AS tok_b,
+               CAST(count(*) AS BIGINT) AS n_pair
+        FROM t, unnest(range(1, len(toks))) AS u(i)
+        GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    uni AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+        FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+    ),
+    tot AS (SELECT sum(n_tok) AS t FROM uni),
+    totp AS (SELECT sum(n_pair) AS tp FROM big)
+    SELECT tok_a, tok_b, n_pair,
+           round(ln((n_pair / tp) / ((a.n_tok / t) * (b.n_tok / t))), 6) AS pmi
+    FROM big
+         JOIN uni a ON a.tok = big.tok_a
+         JOIN uni b ON b.tok = big.tok_b, tot, totp
+    ORDER BY pmi DESC, tok_a, tok_b
+    LIMIT 20
+"""
+
+# Flesch reading ease with the same cheap heuristics as the operator:
+# [.!?]+ sentence runs (min 1), per-word [aeiouy]+ syllable groups
+# (min 1 per word).
+TEXT_ORACLES["readability"] = f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    s AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+                   AS n_sentences,
+               CAST(list_sum(list_transform(toks,
+                    w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+               AS BIGINT) AS n_syllables
+        FROM t
+    )
+    SELECT doc_id, n_words, n_sentences,
+           coalesce(n_syllables, 0) AS n_syllables,
+           round(206.835
+                 - 1.015 * (greatest(n_words, 1) / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (coalesce(n_syllables, 0)
+                           / CAST(greatest(n_words, 1) AS DOUBLE)), 6) AS flesch
+    FROM s
+"""
+
 # Frequency-threshold boilerplate stripping (text.py remove_boilerplate):
 # a non-blank line in >= 2 distinct docs is removed everywhere; every doc
 # keeps a row (string_agg over the CASE skips removed/blank lines, the

@@ -976,3 +976,65 @@ def test_remove_boilerplate_matches_python_model_random(spark):
             for r in remove_boilerplate(sdf, min_docs=min_docs).collect()
         }
         assert got == want, (trial, min_docs)
+
+
+def test_collocations_pmi_crafted(spark):
+    """A fixed phrase must out-PMI a frequent-but-independent pair, and
+    pmi must match the Python model exactly at 6 dp."""
+    import math
+
+    from kafka_streams_spark.operators.text import collocations
+
+    # "new york" always together; "the cat" both frequent but also
+    # apart; pairs below min_count drop.
+    rows = [(i, "new york is big and the cat sat on the mat") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {(r["tok_a"], r["tok_b"]): (r["n_pair"], r["pmi"])
+           for r in collocations(docs, top_k=50, min_count=5).collect()}
+    assert ("new", "york") in out
+    # model
+    text = "new york is big and the cat sat on the mat".split()
+    from collections import Counter
+
+    uni = Counter(t for _ in range(6) for t in text)
+    big = Counter((a, b) for _ in range(6) for a, b in zip(text, text[1:]))
+    big = {p: n for p, n in big.items() if n >= 5}
+    T, TP = sum(uni.values()), sum(big.values())
+    for p, n in big.items():
+        want = round(math.log((n / TP) / ((uni[p[0]] / T) * (uni[p[1]] / T))), 6)
+        assert out[p] == (n, want), p
+    # the always-together pair beats the independent frequent pair
+    assert out[("new", "york")][1] > out[("the", "cat")][1]
+
+
+def test_readability_model_and_edges(spark):
+    """Flesch components vs a Python model; empty doc and
+    no-punctuation doc hit the min-1 guards."""
+    import math
+    import re
+
+    from kafka_streams_spark.operators.text import readability_scores
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),
+        (2, "supercalifragilistic expialidocious"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in readability_scores(docs).collect()}
+    for doc_id, text in rows:
+        toks = [t for t in re.split(r"\s+", text.lower()) if t]
+        n_words = len(toks)
+        n_sent = max(1, len(re.findall(r"[.!?]+", text)))
+        n_syl = sum(max(1, len(re.findall(r"[aeiouy]+", t))) for t in toks)
+        flesch = round(
+            206.835 - 1.015 * (max(n_words, 1) / n_sent) - 84.6 * (n_syl / max(n_words, 1)),
+            6,
+        )
+        r = got[doc_id]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (
+            n_words,
+            n_sent,
+            n_syl,
+        ), doc_id
+        assert abs(r["flesch"] - flesch) < 1e-9, doc_id

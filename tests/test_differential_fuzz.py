@@ -89,6 +89,8 @@ FUZZ_QUERIES = [
     "pii_scan",
     "decontaminate_exact",
     "ngram_novelty",
+    "collocations",
+    "readability",
 ]
 
 WORDS = [
