@@ -526,3 +526,45 @@ def test_unicode_case_boundary(spark):
     # the known divergences (Java: i + combining dot / final sigma)
     assert spark_vals[0] == "i̇stanbul" and duck[0] == "istanbul"
     assert spark_vals[1].endswith("ς") and duck[1].endswith("σ")
+
+
+def test_oracles_agree_on_pathological_corpus(spark, tmp_path):
+    """Degenerate shapes: a block of IDENTICAL docs, one giant doc, a
+    single-char-token doc, and one-word docs — the corpus that stresses
+    div-by-zero guards, tercile ties, and skewed aggregations — through
+    the same full docs ring."""
+    import __spark_entry__ as e
+    from tools.check_oracle import canon
+
+    rows = []
+    for d in range(12):  # identical block
+        rows.append((d, "the same exact boilerplate text every time", "en", "src0", 42))
+    giant = " ".join(f"tok{i % 97}" for i in range(5000))
+    rows.append((12, giant, "en", "src1", len(giant)))
+    rows.append((13, "a b c d e f g a b c", "en", "src1", 19))
+    rows.append((14, "single", "de", "src2", 6))
+    rows.append((15, "x", "de", "src2", 1))
+    sf_dir = str(tmp_path / "sf-patho")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    qs, oracles = e.queries(), e.oracle_sql()
+    for name in FUZZ_QUERIES:
+        spark_pd = qs[name](spark, sf_dir).toPandas()
+        duck_pd = con.execute(oracles[name]).fetchdf()
+        assert len(spark_pd) == len(duck_pd), (name, len(spark_pd), len(duck_pd))
+        assert sorted(spark_pd.columns) == sorted(duck_pd.columns), name
+        a, b = canon(spark_pd), canon(duck_pd)
+        if not a.equals(b):
+            diff = (a != b).any(axis=1)
+            i = diff[diff].index[0]
+            raise AssertionError(
+                f"{name}: {int(diff.sum())} rows differ; "
+                f"spark={a.loc[i].to_dict()} duck={b.loc[i].to_dict()}"
+            )
