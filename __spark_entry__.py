@@ -1426,6 +1426,19 @@ def _q_bpe_piece_counts(spark, sf_dir):
     return bpe_piece_counts(_docs(spark, sf_dir), merges, top_pieces=30)
 
 
+def _q_length_histogram_by_source(spark, sf_dir):
+    # Stratified histogram sketch: per-source doc-length distributions
+    # on a shared 64-char grid, one shuffle for every stratum.
+    from kafka_streams_spark.operators.profiling import value_histogram
+
+    docs = _docs(spark, sf_dir).select(
+        "source", F.length("text").cast("double").alias("n_chars")
+    )
+    return value_histogram(
+        docs, "n_chars", bin_width_cents=6400, scale=100, group_cols=["source"]
+    )
+
+
 def _q_collocations(spark, sf_dir):
     # PMI collocation mining over adjacent bigrams (Church & Hanks 1990)
     # — ranked on rounded pmi so the top-k cut is engine-reproducible.
@@ -1545,6 +1558,7 @@ _NEEDS_DRIVER_ROW = [
     "knn_recall_ivfpq_res_vec0",  # rows-only: same books
     "collocations",
     "readability",
+    "length_histogram_by_source",
     # (a) queued from round 5 — never driver-evidenced
     "dedup_spans_incremental",
     "events_props_profile",  # + r6 oracle json_valid guard
@@ -1581,7 +1595,6 @@ _NEEDS_DRIVER_ROW = [
     "decontaminate_emb",
     # (d) newest driver green is round 2
     "repetition_stats",
-    "pii_scan",
 ]
 
 # Contracts registered after this round's evidence window filled: they
@@ -1596,6 +1609,7 @@ _STALE_EVIDENCE = [
     # Head: the 11 refresh entries displaced from the window by the
     # round-6 second wave (r02-stale media family + pack/profile, then
     # the r03-stale payments family).
+    "pii_scan",
     "tf_idf_top_terms",
     "domain_stats",
     "curate_corpus",
@@ -1850,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_near_dup": _q_media_near_dup,
         "remove_boilerplate": _q_remove_boilerplate,
         "collocations": _q_collocations,
+        "length_histogram_by_source": _q_length_histogram_by_source,
         "readability": _q_readability,
         "emb_binarize": _q_emb_binarize,
         "knn_hamming_vec0": _q_knn_hamming_vec0,

@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "knn_recall_ivfpq_res_vec0",
     "collocations",
     "readability",
+    "length_histogram_by_source",
 ]
 
 

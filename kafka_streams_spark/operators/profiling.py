@@ -59,7 +59,11 @@ def profile_columns(
 
 
 def value_histogram(
-    df: DataFrame, value_col: str, bin_width_cents: int = 100_000, scale: int = 100
+    df: DataFrame,
+    value_col: str,
+    bin_width_cents: int = 100_000,
+    scale: int = 100,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Mergeable fixed-bin histogram sketch of a numeric column — the
     quantile-family member of the engine's sketch trio (HLL++ for
@@ -81,10 +85,17 @@ def value_histogram(
     NULL values are excluded (SQL aggregate semantics; pair with
     ``profile_columns`` for null accounting).
 
-    Output: (bucket BIGINT, counter BIGINT) — bucket b covers
-    [b·bin_width, (b+1)·bin_width) in cents.
+    ``group_cols`` makes the sketch STRATIFIED — (group..., bucket,
+    counter), one distribution per stratum in the same single shuffle
+    (the per-language/per-source length-distribution audit). The grid
+    is shared across strata, so per-stratum histograms still merge by
+    addition and cross-stratum comparisons line bucket-for-bucket.
+
+    Output: (group_cols..., bucket BIGINT, counter BIGINT) — bucket b
+    covers [b·bin_width, (b+1)·bin_width) in cents.
     """
     cents = F.floor(F.col(value_col) * F.lit(scale) + F.lit(0.5)).cast("bigint")
+    groups = list(group_cols or [])
     # FLOOR division in pure int64: pmod makes the remainder non-negative,
     # so the truncating `div` is exact — no double round-trip (bigint/int
     # division would go through double and lose precision past 2^53), and
@@ -92,16 +103,17 @@ def value_histogram(
     # toward zero and disagree with the oracle's Python-style `//`).
     return (
         df.filter(F.col(value_col).isNotNull())
-        .select(cents.alias("_cents"))
+        .select(*groups, cents.alias("_cents"))
         .select(
+            *groups,
             F.expr(
                 f"(_cents - pmod(_cents, {int(bin_width_cents)})) "
                 f"div {int(bin_width_cents)}"
             )
             .cast("bigint")
-            .alias("bucket")
+            .alias("bucket"),
         )
-        .groupBy("bucket")
+        .groupBy(*groups, "bucket")
         .agg(F.count("*").alias("counter"))
     )
 

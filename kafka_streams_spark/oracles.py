@@ -3581,6 +3581,17 @@ TEXT_ORACLES["bpe_pair_counts"] = f"""
     ORDER BY n DESC, sym_a, sym_b LIMIT 20
 """
 
+# Stratified doc-length histogram: shared 64-char grid per source.
+TEXT_ORACLES["length_histogram_by_source"] = """
+    SELECT source,
+           ((c - ((c % 6400 + 6400) % 6400)) // 6400) AS bucket,
+           CAST(count(*) AS BIGINT) AS counter
+    FROM (SELECT source,
+                 CAST(floor(length(text) * 100 + 0.5) AS BIGINT) AS c
+          FROM documents WHERE text IS NOT NULL)
+    GROUP BY 1, 2
+"""
+
 # PMI collocations over adjacent bigrams: rounded-pmi ranking with
 # (tok_a, tok_b) tiebreak so the top-k cut is engine-reproducible.
 TEXT_ORACLES["collocations"] = f"""

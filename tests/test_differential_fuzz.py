@@ -91,6 +91,7 @@ FUZZ_QUERIES = [
     "ngram_novelty",
     "collocations",
     "readability",
+    "length_histogram_by_source",
 ]
 
 WORDS = [

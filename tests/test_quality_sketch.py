@@ -613,3 +613,25 @@ def test_histogram_quantiles_match_rank_model_random(spark):
                 if cum >= rank:
                     assert got[q] == (b + 1) * bw / 100.0, (trial, q, got[q], b)
                     break
+
+
+def test_stratified_histogram_sums_to_global(spark, sf_dir):
+    """Per-stratum histograms on the shared grid sum (over strata) to
+    the global histogram — the cross-stratum mergeability the shared
+    grid exists for."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.operators.profiling import value_histogram
+    from kafka_streams_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.length("text").cast("double").alias("n_chars")
+    )
+    strat = value_histogram(
+        docs, "n_chars", bin_width_cents=6400, group_cols=["source"]
+    )
+    summed = strat.groupBy("bucket").agg(F.sum("counter").alias("counter"))
+    whole = value_histogram(docs, "n_chars", bin_width_cents=6400)
+    assert sorted(map(tuple, summed.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
