@@ -1426,6 +1426,15 @@ def _q_bpe_piece_counts(spark, sf_dir):
     return bpe_piece_counts(_docs(spark, sf_dir), merges, top_pieces=30)
 
 
+def _q_compression_ratio(spark, sf_dir):
+    """Rows-only (deterministic zlib, not SQL-expressible — the
+    k-center class): per-doc entropy proxy; direct-zlib equality and
+    the repetitive-vs-random ordering are test-pinned."""
+    from kafka_streams_spark.operators.text import compression_ratio
+
+    return compression_ratio(_docs(spark, sf_dir))
+
+
 def _q_length_histogram_by_source(spark, sf_dir):
     # Stratified histogram sketch: per-source doc-length distributions
     # on a shared 64-char grid, one shuffle for every stratum.
@@ -1559,6 +1568,7 @@ _NEEDS_DRIVER_ROW = [
     "collocations",
     "readability",
     "length_histogram_by_source",
+    "compression_ratio",  # rows-only: zlib not SQL-expressible
     # (a) queued from round 5 — never driver-evidenced
     "dedup_spans_incremental",
     "events_props_profile",  # + r6 oracle json_valid guard
@@ -1594,7 +1604,6 @@ _NEEDS_DRIVER_ROW = [
     "curate_corpus_fuzzy",
     "decontaminate_emb",
     # (d) newest driver green is round 2
-    "repetition_stats",
 ]
 
 # Contracts registered after this round's evidence window filled: they
@@ -1609,6 +1618,7 @@ _STALE_EVIDENCE = [
     # Head: the 11 refresh entries displaced from the window by the
     # round-6 second wave (r02-stale media family + pack/profile, then
     # the r03-stale payments family).
+    "repetition_stats",
     "pii_scan",
     "tf_idf_top_terms",
     "domain_stats",
@@ -1865,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_boilerplate": _q_remove_boilerplate,
         "collocations": _q_collocations,
         "length_histogram_by_source": _q_length_histogram_by_source,
+        "compression_ratio": _q_compression_ratio,
         "readability": _q_readability,
         "emb_binarize": _q_emb_binarize,
         "knn_hamming_vec0": _q_knn_hamming_vec0,

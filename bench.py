@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "collocations",
     "readability",
     "length_histogram_by_source",
+    "compression_ratio",
 ]
 
 

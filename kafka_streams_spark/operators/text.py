@@ -2218,3 +2218,64 @@ def readability_scores(
         syl.alias("n_syllables"),
         F.round(flesch, 6).alias("flesch"),
     )
+
+
+def compression_ratio(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio — the entropy-proxy quality
+    gate modern curation stacks run beside Gopher/C4 (Dolma's zlib
+    filter is the public reference): templated/repetitive text
+    compresses far below ~0.3, while binary junk and encrypted blobs
+    sit near 1.0; both tails are drop candidates that word-level rules
+    miss.
+
+    zlib at a FIXED level is bit-deterministic for a given input
+    (pinned against direct zlib in tests), so results are stable across
+    replays and partitionings — but the DEFLATE stream is not
+    SQL-expressible, making this a rows-only contract (the engine's
+    deterministic-but-not-oracle class, like the Arrow k-center loop).
+    Arrow mapInPandas, map-only, no shuffle; the closure is
+    self-contained (shipped by value).
+
+    Output: (id, n_bytes, n_compressed, ratio) — ratio rounded 6 dp;
+    empty docs report ratio NULL (nothing to compress).
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    id_field = docs.schema[id_col]
+    out_schema = StructType(
+        [
+            id_field,
+            StructField("n_bytes", LongType()),
+            StructField("n_compressed", LongType()),
+            StructField("ratio", DoubleType()),
+        ]
+    )
+    lvl = int(level)
+
+    # self-contained closure: shipped by value to Python workers
+    def process(batches):
+        import zlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, nb, nc, ratio = [], [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                raw = (text or "").encode("utf-8")
+                comp = zlib.compress(raw, lvl)
+                ids.append(i)
+                nb.append(len(raw))
+                nc.append(len(comp))
+                ratio.append(round(len(comp) / len(raw), 6) if raw else None)
+            yield _pd.DataFrame(
+                {id_col: ids, "n_bytes": nb, "n_compressed": nc, "ratio": ratio}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(process, schema=out_schema)

@@ -1038,3 +1038,26 @@ def test_readability_model_and_edges(spark):
             n_syl,
         ), doc_id
         assert abs(r["flesch"] - flesch) < 1e-9, doc_id
+
+
+def test_compression_ratio_matches_zlib_and_orders_entropy(spark):
+    """Bit-equality with direct zlib; repetitive text compresses far
+    below random-ish text; empty doc reports NULL ratio."""
+    import zlib
+
+    from kafka_streams_spark.operators.text import compression_ratio
+
+    rep = "spam and eggs " * 200
+    rand = " ".join(f"u{i * 2654435761 % 99991}" for i in range(300))
+    docs = spark.createDataFrame(
+        [(1, rep), (2, rand), (3, "")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    for doc_id, text in [(1, rep), (2, rand)]:
+        raw = text.encode()
+        comp = zlib.compress(raw, 6)
+        r = got[doc_id]
+        assert (r["n_bytes"], r["n_compressed"]) == (len(raw), len(comp))
+        assert abs(r["ratio"] - round(len(comp) / len(raw), 6)) < 1e-12
+    assert got[1]["ratio"] < 0.1 < got[2]["ratio"]
+    assert got[3]["ratio"] is None and got[3]["n_bytes"] == 0
