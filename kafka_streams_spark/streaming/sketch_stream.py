@@ -417,3 +417,52 @@ def read_binary_index_stream(
                 f"bits={meta.get('bits')}, query expects bits={bits}"
             )
     return df
+
+
+def run_scorecard_stream(
+    spark: SparkSession,
+    source_dir: str,
+    scorecard_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 100,
+):
+    """Live corpus-quality dashboard: each micro-batch writes ITS OWN
+    one-row :func:`~kafka_streams_spark.operators.pipelines.corpus_scorecard`
+    delta (gate-pass counts are plain sums, hence mergeable — the
+    changelog pattern applied to the release scorecard). Reading the
+    corpus-to-date scorecard is a sum over the tiny per-batch rows
+    (:func:`read_scorecard`), and the per-batch rows themselves ARE the
+    trend line ("did this crawl's Gopher pass-rate fall off a cliff")
+    with no corpus re-scan. Replay-idempotent for the router's reason."""
+    from kafka_streams_spark.operators.pipelines import corpus_scorecard
+
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        delta = corpus_scorecard(batch_df)
+        (
+            delta.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(scorecard_dir)
+        )
+
+    return (
+        raw.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+
+def read_scorecard(spark: SparkSession, scorecard_dir: str) -> DataFrame:
+    """The corpus-to-date scorecard: column-wise sums over every batch
+    delta — identical to the one-shot batch scorecard of all docs
+    ingested so far."""
+    df = spark.read.parquet(scorecard_dir).drop("ingest_batch")
+    return df.agg(*[F.sum(c).cast("bigint").alias(c) for c in df.columns])

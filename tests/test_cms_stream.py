@@ -421,3 +421,35 @@ def test_changelog_streams_invariant_to_batch_splits(spark, tmp_path):
     )
     got_h = sorted(map(tuple, read_histogram(spark, hist_dir).collect()))
     assert got_h == want_h
+
+
+def test_scorecard_stream_equals_batch_and_trends(spark, tmp_path):
+    """Merged streamed scorecard == one-shot batch scorecard of all
+    ingested docs; per-batch rows carry the trend."""
+    from kafka_streams_spark.operators.pipelines import corpus_scorecard
+    from kafka_streams_spark.streaming.sketch_stream import (
+        read_scorecard,
+        run_scorecard_stream,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "sc")
+    ckpt = str(tmp_path / "ck")
+    _write(src, "b1.json", DOCS_A)
+    q = run_scorecard_stream(spark, src, out, ckpt)
+    try:
+        q.processAllAvailable()
+        _write(src, "b2.json", DOCS_B)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_docs = spark.createDataFrame(
+        [(r["doc_id"], r["source"], r["text"]) for r in DOCS_A + DOCS_B],
+        "doc_id bigint, source string, text string",
+    )
+    want = corpus_scorecard(all_docs).collect()[0].asDict()
+    got = read_scorecard(spark, out).collect()[0].asDict()
+    assert got == {k: int(v) for k, v in want.items()}
+    # one delta row per batch = the trend line
+    assert spark.read.parquet(out).count() == 2
