@@ -1426,6 +1426,25 @@ def _q_bpe_piece_counts(spark, sf_dir):
     return bpe_piece_counts(_docs(spark, sf_dir), merges, top_pieces=30)
 
 
+def _q_length_quantiles_by_source(spark, sf_dir):
+    # Per-stratum quantiles off the stratified sketch: p50/p90/p99 doc
+    # length per source from one sketch scan.
+    from kafka_streams_spark.operators.profiling import (
+        histogram_quantiles_by_group,
+        value_histogram,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "source", F.length("text").cast("double").alias("n_chars")
+    )
+    h = value_histogram(
+        docs, "n_chars", bin_width_cents=6400, group_cols=["source"]
+    )
+    return histogram_quantiles_by_group(
+        h, [0.5, 0.9, 0.99], ["source"], bin_width_cents=6400
+    )
+
+
 def _q_compression_ratio(spark, sf_dir):
     """Rows-only (deterministic zlib, not SQL-expressible — the
     k-center class): per-doc entropy proxy; direct-zlib equality and
@@ -1554,7 +1573,6 @@ _NEEDS_DRIVER_ROW = [
     "remove_boilerplate",
     "bpe_pair_counts",
     "bpe_token_stats",  # rows-only: learned merge chain
-    "bpe_piece_counts",  # rows-only: learned merge chain
     "emb_binarize",
     "knn_hamming_vec0",
     "knn_recall_hamming_vec0",
@@ -1569,6 +1587,7 @@ _NEEDS_DRIVER_ROW = [
     "readability",
     "length_histogram_by_source",
     "compression_ratio",  # rows-only: zlib not SQL-expressible
+    "length_quantiles_by_source",
     # (a) queued from round 5 — never driver-evidenced
     "dedup_spans_incremental",
     "events_props_profile",  # + r6 oracle json_valid guard
@@ -1615,9 +1634,14 @@ _NEXT_ROUND_QUEUE: list[str] = []
 
 _STALE_EVIDENCE = [
     # Post-window order: any driver slack reaches these first.
+    # bpe_piece_counts displaced from the window by the fourth wave:
+    # rows-only, and its sibling bpe_token_stats (same learned merges,
+    # same Arrow encode) stays in-window as the family's evidence.
+    "bpe_piece_counts",
     # Head: the 11 refresh entries displaced from the window by the
     # round-6 second wave (r02-stale media family + pack/profile, then
     # the r03-stale payments family).
+    "winnowing_fingerprints",
     "repetition_stats",
     "pii_scan",
     "tf_idf_top_terms",
@@ -1876,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": _q_collocations,
         "length_histogram_by_source": _q_length_histogram_by_source,
         "compression_ratio": _q_compression_ratio,
+        "length_quantiles_by_source": _q_length_quantiles_by_source,
         "readability": _q_readability,
         "emb_binarize": _q_emb_binarize,
         "knn_hamming_vec0": _q_knn_hamming_vec0,

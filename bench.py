@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "readability",
     "length_histogram_by_source",
     "compression_ratio",
+    "length_quantiles_by_source",
 ]
 
 

@@ -159,3 +159,49 @@ def histogram_quantiles(
         .agg((est_cents / F.lit(float(scale))).alias("est"))
         .select("q", "est")
     )
+
+
+def histogram_quantiles_by_group(
+    hist: DataFrame,
+    qs: list[float],
+    group_cols: list[str],
+    bin_width_cents: int = 100_000,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-stratum quantiles read off a STRATIFIED
+    :func:`value_histogram` sketch (``group_cols=...``): the same
+    upper-edge rule as :func:`histogram_quantiles`, windowed per
+    stratum — per-source p50/p99 document lengths from one sketch scan.
+    The cumulative window partitions on the stratum and runs over the
+    bounded per-stratum bucket rows (≤ range/bin each), so no partition
+    ever holds more than one stratum's buckets.
+
+    Output: (group_cols..., q DOUBLE, est DOUBLE).
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    n_total = hist.groupBy(*groups).agg(F.sum("counter").alias("_n"))
+    cum = hist.withColumn(
+        "_cum",
+        F.sum("counter").over(
+            Window.partitionBy(*groups)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).join(n_total, groups)
+    qdf = cum.select(
+        *groups,
+        "bucket",
+        "_cum",
+        "_n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    rank = F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("_n")))
+    hit = qdf.filter(F.col("_cum") >= rank)
+    est_cents = (F.min("bucket") + F.lit(1)) * F.lit(bin_width_cents)
+    return (
+        hit.groupBy(*groups, "q")
+        .agg((est_cents / F.lit(float(scale))).alias("est"))
+        .select(*groups, "q", "est")
+    )

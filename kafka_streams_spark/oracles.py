@@ -3592,6 +3592,21 @@ TEXT_ORACLES["length_histogram_by_source"] = """
     GROUP BY 1, 2
 """
 
+# Per-stratum quantiles off the stratified histogram (upper-edge rule
+# per source).
+TEXT_ORACLES["length_quantiles_by_source"] = f"""
+    WITH h AS ({TEXT_ORACLES["length_histogram_by_source"]}),
+    n AS (SELECT source, sum(counter) AS n FROM h GROUP BY source),
+    c AS (SELECT source, bucket,
+                 sum(counter) OVER (PARTITION BY source ORDER BY bucket) AS cum
+          FROM h),
+    q AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+    SELECT c.source, q, CAST((min(bucket) + 1) * 6400 AS DOUBLE) / 100.0 AS est
+    FROM c JOIN n ON c.source = n.source, q
+    WHERE cum >= greatest(1, ceil(q * n.n))
+    GROUP BY c.source, q
+"""
+
 # PMI collocations over adjacent bigrams: rounded-pmi ranking with
 # (tok_a, tok_b) tiebreak so the top-k cut is engine-reproducible.
 TEXT_ORACLES["collocations"] = f"""

@@ -92,6 +92,7 @@ FUZZ_QUERIES = [
     "collocations",
     "readability",
     "length_histogram_by_source",
+    "length_quantiles_by_source",
 ]
 
 WORDS = [

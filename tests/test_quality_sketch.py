@@ -635,3 +635,46 @@ def test_stratified_histogram_sums_to_global(spark, sf_dir):
     assert sorted(map(tuple, summed.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_stratified_quantiles_match_per_group_rank_model(spark, sf_dir):
+    """Per-stratum sketch quantiles == the rank model applied within
+    each stratum independently."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.operators.profiling import (
+        histogram_quantiles_by_group,
+        value_histogram,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.length("text").cast("double").alias("n_chars")
+    )
+    bw = 6400
+    h = value_histogram(docs, "n_chars", bin_width_cents=bw, group_cols=["source"])
+    got = {
+        (r["source"], r["q"]): r["est"]
+        for r in histogram_quantiles_by_group(
+            h, [0.5, 0.9], ["source"], bin_width_cents=bw
+        ).collect()
+    }
+    rows = docs.collect()
+    by_src: dict[str, list[float]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+    from collections import Counter
+
+    for src, vals in by_src.items():
+        cnt = Counter(math.floor(v * 100 + 0.5) // bw for v in vals)
+        n = len(vals)
+        for q in (0.5, 0.9):
+            rank = max(1, math.ceil(q * n))
+            cum = 0
+            for b in sorted(cnt):
+                cum += cnt[b]
+                if cum >= rank:
+                    assert got[(src, q)] == (b + 1) * bw / 100.0, (src, q)
+                    break
