@@ -1556,17 +1556,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # newest green is still round 1. Re-grouping is cosmetic-free for a
 # driver that checks everything.
 _NEEDS_DRIVER_ROW = [
-    # -- round-6 head. Order: (a0) the round-6 second-wave contracts
-    # (histogram sketch, media near-dup, boilerplate, BPE, binary
-    # quantization — never driver-evidenced), then (a) the 5 contracts
-    # queued behind the full r05 window (no driver row exists), (b) the
-    # 5 round-6 first-wave registrations, (c) contracts whose code or
+    # -- round-6 head. Order: (a0) the round-6 second/third/fourth-wave
+    # registrations (sketch trio, media near-dup, boilerplate, BPE,
+    # binary-quantization ANN, residual IVF-PQ, collocations/
+    # readability, stratified sketch — never driver-evidenced), then
+    # (a) the 5 contracts queued behind the full r05 window, (b) the 5
+    # round-6 first-wave registrations, (c) contracts whose code or
     # oracle changed in r6 (duplicate_clusters self-pair fix reaches
-    # all CC consumers; events_props_profile's oracle gained the
-    # json_valid guard — it is already in (a)), (d) stalest-evidence
-    # refresh (r02, then r03; the 11 entries displaced by (a0) moved to
-    # the head of _STALE_EVIDENCE).
-    # (a0) round-6 second wave
+    # all CC consumers; decontaminate_emb's Arrow routing;
+    # events_props_profile's json_valid oracle guard is already in
+    # (a)). The stalest-refresh group the first session carried was
+    # fully displaced by the wave registrations and now heads
+    # _STALE_EVIDENCE — new-contract evidence outranks refresh; the
+    # compensating control for the refresh backlog is this session's
+    # judge-style full sweeps (sf0.01 AND sf0.1, all green).
+    # (a0) round-6 second..fourth waves
     "price_histogram",
     "price_quantiles_hist",
     "media_near_dup",
