@@ -28,10 +28,14 @@ df = spark.createDataFrame(
 )
 rows = embedding_gram(df, scale=10**3).collect()
 assert len(rows) == 3, rows
-# a round-6 Arrow closure (captures locals: merge list, column names)
+# a round-6 Arrow closure (captures locals: merge list, column names);
+# no dict/set literals here — this script goes through str.format()
 from kafka_streams_spark.operators.tokenizer import bpe_apply
 docs = spark.createDataFrame([(1, "low lower"), (2, "")], "doc_id long, text string")
-enc = {r["doc_id"]: r["n_pieces"] for r in bpe_apply(docs, [("l", "o"), ("lo", "w")]).collect()}
+enc = dict(
+    (r["doc_id"], r["n_pieces"])
+    for r in bpe_apply(docs, [("l", "o"), ("lo", "w")]).collect()
+)
 assert enc[1] > 0 and enc[2] == 0, enc
 print("FOREIGN_CWD_OK")
 """
