@@ -66,6 +66,15 @@ def asof_join(
     for c in lcols:
         if c not in (key, ts):
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    # NULL-key right rows can never be an as-of match: the declared
+    # semantics are DuckDB ASOF JOIN / kdb aj, i.e. key EQUALITY, and
+    # NULL equals nothing. Without this filter the window-partition
+    # formulation quietly groups NULL keys together and hands NULL-key
+    # left rows payloads from NULL-key right rows — caught by the NULL
+    # fuzz stream (real corpora rarely show it). NULL-key LEFT rows
+    # stay, and with no right rows in their partition their asof
+    # columns are NULL, exactly the no-match outcome.
+    r_tagged = r_tagged.filter(F.col(key).isNotNull())
     r_tagged = r_tagged.select(*lcols, "_side", "_p")
 
     unioned = l_tagged.unionByName(r_tagged)

@@ -223,7 +223,7 @@ def test_event_oracles_agree_on_fuzz_stream(spark, tmp_path, seed):
     rows = []
     base_us = 1_704_067_200_000_000  # 2024-01-01 UTC in micros
     for i in range(600):
-        user = rng.randint(1, 25)
+        user = rng.choice([None] + [rng.randint(1, 25)] * 19)
         # bursts + gaps: hour chosen from a skewed set, dead hours left empty
         hour = rng.choice([0, 1, 2, 5, 6, 7, 8, 30, 31, 50])
         us = base_us + hour * 3_600_000_000 + rng.randint(0, 3_599_999_999)
@@ -235,10 +235,12 @@ def test_event_oracles_agree_on_fuzz_stream(spark, tmp_path, seed):
                 us,
                 user,
                 rng.choice(types),
-                # incl. negatives (refunds) and half-cent boundaries —
-                # floor(x*100 + 0.5) must agree cross-engine on both
+                # incl. negatives (refunds), half-cent boundaries, and
+                # NULLs — floor(x*100 + 0.5) must agree cross-engine on
+                # all of them, and NULL must propagate identically
+                # through amounts, sums and group keys
                 rng.choice(
-                    [round(rng.uniform(-50.0, 400.0), 2), 1.005, -1.005, 2.675]
+                    [round(rng.uniform(-50.0, 400.0), 2), 1.005, -1.005, 2.675, None]
                 ),
                 rng.choice(props_pool) if rng.random() < 0.9 else None,
             )

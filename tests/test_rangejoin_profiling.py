@@ -129,3 +129,20 @@ def test_profile_columns_exact_and_approx(spark):
     assert set(approx) == {"lang", "n"}
     # HLL++ at this cardinality is exact
     assert approx["lang"]["n_distinct"] == 2
+
+
+def test_asof_join_null_keys_match_nothing(spark):
+    """Key equality semantics (DuckDB ASOF JOIN): NULL-key right rows
+    are never a match; NULL-key left rows survive with NULL asof
+    columns — pinned after the NULL fuzz stream caught the window
+    formulation grouping NULL keys together."""
+    from kafka_streams_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 100, 1), (7, 100, 2)], "k bigint, ts bigint, lid bigint"
+    )
+    right = spark.createDataFrame(
+        [(None, 50, 111), (7, 50, 222)], "k bigint, ts bigint, v bigint"
+    )
+    out = {r["lid"]: r["v_asof"] for r in asof_join(left, right, "k", "ts", ["v"]).collect()}
+    assert out == {1: None, 2: 222}
