@@ -675,8 +675,12 @@ TEXT_ORACLES = {
                         ELSE 0.0 END AS dup_line_ratio,
                    toks
             FROM (SELECT doc_id,
-                         list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lines,
-                         {_TOKS} AS toks
+                         -- trim with an explicit whitespace set: the Arrow
+                         -- closure uses Python str.strip() (tabs too),
+                         -- DuckDB's bare trim() strips spaces only
+                         list_filter(string_split(coalesce(text, ''), chr(10)),
+                                     x -> trim(x, ' ' || chr(9) || chr(13)) != '') AS lines,
+                         coalesce({_TOKS}, []) AS toks
                   FROM documents)
         ),
         ex AS (
@@ -775,6 +779,7 @@ TEXT_ORACLES = {
                         f"WHEN hits_{lang} = greatest({', '.join(f'hits_{x}' for x in STOPWORDS)}) THEN '{lang}'"
                         for lang in STOPWORDS
                     )}
+                    ELSE 'und'
                END AS lang_guess
         FROM h
     """,
@@ -1060,7 +1065,7 @@ def _shingle_cte(n: int) -> str:
     # the empty case is pinned to [''] explicitly.
     off = n - 1
     return f"""
-    toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    toks AS (SELECT doc_id, source, coalesce({_TOKS}, []) AS t FROM documents),
     sh AS (
         SELECT doc_id, source,
                CASE WHEN len(t) = 0 THEN [''] ELSE
@@ -2586,6 +2591,7 @@ TEXT_ORACLES["language_confusion"] = f"""
                         f"WHEN hits_{lang} = greatest({', '.join(f'hits_{x}' for x in STOPWORDS)}) THEN '{lang}'"
                         for lang in STOPWORDS
                     )}
+                    ELSE 'und'
                END AS lang_guess
         FROM h
     ),
@@ -2689,7 +2695,8 @@ DEDUP_ORACLES["dedup_spans"] = f"""
                    count(*) AS n_kept
             FROM kept GROUP BY doc_id)
     SELECT t.doc_id,
-           COALESCE(agg.text_clean, '') AS text_clean,
+           CASE WHEN t.tk IS NULL THEN NULL
+                ELSE COALESCE(agg.text_clean, '') END AS text_clean,
            CAST(len(t.tk) AS BIGINT) AS n_tokens,
            CAST(len(t.tk) - COALESCE(agg.n_kept, 0) AS BIGINT)
                AS n_tokens_removed
@@ -2823,7 +2830,8 @@ DEDUP_ORACLES["dedup_spans_incremental"] = f"""
                    count(*) AS n_kept
             FROM kept GROUP BY doc_id)
     SELECT t.doc_id,
-           COALESCE(agg.text_clean, '') AS text_clean,
+           CASE WHEN t.tk IS NULL THEN NULL
+                ELSE COALESCE(agg.text_clean, '') END AS text_clean,
            CAST(len(t.tk) AS BIGINT) AS n_tokens,
            CAST(len(t.tk) - COALESCE(agg.n_kept, 0) AS BIGINT)
                AS n_tokens_removed
@@ -3642,16 +3650,16 @@ TEXT_ORACLES["readability"] = f"""
                CAST(len(toks) AS BIGINT) AS n_words,
                greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
                    AS n_sentences,
-               CAST(list_sum(list_transform(toks,
-                    w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
-               AS BIGINT) AS n_syllables
+               CASE WHEN toks IS NULL THEN NULL
+                    ELSE CAST(coalesce(list_sum(list_transform(toks,
+                         w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0)
+                    AS BIGINT) END AS n_syllables
         FROM t
     )
-    SELECT doc_id, n_words, n_sentences,
-           coalesce(n_syllables, 0) AS n_syllables,
+    SELECT doc_id, n_words, n_sentences, n_syllables,
            round(206.835
                  - 1.015 * (greatest(n_words, 1) / CAST(n_sentences AS DOUBLE))
-                 - 84.6 * (coalesce(n_syllables, 0)
+                 - 84.6 * (n_syllables
                            / CAST(greatest(n_words, 1) AS DOUBLE)), 6) AS flesch
     FROM s
 """

@@ -121,11 +121,21 @@ def _synth_corpus(rng: random.Random, n_docs: int) -> list[tuple[int, str, str, 
                 lines.append(
                     " ".join(rng.choice(WORDS) for _ in range(rng.randint(1, 8)))
                 )
-        text = "\n".join(lines)
-        rows.append((d, text, "en", f"src{d % 3}", len(text)))
+        # NULL text is in-contract (a valid JSONL row may carry
+        # "text": null) — the Arrow ops' (text or "") convention and
+        # the expression ops' NULL propagation must both mirror in the
+        # oracles (three divergences found and fixed on introduction)
+        text = None if rng.random() < 0.05 else "\n".join(lines)
+        rows.append((d, text, "en", f"src{d % 3}", len(text or "")))
     # exact duplicate docs (same text, higher ids)
     for i, (d, text, lang, src, n) in enumerate(rows[: n_docs // 5]):
         rows.append((n_docs + i, text, lang, src, n))
+    # guaranteed boilerplate firing, independent of rng drift: two docs
+    # sharing a line (the firing sanity check rides on these)
+    base = len(rows)
+    for j in range(2):
+        t = f"{BOILER[0]}\nunique tail {j}"
+        rows.append((1000 + base + j, t, "en", "src0", len(t)))
     return rows
 
 
