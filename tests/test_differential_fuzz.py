@@ -428,7 +428,8 @@ def test_tpch_oracles_agree_on_fuzz_tables(spark, tmp_path, seed):
     write("nation", nations, "n_nationkey bigint, n_name string, n_regionkey int")
     segs = ["MACHINERY", "BUILDING", "FURNITURE", "AUTOMOBILE", "HOUSEHOLD"]
     customers = [
-        (k, f"Customer#{k}", rng.randrange(25), round(rng.uniform(-999, 9999), 2),
+        (k, f"Customer#{k}", rng.randrange(25),
+         rng.choice([None] + [round(rng.uniform(-999, 9999), 2)] * 9),
          rng.choice(segs))
         for k in range(60)
     ]
@@ -460,8 +461,8 @@ def test_tpch_oracles_agree_on_fuzz_tables(spark, tmp_path, seed):
     prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     day95, day98 = (1995 - 1990) * 365, (1998 - 1990) * 365
     orders = [
-        (k, rng.randrange(45), rng.choice(["F", "O", "P"]),
-         round(rng.uniform(900, 500000), 2),
+        (k, rng.choice([None] + [rng.randrange(45)] * 19), rng.choice(["F", "O", "P"]),
+         rng.choice([None] + [round(rng.uniform(900, 500000), 2)] * 19),
          rng.choice([day95, day95 + 1, rng.randrange(day95, day98 + 365)]),
          rng.choice(prios))
         for k in range(150)
@@ -478,7 +479,7 @@ def test_tpch_oracles_agree_on_fuzz_tables(spark, tmp_path, seed):
                 (okey, rng.randrange(40), rng.randrange(20), ln + 1,
                  float(rng.randrange(1, 51)),
                  round(rng.uniform(900, 100000), 2),
-                 rng.choice([0.0, 0.05, round(rng.uniform(0, 0.1), 2)]),
+                 rng.choice([0.0, 0.05, round(rng.uniform(0, 0.1), 2), None]),
                  round(rng.uniform(0, 0.08), 2),
                  rng.choice(["R", "A", "N"]), rng.choice(["O", "F"]),
                  oday + rng.randrange(0, 120))
