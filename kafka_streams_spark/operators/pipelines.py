@@ -307,15 +307,25 @@ def corpus_diff(
     join shuffles (id, 32-byte digest) — document bodies never move,
     the digest-only-shuffle rule. One shuffle per side.
 
+    NULL text is in-contract: presence is carried by an explicit flag
+    per side (md5(NULL) is NULL, so the digest cannot double as the
+    presence marker), and digests compare null-safely — two NULL-text
+    versions of a doc are ``unchanged``, NULL vs non-NULL is
+    ``changed``.
+
     Output: (doc_id, status) for every id in either version.
     """
-    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("_ho"))
-    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("_hn"))
+    o = old.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_ho"), F.lit(1).alias("_po")
+    )
+    n = new.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_hn"), F.lit(1).alias("_pn")
+    )
     j = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("_ho").isNull(), F.lit("added"))
-        .when(F.col("_hn").isNull(), F.lit("removed"))
-        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+        F.when(F.col("_po").isNull(), F.lit("added"))
+        .when(F.col("_pn").isNull(), F.lit("removed"))
+        .when(~F.col("_ho").eqNullSafe(F.col("_hn")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col(id_col), status.alias("status"))

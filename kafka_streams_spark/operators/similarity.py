@@ -1517,6 +1517,7 @@ def embedding_gram(
     embeddings: DataFrame,
     vec_col: str = "embedding",
     scale: int = PQ_SCALE,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact integer-scaled second-moment table over the embedding
     column — the distributed primitive under PCA / whitening / mean
@@ -1538,6 +1539,17 @@ def embedding_gram(
     must stay under 2⁶³ (scale 10⁶, |x| ≤ 4 → n < 5·10⁵; drop to
     scale 10³ for corpus-scale runs, which still carries mantissa-exact
     float32 information).
+
+    NULL-row quarantine (round-7 advice fix): NULL embeddings are
+    filtered JVM-side before the Arrow pass — ``np.stack`` hard-fails
+    on a single NULL row, which would kill a long-running gram stream
+    on one legally-NULL JSON record. Rejected rows are simply absent
+    from ``n`` (callers compare against the input count, or run
+    :func:`embedding_profile` — the documented pre-flight — for the
+    exact NULL/ragged/NaN breakdown). Pass ``dim`` to additionally
+    quarantine ragged rows (wrong-length vectors) by size; without it
+    a ragged row still fails fast inside the Arrow stage rather than
+    silently corrupting the statistic.
 
     Output: (dim_i, dim_j, n, sum_i, sum_j, sum_prod), i ≤ j.
     """
@@ -1566,7 +1578,10 @@ def embedding_gram(
                 }
             )
 
-    partial = embeddings.select(vec_col).mapInPandas(
+    clean = embeddings.select(vec_col).filter(F.col(vec_col).isNotNull())
+    if dim is not None:
+        clean = clean.filter(F.size(F.col(vec_col)) == int(dim))
+    partial = clean.mapInPandas(
         gram_partials,
         "dim_i int, dim_j int, n long, sum_i long, sum_j long, sum_prod long",
     )
@@ -1646,8 +1661,13 @@ def whiten_embeddings(
                 }
             )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        project, f"{id_col} long, pos int, val double"
+    # Same quarantine as the train side: NULL / wrong-length rows would
+    # np.stack-crash the Arrow projection; they get no whitened row
+    # (embedding_profile is the pre-flight that counts them).
+    return (
+        embeddings.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == d))
+        .mapInPandas(project, f"{id_col} long, pos int, val double")
     )
 
 

@@ -485,14 +485,21 @@ def remove_boilerplate(
     Empty/fully-stripped docs keep their row because every doc
     posexplodes to ≥1 line row and the regroup aggregates ALL of them,
     flagging kept lines inside the aggregate instead of filtering rows
-    before it (the `oov_rate` zero-row lesson).
+    before it (the `oov_rate` zero-row lesson). NULL text is
+    coalesced to '' BEFORE the split for the same reason —
+    split(NULL) is NULL and posexplode of NULL emits no row, which
+    would silently drop the doc (round-7 advice fix); a NULL-text doc
+    survives as (id, '', 0, 0).
 
     Output: (id, text, n_kept, n_removed).
     """
     from kafka_streams_spark.functions.partitioning import spread
 
     lines = spread(docs).select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln")
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "ln"),
     )
     nonblank = F.trim(F.col("ln")) != ""
     boiler = (

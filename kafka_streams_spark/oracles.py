@@ -3295,15 +3295,16 @@ ANALYTICS_ORACLES["events_rate_anomaly"] = """
 # new = bucket < '80' — overlapping slices so all four statuses occur)
 # and perturbs nothing: see the contract wrapper for the slice spec.
 TEXT_ORACLES["corpus_diff"] = """
-    WITH o AS (SELECT doc_id, md5(text) AS ho FROM documents
+    WITH o AS (SELECT doc_id, md5(text) AS ho, 1 AS po FROM documents
                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '20'),
-    n AS (SELECT doc_id, md5(text || CASE WHEN doc_id % 7 = 0 THEN 'x' ELSE '' END) AS hn
+    n AS (SELECT doc_id, md5(text || CASE WHEN doc_id % 7 = 0 THEN 'x' ELSE '' END) AS hn,
+                 1 AS pn
           FROM documents
           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80')
     SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-           CASE WHEN o.ho IS NULL THEN 'added'
-                WHEN n.hn IS NULL THEN 'removed'
-                WHEN o.ho != n.hn THEN 'changed'
+           CASE WHEN o.po IS NULL THEN 'added'
+                WHEN n.pn IS NULL THEN 'removed'
+                WHEN o.ho IS DISTINCT FROM n.hn THEN 'changed'
                 ELSE 'unchanged' END AS status
     FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """
@@ -3668,8 +3669,12 @@ TEXT_ORACLES["readability"] = f"""
 # a non-blank line in >= 2 distinct docs is removed everywhere; every doc
 # keeps a row (string_agg over the CASE skips removed/blank lines, the
 # 1-row-per-doc GROUP BY keeps fully-stripped docs with '' text).
+# NULL text coalesces to '' before the split — string_split(NULL) is
+# NULL and the unnest would emit no row, dropping the doc (round-7
+# advice fix, mirrored in the operator).
 TEXT_ORACLES["remove_boilerplate"] = """
-    WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+    WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+               FROM documents),
     l AS (
         SELECT doc_id, i AS pos, ls[i] AS ln
         FROM t, unnest(range(1, len(ls) + 1)) AS u(i)

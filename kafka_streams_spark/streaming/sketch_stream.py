@@ -110,6 +110,7 @@ def run_gram_stream(
     checkpoint_dir: str,
     scale: int = 10**3,
     max_files_per_trigger: int = 100,
+    dim: int | None = None,
 ):
     """Maintain the exact second-moment (Gram) table of an embedding
     stream — the state a live covariance/whitening/drift monitor reads
@@ -137,7 +138,10 @@ def run_gram_stream(
     )
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
-        delta = embedding_gram(batch_df, scale=scale)
+        # embedding_gram quarantines NULL rows (and, with dim set,
+        # ragged rows) JVM-side — one bad JSON record no longer kills
+        # the long-running stream (round-7 advice fix).
+        delta = embedding_gram(batch_df, scale=scale, dim=dim)
         (
             delta.withColumn("ingest_batch", F.lit(batch_id))
             .write.mode("overwrite")
@@ -171,20 +175,68 @@ def read_gram(spark: SparkSession, gram_dir: str) -> DataFrame:
     )
 
 
+def _compact_deltas(
+    spark: SparkSession,
+    delta_dir: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    _after_pin=None,
+) -> None:
+    """Shared safe-under-concurrency compaction for batch-partitioned
+    delta tables: fold the partitions PRESENT AT SNAPSHOT TIME into the
+    reserved ``-1`` partition, then delete exactly those partitions.
+
+    Concurrency contract (round-7 advice fix): the old full-table
+    STATIC overwrite deleted any delta a live micro-batch wrote between
+    the read and the overwrite commit — counts lost permanently (the
+    checkpoint prevents replay). Now the batch-id set is pinned FIRST,
+    the merge reads only those partitions (``isin`` filter), the merged
+    ``-1`` partition is written with DYNAMIC partition overwrite (only
+    ``ingest_batch=-1`` is replaced), and only the pinned batch
+    partitions are deleted afterwards — a delta landing mid-compaction
+    is in neither the merge nor the delete set and survives intact.
+    A replayed batch rewriting a pinned id mid-compaction rewrites
+    bit-identical data (deterministic deltas), so its deletion loses
+    nothing. The reserved ``-1`` id (never a real batch id) still
+    prevents writer/compactor partition collision."""
+    df = spark.read.parquet(delta_dir)
+    batch_ids = [r[0] for r in df.select("ingest_batch").distinct().collect()]
+    if _after_pin is not None:
+        _after_pin()  # test-only: simulate a delta landing mid-compaction
+    # Re-read so the file index sees any partition written after the pin
+    # (it must NOT be merged — the isin filter excludes it — and must
+    # NOT be deleted — its id is not pinned).
+    snap = spark.read.parquet(delta_dir).filter(
+        F.col("ingest_batch").isin(batch_ids)
+    )
+    merged = snap.groupBy(*group_cols).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    ).withColumn("ingest_batch", F.lit(-1))
+    staged = merged.localCheckpoint(eager=True)  # read fully before overwrite
+    (
+        staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")  # touch ONLY -1
+        .partitionBy("ingest_batch")  # keep the delta layout for the writer
+        .parquet(delta_dir)
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for b in batch_ids:
+        if b == -1:
+            continue  # the compacted partition we just rewrote
+        p = jvm.org.apache.hadoop.fs.Path(f"{delta_dir}/ingest_batch={b}")
+        p.getFileSystem(hconf).delete(p, True)
+
+
 def compact_gram(spark: SparkSession, gram_dir: str) -> None:
     """Fold all batch-delta partitions into a single partition holding
     their sums — the changelog compaction step (same economics as the
     router's): read cost of :func:`read_gram` drops from d²·batches
     rows back to d², and the stream keeps appending new deltas after.
-    Uses partition id -1 (never a real batch id) so an in-flight
-    writer's next `ingest_batch=N` overwrite cannot collide with the
-    compacted partition."""
-    merged = read_gram(spark, gram_dir).withColumn("ingest_batch", F.lit(-1))
-    staged = merged.localCheckpoint(eager=True)  # read fully before overwrite
-    (
-        staged.write.mode("overwrite")
-        .partitionBy("ingest_batch")  # keep the delta layout for the writer
-        .parquet(gram_dir)
+    Safe to run against a live stream: see :func:`_compact_deltas` for
+    the snapshot-pin / dynamic-overwrite / targeted-delete protocol."""
+    _compact_deltas(
+        spark, gram_dir, ["dim_i", "dim_j"], ["n", "sum_i", "sum_j", "sum_prod"]
     )
 
 
@@ -347,14 +399,9 @@ def compact_histogram(spark: SparkSession, hist_dir: str) -> None:
     """Fold all batch-delta partitions into the reserved ``-1``
     partition (same economics and collision rule as
     :func:`compact_gram`): read cost drops from buckets·batches rows
-    back to buckets, and the stream keeps appending new deltas after."""
-    merged = read_histogram(spark, hist_dir).withColumn("ingest_batch", F.lit(-1))
-    staged = merged.localCheckpoint(eager=True)  # read fully before overwrite
-    (
-        staged.write.mode("overwrite")
-        .partitionBy("ingest_batch")
-        .parquet(hist_dir)
-    )
+    back to buckets, and the stream keeps appending new deltas after.
+    Live-stream-safe via :func:`_compact_deltas`."""
+    _compact_deltas(spark, hist_dir, ["bucket"], ["counter"])
 
 
 def run_binarize_stream(

@@ -453,3 +453,70 @@ def test_scorecard_stream_equals_batch_and_trends(spark, tmp_path):
     assert got == {k: int(v) for k, v in want.items()}
     # one delta row per batch = the trend line
     assert spark.read.parquet(out).count() == 2
+
+
+def test_compact_gram_survives_concurrent_delta(spark, tmp_path):
+    """The round-7 advice race: a delta partition written BETWEEN the
+    compactor's snapshot pin and its partition deletes must survive
+    with its counts intact (the old static full-table overwrite deleted
+    it). The _after_pin hook injects the concurrent write at exactly
+    the race window."""
+    from kafka_streams_spark.operators.similarity import embedding_gram
+    from kafka_streams_spark.streaming.sketch_stream import (
+        _compact_deltas,
+        read_gram,
+        run_gram_stream,
+    )
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    gram = str(tmp_path / "gram")
+    ckpt = str(tmp_path / "ckpt")
+    _write(src, "b1.json", EMBS_A)
+    q = run_gram_stream(spark, src, gram, ckpt)
+    try:
+        q.processAllAvailable()
+        _write(src, "b2.json", EMBS_B)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    late = spark.createDataFrame(
+        [(9, [4.0, 0.5, -1.0], "b")],
+        "vec_id bigint, embedding array<double>, label string",
+    )
+
+    def concurrent_write():
+        (
+            embedding_gram(late, scale=10**3)
+            .withColumn("ingest_batch", F.lit(99))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(gram)
+        )
+
+    _compact_deltas(
+        spark,
+        gram,
+        ["dim_i", "dim_j"],
+        ["n", "sum_i", "sum_j", "sum_prod"],
+        _after_pin=concurrent_write,
+    )
+
+    # the mid-compaction delta partition survives, uncompacted
+    parts = {
+        r[0]
+        for r in spark.read.parquet(gram).select("ingest_batch").distinct().collect()
+    }
+    assert parts == {-1, 99}
+    # and the merged statistic equals the batch gram of EVERYTHING
+    all_embs = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"], r["label"]) for r in EMBS_A + EMBS_B]
+        + [(9, [4.0, 0.5, -1.0], "b")],
+        "vec_id bigint, embedding array<double>, label string",
+    )
+    expected = embedding_gram(all_embs, scale=10**3)
+    assert sorted(map(tuple, read_gram(spark, gram).collect())) == sorted(
+        map(tuple, expected.collect())
+    )

@@ -1061,3 +1061,47 @@ def test_compression_ratio_matches_zlib_and_orders_entropy(spark):
         assert abs(r["ratio"] - round(len(comp) / len(raw), 6)) < 1e-12
     assert got[1]["ratio"] < 0.1 < got[2]["ratio"]
     assert got[3]["ratio"] is None and got[3]["n_bytes"] == 0
+
+
+def test_corpus_diff_null_text_statuses(spark):
+    """NULL text is in-contract (round-7 advice fix): presence flags —
+    not the md5 digest, which is NULL for NULL text — decide
+    added/removed, and digests compare null-safely for
+    changed/unchanged."""
+    from kafka_streams_spark.operators.pipelines import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (3, None), (5, None)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",  # NULL == NULL null-safely
+        2: "removed",    # NULL-text doc only in old (was 'added' pre-fix)
+        3: "changed",    # real -> NULL
+        4: "removed",
+        5: "added",      # NULL-text doc only in new
+    }
+
+
+def test_remove_boilerplate_null_text_keeps_row(spark):
+    """NULL-text docs keep their output row with 0 kept / 0 removed
+    (round-7 advice fix): split(NULL) is NULL and posexplode of NULL
+    emits nothing, so the text is coalesced to '' before the split —
+    the doc-count-stability contract holds for NULL too."""
+    from kafka_streams_spark.operators.text import remove_boilerplate
+
+    docs = spark.createDataFrame(
+        [(1, "spam"), (2, "spam"), (3, None), (4, "keep me")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_removed"])
+        for r in remove_boilerplate(docs, min_docs=2).collect()
+    }
+    assert got[3] == ("", 0, 0)
+    assert len(got) == 4

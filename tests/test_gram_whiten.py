@@ -640,3 +640,50 @@ def test_residual_adc_fidelity_not_worse_than_raw(spark, sf_dir):
         .collect()[0]
     )
     assert r["res"] <= r["raw"] * 1.02, (r["res"], r["raw"])
+
+
+def test_embedding_gram_quarantines_null_and_ragged(spark):
+    """NULL embedding rows are filtered JVM-side before the Arrow pass
+    (round-7 advice fix — one bad row must not kill a gram stream);
+    with dim= set, ragged rows are quarantined too. The statistic over
+    the dirty frame equals the clean-subset statistic."""
+    from kafka_streams_spark.operators.similarity import embedding_gram
+
+    dirty = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 0.5]),
+            (2, None),
+            (3, [0.25, -1.0, 3.0]),
+            (4, [9.0]),  # ragged
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    clean = dirty.filter("vec_id IN (1, 3)")
+    got = sorted(
+        map(tuple, embedding_gram(dirty, scale=10**3, dim=3).collect())
+    )
+    want = sorted(map(tuple, embedding_gram(clean, scale=10**3).collect()))
+    assert got == want
+    # without dim=, NULLs are still quarantined (ragged-free frame)
+    no_ragged = dirty.filter("vec_id != 4")
+    got2 = sorted(map(tuple, embedding_gram(no_ragged, scale=10**3).collect()))
+    assert got2 == want
+
+
+def test_whiten_embeddings_skips_null_rows(spark):
+    """whiten's apply pass shares the quarantine: a NULL row gets no
+    whitened output rows and does not crash the Arrow projection."""
+    from kafka_streams_spark.operators.similarity import whiten_embeddings
+
+    embs = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, [2.0, 1.0]),
+            (3, [0.0, -1.0]),
+            (4, None),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = whiten_embeddings(embs, scale=10**3)
+    ids = {r["vec_id"] for r in out.select("vec_id").distinct().collect()}
+    assert ids == {1, 2, 3}
