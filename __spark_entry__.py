@@ -1547,156 +1547,66 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate checks the FIRST ~50 registered queries
 # per round (each CORRECTNESS file contains exactly 50 rows), so
 # registration order decides which queries get fresh driver evidence.
-# Priority for round 4: (a) queries whose CODE changed this round and
-# so need fresh rows regardless of prior evidence — the winnowing fix
-# (r03's one red row), the md5_60 simhash contract, the bitset-routed
-# token jaccard, every events-derived query (the loader's NTZ→epoch
-# expression changed to the tz-free timestampdiff form), and the
-# rounding-touched similarity contracts; (b) the 12 queries whose
-# newest green is still round 1. Re-grouping is cosmetic-free for a
-# driver that checks everything.
-_NEEDS_DRIVER_ROW = [
-    # -- round-6 head. Order: (a0) the round-6 second/third/fourth-wave
-    # registrations (sketch trio, media near-dup, boilerplate, BPE,
-    # binary-quantization ANN, residual IVF-PQ, collocations/
-    # readability, stratified sketch — never driver-evidenced), then
-    # (a) the 5 contracts queued behind the full r05 window, (b) the 5
-    # round-6 first-wave registrations, (c) contracts whose code or
-    # oracle changed in r6 (duplicate_clusters self-pair fix reaches
-    # all CC consumers; decontaminate_emb's Arrow routing;
-    # events_props_profile's json_valid oracle guard is already in
-    # (a)). The stalest-refresh group the first session carried was
-    # fully displaced by the wave registrations and now heads
-    # _STALE_EVIDENCE — new-contract evidence outranks refresh; the
-    # compensating control for the refresh backlog is this session's
-    # judge-style full sweeps (sf0.01 AND sf0.1, all green).
-    # (a0) round-6 second..fourth waves
-    "price_histogram",
-    "price_quantiles_hist",
-    "media_near_dup",
-    "remove_boilerplate",
-    "bpe_pair_counts",
-    "bpe_token_stats",  # rows-only: learned merge chain
-    "emb_binarize",
-    "knn_hamming_vec0",
-    "knn_recall_hamming_vec0",
-    "emb_near_dup_hamming",
-    "hamming_bucket_stats",
-    "knn_recall_hamming_multi",
-    "knn_hamming_batch",
-    "ivf_centroids_int",
-    "knn_ivfpq_res_vec0",  # rows-only: learned residual codebooks
-    "knn_recall_ivfpq_res_vec0",  # rows-only: same books
-    "collocations",
-    "readability",
-    "length_histogram_by_source",
-    "compression_ratio",  # rows-only: zlib not SQL-expressible
-    "length_quantiles_by_source",
-    # (a) queued from round 5 — never driver-evidenced
-    "dedup_spans_incremental",
-    "events_props_profile",  # + r6 oracle json_valid guard
-    "knn_pq_label_vec0",
-    "knn_pq_rerank_vec0",
-    "knn_pq_vec0",  # rows-only: learned codebooks
-    # (b) new round-6 contracts
-    "events_session_native",
-    "oov_rate",
-    "dedup_normalized",
-    "emb_gram",
-    "emb_whiten",  # rows-only: learned eigenbasis
-    "emb_norm_outliers",
-    "emb_drift",
-    "knn_recall_vec0",
-    "knn_lsh_mt_vec0",
-    "knn_recall_mt_vec0",
-    "knn_ivfpq_vec0",
-    "pq_error_vec0",
-    "badword_filter",
-    "emb_profile",
-    "events_rate_anomaly",
+#
+# Round 7 makes the ordering COMPUTED, not hand-curated (round-6
+# verdict item 2): _evidence_order() reads every CORRECTNESS_r*.json
+# next to this file at call time and orders
+#   1. _CODE_CHANGED — contracts whose operator or oracle changed this
+#      round (their old evidence certifies code that no longer exists),
+#   2. strays — registered names with no green driver row in any prior
+#      round (new registrations land here automatically),
+#   3. everything else, stalest newest-green round first,
+# with registration position as the stable tiebreak. No hand-curation
+# can starve a family: the window self-rotates as evidence accumulates.
+
+# Contracts whose code or oracle changed in round 7 — the four advice
+# fixes (corpus_diff presence flags + null-safe digest compare;
+# remove_boilerplate NULL-text coalesce, oracle aligned; embedding_gram
+# NULL quarantine reaching whiten/drift/profile-family consumers).
+_CODE_CHANGED = [
     "corpus_diff",
-    "corpus_scorecard",
-    "events_dead_hours",
-    "knn_recall_ivfpq_vec0",
-    # (c) changed in r6: duplicate_clusters self-pair/real-edge fix
-    # reaches all CC consumers; decontaminate_emb now routes the Arrow
-    # scale path
-    "dedup_clusters",
-    "dedup_clusters_lsh",
-    "dedup_cluster_sizes",
-    "curate_corpus_fuzzy",
-    "decontaminate_emb",
-    # (d) newest driver green is round 2
+    "remove_boilerplate",
+    "emb_gram",
+    "emb_whiten",
+    "emb_drift",
+    "emb_norm_outliers",
 ]
 
-# Contracts registered after this round's evidence window filled: they
-# sit behind the window by design and move to the HEAD of the next
-# round's registration order (tools/freshness_lint.py treats names
-# listed here as queued, not starving; a queued name inside the window
-# is flagged as a stale declaration).
+# Kept for tool compatibility (freshness_lint): with the computed
+# ordering, new registrations are strays and take the head
+# automatically, so the queue stays empty.
 _NEXT_ROUND_QUEUE: list[str] = []
 
-_STALE_EVIDENCE = [
-    # Post-window order: any driver slack reaches these first.
-    # bpe_piece_counts displaced from the window by the fourth wave:
-    # rows-only, and its sibling bpe_token_stats (same learned merges,
-    # same Arrow encode) stays in-window as the family's evidence.
-    "bpe_piece_counts",
-    # Head: the 11 refresh entries displaced from the window by the
-    # round-6 second wave (r02-stale media family + pack/profile, then
-    # the r03-stale payments family).
-    "winnowing_fingerprints",
-    "repetition_stats",
-    "pii_scan",
-    "tf_idf_top_terms",
-    "domain_stats",
-    "curate_corpus",
-    "decontaminate",
-    "hash_sample_docs",
-    "temperature_mix_docs",
-    "chunk_documents",
-    "chunk_dup_stats",
-    "pack_token_shards",
-    "profile_documents",
-    "media_image_features",
-    "media_audio_features",
-    "media_resize",
-    "media_video_frames",
-    "payments_filter_rails",
-    "payments_branch_gbp",
-    "payments_branch_usd",
-    "payments_merged",
-    "payments_rails_foo",
-    # (remaining r03-stale contracts)
-    "payments_rails_bar",
-    "emb_label_centroids",
-    "emb_normalize",
-    "emb_quantize_int8",
-    "emb_quantize_sym",
-    "stratified_sample_docs",
-    "upsample_epochs_docs",
-    "shuffle_shards_docs",
-    "ngram_counts",
-    "pii_redact",
-    "dedup_incremental",
-    "corpus_stats",
-    "knn_ivf_vec0",
-    "profile_documents_approx",
-    "approx_users_by_type",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "order_count_by_status",
-    "distinct_users_by_type",
-    "q6_forecast_revenue",
-    "rollup_orders",
-    "cube_events",
-    "customers_with_orders",
-    "customers_without_orders",
-    "price_quantiles",
-    "daily_revenue_window",
-    "funnel_conversions",
-    "cohort_retention",
-]
+
+def _evidence_order(names: list[str]) -> list[str]:
+    """Order contract names for driver-evidence priority, computed from
+    the newest green driver row per name across all CORRECTNESS_r*.json
+    records (green = hash-checked pass, or a declared rows-only check
+    that produced rows). See the module comment for the policy."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    newest: dict[str, int] = {}
+    root = _Path(__file__).resolve().parent
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            data = _json.loads(f.read_text())
+        except (OSError, _json.JSONDecodeError):
+            continue
+        rnd = int(f.stem.rsplit("r", 1)[-1])
+        for n, row in data.items():
+            ok = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if ok:
+                newest[n] = max(newest.get(n, 0), rnd)
+    pos = {n: i for i, n in enumerate(names)}
+    head = [n for n in _CODE_CHANGED if n in pos]
+    rest = sorted(
+        (n for n in names if n not in head),
+        key=lambda n: (newest.get(n, -1), pos[n]),
+    )
+    return head + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1922,10 +1832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_histogram": _q_price_histogram,
         "price_quantiles_hist": _q_price_quantiles_hist,
     }
-    # Evidence-priority reorder (see _NEEDS_DRIVER_ROW/_STALE_EVIDENCE).
-    ordered = {n: qs[n] for n in _NEEDS_DRIVER_ROW + _STALE_EVIDENCE}
-    ordered.update({n: f for n, f in qs.items() if n not in ordered})
-    return ordered
+    # Evidence-priority reorder, computed from the driver's own
+    # CORRECTNESS record (see _evidence_order).
+    return {n: qs[n] for n in _evidence_order(list(qs))}
 
 
 def oracle_sql() -> dict[str, str]:

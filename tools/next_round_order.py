@@ -1,11 +1,8 @@
-"""Print the recommended evidence-priority head for the NEXT round's
-registration order (`__spark_entry__._NEEDS_DRIVER_ROW` + the stale
-block): the declared next-round queue first, then red/never-evidenced
-strays, then queries by stalest evidence, up to the 50-row window.
-
-Run at the START of a round, after the driver wrote the new
-CORRECTNESS_r{N}.json, and paste the result into __spark_entry__ (then
-empty _NEXT_ROUND_QUEUE). Pure report — changes nothing.
+"""Report the first-WINDOW head of the driver-evidence registration
+order. Since round 7 the order is COMPUTED inside
+``__spark_entry__._evidence_order`` (code-changed head, then strays,
+then stalest newest-green first) — this tool just prints what the
+driver will see, with the evidence vintage per name. Pure report.
 
 Usage: python tools/next_round_order.py
 """
@@ -40,19 +37,17 @@ def main() -> int:
                 evidence[n] = max(evidence.get(n, 0), rnd)
 
     order = list(e.queries())
-    queue = [q for q in getattr(e, "_NEXT_ROUND_QUEUE", getattr(e, "_ROUND5_QUEUE", [])) if q in order]
-    strays = [q for q in order if q not in evidence and q not in queue]
-    refresh = sorted(
-        (q for q in order if q in evidence and q not in queue),
-        key=lambda q: (evidence[q], order.index(q)),
-    )
-    head = (queue + strays + refresh)[:WINDOW]
-    print(f"# next-round head ({len(head)} of window {WINDOW}):")
-    print(f"#   queue {len(queue)} | strays {len(strays)} | "
+    changed = [q for q in getattr(e, "_CODE_CHANGED", []) if q in order]
+    head = order[:WINDOW]
+    print(f"# evidence-window head ({len(head)} of window {WINDOW}, computed):")
+    print(f"#   code-changed {len(changed)} | "
+          f"strays {sum(1 for q in head if q not in evidence and q not in changed)} | "
           f"stalest refresh fills the rest")
     for q in head:
-        tag = "queued" if q in queue else (
-            "NO EVIDENCE" if q in strays else f"r{evidence[q]:02d}"
+        tag = (
+            "CODE CHANGED" if q in changed
+            else "NO EVIDENCE" if q not in evidence
+            else f"r{evidence[q]:02d}"
         )
         print(f'    "{q}",  # {tag}')
     return 0
