@@ -1570,6 +1570,10 @@ _CODE_CHANGED = [
     "emb_whiten",
     "emb_drift",
     "emb_norm_outliers",
+    # r7 fuzz-ring find: NULL user_id declared out-of-contract on both
+    # engines (the score join-back silently dropped it; the oracle's
+    # global ntile kept it)
+    "rfm_scores",
 ]
 
 # Kept for tool compatibility (freshness_lint): with the computed

@@ -1230,7 +1230,13 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "events")
-    per_user = e.groupBy("user_id").agg(
+    # NULL user_id is out-of-contract: an anonymous event stream has no
+    # customer to score, and the per-dimension score join-back is an
+    # equi-join that would silently drop the NULL group anyway (NULL
+    # never equi-matches) while a global-ntile formulation keeps it —
+    # the r7 fuzz ring caught exactly that divergence. Filter it
+    # explicitly on BOTH engines.
+    per_user = e.filter(F.col("user_id").isNotNull()).groupBy("user_id").agg(
         F.max("ts").cast("bigint").alias("recency_ns"),
         F.count("*").cast("bigint").alias("frequency"),
         F.sum(_cents("value")).cast("bigint").alias("monetary_cents"),

@@ -2642,7 +2642,9 @@ ANALYTICS_ORACLES["rfm_scores"] = f"""
                CAST(max(epoch_ns(ts)) AS BIGINT) AS recency_ns,
                CAST(count(*) AS BIGINT) AS frequency,
                CAST(SUM({_cents_sql('value')}) AS BIGINT) AS monetary_cents
-        FROM events GROUP BY user_id
+        FROM events
+        WHERE user_id IS NOT NULL  -- anonymous events: out-of-contract (r7)
+        GROUP BY user_id
     )
     SELECT user_id, recency_ns, frequency, monetary_cents,
            CAST(ntile(5) OVER (ORDER BY recency_ns, user_id) AS INTEGER)

@@ -91,6 +91,32 @@ class PlanAudit:
         rows — never a global sort shuffle."""
         return "TakeOrderedAndProject" in self.plan
 
+    @property
+    def num_unpartitioned_windows(self) -> int:
+        """WindowExec nodes with NO partition spec — every row moves to
+        ONE partition, the classic scale-killer (the r4 ``corpus_drift``
+        regression class). A ``Window`` plan line prints its bracket
+        groups as ``[funcs]``, then optionally ``[partSpec]`` and/or
+        ``[orderSpec]``: one group = global unpartitioned; two groups =
+        unpartitioned iff the trailing group is an ORDER spec (contains
+        an ASC/DESC direction — partition specs never print one); three
+        groups = partitioned. Must be zero unless the window provably
+        runs over a bounded table (per-day spine, ≤k head,
+        centroid/bucket tables) — see
+        tests/test_plan_audit.py::test_no_unpartitioned_window_outside_whitelist."""
+        n = 0
+        for line in self.plan.splitlines():
+            m = re.search(r"(?:^|[\s+:-])Window (\[.*)$", line)
+            if not m:
+                continue
+            groups = m.group(1).split("], [")
+            if len(groups) == 1 or (
+                len(groups) == 2
+                and re.search(r" (ASC|DESC)\b", groups[-1])
+            ):
+                n += 1
+        return n
+
     def scans_column(self, col: str) -> bool:
         return any(col in s for s in self.read_schemas)
 

@@ -93,7 +93,61 @@ FUZZ_QUERIES = [
     "readability",
     "length_histogram_by_source",
     "length_quantiles_by_source",
+    # fourth ring (r7 co-registration sweep): every remaining
+    # documents-only oracle joins the firing corpus
+    "contamination_report",
+    "corpus_diff",
+    "corpus_overlap",
+    "curate_corpus",
+    "curate_corpus_fuzzy",
+    "curate_increment",
+    "decontaminate",
+    "dedup_exact_rows",
+    "dedup_incremental",
+    "dedup_incremental_bloom",
+    "dedup_incremental_fuzzy",
+    "dedup_ngram_jaccard",
+    "dedup_spans_incremental",
+    "dedup_token_jaccard_prefix",
+    "domain_stats",
+    "gate_agreement",
+    "knn_text_vec0",
+    "pii_redact",
+    "profile_documents",
+    "weighted_jaccard",
 ]
+
+# Contracts that legitimately sit outside every ring, with the reason
+# the lint (tools/fuzz_ring_lint.py) accepts them:
+FUZZ_EXEMPT = {
+    # rows-only — no oracle to differentially compare (learned steps,
+    # sketches, sequential algorithms; the driver's rows-only check and
+    # their model-pinned unit tests are the gate)
+    "approx_users_by_type": "rows-only (HLL++ sketch, no oracle)",
+    "profile_documents_approx": "rows-only (HLL++ sketch, no oracle)",
+    "bpe_piece_counts": "rows-only (learned BPE merges, no oracle)",
+    "bpe_token_stats": "rows-only (learned BPE merges, no oracle)",
+    "compression_ratio": "rows-only (zlib DEFLATE, no oracle)",
+    "emb_kcenter": "rows-only (sequential argmax, no oracle)",
+    "emb_whiten": "rows-only (learned eigenbasis, no oracle)",
+    "knn_ivf_vec0": "rows-only (learned KMeans index, no oracle)",
+    "knn_ivfpq_res_vec0": "rows-only (learned residual codebooks)",
+    "knn_recall_ivfpq_res_vec0": "rows-only (learned residual codebooks)",
+    "knn_pq_vec0": "rows-only (learned codebooks, no oracle)",
+    # media family: inputs are synthesize_media()'s deterministic fake
+    # payloads, mirrored literally in the oracle — there is no external
+    # input surface to fuzz (the payload generator IS the contract)
+    "media_image_features": "self-synthesized deterministic payloads",
+    "media_audio_features": "self-synthesized deterministic payloads",
+    "media_resize": "self-synthesized deterministic payloads",
+    "media_video_frames": "self-synthesized deterministic payloads",
+    "media_dedup": "self-synthesized deterministic payloads",
+    "media_near_dup": "self-synthesized deterministic payloads",
+    # registers catalog views over every table; the fuzz dirs
+    # materialize single tables — covered by the driver corpus where
+    # all ten tables exist (see PAYMENT_FUZZ_QUERIES note)
+    "sql_balances": "needs all ten catalog tables (driver corpus covers)",
+}
 
 WORDS = [
     "spark", "join", "window", "hash", "merge", "scan", "sort", "café",
@@ -211,6 +265,10 @@ EVENT_FUZZ_QUERIES = [
     "asof_purchase_click",
     "pivot_events",
     "distinct_users_by_type",
+    # r7 co-registration sweep
+    "cube_events",
+    "events_attribution",
+    "rfm_scores",
 ]
 
 
@@ -332,6 +390,11 @@ EMB_FUZZ_QUERIES = [
     "pq_error_vec0",
     "knn_recall_ivfpq_vec0",
     "decontaminate_emb",
+    # r7 co-registration sweep: the connected-components family's
+    # contract wrappers read the embeddings table
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "dedup_cluster_sizes",
 ]
 
 
@@ -392,6 +455,8 @@ TPCH_FUZZ_QUERIES = [
     "order_count_by_status", "rollup_orders", "customers_with_orders",
     "customers_without_orders", "top_orders_per_customer", "orders_enriched",
     "price_quantiles", "price_histogram", "price_quantiles_hist",
+    # r7 co-registration sweep
+    "daily_revenue_window",
 ]
 
 

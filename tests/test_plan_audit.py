@@ -492,3 +492,55 @@ def test_dedup_spans_incremental_digest_only_join(spark, sf_dir):
     assert "CartesianProduct" not in a.join_strategies, a.join_strategies
     assert a.has_partial_aggregation, a.plan
     assert "LeftSemi" in a.plan, a.plan
+
+
+def test_no_unpartitioned_window_outside_whitelist(spark, sf_dir, monkeypatch):
+    """STRUCTURAL GUARD (round-6 verdict item 6): every WindowExec with
+    no partition spec moves ALL rows to one partition — a scale-killer
+    unless the window provably runs over a bounded-by-design table.
+    This sweep walks EVERY contract query's physical plan and fails if
+    an unpartitioned window appears outside the documented whitelist,
+    making the r4 `corpus_drift` regression class (a global window over
+    a corpus-sized table slipping in) structurally impossible.
+
+    Whitelist — each entry names its bounded source:
+      daily_revenue_window   per-day calendar spine (analytics.py w_cum/w_7d)
+      dsir_logratio          n_buckets-row hash-bucket stats (text.py)
+      gate_agreement         2^3-row gate contingency table (pipelines.py)
+      knn_ivf_label_vec0,
+      knn_ivfpq_vec0,
+      knn_recall_ivfpq_vec0  centroid-count cell-rank tables (similarity.py)
+      price_quantiles_hist   histogram bucket table (profiling.py)
+      rfm_scores             3x <=256-row rank-offset tables
+                             (functions/partitioning.py exact_global_rank)
+      zipf_fit               <=k Zipf head (text.py)
+    """
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    # audit the LOGICAL shape — checkpoints would hide subtree windows
+    monkeypatch.setenv("SPARK_GRAFT_NO_CKPT", "1")
+    import __spark_entry__ as e
+
+    allowed = {
+        "daily_revenue_window": 1,
+        "dsir_logratio": 1,
+        "gate_agreement": 1,
+        "knn_ivf_label_vec0": 1,
+        "knn_ivfpq_vec0": 1,
+        "knn_recall_ivfpq_vec0": 1,
+        "price_quantiles_hist": 1,
+        "rfm_scores": 3,
+        "zipf_fit": 1,
+    }
+    offenders = {}
+    for name, fn in e.queries().items():
+        k = audit(fn(spark, sf_dir)).num_unpartitioned_windows
+        if k > allowed.get(name, 0):
+            offenders[name] = k
+    assert not offenders, (
+        f"unpartitioned WindowExec outside the bounded-table whitelist: "
+        f"{offenders} — partition the window or document boundedness and "
+        f"extend the whitelist"
+    )
