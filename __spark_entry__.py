@@ -1523,6 +1523,22 @@ def _q_price_quantiles_hist(spark, sf_dir):
     return histogram_quantiles(h, [0.25, 0.5, 0.75, 0.9, 0.99], bin_width_cents=1_000_000)
 
 
+def _q_knn_auto_vec0(spark, sf_dir):
+    """Production ANN chooser (similarity.py knn_auto): walks the
+    cost-ordered ladder, audits each path's recall@k, routes to the
+    first meeting the target. Contract config pins ladder =
+    (single, hamming) at target 0.8 so the DuckDB twin derives the SAME
+    route from the same audit CTEs (single 4-5/10 fails, hamming 10/10
+    passes → route 'hamming' on this corpus) — the dispatch decision
+    itself is differentially checked, not just the chosen top-k."""
+    from kafka_streams_spark.operators.similarity import knn_auto
+
+    return knn_auto(
+        _embs(spark, sf_dir), query_id=0, k=10, recall_target=0.8,
+        ladder=("single", "hamming"),
+    )
+
+
 def _q_emb_whiten(spark, sf_dir):
     """PCA whitening — rows-only: the driver-side eigensolve is a
     learned step (IVF/PQ class); NumPy-model equality and the exact
@@ -1835,6 +1851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_piece_counts": _q_bpe_piece_counts,
         "price_histogram": _q_price_histogram,
         "price_quantiles_hist": _q_price_quantiles_hist,
+        # -- round-7 additions --
+        "knn_auto_vec0": _q_knn_auto_vec0,
     }
     # Evidence-priority reorder, computed from the driver's own
     # CORRECTNESS record (see _evidence_order).

@@ -2649,3 +2649,105 @@ def ivfpq_residual_topk_to_id(
         .limit(k)
         .select(F.col(id_col), F.round("_sim", 6).alias("cosine_sim"))
     )
+
+
+ANN_LADDER = ("single", "hamming", "multitable", "ivfpq")
+"""Default cost-ordered ANN candidate ladder for :func:`knn_auto` —
+cheapest per-query touch first: single-table LSH (one bucket
+neighborhood), binary hamming (full scan but 8-byte signatures + one
+popcount per row), multitable LSH (n_tables buckets), IVF-PQ (cell
+probe + ADC). Exact brute force is the implicit last rung."""
+
+
+def knn_auto(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    recall_target: float = 0.8,
+    ladder: tuple[str, ...] = ANN_LADDER,
+    dim: int = 64,
+    n_planes: int = 6,
+    multiprobe_hamming: int = 2,
+    mt_planes: int = 4,
+    n_tables: int = 4,
+    shortlist: int = 100,
+    n_probe: int = 2,
+    codebooks: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production ANN chooser: walk the cost-ordered ``ladder`` of
+    audited paths, run each path's :func:`knn_recall_audit` at its
+    configured budget, and ROUTE to the first whose measured recall@k
+    meets ``recall_target`` — exact brute force if none does. The
+    ``hamming_dispatch_choice`` pattern one level up: round 6 left four
+    audited paths with measured recall side by side (single LSH 4/10,
+    multitable 8/10, binary 10/10 at shortlist=100, IVF-PQ
+    probe-limited) but no single entry point that applies the verdict;
+    this is that entry point.
+
+    The audits are 1-row bounded aggregates — each ``collect()`` is a
+    dispatch decision over one row, the same bounded-driver-action
+    budget the pigeonhole/brute auto-dispatch already spends (never a
+    corpus-sized collect). At deployment scale, run the audit leg on a
+    sampled corpus slice and reuse the decision for the query batch;
+    the routing rule itself is corpus-size-free.
+
+    Residual IVF-PQ is deliberately NOT on the default ladder: the
+    round-7 clustered re-measure (tests/test_ivfpq_clustered.py) shows
+    residual codebooks only beat raw when cells >> k AND cell spread >>
+    within-cell noise — a property the audit must demonstrate per
+    corpus before the rung is added (pass a custom ``ladder`` +
+    residual ``codebooks`` to do so).
+
+    Output: (route string, vec_id) — the chosen path's exact-re-ranked
+    top-k ids plus the route label, so the dispatch decision itself is
+    differentially checkable (the DuckDB twin derives the route from
+    the same audit CTEs).
+    """
+    need = int(math.ceil(float(recall_target) * k))
+    route = "exact"
+    for method in ladder:
+        if method in ("ivfpq", "ivfpq_res") and codebooks is None:
+            continue
+        hits = knn_recall_audit(
+            embeddings, query_id, k=k, dim=dim,
+            n_planes=(mt_planes if method == "multitable" else n_planes),
+            multiprobe_hamming=multiprobe_hamming, n_tables=n_tables,
+            method=method, codebooks=codebooks, n_probe=n_probe,
+            shortlist=shortlist, id_col=id_col, vec_col=vec_col,
+        ).collect()[0]["n_hits"]
+        if hits >= need:
+            route = method
+            break
+    if route == "single":
+        indexed, _planes = build_lsh_index(
+            embeddings, dim=dim, n_planes=n_planes, vec_col=vec_col
+        )
+        top = knn_lsh_to_id(
+            indexed, query_id, k, id_col, vec_col, multiprobe_hamming
+        )
+    elif route == "hamming":
+        top = knn_hamming_to_id(
+            embeddings, query_id, k, shortlist=shortlist,
+            id_col=id_col, vec_col=vec_col,
+        )
+    elif route == "multitable":
+        top = knn_lsh_multitable(
+            embeddings, query_id, k, dim, mt_planes, n_tables, id_col, vec_col
+        )
+    elif route == "ivfpq":
+        top = ivfpq_topk_to_id(
+            embeddings, codebooks, query_id, k,
+            n_probe=n_probe, shortlist=shortlist,
+            id_col=id_col, vec_col=vec_col,
+        )
+    elif route == "ivfpq_res":
+        top = ivfpq_residual_topk_to_id(
+            embeddings, codebooks, query_id, k,
+            n_probe=n_probe, shortlist=shortlist,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        top = knn_to_id(embeddings, query_id, k, id_col, vec_col)
+    return top.select(F.lit(route).alias("route"), F.col(id_col))

@@ -3723,6 +3723,30 @@ ANALYTICS_ORACLES["price_quantiles_hist"] = f"""
     GROUP BY q
 """
 
+# knn_auto (similarity.py): the production ANN chooser's dispatch
+# decision, differentially checked — the twin composes the ALREADY
+# ORACLE-CHECKED audit and top-k queries of the contract ladder
+# (single-table LSH, then binary hamming) as CTEs, derives the route
+# with the same >= ceil(0.8*k) rule, and selects the routed path's
+# top-k ids. Spark picks the route driver-side from 1-row audits;
+# DuckDB derives it in SQL — agreement checks the dispatch itself.
+SIMILARITY_ORACLES["knn_auto_vec0"] = f"""
+    WITH s_audit AS ({SIMILARITY_ORACLES["knn_recall_vec0"]}),
+    h_audit AS ({SIMILARITY_ORACLES["knn_recall_hamming_vec0"]}),
+    pick AS (SELECT CASE
+        WHEN (SELECT n_hits FROM s_audit) >= 8 THEN 'single'
+        WHEN (SELECT n_hits FROM h_audit) >= 8 THEN 'hamming'
+        ELSE 'exact' END AS route),
+    single_k AS ({SIMILARITY_ORACLES["knn_lsh_vec0"]}),
+    ham_k AS ({SIMILARITY_ORACLES["knn_hamming_vec0"]}),
+    exact_k AS ({SIMILARITY_ORACLES["knn_vec0"]})
+    SELECT route, vec_id FROM single_k, pick WHERE route = 'single'
+    UNION ALL
+    SELECT route, vec_id FROM ham_k, pick WHERE route = 'hamming'
+    UNION ALL
+    SELECT route, vec_id FROM exact_k, pick WHERE route = 'exact'
+"""
+
 ALL_ORACLES = {
     **PAYMENT_ORACLES,
     **ANALYTICS_ORACLES,

@@ -395,6 +395,10 @@ EMB_FUZZ_QUERIES = [
     "dedup_clusters",
     "dedup_clusters_lsh",
     "dedup_cluster_sizes",
+    # r7: ANN chooser — BOTH the dispatch decision and the routed
+    # top-k must agree cross-engine on a corpus where the audits may
+    # resolve differently than the driver corpus
+    "knn_auto_vec0",
 ]
 
 
