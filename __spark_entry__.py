@@ -1523,6 +1523,37 @@ def _q_price_quantiles_hist(spark, sf_dir):
     return histogram_quantiles(h, [0.25, 0.5, 0.75, 0.9, 0.99], bin_width_cents=1_000_000)
 
 
+def _q_price_rank_sketch(spark, sf_dir):
+    """Mergeable bottom-k rank sketch over an UNBOUNDED value range
+    (profiling.py rank_sketch) — the KMV/theta-family companion to the
+    fixed-grid price_histogram: k+1 rows of state with no range guess,
+    deterministic (md5-selected sample), hence fully oracle-checked
+    where KLL/GK internals could only be rows-only."""
+    from kafka_streams_spark.operators.profiling import rank_sketch
+    from kafka_streams_spark.sources.testdata import load_table
+
+    return rank_sketch(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey", k=256
+    )
+
+
+def _q_price_rank_quantiles(spark, sf_dir):
+    """Quantiles read off the bottom-k rank sketch — sampling-bound
+    estimates (O(n/sqrt k) rank error) vs price_quantiles_hist's
+    one-bin-width bound; the pair shows the range-free/range-gridded
+    trade side by side on the same column."""
+    from kafka_streams_spark.operators.profiling import (
+        rank_sketch,
+        rank_sketch_quantiles,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    s = rank_sketch(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey", k=256
+    )
+    return rank_sketch_quantiles(s, [0.25, 0.5, 0.75, 0.9, 0.99])
+
+
 def _q_knn_auto_vec0(spark, sf_dir):
     """Production ANN chooser (similarity.py knn_auto): walks the
     cost-ordered ladder, audits each path's recall@k, routes to the
@@ -1853,6 +1884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantiles_hist": _q_price_quantiles_hist,
         # -- round-7 additions --
         "knn_auto_vec0": _q_knn_auto_vec0,
+        "price_rank_sketch": _q_price_rank_sketch,
+        "price_rank_quantiles": _q_price_rank_quantiles,
     }
     # Evidence-priority reorder, computed from the driver's own
     # CORRECTNESS record (see _evidence_order).

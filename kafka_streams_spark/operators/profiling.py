@@ -205,3 +205,111 @@ def histogram_quantiles_by_group(
         .agg((est_cents / F.lit(float(scale))).alias("est"))
         .select(*groups, "q", "est")
     )
+
+
+def rank_sketch(
+    df: DataFrame,
+    value_col: str,
+    hash_col: str,
+    k: int = 1024,
+) -> DataFrame:
+    """Mergeable bounded-state RANK sketch for UNBOUNDED value ranges —
+    the companion :func:`value_histogram` cannot be: the histogram's
+    state is value_range/bin_width rows, which explodes (or needs a
+    range guess) when the range is open-ended; this sketch's state is
+    exactly ``k + 1`` rows whatever the values are.
+
+    Design: a bottom-k hash sample (the KMV / theta-sketch family).
+    Every non-NULL row gets ``h = int64(md5(hash_col)[:15])``; the
+    sketch keeps the ``k`` hash-smallest (h, value) pairs — a uniform
+    row sample selected by a DETERMINISTIC function of the data — plus
+    one count row carrying exact ``n``. We ship this instead of a
+    literal KLL compactor deliberately: KLL's randomized, buffer-order-
+    dependent compaction cannot be made reproducible under Spark's
+    nondeterministic Arrow batching, while bottom-k is a pure function
+    of the row multiset — order-, batching-, and merge-shape-
+    independent, so the streamed twin equals the batch sketch EXACTLY
+    and the whole sketch is oracle-checkable (md5 reproduces in DuckDB;
+    KLL internals are implementation-defined, the reason
+    ``percentile_approx`` stays a rows-only path). Rank error is the
+    sampling bound O(n/sqrt(k)) vs KLL's O(n/k) — the price of
+    determinism, budgeted by raising k (state is 16 bytes/row).
+
+    ``hash_col`` must uniquely identify a row (a key column); duplicate
+    keys would bias the sample. Plan shape: one map-only projection,
+    one TakeOrderedAndProject (per-partition heap of k, driver merge of
+    k*partitions rows — never a global sort), one 1-row count
+    aggregate. Merging two sketches = bottom-k of the sample union +
+    summed counts (:func:`rank_sketch_merge`); streamed twin:
+    ``streaming/sketch_stream.run_rank_sketch_stream``.
+
+    Output: k rows (h bigint, value double, n NULL) + 1 count row
+    (h NULL, value NULL, n bigint).
+    """
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.conv(F.substring(F.md5(F.col(hash_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    sample = vals.orderBy("h", "value").limit(int(k)).select(
+        "h", "value", F.lit(None).cast("bigint").alias("n")
+    )
+    count_row = vals.agg(
+        F.lit(None).cast("bigint").alias("h"),
+        F.lit(None).cast("double").alias("value"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return sample.unionAll(count_row)
+
+
+def rank_sketch_merge(sketches: DataFrame, k: int = 1024) -> DataFrame:
+    """Merge any number of :func:`rank_sketch` tables (their rows
+    unioned into one DataFrame): bottom-k over the combined samples +
+    summed counts. Associative and order-independent — merge(merge(a,b),c)
+    == merge(a,b,c) — because min-k selection and addition both are;
+    this is what lets per-batch streamed deltas equal the one-shot
+    batch sketch bit-for-bit."""
+    samples = sketches.filter(F.col("h").isNotNull())
+    merged_sample = samples.orderBy("h", "value").limit(int(k)).select(
+        "h", "value", F.lit(None).cast("bigint").alias("n")
+    )
+    merged_count = sketches.filter(F.col("h").isNull()).agg(
+        F.lit(None).cast("bigint").alias("h"),
+        F.lit(None).cast("double").alias("value"),
+        F.sum("n").cast("bigint").alias("n"),
+    )
+    return merged_sample.unionAll(merged_count)
+
+
+def rank_sketch_quantiles(sketch: DataFrame, qs: list[float]) -> DataFrame:
+    """Quantile estimates read off a :func:`rank_sketch`: the sample is
+    a uniform (hash-selected) subset of the rows, so the q-quantile
+    estimate is the sample value at rank ``clamp(ceil(q*k'), 1, k')``
+    by value order (k' = sample size, = min(k, n)). The ranking window
+    runs over the SAMPLE — <= k rows by construction, the documented
+    bounded-table exception to the no-global-window rule (histogram
+    bucket-table class).
+
+    Output: (q DOUBLE, est DOUBLE)."""
+    from pyspark.sql import Window
+
+    samples = sketch.filter(F.col("h").isNotNull())
+    kp = samples.agg(F.count("*").cast("bigint").alias("_k"))
+    ranked = samples.withColumn(
+        "_r", F.row_number().over(Window.orderBy("value", "h"))
+    ).crossJoin(F.broadcast(kp))
+    qdf = ranked.select(
+        "value",
+        "_r",
+        "_k",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    rank = F.least(
+        F.col("_k"), F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("_k")))
+    )
+    return (
+        qdf.filter(F.col("_r") >= rank)
+        .groupBy("q")
+        .agg(F.min("value").alias("est"))
+    )

@@ -3723,6 +3723,43 @@ ANALYTICS_ORACLES["price_quantiles_hist"] = f"""
     GROUP BY q
 """
 
+# Bottom-k rank sketch (profiling.py rank_sketch): deterministic
+# KMV-family quantile sketch for unbounded ranges — md5 hash selection
+# reproduces exactly in DuckDB, so unlike KLL/GK the sketch itself is
+# hash-checked. Sample = k hash-smallest (h, value) rows + one exact
+# count row (NULL-h sentinel).
+ANALYTICS_ORACLES["price_rank_sketch"] = """
+    WITH v AS (
+        SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h,
+               CAST(o_totalprice AS DOUBLE) AS value
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    s AS (SELECT h, value, CAST(NULL AS BIGINT) AS n
+          FROM v ORDER BY h, value LIMIT 256),
+    c AS (SELECT CAST(NULL AS BIGINT) AS h, CAST(NULL AS DOUBLE) AS value,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM v)
+    SELECT * FROM s UNION ALL SELECT * FROM c
+"""
+
+ANALYTICS_ORACLES["price_rank_quantiles"] = """
+    WITH v AS (
+        SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h,
+               CAST(o_totalprice AS DOUBLE) AS value
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    s AS (SELECT h, value FROM v ORDER BY h, value LIMIT 256),
+    r AS (SELECT value, h, row_number() OVER (ORDER BY value, h) AS rn FROM s),
+    kq AS (SELECT count(*) AS kk FROM s),
+    q AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+    SELECT q, min(value) AS est
+    FROM r, kq, q
+    WHERE rn >= least(kk, greatest(1, ceil(q * kk)))
+    GROUP BY q
+"""
+
 # knn_auto (similarity.py): the production ANN chooser's dispatch
 # decision, differentially checked — the twin composes the ALREADY
 # ORACLE-CHECKED audit and top-k queries of the contract ladder

@@ -513,3 +513,102 @@ def read_scorecard(spark: SparkSession, scorecard_dir: str) -> DataFrame:
     ingested so far."""
     df = spark.read.parquet(scorecard_dir).drop("ingest_batch")
     return df.agg(*[F.sum(c).cast("bigint").alias(c) for c in df.columns])
+
+
+# ---------------------------------------------------------------------------
+# streaming rank-sketch maintenance — unbounded-range quantile monitoring
+# ---------------------------------------------------------------------------
+
+
+def run_rank_sketch_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    k: int = 1024,
+    max_files_per_trigger: int = 100,
+):
+    """Maintain the doc-length RANK SKETCH of a document stream — the
+    CMS changelog pattern applied to
+    :func:`~kafka_streams_spark.operators.profiling.rank_sketch`, the
+    unbounded-range companion of :func:`run_histogram_stream` (no bin
+    grid to pre-size). Each micro-batch writes its own bottom-k
+    partial (≤ k+1 rows regardless of batch size) under its
+    ``ingest_batch`` partition; the live sketch is
+    :func:`read_rank_sketch`'s bottom-k-of-union + summed counts, and —
+    because min-k selection is associative and order-independent — it
+    equals the one-shot batch sketch of everything ingested,
+    BIT-FOR-BIT (the property KLL's randomized compaction cannot give;
+    see the rank_sketch docstring). Replay-idempotent: a re-delivered
+    batch recomputes the same deterministic partial into its own
+    partition."""
+    from kafka_streams_spark.operators.profiling import rank_sketch
+
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        vals = batch_df.select(
+            F.col("doc_id"), F.length("text").cast("double").alias("n_chars")
+        )
+        delta = rank_sketch(vals, "n_chars", "doc_id", k=k)
+        (
+            delta.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(sketch_dir)
+        )
+
+    return (
+        raw.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+
+def read_rank_sketch(spark: SparkSession, sketch_dir: str, k: int = 1024) -> DataFrame:
+    """The live merged rank sketch: bottom-k over every batch partial's
+    samples + summed exact counts — identical to the batch
+    ``rank_sketch`` of all rows ingested so far. Output: the
+    (h, value, n) sketch schema."""
+    from kafka_streams_spark.operators.profiling import rank_sketch_merge
+
+    return rank_sketch_merge(
+        spark.read.parquet(sketch_dir).select("h", "value", "n"), k=k
+    )
+
+
+def compact_rank_sketch(spark: SparkSession, sketch_dir: str, k: int = 1024) -> None:
+    """Fold all batch partials into the reserved ``-1`` partition —
+    the same snapshot-pin / dynamic-overwrite / targeted-delete
+    protocol as :func:`compact_gram` (safe against a live stream), but
+    with the bottom-k merge instead of a groupBy-sum."""
+    from kafka_streams_spark.operators.profiling import rank_sketch_merge
+
+    df = spark.read.parquet(sketch_dir)
+    batch_ids = [r[0] for r in df.select("ingest_batch").distinct().collect()]
+    snap = spark.read.parquet(sketch_dir).filter(
+        F.col("ingest_batch").isin(batch_ids)
+    )
+    merged = rank_sketch_merge(snap.select("h", "value", "n"), k=k).withColumn(
+        "ingest_batch", F.lit(-1)
+    )
+    staged = merged.localCheckpoint(eager=True)
+    (
+        staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(sketch_dir)
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for b in batch_ids:
+        if b == -1:
+            continue
+        p = jvm.org.apache.hadoop.fs.Path(f"{sketch_dir}/ingest_batch={b}")
+        p.getFileSystem(hconf).delete(p, True)

@@ -461,6 +461,10 @@ TPCH_FUZZ_QUERIES = [
     "price_quantiles", "price_histogram", "price_quantiles_hist",
     # r7 co-registration sweep
     "daily_revenue_window",
+    # r7: bottom-k rank sketch — hash-selected sample must agree on a
+    # fuzzed orders table (NULL prices, negative totals, duplicates)
+    "price_rank_sketch",
+    "price_rank_quantiles",
 ]
 
 

@@ -511,6 +511,8 @@ def test_no_unpartitioned_window_outside_whitelist(spark, sf_dir, monkeypatch):
       knn_ivfpq_vec0,
       knn_recall_ivfpq_vec0  centroid-count cell-rank tables (similarity.py)
       price_quantiles_hist   histogram bucket table (profiling.py)
+      price_rank_quantiles   <=k-row bottom-k sample (profiling.py
+                             rank_sketch_quantiles)
       rfm_scores             3x <=256-row rank-offset tables
                              (functions/partitioning.py exact_global_rank)
       zipf_fit               <=k Zipf head (text.py)
@@ -531,6 +533,7 @@ def test_no_unpartitioned_window_outside_whitelist(spark, sf_dir, monkeypatch):
         "knn_ivfpq_vec0": 1,
         "knn_recall_ivfpq_vec0": 1,
         "price_quantiles_hist": 1,
+        "price_rank_quantiles": 1,
         "rfm_scores": 3,
         "zipf_fit": 1,
     }
