@@ -199,6 +199,10 @@ BENCH_QUERIES = [
     "length_histogram_by_source",
     "compression_ratio",
     "length_quantiles_by_source",
+    # round-7 additions
+    "knn_auto_vec0",
+    "price_rank_sketch",
+    "price_rank_quantiles",
 ]
 
 
