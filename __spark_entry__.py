@@ -1570,6 +1570,40 @@ def _q_knn_auto_vec0(spark, sf_dir):
     )
 
 
+def _q_users_kmv_by_type(spark, sf_dir):
+    """Deterministic KMV distinct-user estimate per event type
+    (profiling.py distinct_kmv) — the oracle-CHECKED companion to the
+    rows-only HLL++ `approx_users_by_type` contract: md5 bottom-k
+    selection reproduces in DuckDB, so the estimate VALUES are
+    differentially compared, not just row counts. k=64 puts the driver
+    corpus (150 users/type at sf0.01) in the estimation branch and the
+    event fuzz stream (25 users) in the exact branch."""
+    from kafka_streams_spark.operators.profiling import distinct_kmv
+    from kafka_streams_spark.sources.testdata import load_table
+
+    return distinct_kmv(
+        load_table(spark, sf_dir, "events"), "user_id", ["event_type"], k=64
+    )
+
+
+def _q_vocab_overlap_kmv(spark, sf_dir):
+    """Constant-state KMV twin of the exact `corpus_overlap` contract,
+    on the SAME md5-bucket corpus split: two k-row token-set sketches
+    replace the full-outer join of the complete distinct-gram tables —
+    the persist-once, compare-snapshots-in-O(k) form
+    (profiling.py kmv_set_sketch / kmv_overlap). n=2 shingles because
+    the driver corpus draws from a 31-word vocabulary — 916 distinct
+    2-grams puts k=256 in the ESTIMATION branch at every scale, where
+    unigrams would always take the exact-below-k path."""
+    from kafka_streams_spark.operators.profiling import corpus_overlap_kmv
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return corpus_overlap_kmv(
+        docs.filter(bucket < "80"), docs.filter(bucket >= "80"), n=2, k=256
+    )
+
+
 def _q_emb_whiten(spark, sf_dir):
     """PCA whitening — rows-only: the driver-side eigensolve is a
     learned step (IVF/PQ class); NumPy-model equality and the exact
@@ -1886,6 +1920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_auto_vec0": _q_knn_auto_vec0,
         "price_rank_sketch": _q_price_rank_sketch,
         "price_rank_quantiles": _q_price_rank_quantiles,
+        "users_kmv_by_type": _q_users_kmv_by_type,
+        "vocab_overlap_kmv": _q_vocab_overlap_kmv,
     }
     # Evidence-priority reorder, computed from the driver's own
     # CORRECTNESS record (see _evidence_order).

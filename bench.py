@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     "knn_auto_vec0",
     "price_rank_sketch",
     "price_rank_quantiles",
+    "users_kmv_by_type",
+    "vocab_overlap_kmv",
 ]
 
 

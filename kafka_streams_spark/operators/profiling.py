@@ -282,6 +282,190 @@ def rank_sketch_merge(sketches: DataFrame, k: int = 1024) -> DataFrame:
     return merged_sample.unionAll(merged_count)
 
 
+def _kmv_hash(col) -> "F.Column":
+    """int64 in [0, 2^60): first 15 hex chars of md5 — the shared
+    deterministic hash of the bottom-k sketch family (same mapping as
+    :func:`rank_sketch`), chosen because DuckDB reproduces it exactly
+    so every sketch in the family is hash-checkable, not rows-only."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+    )
+
+
+# KMV distinct estimate from a bottom-k sample: exact below k, else
+# (k-1) / (h_k / 2^60). The numerator (k-1)*2^60 is exactly
+# representable in a double for any practical k (k-1 contributes the
+# only significant bits), and IEEE division + floor reproduce
+# bit-for-bit across engines — the reason the estimate itself can sit
+# in a hash-checked contract.
+def _kmv_estimate(kk, hk, k: int):
+    c = float((k - 1) * (1 << 60))
+    return (
+        F.when(kk < F.lit(int(k)), kk)
+        .otherwise(F.floor(F.lit(c) / hk))
+        .cast("bigint")
+    )
+
+
+def distinct_kmv(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Deterministic distinct-count estimate per group — the
+    oracle-checkable companion to HLL++ ``approx_count_distinct``
+    (the `approx_users_by_type` contract): HLL's register internals
+    are implementation-defined, so that contract can only be checked
+    rows-only; this KMV (k-minimum-values) estimator is a pure
+    function of the row multiset — md5 bottom-k selection reproduces
+    exactly in DuckDB, so estimate VALUES are differentially checked.
+
+    State per group is k rows (vs HLL's constant registers) — the
+    trade is checkability and mergeability-by-union for a k× larger
+    (but still tiny and bounded) sketch. Exact below k distinct keys;
+    above, the classic unbiased KMV read-off est = (k-1)/u_k with
+    u_k = h_k/2^60, relative error ~1/sqrt(k-2).
+
+    Plan shape: one distinct over (group, h) — map-side partial dedup,
+    one shuffle of distinct hashes — then a per-group bottom-k via
+    ``row_number`` (Spark's WindowGroupLimit pushes the <= k filter
+    into per-partition heaps before the exchange, so only k rows per
+    group per partition shuffle) and a per-group 1-row read-off.
+    Groups whose key is entirely NULL emit no row (SQL COUNT DISTINCT
+    over nothing — mirrored by the oracle).
+
+    Output: (group_cols..., n_distinct_est BIGINT, sample_k BIGINT).
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    hashed = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*groups, _kmv_hash(F.col(key_col)).alias("h"))
+        .distinct()
+    )
+    if groups:
+        w = Window.partitionBy(*groups).orderBy("h")
+        bot = hashed.withColumn("_r", F.row_number().over(w)).filter(
+            F.col("_r") <= int(k)
+        )
+    else:
+        bot = hashed.orderBy("h").limit(int(k))
+    agg = bot.groupBy(*groups).agg(
+        F.count("*").cast("bigint").alias("kk"), F.max("h").alias("hk")
+    )
+    return agg.select(
+        *groups,
+        _kmv_estimate(F.col("kk"), F.col("hk"), k).alias("n_distinct_est"),
+        F.col("kk").alias("sample_k"),
+    )
+
+
+def kmv_set_sketch(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
+    """The persistable k-row set sketch: bottom-k md5 hashes of the
+    distinct keys. This is the 100 TB form of set comparison — sketch
+    each corpus snapshot ONCE (one scan + one distinct shuffle), persist
+    the k-row table, then answer any pairwise overlap/Jaccard/distinct
+    question between snapshots in O(k) from the sketches alone
+    (:func:`kmv_overlap`), where the exact :func:`~kafka_streams_spark.
+    operators.text.corpus_overlap` must re-scan both corpora per pair.
+
+    Output: <= k rows (h BIGINT), ascending by construction."""
+    hashed = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(_kmv_hash(F.col(key_col)).alias("h"))
+        .distinct()
+    )
+    return hashed.orderBy("h").limit(int(k))
+
+
+def kmv_overlap(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> DataFrame:
+    """Union size / intersection size / Jaccard estimates from two
+    :func:`kmv_set_sketch` tables (both built with the same ``k``).
+
+    Correctness of the composition: the bottom-k of A∪B is a subset of
+    bottom-k(A) ∪ bottom-k(B) (any hash among the k smallest of the
+    union has < k union hashes below it, hence < k of A's hashes below
+    it — so it is in A's bottom-k whenever it is in A at all), so
+    membership flags read off the two sketches are exact within the
+    union sample, and rho = |sample ∩ A ∩ B| / |sample| is the standard
+    KMV Jaccard estimator. All arithmetic is IEEE double on both
+    engines — the whole 1-row result is hash-checked, not rows-only.
+
+    Empty ∪ empty follows the corpus_overlap / token_set_jaccard
+    convention: Jaccard 1.0, sizes 0.
+
+    Output 1 row: (n_union_est BIGINT, n_shared_est BIGINT,
+    jaccard_est DOUBLE, sample_k BIGINT)."""
+    a = sketch_a.select("h", F.lit(True).alias("in_a"))
+    b = sketch_b.select("h", F.lit(True).alias("in_b"))
+    u = a.join(b, "h", "full_outer").select(
+        "h",
+        F.coalesce("in_a", F.lit(False)).alias("in_a"),
+        F.coalesce("in_b", F.lit(False)).alias("in_b"),
+    )
+    s = u.orderBy("h").limit(int(k))
+    agg = s.agg(
+        F.count("*").cast("bigint").alias("kk"),
+        F.max("h").alias("hk"),
+        F.coalesce(
+            F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_both"),
+    )
+    union_est = _kmv_estimate(F.col("kk"), F.col("hk"), k)
+    jacc = F.when(F.col("kk") == 0, F.lit(1.0)).otherwise(
+        F.col("n_both").cast("double") / F.col("kk").cast("double")
+    )
+    return agg.select(
+        union_est.alias("n_union_est"),
+        F.floor(
+            F.when(F.col("kk") == 0, F.lit(0.0)).otherwise(
+                F.col("n_both").cast("double")
+                * union_est.cast("double")
+                / F.col("kk").cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("n_shared_est"),
+        jacc.alias("jaccard_est"),
+        F.col("kk").alias("sample_k"),
+    )
+
+
+def corpus_overlap_kmv(
+    a: DataFrame, b: DataFrame, n: int = 1, k: int = 256, text_col: str = "text"
+) -> DataFrame:
+    """Constant-state twin of :func:`~kafka_streams_spark.operators.
+    text.corpus_overlap`: vocabulary overlap between two corpus slices
+    estimated from two k-row KMV sketches of the token sets instead of
+    a full-outer join of the complete distinct-gram tables. At 100 TB
+    the exact form's join shuffles every distinct gram of both sides
+    every time two snapshots are compared; this form reduces each side
+    to k rows after its one distinct shuffle — and the sketches are
+    exactly what :func:`kmv_set_sketch` persists, so N snapshots need
+    N sketch builds, not N^2 corpus joins.
+
+    Output 1 row: (n_union_est, n_shared_est BIGINT, jaccard_est
+    DOUBLE, sample_k BIGINT)."""
+    from kafka_streams_spark.operators.dedup import tokens, word_shingles
+
+    def side(df: DataFrame) -> DataFrame:
+        grams = (
+            tokens(F.col(text_col))
+            if n == 1
+            else word_shingles(F.col(text_col), n)
+        )
+        return df.select(F.explode(grams).alias("gram"))
+
+    return kmv_overlap(
+        kmv_set_sketch(side(a), "gram", k), kmv_set_sketch(side(b), "gram", k), k
+    )
+
+
 def rank_sketch_quantiles(sketch: DataFrame, qs: list[float]) -> DataFrame:
     """Quantile estimates read off a :func:`rank_sketch`: the sample is
     a uniform (hash-selected) subset of the rows, so the q-quantile

@@ -3784,6 +3784,77 @@ SIMILARITY_ORACLES["knn_auto_vec0"] = f"""
     SELECT route, vec_id FROM exact_k, pick WHERE route = 'exact'
 """
 
+# KMV (k-minimum-values) distinct estimator (profiling.py
+# distinct_kmv): the oracle-checked companion to the rows-only HLL++
+# contract. Same md5->int64 mapping as the rank sketch; the estimate
+# read-off (k-1)*2^60/h_k is IEEE double arithmetic on both engines
+# ((k-1)*2^60 is exactly representable — k-1 carries the only
+# significant bits), so even the ESTIMATE branch hash-matches.
+ANALYTICS_ORACLES["users_kmv_by_type"] = """
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM h),
+    b AS (SELECT event_type, h FROM r WHERE rn <= 64),
+    a AS (SELECT event_type, count(*) AS kk, max(h) AS hk
+          FROM b GROUP BY event_type)
+    SELECT event_type,
+           CAST(CASE WHEN kk < 64 THEN kk
+                ELSE floor(63 * 1152921504606846976.0 / hk) END
+                AS BIGINT) AS n_distinct_est,
+           CAST(kk AS BIGINT) AS sample_k
+    FROM a
+"""
+
+# KMV set-overlap twin of corpus_overlap (profiling.py
+# corpus_overlap_kmv), same md5-bucket corpus split but on 2-gram
+# shingles (916 distinct vs the 31-word vocabulary — the k=256
+# estimation branch fires at every scale): bottom-256 shingle hashes
+# per side, bottom-256 of their union, Venn read-off. The
+# union-sample membership flags are exact (bottom-k(A∪B) ⊆
+# bottom-k(A) ∪ bottom-k(B) — see the operator docstring), so the
+# whole 1-row estimate is deterministic.
+TEXT_ORACLES["vocab_overlap_kmv"] = f"""
+    WITH {_shingle_cte(2)},
+    ga AS (SELECT DISTINCT
+               CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+           FROM (SELECT unnest(shingles) AS g FROM sh
+                 WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80')),
+    gb AS (SELECT DISTINCT
+               CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+           FROM (SELECT unnest(shingles) AS g FROM sh
+                 WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '80')),
+    sa AS (SELECT h FROM ga ORDER BY h LIMIT 256),
+    sb AS (SELECT h FROM gb ORDER BY h LIMIT 256),
+    u AS (SELECT COALESCE(sa.h, sb.h) AS h,
+                 sa.h IS NOT NULL AS in_a, sb.h IS NOT NULL AS in_b
+          FROM sa FULL OUTER JOIN sb ON sa.h = sb.h),
+    s AS (SELECT * FROM u ORDER BY h LIMIT 256),
+    agg AS (SELECT count(*) AS kk, max(h) AS hk,
+                   COALESCE(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END), 0)
+                       AS n_both
+            FROM s),
+    est AS (SELECT kk, n_both,
+                   CAST(CASE WHEN kk < 256 THEN kk
+                        ELSE floor(255 * 1152921504606846976.0 / hk) END
+                        AS BIGINT) AS n_union_est
+            FROM agg)
+    SELECT n_union_est,
+           CAST(floor(CASE WHEN kk = 0 THEN 0.0
+                      ELSE CAST(n_both AS DOUBLE) * CAST(n_union_est AS DOUBLE)
+                           / CAST(kk AS DOUBLE) END) AS BIGINT) AS n_shared_est,
+           CASE WHEN kk = 0 THEN 1.0
+                ELSE CAST(n_both AS DOUBLE) / CAST(kk AS DOUBLE)
+           END AS jaccard_est,
+           CAST(kk AS BIGINT) AS sample_k
+    FROM est
+"""
+
 ALL_ORACLES = {
     **PAYMENT_ORACLES,
     **ANALYTICS_ORACLES,

@@ -115,6 +115,8 @@ FUZZ_QUERIES = [
     "pii_redact",
     "profile_documents",
     "weighted_jaccard",
+    # fifth ring (r7 KMV wave): the deterministic-sketch overlap twin
+    "vocab_overlap_kmv",
 ]
 
 # Contracts that legitimately sit outside every ring, with the reason
@@ -269,6 +271,10 @@ EVENT_FUZZ_QUERIES = [
     "cube_events",
     "events_attribution",
     "rfm_scores",
+    # r7 KMV wave: NULL user_ids exercise the sketch's key filter; 25
+    # users < k=64 exercises the exact branch (driver corpus covers the
+    # estimation branch at 150 users/type)
+    "users_kmv_by_type",
 ]
 
 

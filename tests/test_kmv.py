@@ -1,0 +1,183 @@
+"""KMV (k-minimum-values) distinct / set-overlap estimators
+(round-7 wave): the oracle-CHECKABLE companions to the rows-only HLL++
+contracts. Deterministic by construction (md5 bottom-k), so a plain
+hashlib model must reproduce them exactly — including the ESTIMATE
+branch, whose float arithmetic is pinned to engine semantics
+(double(h) rounding, mult-then-divide order).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_streams_spark.operators.profiling import (
+    corpus_overlap_kmv,
+    distinct_kmv,
+    kmv_overlap,
+    kmv_set_sketch,
+)
+
+K60 = 1 << 60
+
+
+def _h(x) -> int:
+    return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+
+def _est(bot: list[int], k: int) -> int:
+    if len(bot) < k:
+        return len(bot)
+    # engine semantics: h rounds to double BEFORE the divide
+    return math.floor(float((k - 1) * K60) / float(bot[-1]))
+
+
+def _model_distinct(keys, k: int) -> tuple[int, int]:
+    bot = sorted({_h(x) for x in keys if x is not None})[:k]
+    return _est(bot, k), len(bot)
+
+
+def _model_overlap(a_keys, b_keys, k: int):
+    ha = sorted({_h(x) for x in a_keys if x is not None})[:k]
+    hb = sorted({_h(x) for x in b_keys if x is not None})[:k]
+    flags: dict[int, list[bool]] = {}
+    for h in ha:
+        flags.setdefault(h, [False, False])[0] = True
+    for h in hb:
+        flags.setdefault(h, [False, False])[1] = True
+    s = sorted(flags)[:k]
+    kk = len(s)
+    n_both = sum(1 for h in s if flags[h][0] and flags[h][1])
+    union_est = _est(s, k)
+    jacc = 1.0 if kk == 0 else float(n_both) / float(kk)
+    shared = (
+        0 if kk == 0 else math.floor(float(n_both) * float(union_est) / float(kk))
+    )
+    return union_est, shared, jacc, kk
+
+
+def test_distinct_kmv_matches_model_grouped(spark):
+    """Grouped estimator vs the hashlib model, with NULL keys (dropped)
+    and duplicate keys (counted once) in every group; one group below k
+    (exact branch) and one above (estimate branch) in the same query."""
+    k = 16
+    rows = (
+        [("small", i) for i in range(10)]
+        + [("small", i) for i in range(5)]  # dups
+        + [("small", None)]
+        + [("big", i) for i in range(300)]
+        + [("big", None), ("big", 7)]
+    )
+    df = spark.createDataFrame(rows, "g string, key bigint")
+    got = {
+        r["g"]: (r["n_distinct_est"], r["sample_k"])
+        for r in distinct_kmv(df, "key", ["g"], k=k).collect()
+    }
+    want = {
+        g: _model_distinct([key for gg, key in rows if gg == g], k)
+        for g in ("small", "big")
+    }
+    assert got == want
+    assert got["small"] == (10, 10)  # exact branch: below-k is exact
+
+
+def test_distinct_kmv_estimate_within_sampling_bound(spark):
+    n, k = 5000, 256
+    df = spark.createDataFrame([(i,) for i in range(n)], "key bigint")
+    est = distinct_kmv(df, "key", k=k).collect()[0]["n_distinct_est"]
+    # KMV relative error ~1/sqrt(k-2); 4-sigma bound
+    assert abs(est - n) / n <= 4 / math.sqrt(k - 2), est
+
+
+def test_distinct_kmv_all_null_group_absent(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", None)], "g string, key bigint"
+    )
+    got = distinct_kmv(df, "key", ["g"], k=8).collect()
+    assert {r["g"] for r in got} == {"a"}  # COUNT DISTINCT over nothing
+
+
+def test_kmv_overlap_matches_model(spark):
+    k = 64
+    a_keys = [f"tok{i}" for i in range(200)]
+    b_keys = [f"tok{i}" for i in range(120, 350)]
+    a = spark.createDataFrame([(x,) for x in a_keys], "key string")
+    b = spark.createDataFrame([(x,) for x in b_keys], "key string")
+    row = kmv_overlap(
+        kmv_set_sketch(a, "key", k), kmv_set_sketch(b, "key", k), k
+    ).collect()[0]
+    want = _model_overlap(a_keys, b_keys, k)
+    got = (
+        row["n_union_est"],
+        row["n_shared_est"],
+        row["jaccard_est"],
+        row["sample_k"],
+    )
+    assert got == want
+
+
+def test_kmv_overlap_estimates_near_truth(spark):
+    """A=0..999, B=500..1499: |A∪B|=1500, J=1/3 — estimates inside the
+    4-sigma sampling bounds at k=256."""
+    k = 256
+    a = spark.createDataFrame([(i,) for i in range(1000)], "key bigint")
+    b = spark.createDataFrame([(i,) for i in range(500, 1500)], "key bigint")
+    row = kmv_overlap(
+        kmv_set_sketch(a, "key", k), kmv_set_sketch(b, "key", k), k
+    ).collect()[0]
+    j = 1.0 / 3.0
+    assert abs(row["jaccard_est"] - j) <= 4 * math.sqrt(j * (1 - j) / k)
+    assert abs(row["n_union_est"] - 1500) / 1500 <= 4 / math.sqrt(k - 2)
+
+
+def test_kmv_overlap_empty_convention(spark):
+    """Empty ∪ empty follows the corpus_overlap convention: Jaccard
+    1.0, sizes 0."""
+    e = spark.createDataFrame([], "key string")
+    row = kmv_overlap(
+        kmv_set_sketch(e, "key", 8), kmv_set_sketch(e, "key", 8), 8
+    ).collect()[0]
+    assert (
+        row["n_union_est"],
+        row["n_shared_est"],
+        row["jaccard_est"],
+        row["sample_k"],
+    ) == (0, 0, 1.0, 0)
+
+
+def test_corpus_overlap_kmv_exact_below_k(spark, sf_dir):
+    """On the test corpus the unigram vocabulary (31 tokens) sits below
+    k, so the sketch read-off must equal the EXACT corpus_overlap
+    contract bit-for-bit — the below-k degenerate case doubles as a
+    cross-operator consistency pin."""
+    from kafka_streams_spark.operators.text import corpus_overlap
+    from kafka_streams_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    a, b = docs.filter(bucket < "80"), docs.filter(bucket >= "80")
+    exact = corpus_overlap(a, b, n=1).collect()[0]
+    est = corpus_overlap_kmv(a, b, n=1, k=256).collect()[0]
+    n_union = exact["n_grams_a"] + exact["n_grams_b"] - exact["n_shared"]
+    assert est["n_union_est"] == n_union
+    assert est["n_shared_est"] == exact["n_shared"]
+    assert est["jaccard_est"] == exact["overlap_jaccard"]
+
+
+def test_distinct_kmv_plan_uses_window_group_limit(spark):
+    """The per-group bottom-k must compile to Spark's WindowGroupLimit
+    pushdown (per-partition k-row heaps BEFORE the exchange) — the
+    property that keeps the sketch build from shuffling every distinct
+    hash of a 100 TB key column to one partition per group."""
+    df = spark.createDataFrame(
+        [("g%d" % (i % 4), i) for i in range(100)], "g string, key bigint"
+    )
+    plan = (
+        distinct_kmv(df, "key", ["g"], k=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
