@@ -338,22 +338,70 @@ def distinct_kmv(
 
     Output: (group_cols..., n_distinct_est BIGINT, sample_k BIGINT).
     """
+    groups = list(group_cols or [])
+    return kmv_read_off(kmv_state(df, key_col, groups, k), groups, k)
+
+
+def _kmv_bottomk(hashed: DataFrame, groups: list[str], k: int) -> DataFrame:
+    """Per-group bottom-k of already-hashed distinct (groups..., h)
+    rows. With groups: row_number + filter (WindowGroupLimit pushes the
+    <= k cut into pre-exchange per-partition heaps); without:
+    orderBy+limit (TakeOrderedAndProject — no global sort)."""
     from pyspark.sql import Window
 
+    if groups:
+        w = Window.partitionBy(*groups).orderBy("h")
+        return (
+            hashed.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= int(k))
+            .drop("_r")
+        )
+    return hashed.orderBy("h").limit(int(k))
+
+
+def kmv_state(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """The persistable KMV state: per-group bottom-k md5 hashes of the
+    distinct keys — <= k rows per group regardless of input size, and a
+    pure function of the row multiset (no randomness, no order
+    dependence). Mergeable by :func:`kmv_state_merge`; read off with
+    :func:`kmv_read_off`. Output: (group_cols..., h BIGINT)."""
     groups = list(group_cols or [])
     hashed = (
         df.filter(F.col(key_col).isNotNull())
         .select(*groups, _kmv_hash(F.col(key_col)).alias("h"))
         .distinct()
     )
-    if groups:
-        w = Window.partitionBy(*groups).orderBy("h")
-        bot = hashed.withColumn("_r", F.row_number().over(w)).filter(
-            F.col("_r") <= int(k)
-        )
-    else:
-        bot = hashed.orderBy("h").limit(int(k))
-    agg = bot.groupBy(*groups).agg(
+    return _kmv_bottomk(hashed, groups, k)
+
+
+def kmv_state_merge(
+    states: DataFrame, group_cols: list[str] | None = None, k: int = 256
+) -> DataFrame:
+    """Merge a union of :func:`kmv_state` partials back to <= k rows
+    per group. Associative and order-independent (bottom-k of a union
+    of bottom-ks == bottom-k of the union — any hash in the union's
+    bottom-k has < k union hashes below it, hence < k of its own
+    partial's hashes below it), so merged state equals the one-shot
+    state of all rows, bit-for-bit — the property that makes the
+    streamed twin (:func:`~kafka_streams_spark.streaming.sketch_stream.
+    run_kmv_stream`) exactly equal to the batch sketch."""
+    groups = list(group_cols or [])
+    return _kmv_bottomk(states.select(*groups, "h").distinct(), groups, k)
+
+
+def kmv_read_off(
+    state: DataFrame, group_cols: list[str] | None = None, k: int = 256
+) -> DataFrame:
+    """Distinct-count read-off of a :func:`kmv_state` table: exact
+    sample count below k, else the (k-1)/u_k estimate. Output:
+    (group_cols..., n_distinct_est BIGINT, sample_k BIGINT)."""
+    groups = list(group_cols or [])
+    agg = state.groupBy(*groups).agg(
         F.count("*").cast("bigint").alias("kk"), F.max("h").alias("hk")
     )
     return agg.select(
@@ -373,12 +421,7 @@ def kmv_set_sketch(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
     operators.text.corpus_overlap` must re-scan both corpora per pair.
 
     Output: <= k rows (h BIGINT), ascending by construction."""
-    hashed = (
-        df.filter(F.col(key_col).isNotNull())
-        .select(_kmv_hash(F.col(key_col)).alias("h"))
-        .distinct()
-    )
-    return hashed.orderBy("h").limit(int(k))
+    return kmv_state(df, key_col, None, k)
 
 
 def kmv_overlap(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> DataFrame:

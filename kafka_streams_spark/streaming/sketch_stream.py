@@ -520,6 +520,105 @@ def read_scorecard(spark: SparkSession, scorecard_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def run_kmv_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    k: int = 256,
+    max_files_per_trigger: int = 100,
+):
+    """Maintain a per-source distinct-TOKEN KMV sketch of a document
+    stream — "how many distinct words has each source contributed so
+    far", live, with <= k rows of state per source. The CMS changelog
+    pattern applied to :func:`~kafka_streams_spark.operators.profiling.
+    kmv_state`: each micro-batch writes only its own per-source
+    bottom-k partial (<= sources·k rows regardless of batch size)
+    under its ``ingest_batch`` partition; the live answer is
+    :func:`read_kmv`'s merge + read-off. Because bottom-k selection is
+    associative and order-independent (see ``kmv_state_merge``), the
+    merged stream state equals the one-shot batch sketch of everything
+    ingested BIT-FOR-BIT — the streamed twin of the hash-checked
+    `users_kmv_by_type` contract family, where streamed HLL++ could
+    only ever be compared rows-only. Replay-idempotent: a re-delivered
+    batch recomputes the same deterministic partial into its own
+    partition."""
+    from kafka_streams_spark.operators.dedup import tokens
+    from kafka_streams_spark.operators.profiling import kmv_state
+
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(
+            "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        delta = kmv_state(toks, "tok", ["source"], k=k)
+        (
+            delta.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(sketch_dir)
+        )
+
+    return (
+        raw.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+
+def read_kmv(spark: SparkSession, sketch_dir: str, k: int = 256) -> DataFrame:
+    """The live per-source distinct-token estimate: merge every batch
+    partial's bottom-k and read off — identical to the batch
+    ``distinct_kmv`` of all tokens ingested so far. Output:
+    (source, n_distinct_est, sample_k)."""
+    from kafka_streams_spark.operators.profiling import (
+        kmv_read_off,
+        kmv_state_merge,
+    )
+
+    state = kmv_state_merge(
+        spark.read.parquet(sketch_dir).select("source", "h"), ["source"], k=k
+    )
+    return kmv_read_off(state, ["source"], k=k)
+
+
+def compact_kmv(spark: SparkSession, sketch_dir: str, k: int = 256) -> None:
+    """Fold all batch partials into the reserved ``-1`` partition —
+    the snapshot-pin / dynamic-overwrite / targeted-delete protocol of
+    :func:`compact_gram` with the per-group bottom-k merge."""
+    from kafka_streams_spark.operators.profiling import kmv_state_merge
+
+    df = spark.read.parquet(sketch_dir)
+    batch_ids = [r[0] for r in df.select("ingest_batch").distinct().collect()]
+    snap = spark.read.parquet(sketch_dir).filter(
+        F.col("ingest_batch").isin(batch_ids)
+    )
+    merged = kmv_state_merge(
+        snap.select("source", "h"), ["source"], k=k
+    ).withColumn("ingest_batch", F.lit(-1))
+    staged = merged.localCheckpoint(eager=True)
+    (
+        staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(sketch_dir)
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for b in batch_ids:
+        if b == -1:
+            continue
+        p = jvm.org.apache.hadoop.fs.Path(f"{sketch_dir}/ingest_batch={b}")
+        p.getFileSystem(hconf).delete(p, True)
+
+
 def run_rank_sketch_stream(
     spark: SparkSession,
     source_dir: str,

@@ -181,3 +181,93 @@ def test_distinct_kmv_plan_uses_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+def test_kmv_state_merge_equals_state_of_union(spark):
+    """merge(state(A) ∪ state(B)) == state(A ∪ B) bit-for-bit, per
+    group — the associativity that makes the streamed twin exact."""
+    from kafka_streams_spark.operators.profiling import (
+        kmv_state,
+        kmv_state_merge,
+    )
+
+    k = 16
+    a = spark.createDataFrame(
+        [("g%d" % (i % 3), i) for i in range(120)], "g string, key bigint"
+    )
+    b = spark.createDataFrame(
+        [("g%d" % (i % 3), i) for i in range(80, 260)], "g string, key bigint"
+    )
+    merged = kmv_state_merge(
+        kmv_state(a, "key", ["g"], k).unionAll(kmv_state(b, "key", ["g"], k)),
+        ["g"],
+        k,
+    )
+    whole = kmv_state(a.unionAll(b), "key", ["g"], k)
+    key = lambda r: (r["g"], r["h"])
+    assert sorted(map(key, merged.collect())) == sorted(
+        map(key, whole.collect())
+    )
+
+
+def test_kmv_stream_equals_batch_exactly(spark, tmp_path):
+    """The streamed per-source distinct-token sketch equals the batch
+    distinct_kmv of everything ingested, BIT-FOR-BIT, across two
+    micro-batch waves; compaction folds partials into -1 without
+    changing the read-off."""
+    import json
+    import os
+
+    from kafka_streams_spark.operators.dedup import tokens
+    from kafka_streams_spark.operators.profiling import distinct_kmv
+    from kafka_streams_spark.streaming.sketch_stream import (
+        compact_kmv,
+        read_kmv,
+        run_kmv_stream,
+    )
+
+    K = 8  # tiny k so the estimation branch fires on a toy vocabulary
+    src = str(tmp_path / "src")
+    sk = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    docs_a = [
+        {"doc_id": i, "source": "s%d" % (i % 2), "text": "w%d w%d x" % (i, i + 1)}
+        for i in range(30)
+    ]
+    docs_b = [
+        {"doc_id": 100 + i, "source": "s%d" % (i % 2), "text": "w%d y z" % (i * 3)}
+        for i in range(25)
+    ]
+    with open(f"{src}/a.json", "w") as f:
+        f.write("\n".join(json.dumps(d) for d in docs_a))
+    q = run_kmv_stream(spark, src, sk, ckpt, k=K)
+    try:
+        q.processAllAvailable()
+        with open(f"{src}/b.json", "w") as f:
+            f.write("\n".join(json.dumps(d) for d in docs_b))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_docs = spark.createDataFrame(
+        [(d["source"], d["text"]) for d in docs_a + docs_b],
+        "source string, text string",
+    )
+    batch = distinct_kmv(
+        all_docs.select("source", F.explode(tokens(F.col("text"))).alias("t")),
+        "t",
+        ["source"],
+        k=K,
+    )
+    key = lambda r: (r["source"], r["n_distinct_est"], r["sample_k"])
+    want = sorted(map(key, batch.collect()))
+    assert sorted(map(key, read_kmv(spark, sk, k=K).collect())) == want
+    assert want[0][2] == K  # the estimation branch actually fired
+
+    compact_kmv(spark, sk, k=K)
+    assert sorted(map(key, read_kmv(spark, sk, k=K).collect())) == want
+    parts = {
+        r[0]
+        for r in spark.read.parquet(sk).select("ingest_batch").distinct().collect()
+    }
+    assert parts == {-1}
