@@ -1570,6 +1570,25 @@ def _q_knn_auto_vec0(spark, sf_dir):
     )
 
 
+def _q_orders_lineitem_join_audit(spark, sf_dir):
+    """Join pre-flight pricing audit (profiling.py join_size_audit):
+    the EXACT inner-join cardinality of orders x lineitem on orderkey
+    plus hot-key share, computed from per-key count profiles — one
+    aggregated row per distinct key shuffles instead of the data. The
+    join-family member of the audit convention (lsh_bucket_stats /
+    hamming_bucket_stats): measure the shuffle before running it, and
+    read off salt-vs-broadcast-vs-plain from the 1-row result."""
+    from kafka_streams_spark.operators.profiling import join_size_audit
+    from kafka_streams_spark.sources.testdata import load_table
+
+    return join_size_audit(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderkey",
+        load_table(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+    )
+
+
 def _q_users_kmv_by_type(spark, sf_dir):
     """Deterministic KMV distinct-user estimate per event type
     (profiling.py distinct_kmv) — the oracle-CHECKED companion to the
@@ -1920,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_auto_vec0": _q_knn_auto_vec0,
         "price_rank_sketch": _q_price_rank_sketch,
         "price_rank_quantiles": _q_price_rank_quantiles,
+        "orders_lineitem_join_audit": _q_orders_lineitem_join_audit,
         "users_kmv_by_type": _q_users_kmv_by_type,
         "vocab_overlap_kmv": _q_vocab_overlap_kmv,
     }

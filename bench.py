@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "price_rank_quantiles",
     "users_kmv_by_type",
     "vocab_overlap_kmv",
+    "orders_lineitem_join_audit",
 ]
 
 

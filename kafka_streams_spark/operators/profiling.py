@@ -207,6 +207,95 @@ def histogram_quantiles_by_group(
     )
 
 
+def join_size_audit(
+    a: DataFrame, key_a: str, b: DataFrame, key_b: str
+) -> DataFrame:
+    """Pre-flight pricing of an equi-join from per-key COUNT profiles —
+    the join-family member of the repo's audit convention
+    (`lsh_bucket_stats` / `hamming_bucket_stats` / `knn_recall_audit`):
+    measure what a shuffle will cost BEFORE running it.
+
+    The exact inner-join output cardinality is
+    sum over shared keys of cnt_a(key) * cnt_b(key) — computable from
+    the two (key, count) profile tables alone, so at 100 TB this audit
+    shuffles one aggregated row per distinct key instead of the data
+    itself. The read-off tells you which physical strategy the real
+    join needs: `top_key_share` near 1.0 says one hot key produces
+    almost all output (salt it — `functions.partitioning.salted_join`
+    — or split it off); `join_rows` >> both inputs says the join
+    explodes (fix the key, not the cluster); tiny `n_keys_b` says
+    broadcast.
+
+    NULL keys never satisfy an equi-join, so they are excluded from
+    key/`join_rows` figures but still counted in `n_rows_*` (the
+    difference is itself a data-quality signal). Tie-break for
+    `top_key`: largest (contribution, key-string) pair, so the output
+    is deterministic. Empty join: top_key NULL, top_key_share 0.0.
+
+    Output 1 row: (n_rows_a, n_rows_b, n_keys_a, n_keys_b,
+    n_shared_keys, join_rows BIGINT, top_key STRING,
+    top_key_share DOUBLE).
+    """
+    # One scan per side: the per-key profile keeps the NULL-key group,
+    # so row totals and distinct-key counts are derived FROM the
+    # profile (its non-NULL rows ARE the distinct keys). The profile
+    # feeds two consumers with DIFFERENT exchange shapes (a 1-row
+    # totals agg and the contribution join), which Spark's
+    # ReuseExchange cannot unify — materialize_shared computes each
+    # profile once and lets both branches read it.
+    from kafka_streams_spark.functions.partitioning import materialize_shared
+
+    pa = materialize_shared(
+        a.groupBy(F.col(key_a).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("ca")
+        )
+    )
+    pb = materialize_shared(
+        b.groupBy(F.col(key_b).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("cb")
+        )
+    )
+    # no NULL filter needed: the equi-join itself never matches NULL
+    # keys, and leaving the profiles unfiltered keeps both consumers'
+    # subtrees identical so the shuffle is computed once (ReuseExchange)
+    contrib = pa.join(pb, "k").select(
+        "k", (F.col("ca") * F.col("cb")).cast("bigint").alias("c")
+    )
+    joined = contrib.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("join_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_keys"),
+        F.max(F.struct(F.col("c"), F.col("k"))).alias("_top"),
+    )
+    ta = pa.agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).cast("bigint").alias("n_rows_a"),
+        F.count(F.col("k")).cast("bigint").alias("n_keys_a"),
+    )
+    tb = pb.agg(
+        F.coalesce(F.sum("cb"), F.lit(0)).cast("bigint").alias("n_rows_b"),
+        F.count(F.col("k")).cast("bigint").alias("n_keys_b"),
+    )
+    return (
+        ta.crossJoin(tb)
+        .crossJoin(joined)
+        .select(
+            "n_rows_a",
+            "n_rows_b",
+            "n_keys_a",
+            "n_keys_b",
+            "n_shared_keys",
+            "join_rows",
+            F.when(F.col("join_rows") > 0, F.col("_top.k")).alias("top_key"),
+            F.when(
+                F.col("join_rows") > 0,
+                F.col("_top.c").cast("double")
+                / F.col("join_rows").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_key_share"),
+        )
+    )
+
+
 def rank_sketch(
     df: DataFrame,
     value_col: str,

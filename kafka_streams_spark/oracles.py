@@ -3819,6 +3819,40 @@ ANALYTICS_ORACLES["users_kmv_by_type"] = """
 # union-sample membership flags are exact (bottom-k(A∪B) ⊆
 # bottom-k(A) ∪ bottom-k(B) — see the operator docstring), so the
 # whole 1-row estimate is deterministic.
+# Join pre-flight audit (profiling.py join_size_audit): exact inner
+# equi-join cardinality + hot-key share from per-key count profiles.
+# NULL keys never equi-join, so they are excluded from the key figures
+# but counted in n_rows_*. top_key tie-break mirrors Spark's
+# max(struct(c, k)): largest (contribution, key-string) pair.
+TPCH_EXTRA_ORACLES["orders_lineitem_join_audit"] = """
+    WITH pa AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, count(*) AS ca
+                FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+    pb AS (SELECT CAST(l_orderkey AS VARCHAR) AS k, count(*) AS cb
+           FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+    contrib AS (SELECT pa.k, CAST(ca * cb AS BIGINT) AS c
+                FROM pa JOIN pb ON pa.k = pb.k),
+    joined AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS join_rows,
+                      CAST(count(*) AS BIGINT) AS n_shared_keys
+               FROM contrib),
+    top AS (SELECT c AS top_c, k AS top_k FROM contrib
+            ORDER BY c DESC, k DESC LIMIT 1),
+    ta AS (SELECT CAST(count(*) AS BIGINT) AS n_rows_a,
+                  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys_a
+           FROM orders),
+    tb AS (SELECT CAST(count(*) AS BIGINT) AS n_rows_b,
+                  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys_b
+           FROM lineitem)
+    SELECT n_rows_a, n_rows_b, n_keys_a, n_keys_b, n_shared_keys,
+           join_rows,
+           CASE WHEN join_rows > 0 THEN (SELECT top_k FROM top) END
+               AS top_key,
+           CASE WHEN join_rows > 0
+                THEN CAST((SELECT top_c FROM top) AS DOUBLE)
+                     / CAST(join_rows AS DOUBLE)
+                ELSE 0.0 END AS top_key_share
+    FROM ta, tb, joined
+"""
+
 TEXT_ORACLES["vocab_overlap_kmv"] = f"""
     WITH {_shingle_cte(2)},
     ga AS (SELECT DISTINCT

@@ -471,6 +471,9 @@ TPCH_FUZZ_QUERIES = [
     # fuzzed orders table (NULL prices, negative totals, duplicates)
     "price_rank_sketch",
     "price_rank_quantiles",
+    # r7: join pre-flight audit — NULL orderkeys and orders without
+    # lineitems exercise the excluded-from-join-but-counted-in-rows rule
+    "orders_lineitem_join_audit",
 ]
 
 
