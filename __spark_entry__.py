@@ -1570,6 +1570,33 @@ def _q_knn_auto_vec0(spark, sf_dir):
     )
 
 
+def _q_length_rank_sketch_by_source(spark, sf_dir):
+    """Stratified bottom-k rank sketch (profiling.py
+    rank_sketch_grouped): per-source doc-length sketch, <= k rows per
+    stratum with no range grid — the rank-sketch family's analog of
+    length_histogram_by_source. k=16 < docs-per-source at every SF, so the
+    sample truncation is exercised at every scale."""
+    from kafka_streams_spark.operators.profiling import rank_sketch_grouped
+
+    docs = _docs(spark, sf_dir).withColumn("n_chars", F.length("text"))
+    return rank_sketch_grouped(docs, "n_chars", "doc_id", ["source"], k=16)
+
+
+def _q_length_rank_quantiles_by_source(spark, sf_dir):
+    """Per-source quantiles read off the stratified rank sketch —
+    sampling-bound estimates vs length_quantiles_by_source's
+    one-bin-width bound, the range-free/range-gridded trade per
+    stratum. All windows partitioned by source."""
+    from kafka_streams_spark.operators.profiling import (
+        rank_sketch_grouped,
+        rank_sketch_grouped_quantiles,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn("n_chars", F.length("text"))
+    s = rank_sketch_grouped(docs, "n_chars", "doc_id", ["source"], k=16)
+    return rank_sketch_grouped_quantiles(s, ["source"], [0.25, 0.5, 0.9, 0.99])
+
+
 def _q_orders_lineitem_join_audit(spark, sf_dir):
     """Join pre-flight pricing audit (profiling.py join_size_audit):
     the EXACT inner-join cardinality of orders x lineitem on orderkey
@@ -1940,6 +1967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_rank_sketch": _q_price_rank_sketch,
         "price_rank_quantiles": _q_price_rank_quantiles,
         "orders_lineitem_join_audit": _q_orders_lineitem_join_audit,
+        "length_rank_sketch_by_source": _q_length_rank_sketch_by_source,
+        "length_rank_quantiles_by_source": _q_length_rank_quantiles_by_source,
         "users_kmv_by_type": _q_users_kmv_by_type,
         "vocab_overlap_kmv": _q_vocab_overlap_kmv,
     }

@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "users_kmv_by_type",
     "vocab_overlap_kmv",
     "orders_lineitem_join_audit",
+    "length_rank_sketch_by_source",
+    "length_rank_quantiles_by_source",
 ]
 
 

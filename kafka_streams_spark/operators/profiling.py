@@ -371,6 +371,115 @@ def rank_sketch_merge(sketches: DataFrame, k: int = 1024) -> DataFrame:
     return merged_sample.unionAll(merged_count)
 
 
+def rank_sketch_grouped(
+    df: DataFrame,
+    value_col: str,
+    hash_col: str,
+    group_cols: list[str],
+    k: int = 1024,
+) -> DataFrame:
+    """Per-group (stratified) :func:`rank_sketch` — the rank-sketch
+    family's analog of `length_histogram_by_source` vs
+    `price_histogram`: one bounded sketch PER STRATUM, so per-source /
+    per-language quantiles come from <= k rows per group with no range
+    grid. Same determinism argument as the global form (md5 bottom-k
+    is a pure function of the row multiset), so fully oracle-checkable
+    and mergeable by :func:`rank_sketch_grouped_merge`.
+
+    Plan shape: one scan; the per-group bottom-k compiles to
+    WindowGroupLimit (pre-exchange k-row heaps per partition per
+    group — never a global sort), plus one per-group count aggregate
+    sharing the scan.
+
+    Output per group: k sample rows (groups..., h, value, n NULL) +
+    1 count row (groups..., h NULL, value NULL, n BIGINT)."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        *groups,
+        _kmv_hash(F.col(hash_col)).alias("h"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    w = Window.partitionBy(*groups).orderBy("h", "value")
+    sample = (
+        vals.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= int(k))
+        .select(*groups, "h", "value", F.lit(None).cast("bigint").alias("n"))
+    )
+    counts = vals.groupBy(*groups).agg(
+        F.lit(None).cast("bigint").alias("h"),
+        F.lit(None).cast("double").alias("value"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return sample.unionAll(counts)
+
+
+def rank_sketch_grouped_merge(
+    sketches: DataFrame, group_cols: list[str], k: int = 1024
+) -> DataFrame:
+    """Merge unioned :func:`rank_sketch_grouped` tables: per-group
+    bottom-k over the combined samples + per-group summed counts.
+    Associative and order-independent for the same reason as the
+    global merge."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    w = Window.partitionBy(*groups).orderBy("h", "value")
+    merged_sample = (
+        sketches.filter(F.col("h").isNotNull())
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= int(k))
+        .select(*groups, "h", "value", F.lit(None).cast("bigint").alias("n"))
+    )
+    merged_count = (
+        sketches.filter(F.col("h").isNull())
+        .groupBy(*groups)
+        .agg(
+            F.lit(None).cast("bigint").alias("h"),
+            F.lit(None).cast("double").alias("value"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
+    )
+    return merged_sample.unionAll(merged_count)
+
+
+def rank_sketch_grouped_quantiles(
+    sketch: DataFrame, group_cols: list[str], qs: list[float]
+) -> DataFrame:
+    """Per-group quantile estimates read off a
+    :func:`rank_sketch_grouped`: within each group the sample is a
+    uniform hash-selected subset, so the q-quantile estimate is the
+    sample value at rank ``clamp(ceil(q*k'), 1, k')`` by value order
+    (k' = that group's sample size). Every window here is PARTITIONED
+    by the groups — no bounded-table whitelist entry needed.
+
+    Output: (group_cols..., q DOUBLE, est DOUBLE)."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    samples = sketch.filter(F.col("h").isNotNull())
+    kp = samples.groupBy(*groups).agg(F.count(F.lit(1)).cast("bigint").alias("_k"))
+    ranked = samples.withColumn(
+        "_r", F.row_number().over(Window.partitionBy(*groups).orderBy("value", "h"))
+    ).join(F.broadcast(kp), groups)
+    qdf = ranked.select(
+        *groups,
+        "value",
+        "_r",
+        "_k",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    rank = F.least(
+        F.col("_k"), F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("_k")))
+    )
+    return (
+        qdf.filter(F.col("_r") >= rank)
+        .groupBy(*groups, "q")
+        .agg(F.min("value").alias("est"))
+    )
+
+
 def _kmv_hash(col) -> "F.Column":
     """int64 in [0, 2^60): first 15 hex chars of md5 — the shared
     deterministic hash of the bottom-k sketch family (same mapping as

@@ -3760,6 +3760,55 @@ ANALYTICS_ORACLES["price_rank_quantiles"] = """
     GROUP BY q
 """
 
+# Stratified rank sketch (profiling.py rank_sketch_grouped): the
+# per-group twin of price_rank_sketch — bottom-k md5-selected
+# (h, value) rows PER SOURCE plus one per-source exact-count row.
+TEXT_ORACLES["length_rank_sketch_by_source"] = """
+    WITH v AS (
+        SELECT source,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h,
+               CAST(length(text) AS DOUBLE) AS value
+        FROM documents WHERE length(text) IS NOT NULL
+    ),
+    r AS (SELECT source, h, value,
+                 row_number() OVER (PARTITION BY source ORDER BY h, value)
+                     AS rn
+          FROM v),
+    s AS (SELECT source, h, value, CAST(NULL AS BIGINT) AS n
+          FROM r WHERE rn <= 16),
+    c AS (SELECT source, CAST(NULL AS BIGINT) AS h,
+                 CAST(NULL AS DOUBLE) AS value,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM v GROUP BY source)
+    SELECT * FROM s UNION ALL SELECT * FROM c
+"""
+
+TEXT_ORACLES["length_rank_quantiles_by_source"] = """
+    WITH v AS (
+        SELECT source,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h,
+               CAST(length(text) AS DOUBLE) AS value
+        FROM documents WHERE length(text) IS NOT NULL
+    ),
+    b AS (SELECT source, h, value,
+                 row_number() OVER (PARTITION BY source ORDER BY h, value)
+                     AS rn
+          FROM v),
+    s AS (SELECT source, h, value FROM b WHERE rn <= 16),
+    r AS (SELECT source, value, h,
+                 row_number() OVER (PARTITION BY source ORDER BY value, h)
+                     AS vr
+          FROM s),
+    kq AS (SELECT source, count(*) AS kk FROM s GROUP BY source),
+    q AS (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q)
+    SELECT r.source, q, min(value) AS est
+    FROM r JOIN kq ON r.source = kq.source, q
+    WHERE vr >= least(kk, greatest(1, ceil(q * kk)))
+    GROUP BY r.source, q
+"""
+
 # knn_auto (similarity.py): the production ANN chooser's dispatch
 # decision, differentially checked — the twin composes the ALREADY
 # ORACLE-CHECKED audit and top-k queries of the contract ladder

@@ -117,6 +117,10 @@ FUZZ_QUERIES = [
     "weighted_jaccard",
     # fifth ring (r7 KMV wave): the deterministic-sketch overlap twin
     "vocab_overlap_kmv",
+    # r7: stratified rank sketch — NULL texts and per-source strata of
+    # varying size exercise the per-group clamp and count rows
+    "length_rank_sketch_by_source",
+    "length_rank_quantiles_by_source",
 ]
 
 # Contracts that legitimately sit outside every ring, with the reason

@@ -126,3 +126,78 @@ def test_stream_equals_batch_sketch_exactly(spark, tmp_path):
     assert _rows(read_rank_sketch(spark, sk, k=K)) == _rows(batch)
     parts = {r[0] for r in spark.read.parquet(sk).select("ingest_batch").distinct().collect()}
     assert parts == {-1}
+
+def test_grouped_sketch_matches_reference_model(spark):
+    """Stratified form: per-group bottom-k + per-group exact count,
+    strata of unequal size straddling k (one exact, one truncated),
+    NULL values dropped."""
+    from kafka_streams_spark.operators.profiling import rank_sketch_grouped
+
+    k = 8
+    rows = (
+        [("small", i, float(i)) for i in range(5)]
+        + [("small", 90, None)]
+        + [("big", 100 + i, float(i % 13)) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "g string, id bigint, value double")
+    got = sorted(
+        ((r["g"],) + tuple((r["h"], r["value"], r["n"]))
+         for r in rank_sketch_grouped(df, "value", "id", ["g"], k=k).collect()),
+        key=lambda t: (t[0],) + _key(t[1:][0:3]),
+    )
+    want = []
+    for g in ("big", "small"):
+        for h, v, n in _model([(i, v) for gg, i, v in rows if gg == g], k):
+            want.append((g, h, v, n))
+    want.sort(key=lambda t: (t[0],) + _key(t[1:4]))
+    assert got == want
+
+
+def test_grouped_merge_equals_sketch_of_union(spark):
+    from kafka_streams_spark.operators.profiling import (
+        rank_sketch_grouped,
+        rank_sketch_grouped_merge,
+    )
+
+    k = 8
+    a = spark.createDataFrame(
+        [("g%d" % (i % 2), i, float(i % 7)) for i in range(30)],
+        "g string, id bigint, value double",
+    )
+    b = spark.createDataFrame(
+        [("g%d" % (i % 2), 100 + i, float(i % 5)) for i in range(25)],
+        "g string, id bigint, value double",
+    )
+    merged = rank_sketch_grouped_merge(
+        rank_sketch_grouped(a, "value", "id", ["g"], k).unionAll(
+            rank_sketch_grouped(b, "value", "id", ["g"], k)
+        ),
+        ["g"],
+        k,
+    )
+    whole = rank_sketch_grouped(
+        a.unionAll(b), "value", "id", ["g"], k
+    )
+    key = lambda r: (r["g"],) + _key((r["h"], r["value"], r["n"]))
+    assert sorted(map(key, merged.collect())) == sorted(
+        map(key, whole.collect())
+    )
+
+
+def test_grouped_sketch_plan_uses_window_group_limit(spark):
+    """The per-group bottom-k must compile to WindowGroupLimit
+    (pre-exchange per-partition heaps), same property as distinct_kmv —
+    the reason the stratified sketch never globally sorts a stratum."""
+    from kafka_streams_spark.operators.profiling import rank_sketch_grouped
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 4), i, float(i)) for i in range(200)],
+        "g string, id bigint, value double",
+    )
+    plan = (
+        rank_sketch_grouped(df, "value", "id", ["g"], k=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
