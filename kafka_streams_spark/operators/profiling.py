@@ -236,28 +236,46 @@ def join_size_audit(
     n_shared_keys, join_rows BIGINT, top_key STRING,
     top_key_share DOUBLE).
     """
-    # One scan per side: the per-key profile keeps the NULL-key group,
-    # so row totals and distinct-key counts are derived FROM the
-    # profile (its non-NULL rows ARE the distinct keys). The profile
-    # feeds two consumers with DIFFERENT exchange shapes (a 1-row
-    # totals agg and the contribution join), which Spark's
-    # ReuseExchange cannot unify — materialize_shared computes each
-    # profile once and lets both branches read it.
+    # One scan per side: the audit is a pure read-off of the two
+    # per-key profiles (key_profile), which keep the NULL-key group so
+    # row totals and distinct-key counts are derived from the profile
+    # itself. Each profile feeds two consumers with DIFFERENT exchange
+    # shapes (a 1-row totals agg and the contribution join), which
+    # Spark's ReuseExchange cannot unify — materialize_shared computes
+    # each profile once and lets both branches read it.
     from kafka_streams_spark.functions.partitioning import materialize_shared
 
-    pa = materialize_shared(
-        a.groupBy(F.col(key_a).cast("string").alias("k")).agg(
-            F.count(F.lit(1)).alias("ca")
-        )
+    return join_size_from_profiles(
+        materialize_shared(key_profile(a, key_a)),
+        materialize_shared(key_profile(b, key_b)),
     )
-    pb = materialize_shared(
-        b.groupBy(F.col(key_b).cast("string").alias("k")).agg(
-            F.count(F.lit(1)).alias("cb")
-        )
+
+
+def key_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """The per-key COUNT profile: (k STRING — NULL group kept,
+    cnt BIGINT). This is the persistable/streamable state behind
+    :func:`join_size_from_profiles`: profile each table ONCE (its one
+    groupBy shuffle), persist or maintain it live
+    (``streaming/sketch_stream.run_key_profile_stream``), then price
+    any join against it without touching the data again. Mergeable by
+    grouped sum — counts are associative."""
+    return df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
+
+
+def join_size_from_profiles(pa: DataFrame, pb: DataFrame) -> DataFrame:
+    """The :func:`join_size_audit` read-off from two already-built
+    :func:`key_profile` tables — the form that prices a join between
+    a LIVE stream (profile maintained incrementally) and a static
+    table, or between two persisted profiles, in O(distinct keys)
+    without rescanning either input. Output schema identical to
+    join_size_audit."""
+    pa = pa.select(F.col("k"), F.col("cnt").alias("ca"))
+    pb = pb.select(F.col("k"), F.col("cnt").alias("cb"))
     # no NULL filter needed: the equi-join itself never matches NULL
     # keys, and leaving the profiles unfiltered keeps both consumers'
-    # subtrees identical so the shuffle is computed once (ReuseExchange)
+    # subtrees identical
     contrib = pa.join(pb, "k").select(
         "k", (F.col("ca") * F.col("cb")).cast("bigint").alias("c")
     )

@@ -619,6 +619,94 @@ def compact_kmv(spark: SparkSession, sketch_dir: str, k: int = 256) -> None:
         p.getFileSystem(hconf).delete(p, True)
 
 
+def run_key_profile_stream(
+    spark: SparkSession,
+    source_dir: str,
+    profile_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "source",
+    max_files_per_trigger: int = 100,
+):
+    """Maintain the per-key COUNT profile of a document stream — the
+    live state behind :func:`~kafka_streams_spark.operators.profiling.
+    join_size_from_profiles`: price a stream-static (or
+    stream-snapshot) join continuously, against the profile the stream
+    has built so far, without ever rescanning the ingested data. CMS
+    changelog shape: each micro-batch writes its own (k, cnt) delta
+    (<= distinct-keys-in-batch rows) under its ``ingest_batch``
+    partition; counts merge by grouped SUM (associative), so
+    :func:`read_key_profile` equals the one-shot batch profile of
+    everything ingested. Replay-idempotent as ever: a re-delivered
+    batch recomputes the same deterministic delta into its own
+    partition."""
+    from kafka_streams_spark.operators.profiling import key_profile
+
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        delta = key_profile(batch_df, key_col)
+        (
+            delta.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(profile_dir)
+        )
+
+    return (
+        raw.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+
+def read_key_profile(spark: SparkSession, profile_dir: str) -> DataFrame:
+    """The live merged per-key profile: grouped SUM over every batch
+    delta — identical to the batch ``key_profile`` of all rows
+    ingested so far. Output: (k STRING, cnt BIGINT). NULL-key rows are
+    a real group, same as the batch form."""
+    return (
+        spark.read.parquet(profile_dir)
+        .groupBy("k")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def compact_key_profile(spark: SparkSession, profile_dir: str) -> None:
+    """Fold all batch deltas into the reserved ``-1`` partition — the
+    snapshot-pin / dynamic-overwrite / targeted-delete protocol of
+    :func:`compact_gram` with the grouped-sum merge."""
+    df = spark.read.parquet(profile_dir)
+    batch_ids = [r[0] for r in df.select("ingest_batch").distinct().collect()]
+    snap = spark.read.parquet(profile_dir).filter(
+        F.col("ingest_batch").isin(batch_ids)
+    )
+    merged = (
+        snap.groupBy("k")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .withColumn("ingest_batch", F.lit(-1))
+    )
+    staged = merged.localCheckpoint(eager=True)
+    (
+        staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(profile_dir)
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for b in batch_ids:
+        if b == -1:
+            continue
+        p = jvm.org.apache.hadoop.fs.Path(f"{profile_dir}/ingest_batch={b}")
+        p.getFileSystem(hconf).delete(p, True)
+
+
 def run_rank_sketch_stream(
     spark: SparkSession,
     source_dir: str,

@@ -90,3 +90,71 @@ def test_profile_join_never_touches_data_rows(spark, monkeypatch):
                             "Aggregate:\n" + plan
                         )
             assert seen_agg, plan
+
+def test_live_profile_prices_stream_static_join(spark, tmp_path):
+    """The streamed per-key profile feeds join_size_from_profiles: the
+    live pricing of a stream-static join equals join_size_audit over
+    everything ingested, across two micro-batch waves and after
+    snapshot-pin compaction."""
+    import json
+    import os
+
+    from kafka_streams_spark.operators.profiling import (
+        join_size_from_profiles,
+        key_profile,
+    )
+    from kafka_streams_spark.streaming.sketch_stream import (
+        compact_key_profile,
+        read_key_profile,
+        run_key_profile_stream,
+    )
+
+    src = str(tmp_path / "src")
+    prof = str(tmp_path / "profile")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    docs_a = [
+        {"doc_id": i, "source": "s%d" % (i % 3), "text": "x"} for i in range(30)
+    ] + [{"doc_id": 90, "source": None, "text": "null-key row"}]
+    docs_b = [
+        {"doc_id": 100 + i, "source": "s%d" % (i % 4), "text": "y"}
+        for i in range(25)
+    ]
+    with open(f"{src}/a.json", "w") as f:
+        f.write("\n".join(json.dumps(d) for d in docs_a))
+    q = run_key_profile_stream(spark, src, prof, ckpt, key_col="source")
+    try:
+        q.processAllAvailable()
+        with open(f"{src}/b.json", "w") as f:
+            f.write("\n".join(json.dumps(d) for d in docs_b))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    static = spark.createDataFrame(
+        [("s0", 1), ("s0", 2), ("s3", 3), (None, 4)], "src string, v bigint"
+    )
+    all_docs = spark.createDataFrame(
+        [(d["source"],) for d in docs_a + docs_b], "source string"
+    )
+    live = join_size_from_profiles(
+        read_key_profile(spark, prof), key_profile(static, "src")
+    ).collect()[0]
+    from kafka_streams_spark.operators.profiling import join_size_audit
+
+    batch = join_size_audit(all_docs, "source", static, "src").collect()[0]
+    assert live.asDict() == batch.asDict()
+    # and the pricing is the truth of the executed join
+    true_join = all_docs.join(static, all_docs.source == static.src).count()
+    assert live["join_rows"] == true_join
+
+    compact_key_profile(spark, prof)
+    live2 = join_size_from_profiles(
+        read_key_profile(spark, prof), key_profile(static, "src")
+    ).collect()[0]
+    assert live2.asDict() == batch.asDict()
+    parts = {
+        r[0]
+        for r in spark.read.parquet(prof).select("ingest_batch").distinct().collect()
+    }
+    assert parts == {-1}
