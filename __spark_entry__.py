@@ -1709,16 +1709,26 @@ _CODE_CHANGED = [
 _NEXT_ROUND_QUEUE: list[str] = []
 
 
-def _evidence_order(names: list[str]) -> list[str]:
-    """Order contract names for driver-evidence priority, computed from
-    the newest green driver row per name across all CORRECTNESS_r*.json
-    records (green = hash-checked pass, or a declared rows-only check
-    that produced rows). See the module comment for the policy."""
+def _is_green(row: dict) -> bool:
+    """THE green-evidence predicate — a driver row certifies a contract
+    iff it hash-checked, or it is a declared rows-only check that
+    produced rows. Single definition: tools/next_round_order.py and
+    tools/freshness_lint.py import this, so the driver ordering and the
+    lints can never drift on what counts as green."""
+    return row.get("hash_match") is True or (
+        row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+    )
+
+
+def _newest_green_rounds(root=None) -> dict[str, int]:
+    """name -> newest round with a green driver row, parsed from every
+    CORRECTNESS_r*.json next to this file (shared by the evidence
+    ordering and the lint tools)."""
     import json as _json
     from pathlib import Path as _Path
 
     newest: dict[str, int] = {}
-    root = _Path(__file__).resolve().parent
+    root = _Path(root) if root else _Path(__file__).resolve().parent
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             data = _json.loads(f.read_text())
@@ -1726,11 +1736,17 @@ def _evidence_order(names: list[str]) -> list[str]:
             continue
         rnd = int(f.stem.rsplit("r", 1)[-1])
         for n, row in data.items():
-            ok = row.get("hash_match") is True or (
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-            )
-            if ok:
+            if _is_green(row):
                 newest[n] = max(newest.get(n, 0), rnd)
+    return newest
+
+
+def _evidence_order(names: list[str]) -> list[str]:
+    """Order contract names for driver-evidence priority, computed from
+    the newest green driver row per name across all CORRECTNESS_r*.json
+    records (green = _is_green). See the module comment for the
+    policy."""
+    newest = _newest_green_rounds()
     pos = {n: i for i, n in enumerate(names)}
     head = [n for n in _CODE_CHANGED if n in pos]
     rest = sorted(

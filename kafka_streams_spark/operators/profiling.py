@@ -353,10 +353,14 @@ def rank_sketch(
     Output: k rows (h bigint, value double, n NULL) + 1 count row
     (h NULL, value NULL, n bigint).
     """
-    vals = df.filter(F.col(value_col).isNotNull()).select(
-        F.conv(F.substring(F.md5(F.col(hash_col).cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("h"),
+    # hash_col NULLs are filtered too: md5(NULL) is NULL, and an
+    # h=NULL sample row would (a) collide with the count-row sentinel
+    # (rank_sketch_merge would misclassify it) and (b) sort NULLS
+    # FIRST in Spark vs NULLS LAST in DuckDB — cross-engine divergence
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(hash_col).isNotNull()
+    ).select(
+        _kmv_hash(F.col(hash_col)).alias("h"),
         F.col(value_col).cast("double").alias("value"),
     )
     sample = vals.orderBy("h", "value").limit(int(k)).select(
@@ -414,7 +418,11 @@ def rank_sketch_grouped(
     from pyspark.sql import Window
 
     groups = list(group_cols)
-    vals = df.filter(F.col(value_col).isNotNull()).select(
+    # hash_col NULLs filtered for the same sentinel-collision /
+    # NULLS-FIRST-vs-LAST reasons as the global rank_sketch
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(hash_col).isNotNull()
+    ).select(
         *groups,
         _kmv_hash(F.col(hash_col)).alias("h"),
         F.col(value_col).cast("double").alias("value"),

@@ -3733,7 +3733,8 @@ ANALYTICS_ORACLES["price_rank_sketch"] = """
         SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
                     AS BIGINT) AS h,
                CAST(o_totalprice AS DOUBLE) AS value
-        FROM orders WHERE o_totalprice IS NOT NULL
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
     ),
     s AS (SELECT h, value, CAST(NULL AS BIGINT) AS n
           FROM v ORDER BY h, value LIMIT 256),
@@ -3748,7 +3749,8 @@ ANALYTICS_ORACLES["price_rank_quantiles"] = """
         SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
                     AS BIGINT) AS h,
                CAST(o_totalprice AS DOUBLE) AS value
-        FROM orders WHERE o_totalprice IS NOT NULL
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
     ),
     s AS (SELECT h, value FROM v ORDER BY h, value LIMIT 256),
     r AS (SELECT value, h, row_number() OVER (ORDER BY value, h) AS rn FROM s),
@@ -3769,7 +3771,8 @@ TEXT_ORACLES["length_rank_sketch_by_source"] = """
                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                     AS BIGINT) AS h,
                CAST(length(text) AS DOUBLE) AS value
-        FROM documents WHERE length(text) IS NOT NULL
+        FROM documents
+        WHERE length(text) IS NOT NULL AND doc_id IS NOT NULL
     ),
     r AS (SELECT source, h, value,
                  row_number() OVER (PARTITION BY source ORDER BY h, value)
@@ -3790,7 +3793,8 @@ TEXT_ORACLES["length_rank_quantiles_by_source"] = """
                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                     AS BIGINT) AS h,
                CAST(length(text) AS DOUBLE) AS value
-        FROM documents WHERE length(text) IS NOT NULL
+        FROM documents
+        WHERE length(text) IS NOT NULL AND doc_id IS NOT NULL
     ),
     b AS (SELECT source, h, value,
                  row_number() OVER (PARTITION BY source ORDER BY h, value)

@@ -175,16 +175,40 @@ def read_gram(spark: SparkSession, gram_dir: str) -> DataFrame:
     )
 
 
+def _committed_batch_ids(spark: SparkSession, checkpoint_dir: str) -> set:
+    """Batch ids recorded in the stream's Structured Streaming commit
+    log (``{checkpoint}/commits``). A batch present there is never
+    re-delivered on restart — the set compaction may safely fold."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/commits")
+    fs = p.getFileSystem(hconf)
+    out: set = set()
+    if not fs.exists(p):
+        return out
+    for st in fs.listStatus(p):
+        base = st.getPath().getName().split(".")[0]
+        if base.lstrip("-").isdigit():
+            out.add(int(base))
+    return out
+
+
 def _compact_deltas(
     spark: SparkSession,
     delta_dir: str,
-    group_cols: list[str],
-    sum_cols: list[str],
+    group_cols: list[str] | None = None,
+    sum_cols: list[str] | None = None,
     _after_pin=None,
+    merge=None,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Shared safe-under-concurrency compaction for batch-partitioned
-    delta tables: fold the partitions PRESENT AT SNAPSHOT TIME into the
+    delta tables: fold the partitions PINNED AT SNAPSHOT TIME into the
     reserved ``-1`` partition, then delete exactly those partitions.
+    ``merge`` is the store's associative fold (pinned deltas, without
+    the ``ingest_batch`` column → merged rows); the default is the
+    grouped SUM over ``group_cols``/``sum_cols``. EVERY delta store's
+    compaction routes through here — one protocol, one place to fix.
 
     Concurrency contract (round-7 advice fix): the old full-table
     STATIC overwrite deleted any delta a live micro-batch wrote between
@@ -195,12 +219,36 @@ def _compact_deltas(
     ``ingest_batch=-1`` is replaced), and only the pinned batch
     partitions are deleted afterwards — a delta landing mid-compaction
     is in neither the merge nor the delete set and survives intact.
-    A replayed batch rewriting a pinned id mid-compaction rewrites
-    bit-identical data (deterministic deltas), so its deletion loses
-    nothing. The reserved ``-1`` id (never a real batch id) still
-    prevents writer/compactor partition collision."""
+
+    Replay contract: a batch whose foreachBatch write succeeded but
+    whose checkpoint COMMIT did not will be re-delivered on restart —
+    if compaction had folded and deleted its partition in between, the
+    replayed write would re-create it and the store would count it
+    TWICE, permanently. Pass ``checkpoint_dir`` (recommended) and the
+    pin set is intersected with the stream's commit log, so only
+    never-replayable batches fold; an uncommitted delta stays a delta
+    until its commit lands. Without ``checkpoint_dir``, the caller must
+    only compact while the stream is stopped AND fully committed.
+
+    Read visibility: between the ``-1`` overwrite commit and the last
+    partition delete, a concurrent reader can see a pinned delta twice
+    (once folded, once not). The window is the delete loop only;
+    sum-type reads taken inside it are transiently inflated. Run
+    compaction from the maintenance path if readers need exact values
+    at every instant — documented, not hidden."""
+    if merge is None:
+        gcols, scols = list(group_cols), list(sum_cols)
+
+        def merge(df: DataFrame) -> DataFrame:
+            return df.groupBy(*gcols).agg(
+                *[F.sum(c).alias(c) for c in scols]
+            )
+
     df = spark.read.parquet(delta_dir)
     batch_ids = [r[0] for r in df.select("ingest_batch").distinct().collect()]
+    if checkpoint_dir is not None:
+        committed = _committed_batch_ids(spark, checkpoint_dir)
+        batch_ids = [b for b in batch_ids if b == -1 or b in committed]
     if _after_pin is not None:
         _after_pin()  # test-only: simulate a delta landing mid-compaction
     # Re-read so the file index sees any partition written after the pin
@@ -209,9 +257,9 @@ def _compact_deltas(
     snap = spark.read.parquet(delta_dir).filter(
         F.col("ingest_batch").isin(batch_ids)
     )
-    merged = snap.groupBy(*group_cols).agg(
-        *[F.sum(c).alias(c) for c in sum_cols]
-    ).withColumn("ingest_batch", F.lit(-1))
+    merged = merge(snap.drop("ingest_batch")).withColumn(
+        "ingest_batch", F.lit(-1)
+    )
     staged = merged.localCheckpoint(eager=True)  # read fully before overwrite
     (
         staged.write.mode("overwrite")
@@ -228,15 +276,22 @@ def _compact_deltas(
         p.getFileSystem(hconf).delete(p, True)
 
 
-def compact_gram(spark: SparkSession, gram_dir: str) -> None:
+def compact_gram(
+    spark: SparkSession, gram_dir: str, checkpoint_dir: str | None = None
+) -> None:
     """Fold all batch-delta partitions into a single partition holding
     their sums — the changelog compaction step (same economics as the
     router's): read cost of :func:`read_gram` drops from d²·batches
     rows back to d², and the stream keeps appending new deltas after.
     Safe to run against a live stream: see :func:`_compact_deltas` for
-    the snapshot-pin / dynamic-overwrite / targeted-delete protocol."""
+    the snapshot-pin / dynamic-overwrite / targeted-delete protocol and
+    why ``checkpoint_dir`` should be passed (replay safety)."""
     _compact_deltas(
-        spark, gram_dir, ["dim_i", "dim_j"], ["n", "sum_i", "sum_j", "sum_prod"]
+        spark,
+        gram_dir,
+        ["dim_i", "dim_j"],
+        ["n", "sum_i", "sum_j", "sum_prod"],
+        checkpoint_dir=checkpoint_dir,
     )
 
 
@@ -395,13 +450,17 @@ def read_histogram(spark: SparkSession, hist_dir: str) -> DataFrame:
     )
 
 
-def compact_histogram(spark: SparkSession, hist_dir: str) -> None:
+def compact_histogram(
+    spark: SparkSession, hist_dir: str, checkpoint_dir: str | None = None
+) -> None:
     """Fold all batch-delta partitions into the reserved ``-1``
     partition (same economics and collision rule as
     :func:`compact_gram`): read cost drops from buckets·batches rows
     back to buckets, and the stream keeps appending new deltas after.
     Live-stream-safe via :func:`_compact_deltas`."""
-    _compact_deltas(spark, hist_dir, ["bucket"], ["counter"])
+    _compact_deltas(
+        spark, hist_dir, ["bucket"], ["counter"], checkpoint_dir=checkpoint_dir
+    )
 
 
 def run_binarize_stream(
@@ -589,34 +648,24 @@ def read_kmv(spark: SparkSession, sketch_dir: str, k: int = 256) -> DataFrame:
     return kmv_read_off(state, ["source"], k=k)
 
 
-def compact_kmv(spark: SparkSession, sketch_dir: str, k: int = 256) -> None:
+def compact_kmv(
+    spark: SparkSession,
+    sketch_dir: str,
+    k: int = 256,
+    checkpoint_dir: str | None = None,
+) -> None:
     """Fold all batch partials into the reserved ``-1`` partition —
-    the snapshot-pin / dynamic-overwrite / targeted-delete protocol of
-    :func:`compact_gram` with the per-group bottom-k merge."""
+    :func:`_compact_deltas` with the per-group bottom-k merge."""
     from kafka_streams_spark.operators.profiling import kmv_state_merge
 
-    df = spark.read.parquet(sketch_dir)
-    batch_ids = [r[0] for r in df.select("ingest_batch").distinct().collect()]
-    snap = spark.read.parquet(sketch_dir).filter(
-        F.col("ingest_batch").isin(batch_ids)
+    _compact_deltas(
+        spark,
+        sketch_dir,
+        merge=lambda df: kmv_state_merge(
+            df.select("source", "h"), ["source"], k=k
+        ),
+        checkpoint_dir=checkpoint_dir,
     )
-    merged = kmv_state_merge(
-        snap.select("source", "h"), ["source"], k=k
-    ).withColumn("ingest_batch", F.lit(-1))
-    staged = merged.localCheckpoint(eager=True)
-    (
-        staged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch")
-        .parquet(sketch_dir)
-    )
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    for b in batch_ids:
-        if b == -1:
-            continue
-        p = jvm.org.apache.hadoop.fs.Path(f"{sketch_dir}/ingest_batch={b}")
-        p.getFileSystem(hconf).delete(p, True)
 
 
 def run_key_profile_stream(
@@ -677,34 +726,20 @@ def read_key_profile(spark: SparkSession, profile_dir: str) -> DataFrame:
     )
 
 
-def compact_key_profile(spark: SparkSession, profile_dir: str) -> None:
-    """Fold all batch deltas into the reserved ``-1`` partition — the
-    snapshot-pin / dynamic-overwrite / targeted-delete protocol of
-    :func:`compact_gram` with the grouped-sum merge."""
-    df = spark.read.parquet(profile_dir)
-    batch_ids = [r[0] for r in df.select("ingest_batch").distinct().collect()]
-    snap = spark.read.parquet(profile_dir).filter(
-        F.col("ingest_batch").isin(batch_ids)
+def compact_key_profile(
+    spark: SparkSession, profile_dir: str, checkpoint_dir: str | None = None
+) -> None:
+    """Fold all batch deltas into the reserved ``-1`` partition —
+    :func:`_compact_deltas` with the grouped-sum merge (cnt kept
+    BIGINT)."""
+    _compact_deltas(
+        spark,
+        profile_dir,
+        merge=lambda df: df.groupBy("k").agg(
+            F.sum("cnt").cast("bigint").alias("cnt")
+        ),
+        checkpoint_dir=checkpoint_dir,
     )
-    merged = (
-        snap.groupBy("k")
-        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
-        .withColumn("ingest_batch", F.lit(-1))
-    )
-    staged = merged.localCheckpoint(eager=True)
-    (
-        staged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch")
-        .parquet(profile_dir)
-    )
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    for b in batch_ids:
-        if b == -1:
-            continue
-        p = jvm.org.apache.hadoop.fs.Path(f"{profile_dir}/ingest_batch={b}")
-        p.getFileSystem(hconf).delete(p, True)
 
 
 def run_rank_sketch_stream(
@@ -770,32 +805,22 @@ def read_rank_sketch(spark: SparkSession, sketch_dir: str, k: int = 1024) -> Dat
     )
 
 
-def compact_rank_sketch(spark: SparkSession, sketch_dir: str, k: int = 1024) -> None:
+def compact_rank_sketch(
+    spark: SparkSession,
+    sketch_dir: str,
+    k: int = 1024,
+    checkpoint_dir: str | None = None,
+) -> None:
     """Fold all batch partials into the reserved ``-1`` partition —
-    the same snapshot-pin / dynamic-overwrite / targeted-delete
-    protocol as :func:`compact_gram` (safe against a live stream), but
-    with the bottom-k merge instead of a groupBy-sum."""
+    :func:`_compact_deltas` with the bottom-k merge instead of a
+    groupBy-sum."""
     from kafka_streams_spark.operators.profiling import rank_sketch_merge
 
-    df = spark.read.parquet(sketch_dir)
-    batch_ids = [r[0] for r in df.select("ingest_batch").distinct().collect()]
-    snap = spark.read.parquet(sketch_dir).filter(
-        F.col("ingest_batch").isin(batch_ids)
+    _compact_deltas(
+        spark,
+        sketch_dir,
+        merge=lambda df: rank_sketch_merge(
+            df.select("h", "value", "n"), k=k
+        ),
+        checkpoint_dir=checkpoint_dir,
     )
-    merged = rank_sketch_merge(snap.select("h", "value", "n"), k=k).withColumn(
-        "ingest_batch", F.lit(-1)
-    )
-    staged = merged.localCheckpoint(eager=True)
-    (
-        staged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch")
-        .parquet(sketch_dir)
-    )
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    for b in batch_ids:
-        if b == -1:
-            continue
-        p = jvm.org.apache.hadoop.fs.Path(f"{sketch_dir}/ingest_batch={b}")
-        p.getFileSystem(hconf).delete(p, True)

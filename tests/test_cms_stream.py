@@ -520,3 +520,54 @@ def test_compact_gram_survives_concurrent_delta(spark, tmp_path):
     assert sorted(map(tuple, read_gram(spark, gram).collect())) == sorted(
         map(tuple, expected.collect())
     )
+
+def test_compaction_skips_uncommitted_batch(spark, tmp_path):
+    """Replay safety (round-7 self-review find): a delta whose
+    foreachBatch write landed but whose checkpoint COMMIT did not will
+    be re-delivered on restart — if compaction had folded and deleted
+    it, the replay would re-create the partition and the store would
+    count it TWICE, permanently. With checkpoint_dir passed,
+    _compact_deltas intersects the pin set with the stream's commit
+    log: the uncommitted delta stays a delta, and the post-replay
+    read-off is exact."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.streaming.sketch_stream import (
+        _compact_deltas,
+        read_key_profile,
+    )
+
+    prof = str(tmp_path / "profile")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(f"{ckpt}/commits")
+
+    def write_delta(batch_id, rows):
+        spark.createDataFrame(rows, "k string, cnt bigint").withColumn(
+            "ingest_batch", F.lit(batch_id)
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("ingest_batch").parquet(prof)
+
+    write_delta(0, [("a", 3), ("b", 1)])
+    write_delta(1, [("a", 2)])  # written, but its commit never landed
+    with open(f"{ckpt}/commits/0", "w") as f:
+        f.write("v1\n{}")
+
+    _compact_deltas(
+        spark,
+        prof,
+        merge=lambda df: df.groupBy("k").agg(
+            F.sum("cnt").cast("bigint").alias("cnt")
+        ),
+        checkpoint_dir=ckpt,
+    )
+    parts = {
+        r[0]
+        for r in spark.read.parquet(prof).select("ingest_batch").distinct().collect()
+    }
+    assert parts == {-1, 1}  # batch 1 NOT folded, NOT deleted
+
+    # the stream restarts and re-delivers batch 1 (idempotent rewrite)
+    write_delta(1, [("a", 2)])
+    got = {r["k"]: r["cnt"] for r in read_key_profile(spark, prof).collect()}
+    assert got == {"a": 5, "b": 1}  # exact — no double count

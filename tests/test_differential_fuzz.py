@@ -553,6 +553,17 @@ def test_tpch_oracles_agree_on_fuzz_tables(spark, tmp_path, seed):
          rng.choice(prios))
         for k in range(150)
     ]  # custkey < 45 → customers 45..59 have zero orders
+    # r7 self-review fix: the ring comments promised NULL orderkeys,
+    # duplicate keys, and negative totals but the generator never
+    # produced them. NULL keys exercise excluded-from-join /
+    # grouped-as-one-NULL-group semantics; the duplicate is an EXACT
+    # row copy (safe for every deterministic-output query — tied rows
+    # are identical in all columns); negative prices exercise the
+    # histogram's negative-cent floor-division and the rank sketch.
+    orders.append((None, 3, "F", -1234.56, day95 + 7, "5-LOW"))
+    orders.append((None, None, "O", None, day95 + 9, "1-URGENT"))
+    orders.append(orders[0])
+    orders.append((150, 5, "O", -0.5, day95 + 3, "2-HIGH"))
     write(
         "orders", orders,
         "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate bigint, o_orderpriority string",
@@ -570,6 +581,10 @@ def test_tpch_oracles_agree_on_fuzz_tables(spark, tmp_path, seed):
                  rng.choice(["R", "A", "N"]), rng.choice(["O", "F"]),
                  oday + rng.randrange(0, 120))
             )
+    # a parentless NULL-key line (never joins; counted in n_rows_*)
+    lines.append(
+        (None, 1, 2, 1, 5.0, 1000.0, 0.0, 0.01, "N", "O", day95 + 10)
+    )
     write(
         "lineitem", lines,
         "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "

@@ -201,3 +201,25 @@ def test_grouped_sketch_plan_uses_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+def test_null_hash_key_rows_excluded(spark):
+    """A NULL hash-key row must not enter the sample: md5(NULL) is NULL,
+    which would collide with the count-row sentinel (h NULL) and sort
+    NULLS FIRST in Spark vs NULLS LAST in DuckDB. Both the global and
+    grouped forms drop it; the count row counts only sampled-eligible
+    rows (mirrored in the oracles)."""
+    from kafka_streams_spark.operators.profiling import rank_sketch_grouped
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (None, 99.0), (2, 20.0)], "id bigint, value double"
+    )
+    rows = _rows(rank_sketch(df, "value", "id", k=K))
+    assert all(r[1] != 99.0 for r in rows if r[0] is not None)
+    assert rows[-1][2] == 2  # count row: NULL-key row not counted
+    gdf = spark.createDataFrame(
+        [("g", 1, 10.0), ("g", None, 99.0)], "g string, id bigint, value double"
+    )
+    grows = rank_sketch_grouped(gdf, "value", "id", ["g"], k=K).collect()
+    assert sorted(
+        (r["h"] is None, r["value"], r["n"]) for r in grows
+    ) == [(False, 10.0, None), (True, None, 1)]

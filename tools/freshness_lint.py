@@ -35,17 +35,13 @@ def main() -> int:
         except json.JSONDecodeError:
             continue
         rnd = int(f.stem.rsplit("r", 1)[-1])
-        # Only rows that actually PASSED count as evidence: hash-green,
-        # or a declared rows-only check that produced rows. A red row
-        # (hash_match False, or a crash with spark_rows null) is the
-        # opposite of evidence — a query whose only row is red must
-        # stay in the first-50 window until it goes green.
-        good = {
-            n
-            for n, row in data.items()
-            if row.get("hash_match") is True
-            or (row.get("err") == "no_oracle" and row.get("spark_rows") is not None)
-        }
+        # Only rows that actually PASSED count as evidence — the ONE
+        # green predicate, shared with the driver ordering
+        # (__spark_entry__._is_green). A red row (hash_match False, or
+        # a crash with spark_rows null) is the opposite of evidence —
+        # a query whose only row is red must stay in the first-50
+        # window until it goes green.
+        good = {n for n, row in data.items() if e._is_green(row)}
         rounds.append((rnd, good))
 
     evidence: dict[str, int] = {}

@@ -9,7 +9,6 @@ Usage: python tools/next_round_order.py
 
 from __future__ import annotations
 
-import json
 import sys
 from pathlib import Path
 
@@ -21,20 +20,8 @@ WINDOW = 50
 def main() -> int:
     import __spark_entry__ as e
 
-    root = Path(__file__).resolve().parent.parent
-    evidence: dict[str, int] = {}
-    for f in sorted(root.glob("CORRECTNESS_r*.json")):
-        try:
-            data = json.loads(f.read_text())
-        except json.JSONDecodeError:
-            continue
-        rnd = int(f.stem.rsplit("r", 1)[-1])
-        for n, row in data.items():
-            ok = row.get("hash_match") is True or (
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-            )
-            if ok:
-                evidence[n] = max(evidence.get(n, 0), rnd)
+    # the ONE green predicate — shared with the driver ordering
+    evidence = e._newest_green_rounds()
 
     order = list(e.queries())
     changed = [q for q in getattr(e, "_CODE_CHANGED", []) if q in order]
