@@ -196,6 +196,14 @@ def _synth_corpus(rng: random.Random, n_docs: int) -> list[tuple[int, str, str, 
     for j in range(2):
         t = f"{BOILER[0]}\nunique tail {j}"
         rows.append((1000 + base + j, t, "en", "src0", len(t)))
+    # r7 self-review: NULL source / NULL lang are realistic metadata
+    # gaps (the events ring already fuzzes NULL user_id) — per-stratum
+    # groupings, calibrations, and mixes must treat the NULL stratum
+    # identically on both engines. NULL doc_id stays OUT of contract:
+    # it is the primary key (the rfm_scores NULL-user precedent).
+    rows.append((2000, "words from the common pool", None, None, 26))
+    rows.append((2001, "the quick brown data fox", None, "src1", 24))
+    rows.append((2002, None, "en", None, 0))
     return rows
 
 
