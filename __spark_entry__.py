@@ -1701,6 +1701,21 @@ _CODE_CHANGED = [
     # engines (the score join-back silently dropped it; the oracle's
     # global ntile kept it)
     "rfm_scores",
+    # r7 self-review wave (ROUND7_NOTES §8e/§8f): operator and/or
+    # oracle semantics changed — old evidence certifies old semantics
+    "dsir_logratio",       # full-outer bucket join (target total fix)
+    "collocations",        # PMI total over ALL bigrams
+    "corpus_scorecard",    # NULL text is badword/PII free
+    "pii_scan",            # explicit whitespace class in the URL regex
+    "pii_redact",
+    "domain_stats",
+    "curate_corpus",       # URL regex + dedup_exact_rows reuse
+    "winnowing_fingerprints",   # blank docs emit no fingerprints
+    "substring_overlap_pairs",
+    "corpus_stats",        # empty corpus is counts 0, not NULL
+    "zipf_fit",            # n_tokens renamed n_ranked_tokens
+    "price_rank_sketch",   # NULL hash-key filter
+    "price_rank_quantiles",
 ]
 
 # Kept for tool compatibility (freshness_lint): with the computed

@@ -52,11 +52,13 @@ def curate_corpus(
         bpe_ish_count(t).alias("n_tokens_bpe"),
     )
     gated = base.filter((F.col("quality") >= min_quality) & ~F.col("has_pii"))
-    w = Window.partitionBy("exact_md5").orderBy(F.col(id_col))
-    return (
-        gated.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col(id_col), "source", "n_tokens_bpe", "quality")
+    # the exact-dedup step IS dedup.dedup_exact_rows (min-id winner per
+    # content hash) — composed, not re-implemented, so the shared
+    # contract has one definition
+    from kafka_streams_spark.operators.dedup import dedup_exact_rows
+
+    return dedup_exact_rows(gated, ["exact_md5"], id_col).select(
+        F.col(id_col), "source", "n_tokens_bpe", "quality"
     )
 
 
@@ -355,11 +357,18 @@ def corpus_scorecard(
     from kafka_streams_spark.operators.dedup import tokens
 
     t = F.col(text_col)
+    # NULL text trivially contains neither badwords nor PII — scan the
+    # coalesced empty string so those docs count as FREE instead of
+    # falling through when()'s NULL to the failing branch (r7
+    # self-review find; a crawl batch with missing text fields
+    # otherwise reads as a PII spike). Gopher/C4 stay failing for NULL
+    # text: no content is not a quality pass.
+    t_s = F.coalesce(t, F.lit(""))
     bad_lit = F.array(*[F.lit(w) for w in BADWORDS])
-    n_bad = F.size(F.filter(tokens(t), lambda x: F.array_contains(bad_lit, x)))
+    n_bad = F.size(F.filter(tokens(t_s), lambda x: F.array_contains(bad_lit, x)))
     pii_hit = None
     for rx in PII_PATTERNS.values():
-        c = F.size(F.regexp_extract_all(t, F.lit(rx), F.lit(0))) > 0
+        c = F.size(F.regexp_extract_all(t_s, F.lit(rx), F.lit(0))) > 0
         pii_hit = c if pii_hit is None else pii_hit | c
     return docs.agg(
         F.count("*").cast("bigint").alias("n_docs"),

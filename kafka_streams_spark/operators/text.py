@@ -164,8 +164,17 @@ def winnowing_fingerprint(
         F.sequence(F.lit(1), n_grams),
         lambda i: gram_hash(F.concat_ws(" ", F.slice(toks, i, k))),
     )
-    exploded = spread(docs).select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "h")
+    # zero-token (empty/NULL/whitespace-only) docs emit NO fingerprints:
+    # the min-1 gram count would otherwise hash the empty string, every
+    # blank page would share that fingerprint, and
+    # substring_overlap_pairs would both report blank-pair "verbatim
+    # spans" over zero tokens and expand the single hash('') bucket
+    # quadratically (r7 self-review find; oracle mirrored). Docs with
+    # 1..k-1 tokens keep the whole-doc single gram.
+    exploded = (
+        spread(docs)
+        .filter(F.size(toks) >= 1)
+        .select(F.col(id_col), F.posexplode(grams).alias("pos", "h"))
     )
     w_ahead = (
         W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
@@ -323,7 +332,11 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 PII_PATTERNS = {
     "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "urls": r"https?://[^\s]+",
+    # explicit whitespace class, NOT \s: Java \s includes U+000B
+    # (vertical tab) while RE2's does not — the same divergence
+    # normalize_text documents. The explicit class is identical in
+    # both engines, so redaction spans agree on \x0B too.
+    "urls": r"https?://[^ \t\n\x0B\f\r]+",
     "ipv4s": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
 }
 
@@ -361,13 +374,17 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     tok = spread(docs).select(F.explode(tokens(F.col(text_col))).alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count("*").alias("n"))
+    # coalesce: an empty (or all-blank-text) corpus is counts 0, not
+    # NULL — the same pinned convention as corpus_drift/corpus_overlap
+    # (r7 self-review find; sums/max over the zero-row vocab table are
+    # otherwise NULL). top_token_freq 0 = "no tokens".
     stats = vocab.agg(
-        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_tokens"),
         F.count("*").cast("bigint").alias("n_distinct_tokens"),
-        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("n") == 1, 1).otherwise(0)), F.lit(0))
         .cast("bigint")
         .alias("n_hapax"),
-        F.max("n").cast("bigint").alias("top_token_freq"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("bigint").alias("top_token_freq"),
     )
     # Doc count joins in as a broadcast 1-row aggregate (the tf_idf
     # pattern) — no driver-side count() job during construction.
@@ -676,8 +693,16 @@ def dsir_logratio(
     base_counts = raw.groupBy("_b").agg(F.count("*").alias("_rn"))
     tgt_counts = features(target, []).groupBy("_b").agg(F.count("*").alias("_tn"))
     w = Window.partitionBy()
+    # FULL outer: a bucket the target populates but the raw corpus
+    # never touches must still count toward T (the formula's target
+    # total) — a LEFT join here silently shrank T whenever the target
+    # was not a subset of the raw corpus (r7 self-review find; the
+    # oracle always totaled the full target table). Target-only rows
+    # carry _rn=0 and are never matched by the scoring join below
+    # (raw buckets are base buckets by construction).
     stats = (
-        base_counts.join(tgt_counts, "_b", "left")
+        base_counts.join(tgt_counts, "_b", "full_outer")
+        .withColumn("_rn", F.coalesce(F.col("_rn"), F.lit(0)))
         .withColumn("_tn", F.coalesce(F.col("_tn"), F.lit(0)))
         .withColumn("_R", F.sum("_rn").over(w))
         .withColumn("_T", F.coalesce(F.sum("_tn").over(w), F.lit(0)))
@@ -759,7 +784,9 @@ def keyword_search_bm25(
     )
 
 
-DOMAIN_REGEX = r"https?://([^/\s]+)"
+# explicit whitespace class for the \x0B Java-vs-RE2 parity reason
+# documented at PII_PATTERNS["urls"]
+DOMAIN_REGEX = r"https?://([^/ \t\n\x0B\f\r]+)"
 
 
 def domain_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -1646,7 +1673,10 @@ def zipf_fit(
     Zipfian and would bias the slope. Output doubles are sums of ≤ k
     log terms → rounded 6 dp to absorb summation-order ulps.
 
-    Output: one row (n_tokens bigint, slope, intercept).
+    Output: one row (n_ranked_tokens bigint — the number of distinct
+    top-k tokens the regression used, min(k, |vocab|), NOT a corpus
+    token count (renamed from the misleading `n_tokens`, r7
+    self-review find); slope, intercept).
     """
     from pyspark.sql import Window
 
@@ -1680,7 +1710,7 @@ def zipf_fit(
         (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / denom,
     )
     return s.select(
-        F.col("_n").cast("bigint").alias("n_tokens"),
+        F.col("_n").cast("bigint").alias("n_ranked_tokens"),
         F.round(slope, 6).alias("slope"),
         F.round((F.col("_sy") - slope * F.col("_sx")) / F.col("_n"), 6).alias(
             "intercept"
@@ -2137,13 +2167,13 @@ def collocations(
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")),
     )
-    big = (
+    big_all = (
         spread(docs)
         .select(F.explode(pairs).alias("p"))
         .groupBy(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
         .agg(F.count("*").alias("n_pair"))
-        .filter(F.col("n_pair") >= min_count)
     )
+    big = big_all.filter(F.col("n_pair") >= min_count)
     uni = (
         spread(docs)
         .select(F.explode(toks).alias("tok"))
@@ -2151,7 +2181,12 @@ def collocations(
         .agg(F.count("*").alias("n_tok"))
     )
     tot = uni.agg(F.sum("n_tok").alias("_t"))
-    tot_pairs = big.agg(F.sum("n_pair").alias("_tp"))
+    # p(ab) denominator is the FULL bigram total — computing it after
+    # the min_count cut inflated every PMI by log(total/kept-total)
+    # (r7 self-review find; the documented Church & Hanks definition
+    # normalizes over all bigram occurrences). Ranking was unchanged
+    # (uniform shift); the emitted values were not.
+    tot_pairs = big_all.agg(F.sum("n_pair").alias("_tp"))
     a = uni.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))
     b = uni.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))
     scored = (

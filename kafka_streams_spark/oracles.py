@@ -461,6 +461,7 @@ TEXT_ORACLES = {
                         array_to_string(toks[i:i+4], ' '), '')), 1, 15))
                         AS BIGINT) AS h
             FROM t, unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS u(i)
+            WHERE len(toks) >= 1  -- blank docs emit no fingerprints
         ),
         w AS (
             SELECT doc_id, i, n,
@@ -484,6 +485,7 @@ TEXT_ORACLES = {
                         array_to_string(toks[i:i+4], ' '), '')), 1, 15))
                         AS BIGINT) AS h
             FROM t, unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS u(i)
+            WHERE len(toks) >= 1  -- blank docs emit no fingerprints
         ),
         w AS (
             SELECT doc_id, i, n,
@@ -625,10 +627,11 @@ TEXT_ORACLES = {
             GROUP BY tok
         )
         SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
-               CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens,
                CAST(count(*) AS BIGINT) AS n_distinct_tokens,
-               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-               CAST(max(n) AS BIGINT) AS top_token_freq
+               CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_hapax,
+               CAST(coalesce(max(n), 0) AS BIGINT) AS top_token_freq
         FROM v
     """,
     "ngram_counts": f"""
@@ -705,7 +708,7 @@ TEXT_ORACLES = {
                    CAST(len(regexp_extract_all(text,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS emails,
                    CAST(len(regexp_extract_all(text,
-                       'https?://[^\\s]+')) AS INTEGER) AS urls,
+                       'https?://[^ \\t\\n\\x0B\\f\\r]+')) AS INTEGER) AS urls,
                    CAST(len(regexp_extract_all(text,
                        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INTEGER) AS ipv4s
             FROM documents
@@ -720,12 +723,12 @@ TEXT_ORACLES = {
                        regexp_replace(text,
                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                            '<EMAIL>', 'g'),
-                       'https?://[^\\s]+', '<URL>', 'g'),
+                       'https?://[^ \\t\\n\\x0B\\f\\r]+', '<URL>', 'g'),
                    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
                    '<IP>', 'g') AS text,
                CAST(len(regexp_extract_all(text,
                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-                    + len(regexp_extract_all(text, 'https?://[^\\s]+'))
+                    + len(regexp_extract_all(text, 'https?://[^ \\t\\n\\x0B\\f\\r]+'))
                     + len(regexp_extract_all(text,
                           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
                     AS BIGINT) AS n_redactions
@@ -801,7 +804,7 @@ TEXT_ORACLES = {
                    CAST(len(list_intersect(toks, {_STOP_EN})) AS DOUBLE)
                        / greatest(len(list_distinct(toks)), 1) AS stopword_ratio,
                    (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) > 0
-                    OR len(regexp_extract_all(text, 'https?://[^\\s]+')) > 0
+                    OR len(regexp_extract_all(text, 'https?://[^ \\t\\n\\x0B\\f\\r]+')) > 0
                     OR len(regexp_extract_all(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) > 0)
                        AS has_pii,
                    md5(coalesce(array_to_string(toks, ' '), '')) AS exact_md5,
@@ -962,7 +965,7 @@ TEXT_ORACLES = {
                       log10(CAST(f AS DOUBLE)) AS y FROM r),
         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
                      sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
-        SELECT CAST(n AS BIGINT) AS n_tokens,
+        SELECT CAST(n AS BIGINT) AS n_ranked_tokens,
                round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
                round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
                    AS intercept
@@ -1127,7 +1130,7 @@ _CURATE_FUZZY_SQL = f"""
                CAST(len(list_intersect(toks, {_STOP_EN})) AS DOUBLE)
                    / greatest(len(list_distinct(toks)), 1) AS stopword_ratio,
                (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) > 0
-                OR len(regexp_extract_all(text, 'https?://[^\\s]+')) > 0
+                OR len(regexp_extract_all(text, 'https?://[^ \\t\\n\\x0B\\f\\r]+')) > 0
                 OR len(regexp_extract_all(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) > 0)
                    AS has_pii,
                md5(coalesce(array_to_string(toks, ' '), '')) AS exact_md5,
@@ -1348,7 +1351,7 @@ def _curate_increment_sql(
                    CAST(len(list_intersect(toks, {_STOP_EN})) AS DOUBLE)
                        / greatest(len(list_distinct(toks)), 1) AS stopword_ratio,
                    (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) > 0
-                    OR len(regexp_extract_all(text, 'https?://[^\\s]+')) > 0
+                    OR len(regexp_extract_all(text, 'https?://[^ \\t\\n\\x0B\\f\\r]+')) > 0
                     OR len(regexp_extract_all(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) > 0)
                        AS has_pii,
                    md5(coalesce(array_to_string(toks, ' '), '')) AS exact_md5,
@@ -1948,7 +1951,7 @@ SAMPLING_ORACLES = {
     "domain_stats": """
         WITH d AS (
             SELECT doc_id,
-                   lower(unnest(regexp_extract_all(text, 'https?://([^/\\s]+)', 1)))
+                   lower(unnest(regexp_extract_all(text, 'https?://([^/ \\t\\n\\x0B\\f\\r]+)', 1)))
                        AS domain
             FROM documents
         )
@@ -3353,7 +3356,7 @@ TEXT_ORACLES["corpus_scorecard"] = f"""
                 AS badword_free,
             (len(regexp_extract_all(text,
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) = 0
-             AND len(regexp_extract_all(text, 'https?://[^\\s]+')) = 0
+             AND len(regexp_extract_all(text, 'https?://[^ \\t\\n\\x0B\\f\\r]+')) = 0
              AND len(regexp_extract_all(text,
                  '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) = 0)
                 AS pii_free
@@ -3368,8 +3371,12 @@ TEXT_ORACLES["corpus_scorecard"] = f"""
                 AND alpha_word_ratio >= 0.8
                 AND stop_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
            CAST(sum(CASE WHEN passes_c4 THEN 1 ELSE 0 END) AS BIGINT) AS n_c4_pass,
-           CAST(sum(CASE WHEN badword_free THEN 1 ELSE 0 END) AS BIGINT) AS n_badword_free,
-           CAST(sum(CASE WHEN pii_free THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_free
+           -- NULL text is badword/PII free (flag NULL only for NULL
+           -- text; coalesce TRUE mirrors the engine's coalesce(t, ''))
+           CAST(sum(CASE WHEN coalesce(badword_free, TRUE) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_badword_free,
+           CAST(sum(CASE WHEN coalesce(pii_free, TRUE) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pii_free
     FROM s
 """
 
@@ -3622,18 +3629,21 @@ TEXT_ORACLES["length_quantiles_by_source"] = f"""
 # (tok_a, tok_b) tiebreak so the top-k cut is engine-reproducible.
 TEXT_ORACLES["collocations"] = f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    big AS (
+    big_all AS (
         SELECT toks[i] AS tok_a, toks[i + 1] AS tok_b,
                CAST(count(*) AS BIGINT) AS n_pair
         FROM t, unnest(range(1, len(toks))) AS u(i)
-        GROUP BY 1, 2 HAVING count(*) >= 5
+        GROUP BY 1, 2
     ),
+    big AS (SELECT * FROM big_all WHERE n_pair >= 5),
     uni AS (
         SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
         FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
     ),
     tot AS (SELECT sum(n_tok) AS t FROM uni),
-    totp AS (SELECT sum(n_pair) AS tp FROM big)
+    -- p(ab) normalizes over ALL bigram occurrences (Church & Hanks),
+    -- not just the pairs that survived min_count (r7 self-review fix)
+    totp AS (SELECT sum(n_pair) AS tp FROM big_all)
     SELECT tok_a, tok_b, n_pair,
            round(ln((n_pair / tp) / ((a.n_tok / t) * (b.n_tok / t))), 6) AS pmi
     FROM big

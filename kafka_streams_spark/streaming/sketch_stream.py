@@ -140,8 +140,25 @@ def run_gram_stream(
     def update(batch_df: DataFrame, batch_id: int) -> None:
         # embedding_gram quarantines NULL rows (and, with dim set,
         # ragged rows) JVM-side — one bad JSON record no longer kills
-        # the long-running stream (round-7 advice fix).
-        delta = embedding_gram(batch_df, scale=scale, dim=dim)
+        # the long-running stream (round-7 advice fix). Without an
+        # explicit dim, a ragged row would still crash np.stack, so
+        # the batch's MODAL embedding length stands in (deterministic:
+        # mode over the row multiset, smallest on ties) — pass dim
+        # explicitly in production so a mostly-corrupt batch cannot
+        # vote its way into the gram table.
+        d = dim
+        if d is None:
+            top = (
+                batch_df.filter(F.col("embedding").isNotNull())
+                .groupBy(F.size("embedding").alias("_d"))
+                .count()
+                .orderBy(F.col("count").desc(), F.col("_d"))
+                .first()
+            )
+            if top is None:
+                return  # nothing but NULLs in this batch: no delta
+            d = top["_d"]
+        delta = embedding_gram(batch_df, scale=scale, dim=d)
         (
             delta.withColumn("ingest_batch", F.lit(batch_id))
             .write.mode("overwrite")
@@ -173,6 +190,53 @@ def read_gram(spark: SparkSession, gram_dir: str) -> DataFrame:
             F.sum("sum_prod").alias("sum_prod"),
         )
     )
+
+
+def _write_sketch_meta(spark: SparkSession, store_dir: str, meta: dict) -> None:
+    """Stamp the store's frozen parameters (``_sketch_meta.json``,
+    underscore-prefixed so parquet listings ignore it) — the
+    codebook-fingerprint convention applied to parameterized sketch
+    stores: a reader or compactor invoked with a different k would
+    otherwise silently truncate (compact) or silently mis-read the
+    exact-branch cutoff. Idempotent overwrite."""
+    import json as _json
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/_sketch_meta.json")
+    fs = p.getFileSystem(hconf)
+    out = fs.create(p, True)
+    out.write(bytearray(_json.dumps(meta, sort_keys=True).encode()))
+    out.close()
+
+
+def _check_sketch_meta(spark: SparkSession, store_dir: str, expect: dict) -> None:
+    """Refuse to read/compact a sketch store with parameters that do
+    not match its stamp. A store without a stamp (pre-gate layout)
+    passes — the gate protects stamped stores, loudly."""
+    import json as _json
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/_sketch_meta.json")
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return
+    stream = fs.open(p)
+    try:
+        raw = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode()
+    finally:
+        stream.close()
+    stamped = _json.loads(raw)
+    bad = {k: (stamped.get(k), v) for k, v in expect.items() if stamped.get(k) != v}
+    if bad:
+        raise ValueError(
+            f"sketch store {store_dir} was built with {stamped}; "
+            f"mismatched parameters {bad} would silently corrupt the "
+            f"sketch — pass the store's own parameters"
+        )
 
 
 def _committed_batch_ids(spark: SparkSession, checkpoint_dir: str) -> set:
@@ -605,6 +669,7 @@ def run_kmv_stream(
     from kafka_streams_spark.operators.dedup import tokens
     from kafka_streams_spark.operators.profiling import kmv_state
 
+    _write_sketch_meta(spark, sketch_dir, {"kind": "kmv", "k": int(k)})
     raw = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -642,6 +707,7 @@ def read_kmv(spark: SparkSession, sketch_dir: str, k: int = 256) -> DataFrame:
         kmv_state_merge,
     )
 
+    _check_sketch_meta(spark, sketch_dir, {"kind": "kmv", "k": int(k)})
     state = kmv_state_merge(
         spark.read.parquet(sketch_dir).select("source", "h"), ["source"], k=k
     )
@@ -658,6 +724,7 @@ def compact_kmv(
     :func:`_compact_deltas` with the per-group bottom-k merge."""
     from kafka_streams_spark.operators.profiling import kmv_state_merge
 
+    _check_sketch_meta(spark, sketch_dir, {"kind": "kmv", "k": int(k)})
     _compact_deltas(
         spark,
         sketch_dir,
@@ -766,6 +833,7 @@ def run_rank_sketch_stream(
     partition."""
     from kafka_streams_spark.operators.profiling import rank_sketch
 
+    _write_sketch_meta(spark, sketch_dir, {"kind": "rank", "k": int(k)})
     raw = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -800,6 +868,7 @@ def read_rank_sketch(spark: SparkSession, sketch_dir: str, k: int = 1024) -> Dat
     (h, value, n) sketch schema."""
     from kafka_streams_spark.operators.profiling import rank_sketch_merge
 
+    _check_sketch_meta(spark, sketch_dir, {"kind": "rank", "k": int(k)})
     return rank_sketch_merge(
         spark.read.parquet(sketch_dir).select("h", "value", "n"), k=k
     )
@@ -816,6 +885,7 @@ def compact_rank_sketch(
     groupBy-sum."""
     from kafka_streams_spark.operators.profiling import rank_sketch_merge
 
+    _check_sketch_meta(spark, sketch_dir, {"kind": "rank", "k": int(k)})
     _compact_deltas(
         spark,
         sketch_dir,

@@ -271,3 +271,40 @@ def test_kmv_stream_equals_batch_exactly(spark, tmp_path):
         for r in spark.read.parquet(sk).select("ingest_batch").distinct().collect()
     }
     assert parts == {-1}
+
+def test_sketch_store_k_gate(spark, tmp_path):
+    """A KMV store stamped with k=8 must refuse a read or compaction
+    with a different k — a silent k mismatch would truncate the state
+    (compact) or mis-read the exact-branch cutoff (read). Unstamped
+    legacy stores still read."""
+    import json
+    import os
+
+    import pytest
+
+    from kafka_streams_spark.streaming.sketch_stream import (
+        compact_kmv,
+        read_kmv,
+        run_kmv_stream,
+    )
+
+    src = str(tmp_path / "src")
+    sk = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    with open(f"{src}/a.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "source": "s", "text": "a b c"}))
+    q = run_kmv_stream(spark, src, sk, ckpt, k=8)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert read_kmv(spark, sk, k=8).count() == 1
+    with pytest.raises(ValueError, match="mismatched parameters"):
+        read_kmv(spark, sk, k=256)
+    with pytest.raises(ValueError, match="mismatched parameters"):
+        compact_kmv(spark, sk, k=16)
+    # legacy store (no stamp) still reads
+    os.remove(f"{sk}/_sketch_meta.json")
+    assert read_kmv(spark, sk, k=256).count() == 1

@@ -261,7 +261,7 @@ def test_zipf_fit_closed_form_matches_numpy(spark):
     x = np.log10(np.arange(1, 5))
     y = np.log10(np.array([8.0, 4.0, 2.0, 1.0]))
     slope, intercept = np.polyfit(x, y, 1)
-    assert out["n_tokens"] == 4
+    assert out["n_ranked_tokens"] == 4
     assert abs(out["slope"] - round(slope, 6)) <= 1e-6
     assert abs(out["intercept"] - round(intercept, 6)) <= 1e-6
 
@@ -457,7 +457,7 @@ def test_zipf_fit_single_token_slope_null(spark):
         [(1, "same same same")], "doc_id bigint, text string"
     )
     row = zipf_fit(docs, k=10).collect()[0]
-    assert row["n_tokens"] == 1 and row["slope"] is None
+    assert row["n_ranked_tokens"] == 1 and row["slope"] is None
 
 
 def test_semdedup_over_learned_kmeans_cells(spark, sf_dir):
