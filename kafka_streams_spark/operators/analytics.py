@@ -82,8 +82,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str, segment: str = "BUILD
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
     rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    # only the DIMENSION broadcasts: the o⋈c result is fact-scale (a
+    # date filter keeps ~half of orders), so hinting it broadcast would
+    # ship a fact table to every executor at real SF — the
+    # local-mode-hides-it scale-killer class (r7 self-review find).
+    # l⋈(o⋈c) shuffles on orderkey as the docstring documents; AQE may
+    # still broadcast it at toy scale on measured size, which is fine.
     return (
-        l.join(broadcast(o.join(broadcast(c), o.o_custkey == c.c_custkey)), F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(o.join(broadcast(c), o.o_custkey == c.c_custkey), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_x10k(rev)).alias("revenue_x10k"))
         .orderBy(F.col("revenue_x10k").desc(), F.col("l_orderkey"))

@@ -1380,6 +1380,27 @@ def simhash_near_duplicates(
     return hamming_pairs(sigs, id_col, "simhash", bits, max_hamming)
 
 
+def _hamming_chunk_array(sig_col: str, bits: int, max_hamming: int):
+    """The pigeonhole chunk expressions shared by :func:`hamming_pairs`
+    and :func:`hamming_bucket_stats` — ONE definition, because the
+    audit's guarantee ('measures the REAL buckets') is exactly that the
+    two use byte-identical chunking. k = max_hamming+1 chunks covering
+    all ``bits``, first bits%k chunks one wider. A width-64 chunk
+    (radius 0 over a full int64 signature) takes the signature whole:
+    (1 << 64) - 1 does not fit a long literal and no mask is needed."""
+    k = max_hamming + 1
+    base, rem = divmod(bits, k)
+    widths = [base + (1 if i < rem else 0) for i in range(k)]
+    offsets = [sum(widths[:i]) for i in range(k)]
+    out = []
+    for w, off in zip(widths, offsets):
+        c = F.shiftrightunsigned(F.col(sig_col), off)
+        if w < 64:
+            c = c.bitwiseAND((1 << w) - 1)
+        out.append(c)
+    return F.array(*out)
+
+
 def hamming_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -1402,24 +1423,13 @@ def hamming_pairs(
 
     Output: (id_a, id_b, hamming) with id_a < id_b, distinct.
     """
-    k = max_hamming + 1
-    # k chunks covering all `bits` (first bits%k chunks one wider) — the
-    # pigeonhole guarantee needs full coverage, not equal widths.
-    base, rem = divmod(bits, k)
-    widths = [base + (1 if i < rem else 0) for i in range(k)]
-    offsets = [sum(widths[:i]) for i in range(k)]
     chunks = sigs.select(
         F.struct(F.col(id_col).alias("id"), F.col(sig_col).alias("sig")).alias(
             "payload"
         ),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col(sig_col), offsets[i]).bitwiseAND((1 << widths[i]) - 1)
-                    for i in range(k)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
+        F.posexplode(_hamming_chunk_array(sig_col, bits, max_hamming)).alias(
+            "chunk_idx", "chunk_val"
+        ),
     )
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
@@ -1525,19 +1535,10 @@ def hamming_bucket_stats(
     Output: (chunk_idx int, n_buckets bigint, max_bucket bigint,
     n_candidate_pairs bigint).
     """
-    k = max_hamming + 1
-    base, rem = divmod(bits, k)
-    widths = [base + (1 if i < rem else 0) for i in range(k)]
-    offsets = [sum(widths[:i]) for i in range(k)]
     chunks = sigs.select(
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col(sig_col), offsets[i]).bitwiseAND((1 << widths[i]) - 1)
-                    for i in range(k)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
+        F.posexplode(_hamming_chunk_array(sig_col, bits, max_hamming)).alias(
+            "chunk_idx", "chunk_val"
+        ),
     )
     occ = chunks.groupBy("chunk_idx", "chunk_val").agg(F.count("*").alias("n"))
     return occ.groupBy("chunk_idx").agg(
@@ -1761,8 +1762,15 @@ def minhash_jaccard_estimate(
             (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
         )
     )
-    sh = docs.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    # consumed by BOTH exact-Jaccard join sides — Arrow subtrees never
+    # share through exchange reuse, so materialize the shingle table
+    # once (the same fix minhash_near_duplicates carries; r7
+    # self-review find: the audit paid one redundant full shingling
+    # pass per run)
+    sh = materialize_shared(
+        docs.select(
+            F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+        )
     )
     return (
         est.join(

@@ -67,7 +67,17 @@ def knn_to_id(
     """Exact top-k neighbors of the corpus vector with id ``query_id`` —
     the self-contained variant (query vector comes from the table itself
     via a broadcast single-row cross join, so no driver collect and no
-    literal vector in the plan)."""
+    literal vector in the plan).
+
+    Ranking note (r7 self-review, deliberately deferred): the
+    single-query paths rank on the RAW double and round for display,
+    while knn_batch_to_ids ranks on the ROUNDED value. Both engines
+    fold the cosine sequentially in the same order, so raw doubles are
+    bit-identical cross-engine today — pinned implicitly by every
+    hash-checked contract and the embedding fuzz ring. Aligning all
+    single-query paths (and their ~10 oracle ORDER BYs) to
+    rounded-rank is the robustness upgrade if either engine's fold
+    order ever changes."""
     q = embeddings.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_qvec")
     )
@@ -196,8 +206,13 @@ def knn_batch_arrow(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    partial = embeddings.mapInPandas(
-        topk_per_batch, f"query_id long, {id_col} long, cosine_sim double"
+    # NULL embeddings would np.stack-crash the Arrow pass (the
+    # embedding_gram quarantine generalized, r7 self-review) and the
+    # id field follows the input schema (string ids are in-contract —
+    # the kcenter_select convention).
+    id_t = embeddings.schema[id_col].dataType.simpleString()
+    partial = embeddings.filter(F.col(vec_col).isNotNull()).mapInPandas(
+        topk_per_batch, f"query_id long, {id_col} {id_t}, cosine_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col(id_col)
@@ -303,9 +318,11 @@ def max_benchmark_cosine_arrow(
                 }
             )
 
-    return train.mapInPandas(
+    # same NULL quarantine + schema-derived id type as knn_batch_arrow
+    id_t = train.schema[id_col].dataType.simpleString()
+    return train.filter(F.col(vec_col).isNotNull()).mapInPandas(
         score,
-        f"{id_col} long, max_benchmark_cosine double, contaminated boolean",
+        f"{id_col} {id_t}, max_benchmark_cosine double, contaminated boolean",
     )
 
 
@@ -346,6 +363,30 @@ def build_lsh_index(
     return indexed, planes
 
 
+def _probe_set(
+    planes: list[list[float]], query_vec: list[float], multiprobe_hamming: int
+) -> list[int]:
+    """The multi-probe LSH bucket set shared by :func:`knn_lsh` and
+    :func:`knn_from_index` — ONE definition (the written-index path
+    previously stopped at 1-bit flips while the in-memory path honored
+    h=2, so identical parameters scanned different candidate sets; r7
+    self-review find)."""
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(p, query_vec)) >= 0:
+            qsig |= 1 << i
+    probes = [qsig]
+    if multiprobe_hamming >= 1:
+        probes += [qsig ^ (1 << i) for i in range(len(planes))]
+    if multiprobe_hamming >= 2:
+        probes += [
+            qsig ^ (1 << i) ^ (1 << j)
+            for i in range(len(planes))
+            for j in range(i + 1, len(planes))
+        ]
+    return probes
+
+
 def knn_lsh(
     indexed: DataFrame,
     planes: list[list[float]],
@@ -360,19 +401,7 @@ def knn_lsh(
     recovers recall lost to boundary effects without touching the rest of
     the corpus). Bucket membership is a pushdown-able integer predicate.
     """
-    qsig = 0
-    for i, p in enumerate(planes):
-        if sum(a * b for a, b in zip(p, query_vec)) >= 0:
-            qsig |= 1 << i
-    probes = [qsig]
-    if multiprobe_hamming >= 1:
-        probes += [qsig ^ (1 << i) for i in range(len(planes))]
-    if multiprobe_hamming >= 2:
-        probes += [
-            qsig ^ (1 << i) ^ (1 << j)
-            for i in range(len(planes))
-            for j in range(i + 1, len(planes))
-        ]
+    probes = _probe_set(planes, query_vec, multiprobe_hamming)
     cand = indexed.filter(F.col("bucket").isin(probes))
     return (
         cand.select(
@@ -546,6 +575,43 @@ def knn_ivf_to_id(
     )
 
 
+def _label_probe(
+    embeddings: DataFrame,
+    query_id,
+    n_probe: int,
+    group_col: str,
+    vec_col: str,
+    id_col: str,
+    decimals: int,
+):
+    """Shared probe selection of the label-cell IVF family — ONE
+    definition of the cell ranking (centroid cosine desc, group asc)
+    used by :func:`knn_ivf_label_to_id` and :func:`ivfpq_topk_to_id`'s
+    callers, so a tiebreak or guard change cannot silently diverge
+    their oracle-checked probe sets (r7 self-review find). Returns
+    (probe_groups_df, query_row_df)."""
+    from pyspark.sql import Window
+
+    cent = label_centroids(
+        embeddings, group_col=group_col, vec_col=vec_col, decimals=decimals
+    )
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    cell_rank = Window.orderBy(F.col("_cs").desc(), F.col(group_col))
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            F.col(group_col),
+            cosine_similarity(F.col("centroid"), F.col("_qvec")).alias("_cs"),
+        )
+        .withColumn("_r", F.row_number().over(cell_rank))
+        .filter(F.col("_r") <= n_probe)
+        .select(group_col)
+    )
+    return probe, q
+
+
 def knn_ivf_label_to_id(
     embeddings: DataFrame,
     query_id: int,
@@ -579,20 +645,8 @@ def knn_ivf_label_to_id(
         raise ValueError("n_probe must be >= 1")
     from pyspark.sql import Window
 
-    cent = label_centroids(embeddings, group_col=group_col, vec_col=vec_col, decimals=decimals)
-    q = embeddings.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_qvec")
-    )
-    cell_rank = Window.orderBy(F.col("_cs").desc(), F.col(group_col))
-    probe = (
-        cent.crossJoin(F.broadcast(q))
-        .select(
-            F.col(group_col),
-            cosine_similarity(F.col("centroid"), F.col("_qvec")).alias("_cs"),
-        )
-        .withColumn("_r", F.row_number().over(cell_rank))
-        .filter(F.col("_r") <= n_probe)
-        .select(group_col)
+    probe, q = _label_probe(
+        embeddings, query_id, n_probe, group_col, vec_col, id_col, decimals
     )
     cand = embeddings.join(F.broadcast(probe), group_col)
     return (
@@ -648,8 +702,13 @@ def embedding_near_duplicates(
     ]
     sigs = _banded_signatures_arrow(planes_per_table)(F.col(vec_col))
     blk = [block_col] if block_col else []
+    # NULL embeddings would np.vstack-crash the signature pass —
+    # quarantine JVM-side (the embedding_gram convention, r7)
     unit = _normalized(
-        embeddings.withColumn("_sigs", sigs), id_col, vec_col, ["_sigs"] + blk
+        embeddings.filter(F.col(vec_col).isNotNull()).withColumn("_sigs", sigs),
+        id_col,
+        vec_col,
+        ["_sigs"] + blk,
     )
     keys = unit.select(
         F.col(id_col),
@@ -882,13 +941,7 @@ def knn_from_index(
     """Top-k against a written index: same probe-set logic as knn_lsh,
     but the bucket predicate lands on a partition COLUMN, so pruning
     happens in the file index before any IO."""
-    qsig = 0
-    for i, p in enumerate(planes):
-        if sum(a * b for a, b in zip(p, query_vec)) >= 0:
-            qsig |= 1 << i
-    probes = [qsig]
-    if multiprobe_hamming >= 1:
-        probes += [qsig ^ (1 << i) for i in range(len(planes))]
+    probes = _probe_set(planes, query_vec, multiprobe_hamming)
     cand = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
     return (
         cand.select(
@@ -1177,7 +1230,7 @@ def lsh_bucket_stats(
         random_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
     sigs = _banded_signatures_arrow(planes_per_table)(F.col(vec_col))
-    keys = embeddings.select(
+    keys = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.posexplode(sigs).alias("lsh_table", "_bucket")
     )
     occ = keys.groupBy("lsh_table", "_bucket").agg(F.count("*").alias("n"))
@@ -1407,6 +1460,31 @@ def pq_topk_to_id(
     )
 
 
+def _int_mean_table(
+    embeddings: DataFrame, group_col: str, vec_col: str
+) -> DataFrame:
+    """(group, pos, cm): per-dimension java-round mean of the PQ-scaled
+    ints — THE bit-determinism centroid rule (floor((2s+c)/(2c)) over
+    exactly-representable int64s), in one place so the codebook and
+    residual paths cannot drift (r7 self-review find). Map-side
+    combined; <= |groups|·dim rows."""
+    ex = embeddings.select(
+        F.col(group_col),
+        F.posexplode(_pq_scaled(F.col(vec_col))).alias("pos", "x"),
+    )
+    return (
+        ex.groupBy(group_col, "pos")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+        .select(
+            group_col,
+            "pos",
+            F.floor((2 * F.col("s") + F.col("c")) / (2 * F.col("c")))
+            .cast("bigint")
+            .alias("cm"),
+        )
+    )
+
+
 def pq_label_codebooks(
     embeddings: DataFrame,
     m: int = 4,
@@ -1426,22 +1504,8 @@ def pq_label_codebooks(
     The collect is ≤ |labels|·dim rows — a bounded construction job
     (the IVF-fit / dispatch-stats exception).
     """
-    ex = embeddings.select(
-        F.col(label_col).alias("_lbl"),
-        F.posexplode(_pq_scaled(F.col(vec_col))).alias("pos", "x"),
-    )
-    cent = (
-        ex.groupBy("_lbl", "pos")
-        .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
-        .select(
-            "_lbl",
-            "pos",
-            F.floor(
-                (2 * F.col("s") + F.col("c")) / (2 * F.col("c"))
-            )
-            .cast("bigint")
-            .alias("cm"),
-        )
+    cent = _int_mean_table(
+        embeddings.select(F.col(label_col).alias("_lbl"), vec_col), "_lbl", vec_col
     )
     rows = cent.collect()
     by_label: dict[int, dict[int, int]] = {}
@@ -1667,7 +1731,11 @@ def whiten_embeddings(
     return (
         embeddings.select(id_col, vec_col)
         .filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == d))
-        .mapInPandas(project, f"{id_col} long, pos int, val double")
+        .mapInPandas(
+            project,
+            f"{id_col} {embeddings.schema[id_col].dataType.simpleString()}, "
+            "pos int, val double",
+        )
     )
 
 
@@ -1952,22 +2020,8 @@ def ivfpq_topk_to_id(
         raise ValueError("n_probe must be >= 1")
     from pyspark.sql import Window
 
-    cent = label_centroids(
-        embeddings, group_col=group_col, vec_col=vec_col, decimals=decimals
-    )
-    q = embeddings.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_qvec")
-    )
-    cell_rank = Window.orderBy(F.col("_cs").desc(), F.col(group_col))
-    probe = (
-        cent.crossJoin(F.broadcast(q))
-        .select(
-            F.col(group_col),
-            cosine_similarity(F.col("centroid"), F.col("_qvec")).alias("_cs"),
-        )
-        .withColumn("_r", F.row_number().over(cell_rank))
-        .filter(F.col("_r") <= n_probe)
-        .select(group_col)
+    probe, q = _label_probe(
+        embeddings, query_id, n_probe, group_col, vec_col, id_col, decimals
     )
     cells = embeddings.join(F.broadcast(probe), group_col)
     cand = pq_topk_to_id(
@@ -2478,21 +2532,7 @@ def cell_centroids_int(
     (≤ |cells|·dim rows) → per-cell array reassembly.
     Output: (group_col, cent array<bigint>).
     """
-    ex = embeddings.select(
-        F.col(group_col),
-        F.posexplode(_pq_scaled(F.col(vec_col))).alias("pos", "x"),
-    )
-    per_dim = (
-        ex.groupBy(group_col, "pos")
-        .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
-        .select(
-            group_col,
-            "pos",
-            F.floor((2 * F.col("s") + F.col("c")) / (2 * F.col("c")))
-            .cast("bigint")
-            .alias("cm"),
-        )
-    )
+    per_dim = _int_mean_table(embeddings, group_col, vec_col)
     ordered = F.array_sort(F.collect_list(F.struct("pos", "cm")))
     return per_dim.groupBy(group_col).agg(
         F.transform(ordered, lambda s: s["cm"]).alias("cent")

@@ -866,3 +866,18 @@ def test_knn_ivf_label_validates_n_probe(embs):
 
     with pytest.raises(ValueError, match="n_probe"):
         knn_ivf_label_to_id(embs, query_id=0, n_probe=0)
+
+def test_simhash_radius_zero_is_exact_signature_dedup(spark):
+    """max_hamming=0 makes the single pigeonhole chunk the FULL 64-bit
+    signature — a legitimate exact-signature dedup call that used to
+    die at plan construction ((1 << 64) - 1 does not fit a long
+    literal; r7 self-review find). Width-64 chunks take the signature
+    whole, no mask."""
+    from kafka_streams_spark.operators.dedup import simhash_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zeta")],
+        "doc_id bigint, text string",
+    )
+    out = simhash_near_duplicates(docs, max_hamming=0).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 0)]

@@ -547,3 +547,31 @@ def test_no_unpartitioned_window_outside_whitelist(spark, sf_dir, monkeypatch):
         f"{offenders} — partition the window or document boundedness and "
         f"extend the whitelist"
     )
+
+def test_written_index_probe_set_matches_in_memory_lsh(spark, sf_dir, tmp_path):
+    """knn_from_index must scan the SAME candidate set as knn_lsh at
+    identical parameters — the written-index path previously stopped at
+    1-bit-flip probes while the in-memory path honored
+    multiprobe_hamming=2, silently dropping recall (r7 self-review
+    find; both now share _probe_set)."""
+    from kafka_streams_spark.operators.similarity import (
+        build_lsh_index,
+        knn_from_index,
+        knn_lsh,
+        write_lsh_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.head()["embedding"])
+    indexed, planes = build_lsh_index(emb, dim=dim, n_planes=4)
+    path = str(tmp_path / "lsh_index_h2")
+    write_lsh_index(indexed, path)
+    qvec = [float(x) for x in emb.head()["embedding"]]
+
+    mem = knn_lsh(indexed, planes, qvec, k=8, multiprobe_hamming=2).collect()
+    idx = knn_from_index(
+        spark, path, planes, qvec, k=8, multiprobe_hamming=2
+    ).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in idx] == [
+        (r["vec_id"], r["cosine_sim"]) for r in mem
+    ]
