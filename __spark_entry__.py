@@ -1716,6 +1716,12 @@ _CODE_CHANGED = [
     "zipf_fit",            # n_tokens renamed n_ranked_tokens
     "price_rank_sketch",   # NULL hash-key filter
     "price_rank_quantiles",
+    # r7 review wave 4 + NULL-ts fuzz wave (ROUND7_NOTES §8h)
+    "asof_purchase_click",     # NULL-ts right rows never match; tie rule
+    "sessionize_events",       # NULL-ts out-of-contract, both engines
+    "event_transitions",
+    "events_session_native",
+    "q3_shipping_priority",    # broadcast hint off the fact-scale side
 ]
 
 # Kept for tool compatibility (freshness_lint): with the computed

@@ -394,16 +394,26 @@ class SessionWindowedKStream:
 
 
 def cogroup(
-    streams: list[tuple[KGroupedStream, Column]], materialized_as: str | None = None
+    streams: list[tuple[KGroupedStream, Column]],
+    materialized_as: str | None = None,
+    fill: dict | None = None,
 ) -> "KTable":
     """``KGroupedStream.cogroup(...).aggregate(...)``: N keyed streams
     folded into ONE table, each with its own aggregator.
 
     Spark-first shape: aggregate each stream (map-side partial combine
     shrinks every side before any network), then full-outer join the
-    small per-key results and coalesce. Equivalent to the shared-state
-    fold whenever each aggregator is commutative/associative — which is
-    what Kafka Streams requires of cogroup aggregators anyway."""
+    small per-key results. Equivalent to the shared-state fold whenever
+    each aggregator is commutative/associative — which is what Kafka
+    Streams requires of cogroup aggregators anyway.
+
+    A key absent from one stream gets NULL in that stream's aggregate
+    column; Kafka Streams' initializer-seeded fold would show the
+    initializer value instead. The facade models one OUTPUT COLUMN per
+    aggregator rather than one shared accumulator, so the identity is
+    per-column and caller-declared: pass ``fill={"cnt": 0}`` to
+    coalesce a column to its aggregator's identity (r7 review: the old
+    docstring promised a coalesce it never applied)."""
     assert streams, "cogroup needs at least one grouped stream"
     acc: DataFrame | None = None
     key = streams[0][0].key
@@ -411,6 +421,8 @@ def cogroup(
     for g, agg in streams:
         part = g.df.groupBy(F.col(g.key).alias(key)).agg(agg)
         acc = part if acc is None else acc.join(part, key, "full_outer")
+    for c, v in (fill or {}).items():
+        acc = acc.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
     if materialized_as:
         topology.tables[materialized_as] = acc
     return KTable(acc, key, topology)

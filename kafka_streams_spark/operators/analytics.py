@@ -220,8 +220,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
     from their previous event exceeds `gap_minutes`. Classic
     lag + cumulative-sum-over-window formulation — one shuffle on
     user_id, sessions assigned without any self-join. Batch analog of
-    Structured Streaming's session windows."""
-    e = load_table(spark, sf_dir, "events")
+    Structured Streaming's session windows.
+
+    NULL-timestamp events are out-of-contract (a session is
+    time-defined; an event with no time cannot be placed in one) and
+    filtered on BOTH engines — Spark's NULLS FIRST vs DuckDB's NULLS
+    LAST window order otherwise attaches them to different sessions
+    (found by the r7 NULL-ts fuzz wave)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     gap_ns = gap_minutes * 60 * 1_000_000_000
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     is_new = F.when(
@@ -264,7 +270,10 @@ def events_session_native(
     first_event) with end = last event + gap, Spark's native window
     close rule.
     """
-    e = load_table(spark, sf_dir, "events")
+    # NULL-ts events out-of-contract (the sessionize_events rule;
+    # Spark's native session_window drops them silently — make the
+    # filter explicit so the contract is stated, not incidental)
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     e2 = e.withColumn("_t", F.timestamp_micros(F.expr("ts div 1000")))
     gap = f"{int(gap_minutes)} minutes"
     return (
@@ -1190,7 +1199,9 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from kafka_streams_spark.sources.testdata import load_table
 
-    e = load_table(spark, sf_dir, "events")
+    # NULL-ts events have no position in a temporal sequence —
+    # out-of-contract, filtered on both engines (r7 NULL-ts fuzz wave)
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         F.col("event_type"),

@@ -74,15 +74,27 @@ def asof_join(
     # fuzz stream (real corpora rarely show it). NULL-key LEFT rows
     # stay, and with no right rows in their partition their asof
     # columns are NULL, exactly the no-match outcome.
-    r_tagged = r_tagged.filter(F.col(key).isNotNull())
+    # NULL-TIMESTAMP right rows can never match either: r.ts <= l.ts is
+    # never TRUE for NULL (DuckDB ASOF agrees), but Spark sorts NULL
+    # FIRST ascending, so an unfiltered NULL-ts right row would sort
+    # before everything and its payload would be carried into every
+    # left row as a phantom "earliest prior" match (r7 review wave 4,
+    # verified by execution). NULL-ts LEFT rows stay: they sort before
+    # all (now ts-non-NULL) right rows, so their carry is NULL — the
+    # correct no-match outcome.
+    r_tagged = r_tagged.filter(F.col(key).isNotNull() & F.col(ts).isNotNull())
     r_tagged = r_tagged.select(*lcols, "_side", "_p")
 
     unioned = l_tagged.unionByName(r_tagged)
     # _side 0 (right) sorts before _side 1 (left) at equal ts → a right
-    # row at exactly left.ts is already visible to that left row.
+    # row at exactly left.ts is already visible to that left row. The
+    # payload struct is the FINAL sort key: with duplicate (key, ts)
+    # right rows the carried payload would otherwise be
+    # partition-order-dependent (r7 review wave 4); struct comparison
+    # makes the winner the largest payload, deterministically.
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts), F.col("_side"))
+        .orderBy(F.col(ts), F.col("_side"), F.col("_p"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(

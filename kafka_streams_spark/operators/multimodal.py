@@ -61,7 +61,14 @@ def _fake_decode(payload: bytes) -> dict[str, Any]:
     """Deterministic stand-in for a real image decode: derives shape and a
     feature fingerprint purely from the md5 of the bytes. md5 + ascii
     arithmetic only, so the DuckDB oracle can reproduce it exactly.
-    Replace with Pillow: ``img = PIL.Image.open(io.BytesIO(payload))``."""
+    Replace with Pillow: ``img = PIL.Image.open(io.BytesIO(payload))``.
+
+    THE REFERENCE DEFINITION of the fake codec: the mapInPandas
+    closures below carry their own inline copies ON PURPOSE (closures
+    must stay self-contained — no module-global references — so
+    cloudpickle ships them by value and the engine works from any
+    launch directory). test_extended_ops pins the inline copies equal
+    to this function so they cannot drift silently."""
     import hashlib
 
     h = hashlib.md5(payload).hexdigest()
@@ -103,6 +110,8 @@ def extract_image_features(media: DataFrame, codec: str = "fake") -> DataFrame:
 
         import pandas as _pd
 
+        # inline copy of module-level _fake_decode (self-contained on
+        # purpose; equality pinned in tests)
         def decode(payload: bytes) -> dict:
             h = hashlib.md5(payload).hexdigest()
             return {

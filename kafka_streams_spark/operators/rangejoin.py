@@ -92,6 +92,12 @@ def interval_join(
     )
     if how == "inner":
         return matched
+    # the left path consumes `matched` TWICE (output union + anti-join
+    # backfill) and the explode+shuffle subtree does not share through
+    # exchange reuse — materialize it once (r7 review wave 4)
+    from kafka_streams_spark.functions.partitioning import materialize_shared
+
+    matched = materialize_shared(matched)
     rcols = [c for c in right.columns if c != key]
     unmatched = left.join(matched.select(key, left_ts), [key, left_ts], "left_anti")
     for c in rcols:

@@ -16,7 +16,7 @@ selection and shard assignment in public LLM-corpus pipelines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -371,6 +371,15 @@ def pack_token_shards(
     BPE-ish regex segmentation (`text.bpe_ish_count`) — the same budget
     currency as the curation pipeline.
 
+    Precondition for the fill guarantee (r7 review wave 4): documents
+    longer than ``budget`` attribute ALL their tokens to the shard
+    they START in — the following shard id can come up short (or be
+    skipped entirely by a > 2x-budget doc), so "every non-last shard
+    >= budget" holds only when every document <= budget tokens.
+    Pre-split longer docs with :func:`pack_sequences` (which cuts at
+    token offsets) before packing if the corpus has them; shard ids are
+    then the non-empty floor(start/budget) values.
+
     One shuffle (hash on stratum) + one in-partition running sum — the
     same cost shape as any windowed cumsum. Skew note: strata are
     corpus sources; if one source dominates, the window partition is
@@ -546,9 +555,13 @@ def shard_skew_report(
 
     The packing guarantees every shard except the LAST per stratum
     holds ≥ budget tokens (greedy contiguous fill) and any shard
-    overshoots by at most one document — so skew here is bounded by
-    (budget + max_doc_tokens) / budget, and the report verifies that
-    bound held on real data.
+    overshoots by at most one document — PROVIDED every document is
+    ≤ budget tokens (see pack_token_shards' precondition; longer docs
+    leave short or skipped shard ids). Under it, skew is bounded by
+    (budget + max_doc_tokens) / budget, and the report verifies the
+    bound held on real data — a min_shard_tokens far below budget on a
+    non-singleton stratum is the long-doc signature and means run
+    pack_sequences first.
 
     Same cost as the packing itself (one stratum-key shuffle + running
     sum) plus two tiny aggregates: shard loads (≤ |shards| rows

@@ -225,7 +225,8 @@ ANALYTICS_ORACLES = {
         FROM events GROUP BY 1, 2
     """,
     "sessionize_events": """
-        WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn FROM events),
+        WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn
+                   FROM events WHERE ts IS NOT NULL),
         lagd AS (
             SELECT event_id, user_id, tsn,
                    CASE WHEN tsn - lag(tsn) OVER w > 1800000000000
@@ -296,9 +297,21 @@ ANALYTICS_ORACLES = {
             SELECT event_id, user_id, epoch_us(ts) AS ts_us
             FROM events WHERE event_type = 'purchase'
         ),
-        c AS (
+        c0 AS (
             SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_id, value
             FROM events WHERE event_type = 'click'
+        ),
+        -- tie rule: duplicate (user, ts) right rows resolve to the
+        -- LARGEST payload struct (click_id, value) — mirroring the
+        -- engine's deterministic struct-max orderBy; DuckDB's native
+        -- ASOF picks an arbitrary row on ties, so dedupe first
+        c AS (
+            SELECT user_id, ts_us, click_id, value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, ts_us
+                    ORDER BY click_id DESC, value DESC) AS rn
+                FROM c0
+            ) WHERE rn = 1
         )
         SELECT p.event_id, p.user_id, p.ts_us,
                c.click_id AS click_id_asof, c.value AS value_asof
@@ -2627,7 +2640,7 @@ ANALYTICS_ORACLES["event_transitions"] = """
                lead(event_type) OVER (PARTITION BY user_id
                                       ORDER BY epoch_ns(ts), event_id)
                    AS next_event_type
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     c AS (SELECT event_type, next_event_type,
                  CAST(count(*) AS BIGINT) AS n_transitions
@@ -2994,7 +3007,8 @@ SIMILARITY_ORACLES["knn_ivfpq_vec0"] = f"""
 # SQL twin of Spark's SessionWindow merge rule — boundary-INCLUSIVE
 # (diff <= gap merges; empirically pinned), end = last event + gap.
 ANALYTICS_ORACLES["events_session_native"] = """
-    WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events),
+    WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+               FROM events WHERE ts IS NOT NULL),
     lagd AS (
         SELECT event_id, user_id, us,
                CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new

@@ -87,15 +87,20 @@ def run_payment_stream(
             deltas = account_balances(merged).withColumnRenamed(
                 "balance", "delta"
             )
+            # bucket is a PARTITION column: without it in partitionBy,
+            # every point lookup scanned the whole delta log (the
+            # "1/64th pruning" the docstrings promise was a plain data
+            # column — r7 review wave 4). repartition on bucket keeps
+            # one file per (batch, bucket).
             (
                 deltas.withColumn(
                     "bucket", F.crc32(F.col("fromAccount")) % N_BALANCE_BUCKETS
                 )
                 .withColumn("ingest_batch", F.lit(batch_id))
-                .repartition(1)
+                .repartition("bucket")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("ingest_batch")
+                .partitionBy("ingest_batch", "bucket")
                 .parquet(delta_dir)
             )
         finally:
@@ -136,12 +141,33 @@ def compact_balances(spark: SparkSession, out_dir: str) -> int | None:
         return None  # nothing safely foldable
     hwm = batches[-2]
 
+    old_hwm = _latest_base_hwm(base_dir)
+    if old_hwm is not None and hwm <= old_hwm:
+        # Nothing newly closed — but a compaction that crashed between
+        # writing the base and deleting the folded deltas leaves
+        # ingest_batch <= old_hwm partitions behind; finish its cleanup
+        # (readers already exclude them via the > hwm filter).
+        for b in batches[:-1]:
+            if b <= old_hwm:
+                shutil.rmtree(
+                    os.path.join(delta_dir, f"ingest_batch={b}"),
+                    ignore_errors=True,
+                )
+        return old_hwm
+    # Deltas already folded into the old base must NOT fold again: after
+    # a crashed compaction (base written, deltas not yet deleted) the
+    # <= hwm filter alone would union batches <= old_hwm with the base
+    # that already contains them — permanent double count (r7 review
+    # wave 4). This is the same `ingest_batch > old_hwm` predicate the
+    # readers apply.
     closed = (
         spark.read.parquet(delta_dir)
-        .filter(F.col("ingest_batch") <= hwm)
+        .filter(
+            (F.col("ingest_batch") <= hwm)
+            & (F.col("ingest_batch") > (old_hwm if old_hwm is not None else -1))
+        )
         .select("fromAccount", "delta", "bucket")
     )
-    old_hwm = _latest_base_hwm(base_dir)
     if old_hwm is not None:
         closed = closed.unionByName(
             spark.read.parquet(os.path.join(base_dir, f"hwm={old_hwm}"))

@@ -331,6 +331,12 @@ def test_event_oracles_agree_on_fuzz_stream(spark, tmp_path, seed):
                 rng.choice(props_pool) if rng.random() < 0.9 else None,
             )
         )
+    # r7 review wave 4: NULL-ts events (corrupt-record class) — the
+    # as-of join's phantom-match fix and every time-keyed grouping must
+    # treat them identically to SQL on both engines
+    rows.append((9000, None, 3, "click", 12.5, '{"k": 7}'))
+    rows.append((9001, None, None, "purchase", None, None))
+    rows.append((9002, None, 7, "view", 1.0, ""))
     sf_dir = str(tmp_path / f"ev-fuzz-{seed}")
     (
         spark.createDataFrame(

@@ -881,3 +881,55 @@ def test_simhash_radius_zero_is_exact_signature_dedup(spark):
     )
     out = simhash_near_duplicates(docs, max_hamming=0).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 0)]
+
+def test_asof_null_timestamp_and_duplicate_ts_rules(spark):
+    """r7 review wave 4 (verified by execution before the fix): a
+    NULL-ts right row sorted NULLS FIRST and its payload was carried
+    into every left row as a phantom 'earliest prior' match, and
+    duplicate (key, ts) right rows resolved partition-order-
+    dependently. Rules now: NULL-ts right rows never match; NULL-ts
+    left rows get the no-match NULL; duplicate-(key, ts) ties resolve
+    to the LARGEST payload struct (mirrored in the DuckDB oracle)."""
+    from kafka_streams_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 5), ("k", None)], "key string, ts bigint")
+    right = spark.createDataFrame(
+        [("k", None, "X"), ("k", 10, "Y"), ("k", 3, "Z")],
+        "key string, ts bigint, payload string",
+    )
+    out = {
+        r["ts"]: r["payload_asof"]
+        for r in asof_join(
+            left, right, key="key", ts="ts", payload_cols=["payload"]
+        ).collect()
+    }
+    assert out == {5: "Z", None: None}
+
+    l2 = spark.createDataFrame([("k", 7)], "key string, ts bigint")
+    r2 = spark.createDataFrame(
+        [("k", 5, "X"), ("k", 5, "Y")], "key string, ts bigint, payload string"
+    )
+    got = asof_join(l2, r2, key="key", ts="ts", payload_cols=["payload"]).collect()
+    assert [(r["ts"], r["payload_asof"]) for r in got] == [(7, "Y")]
+
+def test_fake_codec_inline_copies_match_reference(spark):
+    """The mapInPandas closures carry self-contained inline copies of
+    _fake_decode (required for launch-dir independence); this pin makes
+    drift between a closure and the reference definition loud (r7
+    review wave 4: the reference was otherwise dead code)."""
+    from kafka_streams_spark.operators.multimodal import (
+        _fake_decode,
+        extract_image_features,
+    )
+
+    payloads = [b"\x00\x01media-a", b"frame-xyz", b""]
+    media = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "media_id bigint, payload binary"
+    )
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["feature_hex"])
+        for r in extract_image_features(media).collect()
+    }
+    for i, p in enumerate(payloads):
+        ref = _fake_decode(p)
+        assert got[i] == (ref["width"], ref["height"], ref["feature_hex"])
