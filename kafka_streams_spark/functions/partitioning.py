@@ -50,9 +50,12 @@ def salted_aggregate(
         if fn not in _RECOMBINE:
             raise ValueError(f"{fn} is not self-decomposable; use sum/count/min/max")
     salt = (F.rand(seed=7) * salt_buckets).cast("int").alias("_salt")
+    # count MUST count the NAMED column (SQL count(col) skips NULLs);
+    # count(*) here silently inflated nullable-column counts vs the
+    # direct groupBy the docstring promises to match (r7 review wave 5)
     stage1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
         *[
-            (F.count("*") if fn == "count" else getattr(F, fn)(c)).alias(f"_p_{alias}")
+            getattr(F, fn)(c).alias(f"_p_{alias}")
             for c, fn, alias in aggs
         ]
     )
@@ -109,9 +112,29 @@ def spread(df: DataFrame, by: str | None = None) -> DataFrame:
     applied only when the plan's current partitioning is below the
     default parallelism, so at real scale — where scans already produce
     thousands of splits — this is a no-op and costs no shuffle.
+
+    The partition-count probe (`.rdd.getNumPartitions`) runs ONLY on
+    shuffle-free plans: under AQE, converting a plan with pending
+    exchanges to an RDD MATERIALIZES those stages at construction time
+    — the probe itself would run the query once before the real action
+    runs it again (r7 review wave 5, verified). A frame downstream of
+    any shuffle already has AQE-managed parallelism, so spread is a
+    no-op there by design, not just by guard.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    shuffling = (
+        "Aggregate",
+        "Join",
+        "Window",
+        "Repartition",
+        "Deduplicate",
+        "Sort",
+        "GlobalLimit",
+    )
+    if any(tok in plan for tok in shuffling):
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     if by is not None:

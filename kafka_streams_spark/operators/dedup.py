@@ -64,6 +64,7 @@ def dedup_incremental(
     existing: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    existing_hash_col: str | None = None,
 ) -> DataFrame:
     """Dedup a corpus INCREMENT against an already-curated corpus — the
     recurring-crawl shape: yesterday's 100 TB is final, today's delta
@@ -81,9 +82,19 @@ def dedup_incremental(
     Near-dup variant: feed the survivors to minhash_lsh_pairs against a
     persisted signature table; this operator is the exact gate in front
     of it.
+
+    ``existing_hash_col``: when the corpus already PERSISTS the content
+    hash (e.g. the ingest stream's ``src_md5`` — the md5 of the text as
+    it ARRIVED, before any span surgery rewrote the stored body), gate
+    against that column instead of re-hashing the stored text; a stored
+    body that no longer equals the arrival text would otherwise let the
+    same original document re-enter (r7 review wave 5).
     """
     h = F.md5(F.col(text_col))
-    seen = existing.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    if existing_hash_col is not None:
+        seen = existing.select(F.col(existing_hash_col).alias("_h")).distinct()
+    else:
+        seen = existing.select(F.md5(F.col(text_col)).alias("_h")).distinct()
     fresh = new_docs.withColumn("_h", h).join(seen, "_h", "left_anti")
     w = Window.partitionBy("_h").orderBy(F.col(id_col))
     return (

@@ -34,9 +34,17 @@ class PlanAudit:
     # -- shuffles ----------------------------------------------------------
     @property
     def num_exchanges(self) -> int:
-        """Shuffle count (hash/range repartitions). Broadcast exchanges
-        are counted separately — they ship a small table, not the data."""
-        return len(re.findall(r"Exchange (?:hash|range|Single)", self.plan))
+        """Shuffle count (hash/range/round-robin/single repartitions).
+        Broadcast exchanges are counted separately — they ship a small
+        table, not the data. RoundRobinPartitioning (df.repartition(n)
+        with no key — e.g. spread() without `by`) is a full-data
+        shuffle and MUST count, or a silently-added repartition passes
+        every pinned exchange budget (r7 review wave 5, verified)."""
+        return len(
+            re.findall(
+                r"Exchange (?:hash|range|Single|RoundRobin)", self.plan
+            )
+        )
 
     @property
     def num_broadcasts(self) -> int:

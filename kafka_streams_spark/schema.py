@@ -59,9 +59,11 @@ def payment_from_json(value: Column, mode: str = "PERMISSIVE") -> Column:
     return F.from_json(value.cast("string"), PAYMENT_SCHEMA, {"mode": mode})
 
 
-def payment_to_json(df_or_prefix: DataFrame | None = None) -> Column:
+def payment_to_json() -> Column:
     """PaymentEvent columns -> JSON string with pinned field order
-    (JsonSerializer.java:20-29; order pinned for byte-stable goldens)."""
+    (JsonSerializer.java:20-29; order pinned for byte-stable goldens).
+    Resolves the bare PAYMENT_FIELDS column names against whatever
+    frame the expression is attached to."""
     return F.to_json(F.struct(*[F.col(c) for c in PAYMENT_FIELDS]))
 
 

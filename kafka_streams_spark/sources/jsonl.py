@@ -48,9 +48,18 @@ def read_jsonl_corpus(
     """
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
+    # Spark honors the mode option case-insensitively; normalize here
+    # so mode='permissive' still declares the rescue column (and typos
+    # fail loudly instead of silently reading PERMISSIVE-by-default)
+    mode = mode.upper()
+    if mode not in ("PERMISSIVE", "FAILFAST", "DROPMALFORMED"):
+        raise ValueError(f"unknown JSON read mode {mode!r}")
     if mode == "PERMISSIVE" and CORRUPT_COL not in schema.fieldNames():
-        # the rescue column must be DECLARED for permissive capture
-        schema = StructType(schema.fields).add(CORRUPT_COL, "string")
+        # the rescue column must be DECLARED for permissive capture.
+        # list(...) copies: StructType(schema.fields) ALIASES the
+        # caller's fields list and .add() would mutate the caller's
+        # schema object (r7 review wave 5, verified on pyspark 4.1.2)
+        schema = StructType(list(schema.fields)).add(CORRUPT_COL, "string")
     reader = spark.readStream if streaming else spark.read
     return (
         reader.schema(schema)

@@ -38,6 +38,10 @@ TABLES = [
 # same tables over and over, so the first load pays the footer read and
 # every later load passes the cached schema → zero jobs during query
 # construction (pinned by test_query_construction_runs_no_jobs).
+# Keyed by path with no invalidation ON PURPOSE: testdata fixtures are
+# immutable within a process. Regenerating a file at the same path
+# in-process would serve the stale schema — call
+# ``_SCHEMA_CACHE.clear()`` in that (test-only) situation.
 _SCHEMA_CACHE: dict[str, object] = {}
 
 

@@ -80,30 +80,62 @@ def run_corpus_ingest_stream(
     )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        from kafka_streams_spark.functions.partitioning import (
+            materialize_shared,
+        )
+
         # FS-agnostic existence probe (corpus_dir may be HDFS/S3, where
-        # os.listdir cannot look): an empty/absent corpus raises on read.
+        # os.listdir cannot look): an absent corpus raises
+        # AnalysisException on read. ONLY that exception means "no
+        # corpus yet" — a transient IO/auth failure must fail the batch
+        # (retried by the stream), not silently skip the membership
+        # gate and re-admit the whole prior corpus (r7 review wave 5).
         prior: DataFrame | None = None
         try:
             prior = spark.read.parquet(corpus_dir).filter(
                 F.col("ingest_batch") != batch_id  # replay-idempotence
             )
             prior.schema  # force analysis while we can still catch it
-        except Exception:  # noqa: BLE001 — absent path / no parquet yet
+        except AnalysisException:
             prior = None
         if prior is not None:
-            fresh = dedup_incremental(batch_df, prior)
+            # gate on the hash of the text AS IT ARRIVED (src_md5,
+            # persisted below): span surgery may rewrite the stored
+            # body, and re-hashing it would let the same original
+            # document re-enter on re-arrival (r7 review wave 5)
+            hash_col = "src_md5" if "src_md5" in prior.columns else None
+            fresh = dedup_incremental(
+                batch_df, prior, existing_hash_col=hash_col
+            )
         else:
             fresh = dedup_exact_rows(batch_df, ["text"], "doc_id")
-        accepted = fresh
+        accepted = fresh.withColumn("src_md5", F.md5(F.col("text")))
         if min_quality > 0.0:
             accepted = accepted.filter(
                 quality_expr(F.col("text")) >= F.lit(min_quality)
             )
         if remove_spans and prior is not None:
+            # the span pass consumes `accepted` twice (gram scan + join
+            # back) — materialize the gate result once
+            accepted = materialize_shared(accepted)
             cleaned = dedup_substring_remove_incremental(
                 accepted, prior, k=remove_spans
-            ).select("doc_id", F.col("text_clean").alias("text"))
-            accepted = accepted.drop("text").join(cleaned, "doc_id")
+            ).select("doc_id", "text_clean", "n_tokens_removed")
+            # keep the ORIGINAL text (casing/whitespace) when nothing
+            # was cut; text_clean is the token-normalized rebuild and
+            # is only the right body once spans were actually removed
+            accepted = (
+                accepted.join(cleaned, "doc_id")
+                .withColumn(
+                    "text",
+                    F.when(
+                        F.col("n_tokens_removed") > 0, F.col("text_clean")
+                    ).otherwise(F.col("text")),
+                )
+                .drop("text_clean", "n_tokens_removed")
+            )
         (
             accepted.withColumn("ingest_batch", F.lit(batch_id))
             .write.mode("overwrite")

@@ -102,3 +102,48 @@ def test_corpus_ingest_span_removal_across_batches(spark, tmp_path):
         assert rows[20]["text"] == "fresh opening words and a brand new ending"
     finally:
         q.stop()
+
+def test_span_removal_preserves_originals_and_rearrival_gate(spark, tmp_path):
+    """r7 review wave 5: with remove_spans on, (a) a doc with NO cut
+    spans must keep its ORIGINAL text (the token-normalized rebuild
+    lowercases and collapses whitespace), and (b) a re-arrival of a
+    byte-identical original must still be rejected by the membership
+    gate even when the stored body was rewritten by span surgery — the
+    gate now runs on the persisted src_md5 of the arrival text."""
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    cased = "The Quick Brown Fox KEEPS  Running far beyond every fence."
+    _write(src, "b1.json", [{"doc_id": 1, "source": "s", "text": GOOD}])
+    q = run_corpus_ingest_stream(spark, src, corpus, ckpt, remove_spans=5)
+    try:
+        q.processAllAvailable()
+        # batch 2: one doc embedding a GOOD span (gets cut, body
+        # rewritten) + one cased original (no cuts — must stay verbatim)
+        embed = "totally new opening words " + GOOD + " and a new tail"
+        _write(
+            src,
+            "b2.json",
+            [
+                {"doc_id": 2, "source": "s", "text": embed},
+                {"doc_id": 3, "source": "s", "text": cased},
+            ],
+        )
+        q.processAllAvailable()
+        # batch 3: byte-identical re-arrivals of both batch-2 docs
+        _write(
+            src,
+            "b3.json",
+            [
+                {"doc_id": 4, "source": "s", "text": embed},
+                {"doc_id": 5, "source": "s", "text": cased},
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r["doc_id"]: r for r in spark.read.parquet(corpus).collect()}
+    assert set(rows) == {1, 2, 3}  # re-arrivals rejected despite surgery
+    assert rows[3]["text"] == cased  # no-cut doc kept verbatim
+    assert GOOD not in rows[2]["text"]  # the embedded span was cut
