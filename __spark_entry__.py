@@ -1690,6 +1690,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # fixes (corpus_diff presence flags + null-safe digest compare;
 # remove_boilerplate NULL-text coalesce, oracle aligned; embedding_gram
 # NULL quarantine reaching whiten/drift/profile-family consumers).
+# _CODE_CHANGED_ROUND is the round these changes landed in: a name
+# re-greened by the driver at or after it has evidence for the NEW
+# code and self-drains from the head (see _evidence_order).
+_CODE_CHANGED_ROUND = 7
 _CODE_CHANGED = [
     "corpus_diff",
     "remove_boilerplate",
@@ -1762,14 +1766,43 @@ def _newest_green_rounds(root=None) -> dict[str, int]:
     return newest
 
 
+# The driver's per-round evidence window size — exported so
+# tools/freshness_lint.py and tools/next_round_order.py share ONE
+# definition with the ordering policy (r7 review wave 6).
+EVIDENCE_WINDOW = 50
+
+
+def _latest_record_round(root=None) -> int:
+    """Newest round with a CORRECTNESS record next to this file (0 if
+    none) — parsed from filenames only."""
+    from pathlib import Path as _Path
+
+    root = _Path(root) if root else _Path(__file__).resolve().parent
+    rounds = [
+        int(f.stem.rsplit("r", 1)[-1]) for f in root.glob("CORRECTNESS_r*.json")
+    ]
+    return max(rounds, default=0)
+
+
 def _evidence_order(names: list[str]) -> list[str]:
     """Order contract names for driver-evidence priority, computed from
     the newest green driver row per name across all CORRECTNESS_r*.json
     records (green = _is_green). See the module comment for the
-    policy."""
+    policy.
+
+    A _CODE_CHANGED name SELF-DRAINS from the head once the driver has
+    re-greened it AT OR AFTER the round the changes landed in
+    (_CODE_CHANGED_ROUND): that evidence certifies the new code, so
+    re-pinning it would waste head slots every subsequent round while
+    the stale tail starves (r7 review wave 6). Until the list is
+    pruned, a drained name simply sorts as freshly-evidenced."""
     newest = _newest_green_rounds()
     pos = {n: i for i, n in enumerate(names)}
-    head = [n for n in _CODE_CHANGED if n in pos]
+    head = [
+        n
+        for n in _CODE_CHANGED
+        if n in pos and newest.get(n, -1) < _CODE_CHANGED_ROUND
+    ]
     rest = sorted(
         (n for n in names if n not in head),
         key=lambda n: (newest.get(n, -1), pos[n]),

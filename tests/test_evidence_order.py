@@ -79,3 +79,36 @@ def test_ordering_reacts_to_evidence(tmp_path, monkeypatch):
 
     monkeypatch.setattr(Path, "glob", fake_glob)
     assert e._evidence_order(["a", "b", "c", "d"]) == ["c", "d", "a", "b"]
+
+def test_code_changed_self_drains_after_recertification(tmp_path, monkeypatch):
+    """r7 review wave 6: a _CODE_CHANGED name re-greened by the driver
+    AT OR AFTER _CODE_CHANGED_ROUND has evidence for the new code and
+    must stop pinning a head slot; one still certified only by an older
+    round stays pinned."""
+    import __spark_entry__ as e
+
+    monkeypatch.setattr(e, "_CODE_CHANGED", ["x", "y"])
+    monkeypatch.setattr(e, "_CODE_CHANGED_ROUND", 7)
+    real_glob = Path.glob
+    records = {
+        # x: re-greened in r07 (post-change) -> drains from the head
+        "CORRECTNESS_r07.json": {
+            "x": {"hash_match": True, "spark_rows": 1, "err": None},
+        },
+        # y: only pre-change evidence -> stays pinned
+        "CORRECTNESS_r06.json": {
+            "y": {"hash_match": True, "spark_rows": 1, "err": None},
+            "z": {"hash_match": True, "spark_rows": 1, "err": None},
+        },
+    }
+    for fname, content in records.items():
+        (tmp_path / fname).write_text(json.dumps(content))
+
+    def fake_glob(self, pattern):
+        if pattern == "CORRECTNESS_r*.json":
+            return real_glob(tmp_path, pattern)
+        return real_glob(self, pattern)
+
+    monkeypatch.setattr(Path, "glob", fake_glob)
+    # head: y (pinned). rest by newest-green asc: z (r06) then x (r07).
+    assert e._evidence_order(["x", "y", "z"]) == ["y", "z", "x"]

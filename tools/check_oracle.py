@@ -32,7 +32,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
         import numpy as np
 
-        if v is None or (isinstance(v, float) and pd.isna(v)):
+        # scalar NULL-ish first (pd.NaT passes isinstance datetime and
+        # strftime raises; np.float32 NaN is not a `float` subclass —
+        # both crashed/mis-canonicalized before the r7 review fix).
+        # Guarded against containers: pd.isna(list) is elementwise.
+        if not isinstance(v, (list, np.ndarray, str, bytes)) and pd.isna(v):
+            return "NULL"
+        if v is None:
             return "NULL"
         if isinstance(v, decimal.Decimal):
             return f"{v:.6f}"
@@ -41,6 +47,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, (int, np.integer)):
             return str(int(v))
         if isinstance(v, (pd.Timestamp, datetime.datetime)):
+            return pd.Timestamp(v).strftime("%Y-%m-%d %H:%M:%S.%f")
+        # plain DATE: Spark yields datetime.date, DuckDB datetime64 —
+        # canonicalize both to the midnight timestamp form
+        if isinstance(v, datetime.date):
             return pd.Timestamp(v).strftime("%Y-%m-%d %H:%M:%S.%f")
         if isinstance(v, (list, np.ndarray)):
             return "[" + ",".join(norm(x) for x in v) + "]"
@@ -67,6 +77,12 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    # a typo'd name would otherwise match nothing and '0/0 queries
+    # match' would read as success (r7 review wave 6)
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+        return 2
     failures = []
     n_checked = 0
     for name, fn in qs.items():

@@ -15,43 +15,23 @@ Usage: python tools/freshness_lint.py   (exit 1 on class-1 violations)
 
 from __future__ import annotations
 
-import json
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-WINDOW = 50
-
-
 def main() -> int:
     import __spark_entry__ as e
 
-    root = Path(__file__).resolve().parent.parent
-    rounds: list[tuple[int, set[str]]] = []
-    for f in sorted(root.glob("CORRECTNESS_r*.json")):
-        try:
-            data = json.loads(f.read_text())
-        except json.JSONDecodeError:
-            continue
-        rnd = int(f.stem.rsplit("r", 1)[-1])
-        # Only rows that actually PASSED count as evidence — the ONE
-        # green predicate, shared with the driver ordering
-        # (__spark_entry__._is_green). A red row (hash_match False, or
-        # a crash with spark_rows null) is the opposite of evidence —
-        # a query whose only row is red must stay in the first-50
-        # window until it goes green.
-        good = {n for n, row in data.items() if e._is_green(row)}
-        rounds.append((rnd, good))
-
-    evidence: dict[str, int] = {}
-    for rnd, names in rounds:
-        for n in names:
-            evidence[n] = max(evidence.get(n, 0), rnd)
-
+    # the ONE green predicate + window size + record parse, shared with
+    # the driver ordering (__spark_entry__._is_green /
+    # _newest_green_rounds / EVIDENCE_WINDOW — r7 review wave 6: three
+    # hand-copies could drift)
+    window = e.EVIDENCE_WINDOW
+    evidence = e._newest_green_rounds()
     order = list(e.queries())
-    latest_round = max((r for r, _ in rounds), default=0)
-    head, tail = order[:WINDOW], order[WINDOW:]
+    latest_round = e._latest_record_round()
+    head, tail = order[:window], order[window:]
 
     # Names declared in the next-round queue are registered behind an
     # already-full window ON PURPOSE (they take the head of the next
@@ -70,7 +50,7 @@ def main() -> int:
         if q in evidence and evidence[q] <= latest_round - 2
     ]
 
-    print(f"registered: {len(order)}; window: {WINDOW}; "
+    print(f"registered: {len(order)}; window: {window}; "
           f"prior evidence for {len(evidence)} names "
           f"(latest round r{latest_round:02d})")
     if never:

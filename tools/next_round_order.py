@@ -14,7 +14,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-WINDOW = 50
+
 
 
 def main() -> int:
@@ -25,8 +25,9 @@ def main() -> int:
 
     order = list(e.queries())
     changed = [q for q in getattr(e, "_CODE_CHANGED", []) if q in order]
-    head = order[:WINDOW]
-    print(f"# evidence-window head ({len(head)} of window {WINDOW}, computed):")
+    head = order[:e.EVIDENCE_WINDOW]
+    print(f"# evidence-window head ({len(head)} of window "
+          f"{e.EVIDENCE_WINDOW}, computed):")
     print(f"#   code-changed {len(changed)} | "
           f"strays {sum(1 for q in head if q not in evidence and q not in changed)} | "
           f"stalest refresh fills the rest")
