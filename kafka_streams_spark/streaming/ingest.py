@@ -106,6 +106,20 @@ def run_corpus_ingest_stream(
             # body, and re-hashing it would let the same original
             # document re-enter on re-arrival (r7 review wave 5)
             hash_col = "src_md5" if "src_md5" in prior.columns else None
+            if hash_col is not None:
+                # back-compat (r8 advice fix): partitions written before
+                # src_md5 existed read the column as NULL once a newer
+                # batch surfaces it in the merged schema — a NULL hash
+                # drops those documents from the seen-set entirely, and
+                # they re-enter the corpus on re-arrival. Fall back to
+                # the stored body's hash for pre-upgrade rows (exact for
+                # any row span surgery did not rewrite; for a rewritten
+                # pre-upgrade body only a one-time src_md5 backfill can
+                # recover the arrival hash).
+                prior = prior.withColumn(
+                    hash_col,
+                    F.coalesce(F.col(hash_col), F.md5(F.col("text"))),
+                )
             fresh = dedup_incremental(
                 batch_df, prior, existing_hash_col=hash_col
             )

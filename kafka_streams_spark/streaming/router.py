@@ -44,6 +44,65 @@ N_BALANCE_BUCKETS = 64  # account-hash buckets for pruned point lookups
 _transform = route_and_convert
 
 
+def _migrate_delta_layout(spark: SparkSession, delta_dir: str) -> int:
+    """One-time upgrade of pre-bucket delta stores (r8 advice fix).
+
+    Before round 7 the changelog wrote ``balance_delta/ingest_batch=N/``
+    with ``bucket`` as a plain DATA column; the bucketed layout nests
+    ``bucket=M/`` under each batch. Spark partition discovery rejects
+    mixed directory depths ("conflicting directory structures"), so the
+    first read after upgrading would fail for any deployment carrying
+    old partitions. This detects old-layout partitions (parquet files
+    directly under ``ingest_batch=N/``) and rewrites each into the
+    bucketed layout, deriving ``bucket`` when the files predate the
+    column entirely. Idempotent and crash-safe: the rewrite lands in a
+    ``._migrating`` temp dir, the old partition is parked at
+    ``.pre_bucket`` before the swap, and a recovery preamble finishes
+    or unwinds any interrupted swap on the next call. Returns the
+    number of partitions migrated. No-op (one directory listing) on
+    already-bucketed stores."""
+    import glob
+    import shutil
+
+    # recovery preamble: finish or unwind an interrupted swap
+    for parked in glob.glob(os.path.join(delta_dir, "ingest_batch=*.pre_bucket")):
+        target = parked[: -len(".pre_bucket")]
+        tmp = target + "._migrating"
+        if os.path.isdir(target):
+            shutil.rmtree(parked)  # swap completed; drop the old copy
+        elif os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, target)  # crashed between park and swap
+            shutil.rmtree(parked)
+        else:
+            os.rename(parked, target)  # rewrite incomplete: restart it
+
+    migrated = 0
+    for part in sorted(glob.glob(os.path.join(delta_dir, "ingest_batch=*"))):
+        if part.endswith("._migrating") or not os.path.isdir(part):
+            continue
+        if glob.glob(os.path.join(part, "bucket=*")):
+            continue  # already bucketed
+        if not glob.glob(os.path.join(part, "*.parquet")):
+            continue  # empty partition: nothing to rewrite
+        df = spark.read.parquet(part)
+        if "bucket" not in df.columns:
+            df = df.withColumn(
+                "bucket", F.crc32(F.col("fromAccount")) % N_BALANCE_BUCKETS
+            )
+        tmp = part + "._migrating"
+        (
+            df.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp)
+        )
+        os.rename(part, part + ".pre_bucket")
+        os.rename(tmp, part)
+        shutil.rmtree(part + ".pre_bucket")
+        migrated += 1
+    return migrated
+
+
 def run_payment_stream(
     spark: SparkSession,
     source_dir: str,
@@ -68,6 +127,10 @@ def run_payment_stream(
     foo_dir = os.path.join(out_dir, "rails_foo")
     bar_dir = os.path.join(out_dir, "rails_bar")
     delta_dir = os.path.join(out_dir, "balance_delta")
+    # upgrade any pre-bucket partitions BEFORE the first batch writes a
+    # nested one (mixed depths fail partition discovery — see
+    # _migrate_delta_layout)
+    _migrate_delta_layout(spark, delta_dir)
 
     def route_batch(batch_df: DataFrame, batch_id: int) -> None:
         merged = _transform(batch_df)
@@ -132,6 +195,7 @@ def compact_balances(spark: SparkSession, out_dir: str) -> int | None:
 
     delta_dir = os.path.join(out_dir, "balance_delta")
     base_dir = os.path.join(out_dir, "balance_base")
+    _migrate_delta_layout(spark, delta_dir)
     batches = sorted(
         int(m.group(1))
         for p in glob.glob(os.path.join(delta_dir, "ingest_batch=*"))
@@ -215,6 +279,7 @@ class BalanceView:
         self._spark = spark
         self._delta_dir = os.path.join(out_dir, "balance_delta")
         self._base_dir = os.path.join(out_dir, "balance_base")
+        _migrate_delta_layout(spark, self._delta_dir)
 
     def _log(self) -> DataFrame:
         """Base snapshot (if compacted) + deltas with ``ingest_batch >

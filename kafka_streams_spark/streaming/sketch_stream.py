@@ -129,7 +129,16 @@ def run_gram_stream(
     corpus re-scan. Default scale 10³ keeps ``n·(scale·max|x|)²``
     inside int64 out to ~10¹² streamed rows.
     """
+    import logging
+
     from kafka_streams_spark.operators.similarity import embedding_gram
+
+    # Scale is a FROZEN unit of the store: a restart with a different
+    # scale would append deltas whose sum_i/sum_prod are in a different
+    # unit and read_gram would sum them silently (round-8 advice fix —
+    # same gate as the kmv/rank stores).
+    _stamp_sketch_store(spark, gram_dir, {"kind": "gram", "scale": int(scale)})
+    log = logging.getLogger(__name__)
 
     raw = (
         spark.readStream.schema(_emb_schema())
@@ -147,17 +156,33 @@ def run_gram_stream(
         # explicitly in production so a mostly-corrupt batch cannot
         # vote its way into the gram table.
         d = dim
+        n_batch = None
         if d is None:
-            top = (
+            by_len = (
                 batch_df.filter(F.col("embedding").isNotNull())
                 .groupBy(F.size("embedding").alias("_d"))
                 .count()
-                .orderBy(F.col("count").desc(), F.col("_d"))
-                .first()
+                .collect()
             )
-            if top is None:
+            if not by_len:
                 return  # nothing but NULLs in this batch: no delta
+            top = min(by_len, key=lambda r: (-r["count"], r["_d"]))
             d = top["_d"]
+            # Observability for the modal-dim fallback (round-8 advice
+            # fix): a majority-corrupt batch can vote its corrupt
+            # length in as d and silently quarantine every GOOD row of
+            # the batch — surface how many rows the vote rejected so
+            # the operator sees the quarantine instead of a quietly
+            # thinner gram table.
+            n_batch = sum(r["count"] for r in by_len)
+            n_rejected = n_batch - top["count"]
+            if n_rejected:
+                log.warning(
+                    "run_gram_stream batch %s: modal dim %s accepted %s "
+                    "rows, quarantined %s rows with other lengths — "
+                    "pass dim explicitly to pin the expected dimension",
+                    batch_id, d, top["count"], n_rejected,
+                )
         delta = embedding_gram(batch_df, scale=scale, dim=d)
         (
             delta.withColumn("ingest_batch", F.lit(batch_id))
@@ -175,11 +200,16 @@ def run_gram_stream(
     )
 
 
-def read_gram(spark: SparkSession, gram_dir: str) -> DataFrame:
+def read_gram(
+    spark: SparkSession, gram_dir: str, scale: int = 10**3
+) -> DataFrame:
     """The live merged second-moment table: per-(dim_i, dim_j) sums over
     every batch delta — identical to the batch ``embedding_gram`` of all
     rows ingested so far. Output: (dim_i, dim_j, n, sum_i, sum_j,
-    sum_prod)."""
+    sum_prod). ``scale`` is checked against the store's stamp (the
+    int64 sums are in scale-dependent units; a mismatched read would
+    de-quantize wrongly)."""
+    _check_sketch_meta(spark, gram_dir, {"kind": "gram", "scale": int(scale)})
     return (
         spark.read.parquet(gram_dir)
         .groupBy("dim_i", "dim_j")
@@ -237,6 +267,27 @@ def _check_sketch_meta(spark: SparkSession, store_dir: str, expect: dict) -> Non
             f"mismatched parameters {bad} would silently corrupt the "
             f"sketch — pass the store's own parameters"
         )
+
+
+def _stamp_sketch_store(spark: SparkSession, store_dir: str, meta: dict) -> None:
+    """Stamp a sketch store's frozen parameters SAFELY: check any
+    existing stamp first, write only when absent. Round-8 advice fix —
+    the ``run_*`` entry points used to overwrite the stamp
+    unconditionally, so restarting a stream with a different k (or
+    scale / bin grid) re-stamped the store and defeated the
+    ``_check_sketch_meta`` gate: old partials built under the old
+    parameter would merge under the new one and the read-offs would be
+    silently wrong — exactly the corruption the stamp exists to catch.
+    Now a mismatched restart raises before the stream starts."""
+    import json as _json
+
+    _check_sketch_meta(spark, store_dir, meta)  # raises on mismatch
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/_sketch_meta.json")
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        _write_sketch_meta(spark, store_dir, meta)
 
 
 def _committed_batch_ids(spark: SparkSession, checkpoint_dir: str) -> set:
@@ -341,7 +392,10 @@ def _compact_deltas(
 
 
 def compact_gram(
-    spark: SparkSession, gram_dir: str, checkpoint_dir: str | None = None
+    spark: SparkSession,
+    gram_dir: str,
+    checkpoint_dir: str | None = None,
+    scale: int = 10**3,
 ) -> None:
     """Fold all batch-delta partitions into a single partition holding
     their sums — the changelog compaction step (same economics as the
@@ -350,6 +404,7 @@ def compact_gram(
     Safe to run against a live stream: see :func:`_compact_deltas` for
     the snapshot-pin / dynamic-overwrite / targeted-delete protocol and
     why ``checkpoint_dir`` should be passed (replay safety)."""
+    _check_sketch_meta(spark, gram_dir, {"kind": "gram", "scale": int(scale)})
     _compact_deltas(
         spark,
         gram_dir,
@@ -474,6 +529,18 @@ def run_histogram_stream(
     """
     from kafka_streams_spark.operators.profiling import value_histogram
 
+    # The bin grid is a FROZEN parameter of the store: deltas snapped
+    # to a different (bin_width, scale) grid would merge into buckets
+    # that mean different value ranges (round-8 advice fix).
+    _stamp_sketch_store(
+        spark,
+        hist_dir,
+        {
+            "kind": "hist",
+            "bin_width_cents": int(bin_width_cents),
+            "scale": int(scale),
+        },
+    )
     raw = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -503,10 +570,26 @@ def run_histogram_stream(
     )
 
 
-def read_histogram(spark: SparkSession, hist_dir: str) -> DataFrame:
+def read_histogram(
+    spark: SparkSession,
+    hist_dir: str,
+    bin_width_cents: int = 1600,
+    scale: int = 100,
+) -> DataFrame:
     """The live merged histogram: per-bucket counter sums over every
     batch delta — identical to the batch ``value_histogram`` of all rows
-    ingested so far. Output: (bucket, counter)."""
+    ingested so far. Output: (bucket, counter). The bin-grid parameters
+    are checked against the store's stamp (buckets are grid-relative;
+    a mismatched read would label ranges wrongly)."""
+    _check_sketch_meta(
+        spark,
+        hist_dir,
+        {
+            "kind": "hist",
+            "bin_width_cents": int(bin_width_cents),
+            "scale": int(scale),
+        },
+    )
     return (
         spark.read.parquet(hist_dir)
         .groupBy("bucket")
@@ -515,13 +598,26 @@ def read_histogram(spark: SparkSession, hist_dir: str) -> DataFrame:
 
 
 def compact_histogram(
-    spark: SparkSession, hist_dir: str, checkpoint_dir: str | None = None
+    spark: SparkSession,
+    hist_dir: str,
+    checkpoint_dir: str | None = None,
+    bin_width_cents: int = 1600,
+    scale: int = 100,
 ) -> None:
     """Fold all batch-delta partitions into the reserved ``-1``
     partition (same economics and collision rule as
     :func:`compact_gram`): read cost drops from buckets·batches rows
     back to buckets, and the stream keeps appending new deltas after.
     Live-stream-safe via :func:`_compact_deltas`."""
+    _check_sketch_meta(
+        spark,
+        hist_dir,
+        {
+            "kind": "hist",
+            "bin_width_cents": int(bin_width_cents),
+            "scale": int(scale),
+        },
+    )
     _compact_deltas(
         spark, hist_dir, ["bucket"], ["counter"], checkpoint_dir=checkpoint_dir
     )
@@ -669,7 +765,7 @@ def run_kmv_stream(
     from kafka_streams_spark.operators.dedup import tokens
     from kafka_streams_spark.operators.profiling import kmv_state
 
-    _write_sketch_meta(spark, sketch_dir, {"kind": "kmv", "k": int(k)})
+    _stamp_sketch_store(spark, sketch_dir, {"kind": "kmv", "k": int(k)})
     raw = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -833,7 +929,7 @@ def run_rank_sketch_stream(
     partition."""
     from kafka_streams_spark.operators.profiling import rank_sketch
 
-    _write_sketch_meta(spark, sketch_dir, {"kind": "rank", "k": int(k)})
+    _stamp_sketch_store(spark, sketch_dir, {"kind": "rank", "k": int(k)})
     raw = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -301,11 +301,15 @@ def test_histogram_stream_equals_batch_and_compacts(spark, tmp_path):
     expected = sorted(
         map(tuple, value_histogram(all_docs, "n_chars", bin_width_cents=400).collect())
     )
-    merged = sorted(map(tuple, read_histogram(spark, hist).collect()))
+    merged = sorted(
+        map(tuple, read_histogram(spark, hist, bin_width_cents=400).collect())
+    )
     assert merged == expected
 
-    compact_histogram(spark, hist)
-    after = sorted(map(tuple, read_histogram(spark, hist).collect()))
+    compact_histogram(spark, hist, bin_width_cents=400)
+    after = sorted(
+        map(tuple, read_histogram(spark, hist, bin_width_cents=400).collect())
+    )
     assert after == expected
     parts = {r["ingest_batch"] for r in spark.read.parquet(hist).select("ingest_batch").distinct().collect()}
     assert parts == {-1}
@@ -419,7 +423,9 @@ def test_changelog_streams_invariant_to_batch_splits(spark, tmp_path):
     want_h = sorted(
         map(tuple, value_histogram(lengths, "n_chars", bin_width_cents=400).collect())
     )
-    got_h = sorted(map(tuple, read_histogram(spark, hist_dir).collect()))
+    got_h = sorted(
+        map(tuple, read_histogram(spark, hist_dir, bin_width_cents=400).collect())
+    )
     assert got_h == want_h
 
 
@@ -571,3 +577,58 @@ def test_compaction_skips_uncommitted_batch(spark, tmp_path):
     write_delta(1, [("a", 2)])
     got = {r["k"]: r["cnt"] for r in read_key_profile(spark, prof).collect()}
     assert got == {"a": 5, "b": 1}  # exact — no double count
+
+
+def test_gram_and_histogram_store_parameter_gates(spark, tmp_path):
+    """r8 advice fix: the gram store's scale and the histogram store's
+    bin grid are frozen parameters of the store, gated exactly like the
+    kmv/rank k — a restart or read with different parameters must
+    refuse loudly instead of silently merging deltas in different
+    units."""
+    import pytest
+
+    from kafka_streams_spark.streaming.sketch_stream import (
+        compact_gram,
+        compact_histogram,
+        read_gram,
+        read_histogram,
+        run_gram_stream,
+        run_histogram_stream,
+    )
+
+    src = str(tmp_path / "src")
+    gram = str(tmp_path / "gram")
+    hist = str(tmp_path / "hist")
+
+    _write(src, "b1.json", EMBS_A)
+    q = run_gram_stream(spark, src, gram, str(tmp_path / "c1"), scale=10**3)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert read_gram(spark, gram, scale=10**3).count() == 6
+    with pytest.raises(ValueError, match="mismatched parameters"):
+        read_gram(spark, gram, scale=10**4)
+    with pytest.raises(ValueError, match="mismatched parameters"):
+        compact_gram(spark, gram, scale=10**4)
+    with pytest.raises(ValueError, match="mismatched parameters"):
+        run_gram_stream(spark, src, gram, str(tmp_path / "c2"), scale=10**4)
+
+    src2 = str(tmp_path / "src2")
+    _write(src2, "b1.json", DOCS_A)
+    qh = run_histogram_stream(
+        spark, src2, hist, str(tmp_path / "c3"), bin_width_cents=400
+    )
+    try:
+        qh.processAllAvailable()
+    finally:
+        qh.stop()
+    assert read_histogram(spark, hist, bin_width_cents=400).count() > 0
+    with pytest.raises(ValueError, match="mismatched parameters"):
+        read_histogram(spark, hist, bin_width_cents=1600)
+    with pytest.raises(ValueError, match="mismatched parameters"):
+        compact_histogram(spark, hist, bin_width_cents=400, scale=10)
+    with pytest.raises(ValueError, match="mismatched parameters"):
+        run_histogram_stream(
+            spark, src2, hist, str(tmp_path / "c4"), bin_width_cents=800
+        )

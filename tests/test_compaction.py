@@ -148,3 +148,102 @@ def test_recompaction_after_crash_does_not_double_count(spark, tmp_path):
     expected = dict(before)
     expected["ABC"] = before["ABC"] + 7
     assert after == expected
+
+
+def test_pre_bucket_delta_layout_migrates_once(spark, tmp_path):
+    """r8 advice fix: a store whose delta partitions predate the nested
+    bucket layout (bucket was a plain data column under
+    ingest_batch=N/) must be upgraded in place — mixed directory depths
+    otherwise fail Spark partition discovery on the first post-upgrade
+    read — and balances must be byte-identical across the migration,
+    including for files so old they lack the bucket column entirely."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.streaming.router import (
+        N_BALANCE_BUCKETS,
+        _migrate_delta_layout,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    delta = os.path.join(out, "balance_delta")
+
+    # old layout, variant A: bucket as a data column, files directly
+    # under the batch dir
+    (
+        spark.createDataFrame([("ABC", 100)], "fromAccount string, delta bigint")
+        .withColumn("bucket", F.crc32(F.col("fromAccount")) % N_BALANCE_BUCKETS)
+        .write.parquet(os.path.join(delta, "ingest_batch=900"))
+    )
+    # old layout, variant B: no bucket column at all
+    (
+        spark.createDataFrame([("XYZ", 800)], "fromAccount string, delta bigint")
+        .write.parquet(os.path.join(delta, "ingest_batch=901"))
+    )
+
+    # constructing the view migrates, and the stream keeps appending
+    # nested partitions on top
+    view = BalanceView(spark, out)
+    for part in ("ingest_batch=900", "ingest_batch=901"):
+        assert glob.glob(os.path.join(delta, part, "bucket=*"))
+    assert view.get_balance("ABC") == 100
+    assert view.get_balance("XYZ") == 800
+
+    write_events(src, "b1.json", [_payment("p1", 50, "ABC")])
+    q = run_payment_stream(spark, src, out, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert view.get_balance("ABC") == 150
+    assert view.get_balance("XYZ") == 800
+
+    # idempotent: a second call touches nothing
+    assert _migrate_delta_layout(spark, delta) == 0
+
+    # compaction works across the migrated store
+    hwm = compact_balances(spark, out)
+    assert hwm is not None
+    assert view.get_balance("ABC") == 150
+    assert view.get_balance("XYZ") == 800
+
+
+def test_interrupted_migration_recovers(spark, tmp_path):
+    """The migration swap is crash-safe: a partition parked at
+    .pre_bucket with a complete ._migrating rewrite finishes the swap;
+    one with no usable rewrite unwinds and redoes it."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.streaming.router import (
+        N_BALANCE_BUCKETS,
+        _migrate_delta_layout,
+    )
+
+    out = str(tmp_path / "out")
+    delta = os.path.join(out, "balance_delta")
+    part = os.path.join(delta, "ingest_batch=0")
+
+    df = (
+        spark.createDataFrame([("ABC", 100)], "fromAccount string, delta bigint")
+        .withColumn("bucket", F.crc32(F.col("fromAccount")) % N_BALANCE_BUCKETS)
+    )
+    # crash state 1: parked old copy + complete rewrite, swap not done
+    df.repartition("bucket").write.partitionBy("bucket").parquet(
+        part + "._migrating"
+    )
+    df.drop("bucket").write.parquet(part + ".pre_bucket")
+    assert _migrate_delta_layout(spark, delta) == 0  # recovery, no rewrite
+    assert glob.glob(os.path.join(part, "bucket=*"))
+    assert not os.path.exists(part + ".pre_bucket")
+    assert not os.path.exists(part + "._migrating")
+    view = BalanceView(spark, out)
+    assert view.get_balance("ABC") == 100
+
+    # crash state 2: parked old copy, rewrite missing -> unwind + redo
+    shutil.rmtree(part)
+    df.write.parquet(part + ".pre_bucket")
+    assert _migrate_delta_layout(spark, delta) == 1
+    assert glob.glob(os.path.join(part, "bucket=*"))
+    assert BalanceView(spark, out).get_balance("ABC") == 100

@@ -147,3 +147,43 @@ def test_span_removal_preserves_originals_and_rearrival_gate(spark, tmp_path):
     assert set(rows) == {1, 2, 3}  # re-arrivals rejected despite surgery
     assert rows[3]["text"] == cased  # no-cut doc kept verbatim
     assert GOOD not in rows[2]["text"]  # the embedded span was cut
+
+
+def test_pre_upgrade_corpus_rows_stay_in_seen_set(spark, tmp_path):
+    """r8 advice fix: a corpus written BEFORE src_md5 existed reads the
+    column as NULL once a post-upgrade batch surfaces it in the merged
+    schema — those rows must still gate re-arrivals (coalesce to the
+    stored body's hash), not silently re-admit them."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    # simulate a pre-upgrade corpus: one accepted partition WITHOUT the
+    # src_md5 column (the old on-disk layout)
+    (
+        spark.createDataFrame(
+            [(1, "s", GOOD)], "doc_id bigint, source string, text string"
+        )
+        .withColumn("ingest_batch", F.lit(900))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(corpus)
+    )
+
+    # post-upgrade stream: batch 0 lands a NEW doc (writing src_md5 and
+    # surfacing the column in the merged schema), batch 1 re-delivers
+    # the pre-upgrade document byte-identically
+    _write(src, "b1.json", [{"doc_id": 20, "source": "s", "text": OTHER}])
+    q = run_corpus_ingest_stream(spark, src, corpus, ckpt)
+    try:
+        q.processAllAvailable()
+        _write(src, "b2.json", [{"doc_id": 30, "source": "s", "text": GOOD}])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(corpus).collect()
+    # the re-arrival (doc 30) must be rejected by the membership gate
+    assert {r["doc_id"] for r in rows} == {1, 20}

@@ -305,6 +305,20 @@ def test_sketch_store_k_gate(spark, tmp_path):
         read_kmv(spark, sk, k=256)
     with pytest.raises(ValueError, match="mismatched parameters"):
         compact_kmv(spark, sk, k=16)
+    # r8 advice fix: RESTARTING the stream with a different k must
+    # refuse BEFORE the stream starts — the entry point used to
+    # overwrite the stamp unconditionally, silently re-stamping the
+    # store and defeating this very gate (old k=8 partials would merge
+    # under k=16 and underestimate with no error).
+    with pytest.raises(ValueError, match="mismatched parameters"):
+        run_kmv_stream(spark, src, sk, str(tmp_path / "ckpt2"), k=16)
+    # same-k restart is fine and keeps the stamp
+    q2 = run_kmv_stream(spark, src, sk, str(tmp_path / "ckpt3"), k=8)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert read_kmv(spark, sk, k=8).count() == 1
     # legacy store (no stamp) still reads
     os.remove(f"{sk}/_sketch_meta.json")
     assert read_kmv(spark, sk, k=256).count() == 1
