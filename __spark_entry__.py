@@ -1686,46 +1686,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # with registration position as the stable tiebreak. No hand-curation
 # can starve a family: the window self-rotates as evidence accumulates.
 
-# Contracts whose code or oracle changed in round 7 — the four advice
-# fixes (corpus_diff presence flags + null-safe digest compare;
-# remove_boilerplate NULL-text coalesce, oracle aligned; embedding_gram
-# NULL quarantine reaching whiten/drift/profile-family consumers).
+# Contracts whose code or oracle changed in round 8: the rounded-rank
+# alignment (r7 verdict item 2) — every single-query knn path now ranks
+# on the ROUNDED 6-dp similarity with id tiebreak (the knn_batch
+# contract), and all 14 oracle ORDER BYs rank on the identical rounded
+# value. Old evidence certifies the raw-double ranking.
 # _CODE_CHANGED_ROUND is the round these changes landed in: a name
 # re-greened by the driver at or after it has evidence for the NEW
 # code and self-drains from the head (see _evidence_order).
-_CODE_CHANGED_ROUND = 7
+_CODE_CHANGED_ROUND = 8
 _CODE_CHANGED = [
-    "corpus_diff",
-    "remove_boilerplate",
-    "emb_gram",
-    "emb_whiten",
-    "emb_drift",
-    "emb_norm_outliers",
-    # r7 fuzz-ring find: NULL user_id declared out-of-contract on both
-    # engines (the score join-back silently dropped it; the oracle's
-    # global ntile kept it)
-    "rfm_scores",
-    # r7 self-review wave (ROUND7_NOTES §8e/§8f): operator and/or
-    # oracle semantics changed — old evidence certifies old semantics
-    "dsir_logratio",       # full-outer bucket join (target total fix)
-    "collocations",        # PMI total over ALL bigrams
-    "corpus_scorecard",    # NULL text is badword/PII free
-    "pii_scan",            # explicit whitespace class in the URL regex
-    "pii_redact",
-    "domain_stats",
-    "curate_corpus",       # URL regex + dedup_exact_rows reuse
-    "winnowing_fingerprints",   # blank docs emit no fingerprints
-    "substring_overlap_pairs",
-    "corpus_stats",        # empty corpus is counts 0, not NULL
-    "zipf_fit",            # n_tokens renamed n_ranked_tokens
-    "price_rank_sketch",   # NULL hash-key filter
-    "price_rank_quantiles",
-    # r7 review wave 4 + NULL-ts fuzz wave (ROUND7_NOTES §8h)
-    "asof_purchase_click",     # NULL-ts right rows never match; tie rule
-    "sessionize_events",       # NULL-ts out-of-contract, both engines
-    "event_transitions",
-    "events_session_native",
-    "q3_shipping_priority",    # broadcast hint off the fact-scale side
+    "knn_vec0",
+    "knn_lsh_vec0",
+    "knn_ivf_label_vec0",
+    "knn_pq_rerank_vec0",
+    "knn_ivfpq_vec0",
+    "knn_lsh_mt_vec0",
+    "knn_recall_vec0",
+    "knn_recall_mt_vec0",
+    "knn_recall_ivfpq_vec0",
+    "knn_auto_vec0",
+    # rows-only members of the same family (ranking path shared)
+    "knn_ivf_vec0",
+    "knn_pq_vec0",
+    "knn_ivfpq_res_vec0",
+    "knn_recall_ivfpq_res_vec0",
 ]
 
 # Kept for tool compatibility (freshness_lint): with the computed

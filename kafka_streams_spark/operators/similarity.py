@@ -52,7 +52,9 @@ def knn_brute_force(
     """
     scored = embeddings.select(
         F.col(id_col),
-        cosine_similarity(F.col(vec_col), _query_lit(query_vec)).alias("cosine_sim"),
+        F.round(
+            cosine_similarity(F.col(vec_col), _query_lit(query_vec)), 6
+        ).alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
@@ -69,15 +71,13 @@ def knn_to_id(
     via a broadcast single-row cross join, so no driver collect and no
     literal vector in the plan).
 
-    Ranking note (r7 self-review, deliberately deferred): the
-    single-query paths rank on the RAW double and round for display,
-    while knn_batch_to_ids ranks on the ROUNDED value. Both engines
-    fold the cosine sequentially in the same order, so raw doubles are
-    bit-identical cross-engine today — pinned implicitly by every
-    hash-checked contract and the embedding fuzz ring. Aligning all
-    single-query paths (and their ~10 oracle ORDER BYs) to
-    rounded-rank is the robustness upgrade if either engine's fold
-    order ever changes."""
+    Ranking note (r7 self-review item, shipped r8): every single-query
+    knn path now ranks on the ROUNDED (6 dp) similarity with id
+    tiebreak — the same contract as knn_batch_to_ids — and the oracle
+    ORDER BYs rank on the identical rounded value. Ranking on raw
+    doubles was bit-identical cross-engine only because both engines
+    fold the cosine sequentially in the same order; rounded-rank makes
+    the k-set robust to either engine changing its fold order."""
     q = embeddings.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_qvec")
     )
@@ -86,7 +86,7 @@ def knn_to_id(
         cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("_sim"),
     )
     return (
-        scored.orderBy(F.col("_sim").desc(), F.col(id_col))
+        scored.orderBy(F.round("_sim", 6).desc(), F.col(id_col))
         .limit(k)
         .select(F.col(id_col), F.round("_sim", 6).alias("cosine_sim"))
     )
@@ -406,7 +406,9 @@ def knn_lsh(
     return (
         cand.select(
             F.col(id_col),
-            cosine_similarity(F.col(vec_col), _query_lit(query_vec)).alias("cosine_sim"),
+            F.round(
+                cosine_similarity(F.col(vec_col), _query_lit(query_vec)), 6
+            ).alias("cosine_sim"),
         )
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
@@ -440,7 +442,9 @@ def knn_lsh_to_id(
     return (
         cand.select(
             F.col(id_col),
-            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("_qvec")), 6
+            ).alias("cosine_sim"),
         )
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
@@ -515,7 +519,9 @@ def knn_ivf(
     return (
         cand.select(
             F.col(id_col),
-            cosine_similarity(F.col(vec_col), _query_lit(query_vec)).alias("cosine_sim"),
+            F.round(
+                cosine_similarity(F.col(vec_col), _query_lit(query_vec)), 6
+            ).alias("cosine_sim"),
         )
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
@@ -568,7 +574,9 @@ def knn_ivf_to_id(
     return (
         cand.select(
             F.col(id_col),
-            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("_qvec")), 6
+            ).alias("cosine_sim"),
         )
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
@@ -653,7 +661,9 @@ def knn_ivf_label_to_id(
         cand.crossJoin(F.broadcast(q))
         .select(
             F.col(id_col),
-            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("_qvec")), 6
+            ).alias("cosine_sim"),
         )
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
@@ -946,7 +956,9 @@ def knn_from_index(
     return (
         cand.select(
             F.col(id_col),
-            cosine_similarity(F.col(vec_col), _query_lit(query_vec)).alias("cosine_sim"),
+            F.round(
+                cosine_similarity(F.col(vec_col), _query_lit(query_vec)), 6
+            ).alias("cosine_sim"),
         )
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
@@ -1566,7 +1578,7 @@ def pq_topk_rerank_to_id(
         )
     )
     return (
-        rescored.orderBy(F.col("_sim").desc(), F.col(id_col))
+        rescored.orderBy(F.round("_sim", 6).desc(), F.col(id_col))
         .limit(k)
         .select(F.col(id_col), F.round("_sim", 6).alias("cosine_sim"))
     )
@@ -1979,7 +1991,7 @@ def knn_lsh_multitable(
             F.col(id_col),
             cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("_sim"),
         )
-        .orderBy(F.col("_sim").desc(), F.col(id_col))
+        .orderBy(F.round("_sim", 6).desc(), F.col(id_col))
         .limit(k)
         .select(F.col(id_col), F.round("_sim", 6).alias("cosine_sim"))
     )
@@ -2037,7 +2049,7 @@ def ivfpq_topk_to_id(
         )
     )
     return (
-        rescored.orderBy(F.col("_sim").desc(), F.col(id_col))
+        rescored.orderBy(F.round("_sim", 6).desc(), F.col(id_col))
         .limit(k)
         .select(F.col(id_col), F.round("_sim", 6).alias("cosine_sim"))
     )
@@ -2685,7 +2697,7 @@ def ivfpq_residual_topk_to_id(
         )
     )
     return (
-        rescored.orderBy(F.col("_sim").desc(), F.col(id_col))
+        rescored.orderBy(F.round("_sim", 6).desc(), F.col(id_col))
         .limit(k)
         .select(F.col(id_col), F.round("_sim", 6).alias("cosine_sim"))
     )

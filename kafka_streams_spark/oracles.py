@@ -1609,7 +1609,7 @@ def _knn_lsh_sql(
         SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine_sim
         FROM sig, q
         WHERE bit_count(xor(CAST(bucket AS BIGINT), CAST(qb AS BIGINT))) <= {multiprobe_hamming}
-        ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+        ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id
         LIMIT {k}
     """
 
@@ -1618,7 +1618,7 @@ SIMILARITY_ORACLES = {
     # Single-table hyperplane LSH top-k with multiprobe: deterministic
     # seed-42 planes embedded as literals; the probe set is the exact
     # bit_count(xor) <= h predicate the Spark plan uses; ranking matches
-    # the knn contract order (raw cosine desc, id tiebreak; 6-dp output).
+    # the knn contract order (ROUNDED 6-dp cosine desc, id tiebreak).
     "knn_lsh_vec0": _knn_lsh_sql(
         query_id=0, k=10, n_planes=6, dim=64, multiprobe_hamming=2
     ),
@@ -1642,7 +1642,7 @@ SIMILARITY_ORACLES = {
         )
         SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine_sim
         FROM e JOIN probe USING (label), q
-        ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+        ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id
         LIMIT 10
     """,
     "emb_near_dup_lsh": f"""
@@ -1756,7 +1756,7 @@ SIMILARITY_ORACLES = {
         SELECT vec_id,
                round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qvec), 6) AS cosine_sim
         FROM embeddings, q
-        ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qvec) DESC, vec_id
+        ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qvec), 6) DESC, vec_id
         LIMIT 10
     """,
     "emb_label_centroids": """
@@ -2946,7 +2946,7 @@ SIMILARITY_ORACLES["knn_pq_rerank_vec0"] = f"""
            round(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]),
                                         qv.v), 6) AS cosine_sim
     FROM embeddings e2 JOIN short USING (vec_id), qv
-    ORDER BY list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), qv.v)
+    ORDER BY round(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), qv.v), 6)
              DESC, e2.vec_id
     LIMIT 10
 """
@@ -2998,7 +2998,7 @@ SIMILARITY_ORACLES["knn_ivfpq_vec0"] = f"""
            round(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]),
                                         fq.qv), 6) AS cosine_sim
     FROM embeddings e2 JOIN short USING (vec_id), fq
-    ORDER BY list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), fq.qv)
+    ORDER BY round(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), fq.qv), 6)
              DESC, e2.vec_id
     LIMIT 10
 """
@@ -3129,14 +3129,14 @@ def _knn_recall_sql(
         q AS (SELECT v AS qv, bucket AS qb FROM sig WHERE vec_id = {query_id}),
         exact AS (
             SELECT vec_id FROM e, q
-            ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+            ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id
             LIMIT {k}
         ),
         approx AS (
             SELECT vec_id FROM sig, q
             WHERE bit_count(xor(CAST(bucket AS BIGINT), CAST(qb AS BIGINT)))
                       <= {multiprobe_hamming}
-            ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+            ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id
             LIMIT {k}
         )
         SELECT {query_id} AS query_id, {k} AS k,
@@ -3171,7 +3171,7 @@ def _knn_lsh_mt_sql(
         SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine_sim
         FROM sig, q
         WHERE {anymatch}
-        ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+        ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id
         LIMIT {k}
     """
 
@@ -3203,13 +3203,13 @@ def _knn_recall_mt_sql(
         q AS (SELECT v AS qv, {qcols} FROM sig WHERE vec_id = {query_id}),
         exact AS (
             SELECT vec_id FROM e, (SELECT v AS qv FROM e WHERE vec_id = {query_id})
-            ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+            ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id
             LIMIT {k}
         ),
         approx AS (
             SELECT vec_id FROM sig, q
             WHERE {anymatch}
-            ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+            ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id
             LIMIT {k}
         )
         SELECT {query_id} AS query_id, {k} AS k,
@@ -3434,13 +3434,13 @@ SIMILARITY_ORACLES["knn_recall_ivfpq_vec0"] = f"""
     approx AS (
         SELECT e2.vec_id
         FROM embeddings e2 JOIN short USING (vec_id), fq
-        ORDER BY list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), fq.qv)
+        ORDER BY round(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), fq.qv), 6)
                  DESC, e2.vec_id
         LIMIT 10
     ),
     exact AS (
         SELECT vec_id FROM fe, fq
-        ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+        ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id
         LIMIT 10
     )
     SELECT 0 AS query_id, 10 AS k, CAST(count(*) AS BIGINT) AS n_hits
@@ -3492,7 +3492,7 @@ SIMILARITY_ORACLES["knn_recall_hamming_vec0"] = f"""
     exact AS (
         SELECT vec_id
         FROM embeddings, qv
-        ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qvec)
+        ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qvec), 6)
                  DESC, vec_id
         LIMIT 10
     )
@@ -3543,7 +3543,7 @@ SIMILARITY_ORACLES["hamming_bucket_stats"] = f"""
 # Mean-recall pre-flight over the probe sample (0, 7, 23): UNION ALL
 # of the single-probe audit, ordered by query_id.
 SIMILARITY_ORACLES["knn_recall_hamming_multi"] = " UNION ALL ".join(
-    f"""SELECT * FROM (\n    WITH s AS ({_BSIG}),\n    q AS (SELECT bsig AS qsig FROM s WHERE vec_id = {qid}),\n    short AS (\n        SELECT s.vec_id, bit_count(xor(s.bsig, q.qsig)) AS hamming\n        FROM s, q\n        ORDER BY hamming, s.vec_id\n        LIMIT 100\n    ),\n    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec\n           FROM embeddings WHERE vec_id = {qid}),\n    approx AS (\n        SELECT e.vec_id\n        FROM embeddings e JOIN short ON e.vec_id = short.vec_id, qv\n        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qvec), 6)\n                 DESC, e.vec_id\n        LIMIT 10\n    ),\n    exact AS (\n        SELECT vec_id FROM embeddings, qv\n        ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qvec)\n                 DESC, vec_id\n        LIMIT 10\n    )\n    SELECT {qid} AS query_id, 10 AS k, CAST(count(*) AS BIGINT) AS n_hits\n    FROM approx WHERE vec_id IN (SELECT vec_id FROM exact)\n)"""
+    f"""SELECT * FROM (\n    WITH s AS ({_BSIG}),\n    q AS (SELECT bsig AS qsig FROM s WHERE vec_id = {qid}),\n    short AS (\n        SELECT s.vec_id, bit_count(xor(s.bsig, q.qsig)) AS hamming\n        FROM s, q\n        ORDER BY hamming, s.vec_id\n        LIMIT 100\n    ),\n    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec\n           FROM embeddings WHERE vec_id = {qid}),\n    approx AS (\n        SELECT e.vec_id\n        FROM embeddings e JOIN short ON e.vec_id = short.vec_id, qv\n        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qvec), 6)\n                 DESC, e.vec_id\n        LIMIT 10\n    ),\n    exact AS (\n        SELECT vec_id FROM embeddings, qv\n        ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qvec), 6)\n                 DESC, vec_id\n        LIMIT 10\n    )\n    SELECT {qid} AS query_id, 10 AS k, CAST(count(*) AS BIGINT) AS n_hits\n    FROM approx WHERE vec_id IN (SELECT vec_id FROM exact)\n)"""
     for qid in (0, 7, 23)
 ) + " ORDER BY query_id"
 
