@@ -1407,10 +1407,12 @@ def _q_bpe_pair_counts(spark, sf_dir):
 
 
 def _q_bpe_token_stats(spark, sf_dir):
-    """Rows-only (learned merge chain, the emb_whiten class): train 50
-    merges on the corpus's own top-1000 words, encode every doc, report
-    per-doc token budget + fertility. Model-pinned by hypothesis tests
-    (train == pure-Python reference; encode == merge-rank reference)."""
+    """Oracle-checked since r8 (was rows-only): train 50 merges on the
+    corpus's own top-1000 words, encode every doc, report per-doc token
+    budget + fertility. The oracle retrains with a recursive-CTE twin
+    of train_bpe_reference and re-encodes with sequential merge
+    replaces — a cross-ALGORITHM check against this side's merge-rank
+    walk (oracles._bpe_cte)."""
     from kafka_streams_spark.operators.tokenizer import bpe_token_stats, bpe_train
 
     merges = bpe_train(_docs(spark, sf_dir), n_merges=50, top_words=1000)
@@ -1418,8 +1420,9 @@ def _q_bpe_token_stats(spark, sf_dir):
 
 
 def _q_bpe_piece_counts(spark, sf_dir):
-    """Rows-only (same learned merges): corpus piece-frequency top-30 —
-    the what-did-my-vocab-learn audit."""
+    """Oracle-checked since r8 (same trained merges, same recursive-CTE
+    oracle): corpus piece-frequency top-30 — the what-did-my-vocab-learn
+    audit."""
     from kafka_streams_spark.operators.tokenizer import bpe_piece_counts, bpe_train
 
     merges = bpe_train(_docs(spark, sf_dir), n_merges=50, top_words=1000)
@@ -1446,9 +1449,15 @@ def _q_length_quantiles_by_source(spark, sf_dir):
 
 
 def _q_compression_ratio(spark, sf_dir):
-    """Rows-only (deterministic zlib, not SQL-expressible — the
-    k-center class): per-doc entropy proxy; direct-zlib equality and
-    the repetitive-vs-random ordering are test-pinned."""
+    """Rows-only, and necessarily so: the statistic IS the byte length
+    of the zlib level-6 DEFLATE stream, and DuckDB 1.0 exposes no
+    compression function in SQL (verified against duckdb_functions();
+    the only __internal_compress_* entries are storage codecs, not
+    callable on values) — unlike the BPE pair, no recursive-CTE twin
+    can exist because DEFLATE's LZ77 window + Huffman coding is not
+    expressible in its SQL. Deterministic per input at a fixed level;
+    direct-zlib equality and the repetitive-vs-random ordering are
+    test-pinned."""
     from kafka_streams_spark.operators.text import compression_ratio
 
     return compression_ratio(_docs(spark, sf_dir))
@@ -1711,6 +1720,11 @@ _CODE_CHANGED = [
     "knn_pq_vec0",
     "knn_ivfpq_res_vec0",
     "knn_recall_ivfpq_res_vec0",
+    # r8: newly oracle-checked (were rows-only) — the recursive-CTE BPE
+    # train+apply twin; old rows-only evidence doesn't certify the hash
+    # contract
+    "bpe_token_stats",
+    "bpe_piece_counts",
 ]
 
 # Kept for tool compatibility (freshness_lint): with the computed

@@ -17,11 +17,15 @@ not the raw corpus — that is the scale split this module keeps:
   mapInPandas pass with a per-distinct-word encode cache — map-only,
   no shuffle, embarrassingly parallel.
 
-The iterative merge chain is not SQL-expressible, so the trained
-artifacts are rows-only contracts (the emb_whiten class); the
-oracle-checked half of the math is :func:`bpe_pair_counts` — the
-weighted adjacent-pair statistic each merge round maximizes, expressed
-in pure Spark expressions with a DuckDB twin.
+The iterative merge chain IS SQL-expressible over the bounded word
+table (a recursive CTE whose per-round argmax matches
+:func:`train_bpe_reference` exactly — see ``oracles._bpe_cte``), so the
+trained-tokenizer contracts hash-check end to end since round 8:
+training, encoding (the oracle applies merges as sequential
+leftmost-non-overlapping replaces, provably equal to this module's
+GPT-2 merge-rank walk for any trained merge list), and the downstream
+stats. :func:`bpe_pair_counts` remains the per-round statistic as a
+first-class audit.
 """
 
 from __future__ import annotations
@@ -194,11 +198,19 @@ def bpe_apply(
 
     # self-contained closure: shipped by value to Python workers
     def process(batches):
+        import re as _re
+
         import pandas as _pd
 
         ranks = {pair: i for i, pair in enumerate(merge_list)}
         eow = "</w>"
         cache: dict[str, list[str]] = {}
+        # the SAME whitespace class as dedup.tokens() / the oracle's
+        # \s+ (Java regex and RE2 both mean the 6 ASCII chars) — bare
+        # str.split() would additionally split on unicode whitespace
+        # (\xa0,  , \x1c-\x1f) and silently tokenize differently
+        # from word_counts, the table the merges were trained on
+        ws = _re.compile(r"[ \t\n\x0b\x0c\r]+")
 
         def enc(word: str) -> list[str]:
             got = cache.get(word)
@@ -221,7 +233,7 @@ def bpe_apply(
         for pdf in batches:
             ids, n_words, n_pieces, pieces = [], [], [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
-                words = (text or "").lower().split()
+                words = [w for w in ws.split((text or "").lower()) if w]
                 ps: list[str] = []
                 for w in words:
                     ps.extend(enc(w))

@@ -3595,8 +3595,8 @@ SIMILARITY_ORACLES["ivf_centroids_int"] = """
 
 # BPE first-round pair statistic (operators/tokenizer.py
 # bpe_pair_counts): weighted adjacent initial-symbol pairs over the
-# top-V word table — the oracle-checked half of BPE training (the merge
-# chain itself is iterative, hence rows-only).
+# top-V word table — one merge round's argmax statistic as a
+# first-class audit (full training is oracled below).
 TEXT_ORACLES["bpe_pair_counts"] = f"""
     WITH w AS (
         SELECT word, CAST(count(*) AS BIGINT) AS wn
@@ -3611,6 +3611,147 @@ TEXT_ORACLES["bpe_pair_counts"] = f"""
     SELECT sym_a, sym_b, CAST(sum(wn) AS BIGINT) AS n
     FROM p GROUP BY sym_a, sym_b
     ORDER BY n DESC, sym_a, sym_b LIMIT 20
+"""
+
+
+def _bpe_cte(top_words: int, n_merges: int) -> str:
+    """The FULL BPE train+apply chain in DuckDB SQL (r7 verdict item 4:
+    these contracts were rows-only; the bounded merge loop IS
+    SQL-expressible, so now they hash-check).
+
+    Training is a recursive CTE whose single-row state carries every
+    top-V word's symbol sequence; each step's merge is the argmax pair
+    by (summed count DESC, sym_a, sym_b) — a correlated scalar subquery
+    unnesting the state — matching tokenizer.train_bpe_reference's
+    ``min((-count, pair))`` exactly (two-column order == Python tuple
+    compare; stop when the best count < 2 or after n_merges rounds).
+    Applying a merge is leftmost-non-overlapping replace on a
+    chr(31)-wrapped rendering of the sequence (each symbol wrapped in
+    its own separators, so adjacent matches never share a boundary
+    character) — provably the same rewrite as the reference's in-round
+    scan loop.
+
+    Encoding then folds the learned merges over every DISTINCT corpus
+    word with a second recursive CTE (one replace round per merge
+    rank). The Spark side encodes with the GPT-2 merge-RANK walk
+    (tokenizer.bpe_apply); rank-walk == in-rank-order sequential
+    replace for any trained merge list, because a merge's output symbol
+    can only appear in higher-ranked merges — so agreement here is a
+    genuine cross-algorithm differential check, not a replay. Merge
+    pairs travel as 'a<chr30>b' strings; symbols never contain
+    chr(30)/chr(31) (both tokenizers split them away as
+    control/whitespace). MATERIALIZED CTEs matter: DuckDB re-executes
+    plain CTEs per reference, and ``mt`` is referenced in every
+    encoding round (60 s -> 1.5 s at sf0.01)."""
+    return rf"""
+    wc AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+        GROUP BY word ORDER BY n DESC, word LIMIT {top_words}
+    ),
+    init AS (
+        SELECT 0 AS it,
+               list(struct_pack(
+                   syms := list_append(string_split(word, ''), '</w>'),
+                   n := n)) AS seqs,
+               CAST([] AS VARCHAR[]) AS merges
+        FROM wc
+    ),
+    trainer(it, seqs, merges) AS (
+        SELECT * FROM init
+        UNION ALL
+        SELECT it + 1,
+               list_transform(seqs, s -> struct_pack(
+                   syms := string_split(
+                       substr(
+                           replace(
+                               chr(31) || array_to_string(s.syms, chr(31) || chr(31)) || chr(31),
+                               chr(31) || split_part(p, chr(30), 1) || chr(31)
+                                   || chr(31) || split_part(p, chr(30), 2) || chr(31),
+                               chr(31) || split_part(p, chr(30), 1)
+                                   || split_part(p, chr(30), 2) || chr(31)
+                           ),
+                           2,
+                           length(replace(
+                               chr(31) || array_to_string(s.syms, chr(31) || chr(31)) || chr(31),
+                               chr(31) || split_part(p, chr(30), 1) || chr(31)
+                                   || chr(31) || split_part(p, chr(30), 2) || chr(31),
+                               chr(31) || split_part(p, chr(30), 1)
+                                   || split_part(p, chr(30), 2) || chr(31)
+                           )) - 2
+                       ),
+                       chr(31) || chr(31)
+                   ),
+                   n := s.n)),
+               list_append(merges, p)
+        FROM (
+            SELECT t.*,
+                   (SELECT pa || chr(30) || pb
+                    FROM (SELECT z.s.syms[i] AS pa, z.s.syms[i + 1] AS pb,
+                                 z.s.n AS wn
+                          FROM unnest(t.seqs) AS z(s),
+                               unnest(range(1, len(z.s.syms))) AS r(i))
+                    GROUP BY pa, pb HAVING sum(wn) >= 2
+                    ORDER BY sum(wn) DESC, pa, pb LIMIT 1) AS p
+            FROM trainer AS t
+            WHERE t.it < {n_merges}
+        )
+        WHERE p IS NOT NULL
+    ),
+    mt AS MATERIALIZED (SELECT merges FROM trainer ORDER BY it DESC LIMIT 1),
+    docw AS MATERIALIZED (
+        SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+    ),
+    vocab AS (SELECT DISTINCT word FROM docw),
+    enc(word, wstr, mi) AS (
+        SELECT word,
+               chr(31) || array_to_string(
+                   list_append(string_split(word, ''), '</w>'),
+                   chr(31) || chr(31)
+               ) || chr(31),
+               0
+        FROM vocab
+        UNION ALL
+        SELECT word,
+               replace(wstr,
+                       chr(31) || split_part(mt.merges[mi + 1], chr(30), 1) || chr(31)
+                           || chr(31) || split_part(mt.merges[mi + 1], chr(30), 2) || chr(31),
+                       chr(31) || split_part(mt.merges[mi + 1], chr(30), 1)
+                           || split_part(mt.merges[mi + 1], chr(30), 2) || chr(31)),
+               mi + 1
+        FROM enc, mt
+        WHERE mi < len(mt.merges)
+    ),
+    encoded AS MATERIALIZED (
+        SELECT word,
+               string_split(substr(wstr, 2, length(wstr) - 2),
+                            chr(31) || chr(31)) AS pieces
+        FROM enc, mt WHERE mi = len(mt.merges)
+    )"""
+
+
+# Per-doc token budget of the trained tokenizer: word/piece counts +
+# fertility; docs with no words (NULL/empty text) report 0/0/0.0.
+TEXT_ORACLES["bpe_token_stats"] = f"""
+    WITH RECURSIVE {_bpe_cte(1000, 50)},
+    perdoc AS (
+        SELECT doc_id, count(*) AS nw, sum(len(pieces)) AS np
+        FROM docw JOIN encoded USING (word) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.nw, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(p.np, 0) AS BIGINT) AS n_pieces,
+           CAST(coalesce(p.np, 0) AS DOUBLE)
+               / greatest(coalesce(p.nw, 0), 1) AS fertility
+    FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+# Corpus piece-frequency top-30 of the trained tokenizer.
+TEXT_ORACLES["bpe_piece_counts"] = f"""
+    WITH RECURSIVE {_bpe_cte(1000, 50)}
+    SELECT piece, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(e.pieces) AS piece FROM docw JOIN encoded e USING (word))
+    GROUP BY piece ORDER BY n DESC, piece LIMIT 30
 """
 
 # Stratified doc-length histogram: shared 64-char grid per source.

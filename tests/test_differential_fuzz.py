@@ -33,6 +33,8 @@ FUZZ_QUERIES = [
     "doc_stats",
     "top_tokens",
     "bpe_pair_counts",
+    "bpe_token_stats",
+    "bpe_piece_counts",
     "ngram_novelty",
     # second ring: sampling / fingerprint / quality contracts whose
     # oracles touch only `documents`
@@ -131,8 +133,6 @@ FUZZ_EXEMPT = {
     # their model-pinned unit tests are the gate)
     "approx_users_by_type": "rows-only (HLL++ sketch, no oracle)",
     "profile_documents_approx": "rows-only (HLL++ sketch, no oracle)",
-    "bpe_piece_counts": "rows-only (learned BPE merges, no oracle)",
-    "bpe_token_stats": "rows-only (learned BPE merges, no oracle)",
     "compression_ratio": "rows-only (zlib DEFLATE, no oracle)",
     "emb_kcenter": "rows-only (sequential argmax, no oracle)",
     "emb_whiten": "rows-only (learned eigenbasis, no oracle)",
