@@ -1606,6 +1606,33 @@ def _q_length_rank_quantiles_by_source(spark, sf_dir):
     return rank_sketch_grouped_quantiles(s, ["source"], [0.25, 0.5, 0.9, 0.99])
 
 
+def _q_orders_customer_auto_join(spark, sf_dir):
+    """The audit's consumer (r7 verdict item 7): auto_join routes
+    orders x customer on the join_size_audit verdict (broadcast_b /
+    broadcast_a / salted / shuffle, first match wins) and emits the
+    chosen route as a column, so the dispatch decision itself is
+    hash-checked — the DuckDB twin derives the route with the same CASE
+    over the same audit aggregates. At the contract thresholds the
+    customer side fits the broadcast budget, so both engines must
+    derive 'broadcast_b'; the synthetic ring in tests/test_join_audit.py
+    flips all four routes with shaped tables."""
+    from kafka_streams_spark.operators.profiling import auto_join
+    from kafka_streams_spark.sources.testdata import load_table
+
+    return auto_join(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        "o_custkey",
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ),
+        "c_custkey",
+        broadcast_max_rows=1_000_000,
+        skew_share=0.5,
+    )
+
+
 def _q_orders_lineitem_join_audit(spark, sf_dir):
     """Join pre-flight pricing audit (profiling.py join_size_audit):
     the EXACT inner-join cardinality of orders x lineitem on orderkey
@@ -2036,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_rank_sketch": _q_price_rank_sketch,
         "price_rank_quantiles": _q_price_rank_quantiles,
         "orders_lineitem_join_audit": _q_orders_lineitem_join_audit,
+        "orders_customer_auto_join": _q_orders_customer_auto_join,
         "length_rank_sketch_by_source": _q_length_rank_sketch_by_source,
         "length_rank_quantiles_by_source": _q_length_rank_quantiles_by_source,
         "users_kmv_by_type": _q_users_kmv_by_type,

@@ -251,6 +251,93 @@ def join_size_audit(
     )
 
 
+def auto_join(
+    a: DataFrame,
+    key_a: str,
+    b: DataFrame,
+    key_b: str,
+    how: str = "inner",
+    broadcast_max_rows: int = 1_000_000,
+    skew_share: float = 0.5,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Equi-join routed by :func:`join_size_audit`'s verdict — the
+    consumer the audit was missing (r7 verdict item 7): ``knn_auto``
+    routes on a measured recall audit; this routes on the measured join
+    pricing, so the strategy choice is itself a checkable output
+    instead of advice in a docstring.
+
+    Routing rule, first match wins (all figures from the 1-row audit —
+    a bounded dispatch collect, the knn_auto budget):
+
+    1. ``broadcast_b``  — n_rows_b <= broadcast_max_rows: ship the
+       dimension to every executor, no shuffle of ``a`` at all.
+    2. ``broadcast_a``  — inner joins only (side swap is illegal for
+       outer/semi shapes) and n_rows_a fits: broadcast the other side.
+    3. ``salted``       — top_key_share >= skew_share: one hot key
+       would put most of the join's output through one task; salt the
+       big side and replicate the small one (`salted_join`) so the hot
+       key spreads over ``salt_buckets`` tasks. Only for join shapes
+       where replication cannot duplicate unmatched rows.
+    4. ``shuffle``      — the plain hash/SMJ exchange; AQE finishes the
+       sizing at runtime.
+
+    The audit's remaining verdict — ``join_rows`` far above both inputs
+    (an exploding key, "fix the key, not the cluster") — is deliberately
+    NOT auto-routed: no physical strategy repairs a wrong key, so the
+    caller must look at the audit, not at a router.
+
+    Both key columns end up as ONE output column named ``key_a``
+    (``b``'s key is renamed before the join); other column names must
+    be disjoint — loudly rejected otherwise. Output: (route, key_a,
+    a-columns..., b-columns...), identical layout whichever route
+    fires, so downstream code and the DuckDB oracle twin (which derives
+    the route with the same CASE over the same audit CTE) never depend
+    on the decision.
+
+    At 100 TB the audit prices the join from two per-key profiles (one
+    aggregated row per distinct key shuffles, never the data), and the
+    routed join is exactly the plan you would have hand-written after
+    reading the audit."""
+    from kafka_streams_spark.functions.partitioning import salted_join
+
+    if key_a != key_b:
+        if key_a in b.columns:
+            raise ValueError(
+                f"auto_join would rename {key_b!r} to {key_a!r} but b "
+                f"already has a column {key_a!r}"
+            )
+        b = b.withColumnRenamed(key_b, key_a)
+    overlap = (set(a.columns) & set(b.columns)) - {key_a}
+    if overlap:
+        raise ValueError(
+            f"auto_join needs disjoint non-key columns; both sides have "
+            f"{sorted(overlap)} — rename before joining"
+        )
+
+    row = join_size_audit(a, key_a, b, key_a).collect()[0]
+    salt_ok = how in {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if row["n_rows_b"] <= broadcast_max_rows:
+        route = "broadcast_b"
+        joined = a.join(F.broadcast(b), key_a, how)
+    elif how == "inner" and row["n_rows_a"] <= broadcast_max_rows:
+        route = "broadcast_a"
+        joined = b.join(F.broadcast(a), key_a, how)
+    elif salt_ok and row["top_key_share"] >= skew_share:
+        route = "salted"
+        joined = salted_join(a, b, [key_a], salt_buckets=salt_buckets, how=how)
+    else:
+        route = "shuffle"
+        joined = a.join(b, key_a, how)
+
+    out_cols = (
+        [key_a]
+        + [c for c in a.columns if c != key_a]
+        + [c for c in b.columns if c != key_a and c in joined.columns]
+    )
+    return joined.select(F.lit(route).alias("route"), *out_cols)
+
+
 def key_profile(df: DataFrame, key_col: str) -> DataFrame:
     """The per-key COUNT profile: (k STRING — NULL group kept,
     cnt BIGINT). This is the persistable/streamable state behind

@@ -4071,6 +4071,37 @@ TPCH_EXTRA_ORACLES["orders_lineitem_join_audit"] = """
     FROM ta, tb, joined
 """
 
+# auto_join route derivation (profiling.py auto_join): the router's
+# CASE over the same audit aggregates, first match wins —
+# broadcast_b (n_rows_b fits) / broadcast_a (inner, n_rows_a fits) /
+# salted (top_key_share >= 0.5) / shuffle. The route column makes the
+# dispatch decision itself part of the hash check; the join output is
+# route-independent by construction.
+TPCH_EXTRA_ORACLES["orders_customer_auto_join"] = """
+    WITH pa AS (SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS ca
+                FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+    pb AS (SELECT CAST(c_custkey AS VARCHAR) AS k, count(*) AS cb
+           FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+    contrib AS (SELECT pa.k, CAST(ca * cb AS BIGINT) AS c
+                FROM pa JOIN pb ON pa.k = pb.k),
+    joined AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS join_rows
+               FROM contrib),
+    top AS (SELECT c AS top_c FROM contrib ORDER BY c DESC, k DESC LIMIT 1),
+    audit AS (SELECT (SELECT count(*) FROM orders) AS n_rows_a,
+                     (SELECT count(*) FROM customer) AS n_rows_b,
+                     (SELECT join_rows FROM joined) AS join_rows),
+    route AS (SELECT CASE
+                  WHEN n_rows_b <= 1000000 THEN 'broadcast_b'
+                  WHEN n_rows_a <= 1000000 THEN 'broadcast_a'
+                  WHEN join_rows > 0
+                       AND CAST((SELECT top_c FROM top) AS DOUBLE)
+                           / CAST(join_rows AS DOUBLE) >= 0.5 THEN 'salted'
+                  ELSE 'shuffle' END AS route
+              FROM audit)
+    SELECT route, o_custkey, o_orderkey, o_totalprice, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey, route
+"""
+
 TEXT_ORACLES["vocab_overlap_kmv"] = f"""
     WITH {_shingle_cte(2)},
     ga AS (SELECT DISTINCT

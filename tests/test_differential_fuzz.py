@@ -492,6 +492,10 @@ TPCH_FUZZ_QUERIES = [
     # r7: join pre-flight audit — NULL orderkeys and orders without
     # lineitems exercise the excluded-from-join-but-counted-in-rows rule
     "orders_lineitem_join_audit",
+    # r8: the audit's router — NULL custkeys and zero-order customers
+    # exercise the route CASE + join agreement (route FLIPPING across
+    # table shapes is pinned in tests/test_join_audit.py)
+    "orders_customer_auto_join",
 ]
 
 

@@ -158,3 +158,119 @@ def test_live_profile_prices_stream_static_join(spark, tmp_path):
         for r in spark.read.parquet(prof).select("ingest_batch").distinct().collect()
     }
     assert parts == {-1}
+
+
+def _route_of(spark, a_rows, b_rows, **kw):
+    """Run auto_join AND the DuckDB route CASE on the same shaped
+    tables; assert the route and the joined rows agree cross-engine."""
+    import duckdb
+
+    from kafka_streams_spark.operators.profiling import auto_join
+
+    a = spark.createDataFrame(a_rows, "ka bigint, va string")
+    b = spark.createDataFrame(b_rows, "kb bigint, vb string")
+    out = auto_join(a, "ka", b, "kb", **kw).collect()
+    routes = {r["route"] for r in out}
+    assert len(routes) <= 1
+    spark_rows = sorted((r["ka"], r["va"], r["vb"]) for r in out)
+
+    bmax = kw.get("broadcast_max_rows", 1_000_000)
+    skew = kw.get("skew_share", 0.5)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ta(ka BIGINT, va VARCHAR)")
+    con.execute("CREATE TABLE tb(kb BIGINT, vb VARCHAR)")
+    con.executemany("INSERT INTO ta VALUES (?, ?)", a_rows)
+    con.executemany("INSERT INTO tb VALUES (?, ?)", b_rows)
+    duck = con.execute(f"""
+        WITH pa AS (SELECT ka AS k, count(*) AS ca FROM ta
+                    WHERE ka IS NOT NULL GROUP BY 1),
+        pb AS (SELECT kb AS k, count(*) AS cb FROM tb
+               WHERE kb IS NOT NULL GROUP BY 1),
+        contrib AS (SELECT pa.k, ca * cb AS c FROM pa JOIN pb USING (k)),
+        joined AS (SELECT COALESCE(sum(c), 0) AS join_rows FROM contrib),
+        top AS (SELECT c AS top_c FROM contrib
+                ORDER BY c DESC, CAST(k AS VARCHAR) DESC LIMIT 1)
+        SELECT CASE
+            WHEN (SELECT count(*) FROM tb) <= {bmax} THEN 'broadcast_b'
+            WHEN (SELECT count(*) FROM ta) <= {bmax} THEN 'broadcast_a'
+            WHEN (SELECT join_rows FROM joined) > 0
+                 AND CAST((SELECT top_c FROM top) AS DOUBLE)
+                     / (SELECT join_rows FROM joined) >= {skew}
+                THEN 'salted'
+            ELSE 'shuffle' END
+    """).fetchone()[0]
+    duck_rows = sorted(
+        map(tuple, con.execute(
+            "SELECT ka, va, vb FROM ta JOIN tb ON ka = kb"
+        ).fetchall())
+    )
+    assert spark_rows == duck_rows
+    spark_route = routes.pop() if routes else duck  # empty join: rows agree
+    assert spark_route == duck, (spark_route, duck)
+    return spark_route
+
+
+def test_auto_join_routes_flip_with_table_shape(spark):
+    """r7 verdict item 7: auto_join's dispatch must DERIVE identically
+    in both engines across table shapes that hit every route — small
+    thresholds make the toy tables exercise the real ladder."""
+    kw = dict(broadcast_max_rows=4, skew_share=0.5, salt_buckets=3)
+    small_b = [(1, "a1"), (1, "a2"), (2, "a3"), (3, "a4"), (9, "a5")], [
+        (1, "b1"), (2, "b2")
+    ]
+    assert _route_of(spark, *small_b, **kw) == "broadcast_b"
+
+    small_a = [(1, "a1"), (2, "a2")], [
+        (1, f"b{i}") for i in range(6)
+    ]
+    assert _route_of(spark, *small_a, **kw) == "broadcast_a"
+
+    # both sides above the broadcast budget, one hot key dominating
+    skewed = (
+        [(7, f"a{i}") for i in range(8)] + [(1, "ax"), (2, "ay")],
+        [(7, f"b{i}") for i in range(5)] + [(1, "bx"), (3, "by")],
+    )
+    assert _route_of(spark, *skewed, **kw) == "salted"
+
+    # both sides above the budget, near-uniform keys
+    uniform = (
+        [(k, f"a{k}") for k in range(10)],
+        [(k, f"b{k}") for k in range(10)],
+    )
+    assert _route_of(spark, *uniform, **kw) == "shuffle"
+
+
+def test_auto_join_rejects_ambiguous_columns(spark):
+    import pytest
+
+    from kafka_streams_spark.operators.profiling import auto_join
+
+    a = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    b = spark.createDataFrame([(1, "y")], "k bigint, v string")
+    with pytest.raises(ValueError, match="disjoint"):
+        auto_join(a, "k", b, "k")
+    b2 = spark.createDataFrame([(1, "y")], "kb bigint, k string")
+    with pytest.raises(ValueError, match="already has a column"):
+        auto_join(a, "k", b2, "kb")
+
+
+def test_auto_join_salted_equals_plain_join(spark):
+    """The salted route must be a pure physical rewrite: same rows as
+    the plain shuffle join, salt column gone."""
+    from kafka_streams_spark.operators.profiling import auto_join
+
+    a_rows = [(7, f"a{i}") for i in range(20)] + [(1, "ax")]
+    b_rows = [(7, f"b{i}") for i in range(4)] + [(1, "bx")]
+    a = spark.createDataFrame(a_rows, "ka bigint, va string")
+    b = spark.createDataFrame(b_rows, "kb bigint, vb string")
+    out = auto_join(
+        a, "ka", b, "kb", broadcast_max_rows=2, skew_share=0.5, salt_buckets=4
+    )
+    assert out.columns == ["route", "ka", "va", "vb"]
+    got = sorted((r["ka"], r["va"], r["vb"]) for r in out.collect())
+    want = sorted(
+        (r["ka"], r["va"], r["vb"])
+        for r in a.join(b, a.ka == b.kb).collect()
+    )
+    assert got == want
+    assert out.first()["route"] == "salted"
