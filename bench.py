@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "users_kmv_by_type",
     "vocab_overlap_kmv",
     "orders_lineitem_join_audit",
+    "orders_customer_auto_join",
     "length_rank_sketch_by_source",
     "length_rank_quantiles_by_source",
 ]

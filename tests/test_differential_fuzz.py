@@ -702,3 +702,48 @@ def test_oracles_agree_on_pathological_corpus(spark, tmp_path):
                 f"{name}: {int(diff.sum())} rows differ; "
                 f"spark={a.loc[i].to_dict()} duck={b.loc[i].to_dict()}"
             )
+
+
+@pytest.mark.parametrize("shape", ["clustered", "diffuse"])
+def test_knn_auto_route_varies_and_matches_oracle(spark, tmp_path, shape):
+    """r7 verdict item 6: the chooser's ladder was measured on one
+    corpus only. A mixture-of-Gaussians corpus flips the decision
+    (tight clusters -> hyperplane LSH recall is high -> cheapest rung
+    'single'; a diffuse corpus -> LSH misses -> 'hamming'), and on BOTH
+    shapes the DuckDB twin must derive the SAME route from the same
+    audit CTEs — the dispatch rule itself is corpus-shape-invariant
+    cross-engine, not just correct on the driver corpus."""
+    import __spark_entry__ as e
+    from tools.check_oracle import canon
+
+    rng = random.Random(5)
+    rows = []
+    if shape == "clustered":
+        cents = [[rng.uniform(-3, 3) for _ in range(64)] for _ in range(5)]
+        for i in range(120):
+            c = cents[i % 5]
+            rows.append(
+                (i, [round(x + rng.gauss(0, 0.05), 3) for x in c], i % 5)
+            )
+    else:
+        for i in range(120):
+            rows.append(
+                (i, [round(rng.uniform(-2, 2), 3) for _ in range(64)], i % 5)
+            )
+    sf_dir = str(tmp_path / f"emb-{shape}")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    spark_pd = e.queries()["knn_auto_vec0"](spark, sf_dir).toPandas()
+    duck_pd = con.execute(e.oracle_sql()["knn_auto_vec0"]).fetchdf()
+    a, b = canon(spark_pd), canon(duck_pd)
+    assert sorted(spark_pd.columns) == sorted(duck_pd.columns)
+    assert a.equals(b), f"{shape}: route/top-k diverged"
+    route = set(spark_pd["route"])
+    assert route == ({"single"} if shape == "clustered" else {"hamming"}), route
