@@ -703,6 +703,18 @@ def _q_weighted_jaccard(spark, sf_dir):
     )
 
 
+def _q_posting_pair_stats(spark, sf_dir):
+    """Pre-flight pricing of the weighted_jaccard contract's posting
+    self-join (r8 sf1 spot-check follow-up): the exact candidate-pair
+    count the (shingle, source)-clustered join will emit, from one
+    linear aggregate — the lsh_bucket_stats convention applied to the
+    posting-list pair family. Same (n=1, block=source) grouping as the
+    weighted_jaccard contract, so this 1-row audit prices that query."""
+    from kafka_streams_spark.operators.dedup import posting_pair_stats
+
+    return posting_pair_stats(_docs(spark, sf_dir), n=1, block_col="source")
+
+
 def _q_knn_text_vec0(spark, sf_dir):
     # The text→similarity bridge as one contract: feature-hash the
     # corpus, then the standard rounded-rank top-k around doc 0. The
@@ -1875,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_sentences": _q_split_sentences,  # new r04: sentence primitive
         "ccnet_buckets": _q_ccnet_buckets,  # new r04: perplexity terciles
         "weighted_jaccard": _q_weighted_jaccard,  # new r04: idf-weighted pairs
+        "posting_pair_stats": _q_posting_pair_stats,  # r8: pair-join pre-flight
         "knn_text_vec0": _q_knn_text_vec0,  # new r04: text→similarity bridge
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,

@@ -1428,6 +1428,23 @@ DEDUP_ORACLES = {
             JOIN tot tb ON tb.doc_id = id_b
         ) WHERE weighted_jaccard >= 0.2
     """,
+    # Posting-pair pre-flight (dedup.py posting_pair_stats): exact
+    # candidate-pair count of the (shingle, source)-clustered self-join
+    # that prices the weighted_jaccard contract. top_shingle tie-break
+    # mirrors Spark's max(struct(cnt, s)): count, then shingle string.
+    "posting_pair_stats": f"""
+        WITH {_shingle_cte(1)},
+        ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+        occ AS (SELECT s, source, count(*) AS cnt FROM ex GROUP BY s, source)
+        SELECT CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS n_postings,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(COALESCE(sum(cnt * (cnt - 1) // 2), 0) AS BIGINT)
+                   AS n_candidate_pairs,
+               CAST(COALESCE(max(cnt), 0) AS BIGINT) AS max_posting,
+               (SELECT s FROM occ ORDER BY cnt DESC, s DESC LIMIT 1)
+                   AS top_shingle
+        FROM occ
+    """,
     "dedup_incremental_fuzzy": _minhash_incremental_sql(threshold=0.5),
     "curate_increment": _curate_increment_sql(threshold=0.5),
     "dedup_simhash": f"""

@@ -117,6 +117,7 @@ FUZZ_QUERIES = [
     "pii_redact",
     "profile_documents",
     "weighted_jaccard",
+    "posting_pair_stats",
     # fifth ring (r7 KMV wave): the deterministic-sketch overlap twin
     "vocab_overlap_kmv",
     # r7: stratified rank sketch — NULL texts and per-source strata of
