@@ -1121,9 +1121,12 @@ def _q_lsh_bucket_stats(spark, sf_dir):
 
 
 def _q_emb_kcenter(spark, sf_dir):
-    """Greedy k-center coreset (k=8) over the embeddings — rows-only:
-    the sequential argmax loop is not single-query SQL (IVF-KMeans
-    class); NumPy-model equality is pinned in tests."""
+    """Greedy k-center coreset (k=8) over the embeddings —
+    oracle-checked since r8 (was rows-only): the bounded sequential
+    argmax replays as a recursive CTE in DuckDB (the BPE
+    recursive-trainer pattern), ranking on the rounded
+    min-squared-distance with id tiebreak on both engines; NumPy-model
+    equality additionally pinned in tests."""
     from kafka_streams_spark.operators.similarity import kcenter_select
 
     return kcenter_select(_embs(spark, sf_dir), k=8)
@@ -1764,6 +1767,9 @@ _CODE_CHANGED = [
     # contract
     "bpe_token_stats",
     "bpe_piece_counts",
+    # r8: k-center now oracle-checked via the same recursive-CTE
+    # pattern, argmax aligned to rounded-rank
+    "emb_kcenter",
 ]
 
 # Kept for tool compatibility (freshness_lint): with the computed

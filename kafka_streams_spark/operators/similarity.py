@@ -1154,10 +1154,15 @@ def kcenter_select(
     with k scans of the cached (id, vec, mind) table, corpus scanned
     once.
 
-    Not oracle-checked: the per-round argmax is an iterative fixpoint a
-    single SQL query can't express (same class as the IVF KMeans fit);
-    the driver records the rows-only check and unit tests pin the
-    traversal against a NumPy reference model.
+    Oracle-checked since r8 (was rows-only): the bounded sequential
+    argmax IS single-query SQL after all — a recursive CTE whose
+    one-row state carries the picked centers, each round's farthest
+    point a correlated scalar subquery over the embeddings (the BPE
+    recursive-trainer pattern; see ``oracles.py`` "emb_kcenter").
+    The argmax ranks on the ROUNDED (6 dp) min-squared-distance with
+    id tiebreak — the r8 knn rounded-rank policy, so the pick sequence
+    is robust to either engine changing its fold order. Unit tests
+    additionally pin the traversal against a NumPy reference model.
 
     Output: (rank int, id, center_dist double — distance from the
     previously selected set at pick time, 0.0 for the seed; rounded to
@@ -1192,7 +1197,11 @@ def kcenter_select(
                 F.least("_d", "mind") if "mind" in state.columns else F.col("_d"),
             ).drop("_d")
         )
-        far = state.orderBy(F.col("mind").desc(), F.col("id")).limit(1).collect()
+        far = (
+            state.orderBy(F.round(F.col("mind"), 6).desc(), F.col("id"))
+            .limit(1)
+            .collect()
+        )
         if not far:
             break
         row = far[0]

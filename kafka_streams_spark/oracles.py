@@ -4088,6 +4088,52 @@ TPCH_EXTRA_ORACLES["orders_lineitem_join_audit"] = """
     FROM ta, tb, joined
 """
 
+# Greedy k-center traversal (similarity.py kcenter_select): r7 verdict
+# item 4 follow-through — the bounded sequential argmax is a recursive
+# CTE whose one-row state carries the picked centers (the BPE
+# recursive-trainer pattern); each round's farthest point is a
+# correlated scalar subquery ranking on the ROUNDED min-squared-
+# distance (the r8 rounded-rank policy), id tiebreak, seed = min id.
+_KC_SQD = (
+    "list_sum(list_transform(list_zip(e.v, p.v), "
+    "z -> (z[1] - z[2]) * (z[1] - z[2])))"
+)
+SIMILARITY_ORACLES["emb_kcenter"] = f"""
+    WITH RECURSIVE e AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sel(r, picked) AS (
+        SELECT 1,
+               (SELECT list(struct_pack(r := 1, id := vec_id,
+                                        d := CAST(0.0 AS DOUBLE), v := v))
+                FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1))
+        UNION ALL
+        SELECT r + 1, list_append(picked, pick)
+        FROM (
+            SELECT s.r, s.picked,
+                   (SELECT struct_pack(
+                        r := s.r + 1,
+                        id := e.vec_id,
+                        d := round(sqrt(list_min(list_transform(s.picked,
+                            p -> {_KC_SQD}))), 6),
+                        v := e.v)
+                    FROM e
+                    WHERE NOT list_contains(
+                        list_transform(s.picked, p -> p.id), e.vec_id)
+                    ORDER BY round(list_min(list_transform(s.picked,
+                                 p -> {_KC_SQD})), 6) DESC,
+                             e.vec_id
+                    LIMIT 1) AS pick
+            FROM sel AS s
+            WHERE s.r < 8
+        )
+        WHERE pick IS NOT NULL
+    )
+    SELECT CAST(p.r AS INTEGER) AS rank, p.id AS vec_id, p.d AS center_dist
+    FROM (SELECT picked FROM sel ORDER BY r DESC LIMIT 1),
+         unnest(picked) AS u(p)
+"""
+
 # auto_join route derivation (profiling.py auto_join): the router's
 # CASE over the same audit aggregates, first match wins —
 # broadcast_b (n_rows_b fits) / broadcast_a (inner, n_rows_a fits) /

@@ -135,7 +135,6 @@ FUZZ_EXEMPT = {
     "approx_users_by_type": "rows-only (HLL++ sketch, no oracle)",
     "profile_documents_approx": "rows-only (HLL++ sketch, no oracle)",
     "compression_ratio": "rows-only (zlib DEFLATE, no oracle)",
-    "emb_kcenter": "rows-only (sequential argmax, no oracle)",
     "emb_whiten": "rows-only (learned eigenbasis, no oracle)",
     "knn_ivf_vec0": "rows-only (learned KMeans index, no oracle)",
     "knn_ivfpq_res_vec0": "rows-only (learned residual codebooks)",
@@ -424,6 +423,9 @@ EMB_FUZZ_QUERIES = [
     # top-k must agree cross-engine on a corpus where the audits may
     # resolve differently than the driver corpus
     "knn_auto_vec0",
+    # r8: k-center traversal — duplicated vectors create rounded-rank
+    # ties the id tiebreak must resolve identically cross-engine
+    "emb_kcenter",
 ]
 
 
