@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "split_sentences",
     "ccnet_buckets",
     "weighted_jaccard",
+    "posting_pair_stats",
     "knn_text_vec0",
     "ngram_novelty",
     "corpus_overlap",
