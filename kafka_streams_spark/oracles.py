@@ -3655,9 +3655,13 @@ def _bpe_cte(top_words: int, n_merges: int) -> str:
     replace for any trained merge list, because a merge's output symbol
     can only appear in higher-ranked merges — so agreement here is a
     genuine cross-algorithm differential check, not a replay. Merge
-    pairs travel as 'a<chr30>b' strings; symbols never contain
-    chr(30)/chr(31) (both tokenizers split them away as
-    control/whitespace). MATERIALIZED CTEs matter: DuckDB re-executes
+    pairs travel as 'a<chr30>b' strings and symbols are wrapped in
+    chr(31): a corpus word CONTAINING chr(30)/chr(31) would corrupt
+    the encoding (neither tokenizer splits the C1 separators — the
+    ASCII whitespace class is [ \\t\\n\\x0b\\x0c\\x0d]), so texts with
+    raw 0x1E/0x1F bytes are out of this contract's domain — strip them
+    in normalize_text first (the driver and fuzz corpora contain
+    none). MATERIALIZED CTEs matter: DuckDB re-executes
     plain CTEs per reference, and ``mt`` is referenced in every
     encoding round (60 s -> 1.5 s at sf0.01)."""
     return rf"""

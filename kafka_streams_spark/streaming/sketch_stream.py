@@ -42,6 +42,12 @@ def run_cms_stream(
     writer (plain parquet partitions, no state-store API)."""
     from kafka_streams_spark.operators.text import cms_token_sketch
 
+    # (d, w) is the frozen grid of the store — deltas on a different
+    # grid would sum into cells that mean different hash buckets (the
+    # r8 advice class, same gate as the kmv/rank/gram/histogram stores)
+    _stamp_sketch_store(
+        spark, sketch_dir, {"kind": "cms", "d": int(d), "w": int(w)}
+    )
     raw = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -66,10 +72,22 @@ def run_cms_stream(
     )
 
 
-def read_cms_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+def read_cms_sketch(
+    spark: SparkSession, sketch_dir: str, d: int | None = None, w: int | None = None
+) -> DataFrame:
     """The live merged sketch: per-(row_idx, bucket) sum over every
     batch delta — identical to the batch sketch of the full corpus
-    ingested so far. Output: (row_idx, bucket, counter)."""
+    ingested so far. Output: (row_idx, bucket, counter). Pass (d, w)
+    to check them against the store's stamp; None skips the gate
+    (reading the merged table needs no grid knowledge — only ESTIMATES
+    computed against differently-gridded literals would be wrong)."""
+    if d is not None or w is not None:
+        expect: dict = {"kind": "cms"}
+        if d is not None:
+            expect["d"] = int(d)
+        if w is not None:
+            expect["w"] = int(w)
+        _check_sketch_meta(spark, sketch_dir, expect)
     return (
         spark.read.parquet(sketch_dir)
         .groupBy("row_idx", "bucket")

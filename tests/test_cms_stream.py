@@ -632,3 +632,30 @@ def test_gram_and_histogram_store_parameter_gates(spark, tmp_path):
         run_histogram_stream(
             spark, src2, hist, str(tmp_path / "c4"), bin_width_cents=800
         )
+
+
+def test_cms_store_grid_gate(spark, tmp_path):
+    """(d, w) is frozen per CMS store: a restart with a different grid
+    refuses before the stream starts; a matching read passes and a
+    mismatched estimate-read is refused."""
+    import pytest
+
+    from kafka_streams_spark.streaming.sketch_stream import (
+        read_cms_sketch,
+        run_cms_stream,
+    )
+
+    src = str(tmp_path / "src")
+    cms = str(tmp_path / "cms")
+    _write(src, "b1.json", DOCS_A)
+    q = run_cms_stream(spark, src, cms, str(tmp_path / "c1"), d=3, w=64)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert read_cms_sketch(spark, cms).count() > 0       # gate skipped
+    assert read_cms_sketch(spark, cms, d=3, w=64).count() > 0
+    with pytest.raises(ValueError, match="mismatched parameters"):
+        read_cms_sketch(spark, cms, d=3, w=128)
+    with pytest.raises(ValueError, match="mismatched parameters"):
+        run_cms_stream(spark, src, cms, str(tmp_path / "c2"), d=4, w=64)

@@ -274,3 +274,68 @@ def test_auto_join_salted_equals_plain_join(spark):
     )
     assert got == want
     assert out.first()["route"] == "salted"
+
+
+def test_auto_join_same_key_name_and_left_shapes(spark):
+    """Same-named keys join without a rename; left joins keep unmatched
+    a-rows with NULL b-columns; left_semi output carries only a's
+    columns. broadcast_a must never fire for non-inner shapes."""
+    from kafka_streams_spark.operators.profiling import auto_join
+
+    a = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (9, "a9")], "k bigint, va string"
+    )
+    b = spark.createDataFrame([(1, "b1")], "k bigint, vb string")
+    out = auto_join(a, "k", b, "k", how="left").collect()
+    assert {r["route"] for r in out} == {"broadcast_b"}
+    got = sorted((r["k"], r["va"], r["vb"]) for r in out)
+    assert got == [(1, "a1", "b1"), (2, "a2", None), (9, "a9", None)]
+
+    semi = auto_join(a, "k", b, "k", how="left_semi")
+    assert semi.columns == ["route", "k", "va"]
+    assert [r["k"] for r in semi.collect()] == [1]
+
+    # a is tiny, b is big, but how != inner -> side swap illegal; with
+    # no hot key the route must fall through to shuffle
+    big_b = spark.createDataFrame(
+        [(i, f"b{i}") for i in range(40)], "k bigint, vb string"
+    )
+    out2 = auto_join(
+        a, "k", big_b, "k", how="left", broadcast_max_rows=10, skew_share=0.9
+    )
+    assert out2.first()["route"] == "shuffle"
+
+
+def test_posting_pair_stats_null_text_and_empty_corpus(spark):
+    """NULL-text docs shingle to [''] (word_shingles' short-doc rule),
+    so they ARE postings and two in one block ARE a candidate pair —
+    the audit must price exactly what weighted_jaccard_pairs would
+    join. A zero-row corpus yields the all-zero audit row with a NULL
+    top shingle (one row, not an empty frame)."""
+    from kafka_streams_spark.operators.dedup import posting_pair_stats
+
+    docs = spark.createDataFrame(
+        [(1, None, "s"), (2, None, "t"), (3, None, "s")],
+        "doc_id bigint, text string, source string",
+    )
+    row = posting_pair_stats(docs, n=1, block_col="source").collect()[0]
+    # '' shingle: 2 postings in block s (1 pair), 1 in block t
+    assert (
+        row["n_postings"],
+        row["n_groups"],
+        row["n_candidate_pairs"],
+        row["max_posting"],
+        row["top_shingle"],
+    ) == (3, 2, 1, 2, "")
+
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, text string, source string"
+    )
+    row0 = posting_pair_stats(empty, n=1, block_col="source").collect()[0]
+    assert (
+        row0["n_postings"],
+        row0["n_groups"],
+        row0["n_candidate_pairs"],
+        row0["max_posting"],
+        row0["top_shingle"],
+    ) == (0, 0, 0, 0, None)
