@@ -225,13 +225,40 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
+
+# THE reference whitespace tokenizer for every Arrow closure in this
+# package: the ASCII class [ \t\n\x0b\x0c\r]+ — EXACTLY what the
+# `tokens` expression (Java regex \s+), word_shingles_expr, and the
+# DuckDB oracles' string_split_regex('\s+') (RE2) split on. Bare
+# str.split() is WRONG here: Python splits on unicode whitespace too
+# (\xa0, \u2009, \x1c-\x1f), so an Arrow op and its expression/SQL
+# twin would tokenize "foo\xa0bar" differently — a real divergence
+# found by the r8 review (pinned in tests/test_differential_fuzz.py's
+# unicode-whitespace docs and tests/test_corpus_ops.py's pin test).
+# Each closure below re-defines this pattern LOCALLY (self-contained
+# closures ship by value — the launch-dir-independence convention);
+# the pin test asserts the inline copies equal this definition.
+_WS_ASCII = r"[ \t\n\x0b\x0c\r]+"
+
+
+def _ws_split(s: str) -> list[str]:
+    """Reference implementation: ASCII-whitespace split, empties
+    dropped (== the `tokens` expression)."""
+    import re as _re
+
+    return [t for t in _re.split(_WS_ASCII, s) if t]
+
+
 @functools.lru_cache(maxsize=None)
 def _arrow_shingler(n: int):
     @F.pandas_udf(ArrayType(StringType()))
     def shingles(text: pd.Series) -> pd.Series:
+        import re as _re
+
+        _ws = _re.compile(r"[ \t\n\x0b\x0c\r]+")  # == _WS_ASCII
         out = []
         for s in text:
-            toks = (s or "").lower().split()
+            toks = [t for t in _ws.split((s or "").lower()) if t]
             if len(toks) <= n:
                 out.append([" ".join(toks)])
             else:
@@ -256,8 +283,10 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     offset — higher-order functions never enter whole-stage codegen —
     and exploding sf0.1's shingles took 2.75 s vs 0.45 s for this
     Arrow-batched twin. Semantics are IDENTICAL by construction:
-    `str.split()` == split-on-\\s+-drop-empties (the `tokens` expression
-    and the DuckDB oracle's tokenizer), `dict.fromkeys` preserves
+    the closure splits on the ASCII class ``_WS_ASCII`` == the
+    `tokens` expression's \\s+ == the DuckDB oracle's tokenizer (bare
+    ``str.split()`` would also split unicode whitespace — the r8
+    divergence find), `dict.fromkeys` preserves
     first-occurrence order exactly like `array_distinct`, and docs
     shorter than n words yield the whole doc as a single shingle.
     """
@@ -585,17 +614,20 @@ def ngram_jaccard_pairs_bitset(
     has_blk = block_col is not None
 
     # self-contained closure: shipped by value to Python workers; the
-    # tokenization mirrors word_shingles (str.split + dict.fromkeys)
+    # tokenization mirrors word_shingles (_WS_ASCII split + dict.fromkeys)
     def encode(batches):
+        import re as _re
+
         import numpy as _np
         import pandas as _pd
 
+        _ws = _re.compile(r"[ \t\n\x0b\x0c\r]+")  # == _WS_ASCII
         keys = ["_id"] + (["_blk"] if has_blk else []) + ["sz"] + [f"m{j}" for j in range(words)]
         for pdf in batches:
             out = {c: [] for c in keys}
             for row in pdf.itertuples(index=False):
                 rid, text = row[0], row[-1]
-                toks = (text or "").lower().split()
+                toks = [t for t in _ws.split((text or "").lower()) if t]
                 if len(toks) <= nn:
                     sh = {" ".join(toks)}
                 else:
@@ -876,10 +908,12 @@ def minhash_signatures(
     # self-contained closure: shipped by value to Python workers
     def process(batches):
         import hashlib
+        import re as _re
 
         import numpy as _np
         import pandas as _pd
 
+        _ws = _re.compile(r"[ \t\n\x0b\x0c\r]+")  # == _WS_ASCII
         A = _np.array(a_vec, dtype=_np.int64)[:, None]
         B = _np.array(b_vec, dtype=_np.int64)[:, None]
         hcache: dict[str, int] = {}
@@ -897,7 +931,7 @@ def minhash_signatures(
         for pdf in batches:
             ids, sig_rows = [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
-                toks = (text or "").lower().split()
+                toks = [t for t in _ws.split((text or "").lower()) if t]
                 if len(toks) <= n:
                     sh = {" ".join(toks)}
                 else:
@@ -1263,10 +1297,12 @@ def simhash(
     # self-contained closure: shipped by value to Python workers
     def process(batches):
         import hashlib
+        import re as _re
 
         import numpy as _np
         import pandas as _pd
 
+        _ws = _re.compile(r"[ \t\n\x0b\x0c\r]+")  # == _WS_ASCII
         bits_n = 60 if use_md5 else 64
         shifts = _np.arange(bits_n, dtype=_np.uint64)
         hcache: dict[str, int] = {}
@@ -1287,7 +1323,7 @@ def simhash(
         for pdf in batches:
             ids, sigs = [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
-                toks = (text or "").lower().split()
+                toks = [t for t in _ws.split((text or "").lower()) if t]
                 if not toks:
                     if not use_md5:  # md5_60 mirrors explode: row drops
                         ids.append(i)

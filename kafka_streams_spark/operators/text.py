@@ -296,7 +296,8 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     shuffles but fell out of whole-stage codegen and ran 35× slower.
 
     The UDF body matches the DuckDB oracle's tokenizer exactly:
-    `str.split()` == split-on-\\s+-drop-empties; bigrams as token
+    the ASCII ``_WS_ASCII`` split == the \\s+ expression/oracle
+    tokenizers (never bare ``str.split()`` — unicode whitespace); bigrams as token
     TUPLES equal the concat_ws(' ') form since tokens contain no
     whitespace.
     """
@@ -313,11 +314,14 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
     @F.pandas_udf(out_schema)
     def rep_stats(text: pd.Series) -> pd.DataFrame:
+        import re as _re
+
+        _ws = _re.compile(r"[ \t\n\x0b\x0c\r]+")  # == dedup._WS_ASCII
         dup, top = [], []
         for s in text:
             lines = [ln for ln in (s or "").split("\n") if ln.strip()]
             dup.append(1.0 - len(set(lines)) / len(lines) if lines else 0.0)
-            toks = (s or "").lower().split()
+            toks = [t for t in _ws.split((s or "").lower()) if t]
             if len(toks) >= 2:
                 counts = Counter(zip(toks, toks[1:]))
                 top.append(max(counts.values()) / (len(toks) - 1))

@@ -1105,3 +1105,49 @@ def test_remove_boilerplate_null_text_keeps_row(spark):
     }
     assert got[3] == ("", 0, 0)
     assert len(got) == 4
+
+
+def test_ws_ascii_inline_copies_match_reference():
+    """The Arrow closures carry self-contained inline copies of the
+    _WS_ASCII whitespace pattern (launch-dir independence, the
+    _fake_decode convention); this pin fails if any copy drifts from
+    the reference definition — a drifted copy would silently tokenize
+    differently from the `tokens` expression and the DuckDB oracles."""
+    import re
+    from pathlib import Path
+
+    from kafka_streams_spark.operators import dedup
+
+    assert dedup._WS_ASCII == r"[ \t\n\x0b\x0c\r]+"
+    assert dedup._ws_split("a\xa0b  c\td") == ["a\xa0b", "c", "d"]
+    root = Path(dedup.__file__).resolve().parent
+    for fname in ("dedup.py", "text.py", "tokenizer.py"):
+        src = (root / fname).read_text()
+        inline = re.findall(r'_re\.compile\(r"(\[[^"]+\]\+)"\)', src)
+        assert inline, f"{fname}: expected at least one inline copy"
+        for pat in inline:
+            assert pat == dedup._WS_ASCII, (fname, pat)
+
+
+def test_arrow_and_expr_shinglers_agree_on_unicode_whitespace(spark):
+    """The r8 divergence find, pinned: word_shingles (Arrow) and
+    word_shingles_expr (Java \\s+) must tokenize unicode-whitespace
+    text IDENTICALLY — bare str.split() split \\xa0/\\u2009 and the two
+    forms disagreed on which shingles exist."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.operators.dedup import (
+        word_shingles,
+        word_shingles_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "foo\xa0bar baz"), (2, "a b c"), (3, "x \t y"), (4, None)],
+        "id bigint, text string",
+    )
+    rows = df.select(
+        word_shingles(F.col("text"), 2).alias("arrow"),
+        word_shingles_expr(F.col("text"), 2).alias("expr"),
+    ).collect()
+    for r in rows:
+        assert r["arrow"] == r["expr"], (r["arrow"], r["expr"])

@@ -204,6 +204,12 @@ def _synth_corpus(rng: random.Random, n_docs: int) -> list[tuple[int, str, str, 
     rows.append((2000, "words from the common pool", None, None, 26))
     rows.append((2001, "the quick brown data fox", None, "src1", 24))
     rows.append((2002, None, "en", None, 0))
+    # r8 divergence find: unicode whitespace (\xa0 nbsp,   thin
+    # space) must NOT be a token boundary — Python str.split() split it,
+    # Java \s+ / RE2 \s+ do not, and the Arrow closures used to
+    # tokenize these docs differently from their expression/SQL twins.
+    rows.append((2003, "spark\xa0join window merge", "en", "src0", 23))
+    rows.append((2004, "hash scan sort batch value", "en", "src2", 26))
     return rows
 
 
