@@ -26,7 +26,12 @@ STOPWORDS = {
 
 # A BPE-ish word/number/punctuation segmentation: word pieces, numbers,
 # single punctuation marks — the shape tokenizers like GPT-2's regex use.
-BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# The whitespace exclusion is the EXPLICIT ASCII class, not \s: this
+# literal is shared verbatim with the DuckDB oracles, and Java's \s
+# includes \x0b (vertical tab) while RE2's does not — with \s a \x0b
+# character counted as a token in DuckDB but not in Spark (r8
+# divergence find, pinned by the fuzz corpus's \x0b documents).
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\x0C\r]"
 
 
 def token_count(text: Column) -> Column:
@@ -319,7 +324,15 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         _ws = _re.compile(r"[ \t\n\x0b\x0c\r]+")  # == dedup._WS_ASCII
         dup, top = [], []
         for s in text:
-            lines = [ln for ln in (s or "").split("\n") if ln.strip()]
+            # blank-line rule on the ASCII whitespace class only —
+            # bare str.strip() also eats \xa0/\u2009 and would call a
+            # nbsp-only line blank while the SQL twin keeps it (the r8
+            # _WS_ASCII convention)
+            lines = [
+                ln
+                for ln in (s or "").split("\n")
+                if ln.strip(" \t\x0b\x0c\r")
+            ]
             dup.append(1.0 - len(set(lines)) / len(lines) if lines else 0.0)
             toks = [t for t in _ws.split((s or "").lower()) if t]
             if len(toks) >= 2:

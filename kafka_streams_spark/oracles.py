@@ -333,7 +333,13 @@ ANALYTICS_ORACLES = {
 # text analysis
 # --------------------------------------------------------------------------
 
-_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')"
+# The oracle tokenizer splits on the EXPLICIT ASCII class — RE2's \s
+# is [ \t\n\f\r] WITHOUT \x0b (vertical tab), while Java's \s (the
+# engine's `tokens` expression) and Python's closures include it; a
+# bare '\s+' here silently tokenized "a\x0bb" as one word (r8
+# divergence find, pinned by the fuzz corpus's \x0b documents).
+_WS_RE2 = r"[ \t\n\x0B\x0C\r]+"
+_TOKS = rf"list_filter(string_split_regex(lower(text), '{_WS_RE2}'), x -> x != '')"
 
 
 def _sql_list(words: list[str]) -> str:
@@ -387,7 +393,7 @@ TEXT_ORACLES = {
     # explicit whitespace class (Java \s includes \x0B, RE2 does not)
     "normalize_text": r"""
         SELECT doc_id,
-               trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))
+               trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')
                    AS norm_text
         FROM documents
     """,
@@ -532,7 +538,7 @@ TEXT_ORACLES = {
         l AS (
             SELECT doc_id, i AS pos, ls[i] AS ln
             FROM t, unnest(range(1, len(ls) + 1)) AS u(i)
-            WHERE trim(ls[i]) != ''
+            WHERE trim(ls[i], ' ') != ''
         ),
         r AS (
             SELECT doc_id, pos, ln,
@@ -691,11 +697,13 @@ TEXT_ORACLES = {
                         ELSE 0.0 END AS dup_line_ratio,
                    toks
             FROM (SELECT doc_id,
-                         -- trim with an explicit whitespace set: the Arrow
-                         -- closure uses Python str.strip() (tabs too),
-                         -- DuckDB's bare trim() strips spaces only
+                         -- blank-line rule on the explicit ASCII set
+                         -- (space, tab, VT, FF, CR), the closure's
+                         -- strip uses the same chars (r8 _WS_ASCII
+                         -- convention; bare trim() strips spaces only)
                          list_filter(string_split(coalesce(text, ''), chr(10)),
-                                     x -> trim(x, ' ' || chr(9) || chr(13)) != '') AS lines,
+                                     x -> trim(x, ' ' || chr(9) || chr(11)
+                                                   || chr(12) || chr(13)) != '') AS lines,
                          coalesce({_TOKS}, []) AS toks
                   FROM documents)
         ),
@@ -847,19 +855,19 @@ TEXT_ORACLES = {
         s AS (
             SELECT doc_id,
                    CAST(len(toks) AS BIGINT) AS n_words,
-                   CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                   CAST(length(regexp_replace(text, '[ \t\n\x0B\x0C\r]+', '', 'g')) AS DOUBLE)
                        / greatest(len(toks), 1) AS mean_word_len,
                    CAST(length(text) - length(replace(text, '#', ''))
                         + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
                        / greatest(len(toks), 1) AS symbol_ratio,
                    CAST(len(list_filter(lines, l ->
-                            starts_with(ltrim(l), '- ')
-                            OR starts_with(ltrim(l), '* ')
-                            OR starts_with(ltrim(l), '•'))) AS DOUBLE)
+                            starts_with(ltrim(l, ' '), '- ')
+                            OR starts_with(ltrim(l, ' '), '* ')
+                            OR starts_with(ltrim(l, ' '), '•'))) AS DOUBLE)
                        / greatest(len(lines), 1) AS bullet_line_ratio,
                    CAST(len(list_filter(lines, l ->
-                            ends_with(rtrim(l), '...')
-                            OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+                            ends_with(rtrim(l, ' '), '...')
+                            OR ends_with(rtrim(l, ' '), '…'))) AS DOUBLE)
                        / greatest(len(lines), 1) AS ellipsis_line_ratio,
                    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
                         AS DOUBLE) / greatest(len(toks), 1) AS alpha_word_ratio,
@@ -891,7 +899,7 @@ TEXT_ORACLES = {
         k AS (
             SELECT doc_id, lines,
                    list_filter(lines, l ->
-                       len(list_filter(string_split_regex(trim(l), '\\s+'),
+                       len(list_filter(string_split_regex(trim(l, ' '), '[ \t\n\x0B\x0C\r]+'),
                                        x -> x != '')) >= 60
                        AND NOT contains(lower(l), 'javascript')) AS kept
             FROM t
@@ -992,7 +1000,7 @@ TEXT_ORACLES = {
             SELECT doc_id,
                    list_filter(list_transform(
                        regexp_extract_all(text, '[^.!?]+[.!?]*'),
-                       x -> trim(x)), x -> x != '') AS sents
+                       x -> trim(x, ' ')), x -> x != '') AS sents
             FROM documents
         )
         SELECT doc_id,
@@ -2081,7 +2089,7 @@ SAMPLING_ORACLES = {
     "chunk_documents": """
         WITH t AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\s+'),
+                   list_filter(string_split_regex(lower(text), '[ \t\n\x0B\x0C\r]+'),
                                x -> x != '') AS toks
             FROM documents
         ),
@@ -2181,7 +2189,7 @@ SAMPLING_ORACLES = {
     "chunk_dup_stats": """
         WITH t AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\s+'),
+                   list_filter(string_split_regex(lower(text), '[ \t\n\x0B\x0C\r]+'),
                                x -> x != '') AS toks
             FROM documents
         ),
@@ -2759,19 +2767,19 @@ TEXT_ORACLES["gate_agreement"] = f"""
     s AS (
         SELECT
             CAST(len(toks) AS BIGINT) AS n_words,
-            CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+            CAST(length(regexp_replace(text, '[ \t\n\x0B\x0C\r]+', '', 'g')) AS DOUBLE)
                 / greatest(len(toks), 1) AS mean_word_len,
             CAST(length(text) - length(replace(text, '#', ''))
                  + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
                 / greatest(len(toks), 1) AS symbol_ratio,
             CAST(len(list_filter(lines, l ->
-                     starts_with(ltrim(l), '- ')
-                     OR starts_with(ltrim(l), '* ')
-                     OR starts_with(ltrim(l), '•'))) AS DOUBLE)
+                     starts_with(ltrim(l, ' '), '- ')
+                     OR starts_with(ltrim(l, ' '), '* ')
+                     OR starts_with(ltrim(l, ' '), '•'))) AS DOUBLE)
                 / greatest(len(lines), 1) AS bullet_line_ratio,
             CAST(len(list_filter(lines, l ->
-                     ends_with(rtrim(l), '...')
-                     OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+                     ends_with(rtrim(l, ' '), '...')
+                     OR ends_with(rtrim(l, ' '), '…'))) AS DOUBLE)
                 / greatest(len(lines), 1) AS ellipsis_line_ratio,
             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
                  AS DOUBLE) / greatest(len(toks), 1) AS alpha_word_ratio,
@@ -2780,7 +2788,7 @@ TEXT_ORACLES["gate_agreement"] = f"""
             (NOT contains(lower(text), 'lorem ipsum')
              AND NOT contains(text, '{{')
              AND len(list_filter(lines, l ->
-                   len(list_filter(string_split_regex(trim(l), '\\s+'),
+                   len(list_filter(string_split_regex(trim(l, ' '), '[ \t\n\x0B\x0C\r]+'),
                                    x -> x != '')) >= 60
                    AND NOT contains(lower(l), 'javascript'))) >= 1)
                 AS passes_c4,
@@ -3070,7 +3078,7 @@ TEXT_ORACLES["oov_rate"] = f"""
 # Exact dedup on the normalize_text canon, keyed by SHA-256 of the
 # normalized text (both engines emit lowercase hex).
 TEXT_ORACLES["dedup_normalized"] = r"""
-    SELECT sha256(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')))
+    SELECT sha256(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '))
                AS norm_hash,
            min(doc_id) AS keep_id,
            CAST(count(*) AS BIGINT) AS dup_count
@@ -3354,19 +3362,19 @@ TEXT_ORACLES["corpus_scorecard"] = f"""
     s AS (
         SELECT
             CAST(len(toks) AS BIGINT) AS n_words,
-            CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+            CAST(length(regexp_replace(text, '[ \t\n\x0B\x0C\r]+', '', 'g')) AS DOUBLE)
                 / greatest(len(toks), 1) AS mean_word_len,
             CAST(length(text) - length(replace(text, '#', ''))
                  + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
                 / greatest(len(toks), 1) AS symbol_ratio,
             CAST(len(list_filter(lines, l ->
-                     starts_with(ltrim(l), '- ')
-                     OR starts_with(ltrim(l), '* ')
-                     OR starts_with(ltrim(l), '•'))) AS DOUBLE)
+                     starts_with(ltrim(l, ' '), '- ')
+                     OR starts_with(ltrim(l, ' '), '* ')
+                     OR starts_with(ltrim(l, ' '), '•'))) AS DOUBLE)
                 / greatest(len(lines), 1) AS bullet_line_ratio,
             CAST(len(list_filter(lines, l ->
-                     ends_with(rtrim(l), '...')
-                     OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+                     ends_with(rtrim(l, ' '), '...')
+                     OR ends_with(rtrim(l, ' '), '…'))) AS DOUBLE)
                 / greatest(len(lines), 1) AS ellipsis_line_ratio,
             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
                  AS DOUBLE) / greatest(len(toks), 1) AS alpha_word_ratio,
@@ -3375,12 +3383,12 @@ TEXT_ORACLES["corpus_scorecard"] = f"""
             (NOT contains(lower(text), 'lorem ipsum')
              AND NOT contains(text, '{{')
              AND len(list_filter(lines, l ->
-                   len(list_filter(string_split_regex(trim(l), '\\s+'),
+                   len(list_filter(string_split_regex(trim(l, ' '), '[ \t\n\x0B\x0C\r]+'),
                                    x -> x != '')) >= 3
                    AND NOT contains(lower(l), 'javascript')
-                   AND (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
-                        OR ends_with(trim(l), '?')
-                        OR ends_with(trim(l), '"')))) >= 1)
+                   AND (ends_with(trim(l, ' '), '.') OR ends_with(trim(l, ' '), '!')
+                        OR ends_with(trim(l, ' '), '?')
+                        OR ends_with(trim(l, ' '), '"')))) >= 1)
                 AS passes_c4,
             len(list_filter(toks, x -> list_contains(
                 ['badword', 'slur1', 'slur2', 'obscene1'], x))) = 0
@@ -3868,13 +3876,13 @@ TEXT_ORACLES["remove_boilerplate"] = """
         FROM t, unnest(range(1, len(ls) + 1)) AS u(i)
     ),
     b AS (
-        SELECT ln FROM l WHERE trim(ln) != ''
+        SELECT ln FROM l WHERE trim(ln, ' ') != ''
         GROUP BY ln HAVING count(DISTINCT doc_id) >= 2
     ),
     f AS (
         SELECT doc_id, pos, ln,
-               trim(ln) != '' AND ln NOT IN (SELECT ln FROM b) AS kept,
-               trim(ln) != '' AND ln IN (SELECT ln FROM b) AS removed
+               trim(ln, ' ') != '' AND ln NOT IN (SELECT ln FROM b) AS kept,
+               trim(ln, ' ') != '' AND ln IN (SELECT ln FROM b) AS removed
         FROM l
     )
     SELECT doc_id,

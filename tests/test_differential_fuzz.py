@@ -210,6 +210,11 @@ def _synth_corpus(rng: random.Random, n_docs: int) -> list[tuple[int, str, str, 
     # tokenize these docs differently from their expression/SQL twins.
     rows.append((2003, "spark\xa0join window merge", "en", "src0", 23))
     rows.append((2004, "hash scan sort batch value", "en", "src2", 26))
+    # blank-line boundary: a \x0b-only line is BLANK (ASCII class), a
+    # \xa0-only line is NOT — the repetition_stats dup-line rule must
+    # agree cross-engine on both
+    t = "merge sort\n\x0b\n\xa0\nmerge sort"
+    rows.append((2005, t, "en", "src1", len(t)))
     return rows
 
 
