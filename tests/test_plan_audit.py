@@ -575,3 +575,42 @@ def test_written_index_probe_set_matches_in_memory_lsh(spark, sf_dir, tmp_path):
     assert [(r["vec_id"], r["cosine_sim"]) for r in idx] == [
         (r["vec_id"], r["cosine_sim"]) for r in mem
     ]
+
+
+def test_auto_join_routes_plan_broadcast_no_fact_shuffle(spark, sf_dir):
+    """r8 auto_join: the broadcast_b route must PLAN as a
+    BroadcastHashJoin building the dimension side — the fact side
+    (orders) never enters an Exchange for the join. The only exchanges
+    in the plan belong to the dispatch audit's profile aggregates,
+    which run once at construction, not per joined row."""
+    from kafka_streams_spark.operators.profiling import auto_join
+
+    out = auto_join(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        "o_custkey",
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        "c_custkey",
+    )
+    a = audit(out)
+    assert a.join_strategies and all(
+        s.startswith("BroadcastHashJoin") for s in a.join_strategies
+    ), a.join_strategies
+    assert a.num_broadcasts >= 1
+    # the joined-plan itself shuffles nothing: broadcast exchange only
+    assert a.num_exchanges == 0, a.plan
+
+
+def test_posting_pair_stats_single_shuffle_partial_agg(spark, sf_dir):
+    """r8 posting_pair_stats: pricing the pair join must cost ONE
+    shuffle (the (shingle, block) groupBy with map-side combine) plus
+    the 1-row final aggregate — the audit must stay linear or it can't
+    be a pre-flight."""
+    from kafka_streams_spark.operators.dedup import posting_pair_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = audit(posting_pair_stats(docs, n=1, block_col="source"))
+    assert a.num_scans == 1
+    assert a.has_partial_aggregation
+    # one hash exchange for the group stage, one single-partition
+    # exchange into the 1-row read-off
+    assert a.num_exchanges <= 2, a.plan
