@@ -1975,14 +1975,40 @@ def posting_pair_stats(
     block]), exactly the pair join's clustering; top_shingle ties
     break on the larger shingle string like the join-audit top_key.
     """
+    return posting_pair_stats_from_profile(
+        posting_profile(docs, text_col=text_col, n=n, block_col=block_col)
+    )
+
+
+def posting_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """The per-(shingle [, block]) COUNT profile behind
+    :func:`posting_pair_stats` — the persistable/streamable state, like
+    :func:`~kafka_streams_spark.operators.profiling.key_profile` for
+    the join audit: build it once per corpus snapshot (one grouped
+    shuffle), or maintain it live
+    (``streaming/sketch_stream.run_posting_profile_stream``), and price
+    any posting pair join from it without re-shingling the corpus.
+    Mergeable by grouped sum. Output: (_s [, block], cnt BIGINT)."""
     post = docs.select(
         *([F.col(block_col)] if block_col else []),
         F.explode(word_shingles(F.col(text_col), n)).alias("_s"),
     )
-    occ = post.groupBy(
+    return post.groupBy(
         "_s", *([block_col] if block_col else [])
-    ).agg(F.count("*").alias("cnt"))
-    return occ.agg(
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+
+
+def posting_pair_stats_from_profile(profile: DataFrame) -> DataFrame:
+    """The :func:`posting_pair_stats` read-off from an already-built
+    (or stream-maintained) :func:`posting_profile` — O(distinct groups)
+    with no corpus access. Shared by the batch audit and the streaming
+    twin so the two can never drift."""
+    return profile.agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_postings"),
         F.count(F.lit(1)).cast("bigint").alias("n_groups"),
         F.coalesce(F.sum(F.expr("cnt * (cnt - 1) div 2")), F.lit(0))

@@ -923,6 +923,82 @@ def compact_key_profile(
     )
 
 
+def run_posting_profile_stream(
+    spark: SparkSession,
+    source_dir: str,
+    profile_dir: str,
+    checkpoint_dir: str,
+    n: int = 3,
+    block_col: str | None = "source",
+    max_files_per_trigger: int = 100,
+):
+    """Maintain the per-(shingle [, block]) COUNT profile of a document
+    stream — the live state behind
+    :func:`~kafka_streams_spark.operators.dedup.
+    posting_pair_stats_from_profile`: price a posting-list pair join
+    (weighted_jaccard / the prefix candidate stage) CONTINUOUSLY as the
+    corpus grows, without ever re-shingling ingested data — the r8 sf1
+    lesson ("176M candidate pairs, discovered 200 s in") turned into a
+    standing dashboard number. Same changelog shape as
+    :func:`run_key_profile_stream`: per-batch (group, cnt) deltas merge
+    by grouped SUM, so the merged read equals the one-shot batch
+    profile BIT-FOR-BIT. The shingle ``n`` (and block column) are
+    FROZEN store parameters — stamped and checked like the kmv/rank
+    k."""
+    from kafka_streams_spark.operators.dedup import posting_profile
+
+    _stamp_sketch_store(
+        spark,
+        profile_dir,
+        {"kind": "posting", "n": int(n), "block": block_col or ""},
+    )
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        delta = posting_profile(batch_df, n=n, block_col=block_col)
+        (
+            delta.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(profile_dir)
+        )
+
+    return (
+        raw.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+
+def read_posting_profile(
+    spark: SparkSession,
+    profile_dir: str,
+    n: int = 3,
+    block_col: str | None = "source",
+) -> DataFrame:
+    """The live merged posting profile: grouped SUM over every batch
+    delta — identical to the batch ``posting_profile`` of everything
+    ingested so far. Feed it to ``posting_pair_stats_from_profile`` for
+    the live audit row."""
+    _check_sketch_meta(
+        spark,
+        profile_dir,
+        {"kind": "posting", "n": int(n), "block": block_col or ""},
+    )
+    group = ["_s"] + ([block_col] if block_col else [])
+    return (
+        spark.read.parquet(profile_dir)
+        .groupBy(*group)
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
 def run_rank_sketch_stream(
     spark: SparkSession,
     source_dir: str,

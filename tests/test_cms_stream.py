@@ -659,3 +659,50 @@ def test_cms_store_grid_gate(spark, tmp_path):
         read_cms_sketch(spark, cms, d=3, w=128)
     with pytest.raises(ValueError, match="mismatched parameters"):
         run_cms_stream(spark, src, cms, str(tmp_path / "c2"), d=4, w=64)
+
+
+def test_posting_profile_stream_equals_batch_audit(spark, tmp_path):
+    """r8: the streamed posting profile's merged state (and its audit
+    read-off) equals the one-shot batch posting_pair_stats of all
+    ingested docs BIT-FOR-BIT; replays are idempotent; the shingle n is
+    a stamped frozen parameter."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.operators.dedup import (
+        posting_pair_stats,
+        posting_pair_stats_from_profile,
+    )
+    from kafka_streams_spark.streaming.sketch_stream import (
+        read_posting_profile,
+        run_posting_profile_stream,
+    )
+
+    src = str(tmp_path / "src")
+    prof = str(tmp_path / "prof")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write(src, "b1.json", DOCS_A)
+    q = run_posting_profile_stream(spark, src, prof, ckpt, n=1)
+    try:
+        q.processAllAvailable()
+        _write(src, "b2.json", DOCS_B)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_docs = spark.createDataFrame(
+        [(r["doc_id"], r["source"], r["text"]) for r in DOCS_A + DOCS_B],
+        "doc_id bigint, source string, text string",
+    )
+    live = posting_pair_stats_from_profile(
+        read_posting_profile(spark, prof, n=1)
+    ).collect()[0]
+    batch = posting_pair_stats(all_docs, n=1, block_col="source").collect()[0]
+    assert tuple(live) == tuple(batch)
+
+    # frozen-parameter gates
+    with pytest.raises(ValueError, match="mismatched parameters"):
+        read_posting_profile(spark, prof, n=2)
+    with pytest.raises(ValueError, match="mismatched parameters"):
+        run_posting_profile_stream(spark, src, prof, str(tmp_path / "c2"), n=2)
