@@ -703,6 +703,19 @@ def _q_weighted_jaccard(spark, sf_dir):
     )
 
 
+def _q_weighted_jaccard_capped(spark, sf_dir):
+    """The stop-shingle form (r8): identical machinery with max_df=350
+    — corpus-ubiquitous shingles (df > 350 of ~500 docs here) leave the
+    measure BEFORE weighting, bounding the pair stage to max_df^2 per
+    shingle at any corpus size. Oracle applies the same df cut."""
+    from kafka_streams_spark.operators.dedup import weighted_jaccard_pairs
+
+    return weighted_jaccard_pairs(
+        _docs(spark, sf_dir), n=1, threshold=0.2, block_col="source",
+        max_df=350,
+    )
+
+
 def _q_posting_pair_stats(spark, sf_dir):
     """Pre-flight pricing of the weighted_jaccard contract's posting
     self-join (r8 sf1 spot-check follow-up): the exact candidate-pair
@@ -1894,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": _q_ccnet_buckets,  # new r04: perplexity terciles
         "weighted_jaccard": _q_weighted_jaccard,  # new r04: idf-weighted pairs
         "posting_pair_stats": _q_posting_pair_stats,  # r8: pair-join pre-flight
+        "weighted_jaccard_capped": _q_weighted_jaccard_capped,  # r8: stop-shingle form
         "knn_text_vec0": _q_knn_text_vec0,  # new r04: text→similarity bridge
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "ccnet_buckets",
     "weighted_jaccard",
     "posting_pair_stats",
+    "weighted_jaccard_capped",
     "knn_text_vec0",
     "ngram_novelty",
     "corpus_overlap",

@@ -1845,6 +1845,7 @@ def weighted_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     block_col: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """idf-WEIGHTED Jaccard near-dup pairs: shingle ``s`` contributes
     weight ``w_s = log10(N / df_s)`` instead of 1, so two documents
@@ -1887,6 +1888,19 @@ def weighted_jaccard_pairs(
     compares the ROUNDED value so the keep boundary is
     engine-identical.
 
+    ``max_df`` (the stop-shingle cut both notes above point at; r8,
+    sized by the :func:`posting_pair_stats` pre-flight): drop postings
+    whose GLOBAL document frequency exceeds the cap before weighting.
+    This changes the measure — weights, totals, and overlap are
+    computed over the surviving shingles only, the classic stop-word
+    treatment — in exchange for a hard bound on the quadratic stage:
+    per-shingle pair fan-out is at most max_df², so total candidates
+    are ≤ n_groups·max_df²/2 however large the corpus grows, instead
+    of Θ(corpus²) on a dense vocabulary. A shingle every document
+    carries scores ~0 under idf anyway (w = log10(N/df) → 0 as
+    df → N), so on real template-heavy corpora the cap removes almost
+    no signal. None (default) keeps the exact measure.
+
     Output: (id_a, id_b, weighted_jaccard), id_a < id_b. Pairs with an
     EMPTY shingle intersection are never emitted (a posting join only
     meets pairs that share a shingle), and pairs whose union weight is
@@ -1908,9 +1922,13 @@ def weighted_jaccard_pairs(
         F.explode(word_shingles(F.col(text_col), n)).alias("_s"),
     ).repartition("_s")
     n_docs = docs.agg(F.count("*").cast("double").alias("_n"))
+    pw = post.withColumn("_df", F.count("*").over(Window.partitionBy("_s")))
+    if max_df is not None:
+        # stop-shingle cut ON the already-computed df — no extra pass;
+        # the filter rides the same shingle partitioning
+        pw = pw.filter(F.col("_df") <= int(max_df))
     pw = (
-        post.withColumn("_df", F.count("*").over(Window.partitionBy("_s")))
-        .join(F.broadcast(n_docs))
+        pw.join(F.broadcast(n_docs))
         .withColumn("_w", F.log10(F.col("_n") / F.col("_df")))
         .drop("_n", "_df")
     )

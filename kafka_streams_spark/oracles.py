@@ -1453,6 +1453,32 @@ DEDUP_ORACLES = {
                    AS top_shingle
         FROM occ
     """,
+    # Stop-shingle weighted Jaccard (dedup.py weighted_jaccard_pairs
+    # max_df): postings with global df > 350 leave BEFORE weighting —
+    # weights, totals, and overlap over the survivors only.
+    "weighted_jaccard_capped": f"""
+        WITH {_shingle_cte(1)},
+        ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+        dfs AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+        keep AS (SELECT s, df FROM dfs WHERE df <= 350),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        w AS (SELECT s, log10(n / df) AS w FROM keep, nd),
+        pw AS (SELECT doc_id, source, ex.s, w FROM ex JOIN w USING (s)),
+        tot AS (SELECT doc_id, sum(w) AS tw FROM pw GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w) AS iw
+            FROM pw a JOIN pw b
+              ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, weighted_jaccard FROM (
+            SELECT id_a, id_b,
+                   round(iw / (ta.tw + tb.tw - iw), 6) AS weighted_jaccard
+            FROM inter
+            JOIN tot ta ON ta.doc_id = id_a
+            JOIN tot tb ON tb.doc_id = id_b
+        ) WHERE weighted_jaccard >= 0.2
+    """,
     "dedup_incremental_fuzzy": _minhash_incremental_sql(threshold=0.5),
     "curate_increment": _curate_increment_sql(threshold=0.5),
     "dedup_simhash": f"""

@@ -117,6 +117,7 @@ FUZZ_QUERIES = [
     "pii_redact",
     "profile_documents",
     "weighted_jaccard",
+    "weighted_jaccard_capped",
     "posting_pair_stats",
     # fifth ring (r7 KMV wave): the deterministic-sketch overlap twin
     "vocab_overlap_kmv",
