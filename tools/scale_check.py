@@ -39,6 +39,10 @@ DEFAULT = [
     "knn_pq_label_vec0",
     "emb_near_dup_lsh",
     "dedup_ngram_jaccard",
+    # r8 scale forms — these must stay FLAT while their exact twins
+    # above track output size
+    "posting_pair_stats",
+    "weighted_jaccard_capped",
 ]
 
 _CHILD = r"""
