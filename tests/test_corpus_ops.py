@@ -1151,3 +1151,54 @@ def test_arrow_and_expr_shinglers_agree_on_unicode_whitespace(spark):
     ).collect()
     for r in rows:
         assert r["arrow"] == r["expr"], (r["arrow"], r["expr"])
+
+
+def test_no_dialect_sensitive_tokenization_constructs():
+    """r8 dialect lint: the round's three real divergences were all
+    'same literal, different dialect' bugs — Python str.split()/strip()
+    (unicode whitespace), RE2 \\s (no \\x0b) vs Java \\s, DuckDB bare
+    trim (unicode spaces) vs Spark trim (ASCII space). This lint makes
+    the class unwriteable:
+
+    - engine operator/streaming closures may not call bare .split() or
+      .strip() on text (use the _WS_ASCII class);
+    - oracle SQL may not use \\s in a regex (use _WS_RE2 / an explicit
+      class);
+    - oracle SQL may not call bare trim/ltrim/rtrim on data (name the
+      character set, e.g. trim(x, ' ')).
+    """
+    import re
+    from pathlib import Path
+
+    import kafka_streams_spark as pkg
+
+    root = Path(pkg.__file__).resolve().parent
+    bad: list[str] = []
+
+    for sub in ("operators", "streaming"):
+        for f in sorted((root / sub).glob("*.py")):
+            for i, line in enumerate(f.read_text().splitlines(), 1):
+                code = line.split("#", 1)[0]
+                if "``" in line or line.lstrip().startswith(("#", "-")):
+                    continue  # prose
+                if re.search(r"\.split\(\)", code) or re.search(
+                    r"\.strip\(\)", code
+                ):
+                    bad.append(f"{sub}/{f.name}:{i}: {line.strip()}")
+
+    osrc = (root / "oracles.py").read_text()
+    for i, line in enumerate(osrc.splitlines(), 1):
+        if line.lstrip().startswith("#") or "-- " in line:
+            continue  # python/sql comments
+        if "_WS_RE2 = " in line:
+            continue  # the blessed definition (explicit class, no \s)
+        # \s inside a regex literal handed to DuckDB
+        if re.search(r"""(regexp_|split_regex)[^\n]*\\+s""", line):
+            bad.append(f"oracles.py:{i}: {line.strip()}")
+        # bare trim on data (allow explicit sets and Python .strip()
+        # of SQL-text constants)
+        if re.search(r"(?<![a-z_.])(l|r)?trim\((?![^()]*,)[^()]*\)", line):
+            if ".strip()" not in line:
+                bad.append(f"oracles.py:{i}: {line.strip()}")
+
+    assert not bad, "dialect-sensitive constructs:\n" + "\n".join(bad)
