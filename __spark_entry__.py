@@ -705,9 +705,15 @@ def _q_weighted_jaccard(spark, sf_dir):
 
 def _q_weighted_jaccard_capped(spark, sf_dir):
     """The stop-shingle form (r8): identical machinery with max_df=350
-    — corpus-ubiquitous shingles (df > 350 of ~500 docs here) leave the
-    measure BEFORE weighting, bounding the pair stage to max_df^2 per
-    shingle at any corpus size. Oracle applies the same df cut."""
+    — high-df shingles leave the measure BEFORE weighting, bounding the
+    pair stage to max_df^2 per shingle at any corpus size. The cap is
+    corpus-relative in practice: 350 is ~70% of the sf0.01 correctness
+    corpus (500 docs, a corpus-ubiquity cut) but only ~7% of the sf0.1
+    bench corpus (5000 docs) — there it acts as a hard fan-out bound on
+    the pair stage rather than a ubiquity filter (r9 advisor fix: size
+    a production cap from the posting_pair_stats pre-flight at the
+    actual corpus scale, not from this pinned contract constant).
+    Oracle applies the same df cut."""
     from kafka_streams_spark.operators.dedup import weighted_jaccard_pairs
 
     return weighted_jaccard_pairs(
@@ -1758,31 +1764,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # _CODE_CHANGED_ROUND is the round these changes landed in: a name
 # re-greened by the driver at or after it has evidence for the NEW
 # code and self-drains from the head (see _evidence_order).
-_CODE_CHANGED_ROUND = 8
+_CODE_CHANGED_ROUND = 9
 _CODE_CHANGED = [
-    "knn_vec0",
-    "knn_lsh_vec0",
-    "knn_ivf_label_vec0",
-    "knn_pq_rerank_vec0",
-    "knn_ivfpq_vec0",
-    "knn_lsh_mt_vec0",
-    "knn_recall_vec0",
-    "knn_recall_mt_vec0",
-    "knn_recall_ivfpq_vec0",
-    "knn_auto_vec0",
-    # rows-only members of the same family (ranking path shared)
-    "knn_ivf_vec0",
-    "knn_pq_vec0",
-    "knn_ivfpq_res_vec0",
-    "knn_recall_ivfpq_res_vec0",
-    # r8: newly oracle-checked (were rows-only) — the recursive-CTE BPE
-    # train+apply twin; old rows-only evidence doesn't certify the hash
-    # contract
-    "bpe_token_stats",
-    "bpe_piece_counts",
-    # r8: k-center now oracle-checked via the same recursive-CTE
-    # pattern, argmax aligned to rounded-rank
-    "emb_kcenter",
+    # r9: NULL-block groups now price 0 candidate pairs (advisor find —
+    # the plain-equality block join never pairs NULL blocks); engine,
+    # oracle, and streaming twin changed together, values shift on any
+    # corpus with NULL source docs (the fuzz corpus has them).
+    "posting_pair_stats",
 ]
 
 # Kept for tool compatibility (freshness_lint): with the computed

@@ -2025,11 +2025,28 @@ def posting_pair_stats_from_profile(profile: DataFrame) -> DataFrame:
     """The :func:`posting_pair_stats` read-off from an already-built
     (or stream-maintained) :func:`posting_profile` — O(distinct groups)
     with no corpus access. Shared by the batch audit and the streaming
-    twin so the two can never drift."""
+    twin so the two can never drift.
+
+    NULL-block convention (r9, advisor find): the pair join this audit
+    prices (:func:`weighted_jaccard_pairs`, the prefix candidate stage)
+    joins blocks with plain equality, so postings whose block value is
+    NULL never pair — their groups contribute **0** to
+    ``n_candidate_pairs``. They stay counted in ``n_postings`` /
+    ``n_groups`` / ``max_posting`` (the profile describes the corpus;
+    only the pair price reflects the join's NULL-key drop), the same
+    split :func:`~kafka_streams_spark.operators.profiling.join_size_audit`
+    uses for NULL join keys (counted in n_rows_*, priced as 0 matches).
+    """
+    blk = [c for c in profile.columns if c not in ("_s", "cnt")]
+    pair_cnt = F.expr("cnt * (cnt - 1) div 2")
+    if blk:
+        pair_cnt = F.when(F.col(blk[0]).isNotNull(), pair_cnt).otherwise(
+            F.lit(0)
+        )
     return profile.agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_postings"),
         F.count(F.lit(1)).cast("bigint").alias("n_groups"),
-        F.coalesce(F.sum(F.expr("cnt * (cnt - 1) div 2")), F.lit(0))
+        F.coalesce(F.sum(pair_cnt), F.lit(0))
         .cast("bigint")
         .alias("n_candidate_pairs"),
         F.coalesce(F.max("cnt"), F.lit(0)).cast("bigint").alias("max_posting"),

@@ -274,11 +274,18 @@ def auto_join(
        dimension to every executor, no shuffle of ``a`` at all.
     2. ``broadcast_a``  — inner joins only (side swap is illegal for
        outer/semi shapes) and n_rows_a fits: broadcast the other side.
-    3. ``salted``       — top_key_share >= skew_share: one hot key
-       would put most of the join's output through one task; salt the
-       big side and replicate the small one (`salted_join`) so the hot
-       key spreads over ``salt_buckets`` tasks. Only for join shapes
-       where replication cannot duplicate unmatched rows.
+    3. ``salted``       — top_key_share >= skew_share AND
+       n_rows_b · salt_buckets <= n_rows_a: one hot key would put most
+       of the join's output through one task; salt the big side and
+       replicate the small one (`salted_join`) so the hot key spreads
+       over ``salt_buckets`` tasks. Only for join shapes where
+       replication cannot duplicate unmatched rows. The second clause
+       (r9, advisor find) prices the rewrite itself: salting replicates
+       ``b`` salt_buckets× through the exchange, so when ``b`` is
+       comparable to ``a`` the "replicate the small one" precondition
+       fails and the replicated shuffle would move MORE data than the
+       plain one it replaces — fall through to shuffle (where AQE's
+       skew-join split still gets a shot at the hot key).
     4. ``shuffle``      — the plain hash/SMJ exchange; AQE finishes the
        sizing at runtime.
 
@@ -323,7 +330,11 @@ def auto_join(
     elif how == "inner" and row["n_rows_a"] <= broadcast_max_rows:
         route = "broadcast_a"
         joined = b.join(F.broadcast(a), key_a, how)
-    elif salt_ok and row["top_key_share"] >= skew_share:
+    elif (
+        salt_ok
+        and row["top_key_share"] >= skew_share
+        and row["n_rows_b"] * salt_buckets <= row["n_rows_a"]
+    ):
         route = "salted"
         joined = salted_join(a, b, [key_a], salt_buckets=salt_buckets, how=how)
     else:

@@ -1440,13 +1440,18 @@ DEDUP_ORACLES = {
     # candidate-pair count of the (shingle, source)-clustered self-join
     # that prices the weighted_jaccard contract. top_shingle tie-break
     # mirrors Spark's max(struct(cnt, s)): count, then shingle string.
+    # NULL-source groups can never pair in the plain-equality block
+    # join, so they price as 0 pairs (still counted in n_postings /
+    # n_groups / max_posting) — the join_size_audit NULL-key split.
     "posting_pair_stats": f"""
         WITH {_shingle_cte(1)},
         ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
         occ AS (SELECT s, source, count(*) AS cnt FROM ex GROUP BY s, source)
         SELECT CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS n_postings,
                CAST(count(*) AS BIGINT) AS n_groups,
-               CAST(COALESCE(sum(cnt * (cnt - 1) // 2), 0) AS BIGINT)
+               CAST(COALESCE(sum(CASE WHEN source IS NOT NULL
+                                      THEN cnt * (cnt - 1) // 2
+                                      ELSE 0 END), 0) AS BIGINT)
                    AS n_candidate_pairs,
                CAST(COALESCE(max(cnt), 0) AS BIGINT) AS max_posting,
                (SELECT s FROM occ ORDER BY cnt DESC, s DESC LIMIT 1)
@@ -4175,9 +4180,10 @@ SIMILARITY_ORACLES["emb_kcenter"] = f"""
 # auto_join route derivation (profiling.py auto_join): the router's
 # CASE over the same audit aggregates, first match wins —
 # broadcast_b (n_rows_b fits) / broadcast_a (inner, n_rows_a fits) /
-# salted (top_key_share >= 0.5) / shuffle. The route column makes the
-# dispatch decision itself part of the hash check; the join output is
-# route-independent by construction.
+# salted (top_key_share >= 0.5 AND n_rows_b * salt_buckets <= n_rows_a
+# — the r9 replication-affordability gate) / shuffle. The route column
+# makes the dispatch decision itself part of the hash check; the join
+# output is route-independent by construction.
 TPCH_EXTRA_ORACLES["orders_customer_auto_join"] = """
     WITH pa AS (SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS ca
                 FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
@@ -4196,7 +4202,8 @@ TPCH_EXTRA_ORACLES["orders_customer_auto_join"] = """
                   WHEN n_rows_a <= 1000000 THEN 'broadcast_a'
                   WHEN join_rows > 0
                        AND CAST((SELECT top_c FROM top) AS DOUBLE)
-                           / CAST(join_rows AS DOUBLE) >= 0.5 THEN 'salted'
+                           / CAST(join_rows AS DOUBLE) >= 0.5
+                       AND n_rows_b * 8 <= n_rows_a THEN 'salted'
                   ELSE 'shuffle' END AS route
               FROM audit)
     SELECT route, o_custkey, o_orderkey, o_totalprice, c_mktsegment

@@ -60,45 +60,71 @@ def _migrate_delta_layout(spark: SparkSession, delta_dir: str) -> int:
     ``.pre_bucket`` before the swap, and a recovery preamble finishes
     or unwinds any interrupted swap on the next call. Returns the
     number of partitions migrated. No-op (one directory listing) on
-    already-bucketed stores."""
-    import glob
-    import shutil
+    already-bucketed stores.
+
+    All listing/rename/delete goes through the Hadoop FileSystem API
+    (the ``_write_sketch_meta`` convention), not ``os``/``glob`` — so
+    the migration works on whatever store the stream writes to
+    (HDFS/S3A/local). The r8 version used local-only primitives, which
+    silently no-op'd on a remote store and left the mixed-depth layout
+    in place (r9 advisor find). NOTE: object stores without atomic
+    directory rename (raw S3A) widen the park→swap crash window to a
+    copy; the recovery preamble still converges on re-run."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(delta_dir)
+    fs = root.getFileSystem(hconf)
+
+    def _glob(pattern: str):
+        statuses = fs.globStatus(HPath(pattern))
+        return list(statuses) if statuses is not None else []
+
+    def _is_dir(p) -> bool:
+        return fs.exists(p) and fs.getFileStatus(p).isDirectory()
 
     # recovery preamble: finish or unwind an interrupted swap
-    for parked in glob.glob(os.path.join(delta_dir, "ingest_batch=*.pre_bucket")):
-        target = parked[: -len(".pre_bucket")]
-        tmp = target + "._migrating"
-        if os.path.isdir(target):
-            shutil.rmtree(parked)  # swap completed; drop the old copy
-        elif os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
-            os.rename(tmp, target)  # crashed between park and swap
-            shutil.rmtree(parked)
+    for st in _glob(f"{delta_dir}/ingest_batch=*.pre_bucket"):
+        parked = st.getPath()
+        target_str = parked.toString()[: -len(".pre_bucket")]
+        target = HPath(target_str)
+        tmp = HPath(target_str + "._migrating")
+        if _is_dir(target):
+            fs.delete(parked, True)  # swap completed; drop the old copy
+        elif _is_dir(tmp) and fs.exists(HPath(f"{tmp.toString()}/_SUCCESS")):
+            fs.rename(tmp, target)  # crashed between park and swap
+            fs.delete(parked, True)
         else:
-            os.rename(parked, target)  # rewrite incomplete: restart it
+            fs.rename(parked, target)  # rewrite incomplete: restart it
 
     migrated = 0
-    for part in sorted(glob.glob(os.path.join(delta_dir, "ingest_batch=*"))):
-        if part.endswith("._migrating") or not os.path.isdir(part):
+    for st in sorted(
+        _glob(f"{delta_dir}/ingest_batch=*"), key=lambda s: s.getPath().toString()
+    ):
+        part = st.getPath()
+        part_str = part.toString()
+        if part_str.endswith("._migrating") or not st.isDirectory():
             continue
-        if glob.glob(os.path.join(part, "bucket=*")):
+        if _glob(f"{part_str}/bucket=*"):
             continue  # already bucketed
-        if not glob.glob(os.path.join(part, "*.parquet")):
+        if not _glob(f"{part_str}/*.parquet"):
             continue  # empty partition: nothing to rewrite
-        df = spark.read.parquet(part)
+        df = spark.read.parquet(part_str)
         if "bucket" not in df.columns:
             df = df.withColumn(
                 "bucket", F.crc32(F.col("fromAccount")) % N_BALANCE_BUCKETS
             )
-        tmp = part + "._migrating"
+        tmp_str = part_str + "._migrating"
         (
             df.repartition("bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(tmp)
+            .parquet(tmp_str)
         )
-        os.rename(part, part + ".pre_bucket")
-        os.rename(tmp, part)
-        shutil.rmtree(part + ".pre_bucket")
+        parked = HPath(part_str + ".pre_bucket")
+        fs.rename(part, parked)
+        fs.rename(HPath(tmp_str), part)
+        fs.delete(parked, True)
         migrated += 1
     return migrated
 

@@ -176,6 +176,7 @@ def _route_of(spark, a_rows, b_rows, **kw):
 
     bmax = kw.get("broadcast_max_rows", 1_000_000)
     skew = kw.get("skew_share", 0.5)
+    buckets = kw.get("salt_buckets", 8)
     con = duckdb.connect()
     con.execute("CREATE TABLE ta(ka BIGINT, va VARCHAR)")
     con.execute("CREATE TABLE tb(kb BIGINT, vb VARCHAR)")
@@ -196,6 +197,8 @@ def _route_of(spark, a_rows, b_rows, **kw):
             WHEN (SELECT join_rows FROM joined) > 0
                  AND CAST((SELECT top_c FROM top) AS DOUBLE)
                      / (SELECT join_rows FROM joined) >= {skew}
+                 AND (SELECT count(*) FROM tb) * {buckets}
+                     <= (SELECT count(*) FROM ta)
                 THEN 'salted'
             ELSE 'shuffle' END
     """).fetchone()[0]
@@ -225,12 +228,23 @@ def test_auto_join_routes_flip_with_table_shape(spark):
     ]
     assert _route_of(spark, *small_a, **kw) == "broadcast_a"
 
-    # both sides above the broadcast budget, one hot key dominating
+    # both sides above the broadcast budget, one hot key dominating,
+    # and b small enough that salt_buckets× replication stays below a
+    # (the r9 affordability gate: 7 * 3 = 21 <= 24)
     skewed = (
-        [(7, f"a{i}") for i in range(8)] + [(1, "ax"), (2, "ay")],
+        [(7, f"a{i}") for i in range(22)] + [(1, "ax"), (2, "ay")],
         [(7, f"b{i}") for i in range(5)] + [(1, "bx"), (3, "by")],
     )
     assert _route_of(spark, *skewed, **kw) == "salted"
+
+    # same hot-key skew but b is comparable to a: replicating b
+    # salt_buckets× would shuffle MORE than the plain join — the r9
+    # advisor gate must fall through to shuffle (8 * 3 = 24 > 10)
+    skewed_big_b = (
+        [(7, f"a{i}") for i in range(8)] + [(1, "ax"), (2, "ay")],
+        [(7, f"b{i}") for i in range(6)] + [(1, "bx"), (3, "by")],
+    )
+    assert _route_of(spark, *skewed_big_b, **kw) == "shuffle"
 
     # both sides above the budget, near-uniform keys
     uniform = (
@@ -339,3 +353,42 @@ def test_posting_pair_stats_null_text_and_empty_corpus(spark):
         row0["max_posting"],
         row0["top_shingle"],
     ) == (0, 0, 0, 0, None)
+
+
+def test_posting_pair_stats_null_block_prices_zero_pairs(spark):
+    """r9 advisor find: postings whose block value is NULL never pair
+    in weighted_jaccard_pairs' plain-equality block join, so the audit
+    must price their groups at 0 candidate pairs while still counting
+    them in n_postings / n_groups / max_posting (the join_size_audit
+    NULL-key split). Three identical NULL-source docs would naively
+    price 3 pairs; the join emits none."""
+    from kafka_streams_spark.operators.dedup import (
+        posting_pair_stats,
+        weighted_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "p q", None), (2, "p q", None), (3, "p q", None),
+         (4, "u v", "s"), (5, "u v", "s")],
+        "doc_id bigint, text string, source string",
+    )
+    row = posting_pair_stats(docs, n=1, block_col="source").collect()[0]
+    # (p,NULL)=3 and (q,NULL)=3 price 0 pairs; (u,s)=2 and (v,s)=2
+    # price 1 each. All 10 postings and 4 groups still counted.
+    assert (
+        row["n_postings"],
+        row["n_groups"],
+        row["n_candidate_pairs"],
+        row["max_posting"],
+    ) == (10, 4, 2, 3)
+    # The audit prices exactly what the join emits: only the (4, 5)
+    # pair inside block s ever reaches the pair stage (identical
+    # NULL-block docs 1-3 would be 3 more pairs if NULL paired).
+    pairs = weighted_jaccard_pairs(
+        docs, n=1, block_col="source", threshold=0.1
+    ).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(4, 5)}
+    # No-block profiles are untouched by the NULL rule: every posting
+    # group still prices, NULL block column absent entirely.
+    row_nb = posting_pair_stats(docs, n=1, block_col=None).collect()[0]
+    assert (row_nb["n_postings"], row_nb["n_candidate_pairs"]) == (10, 8)
