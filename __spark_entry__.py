@@ -1151,6 +1151,20 @@ def _q_emb_kcenter(spark, sf_dir):
     return kcenter_select(_embs(spark, sf_dir), k=8)
 
 
+def _q_emb_kcenter_scalable(spark, sf_dir):
+    """Two-stage composable-coreset k-center (r9, r8 verdict item 4):
+    md5-hash-block the corpus into 4 blocks, greedy-traverse each block
+    independently (one distributed Arrow pass), then run the exact
+    traversal over the pooled candidates. The DuckDB twin replays both
+    stages (per-block + final recursive CTEs), so the hash check covers
+    the block hash, both argmax stages, and the pool handoff. The exact
+    sequential form stays as its own contract (emb_kcenter) — the
+    weighted_jaccard capped/exact pattern."""
+    from kafka_streams_spark.operators.similarity import kcenter_select_scalable
+
+    return kcenter_select_scalable(_embs(spark, sf_dir), k=8, n_blocks=4)
+
+
 def _q_events_session_native(spark, sf_dir):
     from kafka_streams_spark.operators.analytics import events_session_native
 
@@ -2030,7 +2044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_skew_report": _q_shard_skew,
         "lsh_bucket_stats": _q_lsh_bucket_stats,
         "media_dedup": _q_media_dedup,
-        "emb_kcenter": _q_emb_kcenter,  # rows-only: iterative argmax loop
+        "emb_kcenter": _q_emb_kcenter,  # oracle-checked since r8 (CTE twin)
+        "emb_kcenter_scalable": _q_emb_kcenter_scalable,  # r9 large-k form
         # -- round-5 additions (behind the window; queued for round 6) --
         "dedup_spans_incremental": _q_dedup_spans_incremental,
         "events_props_profile": A.events_props_profile,

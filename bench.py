@@ -211,7 +211,35 @@ BENCH_QUERIES = [
     "orders_customer_auto_join",
     "length_rank_sketch_by_source",
     "length_rank_quantiles_by_source",
+    # round-9 additions
+    "emb_kcenter_scalable",
 ]
+
+
+def _calibration_query(spark):
+    """Fixed pure-JVM host-speed anchor (r8 verdict item 1): a pinned
+    synthetic aggregate — 150M-row range, xxhash64, one 97-key exchange
+    — with NO parquet scan, NO Python worker, and no dependence on any
+    engine code path. Its wall time moves ONLY with host conditions
+    (thermal throttle, co-tenant load), so the ratio of two rounds'
+    ``calibration_sec`` separates environment drift from code
+    regressions: r7→r8's uniform 1.32× on untouched queries had to be
+    re-litigated by hand; now ``tools/bench_diff.py`` divides it out.
+    Shape pinned forever — changing it breaks round-over-round
+    normalization (the clearCache methodology pin, same contract)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(0, 600_000_000, 1, 32)
+        .select(
+            (F.col("id") % 97).alias("k"),
+            # modulus bounds the running sum (ANSI mode: summing raw
+            # xxhash64 longs overflows)
+            (F.xxhash64("id") % 1_000_003).alias("h"),
+        )
+        .groupBy("k")
+        .agg(F.sum("h").alias("s"), F.count("*").alias("c"))
+    )
 
 
 def main() -> None:
@@ -238,6 +266,16 @@ def main() -> None:
     # Python-worker pool startup (measured: seconds at local[32]) — that
     # cost belongs to the session, not whichever Arrow query runs first.
     run("repetition_stats")
+
+    # Host-speed anchor, timed with the exact query protocol (clean
+    # cache, min-of-3 — it sits in the jitter-sensitive band).
+    def run_cal() -> float:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        _calibration_query(spark).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    calibration = round(min(run_cal(), run_cal(), run_cal()), 3)
 
     times: dict[str, float] = {}
     samples: dict[str, int] = {}
@@ -270,6 +308,7 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
+        "calibration_sec": calibration,
         "queries": times,
         "samples": samples,
         "sf": sf_val,
@@ -289,6 +328,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "n_queries": len(times),
+                "calibration_sec": calibration,
                 "queries": slowest,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf_val,

@@ -224,6 +224,8 @@ def exact_global_rank(
         .drop("_th")
     )
     counts = b.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
+    # global-window-bounded(n_buckets): cumulative offsets over the
+    # per-bucket count table — one row per range bucket
     cum = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.select(
         "_bkt", F.coalesce(F.sum("_cnt").over(cum), F.lit(0)).alias("_off")

@@ -614,7 +614,11 @@ def daily_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("day_nr", F.datediff(F.col("o_date"), F.lit("1995-01-01")))
     )
+    # global-window-bounded(n_days): both windows run on the day spine
+    # (one row per calendar day after the daily aggregate), bounded by
+    # the date range, not the order count
     w_cum = Window.orderBy("day_nr").rowsBetween(Window.unboundedPreceding, 0)
+    # global-window-bounded(n_days): same day spine as w_cum
     w_7d = Window.orderBy("day_nr").rangeBetween(-6, 0)
     return daily.select(
         F.date_format("o_date", "yyyy-MM-dd").alias("o_date"),

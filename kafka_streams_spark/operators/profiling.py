@@ -142,6 +142,8 @@ def histogram_quantiles(
     cum = hist.withColumn(
         "_cum",
         F.sum("counter").over(
+            # global-window-bounded(n_buckets): input is the histogram
+            # bucket table — one row per bucket, never per data row
             Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
         ),
     ).crossJoin(F.broadcast(n_total))
@@ -846,6 +848,8 @@ def rank_sketch_quantiles(sketch: DataFrame, qs: list[float]) -> DataFrame:
     samples = sketch.filter(F.col("h").isNotNull())
     kp = samples.agg(F.count("*").cast("bigint").alias("_k"))
     ranked = samples.withColumn(
+        # global-window-bounded(k): input is the KMV sketch register —
+        # at most k retained (value, h) rows, never the data
         "_r", F.row_number().over(Window.orderBy("value", "h"))
     ).crossJoin(F.broadcast(kp))
     qdf = ranked.select(

@@ -606,6 +606,8 @@ def _label_probe(
     q = embeddings.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_qvec")
     )
+    # global-window-bounded(n_cells): ranks the per-label centroid
+    # table — one row per IVF cell, never per embedding
     cell_rank = Window.orderBy(F.col("_cs").desc(), F.col(group_col))
     probe = (
         cent.crossJoin(F.broadcast(q))
@@ -1154,6 +1156,14 @@ def kcenter_select(
     with k scans of the cached (id, vec, mind) table, corpus scanned
     once.
 
+    Scale boundary (r8 verdict): k scans is the right shape for bounded
+    k (coreset seeds, eval subsets) but NOT for k in the thousands at
+    100 TB — thousands of full-corpus jobs. For large k use
+    :func:`kcenter_select_scalable` (one distributed pass + a bounded
+    driver solve, constant-factor approximation); this exact form stays
+    as the oracle-checked reference, the weighted_jaccard capped/exact
+    split.
+
     Oracle-checked since r8 (was rows-only): the bounded sequential
     argmax IS single-query SQL after all — a recursive CTE whose
     one-row state carries the picked centers, each round's farthest
@@ -1213,6 +1223,133 @@ def kcenter_select(
     # id field type follows the input (embeddings may carry string ids);
     # a hardcoded bigint would fail or silently coerce (ADVICE r4).
     id_type = embs.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        picked, schema=f"rank int, {id_col} {id_type}, center_dist double"
+    )
+
+
+def _np_greedy_kcenter(
+    V: "np.ndarray", m: int
+) -> tuple[list[int], list[float]]:
+    """Shared NumPy farthest-point traversal over rows of ``V`` (which
+    MUST already be sorted by id ascending): returns (pick order as row
+    indices, center distance at pick time — 0.0 for the seed). The
+    argmax ranks on the HALF-UP-rounded 6 dp min-SQUARED-distance with
+    min-id tiebreak (first max in id order) — bit-aligned with
+    :func:`kcenter_select`'s distributed argmax and the DuckDB
+    recursive-CTE twins, so every k-center form picks the same sequence
+    on the same input."""
+    n = len(V)
+    order = [0]
+    dists = [0.0]
+    if m <= 1 or n <= 1:
+        return order, dists
+    diff = V - V[0]
+    mind = np.einsum("ij,ij->i", diff, diff)
+    mind[0] = -1.0  # mask picked rows: distances are >= 0
+    for _ in range(1, m):
+        key = _round_half_up6(mind)
+        nxt = int(np.argmax(key))  # rows id-sorted: first max = min id
+        if key[nxt] < 0:
+            break  # every row picked
+        order.append(nxt)
+        dists.append(
+            float(
+                _round_half_up6(
+                    np.array([math.sqrt(max(float(mind[nxt]), 0.0))])
+                )[0]
+            )
+        )
+        diff = V - V[nxt]
+        mind = np.minimum(mind, np.einsum("ij,ij->i", diff, diff))
+        mind[nxt] = -1.0
+    return order, dists
+
+
+def kcenter_select_scalable(
+    embs: DataFrame,
+    k: int = 8,
+    n_blocks: int = 4,
+    per_block: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Large-k scale form of :func:`kcenter_select` (r8 verdict item 4):
+    the exact Gonzalez traversal is inherently sequential — k rounds,
+    each a full corpus pass plus a 1-row driver argmax — which is fine
+    at contract k=8 but thousands of full-corpus jobs at 100 TB with k
+    in the thousands. This is the composable-coreset composition
+    (Indyk/Mahabadi/Mahdian/Mirrokni, PODS 2014 — merge-and-reduce for
+    diversity maximization; public literature): deterministically
+    hash-block the corpus, run the SAME greedy traversal independently
+    inside each block (one distributed ``applyInPandas`` pass, blocks
+    in parallel, NumPy-vectorized), then run the exact traversal over
+    the pooled ``n_blocks x per_block`` candidates — a bounded driver
+    solve, the knn_auto dispatch-collect budget. Total cost: ONE
+    distributed pass over the corpus + O(n_blocks·per_block·k·dim)
+    local work, instead of k full passes; the blocks shuffle once on
+    the hash key and never again.
+
+    Approximation contract: greedy-per-block-then-greedy-on-union is a
+    constant-factor k-center approximation (each block's k-point
+    traversal is a 2-approx coreset of its block; the union covers the
+    corpus within twice the optimal radius). It is NOT pick-for-pick
+    equal to the exact traversal on multi-block inputs — the exact form
+    stays as its own oracle-checked contract (the weighted_jaccard
+    capped/exact pattern); with ``n_blocks=1`` this degenerates to the
+    exact traversal (test-pinned).
+
+    Deterministic end to end: block = md5-prefix of the id (mod
+    n_blocks — content-independent, engine-agnostic), per-block and
+    final traversals both rank on the rounded-6dp squared distance
+    with min-id tiebreak (:func:`_np_greedy_kcenter`), so the DuckDB
+    twin replays the whole two-stage pipeline with per-block + final
+    recursive CTEs.
+
+    Output: (rank int, id, center_dist double) — same schema and
+    semantics as :func:`kcenter_select` (center_dist measured against
+    the FINAL stage's picked-so-far set; 0.0 for the seed).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_blocks < 1:
+        raise ValueError("n_blocks must be >= 1")
+    m = per_block if per_block is not None else k
+    id_type = embs.schema[id_col].dataType.simpleString()
+
+    base = embs.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+            ).cast("int")
+            % n_blocks
+        ).alias("_blk"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).filter(F.col("vec").isNotNull())
+
+    def pick_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        V = np.asarray(list(pdf["vec"]), dtype=np.float64)
+        order, _ = _np_greedy_kcenter(V, min(m, len(pdf)))
+        return pdf.iloc[order][["id", "vec"]]
+
+    pool = base.groupBy("_blk").applyInPandas(
+        pick_block, schema=f"id {id_type}, vec array<double>"
+    )
+    # bounded collect: <= n_blocks * per_block candidate rows (the
+    # dispatch-collect budget class), never the corpus
+    rows = sorted(pool.collect(), key=lambda r: r["id"])
+    spark = embs.sparkSession
+    if not rows:
+        return spark.createDataFrame(
+            [], schema=f"rank int, {id_col} {id_type}, center_dist double"
+        )
+    V = np.asarray([list(r["vec"]) for r in rows], dtype=np.float64)
+    order, dists = _np_greedy_kcenter(V, min(k, len(rows)))
+    picked = [
+        (i + 1, rows[o]["id"], dists[i]) for i, o in enumerate(order)
+    ]
     return spark.createDataFrame(
         picked, schema=f"rank int, {id_col} {id_type}, center_dist double"
     )

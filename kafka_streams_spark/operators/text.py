@@ -1704,7 +1704,8 @@ def zipf_fit(
         .orderBy(F.col("_f").desc(), F.col("_t"))
         .limit(k)
     )
-    # rank window runs on the ≤ k-row top-k result — bounded by design
+    # global-window-bounded(k): rank window runs on the ≤ k-row top-k
+    # result above — bounded by design
     ranked = freq.withColumn(
         "_r", F.row_number().over(Window.orderBy(F.col("_f").desc(), F.col("_t")))
     )

@@ -4137,10 +4137,16 @@ TPCH_EXTRA_ORACLES["orders_lineitem_join_audit"] = """
 # recursive-trainer pattern); each round's farthest point is a
 # correlated scalar subquery ranking on the ROUNDED min-squared-
 # distance (the r8 rounded-rank policy), id tiebreak, seed = min id.
-_KC_SQD = (
-    "list_sum(list_transform(list_zip(e.v, p.v), "
-    "z -> (z[1] - z[2]) * (z[1] - z[2])))"
-)
+def _kc_sqd(alias: str) -> str:
+    """Squared L2 between ``alias.v`` and a picked struct's ``p.v`` —
+    shared by every k-center recursive-CTE twin."""
+    return (
+        f"list_sum(list_transform(list_zip({alias}.v, p.v), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    )
+
+
+_KC_SQD = _kc_sqd("e")
 SIMILARITY_ORACLES["emb_kcenter"] = f"""
     WITH RECURSIVE e AS MATERIALIZED (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -4161,6 +4167,86 @@ SIMILARITY_ORACLES["emb_kcenter"] = f"""
                             p -> {_KC_SQD}))), 6),
                         v := e.v)
                     FROM e
+                    WHERE NOT list_contains(
+                        list_transform(s.picked, p -> p.id), e.vec_id)
+                    ORDER BY round(list_min(list_transform(s.picked,
+                                 p -> {_KC_SQD})), 6) DESC,
+                             e.vec_id
+                    LIMIT 1) AS pick
+            FROM sel AS s
+            WHERE s.r < 8
+        )
+        WHERE pick IS NOT NULL
+    )
+    SELECT CAST(p.r AS INTEGER) AS rank, p.id AS vec_id, p.d AS center_dist
+    FROM (SELECT picked FROM sel ORDER BY r DESC LIMIT 1),
+         unnest(picked) AS u(p)
+"""
+
+# Two-stage scalable k-center (similarity.py kcenter_select_scalable,
+# r8 verdict item 4): replay BOTH stages — the per-block greedy
+# traversals (one recursive CTE whose state is one row PER BLOCK, each
+# carrying its picked list; block = md5-prefix of the id mod 4, the
+# engine's hash) and the final exact traversal over the pooled
+# candidates (the emb_kcenter CTE, FROM the pool). Every argmax ranks
+# on the rounded-6dp squared distance with min-id tiebreak, so the
+# cross-engine check covers the block assignment, both traversal
+# stages, and the pool handoff.
+SIMILARITY_ORACLES["emb_kcenter_scalable"] = f"""
+    WITH RECURSIVE e AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))
+                    AS INT) % 4 AS blk
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    bsel(blk, r, picked) AS (
+        SELECT b.blk, 1,
+               (SELECT list(struct_pack(id := s.vec_id, v := s.v))
+                FROM (SELECT vec_id, v FROM e
+                      WHERE e.blk = b.blk ORDER BY vec_id LIMIT 1) s)
+        FROM (SELECT DISTINCT blk FROM e) b
+        UNION ALL
+        SELECT blk, r + 1, list_append(picked, pick)
+        FROM (
+            SELECT s.blk, s.r, s.picked,
+                   (SELECT struct_pack(id := e2.vec_id, v := e2.v)
+                    FROM e e2
+                    WHERE e2.blk = s.blk AND NOT list_contains(
+                        list_transform(s.picked, p -> p.id), e2.vec_id)
+                    ORDER BY round(list_min(list_transform(s.picked,
+                                 p -> {_kc_sqd("e2")})), 6) DESC,
+                             e2.vec_id
+                    LIMIT 1) AS pick
+            FROM bsel AS s
+            WHERE s.r < 8
+        )
+        WHERE pick IS NOT NULL
+    ),
+    pool AS MATERIALIZED (
+        SELECT p.id AS vec_id, p.v AS v
+        FROM (SELECT blk, picked,
+                     row_number() OVER (PARTITION BY blk ORDER BY r DESC)
+                         AS rn
+              FROM bsel) b,
+             unnest(picked) AS u(p)
+        WHERE rn = 1
+    ),
+    sel(r, picked) AS (
+        SELECT 1,
+               (SELECT list(struct_pack(r := 1, id := vec_id,
+                                        d := CAST(0.0 AS DOUBLE), v := v))
+                FROM (SELECT vec_id, v FROM pool ORDER BY vec_id LIMIT 1))
+        UNION ALL
+        SELECT r + 1, list_append(picked, pick)
+        FROM (
+            SELECT s.r, s.picked,
+                   (SELECT struct_pack(
+                        r := s.r + 1,
+                        id := e.vec_id,
+                        d := round(sqrt(list_min(list_transform(s.picked,
+                            p -> {_KC_SQD}))), 6),
+                        v := e.v)
+                    FROM pool e
                     WHERE NOT list_contains(
                         list_transform(s.picked, p -> p.id), e.vec_id)
                     ORDER BY round(list_min(list_transform(s.picked,

@@ -438,6 +438,9 @@ EMB_FUZZ_QUERIES = [
     # r8: k-center traversal — duplicated vectors create rounded-rank
     # ties the id tiebreak must resolve identically cross-engine
     "emb_kcenter",
+    # r9: the two-stage blocked form — fuzz vectors exercise the block
+    # hash, per-block ties, and the pool handoff on a different corpus
+    "emb_kcenter_scalable",
 ]
 
 

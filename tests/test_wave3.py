@@ -220,6 +220,74 @@ def test_kcenter_k_exceeding_corpus_stops_early(spark):
     assert out[1]["center_dist"] == 5.0
 
 
+def test_kcenter_scalable_single_block_equals_exact(spark, sf_dir):
+    """r9 large-k form: with n_blocks=1 the two-stage composition
+    degenerates to the exact traversal (one block = the whole corpus,
+    final stage re-traverses the same picks) — pick-for-pick and
+    distance-for-distance equal to kcenter_select. This pins the shared
+    argmax semantics (rounded-6dp squared distance, min-id tiebreak)
+    across the distributed loop, the Arrow per-block path, and the
+    driver-side final solve."""
+    from kafka_streams_spark.operators.similarity import (
+        kcenter_select,
+        kcenter_select_scalable,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    exact = [tuple(r) for r in kcenter_select(embs, k=6).orderBy("rank").collect()]
+    degen = [
+        tuple(r)
+        for r in kcenter_select_scalable(embs, k=6, n_blocks=1)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert exact == degen
+
+
+def test_kcenter_scalable_covering_radius_and_edges(spark, sf_dir):
+    """The blocked form is an approximation, not pick-identical — what
+    it MUST preserve is coverage: its covering radius (max over the
+    corpus of distance-to-nearest-picked) stays within the composable-
+    coreset bound of the exact traversal's (checked loosely at 2x —
+    theory says the union of per-block 2-approx coresets keeps a
+    constant factor). Plus edges: k > corpus stops early, string ids
+    keep their type, empty corpus yields the empty frame."""
+    from kafka_streams_spark.operators.similarity import (
+        kcenter_select,
+        kcenter_select_scalable,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    rows = embs.select("vec_id", "embedding").collect()
+    vecs = np.asarray(
+        [[float(x) for x in r["embedding"]] for r in rows], dtype=np.float64
+    )
+    ids = [r["vec_id"] for r in rows]
+
+    def radius(picked_ids):
+        C = vecs[[ids.index(p) for p in picked_ids]]
+        d2 = ((vecs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return float(np.sqrt(d2.min(axis=1).max()))
+
+    exact = [r["vec_id"] for r in kcenter_select(embs, k=6).collect()]
+    blocked = [
+        r["vec_id"] for r in kcenter_select_scalable(embs, k=6, n_blocks=4).collect()
+    ]
+    assert len(blocked) == 6 and len(set(blocked)) == 6
+    assert radius(blocked) <= 2.0 * radius(exact) + 1e-9
+
+    tiny = spark.createDataFrame(
+        [("a", [0.0, 0.0]), ("b", [3.0, 4.0]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    out = kcenter_select_scalable(tiny, k=10, n_blocks=2).orderBy("rank").collect()
+    assert sorted(r["vec_id"] for r in out) == ["a", "b", "c"]
+    assert out[0]["center_dist"] == 0.0
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert kcenter_select_scalable(empty, k=3).count() == 0
+
+
 # ---------------------------------------------------------------------------
 # dedup_substring_remove
 # ---------------------------------------------------------------------------

@@ -6,6 +6,15 @@ Usage:
 
 Exit code 1 if any query regressed more than the threshold (new queries
 and removed queries are reported but never fail the gate).
+
+Host-drift normalization (r8 verdict item 1): when BOTH records carry
+``calibration_sec`` (bench.py's pinned pure-JVM anchor — no parquet, no
+Python, no engine code), every per-query ratio is divided by the
+calibration ratio and the gate fires on the NORMALIZED value. The
+r7→r8 record drifted a uniform 1.32× on untouched pure-JVM queries —
+host throttle, adjudicated by an independent idle-host re-run; with the
+anchor that separation is one division instead of a re-litigation.
+Records without the anchor (pre-r9) diff on raw ratios as before.
 """
 
 from __future__ import annotations
@@ -56,9 +65,19 @@ def main() -> int:
     oq, nq = old.get("queries", {}), new.get("queries", {})
     osamp, nsamp = old.get("samples", {}), new.get("samples", {})
 
+    ocal, ncal = old.get("calibration_sec"), new.get("calibration_sec")
+    cal_ratio = None
+    if ocal and ncal:
+        cal_ratio = ncal / ocal
+        print(
+            f"calibration: old={ocal}s new={ncal}s host-drift "
+            f"{cal_ratio:.2f}x — gating on NORMALIZED ratios"
+        )
+
     regressed: list[tuple[str, float, float, float]] = []
     improved: list[tuple[str, float, float, float]] = []
-    print(f"{'query':34s} {'old_s':>8s} {'new_s':>8s} {'ratio':>7s}")
+    norm_hdr = f" {'norm':>7s}" if cal_ratio else ""
+    print(f"{'query':34s} {'old_s':>8s} {'new_s':>8s} {'ratio':>7s}{norm_hdr}")
     for name in sorted(set(oq) | set(nq)):
         if name not in oq:
             print(f"{name:34s} {'-':>8s} {nq[name]:8.3f}     new")
@@ -68,22 +87,29 @@ def main() -> int:
             continue
         # floor the denominator: sub-50ms timings are noise-dominated
         ratio = nq[name] / max(oq[name], 0.05)
+        gate = ratio / cal_ratio if cal_ratio else ratio
         flag = ""
-        if ratio > args.threshold:
-            regressed.append((name, oq[name], nq[name], ratio))
+        if gate > args.threshold:
+            regressed.append((name, oq[name], nq[name], gate))
             flag = "  << REGRESSION"
-        elif ratio < 1 / args.threshold:
-            improved.append((name, oq[name], nq[name], ratio))
+        elif gate < 1 / args.threshold:
+            improved.append((name, oq[name], nq[name], gate))
             flag = "  improved"
         # min-of-N protocol changed for this query (ADVICE r4): the
         # delta conflates sample count with performance — annotate.
         if name in osamp and name in nsamp and osamp[name] != nsamp[name]:
             flag += f"  [samples {osamp[name]}->{nsamp[name]}]"
-        print(f"{name:34s} {oq[name]:8.3f} {nq[name]:8.3f} {ratio:6.2f}x{flag}")
+        norm_col = f" {gate:6.2f}x" if cal_ratio else ""
+        print(
+            f"{name:34s} {oq[name]:8.3f} {nq[name]:8.3f} "
+            f"{ratio:6.2f}x{norm_col}{flag}"
+        )
 
+    gate_kind = "normalized" if cal_ratio else "raw"
     print(
         f"\ntotal: old={old.get('value')}s new={new.get('value')}s  "
-        f"regressed>{args.threshold}x: {len(regressed)}  improved: {len(improved)}"
+        f"regressed>{args.threshold}x ({gate_kind}): {len(regressed)}  "
+        f"improved: {len(improved)}"
     )
     return 1 if regressed else 0
 
