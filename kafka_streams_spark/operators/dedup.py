@@ -697,6 +697,7 @@ def ngram_jaccard_pairs_auto(
     max_block_rows: int = 10_000,
     dense_posting_len: int = 100,
     stats_sample_docs: int = 2048,
+    profile: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairs with engine-chosen physical form.
 
@@ -732,6 +733,19 @@ def ngram_jaccard_pairs_auto(
     statistics you'd maintain anyway (ANALYZE / a shingle-index
     summary), not a scan.
 
+    ``profile`` (r9, r8 verdict item 8 — the ``auto_join``-consumes-
+    ``join_size_audit`` pattern): a :func:`posting_profile` table
+    (batch-built, or live via
+    ``streaming/sketch_stream.run_posting_profile_stream`` +
+    ``read_posting_profile``) replaces the sampled density job — the
+    dispatcher reads occurrences / distinct groups from the maintained
+    profile instead of re-shingling a sample, so on a streamed corpus
+    the blocked↔prefix choice tracks ingestion with no corpus access
+    at plan time. Build the profile with the SAME shingle ``n`` (the
+    streamed store stamps it); a blocked profile's per-(shingle, block)
+    granularity is exactly the clustering the blocked pair join sees,
+    so its mean posting length is the more faithful density signal.
+
     Output is identical across both forms (oracle-equal); only the
     physical strategy changes.
     """
@@ -744,15 +758,21 @@ def ngram_jaccard_pairs_auto(
     if (max_block or 0) > max_block_rows:
         choice = "prefix"
     else:
-        occ = (
-            docs.limit(stats_sample_docs)
-            .select(F.explode(word_shingles(F.col(text_col), n)).alias("s"))
-            .agg(
-                F.count("*").alias("occ"),
-                F.approx_count_distinct("s").alias("distinct"),
+        if profile is not None:
+            occ = profile.agg(
+                F.coalesce(F.sum("cnt"), F.lit(0)).alias("occ"),
+                F.count(F.lit(1)).alias("distinct"),
+            ).head()
+        else:
+            occ = (
+                docs.limit(stats_sample_docs)
+                .select(F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+                .agg(
+                    F.count("*").alias("occ"),
+                    F.approx_count_distinct("s").alias("distinct"),
+                )
+                .head()
             )
-            .head()
-        )
         choice = jaccard_dispatch_choice(
             max_block or 0, occ["occ"], occ["distinct"], max_block_rows, dense_posting_len
         )

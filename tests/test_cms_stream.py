@@ -706,3 +706,92 @@ def test_posting_profile_stream_equals_batch_audit(spark, tmp_path):
         read_posting_profile(spark, prof, n=2)
     with pytest.raises(ValueError, match="mismatched parameters"):
         run_posting_profile_stream(spark, src, prof, str(tmp_path / "c2"), n=2)
+
+
+def test_jaccard_dispatcher_flips_on_streamed_profile_update(spark, tmp_path):
+    """r9 (r8 verdict item 8): the Jaccard dispatcher CONSUMES the
+    stream-maintained posting profile — the auto_join-consumes-
+    join_size_audit pattern. A dense first batch (one repeated token:
+    long posting lists) routes blocked; after a sparse second batch
+    lands in the same store (many singleton tokens), the SAME read-off
+    flips the choice to prefix. Output identity across the flip is also
+    pinned: auto with the live profile equals the explicit physical
+    forms either side."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.operators.dedup import (
+        jaccard_dispatch_choice,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_auto,
+        ngram_jaccard_pairs_prefix,
+    )
+    from kafka_streams_spark.streaming.sketch_stream import (
+        read_posting_profile,
+        run_posting_profile_stream,
+    )
+
+    src = str(tmp_path / "src")
+    prof = str(tmp_path / "prof")
+    ckpt = str(tmp_path / "ckpt")
+
+    dense = [
+        {"doc_id": i, "source": "s", "text": "tok tok tok tok"}
+        for i in range(1, 4)
+    ]
+    sparse = [
+        {
+            "doc_id": 10 + i,
+            "source": "s",
+            "text": " ".join(f"w{10 * i + j}" for j in range(10)),
+        }
+        for i in range(4)
+    ]
+
+    def stats(profile):
+        row = profile.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("occ"),
+            F.count(F.lit(1)).alias("distinct"),
+        ).head()
+        return int(row["occ"]), int(row["distinct"])
+
+    _write(src, "b1.json", dense)
+    q = run_posting_profile_stream(spark, src, prof, ckpt, n=1)
+    try:
+        q.processAllAvailable()
+        occ1, dist1 = stats(read_posting_profile(spark, prof, n=1))
+        choice1 = jaccard_dispatch_choice(3, occ1, dist1, dense_posting_len=3)
+        _write(src, "b2.json", sparse)
+        q.processAllAvailable()
+        occ2, dist2 = stats(read_posting_profile(spark, prof, n=1))
+        choice2 = jaccard_dispatch_choice(7, occ2, dist2, dense_posting_len=3)
+    finally:
+        q.stop()
+    assert (choice1, choice2) == ("blocked", "prefix")
+
+    # output identity: auto fed the LIVE profile equals both explicit
+    # physical forms on the full corpus, whichever way it routes
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["source"], r["text"]) for r in dense + sparse],
+        "doc_id bigint, source string, text string",
+    )
+    live = read_posting_profile(spark, prof, n=1)
+    auto = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs_auto(
+            docs, n=1, threshold=0.5, block_col="source",
+            dense_posting_len=3, profile=live,
+        ).collect()
+    )
+    blocked = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, n=1, threshold=0.5, block_col="source"
+        ).collect()
+    )
+    prefix = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs_prefix(
+            docs, n=1, threshold=0.5, block_col="source"
+        ).collect()
+    )
+    assert auto == blocked == prefix

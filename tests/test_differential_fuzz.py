@@ -133,8 +133,12 @@ FUZZ_EXEMPT = {
     # rows-only — no oracle to differentially compare (learned steps,
     # sketches, sequential algorithms; the driver's rows-only check and
     # their model-pinned unit tests are the gate)
-    "approx_users_by_type": "rows-only (HLL++ sketch, no oracle)",
-    "profile_documents_approx": "rows-only (HLL++ sketch, no oracle)",
+    # the two HLL++ registers additionally assert the estimate sits
+    # within 3·rsd of the oracle-checked exact twin (r9 —
+    # test_hll_contracts_within_published_error_bound), so "rows-only"
+    # here means no VALUE hash, not unchecked values
+    "approx_users_by_type": "rows-only (HLL++ sketch; 3·rsd bound tested)",
+    "profile_documents_approx": "rows-only (HLL++ sketch; 3·rsd bound tested)",
     "compression_ratio": "rows-only (zlib DEFLATE, no oracle)",
     "emb_whiten": "rows-only (learned eigenbasis, no oracle)",
     "knn_ivf_vec0": "rows-only (learned KMeans index, no oracle)",

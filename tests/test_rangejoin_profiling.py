@@ -146,3 +146,47 @@ def test_asof_join_null_keys_match_nothing(spark):
     )
     out = {r["lid"]: r["v_asof"] for r in asof_join(left, right, "k", "ts", ["v"]).collect()}
     assert out == {1: None, 2: 222}
+
+
+def test_hll_contracts_within_published_error_bound(spark, sf_dir):
+    """r8 verdict item 5: the two HLL++ rows-only contracts must not
+    just return rows — each estimate is asserted against its
+    oracle-checked EXACT twin within a multiple of HLL++'s published
+    relative standard deviation (Heule/Nunkesser/Hall 2013: rsd ≈
+    1.04/sqrt(m); Spark's rsd parameter IS that figure). Spark's HLL++
+    is deterministic for a given input (fixed hash), so the observed
+    relative error is a constant of the corpus — the 3·rsd envelope is
+    a real assertion, not a flaky tolerance."""
+    from kafka_streams_spark.catalog import load_table
+    from kafka_streams_spark.operators.analytics import approx_users_by_type
+
+    # approx_users_by_type (rsd=0.01) vs exact per-type distinct
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in approx_users_by_type(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(3 * 0.01 * n, 1.0), (t, n, approx[t])
+
+    # profile_columns(exact=False) (default rsd=0.05) vs exact twin
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    ex = {
+        r["col_name"]: r["n_distinct"]
+        for r in profile_columns(docs, cols, exact=True).collect()
+    }
+    ap = {
+        r["col_name"]: r["n_distinct"]
+        for r in profile_columns(docs, cols, exact=False).collect()
+    }
+    assert set(ap) == set(ex)
+    for c in cols:
+        assert abs(ap[c] - ex[c]) <= max(3 * 0.05 * ex[c], 1.0), (c, ex[c], ap[c])
