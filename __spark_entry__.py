@@ -722,6 +722,22 @@ def _q_weighted_jaccard_capped(spark, sf_dir):
     )
 
 
+def _q_max_df_for_budget(spark, sf_dir):
+    """Cap sizing from the measured profile (r9, advisor follow-up):
+    the largest stop-shingle df cap whose surviving groups emit <= 500
+    candidate pairs — same (n=1, block=source) profile as the
+    weighted_jaccard contracts, so this 1-row read-off is how a
+    production run would choose max_df instead of pinning 350."""
+    from kafka_streams_spark.operators.dedup import (
+        max_df_for_budget,
+        posting_profile,
+    )
+
+    return max_df_for_budget(
+        posting_profile(_docs(spark, sf_dir), n=1, block_col="source"), 500
+    )
+
+
 def _q_posting_pair_stats(spark, sf_dir):
     """Pre-flight pricing of the weighted_jaccard contract's posting
     self-join (r8 sf1 spot-check follow-up): the exact candidate-pair
@@ -856,6 +872,34 @@ def _q_assign_splits(spark, sf_dir):
     from kafka_streams_spark.operators.sampling import assign_splits
 
     return assign_splits(_docs(spark, sf_dir), test_256=13, val_256=26)
+
+
+def _q_cap_per_source(spark, sf_dir):
+    """Per-domain document cap (r9): keep <= 30 docs per source, winners
+    by md5(id) rank with id tiebreak — the kept SET is deterministic, so
+    the oracle hash-checks membership, not just counts."""
+    from kafka_streams_spark.operators.sampling import cap_per_group
+
+    return cap_per_group(_docs(spark, sf_dir), "source", max_rows=30).select(
+        "doc_id", "source"
+    )
+
+
+def _q_leakage_safe_splits(spark, sf_dir):
+    """Leakage-safe train/val/test (r9): near-dup clusters (seed-42
+    md5_32 MinHash banding -> connected components) move as one unit;
+    singletons get the plain assign_splits assignment. The oracle
+    replays banding + the recursive-CTE fixpoint + the md5-bucket CASE
+    end-to-end."""
+    from kafka_streams_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_near_duplicates,
+    )
+    from kafka_streams_spark.operators.sampling import leakage_safe_splits
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_near_duplicates(docs, threshold=0.5, hash_fn="md5_32")
+    return leakage_safe_splits(docs, duplicate_clusters(pairs))
 
 
 def _q_reservoir_sample(spark, sf_dir):
@@ -1909,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": _q_ccnet_buckets,  # new r04: perplexity terciles
         "weighted_jaccard": _q_weighted_jaccard,  # new r04: idf-weighted pairs
         "posting_pair_stats": _q_posting_pair_stats,  # r8: pair-join pre-flight
+        "max_df_for_budget": _q_max_df_for_budget,  # r9: cap sizing read-off
         "weighted_jaccard_capped": _q_weighted_jaccard_capped,  # r8: stop-shingle form
         "knn_text_vec0": _q_knn_text_vec0,  # new r04: text→similarity bridge
         "language_id": _q_language_id,
@@ -1952,6 +1997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_fuzzy": _q_dedup_incremental_fuzzy,
         "reservoir_sample_docs": _q_reservoir_sample,
         "assign_splits_docs": _q_assign_splits,
+        "cap_per_source": _q_cap_per_source,  # r9: per-domain cap
+        "leakage_safe_splits_docs": _q_leakage_safe_splits,  # r9: eval integrity
         "corpus_drift": _q_corpus_drift,
         "length_outliers": _q_length_outliers,
         "quality_calibrated": _q_quality_calibrated,

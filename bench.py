@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "length_rank_quantiles_by_source",
     # round-9 additions
     "emb_kcenter_scalable",
+    "cap_per_source",
+    "leakage_safe_splits_docs",
 ]
 
 

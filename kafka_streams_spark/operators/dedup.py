@@ -2076,6 +2076,62 @@ def posting_pair_stats_from_profile(profile: DataFrame) -> DataFrame:
     )
 
 
+def max_df_for_budget(profile: DataFrame, pair_budget: int) -> DataFrame:
+    """Size the :func:`weighted_jaccard_pairs` ``max_df`` stop-shingle
+    cap FROM the measured :func:`posting_profile`, given a candidate-
+    pair budget — the r9 advisor follow-through: the capped contract's
+    pinned ``max_df=350`` is corpus-relative (70% of 500 docs, 7% of
+    5000), so a production cap should be derived from the profile at
+    the actual corpus scale, not copied from a contract constant.
+
+    Returns the LARGEST cap such that the posting groups surviving it
+    (``cnt <= cap``) emit at most ``pair_budget`` candidate pairs —
+    computed from the per-length histogram of the profile: one grouped
+    aggregate over distinct posting lengths, a cumulative sum over that
+    histogram, one read-off. O(distinct posting lengths) state, no
+    corpus access (the posting_pair_stats_from_profile convention).
+    NULL-block groups price 0 pairs here exactly as in the audit (the
+    plain-equality block join never pairs them).
+
+    Output 1 row: (max_df BIGINT — 0 if even df=1 groups blow the
+    budget (or the profile is empty: nothing survives ANY cap, and a
+    0 cap excludes everything, consistent), n_candidate_pairs BIGINT —
+    the exact pair count the chosen cap admits).
+    """
+    from pyspark.sql import Window
+
+    if pair_budget < 0:
+        raise ValueError("pair_budget must be >= 0")
+    blk = [c for c in profile.columns if c not in ("_s", "cnt")]
+    pair_cnt = F.expr("cnt * (cnt - 1) div 2")
+    if blk:
+        pair_cnt = F.when(F.col(blk[0]).isNotNull(), pair_cnt).otherwise(
+            F.lit(0)
+        )
+    per_len = profile.groupBy("cnt").agg(
+        F.sum(pair_cnt).cast("bigint").alias("_pairs")
+    )
+    # global-window-bounded(distinct posting lengths): input is the
+    # posting-length histogram — the value_histogram bucket-table class,
+    # one row per distinct df value, never per posting
+    cum_w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_len.withColumn("_cum", F.sum("_pairs").over(cum_w))
+    return cum.agg(
+        F.coalesce(
+            F.max(F.when(F.col("_cum") <= pair_budget, F.col("cnt"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("max_df"),
+        F.coalesce(
+            F.max(F.when(F.col("_cum") <= pair_budget, F.col("_cum"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_candidate_pairs"),
+    )
+
+
 def cluster_size_stats(labels: DataFrame, cluster_col: str = "cluster_id") -> DataFrame:
     """Duplicate-cluster size histogram — the report every dedup run
     ends with: how many clusters of each size the near-dup graph

@@ -261,9 +261,22 @@ def assign_splits(
     (referential integrity across the corpus and its metadata tables).
     Map-only — a projected CASE on a hash, no shuffle, no RNG.
     """
+    return docs.select(
+        F.col(id_col),
+        split_expr(F.col(id_col), test_256, val_256).alias("split"),
+    )
+
+
+def split_expr(key: Column | str, test_256: int = 13, val_256: int = 26) -> Column:
+    """:func:`assign_splits`' bucket rule as a reusable expression —
+    md5(key) first byte < test_256 → 'test', < val_256 → 'val', else
+    'train' — so any operator that needs the SAME deterministic split
+    on a different key (:func:`leakage_safe_splits` keys on the dup
+    cluster) cannot drift from the contract rule."""
     if not 0 <= test_256 <= val_256 <= 256:
         raise ValueError("need 0 <= test_256 <= val_256 <= 256")
-    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    key = F.col(key) if isinstance(key, str) else key
+    bucket = F.substring(F.md5(key.cast("string")), 1, 2)
 
     # format(256,'02x') is the 3-char '100', which breaks the 2-char
     # lexicographic compare (same pitfall hash_sample special-cases):
@@ -273,12 +286,91 @@ def assign_splits(
             return F.lit(True)
         return bucket < F.lit(format(boundary, "02x"))
 
-    split = (
+    return (
         F.when(below(test_256), F.lit("test"))
         .when(below(val_256), F.lit("val"))
         .otherwise(F.lit("train"))
     )
-    return docs.select(F.col(id_col), split.alias("split"))
+
+
+def leakage_safe_splits(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    test_256: int = 13,
+    val_256: int = 26,
+) -> DataFrame:
+    """Train/val/test assignment that CANNOT leak near-duplicates across
+    splits — the eval-integrity upgrade of :func:`assign_splits`: a doc
+    hash-split independently of its near-twin lands the pair on both
+    sides of the train/test boundary, silently inflating eval scores
+    (the contamination the decontaminate ops hunt, created by your own
+    splitter). Here the split key is the duplicate CLUSTER id
+    (:func:`~kafka_streams_spark.operators.dedup.duplicate_clusters`
+    output — the min member id) for clustered docs and the doc's own id
+    for singletons, then :func:`split_expr` applies the exact
+    assign_splits rule to that key — so every cluster moves as one unit
+    and singleton assignments are IDENTICAL to plain assign_splits
+    (same rule, same key).
+
+    At 100 TB: one id-keyed equi-join against the cluster table (dup
+    nodes only — a small fraction of the corpus; AQE broadcasts it when
+    it fits), then the map-only hash CASE. No extra shuffle of the
+    corpus beyond the join.
+
+    Output: (id_col, split_key, split) — split_key kept so the
+    cluster-atomicity property is itself checkable downstream.
+    """
+    reps = clusters.select(
+        F.col("node").alias(id_col), F.col("cluster_id").alias("_rep")
+    )
+    return (
+        docs.select(id_col)
+        .join(reps, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_rep"), F.col(id_col)).alias("split_key"),
+        )
+        .withColumn("split", split_expr(F.col("split_key"), test_256, val_256))
+    )
+
+
+def cap_per_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    max_rows: int = 1000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group document cap — the per-domain cap every
+    web-corpus recipe applies (C4/RefinedWeb-style: no single host may
+    dominate the mix): keep at most ``max_rows`` docs per group, the
+    winners chosen by md5(id) rank (id tiebreak) so the kept subset is
+    a uniform-without-replacement sample of the group that is stable
+    under re-runs, repartitioning, and incremental re-ingestion — NOT
+    "first max_rows in arrival order", which silently biases toward
+    whatever crawl batch landed first.
+
+    One shuffle on the group key; the rank is a partitioned window
+    (row_number over groups), so it scales horizontally across groups.
+    Skew caveat: a single colossal group sorts in one task — when one
+    domain is a double-digit share of the corpus, pre-filter it with
+    :func:`hash_sample` (rate ≈ a few × max_rows / group size) before
+    the exact rank; the md5-order winners are unchanged as long as the
+    pre-filter keeps ≥ max_rows rows (same hash, prefix property).
+
+    Output: the input rows that survive the cap (all columns, rank
+    dropped). NULL groups form one group like any groupBy.
+    """
+    if max_rows < 0:
+        raise ValueError("max_rows must be >= 0")
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_rows)
+        .drop("_r")
+    )
 
 
 def reservoir_sample(

@@ -4332,6 +4332,73 @@ TEXT_ORACLES["vocab_overlap_kmv"] = f"""
     FROM est
 """
 
+# Stop-shingle cap sizing (dedup.py max_df_for_budget): the largest
+# df cap whose surviving posting groups emit <= the pair budget —
+# cumulative sum over the posting-length histogram, NULL-block groups
+# priced 0 (the r9 posting_pair_stats convention). budget=500 pinned
+# in the contract.
+DEDUP_ORACLES["max_df_for_budget"] = f"""
+    WITH {_shingle_cte(1)},
+    ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+    occ AS (SELECT s, source, count(*) AS cnt FROM ex GROUP BY s, source),
+    per AS (SELECT cnt,
+                   CAST(COALESCE(sum(CASE WHEN source IS NOT NULL
+                                          THEN cnt * (cnt - 1) // 2
+                                          ELSE 0 END), 0) AS BIGINT) AS pairs
+            FROM occ GROUP BY cnt),
+    cum AS (SELECT cnt, sum(pairs) OVER (ORDER BY cnt) AS cum FROM per)
+    SELECT CAST(COALESCE(max(CASE WHEN cum <= 500 THEN cnt END), 0)
+                AS BIGINT) AS max_df,
+           CAST(COALESCE(max(CASE WHEN cum <= 500 THEN cum END), 0)
+                AS BIGINT) AS n_candidate_pairs
+    FROM cum
+"""
+
+# Per-group cap (sampling.py cap_per_group): winners by md5(id) rank
+# with id tiebreak inside each source — the same deterministic order on
+# both engines, so the kept SET (not just its size) hash-matches.
+SAMPLING_ORACLES["cap_per_source"] = """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        FROM documents)
+    WHERE r <= 30
+"""
+
+# Leakage-safe splits (sampling.py leakage_safe_splits): the full
+# composition replayed — seed-42 md5_32 MinHash banding pairs (the
+# dedup_minhash_lsh oracle, nested as a subquery), the recursive-CTE
+# min-label fixpoint (the dedup_clusters pattern), then assign_splits'
+# md5-bucket CASE applied to the cluster-or-self split key. Checks that
+# every near-dup cluster lands in ONE split in BOTH engines.
+SAMPLING_ORACLES["leakage_safe_splits_docs"] = f"""
+    WITH RECURSIVE
+    p AS MATERIALIZED (SELECT id_a, id_b FROM ({_minhash_lsh_sql(0.5)})),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT ed.dst, r.label FROM reach r JOIN edges ed ON r.node = ed.src
+    ),
+    cc AS (SELECT node, CAST(min(label) AS BIGINT) AS cluster_id
+           FROM reach GROUP BY node),
+    keyed AS (
+        SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 2) < '0d'
+                    THEN 'test'
+                WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 2) < '1a'
+                    THEN 'val'
+                ELSE 'train' END AS split
+    FROM keyed
+"""
+
 ALL_ORACLES = {
     **PAYMENT_ORACLES,
     **ANALYTICS_ORACLES,

@@ -37,6 +37,77 @@ def test_assign_splits_partition_of_corpus(spark, sf_dir):
     assert out.exceptAll(out2).count() == 0 and out2.exceptAll(out).count() == 0
 
 
+def test_leakage_safe_splits_cluster_atomic_and_singleton_equal(spark, sf_dir):
+    """r9: every duplicate cluster must land in exactly ONE split
+    (the property the operator exists for), and docs in NO cluster must
+    get the identical assignment plain assign_splits gives (same rule,
+    same key — so adopting the leakage-safe form never reshuffles the
+    unclustered majority of the corpus)."""
+    from kafka_streams_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_near_duplicates,
+    )
+    from kafka_streams_spark.operators.sampling import (
+        assign_splits,
+        leakage_safe_splits,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = duplicate_clusters(
+        minhash_near_duplicates(docs, threshold=0.5, hash_fn="md5_32")
+    )
+    out = leakage_safe_splits(docs, clusters)
+    assert out.count() == docs.count()
+
+    # cluster atomicity: one distinct split per split_key, and every
+    # clustered doc's split_key is its cluster id
+    multi = (
+        out.groupBy("split_key")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+    )
+    assert multi.count() == 0
+    joined = out.join(
+        clusters.withColumnRenamed("node", "doc_id"), "doc_id"
+    )
+    assert joined.filter(F.col("split_key") != F.col("cluster_id")).count() == 0
+    assert joined.count() > 0  # the corpus really has clusters to test
+
+    # singleton equality with plain assign_splits
+    plain = assign_splits(docs).withColumnRenamed("split", "plain_split")
+    singles = out.join(
+        clusters.withColumnRenamed("node", "doc_id"), "doc_id", "left_anti"
+    ).join(plain, "doc_id")
+    assert singles.filter(F.col("split") != F.col("plain_split")).count() == 0
+
+
+def test_cap_per_group_deterministic_membership(spark):
+    """r9: the cap keeps the md5-rank winners — a stable SET, not
+    'first N in arrival order'. Groups under the cap pass through
+    whole; the kept subset is invariant to row order and partitioning;
+    max_rows=0 empties; NULL groups cap as one group."""
+    from kafka_streams_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "big" if i % 3 else None, f"t{i}") for i in range(1, 31)]
+    rows += [(100 + i, "small", "u") for i in range(3)]
+    docs = _docs(spark, rows)
+    out = cap_per_group(docs, "source", max_rows=5)
+    sizes = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {"big": 5, None: 5, "small": 3}
+    kept = sorted(r["doc_id"] for r in out.collect())
+    shuffled = cap_per_group(
+        docs.orderBy(F.desc("doc_id")).repartition(7), "source", max_rows=5
+    )
+    assert sorted(r["doc_id"] for r in shuffled.collect()) == kept
+    assert cap_per_group(docs, "source", max_rows=0).count() == 0
+    with pytest.raises(ValueError):
+        cap_per_group(docs, "source", max_rows=-1)
+
+
 def test_assign_splits_validates_bounds(spark):
     from kafka_streams_spark.operators.sampling import assign_splits
 

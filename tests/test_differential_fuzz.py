@@ -40,6 +40,10 @@ FUZZ_QUERIES = [
     # oracles touch only `documents`
     "hash_sample_docs",
     "assign_splits_docs",
+    # r9: per-domain cap (md5-rank winners) and the leakage-safe split
+    # composition (banding -> CC -> split CASE) on a different corpus
+    "cap_per_source",
+    "leakage_safe_splits_docs",
     "stratified_sample_docs",
     "reservoir_sample_docs",
     "doc_length_buckets",
@@ -119,6 +123,9 @@ FUZZ_QUERIES = [
     "weighted_jaccard",
     "weighted_jaccard_capped",
     "posting_pair_stats",
+    # r9: cap sizing — fuzz corpus has NULL-source docs, exercising the
+    # NULL-block 0-pair pricing inside the histogram cumulative sum
+    "max_df_for_budget",
     # fifth ring (r7 KMV wave): the deterministic-sketch overlap twin
     "vocab_overlap_kmv",
     # r7: stratified rank sketch — NULL texts and per-source strata of

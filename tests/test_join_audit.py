@@ -392,3 +392,47 @@ def test_posting_pair_stats_null_block_prices_zero_pairs(spark):
     # group still prices, NULL block column absent entirely.
     row_nb = posting_pair_stats(docs, n=1, block_col=None).collect()[0]
     assert (row_nb["n_postings"], row_nb["n_candidate_pairs"]) == (10, 8)
+
+
+def test_max_df_for_budget_edges_and_consistency(spark):
+    """r9 cap sizing: the chosen cap's admitted pair count must equal
+    posting_pair_stats on the capped profile (internal consistency);
+    budget 0 -> cap 0; unbounded budget -> cap = max posting length and
+    the FULL audit pair count; NULL-block groups price 0 (three
+    identical NULL-source docs never raise the curve)."""
+    from kafka_streams_spark.operators.dedup import (
+        max_df_for_budget,
+        posting_pair_stats_from_profile,
+        posting_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "s"), (2, "a b", "s"), (3, "a c", "s"), (4, "a", None),
+         (5, "a", None), (6, "a", None)],
+        "doc_id bigint, text string, source string",
+    )
+    prof = posting_profile(docs, n=1, block_col="source")
+    # groups: (a,s)=3 -> 3 pairs, (b,s)=2 -> 1, (c,s)=1 -> 0, (a,NULL)=3 -> 0
+    full = posting_pair_stats_from_profile(prof).collect()[0]
+    assert full["n_candidate_pairs"] == 4
+
+    big = max_df_for_budget(prof, 10**9).collect()[0]
+    assert (big["max_df"], big["n_candidate_pairs"]) == (3, 4)
+    zero = max_df_for_budget(prof, 0).collect()[0]
+    # df=1 groups emit 0 pairs, so cap 1 fits ANY budget incl. 0
+    assert (zero["max_df"], zero["n_candidate_pairs"]) == (1, 0)
+    mid = max_df_for_budget(prof, 1).collect()[0]
+    # cap 2 admits only (b,s)'s 1 pair; cap 3 would add (a,s)'s 3
+    assert (mid["max_df"], mid["n_candidate_pairs"]) == (2, 1)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        max_df_for_budget(prof, -1)
+
+    empty = posting_profile(
+        spark.createDataFrame([], "doc_id bigint, text string, source string"),
+        n=1, block_col="source",
+    )
+    e = max_df_for_budget(empty, 100).collect()[0]
+    assert (e["max_df"], e["n_candidate_pairs"]) == (0, 0)

@@ -656,3 +656,16 @@ def test_global_windows_annotated_bounded():
     for f in sorted(root.rglob("*.py")):
         n_sites += f.read_text().count(marker)
     assert n_sites >= 6, f"expected >=6 annotated sites, found {n_sites}"
+
+
+def test_cap_per_source_single_shuffle_window(spark, sf_dir):
+    """r9 cap_per_group: one hash exchange on the group key, the rank a
+    partitioned window on that clustering — no global window, no second
+    pass over the corpus."""
+    from kafka_streams_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = audit(cap_per_group(docs, "source", max_rows=30).select("doc_id", "source"))
+    assert a.num_scans == 1
+    assert a.num_exchanges == 1, a.plan
+    assert "WindowGroupLimit" in a.plan or "Window" in a.plan
