@@ -516,6 +516,9 @@ def test_no_unpartitioned_window_outside_whitelist(spark, sf_dir, monkeypatch):
       rfm_scores             3x <=256-row rank-offset tables
                              (functions/partitioning.py exact_global_rank)
       zipf_fit               <=k Zipf head (text.py)
+      max_df_for_budget      posting-length histogram — one row per
+                             distinct df value (dedup.py, r9; the
+                             value_histogram bucket-table class)
     """
     import sys
     from pathlib import Path
@@ -536,6 +539,7 @@ def test_no_unpartitioned_window_outside_whitelist(spark, sf_dir, monkeypatch):
         "price_rank_quantiles": 1,
         "rfm_scores": 3,
         "zipf_fit": 1,
+        "max_df_for_budget": 1,
     }
     offenders = {}
     for name, fn in e.queries().items():
