@@ -43,6 +43,15 @@ DEFAULT = [
     # above track output size
     "posting_pair_stats",
     "weighted_jaccard_capped",
+    # r9 additions: the leakage-safe split composition (banding + CC +
+    # join — must track dedup_clusters_lsh, its cost driver), the
+    # blocked k-center (one corpus pass — near-flat), the per-group cap
+    # (one exchange + group-limit — near-flat), and the cap-sizing
+    # read-off (one profile pass)
+    "leakage_safe_splits_docs",
+    "emb_kcenter_scalable",
+    "cap_per_source",
+    "max_df_for_budget",
 ]
 
 _CHILD = r"""
