@@ -262,6 +262,8 @@ def auto_join(
     broadcast_max_rows: int = 1_000_000,
     skew_share: float = 0.5,
     salt_buckets: int = 8,
+    profile_a: DataFrame | None = None,
+    profile_b: DataFrame | None = None,
 ) -> DataFrame:
     """Equi-join routed by :func:`join_size_audit`'s verdict — the
     consumer the audit was missing (r7 verdict item 7): ``knn_auto``
@@ -307,7 +309,12 @@ def auto_join(
     At 100 TB the audit prices the join from two per-key profiles (one
     aggregated row per distinct key shuffles, never the data), and the
     routed join is exactly the plan you would have hand-written after
-    reading the audit."""
+    reading the audit. With ``profile_a``/``profile_b`` (both or
+    neither) the audit reads pre-built :func:`key_profile` tables —
+    including the stream-maintained store
+    (``streaming/sketch_stream.run_key_profile_stream``) — so a
+    recurring or stream-static join re-routes as the live profile
+    evolves without touching either input at plan time."""
     from kafka_streams_spark.functions.partitioning import salted_join
 
     if key_a != key_b:
@@ -324,7 +331,25 @@ def auto_join(
             f"{sorted(overlap)} — rename before joining"
         )
 
-    row = join_size_audit(a, key_a, b, key_a).collect()[0]
+    # r9 (the posting-profile-consumer pattern): pre-built / stream-
+    # maintained key_profile tables (run_key_profile_stream +
+    # read_key_profile) replace the audit's own profiling scans — the
+    # route then prices a stream-static join from live state with NO
+    # access to the data at plan time. BOTH profiles must be given
+    # (pricing one live side against a stale other is the bug this
+    # all-or-nothing check prevents).
+    if (profile_a is None) != (profile_b is None):
+        raise ValueError("auto_join needs both profiles or neither")
+    if profile_a is not None and profile_b is not None:
+        from kafka_streams_spark.functions.partitioning import (
+            materialize_shared,
+        )
+
+        row = join_size_from_profiles(
+            materialize_shared(profile_a), materialize_shared(profile_b)
+        ).collect()[0]
+    else:
+        row = join_size_audit(a, key_a, b, key_a).collect()[0]
     salt_ok = how in {"inner", "left", "left_outer", "left_semi", "left_anti"}
     if row["n_rows_b"] <= broadcast_max_rows:
         route = "broadcast_b"

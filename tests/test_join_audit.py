@@ -436,3 +436,71 @@ def test_max_df_for_budget_edges_and_consistency(spark):
     )
     e = max_df_for_budget(empty, 100).collect()[0]
     assert (e["max_df"], e["n_candidate_pairs"]) == (0, 0)
+
+
+def test_auto_join_routes_on_streamed_profiles(spark, tmp_path):
+    """r9: auto_join fed stream-maintained key profiles — the route
+    flips broadcast_b -> shuffle as ingestion grows b past the budget,
+    with no profiling scan of either input at plan time, and the
+    routed output stays equal to the plain join on both sides of the
+    flip."""
+    import json
+    import os
+
+    from kafka_streams_spark.operators.profiling import auto_join, key_profile
+    from kafka_streams_spark.streaming.sketch_stream import (
+        read_key_profile,
+        run_key_profile_stream,
+    )
+
+    src = str(tmp_path / "src")
+    prof = str(tmp_path / "prof")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+
+    a = spark.createDataFrame(
+        [(i % 5, f"a{i}") for i in range(40)], "k bigint, va string"
+    )
+    pa = key_profile(a, "k")
+
+    def routed(b_rows):
+        b = spark.createDataFrame(b_rows, "k bigint, vb string")
+        out = auto_join(
+            a, "k", b, "k",
+            broadcast_max_rows=4,
+            profile_a=pa,
+            profile_b=read_key_profile(spark, prof),
+        ).collect()
+        want = sorted(
+            (r["k"], r["va"], r["vb"]) for r in a.join(b, "k").collect()
+        )
+        assert sorted((r["k"], r["va"], r["vb"]) for r in out) == want
+        return {r["route"] for r in out}.pop()
+
+    # the stream ingests docs whose doc_id stands in for b's join key
+    batch1 = [{"doc_id": i % 5, "source": "s", "text": "x"} for i in range(3)]
+    q = run_key_profile_stream(spark, src, prof, ckpt, key_col="doc_id")
+    try:
+        write("b1.json", batch1)
+        q.processAllAvailable()
+        b1 = [(r["doc_id"], f"b{j}") for j, r in enumerate(batch1)]
+        route1 = routed(b1)
+        batch2 = [
+            {"doc_id": i % 5, "source": "s", "text": "y"} for i in range(9)
+        ]
+        write("b2.json", batch2)
+        q.processAllAvailable()
+        b2 = b1 + [(r["doc_id"], f"c{j}") for j, r in enumerate(batch2)]
+        route2 = routed(b2)
+    finally:
+        q.stop()
+    assert (route1, route2) == ("broadcast_b", "shuffle")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="both profiles or neither"):
+        auto_join(a, "k", a.withColumnRenamed("va", "vb"), "k", profile_a=pa)
