@@ -2097,6 +2097,17 @@ def max_df_for_budget(profile: DataFrame, pair_budget: int) -> DataFrame:
     budget (or the profile is empty: nothing survives ANY cap, and a
     0 cap excludes everything, consistent), n_candidate_pairs BIGINT —
     the exact pair count the chosen cap admits).
+
+    Direction-of-error note for BLOCKED profiles:
+    :func:`weighted_jaccard_pairs`' ``max_df`` cut drops postings by
+    GLOBAL document frequency, while this histogram groups per
+    (shingle, block) — a group with cnt <= cap can still be cut there
+    when its shingle's cross-block df exceeds the cap. The capped run
+    therefore admits a SUBSET of the groups this estimate counts:
+    actual pairs <= n_candidate_pairs <= pair_budget. The sizing is
+    conservative in the safe direction, never an under-estimate of the
+    cut's strength. On unblocked profiles the two df notions coincide
+    and the count is exact.
     """
     from pyspark.sql import Window
 

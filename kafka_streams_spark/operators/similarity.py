@@ -1314,6 +1314,8 @@ def kcenter_select_scalable(
         raise ValueError("k must be >= 1")
     if n_blocks < 1:
         raise ValueError("n_blocks must be >= 1")
+    if per_block is not None and per_block < 1:
+        raise ValueError("per_block must be >= 1")
     m = per_block if per_block is not None else k
     id_type = embs.schema[id_col].dataType.simpleString()
 

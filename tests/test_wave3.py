@@ -685,3 +685,19 @@ def test_dedup_media_near_strategies_agree(spark):
         for s in ("pigeonhole", "brute", "auto")
     }
     assert outs["pigeonhole"] == outs["brute"] == outs["auto"]
+
+
+def test_kcenter_scalable_validates_params(spark):
+    import pytest
+
+    from kafka_streams_spark.operators.similarity import kcenter_select_scalable
+
+    embs = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        kcenter_select_scalable(embs, k=0)
+    with pytest.raises(ValueError):
+        kcenter_select_scalable(embs, k=2, n_blocks=0)
+    with pytest.raises(ValueError):
+        kcenter_select_scalable(embs, k=2, per_block=0)
