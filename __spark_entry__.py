@@ -1209,6 +1209,34 @@ def _q_emb_kcenter_scalable(spark, sf_dir):
     return kcenter_select_scalable(_embs(spark, sf_dir), k=8, n_blocks=4)
 
 
+def _q_leakage_safe_splits_incremental(spark, sf_dir):
+    """Ingestion-time split assignment (r9): existing corpus (md5 <
+    '80') carries a LEGACY plain-hash assignment; the new delta adopts
+    each cluster's min-id existing member's split, flags cross-split
+    cluster merges, and hash-assigns genuinely new clusters. Clusters
+    come from the combined-corpus MinHash banding, so the oracle
+    replays banding -> fixpoint -> adoption CASE end-to-end."""
+    from kafka_streams_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_near_duplicates,
+    )
+    from kafka_streams_spark.operators.sampling import (
+        assign_splits,
+        leakage_safe_splits_incremental,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    existing = docs.filter(bucket < "80")
+    new = docs.filter(bucket >= "80")
+    clusters = duplicate_clusters(
+        minhash_near_duplicates(docs, threshold=0.5, hash_fn="md5_32")
+    )
+    return leakage_safe_splits_incremental(
+        new, assign_splits(existing), clusters
+    )
+
+
 def _q_events_session_native(spark, sf_dir):
     from kafka_streams_spark.operators.analytics import events_session_native
 
@@ -1999,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_splits_docs": _q_assign_splits,
         "cap_per_source": _q_cap_per_source,  # r9: per-domain cap
         "leakage_safe_splits_docs": _q_leakage_safe_splits,  # r9: eval integrity
+        "leakage_safe_splits_incr": _q_leakage_safe_splits_incremental,  # r9
         "corpus_drift": _q_corpus_drift,
         "length_outliers": _q_length_outliers,
         "quality_calibrated": _q_quality_calibrated,

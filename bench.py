@@ -215,6 +215,8 @@ BENCH_QUERIES = [
     "emb_kcenter_scalable",
     "cap_per_source",
     "leakage_safe_splits_docs",
+    "leakage_safe_splits_incr",
+    "max_df_for_budget",
 ]
 
 

@@ -335,6 +335,78 @@ def leakage_safe_splits(
     )
 
 
+def leakage_safe_splits_incremental(
+    new_docs: DataFrame,
+    existing_splits: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    test_256: int = 13,
+    val_256: int = 26,
+) -> DataFrame:
+    """Assign splits to a NEW delta of documents without disturbing the
+    standing assignment — the ingestion-time twin of
+    :func:`leakage_safe_splits` (the dedup_incremental pattern: the
+    batch form re-derives the world; this form answers "where do
+    today's docs go, given where yesterday's already went").
+
+    Rules, per new doc:
+
+    1. Its cluster contains already-assigned docs → ADOPT the split of
+       the minimum-id existing member (deterministic, and by induction
+       the whole cluster converges on one split as it grows). If those
+       existing members span MORE than one split — two previously
+       separate clusters merged via a new bridge doc, or the standing
+       assignment predates leakage safety — the doc is additionally
+       flagged ``leak_conflict=true``: the leak already exists among
+       immutable past assignments, so the right move (hold the doc out /
+       quarantine the cluster) is a policy call this operator surfaces
+       rather than hides.
+    2. All-new cluster → the :func:`split_expr` hash rule on the
+       cluster id (min member), exactly the batch form.
+    3. No cluster → the hash rule on the doc's own id, bit-identical to
+       :func:`assign_splits`.
+
+    Inputs: ``existing_splits`` (id, split) — the standing assignment;
+    ``clusters`` (node, cluster_id) — duplicate clusters over the
+    COMBINED corpus (new×existing links are what matter; feed the
+    incremental pair stage's output through
+    :func:`~kafka_streams_spark.operators.dedup.duplicate_clusters`).
+
+    Scale shape: two id-keyed equi-joins against cluster-sized tables
+    (dup nodes only) and one grouped aggregate over the clustered
+    existing members — the corpus itself is never shuffled.
+
+    Output: (id_col, split, leak_conflict boolean).
+    """
+    reps = clusters.select(F.col("node").alias(id_col), "cluster_id")
+    ex = existing_splits.select(F.col(id_col), "split").join(reps, id_col)
+    adopt = ex.groupBy("cluster_id").agg(
+        F.min(F.struct(F.col(id_col), F.col("split")))
+        .getField("split")
+        .alias("_adopt"),
+        (F.count_distinct("split") > 1).alias("_conflict"),
+    )
+    return (
+        new_docs.select(id_col)
+        .join(reps, id_col, "left")
+        .join(adopt, "cluster_id", "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("_adopt"),
+                split_expr(
+                    F.coalesce(F.col("cluster_id"), F.col(id_col)),
+                    test_256,
+                    val_256,
+                ),
+            ).alias("split"),
+            F.coalesce(F.col("_conflict"), F.lit(False)).alias(
+                "leak_conflict"
+            ),
+        )
+    )
+
+
 def cap_per_group(
     docs: DataFrame,
     group_col: str = "source",

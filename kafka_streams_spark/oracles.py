@@ -4354,6 +4354,61 @@ DEDUP_ORACLES["max_df_for_budget"] = f"""
     FROM cum
 """
 
+# Incremental leakage-safe splits (sampling.py
+# leakage_safe_splits_incremental): existing corpus (md5 < '80') holds
+# the legacy plain-hash assignment; new docs adopt their cluster's
+# min-id existing member's split (arg_min ≡ Spark min(struct(id,
+# split))), flag cross-split merges, and hash-assign fresh clusters on
+# COALESCE(cluster_id, doc_id) — the assign_splits CASE.
+SAMPLING_ORACLES["leakage_safe_splits_incr"] = f"""
+    WITH RECURSIVE
+    p AS MATERIALIZED (SELECT id_a, id_b FROM ({_minhash_lsh_sql(0.5)})),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT ed.dst, r.label FROM reach r JOIN edges ed ON r.node = ed.src
+    ),
+    cc AS (SELECT node, CAST(min(label) AS BIGINT) AS cluster_id
+           FROM reach GROUP BY node),
+    exs AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+                        THEN 'test'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                        THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+    ),
+    adopt AS (
+        SELECT cc.cluster_id,
+               arg_min(e.split, e.doc_id) AS a_split,
+               count(DISTINCT e.split) > 1 AS conflict
+        FROM exs e JOIN cc ON cc.node = e.doc_id
+        GROUP BY cc.cluster_id
+    ),
+    keyed AS (
+        SELECT n.doc_id, a.a_split, a.conflict,
+               COALESCE(cc.cluster_id, n.doc_id) AS hk
+        FROM (SELECT doc_id FROM documents
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '80') n
+        LEFT JOIN cc ON cc.node = n.doc_id
+        LEFT JOIN adopt a ON a.cluster_id = cc.cluster_id
+    )
+    SELECT doc_id,
+           COALESCE(a_split,
+               CASE WHEN substr(md5(CAST(hk AS VARCHAR)), 1, 2) < '0d'
+                        THEN 'test'
+                    WHEN substr(md5(CAST(hk AS VARCHAR)), 1, 2) < '1a'
+                        THEN 'val'
+                    ELSE 'train' END) AS split,
+           COALESCE(conflict, FALSE) AS leak_conflict
+    FROM keyed
+"""
+
 # Per-group cap (sampling.py cap_per_group): winners by md5(id) rank
 # with id tiebreak inside each source — the same deterministic order on
 # both engines, so the kept SET (not just its size) hash-matches.

@@ -1273,3 +1273,54 @@ def test_no_dialect_sensitive_tokenization_constructs():
                 bad.append(f"oracles.py:{i}: {line.strip()}")
 
     assert not bad, "dialect-sensitive constructs:\n" + "\n".join(bad)
+
+
+def test_leakage_safe_splits_incremental_rules(spark):
+    """r9 incremental form, all four rules on a crafted delta:
+    adoption from the min-id existing member, cross-split merge
+    flagged, all-new cluster hash-keyed on the cluster id, and
+    singleton new docs bit-identical to assign_splits."""
+    from kafka_streams_spark.operators.sampling import (
+        assign_splits,
+        leakage_safe_splits_incremental,
+        split_expr,
+    )
+
+    existing_splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train")], "doc_id bigint, split string"
+    )
+    # cluster 1: existing docs 1(train) + 2(test) bridged by new doc 10
+    #   -> adopts doc 1's 'train', leak_conflict=true
+    # cluster 3: existing doc 3(train) + new doc 11 -> adopts 'train',
+    #   no conflict
+    # cluster 20: new docs 20 + 21 only -> hash rule on cluster id 20
+    # doc 30: unclustered new doc -> assign_splits rule on its own id
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 1), (3, 3), (11, 3), (20, 20), (21, 20)],
+        "node bigint, cluster_id bigint",
+    )
+    new = spark.createDataFrame(
+        [(10,), (11,), (20,), (21,), (30,)], "doc_id bigint"
+    )
+    out = {
+        r["doc_id"]: (r["split"], r["leak_conflict"])
+        for r in leakage_safe_splits_incremental(
+            new, existing_splits, clusters
+        ).collect()
+    }
+    hash_of = {
+        r["doc_id"]: r["s"]
+        for r in spark.createDataFrame([(20,), (30,)], "doc_id bigint")
+        .select("doc_id", split_expr("doc_id").alias("s"))
+        .collect()
+    }
+    assert out[10] == ("train", True)
+    assert out[11] == ("train", False)
+    assert out[20] == (hash_of[20], False) and out[21] == (hash_of[20], False)
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(
+            spark.createDataFrame([(30,)], "doc_id bigint")
+        ).collect()
+    }
+    assert out[30] == (plain[30], False) and plain[30] == hash_of[30]

@@ -44,6 +44,7 @@ FUZZ_QUERIES = [
     # composition (banding -> CC -> split CASE) on a different corpus
     "cap_per_source",
     "leakage_safe_splits_docs",
+    "leakage_safe_splits_incr",
     "stratified_sample_docs",
     "reservoir_sample_docs",
     "doc_length_buckets",
