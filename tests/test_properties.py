@@ -675,3 +675,75 @@ def test_dedup_normalized_matches_canon_model(texts):
         for r in dedup_normalized(docs).collect()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),   # node id
+            st.integers(min_value=0, max_value=6),    # component label
+        ),
+        min_size=0,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=0, max_value=40),           # existing/new id split point
+)
+def test_leakage_incremental_matches_python_model(memberships, cut):
+    """r9: leakage_safe_splits_incremental vs a direct Python model —
+    random cluster shapes (including clusters wholly existing, wholly
+    new, bridged, and conflicting), random existing/new partition of
+    the id space. The model re-implements the three rules literally."""
+    import hashlib
+
+    spark = _spark()
+    from kafka_streams_spark.operators.sampling import (
+        leakage_safe_splits_incremental,
+    )
+
+    # components -> (node, cluster_id = min node of its component)
+    by_label: dict[int, list[int]] = {}
+    for node, lbl in memberships:
+        by_label.setdefault(lbl, []).append(node)
+    clusters = [
+        (n, min(ns)) for ns in by_label.values() if len(ns) >= 2 for n in ns
+    ]
+    all_ids = sorted({n for n, _ in memberships} | {cut})
+    existing = [i for i in all_ids if i < cut]
+    new = [i for i in all_ids if i >= cut]
+
+    def hash_split(key: int) -> str:
+        b = hashlib.md5(str(key).encode()).hexdigest()[:2]
+        return "test" if b < "0d" else ("val" if b < "1a" else "train")
+
+    ex_splits = [(i, hash_split(i)) for i in existing]
+
+    # python model
+    cid = {n: c for n, c in clusters}
+    ex_split_of = dict(ex_splits)
+    model = {}
+    for i in new:
+        c = cid.get(i)
+        members = [n for n, cc in clusters if cc == c] if c is not None else []
+        ex_members = sorted(n for n in members if n in ex_split_of)
+        if ex_members:
+            adopt = ex_split_of[ex_members[0]]
+            conflict = len({ex_split_of[n] for n in ex_members}) > 1
+            model[i] = (adopt, conflict)
+        else:
+            model[i] = (hash_split(c if c is not None else i), False)
+
+    out = {
+        r["doc_id"]: (r["split"], r["leak_conflict"])
+        for r in leakage_safe_splits_incremental(
+            spark.createDataFrame([(i,) for i in new], "doc_id bigint"),
+            spark.createDataFrame(
+                ex_splits or [(None, None)], "doc_id bigint, split string"
+            ).filter(F.col("doc_id").isNotNull()),
+            spark.createDataFrame(
+                clusters or [(None, None)], "node bigint, cluster_id bigint"
+            ).filter(F.col("node").isNotNull()),
+        ).collect()
+    }
+    assert out == model
