@@ -280,6 +280,11 @@ def main() -> None:
         return time.perf_counter() - t0
 
     calibration = round(min(run_cal(), run_cal(), run_cal()), 3)
+    # The anchor is re-timed AFTER the query loop (see below):
+    # sustained-load throttle develops DURING a 160+-query run (r9
+    # measured thirds of one run at 0.87x/1.03x/1.34x vs a sibling
+    # run), so a start-only anchor under-reports the drift that hits
+    # late-list queries. start/end bracket the run.
 
     times: dict[str, float] = {}
     samples: dict[str, int] = {}
@@ -294,6 +299,8 @@ def main() -> None:
             t = min(t, run(name))
             samples[name] = 3
         times[name] = round(t, 3)
+
+    calibration_end = round(min(run_cal(), run_cal(), run_cal()), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -313,6 +320,12 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "calibration_sec": calibration,
+        "calibration_end_sec": calibration_end,
+        # timed order — sort_keys kills dict order, and per-position
+        # anchor interpolation (bench_diff) needs to know WHERE in the
+        # run each query sat: in-run throttle is position-correlated
+        # (measured thirds 0.87x/1.03x/1.34x within one r9 run)
+        "order": list(times),
         "queries": times,
         "samples": samples,
         "sf": sf_val,
@@ -333,6 +346,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(times),
                 "calibration_sec": calibration,
+                "calibration_end_sec": calibration_end,
                 "queries": slowest,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf_val,

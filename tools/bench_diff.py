@@ -65,14 +65,47 @@ def main() -> int:
     oq, nq = old.get("queries", {}), new.get("queries", {})
     osamp, nsamp = old.get("samples", {}), new.get("samples", {})
 
-    ocal, ncal = old.get("calibration_sec"), new.get("calibration_sec")
+    def cal_of(rec):
+        """Geometric mean of the start/end anchors (r9: in-run throttle
+        makes a start-only anchor under-report; the pair brackets the
+        run). Falls back to the start anchor for pre-end records."""
+        start, end = rec.get("calibration_sec"), rec.get("calibration_end_sec")
+        if start and end:
+            return (start * end) ** 0.5
+        return start
+
+    def cal_at(rec, name):
+        """Per-query anchor: linear interpolation between the start and
+        end anchors by the query's position in the timed order — in-run
+        throttle is position-correlated (one r9 run measured thirds at
+        0.87x/1.03x/1.34x of a sibling run), so a tail query should be
+        normalized against more of the drift than a head query.
+        Falls back to the record-level anchor when order/end are
+        absent (pre-r9 records)."""
+        start, end = rec.get("calibration_sec"), rec.get("calibration_end_sec")
+        order = rec.get("order")
+        if start and end and order and name in order:
+            f = order.index(name) / max(len(order) - 1, 1)
+            return start + (end - start) * f
+        return cal_of(rec)
+
+    ocal, ncal = cal_of(old), cal_of(new)
     cal_ratio = None
     if ocal and ncal:
         cal_ratio = ncal / ocal
         print(
-            f"calibration: old={ocal}s new={ncal}s host-drift "
+            f"calibration (geo-mean of start/end where present): "
+            f"old={ocal:.3f}s new={ncal:.3f}s host-drift "
             f"{cal_ratio:.2f}x — gating on NORMALIZED ratios"
         )
+        for rec, tag in ((old, "old"), (new, "new")):
+            s, e = rec.get("calibration_sec"), rec.get("calibration_end_sec")
+            if s and e and max(e / s, s / e) > 1.15:
+                print(
+                    f"  note: {tag} record drifted IN-RUN "
+                    f"(start {s}s -> end {e}s, {e / s:.2f}x) — late-list "
+                    f"queries carry more of it than the mean removes"
+                )
 
     regressed: list[tuple[str, float, float, float]] = []
     improved: list[tuple[str, float, float, float]] = []
@@ -87,7 +120,10 @@ def main() -> int:
             continue
         # floor the denominator: sub-50ms timings are noise-dominated
         ratio = nq[name] / max(oq[name], 0.05)
-        gate = ratio / cal_ratio if cal_ratio else ratio
+        if cal_ratio:
+            gate = ratio / (cal_at(new, name) / cal_at(old, name))
+        else:
+            gate = ratio
         flag = ""
         if gate > args.threshold:
             regressed.append((name, oq[name], nq[name], gate))
