@@ -1203,6 +1203,51 @@ def dedup_incremental_fuzzy(
     id-pruned, not corpus-wide). With ``hash_fn="md5_32"`` the banding
     is deterministic and the whole gate is oracle-checkable.
     """
+    matched = minhash_pairs_incremental(
+        new_docs,
+        existing,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        hash_fn=hash_fn,
+        existing_sig=existing_sig,
+    ).select(F.col("new_id").alias(id_col)).distinct()
+    return new_docs.join(matched, id_col, "left_anti")
+
+
+def minhash_pairs_incremental(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_n: int = 3,
+    hash_fn: str = "crc32",
+    existing_sig: DataFrame | None = None,
+    existing_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Verified new×existing near-dup PAIRS — the pair-emitting core of
+    :func:`dedup_incremental_fuzzy` (r9: extracted so consumers that
+    need the edges, not just the gate verdict — the streaming split
+    assigner's cluster maintenance — share one pipeline): banded
+    candidate join on (band_idx, band_hash), exact shingle-Jaccard
+    verify on candidates only. new×new pairs are deliberately out of
+    scope (:func:`minhash_near_duplicates` on the delta covers them).
+
+    ``existing_bands`` (r9): a pre-banded key table ((id, band_idx,
+    band_hash) — e.g. the streaming store's per-batch band partitions)
+    skips even the signature read for the existing side; takes
+    precedence over ``existing_sig``. The existing TEXT is still read,
+    id-pruned, for the candidate verify join.
+
+    Output: (new_id, ex_id) distinct — every new-side doc within
+    ``threshold`` of an existing doc, one row per verified pair.
+    """
     assert num_hashes % bands == 0
 
     if existing_sig is not None and "mh0" in existing_sig.columns:
@@ -1229,6 +1274,11 @@ def dedup_incremental_fuzzy(
             )
         return _banded_keys(sig, id_col, num_hashes, bands, hash_fn)
 
+    ex_banded = (
+        existing_bands
+        if existing_bands is not None
+        else banded(existing, existing_sig)
+    )
     # persisted: the candidate pairs are read THREE times below (both
     # verify joins plus the two id-pruning semi-joins) — without the
     # persist each consumer re-runs the banding subtree, including the
@@ -1237,7 +1287,7 @@ def dedup_incremental_fuzzy(
         banded(new_docs)
         .withColumnRenamed(id_col, "new_id")
         .join(
-            banded(existing, existing_sig).withColumnRenamed(id_col, "ex_id"),
+            ex_banded.withColumnRenamed(id_col, "ex_id"),
             ["band_idx", "band_hash"],
         )
         .select("new_id", "ex_id")
@@ -1263,14 +1313,13 @@ def dedup_incremental_fuzzy(
         F.col(id_col).alias("ex_id"),
         word_shingles(F.col(text_col), shingle_n).alias("sh_e"),
     )
-    matched = (
+    return (
         cand.join(sh_new, "new_id")
         .join(sh_ex, "ex_id")
         .filter(token_set_jaccard(F.col("sh_n"), F.col("sh_e")) >= threshold)
-        .select(F.col("new_id").alias(id_col))
+        .select("new_id", "ex_id")
         .distinct()
     )
-    return new_docs.join(matched, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,224 @@
+"""Streaming leakage-safe split assignment (streaming/splits_stream.py):
+the standing assignment never changes, clusters grow and merge across
+micro-batches, merges are flagged the moment the bridge doc arrives,
+and a crash-replayed batch lands identical rows.
+
+Near-dup geometry (default word-trigram shingles, deterministic md5_32
+banding): an 8-token family base has 6 trigrams; "base + one extra
+token" shares all 6 (J = 6/7 = 0.857 to the base, 0.75 variant-to-
+variant); "base + five extras" is J = 6/11 = 0.545 to the base but only
+6/16 = 0.375 to another +5 variant — above/below the 0.5 threshold
+exactly where the tests need them. Families use disjoint vocabularies
+(cross-family J = 0)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+_FAM = {
+    "a": "alpha bravo charlie delta echo foxtrot golf hotel",
+    "b": "india juliet kilo lima mike november oscar papa",
+    "c": "quebec romeo sierra tango uniform victor whiskey xray",
+}
+
+
+def _doc(doc_id, fam, extra=""):
+    return {
+        "doc_id": doc_id,
+        "source": "s",
+        "text": _FAM[fam] + (" " + extra if extra else ""),
+    }
+
+
+def _write(src, name, rows):
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, name), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+
+
+def _run_batches(spark, tmp_path, batches, subdir="s1", **kw):
+    from kafka_streams_spark.streaming.splits_stream import (
+        run_split_assignment_stream,
+    )
+
+    src = str(tmp_path / subdir / "src")
+    store = str(tmp_path / subdir / "store")
+    ckpt = str(tmp_path / subdir / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    q = run_split_assignment_stream(spark, src, store, ckpt, **kw)
+    try:
+        for i, rows in enumerate(batches):
+            _write(src, f"b{i}.json", rows)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return store
+
+
+def test_split_stream_adoption_growth_and_membership(spark, tmp_path):
+    from kafka_streams_spark.streaming.splits_stream import (
+        read_cluster_members,
+        read_split_assignments,
+    )
+
+    b0 = [_doc(1, "a"), _doc(2, "a", "one"), _doc(50, "b"), _doc(90, "c")]
+    b1 = [_doc(3, "a", "two"), _doc(60, "b", "one")]
+    b2 = [_doc(91, "c", "one"), _doc(92, "c", "two")]
+
+    store = _run_batches(spark, tmp_path, [b0, b1, b2])
+    a = {
+        r["doc_id"]: (r["split"], r["leak_conflict"])
+        for r in read_split_assignments(spark, store).collect()
+    }
+    assert set(a) == {1, 2, 3, 50, 60, 90, 91, 92}
+    # family a: docs 1+2 assigned together in batch 0 (cluster key 1);
+    # doc 3 arriving later must ADOPT the standing split, no conflict
+    assert a[1] == a[2] == a[3]
+    assert a[3][1] is False
+    # family b: 60 adopts 50's split; family c grew from singleton 90
+    assert a[60] == a[50]
+    assert a[91] == a[92] == (a[90][0], False)
+    # membership store resolves to one cluster per family, min-id label
+    m = {
+        r["node"]: r["cluster_id"]
+        for r in read_cluster_members(spark, store).collect()
+    }
+    assert m[1] == m[2] == m[3] == 1
+    assert m[50] == m[60] == 50
+    assert m[90] == m[91] == m[92] == 90
+
+
+def test_split_stream_flags_cross_split_merge(spark, tmp_path):
+    """Two standing docs of one family, each +5 disjoint extra tokens
+    (0.375 to each other — no pair at assignment time), land in their
+    own hash splits. The family BASE text then arrives: 0.545 to both,
+    so it bridges the two singletons into one cluster whose standing
+    members span two splits — the bridge must adopt the min-id member's
+    split, carry leak_conflict=true, relabel all members, and leave the
+    standing assignments untouched."""
+    import hashlib
+
+    from kafka_streams_spark.streaming.splits_stream import (
+        read_cluster_members,
+        read_split_assignments,
+    )
+
+    def bucket(i):
+        b = hashlib.md5(str(i).encode()).hexdigest()[:2]
+        return "test" if b < "0d" else ("val" if b < "1a" else "train")
+
+    test_id = next(i for i in range(1, 500) if bucket(i) == "test")
+    train_id = next(i for i in range(1, 500) if bucket(i) == "train")
+
+    b0 = [
+        _doc(test_id, "a", "l1 l2 l3 l4 l5"),
+        _doc(train_id, "a", "r1 r2 r3 r4 r5"),
+    ]
+    b1 = [_doc(1000, "a")]
+
+    store = _run_batches(spark, tmp_path, [b0, b1], subdir="s2")
+    a = {
+        r["doc_id"]: (r["split"], r["leak_conflict"])
+        for r in read_split_assignments(spark, store).collect()
+    }
+    assert a[test_id] == ("test", False)
+    assert a[train_id] == ("train", False)
+    min_id = min(test_id, train_id)
+    assert a[1000] == (a[min_id][0], True)
+    m = {
+        r["node"]: r["cluster_id"]
+        for r in read_cluster_members(spark, store).collect()
+    }
+    assert m[test_id] == m[train_id] == m[1000] == min_id
+
+
+def test_split_stream_replay_idempotent_and_param_gate(spark, tmp_path):
+    from kafka_streams_spark.streaming.splits_stream import (
+        read_split_assignments,
+        run_split_assignment_stream,
+    )
+
+    src = str(tmp_path / "s3" / "src")
+    store = str(tmp_path / "s3" / "store")
+    _write(src, "b0.json", [_doc(1, "a"), _doc(2, "a", "one")])
+    q = run_split_assignment_stream(
+        spark, src, store, str(tmp_path / "s3" / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        _write(src, "b1.json", [_doc(3, "a", "two"), _doc(2, "a", "one")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = sorted(
+        tuple(r) for r in read_split_assignments(spark, store).collect()
+    )
+    # doc 2's batch-1 re-delivery keeps its batch-0 row: one per doc
+    assert len(first) == 3
+
+    # crash-replay: a fresh checkpoint re-processes the same files; the
+    # excluded-own-partition reads + dynamic partition overwrite must
+    # land identical state
+    q2 = run_split_assignment_stream(
+        spark, src, store, str(tmp_path / "s3" / "ckpt2")
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    again = sorted(
+        tuple(r) for r in read_split_assignments(spark, store).collect()
+    )
+    assert again == first
+
+    # frozen-parameter gate: a restart with different banding raises
+    with pytest.raises(ValueError, match="mismatched parameters"):
+        run_split_assignment_stream(
+            spark, src, store, str(tmp_path / "s3" / "ckpt3"), bands=16
+        )
+
+
+def test_split_stream_matches_offline_incremental(spark, tmp_path):
+    """The stream's per-batch assignment must equal running the offline
+    operators by hand with the same state progression — the streaming
+    plumbing adds no semantics of its own."""
+    from kafka_streams_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_near_duplicates,
+    )
+    from kafka_streams_spark.operators.sampling import (
+        leakage_safe_splits_incremental,
+    )
+    from kafka_streams_spark.streaming.splits_stream import (
+        read_split_assignments,
+    )
+
+    b0 = [_doc(1, "a"), _doc(2, "a", "one"), _doc(50, "b"), _doc(90, "c")]
+    b1 = [_doc(3, "a", "two"), _doc(60, "b", "one"), _doc(91, "c", "x")]
+    store = _run_batches(spark, tmp_path, [b0, b1], subdir="s4")
+    got = sorted(
+        tuple(r) for r in read_split_assignments(spark, store).collect()
+    )
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(r["doc_id"], r["source"], r["text"]) for r in rows],
+            "doc_id bigint, source string, text string",
+        )
+
+    empty = spark.createDataFrame([], "doc_id bigint, split string")
+    c0 = duplicate_clusters(
+        minhash_near_duplicates(df_of(b0), hash_fn="md5_32")
+    )
+    a0 = leakage_safe_splits_incremental(df_of(b0), empty, c0)
+    c01 = duplicate_clusters(
+        minhash_near_duplicates(df_of(b0 + b1), hash_fn="md5_32")
+    )
+    a1 = leakage_safe_splits_incremental(
+        df_of(b1), a0.select("doc_id", "split"), c01
+    )
+    want = sorted(tuple(r) for r in a0.unionByName(a1).collect())
+    assert got == want
