@@ -222,3 +222,64 @@ def test_split_stream_matches_offline_incremental(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in a0.unionByName(a1).collect())
     assert got == want
+
+
+def test_split_stream_membership_equals_full_graph_cc(spark, tmp_path):
+    """Randomized (seeded) pin on the incremental-CC state: after any
+    batch sequence, the resolved membership store must equal connected
+    components over the FULL corpus pair graph — i.e. the per-batch
+    (new pairs + touched-cluster star edges) subgraphs compose to
+    exactly the global clustering, merges included. Singletons (no
+    edges) must appear as their own cluster."""
+    import random
+
+    from kafka_streams_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_near_duplicates,
+    )
+    from kafka_streams_spark.streaming.splits_stream import (
+        read_cluster_members,
+    )
+
+    rng = random.Random(7)
+    fams = list(_FAM)
+    doc_id = 0
+    batches = []
+    for _ in range(3):
+        rows = []
+        for _ in range(8):
+            doc_id += 1
+            fam = rng.choice(fams)
+            # extras control which family members pair: 0-1 extras stay
+            # near the base; 5 disjoint extras sit at the 0.375/0.545
+            # boundary so some same-family docs DON'T pair until a base
+            # doc bridges them — the merge case, at random
+            n_extra = rng.choice([0, 1, 1, 5])
+            extra = " ".join(
+                f"x{doc_id}_{j}" for j in range(n_extra)
+            )
+            rows.append(_doc(doc_id, fam, extra))
+        batches.append(rows)
+
+    store = _run_batches(spark, tmp_path, batches, subdir="s5")
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in read_cluster_members(spark, store).collect()
+    }
+
+    all_rows = [r for b in batches for r in b]
+    all_docs = spark.createDataFrame(
+        [(r["doc_id"], r["source"], r["text"]) for r in all_rows],
+        "doc_id bigint, source string, text string",
+    )
+    full = duplicate_clusters(
+        minhash_near_duplicates(all_docs, hash_fn="md5_32")
+    )
+    want = {(r["node"], r["cluster_id"]) for r in full.collect()}
+    clustered_nodes = {n for n, _ in want}
+    singles = {
+        (r["doc_id"], r["doc_id"])
+        for r in all_rows
+        if r["doc_id"] not in clustered_nodes
+    }
+    assert got == want | singles
