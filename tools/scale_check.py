@@ -49,6 +49,7 @@ DEFAULT = [
     # (one exchange + group-limit — near-flat), and the cap-sizing
     # read-off (one profile pass)
     "leakage_safe_splits_docs",
+    "leakage_safe_splits_incr",
     "emb_kcenter_scalable",
     "cap_per_source",
     "max_df_for_budget",
