@@ -2090,6 +2090,30 @@ def posting_profile(
     ).agg(F.count("*").cast("bigint").alias("cnt"))
 
 
+def _profile_pair_price(profile: DataFrame):
+    """The per-group candidate-pair price cnt·(cnt−1)/2 with the
+    NULL-block-prices-0 rule, shared by the audit read-off and the cap
+    sizer so the two can never drift. The block column is detected as
+    the single column besides (_s, cnt); a profile carrying MORE than
+    one extra column (multi-column blocking, or a leaked partition
+    column like ingest_batch) would be silently mis-priced — NULLs in
+    the undetected columns would still count pairs — so that shape
+    raises instead (r10 advice fix)."""
+    blk = [c for c in profile.columns if c not in ("_s", "cnt")]
+    if len(blk) > 1:
+        raise ValueError(
+            "posting profile has more than one non-(_s, cnt) column "
+            f"{blk}; single-column blocking is the only priced shape — "
+            "drop extra columns (e.g. partition columns) before pricing"
+        )
+    pair_cnt = F.expr("cnt * (cnt - 1) div 2")
+    if blk:
+        pair_cnt = F.when(F.col(blk[0]).isNotNull(), pair_cnt).otherwise(
+            F.lit(0)
+        )
+    return pair_cnt
+
+
 def posting_pair_stats_from_profile(profile: DataFrame) -> DataFrame:
     """The :func:`posting_pair_stats` read-off from an already-built
     (or stream-maintained) :func:`posting_profile` — O(distinct groups)
@@ -2106,12 +2130,7 @@ def posting_pair_stats_from_profile(profile: DataFrame) -> DataFrame:
     split :func:`~kafka_streams_spark.operators.profiling.join_size_audit`
     uses for NULL join keys (counted in n_rows_*, priced as 0 matches).
     """
-    blk = [c for c in profile.columns if c not in ("_s", "cnt")]
-    pair_cnt = F.expr("cnt * (cnt - 1) div 2")
-    if blk:
-        pair_cnt = F.when(F.col(blk[0]).isNotNull(), pair_cnt).otherwise(
-            F.lit(0)
-        )
+    pair_cnt = _profile_pair_price(profile)
     return profile.agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_postings"),
         F.count(F.lit(1)).cast("bigint").alias("n_groups"),
@@ -2136,11 +2155,22 @@ def max_df_for_budget(profile: DataFrame, pair_budget: int) -> DataFrame:
     Returns the LARGEST cap such that the posting groups surviving it
     (``cnt <= cap``) emit at most ``pair_budget`` candidate pairs —
     computed from the per-length histogram of the profile: one grouped
-    aggregate over distinct posting lengths, a cumulative sum over that
-    histogram, one read-off. O(distinct posting lengths) state, no
-    corpus access (the posting_pair_stats_from_profile convention).
-    NULL-block groups price 0 pairs here exactly as in the audit (the
-    plain-equality block join never pairs them).
+    aggregate over distinct posting lengths, a cumulative sum + lead
+    over that histogram, one read-off. O(distinct posting lengths)
+    state, no corpus access (the posting_pair_stats_from_profile
+    convention). NULL-block groups price 0 pairs here exactly as in
+    the audit (the plain-equality block join never pairs them).
+
+    "Largest" is exact across histogram GAPS (r10 advice fix): with
+    observed lengths {2, 100} and a budget admitting only df<=2
+    groups, every cap in 2..99 admits the same groups and the true
+    largest is 99 — the boundary row's cap is ``lead(cnt) - 1`` when a
+    next observed length exists. Two bounded-by-convention edges:
+    when EVERY group fits the budget there is no next length and no
+    finite largest cap, so the max observed posting length is returned
+    (any larger cap is equivalent); when NO group fits (or the profile
+    is empty), 0 is returned (caps below the smallest observed length
+    are all equivalent to it).
 
     Output 1 row: (max_df BIGINT — 0 if even df=1 groups blow the
     budget (or the profile is empty: nothing survives ANY cap, and a
@@ -2162,12 +2192,7 @@ def max_df_for_budget(profile: DataFrame, pair_budget: int) -> DataFrame:
 
     if pair_budget < 0:
         raise ValueError("pair_budget must be >= 0")
-    blk = [c for c in profile.columns if c not in ("_s", "cnt")]
-    pair_cnt = F.expr("cnt * (cnt - 1) div 2")
-    if blk:
-        pair_cnt = F.when(F.col(blk[0]).isNotNull(), pair_cnt).otherwise(
-            F.lit(0)
-        )
+    pair_cnt = _profile_pair_price(profile)
     per_len = profile.groupBy("cnt").agg(
         F.sum(pair_cnt).cast("bigint").alias("_pairs")
     )
@@ -2175,10 +2200,17 @@ def max_df_for_budget(profile: DataFrame, pair_budget: int) -> DataFrame:
     # posting-length histogram — the value_histogram bucket-table class,
     # one row per distinct df value, never per posting
     cum_w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_len.withColumn("_cum", F.sum("_pairs").over(cum_w))
+    lead_w = Window.orderBy("cnt")
+    cum = per_len.withColumn("_cum", F.sum("_pairs").over(cum_w)).withColumn(
+        # the largest cap equivalent to admitting up through this
+        # length: everything below the NEXT observed length; at the
+        # histogram's top the length itself (see docstring)
+        "_cap",
+        F.coalesce(F.lead("cnt").over(lead_w) - 1, F.col("cnt")),
+    )
     return cum.agg(
         F.coalesce(
-            F.max(F.when(F.col("_cum") <= pair_budget, F.col("cnt"))),
+            F.max(F.when(F.col("_cum") <= pair_budget, F.col("_cap"))),
             F.lit(0),
         )
         .cast("bigint")

@@ -4336,7 +4336,10 @@ TEXT_ORACLES["vocab_overlap_kmv"] = f"""
 # df cap whose surviving posting groups emit <= the pair budget —
 # cumulative sum over the posting-length histogram, NULL-block groups
 # priced 0 (the r9 posting_pair_stats convention). budget=500 pinned
-# in the contract.
+# in the contract. The cap is exact across histogram gaps (r10 advice
+# fix): the boundary row reports lead(cnt)-1 — the largest cap that
+# admits the same groups — falling back to the max observed length at
+# the histogram's top.
 DEDUP_ORACLES["max_df_for_budget"] = f"""
     WITH {_shingle_cte(1)},
     ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
@@ -4346,8 +4349,10 @@ DEDUP_ORACLES["max_df_for_budget"] = f"""
                                           THEN cnt * (cnt - 1) // 2
                                           ELSE 0 END), 0) AS BIGINT) AS pairs
             FROM occ GROUP BY cnt),
-    cum AS (SELECT cnt, sum(pairs) OVER (ORDER BY cnt) AS cum FROM per)
-    SELECT CAST(COALESCE(max(CASE WHEN cum <= 500 THEN cnt END), 0)
+    cum AS (SELECT cnt, sum(pairs) OVER (ORDER BY cnt) AS cum,
+                   COALESCE(lead(cnt) OVER (ORDER BY cnt) - 1, cnt) AS cap
+            FROM per)
+    SELECT CAST(COALESCE(max(CASE WHEN cum <= 500 THEN cap END), 0)
                 AS BIGINT) AS max_df,
            CAST(COALESCE(max(CASE WHEN cum <= 500 THEN cum END), 0)
                 AS BIGINT) AS n_candidate_pairs

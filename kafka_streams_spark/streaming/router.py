@@ -83,6 +83,16 @@ def _migrate_delta_layout(spark: SparkSession, delta_dir: str) -> int:
     def _is_dir(p) -> bool:
         return fs.exists(p) and fs.getFileStatus(p).isDirectory()
 
+    def _rename(src, dst) -> None:
+        # Hadoop FileSystem.rename signals failure by returning false,
+        # not by raising (unlike os.rename). An unchecked false here is
+        # a silent crash-safety hole: the caller would proceed to delete
+        # the parked original even though the swap never happened (r10
+        # advice fix). Raise so the migration aborts with the parked
+        # copy intact — the recovery preamble converges on the next run.
+        if not fs.rename(src, dst):
+            raise IOError(f"rename failed: {src} -> {dst}")
+
     # recovery preamble: finish or unwind an interrupted swap
     for st in _glob(f"{delta_dir}/ingest_batch=*.pre_bucket"):
         parked = st.getPath()
@@ -92,10 +102,10 @@ def _migrate_delta_layout(spark: SparkSession, delta_dir: str) -> int:
         if _is_dir(target):
             fs.delete(parked, True)  # swap completed; drop the old copy
         elif _is_dir(tmp) and fs.exists(HPath(f"{tmp.toString()}/_SUCCESS")):
-            fs.rename(tmp, target)  # crashed between park and swap
+            _rename(tmp, target)  # crashed between park and swap
             fs.delete(parked, True)
         else:
-            fs.rename(parked, target)  # rewrite incomplete: restart it
+            _rename(parked, target)  # rewrite incomplete: restart it
 
     migrated = 0
     for st in sorted(
@@ -122,8 +132,11 @@ def _migrate_delta_layout(spark: SparkSession, delta_dir: str) -> int:
             .parquet(tmp_str)
         )
         parked = HPath(part_str + ".pre_bucket")
-        fs.rename(part, parked)
-        fs.rename(HPath(tmp_str), part)
+        _rename(part, parked)
+        _rename(HPath(tmp_str), part)
+        # only after the swap rename is CONFIRMED is the parked copy safe
+        # to drop — if _rename raised above, the park (and its .pre_bucket
+        # marker the recovery preamble keys on) survives.
         fs.delete(parked, True)
         migrated += 1
     return migrated

@@ -72,8 +72,17 @@ def _read_partitioned(
         )
         df.schema  # force analysis while the miss is still catchable
         return df
-    except AnalysisException:
-        return None
+    except AnalysisException as e:
+        # ONLY a missing store means "no prior state". Any OTHER analysis
+        # failure (schema/column resolution, corrupt store metadata) must
+        # propagate: swallowing it would silently discard the standing
+        # assignments and re-assign the batch as if the corpus were new —
+        # exactly the leakage/duplication this module forbids (r10 advice
+        # fix).
+        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        if cls == "PATH_NOT_FOUND" or "[PATH_NOT_FOUND]" in str(e):
+            return None
+        raise
 
 
 def _write_partition(df: DataFrame, path: str, batch_id: int) -> None:

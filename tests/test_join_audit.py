@@ -438,6 +438,41 @@ def test_max_df_for_budget_edges_and_consistency(spark):
     assert (e["max_df"], e["n_candidate_pairs"]) == (0, 0)
 
 
+def test_max_df_for_budget_gap_and_profile_shape(spark):
+    """r10 advice fixes. (1) Histogram gaps: with observed lengths
+    {2, 100} and a budget admitting only the df=2 groups, every cap in
+    2..99 admits the same groups — the TRUE largest is 99 (lead-1),
+    not the observed 2. (2) A profile carrying more than one extra
+    column beside (_s, cnt) — multi-column blocking or a leaked
+    partition column — raises instead of silently mis-pricing NULLs in
+    the undetected columns."""
+    import pytest
+
+    from kafka_streams_spark.operators.dedup import (
+        max_df_for_budget,
+        posting_pair_stats_from_profile,
+    )
+
+    prof = spark.createDataFrame(
+        [("a", "s", 2), ("b", "s", 100)], "_s string, source string, cnt bigint"
+    )
+    # df=2 group: 1 pair; df=100 group: 4950. Budget 10 admits only df<=2.
+    row = max_df_for_budget(prof, 10).collect()[0]
+    assert (row["max_df"], row["n_candidate_pairs"]) == (99, 1)
+    # budget admitting everything -> max observed length (no next row)
+    top = max_df_for_budget(prof, 10**6).collect()[0]
+    assert (top["max_df"], top["n_candidate_pairs"]) == (100, 4951)
+
+    bad = spark.createDataFrame(
+        [("a", "s", 3, 1)],
+        "_s string, source string, ingest_batch int, cnt bigint",
+    )
+    with pytest.raises(ValueError, match="more than one"):
+        max_df_for_budget(bad, 10)
+    with pytest.raises(ValueError, match="more than one"):
+        posting_pair_stats_from_profile(bad).collect()
+
+
 def test_auto_join_routes_on_streamed_profiles(spark, tmp_path):
     """r9: auto_join fed stream-maintained key profiles — the route
     flips broadcast_b -> shuffle as ingestion grows b past the budget,
