@@ -2224,6 +2224,98 @@ def max_df_for_budget(profile: DataFrame, pair_budget: int) -> DataFrame:
     )
 
 
+def band_pair_price(
+    new_bands: DataFrame, existing_bands: DataFrame
+) -> DataFrame:
+    """Per-band-key price of an incremental banded candidate join — the
+    bands-occupancy analog of :func:`posting_profile` for the
+    new×existing stage of :func:`minhash_pairs_incremental` (and the
+    streaming split assigner built on it): for every (band_idx,
+    band_hash) present in the NEW side, how many candidate rows the
+    equi-join will emit (``n_new · n_ex``) and how occupied the band is
+    in total.
+
+    The existing side is aggregated only for keys the new batch
+    touches (semi-join prune before the grouped count), so the cost is
+    one column-pruned aggregate over the band index, never a pair join.
+    Output: (band_idx, band_hash, n_new, n_ex, occupancy, price) — all
+    counts BIGINT; one row per new-side band key.
+    """
+    new_occ = new_bands.groupBy("band_idx", "band_hash").agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    ex_occ = (
+        existing_bands.join(
+            new_occ.select("band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+            "left_semi",
+        )
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count("*").cast("bigint").alias("n_ex"))
+    )
+    return (
+        new_occ.join(ex_occ, ["band_idx", "band_hash"], "left")
+        .withColumn("n_ex", F.coalesce(F.col("n_ex"), F.lit(0)))
+        .withColumn("occupancy", (F.col("n_new") + F.col("n_ex")))
+        .withColumn("price", (F.col("n_new") * F.col("n_ex")))
+    )
+
+
+def stop_band_cap_for_budget(priced: DataFrame, pair_budget: int) -> DataFrame:
+    """Derive a stop-band occupancy cap from a :func:`band_pair_price`
+    audit, given a candidate-pair budget — :func:`max_df_for_budget`
+    for band keys: the largest occupancy cap such that band keys with
+    ``occupancy <= cap`` emit at most ``pair_budget`` new×existing
+    candidates. Band keys ABOVE the cap are "stop bands" (boilerplate
+    bands shared by too many documents — the stop-word analog); a
+    consumer drops them from candidate generation, trading bounded
+    recall loss on boilerplate-heavy families for a priced, bounded
+    join.
+
+    Same gap-exact cap semantics as :func:`max_df_for_budget`
+    (lead-1 at the boundary row, max observed occupancy when every key
+    fits, 0 when none do). Output 1 row: (priced_pairs BIGINT — the
+    UNCAPPED total, so the consumer can decide whether a cut is needed
+    at all, stop_band_occupancy BIGINT, admitted_pairs BIGINT).
+    """
+    from pyspark.sql import Window
+
+    if pair_budget < 0:
+        raise ValueError("pair_budget must be >= 0")
+    per_occ = priced.groupBy("occupancy").agg(
+        F.sum("price").cast("bigint").alias("_pairs")
+    )
+    # global-window-bounded(distinct occupancy values): input is the
+    # occupancy histogram, one row per distinct value, never per band
+    cum_w = Window.orderBy("occupancy").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lead_w = Window.orderBy("occupancy")
+    cum = per_occ.withColumn(
+        "_cum", F.sum("_pairs").over(cum_w)
+    ).withColumn(
+        "_cap",
+        F.coalesce(F.lead("occupancy").over(lead_w) - 1, F.col("occupancy")),
+    )
+    return cum.agg(
+        F.coalesce(F.sum("_pairs"), F.lit(0))
+        .cast("bigint")
+        .alias("priced_pairs"),
+        F.coalesce(
+            F.max(F.when(F.col("_cum") <= pair_budget, F.col("_cap"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("stop_band_occupancy"),
+        F.coalesce(
+            F.max(F.when(F.col("_cum") <= pair_budget, F.col("_cum"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("admitted_pairs"),
+    )
+
+
 def cluster_size_stats(labels: DataFrame, cluster_col: str = "cluster_id") -> DataFrame:
     """Duplicate-cluster size histogram — the report every dedup run
     ends with: how many clusters of each size the near-dup graph

@@ -334,16 +334,42 @@ def run_split_assignment_stream(
     test_256: int = 13,
     val_256: int = 26,
     max_files_per_trigger: int = 100,
+    pair_budget: int | None = None,
 ) -> StreamingQuery:
     """Start the assignment loop over a JSON document stream. Returns
     the StreamingQuery; state lands under ``store_dir`` (see module
-    docstring for the four stores and the idempotence argument)."""
+    docstring for the four stores and the idempotence argument).
+
+    ``pair_budget`` (r10, the auto_join consumes-the-audit pattern
+    applied to the stream's dominant stage): when set, every batch
+    prices the new×existing banded candidate join BEFORE running it
+    (:func:`~kafka_streams_spark.operators.dedup.band_pair_price` over
+    the batch's band keys vs the standing index — one column-pruned
+    aggregate, never a pair join) and, if the priced candidate count
+    exceeds the budget, derives a stop-band occupancy cap
+    (:func:`~kafka_streams_spark.operators.dedup.
+    stop_band_cap_for_budget`) and drops the over-occupied band keys
+    from candidate generation. The trade is explicit and recorded: a
+    ``caps/`` store gets one audit row per batch (priced_pairs,
+    stop_band_occupancy, admitted_pairs, applied, n_stop_bands), and
+    docs reachable only through stop bands (boilerplate bands shared
+    by too many documents) may miss an adoption — bounded recall loss
+    for a bounded join, the max_df stop-shingle semantics. Batches
+    whose priced count fits the budget are byte-identical to an
+    uncapped run. The cut is deterministic on crash-replay (it
+    consults only prior-batch state). new×new pairs within a batch are
+    never capped — the batch is bounded by ``max_files_per_trigger``.
+    Frozen per store like the signature knobs: a restart with a
+    different budget would make replayed batches recompute different
+    verdicts."""
     from kafka_streams_spark.operators.dedup import (
         _banded_keys,
+        band_pair_price,
         duplicate_clusters,
         minhash_near_duplicates,
         minhash_pairs_incremental,
         minhash_signatures,
+        stop_band_cap_for_budget,
     )
     from kafka_streams_spark.operators.sampling import (
         leakage_safe_splits_incremental,
@@ -357,6 +383,7 @@ def run_split_assignment_stream(
         "hash_fn": hash_fn,
         "test_256": test_256,
         "val_256": val_256,
+        "pair_budget": pair_budget,
     }
     _check_sketch_meta(spark, store_dir, meta)
     _stamp_sketch_store(spark, store_dir, meta)
@@ -401,6 +428,59 @@ def run_split_assignment_stream(
         prior_d = _read_store(spark, store_dir, "docs", batch_id)
         prior_b = _read_store(spark, store_dir, "bands", batch_id)
 
+        # the batch's signatures / band keys feed the pricing audit AND
+        # the end-of-batch index write — computed once here
+        new_bands = materialize_shared(
+            _banded_keys(
+                minhash_signatures(
+                    batch, "doc_id", "text", num_hashes, shingle_n, hash_fn
+                ),
+                "doc_id",
+                num_hashes,
+                bands,
+                hash_fn,
+            )
+        )
+
+        # --- pre-flight pricing of the new×existing candidate join ---
+        ex_bands = (
+            prior_b.select("doc_id", "band_idx", "band_hash")
+            if prior_b is not None
+            else None
+        )
+        if pair_budget is not None and ex_bands is not None:
+            priced = materialize_shared(
+                band_pair_price(new_bands, ex_bands)
+            )
+            audit = stop_band_cap_for_budget(priced, pair_budget).collect()[0]
+            applied = audit["priced_pairs"] > pair_budget
+            if applied:
+                stop_keys = priced.filter(
+                    F.col("occupancy") > audit["stop_band_occupancy"]
+                ).select("band_idx", "band_hash")
+                n_stop = stop_keys.count()
+                ex_bands = ex_bands.join(
+                    F.broadcast(stop_keys),
+                    ["band_idx", "band_hash"],
+                    "left_anti",
+                )
+            else:
+                n_stop = 0
+            cap_row = spark.createDataFrame(
+                [
+                    (
+                        int(audit["priced_pairs"]),
+                        int(audit["stop_band_occupancy"]),
+                        int(audit["admitted_pairs"]),
+                        bool(applied),
+                        int(n_stop),
+                    )
+                ],
+                "priced_pairs bigint, stop_band_occupancy bigint, "
+                "admitted_pairs bigint, applied boolean, n_stop_bands bigint",
+            )
+            _write_partition(cap_row, f"{store_dir}/caps", batch_id)
+
         # --- pair stage: new×new + verified new×existing ---
         nn = minhash_near_duplicates(
             batch,
@@ -410,7 +490,7 @@ def run_split_assignment_stream(
             shingle_n=shingle_n,
             hash_fn=hash_fn,
         ).select(F.col("id_a"), F.col("id_b"))
-        if prior_d is not None and prior_b is not None:
+        if prior_d is not None and ex_bands is not None:
             ne = minhash_pairs_incremental(
                 batch,
                 prior_d,
@@ -419,9 +499,7 @@ def run_split_assignment_stream(
                 bands=bands,
                 shingle_n=shingle_n,
                 hash_fn=hash_fn,
-                existing_bands=prior_b.select(
-                    "doc_id", "band_idx", "band_hash"
-                ),
+                existing_bands=ex_bands,
             ).select(
                 F.col("new_id").alias("id_a"), F.col("ex_id").alias("id_b")
             )
@@ -487,14 +565,7 @@ def run_split_assignment_stream(
         _write_partition(
             batch.select("doc_id", "source", "text"), d_dir, batch_id
         )
-        sig = minhash_signatures(
-            batch, "doc_id", "text", num_hashes, shingle_n, hash_fn
-        )
-        _write_partition(
-            _banded_keys(sig, "doc_id", num_hashes, bands, hash_fn),
-            b_dir,
-            batch_id,
-        )
+        _write_partition(new_bands, b_dir, batch_id)
 
     return (
         raw.writeStream.foreachBatch(assign)

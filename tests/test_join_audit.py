@@ -473,6 +473,49 @@ def test_max_df_for_budget_gap_and_profile_shape(spark):
         posting_pair_stats_from_profile(bad).collect()
 
 
+def test_band_pair_price_and_stop_band_cap(spark):
+    """r10: the bands-occupancy pricing analog. band_pair_price emits
+    one row per NEW-side band key with the exact candidate count the
+    incremental equi-join would produce (n_new x n_ex); keys absent
+    from the existing index price 0. stop_band_cap_for_budget derives
+    the gap-exact occupancy cap (max_df_for_budget semantics)."""
+    import pytest
+
+    from kafka_streams_spark.operators.dedup import (
+        band_pair_price,
+        stop_band_cap_for_budget,
+    )
+
+    new_bands = spark.createDataFrame(
+        [(1, 0, "x"), (2, 0, "x"), (1, 1, "y")],
+        "doc_id bigint, band_idx int, band_hash string",
+    )
+    ex_bands = spark.createDataFrame(
+        [(10, 0, "x"), (11, 0, "x"), (12, 1, "z")],
+        "doc_id bigint, band_idx int, band_hash string",
+    )
+    priced = band_pair_price(new_bands, ex_bands)
+    rows = {
+        (r["band_idx"], r["band_hash"]): (
+            r["n_new"], r["n_ex"], r["occupancy"], r["price"]
+        )
+        for r in priced.collect()
+    }
+    # existing key (1,"z") is NOT priced: only new-side keys matter
+    assert rows == {(0, "x"): (2, 2, 4, 4), (1, "y"): (1, 0, 1, 0)}
+
+    def cap(budget):
+        r = stop_band_cap_for_budget(priced, budget).collect()[0]
+        return (r["priced_pairs"], r["stop_band_occupancy"], r["admitted_pairs"])
+
+    # occupancy histogram: occ=1 -> 0 pairs, occ=4 -> 4 pairs
+    assert cap(4) == (4, 4, 4)      # everything fits: cap = max occupancy
+    assert cap(3) == (4, 3, 0)      # gap-exact: lead(4)-1, not observed 1
+    assert cap(0) == (4, 3, 0)      # zero-price keys always admitted
+    with pytest.raises(ValueError):
+        stop_band_cap_for_budget(priced, -1)
+
+
 def test_auto_join_routes_on_streamed_profiles(spark, tmp_path):
     """r9: auto_join fed stream-maintained key profiles — the route
     flips broadcast_b -> shuffle as ingestion grows b past the budget,
