@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import sys
 import time
 
@@ -220,6 +221,25 @@ BENCH_QUERIES = [
 ]
 
 
+def _order_seed() -> int:
+    """Seed for the per-round order rotation: SPARK_GRAFT_BENCH_SEED if
+    set (A/B pairs pin it), else the next round number inferred from
+    the highest BENCH_r{N}.json already in the repo."""
+    env = os.environ.get("SPARK_GRAFT_BENCH_SEED")
+    if env is not None:
+        return int(env)
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 0
+
+
 def _calibration_query(spark):
     """Fixed pure-JVM host-speed anchor (r8 verdict item 1): a pinned
     synthetic aggregate — 150M-row range, xxhash64, one 97-key exchange
@@ -280,6 +300,21 @@ def main() -> None:
         return time.perf_counter() - t0
 
     calibration = round(min(run_cal(), run_cal(), run_cal()), 3)
+
+    # Seeded per-round rotation of the timed order (r9 verdict item 3):
+    # with a FIXED order, query identity and list position are
+    # confounded — new queries always run last, where sustained-load
+    # throttle is worst, so their first record is inflated and
+    # bench_diff can only model the drift (anchor interpolation), not
+    # cancel it. A per-round permutation makes every query visit every
+    # position across rounds, so position-correlated drift averages out
+    # in round-over-round diffs. The seed defaults to the next round
+    # number (max existing BENCH_r{N}.json + 1 — deterministic within a
+    # round, rotates across rounds) and is recorded alongside `order`;
+    # SPARK_GRAFT_BENCH_SEED pins it for same-code A/B pairs.
+    order_seed = _order_seed()
+    rotated = list(BENCH_QUERIES)
+    random.Random(order_seed).shuffle(rotated)
     # The anchor is re-timed AFTER the query loop (see below):
     # sustained-load throttle develops DURING a 160+-query run (r9
     # measured thirds of one run at 0.87x/1.03x/1.34x vs a sibling
@@ -288,7 +323,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     samples: dict[str, int] = {}
-    for name in BENCH_QUERIES:
+    for name in rotated:
         t = min(run(name), run(name))
         samples[name] = 2
         # Sub-second queries are the ones host-throttle jitter distorts
@@ -326,6 +361,7 @@ def main() -> None:
         # run each query sat: in-run throttle is position-correlated
         # (measured thirds 0.87x/1.03x/1.34x within one r9 run)
         "order": list(times),
+        "order_seed": order_seed,
         "queries": times,
         "samples": samples,
         "sf": sf_val,
