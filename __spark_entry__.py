@@ -224,6 +224,8 @@ def _q_knn_ivf_vec0(spark, sf_dir):
     # Collect-free: query vector and probe-cell choice are in-plan
     # (broadcast single-row join), no .head() pre-action. The KMeans fit
     # inside build_ivf_index is the one legitimate action (training).
+    # Rows-only, but floor-asserted: recall@10 >= 3 vs the exact twin
+    # (tests/test_learned_floors.py — the HLL 3·rsd pattern).
     from kafka_streams_spark.operators.similarity import build_ivf_index, knn_ivf_to_id
 
     indexed, centroids = build_ivf_index(_embs(spark, sf_dir), n_cells=16)
@@ -1123,7 +1125,9 @@ def _q_knn_pq_vec0(spark, sf_dir):
     """PQ ADC top-10 with LEARNED codebooks (deterministic seeded
     Lloyd's on the first-2048 sample) — rows-only like knn_ivf_vec0:
     a learned index has no closed-form SQL twin; the label-codebook
-    contract above value-checks the identical encode/ADC machinery."""
+    contract above value-checks the identical encode/ADC machinery,
+    and recall@10 >= 5 vs the exact twin is floor-asserted
+    (tests/test_learned_floors.py)."""
     from kafka_streams_spark.operators.similarity import (
         pq_topk_to_id,
         pq_train_codebooks,
@@ -1466,7 +1470,9 @@ def _q_knn_ivfpq_res_vec0(spark, sf_dir):
     residual IVF-PQ composition at the knn_ivfpq_vec0 config. The
     deterministic halves (integer centroids, probe selection, exact
     re-rank) are oracle-covered by ivf_centroids_int/knn_ivfpq_vec0;
-    lossless-reduction and fidelity pins live in tests."""
+    lossless-reduction and fidelity pins live in tests; recall@10 >= 3
+    at this config (>= 5 at probe 4, monotone in probes) is
+    floor-asserted in tests/test_learned_floors.py."""
     from kafka_streams_spark.operators.similarity import (
         ivfpq_residual_topk_to_id,
         pq_train_residual_codebooks,
@@ -1810,7 +1816,8 @@ def _q_emb_whiten(spark, sf_dir):
     """PCA whitening — rows-only: the driver-side eigensolve is a
     learned step (IVF/PQ class); NumPy-model equality and the exact
     second-moment input are pinned in tests (emb_gram carries the
-    oracle-checked half of the math)."""
+    oracle-checked half of the math), and the output's second moment is
+    identity-asserted within 1e-3 (tests/test_learned_floors.py)."""
     from kafka_streams_spark.operators.similarity import whiten_embeddings
 
     return whiten_embeddings(_embs(spark, sf_dir))
