@@ -402,6 +402,48 @@ def _q_dsl_balances(spark, sf_dir):
     return table.df.withColumnRenamed("fromAccount_k", "fromAccount")
 
 
+def _q_dsl_count(spark, sf_dir):
+    """KGroupedStream.count through the DSL facade (SURVEY §2.4 name,
+    r9 verdict item 5) on the reference topology's merged stream —
+    payments per account, sharing the balances CTE chain so the oracle
+    proves count over exactly the stream the balance fold consumes."""
+    from kafka_streams_spark.dsl import StreamsBuilder
+    from kafka_streams_spark.functions.numeric import java_round
+
+    b = StreamsBuilder()
+    stream = b.stream(_payments(spark, sf_dir), key="paymentId")
+    routed = stream.filter(F.col("rails").isin("BANK_RAILS_FOO", "BANK_RAILS_BAR"))
+    gbp, usd = routed.branch(F.col("currency") == "GBP", F.col("currency") == "USD")
+    usd_fx = usd.map_values(
+        amount=java_round(F.col("amount") * F.lit(0.8)), currency=F.lit("GBP")
+    )
+    merged = gbp.merge(usd_fx)
+    table = merged.group_by(F.col("fromAccount"), "fromAccount_k").count(
+        alias="n_payments"
+    )
+    return table.df.withColumnRenamed("fromAccount_k", "fromAccount")
+
+
+def _q_dsl_reduce(spark, sf_dir):
+    """KGroupedStream.reduce through the DSL facade — the value-typed
+    fold (numeric: sum) over the merged stream; same oracle family as
+    the aggregate/balances form, output column keeps the value's own
+    name per reduce semantics."""
+    from kafka_streams_spark.dsl import StreamsBuilder
+    from kafka_streams_spark.functions.numeric import java_round
+
+    b = StreamsBuilder()
+    stream = b.stream(_payments(spark, sf_dir), key="paymentId")
+    routed = stream.filter(F.col("rails").isin("BANK_RAILS_FOO", "BANK_RAILS_BAR"))
+    gbp, usd = routed.branch(F.col("currency") == "GBP", F.col("currency") == "USD")
+    usd_fx = usd.map_values(
+        amount=java_round(F.col("amount") * F.lit(0.8)), currency=F.lit("GBP")
+    )
+    merged = gbp.merge(usd_fx)
+    table = merged.group_by(F.col("fromAccount"), "fromAccount_k").reduce("amount")
+    return table.df.withColumnRenamed("fromAccount_k", "fromAccount")
+
+
 def _q_sql_balances(spark, sf_dir):
     """The balance query through the SQL surface (catalog views +
     spark.sql) — same oracle as the DataFrame and DSL forms, proving all
@@ -2114,6 +2156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": A.cohort_retention,
         # DSL facade, same oracle as payments_balances
         "dsl_balances": _q_dsl_balances,
+        "dsl_count": _q_dsl_count,  # r10: §2.4 count via the facade
+        "dsl_reduce": _q_dsl_reduce,  # r10: §2.4 reduce via the facade
         # -- r4-late contracts (evidence-priority head of round 5) --
         "ngram_novelty": _q_ngram_novelty,
         "corpus_overlap": _q_corpus_overlap,

@@ -149,6 +149,27 @@ class KStream:
         expression is exploded; other columns replicate."""
         return self._wrap(self.df.withColumn(alias, F.explode(expr)))
 
+    def flat_map(
+        self,
+        expr: Column,
+        alias: str,
+        key_expr: Column | None = None,
+        key_alias: str = "_key",
+    ) -> "KStream":
+        """``KStream.flatMap``: one record → N (key, value) records —
+        the re-keying sibling of :meth:`flat_map_values` (SURVEY §2.4).
+        ``expr`` is an array expression (typically array-of-structs);
+        each element becomes a row bound to ``alias``. ``key_expr``
+        (usually a field of the exploded element, e.g.
+        ``F.col("pair.k")``) re-keys the stream — like ``map``, the
+        new key only marks the grouping column; the Exchange
+        materializes under the next stateful op."""
+        out = self.df.withColumn(alias, F.explode(expr))
+        if key_expr is not None:
+            out = out.withColumn(key_alias, key_expr)
+            return self._wrap(out, key=key_alias)
+        return self._wrap(out)
+
     def select_key(self, expr: Column, alias: str = "_key") -> "KStream":
         """``KStream.selectKey``: re-key without touching the value. In
         Kafka Streams this marks the stream for repartition; here it just
@@ -310,13 +331,24 @@ class KGroupedStream:
         return self.aggregate(F.count("*").alias(alias), materialized_as)
 
     def windowed_by(
-        self, ts_col: str, duration: str, advance: str | None = None
+        self,
+        ts_col: str,
+        duration: str,
+        advance: str | None = None,
+        grace: str | None = None,
     ) -> "TimeWindowedKStream":
-        """``groupedStream.windowedBy(TimeWindows.of(d).advanceBy(a))``:
-        tumbling when ``advance`` is None, hopping otherwise. Event-time
-        windows the reference never uses (SURVEY.md §2.4) but its
-        dependency offers."""
-        return TimeWindowedKStream(self.df, self.key, ts_col, duration, advance, self._topology)
+        """``groupedStream.windowedBy(TimeWindows.of(d).advanceBy(a)
+        .grace(g))``: tumbling when ``advance`` is None, hopping
+        otherwise. Event-time windows the reference never uses
+        (SURVEY.md §2.4) but its dependency offers. ``grace`` is the
+        late-data allowance — Spark's watermark: on a streaming input
+        it bounds window state AND (with :meth:`KTable.suppress`) sets
+        when a window is final; on batch it is a no-op (every window is
+        already closed)."""
+        return TimeWindowedKStream(
+            self.df, self.key, ts_col, duration, advance, self._topology,
+            grace=grace,
+        )
 
     def session_windowed_by(self, ts_col: str, gap: str) -> "SessionWindowedKStream":
         """``windowedBy(SessionWindows.with(gap))``."""
@@ -335,9 +367,12 @@ class TimeWindowedKStream:
     each row lands in duration/advance windows (window-assign explode is
     internal, no hand-rolled fan-out)."""
 
-    def __init__(self, df, key, ts_col, duration, advance, topology) -> None:
+    def __init__(
+        self, df, key, ts_col, duration, advance, topology, grace=None
+    ) -> None:
         self.df, self.key, self.ts_col = df, key, ts_col
         self.duration, self.advance = duration, advance
+        self.grace = grace
         self._topology = topology
 
     def aggregate(self, agg: Column, materialized_as: str | None = None) -> "KTable":
@@ -346,8 +381,14 @@ class TimeWindowedKStream:
             if self.advance
             else F.window(F.col(self.ts_col), self.duration)
         )
+        src = self.df
+        if self.grace is not None and src.isStreaming:
+            # the grace period is the watermark: it must bind BEFORE the
+            # aggregation (Spark sizes window state off it), which is
+            # why suppression is declared here, not invented post-agg
+            src = src.withWatermark(self.ts_col, self.grace)
         out = (
-            self.df.groupBy(win.alias("window"), F.col(self.key))
+            src.groupBy(win.alias("window"), F.col(self.key))
             .agg(agg)
             .select(
                 F.col("window.start").alias("window_start"),
@@ -358,7 +399,10 @@ class TimeWindowedKStream:
         )
         if materialized_as:
             self._topology.tables[materialized_as] = out
-        return KTable(out, self.key, self._topology)
+        t = KTable(out, self.key, self._topology)
+        t._windowed = True
+        t._graced = self.grace is not None
+        return t
 
     def count(self, alias: str = "count", materialized_as: str | None = None) -> "KTable":
         return self.aggregate(F.count("*").alias(alias), materialized_as)
@@ -442,6 +486,45 @@ class KTable:
         self.df = df
         self.key = key
         self._topology = topology
+        self._windowed = False
+        self._graced = False
+        self._suppressed = False
+
+    @property
+    def output_mode(self) -> str:
+        """The streaming output mode this table's semantics require:
+        ``append`` after :meth:`suppress` (emit-final — a window's row
+        appears once, when the watermark closes it), else ``update``
+        (Kafka Streams' default continuous-refinement changelog)."""
+        return "append" if self._suppressed else "update"
+
+    def suppress(self) -> "KTable":
+        """``KTable.suppress(untilWindowCloses(unbounded()))``: emit
+        only the FINAL value per window, never intermediates — the
+        emit-final contract. Spark-native form: suppression is not a
+        post-aggregation operator but a property of HOW the windowed
+        aggregate runs — watermark (declared as the window's ``grace``,
+        bound BEFORE the groupBy) + ``append`` output mode, which emits
+        each window exactly once when the watermark passes its end. This
+        method validates the plan supports that (windowed + graced) and
+        flips :attr:`output_mode`; the runner passes it to
+        ``writeStream.outputMode``. On a batch DataFrame it is the
+        identity — every window is already closed, so final == latest,
+        exactly Kafka Streams' semantics at log end."""
+        if not self._windowed:
+            raise ValueError(
+                "suppress() needs a windowed aggregation — emit-final is "
+                "meaningless for an unwindowed table (it would never emit)"
+            )
+        if self.df.isStreaming and not self._graced:
+            raise ValueError(
+                "suppress() on a stream needs windowed_by(..., grace=...): "
+                "without a watermark Spark cannot know when a window is "
+                "final, and append mode would emit nothing"
+            )
+        t = KTable(self.df, self.key, self._topology)
+        t._windowed, t._graced, t._suppressed = True, self._graced, True
+        return t
 
     def filter(self, predicate: Column) -> "KTable":
         return KTable(self.df.filter(predicate), self.key, self._topology)

@@ -85,6 +85,19 @@ PAYMENT_ORACLES = {
 PAYMENT_ORACLES["dsl_balances"] = PAYMENT_ORACLES["payments_balances"]
 PAYMENT_ORACLES["sql_balances"] = PAYMENT_ORACLES["payments_balances"]
 
+# §2.4 facade names count/reduce over the same merged stream (r10):
+# count per account, and reduce = value-typed fold (sum) keeping the
+# value column's own name per Kafka Streams reduce semantics.
+PAYMENT_ORACLES["dsl_count"] = (
+    f"{_P}, {_MERGED_CTES} "
+    "SELECT fromAccount, count(*) AS n_payments FROM merged GROUP BY fromAccount"
+)
+PAYMENT_ORACLES["dsl_reduce"] = (
+    f"{_P}, {_MERGED_CTES} "
+    "SELECT fromAccount, CAST(SUM(amount) AS BIGINT) AS amount "
+    "FROM merged GROUP BY fromAccount"
+)
+
 # --------------------------------------------------------------------------
 # relational analytics
 # --------------------------------------------------------------------------

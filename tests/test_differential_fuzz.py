@@ -284,6 +284,8 @@ PAYMENT_FUZZ_QUERIES = [
     "payments_rails_foo",
     "payments_rails_bar",
     "dsl_balances",
+    "dsl_count",
+    "dsl_reduce",
     # sql_balances registers catalog views over every table and the fuzz
     # dir only materializes events; the SQL surface is covered by the
     # driver corpus where all tables exist

@@ -238,6 +238,110 @@ def test_dsl_topology_streaming(spark, tmp_path):
         qf.stop()
 
 
+def test_flat_map_rekeys_and_fans_out(spark):
+    """KStream.flatMap: one record -> N (key, value) records, the
+    re-keying sibling of flatMapValues — exploded element field becomes
+    the new grouping key."""
+    df = spark.createDataFrame(
+        [("a", [(1, "x"), (2, "y"), (1, "z")])],
+        "k0 string, pairs array<struct<pk:int, v:string>>",
+    )
+    b = StreamsBuilder()
+    s = b.stream(df, key="k0").flat_map(
+        F.col("pairs"), "pair", key_expr=F.col("pair.pk"), key_alias="pk"
+    )
+    assert s.key == "pk"
+    got = {r["pk"]: r["count"] for r in s.group_by_key().count().df.collect()}
+    assert got == {1: 2, 2: 1}
+    # without key_expr the old key is kept (pure fan-out)
+    s2 = b.stream(df, key="k0").flat_map(F.col("pairs"), "pair")
+    assert s2.key == "k0" and s2.df.count() == 3
+
+
+def test_suppress_emit_final_streaming_and_guards(spark, tmp_path):
+    """KTable.suppress (emit-final): on a streaming windowed aggregate
+    with a grace period, output_mode flips to append and the sink sees
+    each window EXACTLY once, only after the watermark closes it —
+    never an intermediate refinement. Guards: suppress without a
+    window, or streaming without grace, raises."""
+    import json
+    import os
+
+    import pytest
+
+    src = str(tmp_path / "sup_src")
+    os.makedirs(src)
+
+    def write(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for k, ts in rows:
+                f.write(json.dumps({"k": k, "ts": ts}) + "\n")
+
+    write("b0.json", [("u1", "2024-01-01 00:05:00"),
+                      ("u1", "2024-01-01 00:25:00")])
+
+    sdf = (
+        spark.readStream.schema("k string, ts string").json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    b = StreamsBuilder()
+    table = (
+        b.stream(sdf, key="k").group_by_key()
+        .windowed_by("ts", "10 minutes", grace="5 minutes")
+        .count()
+    )
+    assert table.output_mode == "update"
+    sup = table.suppress()
+    assert sup.output_mode == "append"
+
+    q = (
+        sup.df.writeStream.format("memory").queryName("sup_sink")
+        .outputMode(sup.output_mode)
+        .option("checkpointLocation", str(tmp_path / "sup_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark advanced to 00:25-5min = 00:20 after the data batch
+        # (processAllAvailable includes the no-data catch-up batch): the
+        # 00:00-00:10 window is final and emitted ONCE; 00:20-00:30 is
+        # still open — an update-mode run would already show it
+        rows = sorted(
+            (str(r["window_start"]), r["count"])
+            for r in spark.table("sup_sink").collect()
+        )
+        assert rows == [("2024-01-01 00:00:00", 1)]
+        write("b1.json", [("u1", "2024-01-01 00:45:00")])
+        q.processAllAvailable()
+        # watermark 00:40 closes 00:20-00:30; 00:40-00:50 stays open;
+        # the already-emitted window does NOT re-emit (exactly once)
+        rows = sorted(
+            (str(r["window_start"]), r["count"])
+            for r in spark.table("sup_sink").collect()
+        )
+        assert rows == [
+            ("2024-01-01 00:00:00", 1),
+            ("2024-01-01 00:20:00", 1),
+        ]
+    finally:
+        q.stop()
+
+    # guard: unwindowed table
+    plain = b.stream(
+        spark.createDataFrame([("a", 1)], ["k", "v"]), key="k"
+    ).group_by_key().count()
+    with pytest.raises(ValueError, match="windowed aggregation"):
+        plain.suppress()
+    # guard: streaming windowed WITHOUT grace
+    graceless = (
+        b.stream(sdf, key="k").group_by_key()
+        .windowed_by("ts", "10 minutes")
+        .count()
+    )
+    with pytest.raises(ValueError, match="grace"):
+        graceless.suppress()
+
+
 def test_kstream_process_map_in_pandas(spark):
     """Processor-API analog: arbitrary Arrow-batched logic through
     KStream.process, schema-checked output."""
