@@ -1899,13 +1899,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # _CODE_CHANGED_ROUND is the round these changes landed in: a name
 # re-greened by the driver at or after it has evidence for the NEW
 # code and self-drains from the head (see _evidence_order).
-_CODE_CHANGED_ROUND = 9
+_CODE_CHANGED_ROUND = 10
 _CODE_CHANGED = [
-    # r9: NULL-block groups now price 0 candidate pairs (advisor find —
-    # the plain-equality block join never pairs NULL blocks); engine,
-    # oracle, and streaming twin changed together, values shift on any
-    # corpus with NULL source docs (the fuzz corpus has them).
-    "posting_pair_stats",
+    # r10: the returned cap is now gap-exact (lead(cnt)-1 at the
+    # boundary row — advisor find); engine and oracle changed together,
+    # the max_df value shifts on any profile whose posting-length
+    # histogram has gaps around the boundary. (r9's posting_pair_stats
+    # entry drained: driver re-greened it in CORRECTNESS_r09.)
+    "max_df_for_budget",
 ]
 
 # Kept for tool compatibility (freshness_lint): with the computed
