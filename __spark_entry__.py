@@ -782,6 +782,40 @@ def _q_max_df_for_budget(spark, sf_dir):
     )
 
 
+def _q_stop_band_cap(spark, sf_dir):
+    """r10: the bands-occupancy pricing audit the streaming split
+    assigner consults per micro-batch (the max_df_for_budget analog for
+    banded candidate joins), as a batch contract: price the
+    new×existing MinHash-band join (new = docs with md5 id bucket >=
+    '80', the dedup_incremental split convention) and derive the
+    stop-band occupancy cap for a 400-pair budget. Notably
+    scale-sensitive: at sf0.001 the whole join fits (cap = max
+    occupancy), at sf0.01 it does not (cap 1, everything priced out) —
+    exactly the decision the audit exists to surface before the join
+    runs."""
+    from kafka_streams_spark.operators.dedup import (
+        _banded_keys,
+        band_pair_price,
+        minhash_signatures,
+        stop_band_cap_for_budget,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+
+    def bands_of(d):
+        return _banded_keys(
+            minhash_signatures(d, "doc_id", "text", 64, 3, "md5_32"),
+            "doc_id", 64, 32, "md5_32",
+        )
+
+    priced = band_pair_price(
+        bands_of(docs.filter(bucket >= "80")),
+        bands_of(docs.filter(bucket < "80")),
+    )
+    return stop_band_cap_for_budget(priced, 400)
+
+
 def _q_posting_pair_stats(spark, sf_dir):
     """Pre-flight pricing of the weighted_jaccard contract's posting
     self-join (r8 sf1 spot-check follow-up): the exact candidate-pair
@@ -2032,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_jaccard": _q_weighted_jaccard,  # new r04: idf-weighted pairs
         "posting_pair_stats": _q_posting_pair_stats,  # r8: pair-join pre-flight
         "max_df_for_budget": _q_max_df_for_budget,  # r9: cap sizing read-off
+        "stop_band_cap": _q_stop_band_cap,  # r10: banded-join pricing audit
         "weighted_jaccard_capped": _q_weighted_jaccard_capped,  # r8: stop-shingle form
         "knn_text_vec0": _q_knn_text_vec0,  # new r04: text→similarity bridge
         "language_id": _q_language_id,

@@ -2200,6 +2200,8 @@ def max_df_for_budget(profile: DataFrame, pair_budget: int) -> DataFrame:
     # posting-length histogram — the value_histogram bucket-table class,
     # one row per distinct df value, never per posting
     cum_w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    # global-window-bounded(distinct posting lengths): same histogram
+    # input as cum_w above — one row per distinct df value
     lead_w = Window.orderBy("cnt")
     cum = per_len.withColumn("_cum", F.sum("_pairs").over(cum_w)).withColumn(
         # the largest cap equivalent to admitting up through this
@@ -2290,6 +2292,8 @@ def stop_band_cap_for_budget(priced: DataFrame, pair_budget: int) -> DataFrame:
     cum_w = Window.orderBy("occupancy").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # global-window-bounded(distinct occupancy values): same histogram
+    # input as cum_w above — one row per distinct occupancy, never per band
     lead_w = Window.orderBy("occupancy")
     cum = per_occ.withColumn(
         "_cum", F.sum("_pairs").over(cum_w)

@@ -1332,6 +1332,79 @@ def _minhash_incremental_ctes(
         )"""
 
 
+def _stop_band_cap_sql(
+    budget: int,
+    num_hashes: int = 64,
+    bands: int = 32,
+    split_hex: str = "80",
+) -> str:
+    """Oracle for the r10 banded-join pricing audit (dedup.py
+    band_pair_price + stop_band_cap_for_budget): same md5_32 signature
+    and band-key arithmetic as the incremental CTEs, band columns
+    unpivoted to (doc_id, band_idx, band_hash) rows, new×existing
+    occupancy counts per key, then the occupancy-histogram cumulative
+    sum with the gap-exact lead(occ)-1 cap — the max_df_for_budget
+    read-off shape."""
+    from kafka_streams_spark.operators.dedup import MINHASH_PRIME, _minhash_coeffs
+
+    coeffs = _minhash_coeffs(num_hashes)
+    r = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min(({a} * h32 + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_keys = ",\n               ".join(
+        "concat_ws('_', " + ", ".join(f"mh{b * r + i}" for i in range(r)) + f") AS b{b}"
+        for b in range(bands)
+    )
+    unpivot = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, b{b} AS band_hash FROM bandt"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_shingle_cte(3)},
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    h AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h32
+        FROM ex
+    ),
+    sig AS (
+        SELECT doc_id,
+           {mins}
+        FROM h GROUP BY doc_id
+    ),
+    bandt AS (
+        SELECT doc_id,
+           {band_keys}
+        FROM sig
+    ),
+    bandl AS ({unpivot}),
+    nocc AS (SELECT band_idx, band_hash, count(*) AS n_new FROM bandl
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '{split_hex}'
+             GROUP BY band_idx, band_hash),
+    eocc AS (SELECT band_idx, band_hash, count(*) AS n_ex FROM bandl
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{split_hex}'
+             GROUP BY band_idx, band_hash),
+    priced AS (
+        SELECT n.n_new + COALESCE(e.n_ex, 0) AS occupancy,
+               n.n_new * COALESCE(e.n_ex, 0) AS price
+        FROM nocc n LEFT JOIN eocc e USING (band_idx, band_hash)
+    ),
+    per AS (SELECT occupancy, sum(price) AS pairs FROM priced GROUP BY occupancy),
+    cum AS (SELECT pairs, sum(pairs) OVER (ORDER BY occupancy) AS cum,
+                   COALESCE(lead(occupancy) OVER (ORDER BY occupancy) - 1,
+                            occupancy) AS cap
+            FROM per)
+    SELECT CAST(COALESCE(sum(pairs), 0) AS BIGINT) AS priced_pairs,
+           CAST(COALESCE(max(CASE WHEN cum <= {budget} THEN cap END), 0)
+                AS BIGINT) AS stop_band_occupancy,
+           CAST(COALESCE(max(CASE WHEN cum <= {budget} THEN cum END), 0)
+                AS BIGINT) AS admitted_pairs
+    FROM cum
+    """
+
+
 def _minhash_incremental_sql(
     threshold: float = 0.5, num_hashes: int = 64, bands: int = 32,
     split_hex: str = "20",
@@ -4371,6 +4444,11 @@ DEDUP_ORACLES["max_df_for_budget"] = f"""
                 AS BIGINT) AS n_candidate_pairs
     FROM cum
 """
+
+# r10: the banded-join pricing audit the streaming split assigner
+# consults per micro-batch, as a batch contract — budget 400 pinned
+# (scale-sensitive on purpose: fits at sf0.001, prices out at sf0.01).
+DEDUP_ORACLES["stop_band_cap"] = _stop_band_cap_sql(400)
 
 # Incremental leakage-safe splits (sampling.py
 # leakage_safe_splits_incremental): existing corpus (md5 < '80') holds

@@ -127,6 +127,9 @@ FUZZ_QUERIES = [
     # r9: cap sizing — fuzz corpus has NULL-source docs, exercising the
     # NULL-block 0-pair pricing inside the histogram cumulative sum
     "max_df_for_budget",
+    # r10: banded-join pricing audit — same histogram/lead read-off
+    # shape over band occupancy; fuzz id range exercises the md5 split
+    "stop_band_cap",
     # fifth ring (r7 KMV wave): the deterministic-sketch overlap twin
     "vocab_overlap_kmv",
     # r7: stratified rank sketch — NULL texts and per-source strata of

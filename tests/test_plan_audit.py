@@ -519,6 +519,10 @@ def test_no_unpartitioned_window_outside_whitelist(spark, sf_dir, monkeypatch):
       max_df_for_budget      posting-length histogram — one row per
                              distinct df value (dedup.py, r9; the
                              value_histogram bucket-table class)
+      stop_band_cap          band-occupancy histogram — one row per
+                             distinct occupancy value (dedup.py
+                             stop_band_cap_for_budget, r10; same
+                             bucket-table class as max_df_for_budget)
     """
     import sys
     from pathlib import Path
@@ -540,6 +544,7 @@ def test_no_unpartitioned_window_outside_whitelist(spark, sf_dir, monkeypatch):
         "rfm_scores": 3,
         "zipf_fit": 1,
         "max_df_for_budget": 1,
+        "stop_band_cap": 1,
     }
     offenders = {}
     for name, fn in e.queries().items():
