@@ -218,6 +218,10 @@ BENCH_QUERIES = [
     "leakage_safe_splits_docs",
     "leakage_safe_splits_incr",
     "max_df_for_budget",
+    # round-10 additions
+    "stop_band_cap",
+    "dsl_count",
+    "dsl_reduce",
 ]
 
 

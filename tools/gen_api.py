@@ -40,6 +40,7 @@ MODULES = [
     "kafka_streams_spark.streaming.stateful",
     "kafka_streams_spark.streaming.ingest",
     "kafka_streams_spark.streaming.sketch_stream",
+    "kafka_streams_spark.streaming.splits_stream",
     "kafka_streams_spark.functions.numeric",
     "kafka_streams_spark.functions.vectors",
     "kafka_streams_spark.functions.partitioning",
