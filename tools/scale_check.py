@@ -53,6 +53,10 @@ DEFAULT = [
     "emb_kcenter_scalable",
     "cap_per_source",
     "max_df_for_budget",
+    # r10: the banded-join pricing audit — one band pass per side + the
+    # occupancy-histogram read-off; must stay near-linear in corpus
+    # (band rows), never in candidate pairs
+    "stop_band_cap",
 ]
 
 _CHILD = r"""
