@@ -444,6 +444,34 @@ def _q_dsl_reduce(spark, sf_dir):
     return table.df.withColumnRenamed("fromAccount_k", "fromAccount")
 
 
+def _q_dsl_windowed_count(spark, sf_dir):
+    """Windowed aggregation through the DSL facade (§2.4 windowed
+    stores/aggregations), driver-checked: tumbling 1-hour event-time
+    count via windowed_by(...).count() over the events table, projected
+    to the epoch-hour grain so the oracle is the events_hourly shape.
+    ts arrives as epoch-nanos long; `div` keeps the second/hour math in
+    exact integer arithmetic (the events_hourly convention), and
+    window_start is hour-aligned so unix_timestamp div 3600 is exact."""
+    from kafka_streams_spark.catalog import load_table
+    from kafka_streams_spark.dsl import StreamsBuilder
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_ts", F.expr("ts div 1000000000").cast("timestamp")
+    )
+    b = StreamsBuilder()
+    t = (
+        b.stream(e, key="event_type")
+        .group_by_key()
+        .windowed_by("ts_ts", "1 hour")
+        .count(alias="n_events")
+    )
+    return t.df.select(
+        F.expr("unix_timestamp(window_start) div 3600").alias("epoch_hour"),
+        "event_type",
+        "n_events",
+    )
+
+
 def _q_sql_balances(spark, sf_dir):
     """The balance query through the SQL surface (catalog views +
     spark.sql) — same oracle as the DataFrame and DSL forms, proving all
@@ -2194,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_balances": _q_dsl_balances,
         "dsl_count": _q_dsl_count,  # r10: §2.4 count via the facade
         "dsl_reduce": _q_dsl_reduce,  # r10: §2.4 reduce via the facade
+        "dsl_windowed_count": _q_dsl_windowed_count,  # r10: §2.4 windowed agg
         # -- r4-late contracts (evidence-priority head of round 5) --
         "ngram_novelty": _q_ngram_novelty,
         "corpus_overlap": _q_corpus_overlap,

@@ -350,9 +350,17 @@ class KGroupedStream:
             grace=grace,
         )
 
-    def session_windowed_by(self, ts_col: str, gap: str) -> "SessionWindowedKStream":
-        """``windowedBy(SessionWindows.with(gap))``."""
-        return SessionWindowedKStream(self.df, self.key, ts_col, gap, self._topology)
+    def session_windowed_by(
+        self, ts_col: str, gap: str, grace: str | None = None
+    ) -> "SessionWindowedKStream":
+        """``windowedBy(SessionWindows.with(gap).grace(g))``. ``grace``
+        = watermark, as in :meth:`windowed_by`; on a stream Spark
+        REQUIRES it for session windows (unbounded gap-merge state
+        otherwise), and with :meth:`KTable.suppress` it sets when a
+        session is final."""
+        return SessionWindowedKStream(
+            self.df, self.key, ts_col, gap, self._topology, grace=grace
+        )
 
     def _materialize(self, df: DataFrame, name: str | None) -> "KTable":
         if name:
@@ -412,13 +420,17 @@ class SessionWindowedKStream:
     """Session windows via ``F.session_window`` — gap-merged per key by
     the engine (no window-function prev-ts reconstruction needed)."""
 
-    def __init__(self, df, key, ts_col, gap, topology) -> None:
+    def __init__(self, df, key, ts_col, gap, topology, grace=None) -> None:
         self.df, self.key, self.ts_col, self.gap = df, key, ts_col, gap
+        self.grace = grace
         self._topology = topology
 
     def aggregate(self, agg: Column, materialized_as: str | None = None) -> "KTable":
+        src = self.df
+        if self.grace is not None and src.isStreaming:
+            src = src.withWatermark(self.ts_col, self.grace)
         out = (
-            self.df.groupBy(
+            src.groupBy(
                 F.session_window(F.col(self.ts_col), self.gap).alias("w"), F.col(self.key)
             )
             .agg(agg)
@@ -431,7 +443,10 @@ class SessionWindowedKStream:
         )
         if materialized_as:
             self._topology.tables[materialized_as] = out
-        return KTable(out, self.key, self._topology)
+        t = KTable(out, self.key, self._topology)
+        t._windowed = True
+        t._graced = self.grace is not None
+        return t
 
     def count(self, alias: str = "count", materialized_as: str | None = None) -> "KTable":
         return self.aggregate(F.count("*").alias(alias), materialized_as)

@@ -1230,6 +1230,7 @@ def minhash_pairs_incremental(
     hash_fn: str = "crc32",
     existing_sig: DataFrame | None = None,
     existing_bands: DataFrame | None = None,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Verified new×existing near-dup PAIRS — the pair-emitting core of
     :func:`dedup_incremental_fuzzy` (r9: extracted so consumers that
@@ -1244,6 +1245,15 @@ def minhash_pairs_incremental(
     skips even the signature read for the existing side; takes
     precedence over ``existing_sig``. The existing TEXT is still read,
     id-pruned, for the candidate verify join.
+
+    ``new_bands`` (r10): the same for the NEW side — a caller that
+    already banded the delta (the streaming split assigner computes
+    the batch's band keys once for the pricing audit and the index
+    write) passes them here so the delta's Arrow signature pass runs
+    exactly once per batch instead of once per consumer. MUST be built
+    with the same (num_hashes, bands, shingle_n, hash_fn) or band keys
+    silently never collide — the caller owns that invariant (the
+    stream's frozen-parameter stamp does).
 
     Output: (new_id, ex_id) distinct — every new-side doc within
     ``threshold`` of an existing doc, one row per verified pair.
@@ -1279,12 +1289,13 @@ def minhash_pairs_incremental(
         if existing_bands is not None
         else banded(existing, existing_sig)
     )
+    new_banded = new_bands if new_bands is not None else banded(new_docs)
     # persisted: the candidate pairs are read THREE times below (both
     # verify joins plus the two id-pruning semi-joins) — without the
     # persist each consumer re-runs the banding subtree, including the
     # Arrow signature passes. Tiny (two id columns).
     cand = (
-        banded(new_docs)
+        new_banded
         .withColumnRenamed(id_col, "new_id")
         .join(
             ex_banded.withColumnRenamed(id_col, "ex_id"),

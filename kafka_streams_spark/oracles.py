@@ -237,6 +237,18 @@ ANALYTICS_ORACLES = {
                CAST(SUM({_cents_sql('value')}) AS BIGINT) AS total_value_cents
         FROM events GROUP BY 1, 2
     """,
+    # r10: the DSL facade's windowed_by(...).count() at the same grain —
+    # the windowed-aggregation §2.4 name, driver-checked like
+    # dsl_balances checks aggregate(). NULL-timestamp rows are DROPPED:
+    # Spark's window() plans an isnotnull(ts) filter (no window exists
+    # for a null event time), matching Kafka Streams' drop of records
+    # with invalid timestamps in windowed processing — unlike the raw
+    # integer-grain events_hourly above, which keeps the NULL group.
+    "dsl_windowed_count": """
+        SELECT epoch_ns(ts) // 3600000000000 AS epoch_hour, event_type,
+               count(*) AS n_events
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    """,
     "sessionize_events": """
         WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn
                    FROM events WHERE ts IS NOT NULL),

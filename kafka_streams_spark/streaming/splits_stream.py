@@ -500,6 +500,10 @@ def run_split_assignment_stream(
                 shingle_n=shingle_n,
                 hash_fn=hash_fn,
                 existing_bands=ex_bands,
+                # the batch's band keys were computed once above (for
+                # the pricing audit and the index write) — reuse them
+                # so the delta's Arrow signature pass runs exactly once
+                new_bands=new_bands,
             ).select(
                 F.col("new_id").alias("id_a"), F.col("ex_id").alias("id_b")
             )

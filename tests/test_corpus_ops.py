@@ -259,6 +259,43 @@ def test_fuzzy_incremental_drops_near_dup_of_existing(spark):
         assert {r["doc_id"] for r in out.collect()} == {11}
 
 
+def test_pairs_incremental_precomputed_new_bands_identical(spark):
+    """r10: a caller that already banded the delta (the streaming split
+    assigner) passes new_bands= — the pair output must be IDENTICAL to
+    the self-computed path, for both hash functions."""
+    from kafka_streams_spark.operators.dedup import (
+        _banded_keys,
+        minhash_pairs_incremental,
+        minhash_signatures,
+    )
+
+    base, near = _fuzzy_rows()
+    existing = _docs(spark, [(1, "s", base), (2, "s", "other corpus text")])
+    new = _docs(
+        spark,
+        [(10, "s", near), (11, "s", "completely different words here")],
+    )
+    for hash_fn in ("crc32", "md5_32"):
+        want = {
+            (r["new_id"], r["ex_id"])
+            for r in minhash_pairs_incremental(
+                new, existing, threshold=0.5, hash_fn=hash_fn
+            ).collect()
+        }
+        pre = _banded_keys(
+            minhash_signatures(new, "doc_id", "text", 64, 3, hash_fn),
+            "doc_id", 64, 32, hash_fn,
+        )
+        got = {
+            (r["new_id"], r["ex_id"])
+            for r in minhash_pairs_incremental(
+                new, existing, threshold=0.5, hash_fn=hash_fn,
+                new_bands=pre,
+            ).collect()
+        }
+        assert got == want and want == {(10, 1)}
+
+
 def test_fuzzy_incremental_ignores_new_new_pairs(spark):
     """Near-dups WITHIN the increment are out of scope by contract —
     both survive the gate (minhash_near_duplicates handles them)."""

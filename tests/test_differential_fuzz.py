@@ -296,6 +296,9 @@ PAYMENT_FUZZ_QUERIES = [
 
 EVENT_FUZZ_QUERIES = [
     "events_hourly",
+    # r10: same grain through the DSL windowed facade — NULL-ts events
+    # exercise the null window group on both engines
+    "dsl_windowed_count",
     "sessionize_events",
     "event_transitions",
     "events_rate_anomaly",

@@ -342,6 +342,59 @@ def test_suppress_emit_final_streaming_and_guards(spark, tmp_path):
         graceless.suppress()
 
 
+def test_session_suppress_emit_final_streaming(spark, tmp_path):
+    """suppress over SESSION windows: grace = watermark, append mode
+    emits a session exactly once, after the watermark passes its end
+    (last event + gap); the open session never appears."""
+    import json
+    import os
+
+    src = str(tmp_path / "ssup_src")
+    os.makedirs(src)
+
+    def write(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for k, ts in rows:
+                f.write(json.dumps({"k": k, "ts": ts}) + "\n")
+
+    write("b0.json", [("u1", "2024-01-01 00:00:00"),
+                      ("u1", "2024-01-01 00:02:00")])
+    sdf = (
+        spark.readStream.schema("k string, ts string").json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    b = StreamsBuilder()
+    sup = (
+        b.stream(sdf, key="k").group_by_key()
+        .session_windowed_by("ts", "5 minutes", grace="1 minute")
+        .count(alias="n")
+        .suppress()
+    )
+    q = (
+        sup.df.writeStream.format("memory").queryName("ssup_sink")
+        .outputMode(sup.output_mode)
+        .option("checkpointLocation", str(tmp_path / "ssup_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark 00:01 < session end 00:07 -> still open, invisible
+        assert spark.table("ssup_sink").count() == 0
+        write("b1.json", [("u1", "2024-01-01 01:00:00")])
+        q.processAllAvailable()
+        rows = [
+            (str(r["session_start"]), str(r["session_end"]), r["n"])
+            for r in spark.table("ssup_sink").collect()
+        ]
+        # the merged 00:00+00:02 session (end = last event + gap) emits
+        # once; the 01:00 session stays open
+        assert rows == [
+            ("2024-01-01 00:00:00", "2024-01-01 00:07:00", 2)
+        ]
+    finally:
+        q.stop()
+
+
 def test_kstream_process_map_in_pandas(spark):
     """Processor-API analog: arbitrary Arrow-batched logic through
     KStream.process, schema-checked output."""
