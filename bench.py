@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "stop_band_cap",
     "dsl_count",
     "dsl_reduce",
+    "dsl_windowed_count",
 ]
 
 
