@@ -227,24 +227,27 @@ def compact_balances(spark: SparkSession, out_dir: str) -> int | None:
     replay. The base lives at ``balance_base/hwm=<N>/``; readers take the
     max-hwm base plus deltas with ``ingest_batch > N``, so a compaction
     running concurrently with the stream never changes query results.
+
+    All listing/deletion goes through the Hadoop FileSystem API (r10 —
+    the ``_migrate_delta_layout`` convention), so compaction works on
+    whatever store the stream writes to (HDFS/S3A/local); the prior
+    glob/shutil version silently no-op'd on remote stores.
     """
-    import glob
-    import re
-    import shutil
+    from kafka_streams_spark.streaming.splits_stream import (
+        _fs,
+        _list_partition_values,
+    )
 
     delta_dir = os.path.join(out_dir, "balance_delta")
     base_dir = os.path.join(out_dir, "balance_base")
     _migrate_delta_layout(spark, delta_dir)
-    batches = sorted(
-        int(m.group(1))
-        for p in glob.glob(os.path.join(delta_dir, "ingest_batch=*"))
-        if (m := re.search(r"ingest_batch=(\d+)$", p))
-    )
+    fs, HPath = _fs(spark, delta_dir)
+    batches = _list_partition_values(spark, delta_dir, "ingest_batch")
     if len(batches) < 2:
         return None  # nothing safely foldable
     hwm = batches[-2]
 
-    old_hwm = _latest_base_hwm(base_dir)
+    old_hwm = _latest_base_hwm(spark, base_dir)
     if old_hwm is not None and hwm <= old_hwm:
         # Nothing newly closed — but a compaction that crashed between
         # writing the base and deleting the folded deltas leaves
@@ -252,9 +255,8 @@ def compact_balances(spark: SparkSession, out_dir: str) -> int | None:
         # (readers already exclude them via the > hwm filter).
         for b in batches[:-1]:
             if b <= old_hwm:
-                shutil.rmtree(
-                    os.path.join(delta_dir, f"ingest_batch={b}"),
-                    ignore_errors=True,
+                fs.delete(
+                    HPath(f"{delta_dir}/ingest_batch={b}"), True
                 )
         return old_hwm
     # Deltas already folded into the old base must NOT fold again: after
@@ -282,25 +284,21 @@ def compact_balances(spark: SparkSession, out_dir: str) -> int | None:
 
     new_base = os.path.join(base_dir, f"hwm={hwm}")
     folded.write.mode("overwrite").parquet(new_base)
-    # drop folded inputs (old base + closed delta partitions)
+    # drop folded inputs (old base + closed delta partitions) — only
+    # AFTER the new base is committed
     if old_hwm is not None and old_hwm != hwm:
-        shutil.rmtree(os.path.join(base_dir, f"hwm={old_hwm}"), ignore_errors=True)
+        fs.delete(HPath(f"{base_dir}/hwm={old_hwm}"), True)
     for b in batches[:-1]:
-        shutil.rmtree(
-            os.path.join(delta_dir, f"ingest_batch={b}"), ignore_errors=True
-        )
+        fs.delete(HPath(f"{delta_dir}/ingest_batch={b}"), True)
     return hwm
 
 
-def _latest_base_hwm(base_dir: str) -> int | None:
-    import glob
-    import re
+def _latest_base_hwm(spark: SparkSession, base_dir: str) -> int | None:
+    from kafka_streams_spark.streaming.splits_stream import (
+        _list_partition_values,
+    )
 
-    hwms = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(base_dir, "hwm=*"))
-        if (m := re.search(r"hwm=(\d+)$", p))
-    ]
+    hwms = _list_partition_values(spark, base_dir, "hwm")
     return max(hwms) if hwms else None
 
 
@@ -330,7 +328,7 @@ class BalanceView:
         predicate is on a partition column, so the already-folded
         partitions are pruned at planning time, never scanned."""
         deltas = self._spark.read.parquet(self._delta_dir)
-        hwm = _latest_base_hwm(self._base_dir)
+        hwm = _latest_base_hwm(self._spark, self._base_dir)
         if hwm is None:
             return deltas.select("fromAccount", "delta", "bucket")
         open_deltas = deltas.filter(F.col("ingest_batch") > hwm).select(
