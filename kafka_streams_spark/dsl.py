@@ -537,19 +537,39 @@ class KTable:
                 "without a watermark Spark cannot know when a window is "
                 "final, and append mode would emit nothing"
             )
-        t = KTable(self.df, self.key, self._topology)
-        t._windowed, t._graced, t._suppressed = True, self._graced, True
+        t = self._derived(self.df)
+        t._windowed, t._suppressed = True, True
+        return t
+
+    def _derived(self, df: DataFrame) -> "KTable":
+        """Rebuild with SELF's window/grace/suppression flags intact. A
+        row subset (filter) or value recompute (map_values) of a
+        windowed aggregate is still that windowed aggregate — dropping
+        the flags here made ``windowed_by(...).count().filter(...)``
+        reject suppress() and, worse, let ``suppress().filter(...)``
+        silently revert :attr:`output_mode` to ``update``, re-emitting
+        the intermediate window refinements emit-final forbids."""
+        t = KTable(df, self.key, self._topology)
+        t._windowed = self._windowed
+        t._graced = self._graced
+        t._suppressed = self._suppressed
         return t
 
     def filter(self, predicate: Column) -> "KTable":
-        return KTable(self.df.filter(predicate), self.key, self._topology)
+        return self._derived(self.df.filter(predicate))
 
     def map_values(self, **exprs: Column) -> "KTable":
-        return KTable(self.df.withColumns(dict(exprs)), self.key, self._topology)
+        return self._derived(self.df.withColumns(dict(exprs)))
 
     def join(self, other: "KTable", how: str = "inner") -> "KTable":
-        """KTable-KTable join: equi-join on the shared key."""
-        return KTable(self.df.join(other.df, self.key, how), self.key, self._topology)
+        """KTable-KTable join: equi-join on the shared key. Window and
+        grace flags carry over from the LEFT table (the join preserves
+        its row grain); the result is emit-final only when BOTH sides
+        are — one update-mode side re-opens rows, so ``_suppressed``
+        is the conjunction."""
+        t = self._derived(self.df.join(other.df, self.key, how))
+        t._suppressed = self._suppressed and other._suppressed
+        return t
 
     def to_stream(self) -> KStream:
         """``KTable.toStream()``: the changelog as a record stream."""

@@ -171,7 +171,27 @@ def run_payment_stream(
     # _migrate_delta_layout)
     _migrate_delta_layout(spark, delta_dir)
 
-    def route_batch(batch_df: DataFrame, batch_id: int) -> None:
+    # per-checkpoint-generation offset for ingest_batch (see
+    # splits_stream._epoch_offset): a fresh checkpoint restarts batch ids
+    # at 0, and without the offset a post-compaction fresh run's deltas
+    # would land below the base hwm — invisible to BalanceView, deleted
+    # by the next compact_balances, and eventually overwriting surviving
+    # pre-crash partitions via dynamic partition overwrite.
+    _epoch_cache: dict[str, int] = {}
+
+    def route_batch(batch_df: DataFrame, raw_batch_id: int) -> None:
+        from kafka_streams_spark.streaming.splits_stream import _epoch_offset
+
+        if "offset" not in _epoch_cache:
+            _epoch_cache["offset"] = _epoch_offset(
+                spark,
+                out_dir,
+                checkpoint_dir,
+                raw_batch_id,
+                delta_dirs=[delta_dir],
+                base_dirs=[os.path.join(out_dir, "balance_base")],
+            ) - raw_batch_id
+        batch_id = _epoch_cache["offset"] + raw_batch_id
         merged = _transform(batch_df)
         merged.persist()  # read-once fan-out: 3 writes, 1 computation
         try:
@@ -236,6 +256,7 @@ def compact_balances(spark: SparkSession, out_dir: str) -> int | None:
     from kafka_streams_spark.streaming.splits_stream import (
         _fs,
         _list_partition_values,
+        _sweep_base_snapshots,
     )
 
     delta_dir = os.path.join(out_dir, "balance_delta")
@@ -243,11 +264,14 @@ def compact_balances(spark: SparkSession, out_dir: str) -> int | None:
     _migrate_delta_layout(spark, delta_dir)
     fs, HPath = _fs(spark, delta_dir)
     batches = _list_partition_values(spark, delta_dir, "ingest_batch")
+    # sweep snapshot debris (uncommitted bases a crashed compaction left
+    # mid-write; superseded committed bases a crash left undeleted)
+    # BEFORE trusting any hwm — an uncommitted base is partial, and
+    # folding "up to" it would delete deltas it never contained
+    old_hwm = _sweep_base_snapshots(spark, base_dir)
     if len(batches) < 2:
-        return None  # nothing safely foldable
+        return old_hwm  # nothing safely foldable
     hwm = batches[-2]
-
-    old_hwm = _latest_base_hwm(spark, base_dir)
     if old_hwm is not None and hwm <= old_hwm:
         # Nothing newly closed — but a compaction that crashed between
         # writing the base and deleting the folded deltas leaves
@@ -294,12 +318,14 @@ def compact_balances(spark: SparkSession, out_dir: str) -> int | None:
 
 
 def _latest_base_hwm(spark: SparkSession, base_dir: str) -> int | None:
-    from kafka_streams_spark.streaming.splits_stream import (
-        _list_partition_values,
-    )
+    """Newest COMMITTED base snapshot — delegates to the shared
+    ``_latest_hwm`` (one hwm-discovery implementation for the balances
+    and splits compactors, r10 review fix: the prior copy here also
+    skipped the ``_SUCCESS`` commit-marker check, so a reader could
+    trust a base a crashed compaction left half-written)."""
+    from kafka_streams_spark.streaming.splits_stream import _latest_hwm
 
-    hwms = _list_partition_values(spark, base_dir, "hwm")
-    return max(hwms) if hwms else None
+    return _latest_hwm(spark, base_dir)
 
 
 class BalanceView:

@@ -42,10 +42,21 @@ key). The stream's own prior-state reads go through the same
 base-aware reader, so compacting between (or concurrent with)
 micro-batches never changes verdicts.
 
+(A fifth, optional store — ``caps/``, the per-batch pair-budget audit
+written when ``pair_budget`` is set — folds with the same machinery,
+keeping each row's batch identity as a ``src_batch`` data column; read
+it back with :func:`read_cap_audit`.)
+
 Exactly-once under at-least-once delivery: every read excludes the
 current ``ingest_batch`` partition and every write dynamically
 overwrites ONLY that partition, so a crash-replayed batch recomputes
 the same verdicts against the same prior state and lands the same rows.
+``ingest_batch`` is the checkpoint's batch id plus a persisted
+per-checkpoint-generation offset (``_epochs.json``): a FRESH checkpoint
+(lost/corrupt checkpoint recovery) restarts batch ids at 0, and without
+the offset its writes would land below the compaction high-water mark —
+invisible, then deleted, then overwriting surviving partitions (see
+:func:`_epoch_offset`).
 Docs whose ids already hold an assignment are dropped (cross-batch
 re-delivery), and within-batch id duplicates keep the min-text row
 (deterministic under re-partitioned replay).
@@ -132,9 +143,162 @@ def _list_partition_values(
     return sorted(out)
 
 
+def _committed_hwms(spark: SparkSession, base_dir: str) -> list[int]:
+    """``hwm=N`` snapshot dirs carrying Spark's ``_SUCCESS`` commit
+    marker, sorted. Only COMMITTED snapshots exist as far as the
+    engine is concerned: a compaction that crashed mid-write leaves an
+    uncommitted ``hwm=N`` directory holding partial (or no) rows —
+    trusting it would under-read the folded state AND let the next
+    compaction's cleanup delete delta partitions that were never
+    actually folded (permanent state loss, r10 review fix)."""
+    fs, HPath = _fs(spark, base_dir)
+    return [
+        h
+        for h in _list_partition_values(spark, base_dir, "hwm")
+        if fs.exists(HPath(f"{base_dir}/hwm={h}/_SUCCESS"))
+    ]
+
+
 def _latest_hwm(spark: SparkSession, base_dir: str) -> int | None:
-    hwms = _list_partition_values(spark, base_dir, "hwm")
+    hwms = _committed_hwms(spark, base_dir)
     return max(hwms) if hwms else None
+
+
+def _sweep_base_snapshots(spark: SparkSession, base_dir: str) -> int | None:
+    """Compactor-side snapshot cleanup; returns the surviving hwm.
+
+    Deletes (a) uncommitted ``hwm=N`` dirs — debris from a compaction
+    that crashed mid-write (readers already ignore them via
+    :func:`_committed_hwms`) — and (b) committed snapshots older than
+    the newest — debris from a crash between committing the new base
+    and deleting the superseded one, which the old cleanup path never
+    reclaimed (an unbounded disk leak across crash cycles for
+    corpus-sized stores). Single-compactor assumption, same as the
+    rest of the contract: an uncommitted dir can only be a CRASHED
+    compaction's, never a live concurrent one's."""
+    fs, HPath = _fs(spark, base_dir)
+    committed = _committed_hwms(spark, base_dir)
+    latest = committed[-1] if committed else None
+    for h in _list_partition_values(spark, base_dir, "hwm"):
+        if h not in committed or (latest is not None and h < latest):
+            fs.delete(HPath(f"{base_dir}/hwm={h}"), True)
+    return latest
+
+
+def _read_json_file(spark: SparkSession, path_str: str) -> dict | None:
+    """Small JSON sidecar read via the Hadoop FileSystem API (None when
+    absent). Recovers a ``.tmp`` left by a crashed :func:`_write_json_file`
+    swap — the tmp always holds a superset of the target it replaced."""
+    fs, HPath = _fs(spark, path_str)
+    import json as _json
+
+    p, tmp = HPath(path_str), HPath(path_str + ".tmp")
+    if not fs.exists(p):
+        if not fs.exists(tmp):
+            return None
+        if not fs.rename(tmp, p):
+            raise IOError(f"rename failed: {tmp} -> {p}")
+    stream = fs.open(p)
+    try:
+        raw = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode()
+    finally:
+        stream.close()
+    return _json.loads(raw)
+
+
+def _write_json_file(spark: SparkSession, path_str: str, obj: dict) -> None:
+    """Crash-safe small-JSON write: create ``.tmp``, delete the target,
+    rename — a crash between delete and rename is healed by the reader
+    (see :func:`_read_json_file`)."""
+    fs, HPath = _fs(spark, path_str)
+    import json as _json
+
+    p, tmp = HPath(path_str), HPath(path_str + ".tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(_json.dumps(obj, sort_keys=True).encode()))
+    out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise IOError(f"rename failed: {tmp} -> {p}")
+
+
+def _query_id(spark: SparkSession, checkpoint_dir: str) -> str:
+    """The StreamingQuery's stable id from ``<checkpoint>/metadata`` —
+    written by Structured Streaming at query start, constant across
+    restarts of the SAME checkpoint, fresh UUID for a new (or wiped)
+    one. The foreachBatch loop runs strictly after query start, so the
+    file always exists by the time a batch reads it."""
+    meta = _read_json_file(spark, f"{checkpoint_dir}/metadata")
+    if meta is None or "id" not in meta:
+        raise FileNotFoundError(
+            f"no streaming-query metadata under {checkpoint_dir}"
+        )
+    return str(meta["id"])
+
+
+def _epoch_offset(
+    spark: SparkSession,
+    state_dir: str,
+    checkpoint_dir: str,
+    batch_id: int,
+    delta_dirs: list[str],
+    base_dirs: list[str],
+) -> int:
+    """Per-checkpoint-generation offset added to Structured Streaming's
+    batch id before it becomes an ``ingest_batch`` partition value.
+
+    Why it must exist (r10 review fix): batch ids restart at 0 on a
+    fresh checkpoint (the canonical lost/corrupt-checkpoint recovery),
+    but the stores outlive the checkpoint. Without an offset a
+    post-compaction fresh run writes partitions ``ingest_batch <= hwm``
+    that are (a) invisible to every reader (the ``> hwm`` predicate),
+    (b) deleted by the next compaction as already-folded debris —
+    permanent loss of genuinely new state — and (c), once the new run's
+    ids catch up, dynamic partition overwrite DESTROYS the surviving
+    pre-crash delta partitions. The offset keeps every checkpoint
+    generation's partition ids strictly above everything already on
+    disk, while replay WITHIN a generation still lands in its own
+    partition (idempotent overwrite), because the mapping is persisted
+    per query id in ``<state_dir>/_epochs.json`` before any state write.
+
+    Resolution order: a registered query id uses its offset forever; an
+    unregistered id over an empty store starts at 0; an unregistered id
+    with ``batch_id > 0`` is a pre-epochs checkpoint resuming (fresh
+    checkpoints always start at 0) and keeps raw ids; otherwise it is a
+    fresh checkpoint over existing state and gets max-on-disk + 1. The
+    one undecidable legacy corner — a PRE-epochs store holding only
+    batch-0 partitions and no base, seen by a brand-new checkpoint's
+    batch 0 — resolves to offset 0, preferring crash-replay healing of
+    a partially written first batch (every post-fix store registers its
+    first query id before writing, so the ambiguity cannot recur)."""
+    qid = _query_id(spark, checkpoint_dir)
+    epochs_path = f"{state_dir}/_epochs.json"
+    epochs = _read_json_file(spark, epochs_path) or {}
+    if qid in epochs:
+        return int(epochs[qid]) + batch_id
+    seen = [
+        b
+        for d in delta_dirs
+        for b in _list_partition_values(spark, d, "ingest_batch")
+    ] + [
+        h for d in base_dirs for h in _list_partition_values(spark, d, "hwm")
+    ]
+    if not seen:
+        offset = 0
+    elif batch_id > 0:
+        offset = 0  # pre-epochs checkpoint resuming mid-stream
+    elif not epochs and max(seen) == 0 and not any(
+        _list_partition_values(spark, d, "hwm") for d in base_dirs
+    ):
+        offset = 0  # legacy batch-0 crash-replay (see docstring)
+    else:
+        offset = max(seen) + 1  # fresh checkpoint over existing state
+    epochs[qid] = offset
+    _write_json_file(spark, epochs_path, epochs)
+    return offset + batch_id
 
 
 def _read_store(
@@ -173,12 +337,23 @@ def _read_store(
     return base if deltas is None else deltas.unionByName(base)
 
 
-# per-store fold schema: the data columns a base snapshot keeps
+# per-store fold schema: the data columns a base snapshot keeps. The
+# caps audit store keeps its batch identity as a DATA column
+# (``src_batch``) because for an audit row the batch id IS the content
+# — folding it away would leave an uninterpretable history.
 _STORE_COLS = {
     "assignments": ["doc_id", "split", "leak_conflict"],
     "members": ["node", "cluster_id"],
     "docs": ["doc_id", "source", "text"],
     "bands": ["doc_id", "band_idx", "band_hash"],
+    "caps": [
+        "src_batch",
+        "priced_pairs",
+        "stop_band_occupancy",
+        "admitted_pairs",
+        "applied",
+        "n_stop_bands",
+    ],
 }
 # repartition key for each base write: the column the store's hot read
 # joins/groups on, so base files are key-clustered at scale
@@ -187,6 +362,7 @@ _STORE_KEY = {
     "members": "node",
     "docs": "doc_id",
     "bands": "band_hash",
+    "caps": "src_batch",
 }
 
 
@@ -224,7 +400,12 @@ def compact_split_stores(
         base_dir = f"{store_dir}/{name}_base"
         fs, HPath = _fs(spark, delta_dir)
         batches = _list_partition_values(spark, delta_dir, "ingest_batch")
-        old_hwm = _latest_hwm(spark, base_dir)
+        # sweep snapshot debris first: uncommitted (crashed-mid-write)
+        # hwm dirs and superseded committed bases a crash left behind;
+        # what survives is the authoritative old hwm
+        old_hwm = _sweep_base_snapshots(spark, base_dir)
+        if name == "caps" and not batches and old_hwm is None:
+            continue  # audit store only exists when pair_budget is set
         if len(batches) < 2:
             out[name] = old_hwm
             continue
@@ -239,17 +420,17 @@ def compact_split_stores(
                     )
             out[name] = old_hwm
             continue
-        closed = (
-            spark.read.parquet(delta_dir)
-            .filter(
-                (F.col("ingest_batch") <= hwm)
-                & (
-                    F.col("ingest_batch")
-                    > (old_hwm if old_hwm is not None else -1)
-                )
+        deltas = spark.read.parquet(delta_dir).filter(
+            (F.col("ingest_batch") <= hwm)
+            & (
+                F.col("ingest_batch")
+                > (old_hwm if old_hwm is not None else -1)
             )
-            .select(*cols, "ingest_batch")
         )
+        if name == "caps":
+            # the audit row's identity is the batch that wrote it
+            deltas = deltas.withColumn("src_batch", F.col("ingest_batch"))
+        closed = deltas.select(*cols, "ingest_batch")
         if old_hwm is not None:
             closed = closed.unionByName(
                 spark.read.parquet(f"{base_dir}/hwm={old_hwm}")
@@ -319,6 +500,32 @@ def read_cluster_members(spark: SparkSession, store_dir: str) -> DataFrame:
         .filter(F.col("_r") == 1)
         .select("node", "cluster_id")
     )
+
+
+def read_cap_audit(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The pair-budget audit trail: one row per priced batch —
+    (batch_id, priced_pairs, stop_band_occupancy, admitted_pairs,
+    applied, n_stop_bands). Base-aware: folded rows carry their
+    identity in ``src_batch`` (stamped at fold time), open delta rows
+    in their ``ingest_batch`` partition value. Raises when the stream
+    never priced (no ``pair_budget``)."""
+    hwm = _latest_hwm(spark, f"{store_dir}/caps_base")
+    deltas = _try_read_parquet(spark, f"{store_dir}/caps")
+    if deltas is not None:
+        if hwm is not None:
+            deltas = deltas.filter(F.col("ingest_batch") > hwm)
+        deltas = deltas.select(
+            F.col("ingest_batch").alias("batch_id"),
+            *_STORE_COLS["caps"][1:],
+        )
+    if hwm is None:
+        if deltas is None:
+            raise FileNotFoundError(f"no caps store under {store_dir}")
+        return deltas
+    base = _try_read_parquet(spark, f"{store_dir}/caps_base/hwm={hwm}").select(
+        F.col("src_batch").alias("batch_id"), *_STORE_COLS["caps"][1:]
+    )
+    return base if deltas is None else deltas.unionByName(base)
 
 
 def run_split_assignment_stream(
@@ -399,11 +606,31 @@ def run_split_assignment_stream(
         .json(source_dir)
     )
 
-    def assign(batch_df: DataFrame, batch_id: int) -> None:
+    # per-query-run cache for the epoch offset: resolved once from
+    # _epochs.json on the first batch, constant for the process lifetime
+    _epoch_cache: dict[str, int] = {}
+
+    def assign(batch_df: DataFrame, raw_batch_id: int) -> None:
         from kafka_streams_spark.functions.partitioning import (
             materialize_shared,
         )
         from kafka_streams_spark.operators.dedup import dedup_exact_rows
+
+        # remap the checkpoint-relative batch id onto the store's own
+        # monotone ingest_batch axis (fresh-checkpoint safety — see
+        # _epoch_offset); all reads/writes below use the effective id
+        if "offset" not in _epoch_cache:
+            _epoch_cache["offset"] = _epoch_offset(
+                spark,
+                store_dir,
+                checkpoint_dir,
+                raw_batch_id,
+                delta_dirs=[
+                    f"{store_dir}/{n}" for n in _STORE_COLS
+                ],
+                base_dirs=[f"{store_dir}/{n}_base" for n in _STORE_COLS],
+            ) - raw_batch_id
+        batch_id = _epoch_cache["offset"] + raw_batch_id
 
         # deterministic within-batch id dedup (min (text, source) row
         # wins), then drop cross-batch re-deliveries: an id that already

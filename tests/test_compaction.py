@@ -247,3 +247,108 @@ def test_interrupted_migration_recovers(spark, tmp_path):
     assert _migrate_delta_layout(spark, delta) == 1
     assert glob.glob(os.path.join(part, "bucket=*"))
     assert BalanceView(spark, out).get_balance("ABC") == 100
+
+
+def test_balances_snapshot_debris_swept(spark, tmp_path):
+    """r10 review fix shared with the splits compactor: an UNCOMMITTED
+    base (crashed mid-write, no _SUCCESS) must be invisible to readers
+    and swept — the old code trusted any hwm dir, so the re-run deleted
+    deltas the partial base never contained — and a superseded committed
+    base left by a crash between commit and delete must be reclaimed."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_events(src, "b1.json", GOLDEN)
+
+    q = run_payment_stream(spark, src, out, ckpt)
+    try:
+        q.processAllAvailable()
+        write_events(src, "b2.json", [_payment("p6", 40, "ABC")])
+        q.processAllAvailable()
+        write_events(src, "b3.json", [_payment("p7", 5, "XYZ")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    view = BalanceView(spark, out)
+    before = {r["fromAccount"]: r["balance"] for r in view.balances().collect()}
+
+    # uncommitted garbage base claiming hwm=1
+    from pyspark.sql import functions as F
+
+    base = os.path.join(out, "balance_base", "hwm=1")
+    spark.createDataFrame(
+        [("ZZZ", 10**9)], "fromAccount string, balance bigint"
+    ).withColumn("bucket", F.lit(0)).write.mode("overwrite").parquet(base)
+    os.remove(os.path.join(base, "_SUCCESS"))
+
+    assert {
+        r["fromAccount"]: r["balance"] for r in view.balances().collect()
+    } == before  # reader ignores the partial snapshot, keeps all deltas
+
+    hwm = compact_balances(spark, out)
+    assert hwm == 1  # swept the debris, folded batches 0-1 for real
+    assert {
+        r["fromAccount"]: r["balance"] for r in view.balances().collect()
+    } == before
+    assert os.path.exists(os.path.join(base, "_SUCCESS"))
+
+    # superseded committed base: crash between commit and delete
+    spark.createDataFrame(
+        [("ZZZ", 10**9)], "fromAccount string, balance bigint"
+    ).withColumn("bucket", F.lit(0)).write.mode("overwrite").parquet(
+        os.path.join(out, "balance_base", "hwm=0")
+    )
+    compact_balances(spark, out)
+    assert sorted(glob.glob(os.path.join(out, "balance_base", "hwm=*"))) == [
+        os.path.join(out, "balance_base", "hwm=1")
+    ]
+    assert {
+        r["fromAccount"]: r["balance"] for r in view.balances().collect()
+    } == before
+
+
+def test_payment_stream_fresh_checkpoint_epoch(spark, tmp_path):
+    """r10 review fix: after compaction, a FRESH checkpoint's batch ids
+    restart at 0 <= hwm — without the epoch offset its deltas were
+    invisible to BalanceView, deleted by the next compaction, and
+    eventually overwrote surviving partitions. New payments in the
+    fresh generation must be counted, survive compaction, and land
+    above the pre-crash partitions. (Re-delivered payments double-count
+    by design — the changelog is at-least-once with no payment-id
+    dedup, matching the reference.)"""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    write_events(src, "b1.json", [_payment("p1", 100, "ABC")])
+
+    q = run_payment_stream(spark, src, out, str(tmp_path / "ckptA"))
+    try:
+        q.processAllAvailable()
+        write_events(src, "b2.json", [_payment("p2", 10, "ABC")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert compact_balances(spark, out) == 0
+    view = BalanceView(spark, out)
+    assert view.get_balance("ABC") == 110
+
+    # fresh checkpoint: re-delivers b1+b2 (double count, by design) and
+    # sees the genuinely new b3 — all in its batch 0
+    write_events(src, "b3.json", [_payment("p3", 1, "XYZ")])
+    q = run_payment_stream(spark, src, out, str(tmp_path / "ckptB"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert view.get_balance("ABC") == 220  # 110 + re-delivered 110
+    assert view.get_balance("XYZ") == 1  # the NEW payment is visible
+    parts = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(os.path.join(out, "balance_delta", "ingest_batch=*"))
+    )
+    assert parts == [1, 2]  # fresh generation wrote at offset 2, not 0
+
+    # and compaction keeps it all
+    compact_balances(spark, out)
+    assert view.get_balance("ABC") == 220
+    assert view.get_balance("XYZ") == 1

@@ -429,3 +429,37 @@ def test_sql_surface(spark, sf_dir):
         "SELECT SUM(amount) b FROM payments_merged WHERE fromAccount = 'ACC-1'"
     ).collect()
     assert row and row[0]["balance"] == direct[0]["b"]
+
+
+def test_ktable_derived_ops_preserve_window_flags(spark):
+    """r10 review fix: KTable.filter/map_values rebuilt the table with
+    default flags, so a filtered windowed aggregate rejected suppress()
+    and — worse — filter AFTER suppress() silently reverted output_mode
+    to 'update', re-emitting the intermediate window refinements
+    emit-final forbids. Derived tables now carry the flags; a join is
+    emit-final only when BOTH sides are."""
+    builder = StreamsBuilder()
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:01:00", 1), ("a", "2024-01-01 00:40:00", 2)],
+        "k string, ts string, v int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    windowed = (
+        builder.stream(df, key="k")
+        .group_by_key()
+        .windowed_by("ts", "30 minutes")
+        .count()
+    )
+
+    # suppress after filter: still a windowed aggregate
+    sup = windowed.filter(F.col("count") >= 1).suppress()
+    assert sup.output_mode == "append"
+
+    # filter / map_values after suppress: emit-final survives
+    assert sup.filter(F.col("count") >= 1).output_mode == "append"
+    assert sup.map_values(doubled=F.col("count") * 2).output_mode == "append"
+
+    # join: append only when BOTH sides are suppressed
+    other = sup.map_values(extra=F.lit(1))
+    assert sup.join(other).output_mode == "append"
+    plain = builder.table(df.select("k", "v", "ts"), key="k", order_col="ts")
+    assert sup.join(plain).output_mode == "update"

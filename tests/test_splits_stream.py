@@ -503,3 +503,235 @@ def test_split_stream_membership_equals_full_graph_cc(spark, tmp_path):
         if r["doc_id"] not in clustered_nodes
     }
     assert got == want | singles
+
+
+def test_split_stream_uncommitted_base_ignored_and_swept(spark, tmp_path):
+    """r10 review fix: a base snapshot WITHOUT Spark's _SUCCESS commit
+    marker is a crashed compaction's partial write. Readers must not
+    trust it (its rows are incomplete AND the > hwm filter would hide
+    the real deltas), and the next compaction must sweep it and fold
+    the still-present deltas normally — the old code counted any hwm=N
+    dir, so the re-run's cleanup deleted deltas that were never folded:
+    permanent state loss."""
+    from kafka_streams_spark.streaming.splits_stream import (
+        compact_split_stores,
+        read_split_assignments,
+    )
+
+    b0 = [_doc(1, "a"), _doc(50, "b")]
+    b1 = [_doc(2, "a", "one")]
+    b2 = [_doc(90, "c")]
+    store = _run_batches(spark, tmp_path, [b0, b1, b2], subdir="ub")
+    want = sorted(
+        tuple(r) for r in read_split_assignments(spark, store).collect()
+    )
+
+    # simulate the crash: an UNCOMMITTED hwm=1 snapshot full of garbage
+    base = f"{store}/assignments_base/hwm=1"
+    spark.createDataFrame(
+        [(999, "train", False)],
+        "doc_id bigint, split string, leak_conflict boolean",
+    ).write.mode("overwrite").parquet(base)
+    os.remove(f"{base}/_SUCCESS")
+
+    # readers ignore it: full delta state, no garbage row
+    assert sorted(
+        tuple(r) for r in read_split_assignments(spark, store).collect()
+    ) == want
+
+    # compaction sweeps the debris and folds batches 0-1 for real —
+    # crucially WITHOUT deleting deltas the garbage snapshot never held
+    hwms = compact_split_stores(spark, store)
+    assert hwms["assignments"] == 1
+    got = sorted(
+        tuple(r) for r in read_split_assignments(spark, store).collect()
+    )
+    assert got == want
+    assert os.path.exists(f"{store}/assignments_base/hwm=1/_SUCCESS")
+    assert (999,) not in {(r[0],) for r in got}
+
+
+def test_split_stream_stale_base_reclaimed(spark, tmp_path):
+    """r10 review fix: a compaction that crashed between committing the
+    new base and deleting the superseded one left the old snapshot
+    orphaned forever (the cleanup path only removed deltas). The sweep
+    now reclaims committed snapshots older than the newest."""
+    import glob as _g
+
+    from kafka_streams_spark.streaming.splits_stream import (
+        compact_split_stores,
+        read_cluster_members,
+        read_split_assignments,
+        run_split_assignment_stream,
+    )
+
+    src = str(tmp_path / "sb" / "src")
+    store = str(tmp_path / "sb" / "store")
+    ckpt = str(tmp_path / "sb" / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    q = run_split_assignment_stream(spark, src, store, ckpt)
+    try:
+        _write(src, "b0.json", [_doc(1, "a"), _doc(50, "b")])
+        q.processAllAvailable()
+        _write(src, "b1.json", [_doc(2, "a", "one")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert compact_split_stores(spark, store)["assignments"] == 0
+    q = run_split_assignment_stream(spark, src, store, ckpt)
+    try:
+        _write(src, "b2.json", [_doc(90, "c")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert compact_split_stores(spark, store)["assignments"] == 1
+    want = sorted(
+        tuple(r) for r in read_split_assignments(spark, store).collect()
+    )
+    want_m = sorted(
+        tuple(r) for r in read_cluster_members(spark, store).collect()
+    )
+
+    # simulate the crash: resurrect a committed hwm=0 snapshot beside
+    # the live hwm=1 (COMMITTED — this is the post-commit crash window)
+    spark.createDataFrame(
+        [(1, "train", False)],
+        "doc_id bigint, split string, leak_conflict boolean",
+    ).write.mode("overwrite").parquet(f"{store}/assignments_base/hwm=0")
+
+    # readers already take max-hwm only; the next compaction reclaims it
+    assert sorted(
+        tuple(r) for r in read_split_assignments(spark, store).collect()
+    ) == want
+    compact_split_stores(spark, store)
+    assert sorted(
+        _g.glob(f"{store}/assignments_base/hwm=*")
+    ) == [f"{store}/assignments_base/hwm=1"]
+    assert sorted(
+        tuple(r) for r in read_split_assignments(spark, store).collect()
+    ) == want
+    assert sorted(
+        tuple(r) for r in read_cluster_members(spark, store).collect()
+    ) == want_m
+
+
+def test_split_stream_fresh_checkpoint_epoch_offset(spark, tmp_path):
+    """r10 review fix: batch ids restart at 0 on a FRESH checkpoint, so
+    without an epoch offset a post-compaction fresh run wrote new state
+    into ingest_batch <= hwm — invisible to every reader, deleted by
+    the next compaction, and (once ids caught up) dynamically
+    overwriting the surviving pre-crash partitions. The persisted
+    per-query-id offset keeps each checkpoint generation's partitions
+    strictly above everything on disk; final state must equal a
+    single-checkpoint twin."""
+    import glob as _g
+
+    from kafka_streams_spark.streaming.splits_stream import (
+        compact_split_stores,
+        read_split_assignments,
+        run_split_assignment_stream,
+    )
+
+    b0 = [_doc(1, "a"), _doc(2, "a", "one"), _doc(50, "b")]
+    b1 = [_doc(3, "a", "two")]
+    b2 = [_doc(60, "b", "one"), _doc(90, "c")]
+
+    # single-checkpoint twin over the same batch sequence
+    twin = _run_batches(spark, tmp_path, [b0, b1, b2], subdir="ep0")
+    want = sorted(
+        tuple(r) for r in read_split_assignments(spark, twin).collect()
+    )
+
+    src = str(tmp_path / "ep1" / "src")
+    store = str(tmp_path / "ep1" / "store")
+    os.makedirs(src, exist_ok=True)
+    q = run_split_assignment_stream(
+        spark, src, store, str(tmp_path / "ep1" / "ckptA")
+    )
+    try:
+        _write(src, "b0.json", b0)
+        q.processAllAvailable()
+        _write(src, "b1.json", b1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert compact_split_stores(spark, store)["assignments"] == 0
+
+    # checkpoint lost: fresh checkpoint re-delivers b0+b1 AND sees the
+    # genuinely new b2 docs — all in its batch 0
+    _write(src, "b2.json", b2)
+    q = run_split_assignment_stream(
+        spark, src, store, str(tmp_path / "ep1" / "ckptB")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # new docs visible, re-deliveries dropped, old rows unchanged
+    assert sorted(
+        tuple(r) for r in read_split_assignments(spark, store).collect()
+    ) == want
+    # the fresh generation wrote ABOVE the hwm (0) and the surviving
+    # delta (1): offset = max(seen)+1 = 2, its batch 0 -> partition 2
+    parts = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in _g.glob(f"{store}/assignments/ingest_batch=*")
+    )
+    assert parts == [1, 2]
+    # replay within the fresh generation lands in the SAME partition
+    q = run_split_assignment_stream(
+        spark, src, store, str(tmp_path / "ep1" / "ckptC")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(
+        tuple(r) for r in read_split_assignments(spark, store).collect()
+    ) == want
+
+    # compaction over the mixed-generation store retains everything
+    compact_split_stores(spark, store)
+    assert sorted(
+        tuple(r) for r in read_split_assignments(spark, store).collect()
+    ) == want
+
+
+def test_split_stream_caps_store_compacts(spark, tmp_path):
+    """r10 review fix: the caps/ audit store accreted one partition per
+    priced batch forever — absent from the fold loop, it re-created the
+    unbounded-partition growth compaction exists to close. It now folds
+    like the state stores, keeping each row's batch identity as a
+    src_batch data column; read_cap_audit sees folded and open rows
+    identically."""
+    import glob as _g
+
+    from kafka_streams_spark.streaming.splits_stream import (
+        compact_split_stores,
+        read_cap_audit,
+    )
+
+    b0 = [_doc(1, "a"), _doc(50, "b")]
+    b1 = [_doc(2, "a", "one")]
+    b2 = [_doc(90, "c")]
+    store = _run_batches(
+        spark, tmp_path, [b0, b1, b2], subdir="cc", pair_budget=10**6
+    )
+    # batches 1 and 2 priced (batch 0 had no standing index)
+    want = sorted(
+        tuple(r) for r in read_cap_audit(spark, store).collect()
+    )
+    assert [r[0] for r in want] == [1, 2]
+
+    hwms = compact_split_stores(spark, store)
+    assert hwms["caps"] == 1
+    assert sorted(
+        tuple(r) for r in read_cap_audit(spark, store).collect()
+    ) == want
+    # on disk: folded partition gone, base committed with src_batch kept
+    assert sorted(_g.glob(f"{store}/caps/ingest_batch=*")) == [
+        f"{store}/caps/ingest_batch=2"
+    ]
+    base = spark.read.parquet(f"{store}/caps_base/hwm=1")
+    assert [r["src_batch"] for r in base.collect()] == [1]
