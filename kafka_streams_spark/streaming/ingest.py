@@ -79,28 +79,48 @@ def run_corpus_ingest_stream(
         .json(source_dir)
     )
 
-    def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
+    # per-checkpoint-generation offset for ingest_batch (the
+    # splits-store epoch contract): a FRESH checkpoint restarts batch
+    # ids at 0, and without the offset its batch 0 would (a) exclude
+    # the prior generation's partition 0 from the membership gate —
+    # re-admitting its documents — and (b) dynamically OVERWRITE that
+    # partition, losing every accepted doc in it that did not re-arrive.
+    _epoch_cache: dict[str, int] = {}
 
+    def ingest(batch_df: DataFrame, raw_batch_id: int) -> None:
         from kafka_streams_spark.functions.partitioning import (
             materialize_shared,
         )
+        from kafka_streams_spark.streaming.splits_stream import (
+            _epoch_offset,
+            _try_read_parquet,
+        )
+
+        if "offset" not in _epoch_cache:
+            _epoch_cache["offset"] = _epoch_offset(
+                spark,
+                corpus_dir,
+                checkpoint_dir,
+                raw_batch_id,
+                delta_dirs=[corpus_dir],
+                base_dirs=[],
+            ) - raw_batch_id
+        batch_id = _epoch_cache["offset"] + raw_batch_id
 
         # FS-agnostic existence probe (corpus_dir may be HDFS/S3, where
         # os.listdir cannot look): an absent corpus raises
-        # AnalysisException on read. ONLY that exception means "no
-        # corpus yet" — a transient IO/auth failure must fail the batch
-        # (retried by the stream), not silently skip the membership
-        # gate and re-admit the whole prior corpus (r7 review wave 5).
-        prior: DataFrame | None = None
-        try:
-            prior = spark.read.parquet(corpus_dir).filter(
+        # AnalysisException on read. ONLY the missing-path condition
+        # means "no corpus yet" (_try_read_parquet narrows to
+        # PATH_NOT_FOUND) — a transient IO/auth failure or corrupt
+        # store metadata must fail the batch (retried by the stream),
+        # not silently skip the membership gate and re-admit the whole
+        # prior corpus (r7 review wave 5; scope narrowed in r10 to
+        # match the splits-stream advice fix).
+        prior = _try_read_parquet(spark, corpus_dir)
+        if prior is not None:
+            prior = prior.filter(
                 F.col("ingest_batch") != batch_id  # replay-idempotence
             )
-            prior.schema  # force analysis while we can still catch it
-        except AnalysisException:
-            prior = None
-        if prior is not None:
             # gate on the hash of the text AS IT ARRIVED (src_md5,
             # persisted below): span surgery may rewrite the stored
             # body, and re-hashing it would let the same original

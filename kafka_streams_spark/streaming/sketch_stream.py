@@ -26,6 +26,77 @@ from pyspark.sql import functions as F
 
 from kafka_streams_spark.streaming.ingest import DOC_SCHEMA
 
+# reserved ingest_batch partition ids: -1 holds the compacted fold, -2 is
+# the fold's staging partition (invisible to every reader — see
+# _compact_deltas and _read_delta_store)
+_FOLD_STAGE = -2
+_FOLD_MANIFEST = "_fold_pin.json"
+
+
+def _read_delta_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Every reader's view of a batch-partitioned delta store: all
+    partitions EXCEPT the fold-staging partition a live (or crashed)
+    :func:`_compact_deltas` may have left at ``ingest_batch=-2`` —
+    the stage duplicates the fold's inputs until the swap completes,
+    so counting it would double (and with ``-1`` present, triple)
+    every folded row."""
+    return spark.read.parquet(store_dir).filter(
+        F.col("ingest_batch") != _FOLD_STAGE
+    )
+
+
+def _epoch_mapper(spark: SparkSession, store_dir: str, checkpoint_dir: str):
+    """Per-stream remap of Structured Streaming's checkpoint-relative
+    batch id onto the store's own monotone ``ingest_batch`` axis —
+    the splits-store epoch contract (``splits_stream._epoch_offset``)
+    applied to every sketch/index delta store. Without it a FRESH
+    checkpoint (lost/corrupt checkpoint recovery) restarts batch ids at
+    0 and its dynamic partition overwrites silently REPLACE the prior
+    generation's deltas: summed stores (CMS/gram/histogram/…) lose the
+    replaced batches' counts, index stores lose their rows. With the
+    persisted offset each generation appends above everything on disk,
+    so a fresh checkpoint degrades to clean at-least-once re-counting
+    (re-delivered inputs add again — same trade as the payment
+    changelog) instead of corruption. Replay WITHIN a generation still
+    lands in its own partition (idempotent)."""
+    cache: dict[str, int] = {}
+
+    def eff(batch_id: int) -> int:
+        if "offset" not in cache:
+            from kafka_streams_spark.streaming.splits_stream import (
+                _epoch_offset,
+            )
+
+            cache["offset"] = _epoch_offset(
+                spark,
+                store_dir,
+                checkpoint_dir,
+                batch_id,
+                delta_dirs=[store_dir],
+                base_dirs=[],
+            ) - batch_id
+        return cache["offset"] + batch_id
+
+    return eff
+
+
+def _delta_writer(spark: SparkSession, store_dir: str, checkpoint_dir: str):
+    """The one write path every sketch/index stream shares: remap the
+    batch id onto the store's epoch axis, stamp it as ``ingest_batch``,
+    and dynamically overwrite ONLY that partition (replay-idempotent)."""
+    eff = _epoch_mapper(spark, store_dir, checkpoint_dir)
+
+    def write(delta: DataFrame, batch_id: int) -> None:
+        (
+            delta.withColumn("ingest_batch", F.lit(eff(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(store_dir)
+        )
+
+    return write
+
 
 def run_cms_stream(
     spark: SparkSession,
@@ -54,15 +125,11 @@ def run_cms_stream(
         .json(source_dir)
     )
 
+    write_delta = _delta_writer(spark, sketch_dir, checkpoint_dir)
+
     def update(batch_df: DataFrame, batch_id: int) -> None:
         delta = cms_token_sketch(batch_df, d=d, w=w)
-        (
-            delta.withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(sketch_dir)
-        )
+        write_delta(delta, batch_id)
 
     return (
         raw.writeStream.foreachBatch(update)
@@ -89,7 +156,7 @@ def read_cms_sketch(
             expect["w"] = int(w)
         _check_sketch_meta(spark, sketch_dir, expect)
     return (
-        spark.read.parquet(sketch_dir)
+        _read_delta_store(spark, sketch_dir)
         .groupBy("row_idx", "bucket")
         .agg(F.sum("counter").alias("counter"))
     )
@@ -164,6 +231,8 @@ def run_gram_stream(
         .json(source_dir)
     )
 
+    write_delta = _delta_writer(spark, gram_dir, checkpoint_dir)
+
     def update(batch_df: DataFrame, batch_id: int) -> None:
         # embedding_gram quarantines NULL rows (and, with dim set,
         # ragged rows) JVM-side — one bad JSON record no longer kills
@@ -202,13 +271,7 @@ def run_gram_stream(
                     batch_id, d, top["count"], n_rejected,
                 )
         delta = embedding_gram(batch_df, scale=scale, dim=d)
-        (
-            delta.withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(gram_dir)
-        )
+        write_delta(delta, batch_id)
 
     return (
         raw.writeStream.foreachBatch(update)
@@ -229,7 +292,7 @@ def read_gram(
     de-quantize wrongly)."""
     _check_sketch_meta(spark, gram_dir, {"kind": "gram", "scale": int(scale)})
     return (
-        spark.read.parquet(gram_dir)
+        _read_delta_store(spark, gram_dir)
         .groupBy("dim_i", "dim_j")
         .agg(
             F.sum("n").alias("n"),
@@ -326,6 +389,49 @@ def _committed_batch_ids(spark: SparkSession, checkpoint_dir: str) -> set:
     return out
 
 
+def _recover_fold(spark: SparkSession, delta_dir: str) -> None:
+    """Finish or unwind a crashed :func:`_compact_deltas` swap. The
+    manifest (``_fold_pin.json``) is written ONLY AFTER the staging
+    partition commits, so its presence proves the stage's content is
+    the complete fold of ``-1`` ∪ the pinned batches:
+
+    - manifest + stage present → the swap never finished: delete the
+      superseded ``-1`` (its rows are in the stage), rename the stage
+      in, delete the pinned partitions, drop the manifest;
+    - manifest present, stage gone → the rename happened: finish the
+      pinned deletes, drop the manifest;
+    - stage present, no manifest → the fold never reached its swap (and
+      deleted nothing): the stage is debris, delete it.
+
+    Idempotent; assumes a single compactor and atomic directory rename
+    (HDFS/local — on raw S3A the rename widens to a copy, the
+    ``_migrate_delta_layout`` caveat)."""
+    from kafka_streams_spark.streaming.splits_stream import (
+        _fs,
+        _read_json_file,
+    )
+
+    fs, HPath = _fs(spark, delta_dir)
+    stage = HPath(f"{delta_dir}/ingest_batch={_FOLD_STAGE}")
+    manifest_str = f"{delta_dir}/{_FOLD_MANIFEST}"
+    m = _read_json_file(spark, manifest_str)
+    if m is None:
+        if fs.exists(stage):
+            fs.delete(stage, True)
+        return
+    final = HPath(f"{delta_dir}/ingest_batch=-1")
+    if fs.exists(stage):
+        if fs.exists(final):
+            fs.delete(final, True)
+        if not fs.rename(stage, final):
+            raise IOError(f"rename failed: {stage} -> {final}")
+    for b in m["pinned"]:
+        p = HPath(f"{delta_dir}/ingest_batch={b}")
+        if fs.exists(p):
+            fs.delete(p, True)
+    fs.delete(HPath(manifest_str), False)
+
+
 def _compact_deltas(
     spark: SparkSession,
     delta_dir: str,
@@ -334,6 +440,7 @@ def _compact_deltas(
     _after_pin=None,
     merge=None,
     checkpoint_dir: str | None = None,
+    _crash_after: str | None = None,
 ) -> None:
     """Shared safe-under-concurrency compaction for batch-partitioned
     delta tables: fold the partitions PINNED AT SNAPSHOT TIME into the
@@ -363,12 +470,40 @@ def _compact_deltas(
     until its commit lands. Without ``checkpoint_dir``, the caller must
     only compact while the stream is stopped AND fully committed.
 
-    Read visibility: between the ``-1`` overwrite commit and the last
-    partition delete, a concurrent reader can see a pinned delta twice
-    (once folded, once not). The window is the delete loop only;
-    sum-type reads taken inside it are transiently inflated. Run
-    compaction from the maintenance path if readers need exact values
-    at every instant — documented, not hidden."""
+    Crash safety (r10 review fix): the old protocol dynamically
+    overwrote ``-1`` with the fold and deleted the pinned partitions
+    afterwards — a crash between the two left the folded rows on disk
+    TWICE (in the new ``-1`` and in their partitions), and the next
+    compaction folded them again: permanent double count. Now the fold
+    is STAGED: written to the reader-invisible ``ingest_batch=-2``
+    partition, a pin manifest is persisted only after the stage
+    commits, and the swap (delete old ``-1`` → rename stage in → delete
+    pinned → drop manifest) is finished or unwound by
+    :func:`_recover_fold` at the start of every compaction. No crash
+    point re-folds or loses a row.
+
+    Epoch translation: the stream's commit log records
+    checkpoint-relative batch ids, but partitions live on the store's
+    epoch axis (``_epoch_mapper``); the pin maps committed ids through
+    the store's ``_epochs.json`` offset, and partitions BELOW the
+    current generation's offset (abandoned earlier checkpoints —
+    starting a new generation supersedes them) always fold.
+
+    Read visibility: between the rename and the last pinned-partition
+    delete, a concurrent reader can see a pinned delta twice (once
+    folded, once not) — transient inflation, the delete loop only; and
+    for the instant between the old ``-1`` delete and the rename, a
+    reader can miss the previously folded rows — transient undercount,
+    one rename wide. Run compaction from the maintenance path if
+    readers need exact values at every instant — documented, not
+    hidden."""
+    from kafka_streams_spark.streaming.splits_stream import (
+        _fs,
+        _query_id,
+        _read_json_file,
+        _write_json_file,
+    )
+
     if merge is None:
         gcols, scols = list(group_cols), list(sum_cols)
 
@@ -377,36 +512,63 @@ def _compact_deltas(
                 *[F.sum(c).alias(c) for c in scols]
             )
 
+    _recover_fold(spark, delta_dir)
     df = spark.read.parquet(delta_dir)
     batch_ids = [r[0] for r in df.select("ingest_batch").distinct().collect()]
     if checkpoint_dir is not None:
         committed = _committed_batch_ids(spark, checkpoint_dir)
-        batch_ids = [b for b in batch_ids if b == -1 or b in committed]
+        epochs = _read_json_file(spark, f"{delta_dir}/_epochs.json") or {}
+        try:
+            off = int(epochs.get(_query_id(spark, checkpoint_dir), 0))
+        except FileNotFoundError:
+            off = 0  # stream never started from this checkpoint
+        eff_committed = {off + b for b in committed}
+        batch_ids = [
+            b
+            for b in batch_ids
+            if b == -1 or b < off or b in eff_committed
+        ]
     if _after_pin is not None:
         _after_pin()  # test-only: simulate a delta landing mid-compaction
+    pinned = sorted(b for b in batch_ids if b >= 0)
+    if not pinned:
+        return  # nothing newly closed: folding -1 into itself is a no-op
     # Re-read so the file index sees any partition written after the pin
     # (it must NOT be merged — the isin filter excludes it — and must
     # NOT be deleted — its id is not pinned).
     snap = spark.read.parquet(delta_dir).filter(
         F.col("ingest_batch").isin(batch_ids)
     )
-    merged = merge(snap.drop("ingest_batch")).withColumn(
-        "ingest_batch", F.lit(-1)
+    merged = merge(snap.drop("ingest_batch"))
+
+    fs, HPath = _fs(spark, delta_dir)
+    stage_str = f"{delta_dir}/ingest_batch={_FOLD_STAGE}"
+    # stage the fold OUTSIDE the readable set (readers filter -2); the
+    # write reads -1 and the pinned partitions, which stay untouched
+    merged.write.mode("overwrite").parquet(stage_str)
+    if _crash_after == "stage":
+        raise RuntimeError("injected crash: after stage commit")
+    # the manifest is the swap's commit point: written only after the
+    # stage committed, so recovery may always trust the staged content
+    _write_json_file(
+        spark, f"{delta_dir}/{_FOLD_MANIFEST}", {"pinned": pinned}
     )
-    staged = merged.localCheckpoint(eager=True)  # read fully before overwrite
-    (
-        staged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")  # touch ONLY -1
-        .partitionBy("ingest_batch")  # keep the delta layout for the writer
-        .parquet(delta_dir)
-    )
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    for b in batch_ids:
-        if b == -1:
-            continue  # the compacted partition we just rewrote
-        p = jvm.org.apache.hadoop.fs.Path(f"{delta_dir}/ingest_batch={b}")
-        p.getFileSystem(hconf).delete(p, True)
+    if _crash_after == "manifest":
+        raise RuntimeError("injected crash: after manifest")
+    final = HPath(f"{delta_dir}/ingest_batch=-1")
+    if fs.exists(final):
+        fs.delete(final, True)  # superseded: its rows are in the stage
+    if _crash_after == "unfold":
+        raise RuntimeError("injected crash: after -1 delete")
+    if not fs.rename(HPath(stage_str), final):
+        raise IOError(f"rename failed: {stage_str} -> {final}")
+    if _crash_after == "rename":
+        raise RuntimeError("injected crash: after rename")
+    for i, b in enumerate(pinned):
+        fs.delete(HPath(f"{delta_dir}/ingest_batch={b}"), True)
+        if _crash_after == "first_delete" and i == 0:
+            raise RuntimeError("injected crash: after first pinned delete")
+    fs.delete(HPath(f"{delta_dir}/{_FOLD_MANIFEST}"), False)
 
 
 def compact_gram(
@@ -471,17 +633,13 @@ def run_pq_encode_stream(
         .json(source_dir)
     )
 
+    write_delta = _delta_writer(spark, codes_dir, checkpoint_dir)
+
     def update(batch_df: DataFrame, batch_id: int) -> None:
         delta = pq_encode(batch_df, codebooks).withMetadata(
             "codes", {"m": len(codebooks), "codebook_md5": fp}
         )
-        (
-            delta.withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(codes_dir)
-        )
+        write_delta(delta, batch_id)
 
     return (
         raw.writeStream.foreachBatch(update)
@@ -500,7 +658,7 @@ def read_pq_codes_stream(
     import hashlib
     import json as _json
 
-    df = spark.read.parquet(codes_dir).drop("ingest_batch")
+    df = _read_delta_store(spark, codes_dir).drop("ingest_batch")
     if codebooks is not None:
         fp = hashlib.md5(
             _json.dumps(codebooks, separators=(",", ":")).encode()
@@ -565,6 +723,8 @@ def run_histogram_stream(
         .json(source_dir)
     )
 
+    write_delta = _delta_writer(spark, hist_dir, checkpoint_dir)
+
     def update(batch_df: DataFrame, batch_id: int) -> None:
         lengths = batch_df.select(
             F.length("text").cast("double").alias("n_chars")
@@ -572,13 +732,7 @@ def run_histogram_stream(
         delta = value_histogram(
             lengths, "n_chars", bin_width_cents=bin_width_cents, scale=scale
         )
-        (
-            delta.withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(hist_dir)
-        )
+        write_delta(delta, batch_id)
 
     return (
         raw.writeStream.foreachBatch(update)
@@ -609,7 +763,7 @@ def read_histogram(
         },
     )
     return (
-        spark.read.parquet(hist_dir)
+        _read_delta_store(spark, hist_dir)
         .groupBy("bucket")
         .agg(F.sum("counter").alias("counter"))
     )
@@ -666,17 +820,13 @@ def run_binarize_stream(
         .json(source_dir)
     )
 
+    write_delta = _delta_writer(spark, index_dir, checkpoint_dir)
+
     def update(batch_df: DataFrame, batch_id: int) -> None:
         delta = binarize_embeddings(batch_df, bits=bits).withMetadata(
             "bsig", {"bits": bits}
         )
-        (
-            delta.withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(index_dir)
-        )
+        write_delta(delta, batch_id)
 
     return (
         raw.writeStream.foreachBatch(update)
@@ -692,7 +842,7 @@ def read_binary_index_stream(
     """Read the live streamed signature index (all batch partitions,
     ``ingest_batch`` dropped) with the same bit-width gate as
     :func:`~kafka_streams_spark.operators.similarity.read_binary_index`."""
-    df = spark.read.parquet(index_dir).drop("ingest_batch")
+    df = _read_delta_store(spark, index_dir).drop("ingest_batch")
     if bits is not None:
         meta = df.schema["bsig"].metadata
         if meta.get("bits") != bits:
@@ -726,15 +876,11 @@ def run_scorecard_stream(
         .json(source_dir)
     )
 
+    write_delta = _delta_writer(spark, scorecard_dir, checkpoint_dir)
+
     def update(batch_df: DataFrame, batch_id: int) -> None:
         delta = corpus_scorecard(batch_df)
-        (
-            delta.withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(scorecard_dir)
-        )
+        write_delta(delta, batch_id)
 
     return (
         raw.writeStream.foreachBatch(update)
@@ -748,7 +894,7 @@ def read_scorecard(spark: SparkSession, scorecard_dir: str) -> DataFrame:
     """The corpus-to-date scorecard: column-wise sums over every batch
     delta — identical to the one-shot batch scorecard of all docs
     ingested so far."""
-    df = spark.read.parquet(scorecard_dir).drop("ingest_batch")
+    df = _read_delta_store(spark, scorecard_dir).drop("ingest_batch")
     return df.agg(*[F.sum(c).cast("bigint").alias(c) for c in df.columns])
 
 
@@ -790,18 +936,14 @@ def run_kmv_stream(
         .json(source_dir)
     )
 
+    write_delta = _delta_writer(spark, sketch_dir, checkpoint_dir)
+
     def update(batch_df: DataFrame, batch_id: int) -> None:
         toks = batch_df.select(
             "source", F.explode(tokens(F.col("text"))).alias("tok")
         )
         delta = kmv_state(toks, "tok", ["source"], k=k)
-        (
-            delta.withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(sketch_dir)
-        )
+        write_delta(delta, batch_id)
 
     return (
         raw.writeStream.foreachBatch(update)
@@ -823,7 +965,7 @@ def read_kmv(spark: SparkSession, sketch_dir: str, k: int = 256) -> DataFrame:
 
     _check_sketch_meta(spark, sketch_dir, {"kind": "kmv", "k": int(k)})
     state = kmv_state_merge(
-        spark.read.parquet(sketch_dir).select("source", "h"), ["source"], k=k
+        _read_delta_store(spark, sketch_dir).select("source", "h"), ["source"], k=k
     )
     return kmv_read_off(state, ["source"], k=k)
 
@@ -877,15 +1019,11 @@ def run_key_profile_stream(
         .json(source_dir)
     )
 
+    write_delta = _delta_writer(spark, profile_dir, checkpoint_dir)
+
     def update(batch_df: DataFrame, batch_id: int) -> None:
         delta = key_profile(batch_df, key_col)
-        (
-            delta.withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(profile_dir)
-        )
+        write_delta(delta, batch_id)
 
     return (
         raw.writeStream.foreachBatch(update)
@@ -901,7 +1039,7 @@ def read_key_profile(spark: SparkSession, profile_dir: str) -> DataFrame:
     ingested so far. Output: (k STRING, cnt BIGINT). NULL-key rows are
     a real group, same as the batch form."""
     return (
-        spark.read.parquet(profile_dir)
+        _read_delta_store(spark, profile_dir)
         .groupBy("k")
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
@@ -958,15 +1096,11 @@ def run_posting_profile_stream(
         .json(source_dir)
     )
 
+    write_delta = _delta_writer(spark, profile_dir, checkpoint_dir)
+
     def update(batch_df: DataFrame, batch_id: int) -> None:
         delta = posting_profile(batch_df, n=n, block_col=block_col)
-        (
-            delta.withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(profile_dir)
-        )
+        write_delta(delta, batch_id)
 
     return (
         raw.writeStream.foreachBatch(update)
@@ -993,7 +1127,7 @@ def read_posting_profile(
     )
     group = ["_s"] + ([block_col] if block_col else [])
     return (
-        spark.read.parquet(profile_dir)
+        _read_delta_store(spark, profile_dir)
         .groupBy(*group)
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
@@ -1030,18 +1164,14 @@ def run_rank_sketch_stream(
         .json(source_dir)
     )
 
+    write_delta = _delta_writer(spark, sketch_dir, checkpoint_dir)
+
     def update(batch_df: DataFrame, batch_id: int) -> None:
         vals = batch_df.select(
             F.col("doc_id"), F.length("text").cast("double").alias("n_chars")
         )
         delta = rank_sketch(vals, "n_chars", "doc_id", k=k)
-        (
-            delta.withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(sketch_dir)
-        )
+        write_delta(delta, batch_id)
 
     return (
         raw.writeStream.foreachBatch(update)
@@ -1060,7 +1190,7 @@ def read_rank_sketch(spark: SparkSession, sketch_dir: str, k: int = 1024) -> Dat
 
     _check_sketch_meta(spark, sketch_dir, {"kind": "rank", "k": int(k)})
     return rank_sketch_merge(
-        spark.read.parquet(sketch_dir).select("h", "value", "n"), k=k
+        _read_delta_store(spark, sketch_dir).select("h", "value", "n"), k=k
     )
 
 

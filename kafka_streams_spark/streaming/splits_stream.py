@@ -99,17 +99,22 @@ def _try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
         df.schema  # force analysis while the miss is still catchable
         return df
     except AnalysisException as e:
-        # ONLY a missing store means "no prior state". Any OTHER analysis
-        # failure (schema/column resolution, corrupt store metadata) must
-        # propagate: swallowing it would silently discard the standing
-        # assignments and re-assign the batch as if the corpus were new —
-        # exactly the leakage/duplication this module forbids (r10 advice
-        # fix).
+        # ONLY a missing or empty store means "no prior state". Any
+        # OTHER analysis failure (schema/column resolution, corrupt
+        # store metadata) must propagate: swallowing it would silently
+        # discard the standing assignments and re-assign the batch as
+        # if the corpus were new — exactly the leakage/duplication this
+        # module forbids (r10 advice fix). UNABLE_TO_INFER_SCHEMA is
+        # the empty case: a store dir holding only underscore sidecars
+        # (_epochs.json / _sketch_meta.json are persisted BEFORE the
+        # first data write) has no parquet footer to read — that is a
+        # store with no rows yet, not corruption.
         get_cls = getattr(e, "getCondition", None) or getattr(
             e, "getErrorClass", None
         )
         cls = get_cls() if get_cls else None
-        if cls == "PATH_NOT_FOUND" or "[PATH_NOT_FOUND]" in str(e):
+        ok = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+        if cls in ok or any(f"[{c}]" in str(e) for c in ok):
             return None
         raise
 

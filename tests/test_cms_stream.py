@@ -795,3 +795,189 @@ def test_jaccard_dispatcher_flips_on_streamed_profile_update(spark, tmp_path):
         ).collect()
     )
     assert auto == blocked == prefix
+
+
+DOCS_C = [
+    {"doc_id": 5, "source": "s", "text": "eta theta theta"},
+]
+
+
+def test_compact_crash_recovery_never_double_counts(spark, tmp_path):
+    """r10 review fix: the old fold overwrote -1 and deleted the pinned
+    partitions afterwards — a crash between the two made the next
+    compaction fold the already-folded rows AGAIN (permanent double
+    count). The staged protocol (stage to -2 → manifest → swap) must
+    leave the merged read correct at EVERY crash point except the
+    documented transient windows, and a re-run must converge to the
+    compacted state with no debris."""
+    import shutil
+
+    from kafka_streams_spark.streaming.sketch_stream import (
+        _compact_deltas,
+        _FOLD_MANIFEST,
+    )
+
+    src = str(tmp_path / "src")
+    sketch = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    _write(src, "b1.json", DOCS_A)
+    q = run_cms_stream(spark, src, sketch, ckpt, d=3, w=64)
+    try:
+        q.processAllAvailable()
+        _write(src, "b2.json", DOCS_B)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def fold(d, crash=None):
+        _compact_deltas(
+            spark, d, ["row_idx", "bucket"], ["counter"], _crash_after=crash
+        )
+
+    # healthy first fold (batches 0,1 -> -1), then one more batch on
+    # the same checkpoint: the crash-injected second fold must merge
+    # the existing -1 with partition 2
+    fold(sketch)
+    q = run_cms_stream(spark, src, sketch, ckpt, d=3, w=64)
+    try:
+        _write(src, "b3.json", DOCS_C)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = sorted(map(tuple, read_cms_sketch(spark, sketch).collect()))
+
+    for point in ["stage", "manifest", "unfold", "rename", "first_delete"]:
+        store = str(tmp_path / f"crash_{point}")
+        shutil.copytree(sketch, store)
+        import pytest as _pt
+
+        with _pt.raises(RuntimeError, match="injected crash"):
+            fold(store, crash=point)
+        if point not in ("unfold", "rename"):
+            # reader-visible state stays correct at every crash point
+            # outside the two DOCUMENTED transient windows: "unfold"
+            # (old -1 deleted, stage not yet renamed in — undercount)
+            # and "rename" (stage renamed in, pinned partition not yet
+            # deleted — inflation); both heal on recovery below
+            assert sorted(
+                map(tuple, read_cms_sketch(spark, store).collect())
+            ) == want, point
+        # recovery converges: reads correct, no stage, no manifest,
+        # pinned partition folded exactly once
+        fold(store)
+        assert sorted(
+            map(tuple, read_cms_sketch(spark, store).collect())
+        ) == want, point
+        assert not os.path.exists(f"{store}/ingest_batch=-2"), point
+        assert not os.path.exists(f"{store}/{_FOLD_MANIFEST}"), point
+        parts = sorted(
+            p for p in os.listdir(store) if p.startswith("ingest_batch=")
+        )
+        assert parts == ["ingest_batch=-1"], (point, parts)
+
+
+def test_cms_stream_fresh_checkpoint_epoch_offset(spark, tmp_path):
+    """r10 review fix: a fresh checkpoint restarts batch ids at 0, and
+    the old writer dynamically OVERWROTE the prior generation's
+    partition 0 — losing its counts. With the persisted epoch offset
+    the new generation appends above everything on disk: re-delivered
+    files re-count (documented at-least-once, the payment-changelog
+    trade) but nothing is ever replaced."""
+    from kafka_streams_spark.operators.text import cms_token_sketch
+    from kafka_streams_spark.streaming.sketch_stream import _compact_deltas
+
+    src = str(tmp_path / "src")
+    sketch = str(tmp_path / "sketch")
+    _write(src, "b1.json", DOCS_A)
+    q = run_cms_stream(spark, src, sketch, str(tmp_path / "ckptA"), d=3, w=64)
+    try:
+        q.processAllAvailable()
+        _write(src, "b2.json", DOCS_B)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # fresh checkpoint: re-delivers b1+b2 and sees the new b3, batch 0
+    _write(src, "b3.json", DOCS_C)
+    q = run_cms_stream(spark, src, sketch, str(tmp_path / "ckptB"), d=3, w=64)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # the fresh generation landed at partition 2, replacing nothing
+    parts = sorted(
+        int(p.split("=")[1])
+        for p in os.listdir(sketch)
+        if p.startswith("ingest_batch=")
+    )
+    assert parts == [0, 1, 2]
+    # merged sketch = everything once + the re-delivered A∪B again
+    rows = DOCS_A + DOCS_B + DOCS_C + DOCS_A + DOCS_B
+    all_docs = spark.createDataFrame(
+        [(r["doc_id"], r["source"], r["text"]) for r in rows],
+        "doc_id bigint, source string, text string",
+    )
+    expected = sorted(
+        map(tuple, cms_token_sketch(all_docs, d=3, w=64).collect())
+    )
+    assert sorted(
+        map(tuple, read_cms_sketch(spark, sketch).collect())
+    ) == expected
+
+    # compaction with the CURRENT checkpoint folds the abandoned
+    # generation's partitions (below this generation's offset) AND this
+    # generation's committed batch — ids translated through the epochs
+    _compact_deltas(
+        spark,
+        sketch,
+        ["row_idx", "bucket"],
+        ["counter"],
+        checkpoint_dir=str(tmp_path / "ckptB"),
+    )
+    parts = sorted(
+        p for p in os.listdir(sketch) if p.startswith("ingest_batch=")
+    )
+    assert parts == ["ingest_batch=-1"]
+    assert sorted(
+        map(tuple, read_cms_sketch(spark, sketch).collect())
+    ) == expected
+
+
+def test_corpus_ingest_fresh_checkpoint_epoch_offset(spark, tmp_path):
+    """The ingest stream's epoch fix: a fresh checkpoint's batch 0 used
+    to (a) exclude the prior generation's partition 0 from the
+    membership gate — re-admitting its docs — and (b) overwrite that
+    partition, losing accepted docs that did not re-arrive. Now the
+    fresh generation gates against the FULL prior corpus and appends
+    above it."""
+    from kafka_streams_spark.streaming.ingest import run_corpus_ingest_stream
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    _write(src, "b1.json", DOCS_A)
+    q = run_corpus_ingest_stream(spark, src, corpus, str(tmp_path / "ckptA"))
+    try:
+        q.processAllAvailable()
+        _write(src, "b2.json", DOCS_B)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    before = {
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    }
+    assert before == {1, 2, 3, 4}
+
+    _write(src, "b3.json", DOCS_C)
+    q = run_corpus_ingest_stream(spark, src, corpus, str(tmp_path / "ckptB"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(corpus).select("doc_id", "ingest_batch").collect()
+    # every doc exactly once: re-deliveries dropped by the gate, the
+    # new doc admitted, nothing overwritten or re-admitted
+    assert sorted(r["doc_id"] for r in got) == [1, 2, 3, 4, 5]
+    by_batch = {r["doc_id"]: r["ingest_batch"] for r in got}
+    assert by_batch[1] == 0 and by_batch[3] == 1
+    assert by_batch[5] == 2  # the fresh generation's offset
