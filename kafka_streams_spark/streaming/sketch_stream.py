@@ -39,10 +39,18 @@ def _read_delta_store(spark: SparkSession, store_dir: str) -> DataFrame:
     :func:`_compact_deltas` may have left at ``ingest_batch=-2`` —
     the stage duplicates the fold's inputs until the swap completes,
     so counting it would double (and with ``-1`` present, triple)
-    every folded row."""
-    return spark.read.parquet(store_dir).filter(
-        F.col("ingest_batch") != _FOLD_STAGE
+    every folded row. A store that exists but holds no delta yet (the
+    ``_sketch_meta.json`` / ``_epochs.json`` sidecars land before the
+    first data write) raises a clear FileNotFoundError instead of
+    Spark's UNABLE_TO_INFER_SCHEMA."""
+    from kafka_streams_spark.streaming.splits_stream import (
+        _try_read_parquet,
     )
+
+    df = _try_read_parquet(spark, store_dir)
+    if df is None:
+        raise FileNotFoundError(f"no deltas under {store_dir} yet")
+    return df.filter(F.col("ingest_batch") != _FOLD_STAGE)
 
 
 def _epoch_mapper(spark: SparkSession, store_dir: str, checkpoint_dir: str):
@@ -162,11 +170,34 @@ def read_cms_sketch(
     )
 
 
+def compact_cms(
+    spark: SparkSession,
+    sketch_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Fold all batch-delta partitions into the reserved ``-1``
+    partition — :func:`_compact_deltas` with the per-(row_idx, bucket)
+    counter sum. The module's namesake store previously had no public
+    compactor (r10 review fix): callers had to reach for the private
+    protocol directly, bypassing the stamp gate, or hand-roll a
+    full-table rewrite and re-create the concurrent-loss bug
+    :func:`_compact_deltas` exists to prevent. The grid parameters are
+    not needed — counters sum grid-agnostically; only estimate
+    read-offs are grid-sensitive (:func:`read_cms_sketch`)."""
+    _check_sketch_meta(spark, sketch_dir, {"kind": "cms"})
+    _compact_deltas(
+        spark,
+        sketch_dir,
+        ["row_idx", "bucket"],
+        ["counter"],
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming second-moment (Gram) maintenance — covariance drift monitoring
 # ---------------------------------------------------------------------------
-
-EMB_STREAM_SCHEMA = None  # built lazily to keep pyspark imports at module top
 
 
 def _emb_schema():
@@ -243,35 +274,45 @@ def run_gram_stream(
         # explicitly in production so a mostly-corrupt batch cannot
         # vote its way into the gram table.
         d = dim
-        n_batch = None
         if d is None:
-            by_len = (
-                batch_df.filter(F.col("embedding").isNotNull())
-                .groupBy(F.size("embedding").alias("_d"))
-                .count()
-                .collect()
-            )
-            if not by_len:
-                return  # nothing but NULLs in this batch: no delta
-            top = min(by_len, key=lambda r: (-r["count"], r["_d"]))
-            d = top["_d"]
-            # Observability for the modal-dim fallback (round-8 advice
-            # fix): a majority-corrupt batch can vote its corrupt
-            # length in as d and silently quarantine every GOOD row of
-            # the batch — surface how many rows the vote rejected so
-            # the operator sees the quarantine instead of a quietly
-            # thinner gram table.
-            n_batch = sum(r["count"] for r in by_len)
-            n_rejected = n_batch - top["count"]
-            if n_rejected:
-                log.warning(
-                    "run_gram_stream batch %s: modal dim %s accepted %s "
-                    "rows, quarantined %s rows with other lengths — "
-                    "pass dim explicitly to pin the expected dimension",
-                    batch_id, d, top["count"], n_rejected,
+            # the modal-length vote is a SECOND action over the batch —
+            # without caching, foreachBatch recomputes the source read
+            # for the gram pass too, doubling steady-state ingest I/O
+            # on every trigger (r10 review fix)
+            batch_df.persist()
+        try:
+            if d is None:
+                by_len = (
+                    batch_df.filter(F.col("embedding").isNotNull())
+                    .groupBy(F.size("embedding").alias("_d"))
+                    .count()
+                    .collect()
                 )
-        delta = embedding_gram(batch_df, scale=scale, dim=d)
-        write_delta(delta, batch_id)
+                if not by_len:
+                    return  # nothing but NULLs in this batch: no delta
+                top = min(by_len, key=lambda r: (-r["count"], r["_d"]))
+                d = top["_d"]
+                # Observability for the modal-dim fallback (round-8
+                # advice fix): a majority-corrupt batch can vote its
+                # corrupt length in as d and silently quarantine every
+                # GOOD row of the batch — surface how many rows the
+                # vote rejected so the operator sees the quarantine
+                # instead of a quietly thinner gram table.
+                n_batch = sum(r["count"] for r in by_len)
+                n_rejected = n_batch - top["count"]
+                if n_rejected:
+                    log.warning(
+                        "run_gram_stream batch %s: modal dim %s accepted "
+                        "%s rows, quarantined %s rows with other lengths "
+                        "— pass dim explicitly to pin the expected "
+                        "dimension",
+                        batch_id, d, top["count"], n_rejected,
+                    )
+            delta = embedding_gram(batch_df, scale=scale, dim=d)
+            write_delta(delta, batch_id)
+        finally:
+            if dim is None:
+                batch_df.unpersist()
 
     return (
         raw.writeStream.foreachBatch(update)
@@ -512,8 +553,14 @@ def _compact_deltas(
                 *[F.sum(c).alias(c) for c in scols]
             )
 
+    from kafka_streams_spark.streaming.splits_stream import (
+        _try_read_parquet,
+    )
+
     _recover_fold(spark, delta_dir)
-    df = spark.read.parquet(delta_dir)
+    df = _try_read_parquet(spark, delta_dir)
+    if df is None:
+        return  # store missing or holds only sidecars: nothing to fold
     batch_ids = [r[0] for r in df.select("ingest_batch").distinct().collect()]
     if checkpoint_dir is not None:
         committed = _committed_batch_ids(spark, checkpoint_dir)
@@ -522,11 +569,21 @@ def _compact_deltas(
             off = int(epochs.get(_query_id(spark, checkpoint_dir), 0))
         except FileNotFoundError:
             off = 0  # stream never started from this checkpoint
-        eff_committed = {off + b for b in committed}
+        # Spark PURGES old commit-log entries (minBatchesToRetain,
+        # default 100), so "not listed" does not mean "not committed":
+        # the log is sequential, so every id below the oldest RETAINED
+        # commit must have committed for the newer ones to exist.
+        # Without this floor a long-lived stream's older partitions
+        # fall out of the retention window and can never fold — the
+        # unbounded growth compaction exists to stop.
+        floor = min(committed) if committed else 0
         batch_ids = [
             b
             for b in batch_ids
-            if b == -1 or b < off or b in eff_committed
+            if b == -1
+            or b < off  # abandoned earlier generations always fold
+            or (b - off) in committed
+            or 0 <= (b - off) < floor  # committed, then purged from the log
         ]
     if _after_pin is not None:
         _after_pin()  # test-only: simulate a delta landing mid-compaction
@@ -574,6 +631,7 @@ def _compact_deltas(
 def compact_gram(
     spark: SparkSession,
     gram_dir: str,
+    *,
     checkpoint_dir: str | None = None,
     scale: int = 10**3,
 ) -> None:
@@ -772,6 +830,7 @@ def read_histogram(
 def compact_histogram(
     spark: SparkSession,
     hist_dir: str,
+    *,
     checkpoint_dir: str | None = None,
     bin_width_cents: int = 1600,
     scale: int = 100,
@@ -973,6 +1032,7 @@ def read_kmv(spark: SparkSession, sketch_dir: str, k: int = 256) -> DataFrame:
 def compact_kmv(
     spark: SparkSession,
     sketch_dir: str,
+    *,
     k: int = 256,
     checkpoint_dir: str | None = None,
 ) -> None:
@@ -1046,7 +1106,7 @@ def read_key_profile(spark: SparkSession, profile_dir: str) -> DataFrame:
 
 
 def compact_key_profile(
-    spark: SparkSession, profile_dir: str, checkpoint_dir: str | None = None
+    spark: SparkSession, profile_dir: str, *, checkpoint_dir: str | None = None
 ) -> None:
     """Fold all batch deltas into the reserved ``-1`` partition —
     :func:`_compact_deltas` with the grouped-sum merge (cnt kept
@@ -1197,6 +1257,7 @@ def read_rank_sketch(spark: SparkSession, sketch_dir: str, k: int = 1024) -> Dat
 def compact_rank_sketch(
     spark: SparkSession,
     sketch_dir: str,
+    *,
     k: int = 1024,
     checkpoint_dir: str | None = None,
 ) -> None:

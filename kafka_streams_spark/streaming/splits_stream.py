@@ -192,25 +192,36 @@ def _sweep_base_snapshots(spark: SparkSession, base_dir: str) -> int | None:
 
 def _read_json_file(spark: SparkSession, path_str: str) -> dict | None:
     """Small JSON sidecar read via the Hadoop FileSystem API (None when
-    absent). Recovers a ``.tmp`` left by a crashed :func:`_write_json_file`
-    swap — the tmp always holds a superset of the target it replaced."""
+    absent). STRICTLY READ-ONLY: when the target is missing but a
+    ``.tmp`` from a crashed :func:`_write_json_file` swap exists, the
+    tmp's content is returned WITHOUT renaming it into place — a
+    reader-side heal would race the writer's own pending rename (and
+    fail a live micro-batch with a spurious IOError); the next write
+    heals the file instead. A tmp that does not parse is a write that
+    crashed mid-create — since the swap's delete only runs after the
+    tmp is complete, the target never existed, so the state is
+    legitimately "absent" (None), not corrupt."""
     fs, HPath = _fs(spark, path_str)
     import json as _json
 
+    def _load(path) -> str:
+        stream = fs.open(path)
+        try:
+            return bytes(
+                spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            ).decode()
+        finally:
+            stream.close()
+
     p, tmp = HPath(path_str), HPath(path_str + ".tmp")
-    if not fs.exists(p):
-        if not fs.exists(tmp):
-            return None
-        if not fs.rename(tmp, p):
-            raise IOError(f"rename failed: {tmp} -> {p}")
-    stream = fs.open(p)
-    try:
-        raw = bytes(
-            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        ).decode()
-    finally:
-        stream.close()
-    return _json.loads(raw)
+    if fs.exists(p):
+        return _json.loads(_load(p))
+    if fs.exists(tmp):
+        try:
+            return _json.loads(_load(tmp))
+        except ValueError:
+            return None  # partial tmp from a crash mid-create
+    return None
 
 
 def _write_json_file(spark: SparkSession, path_str: str, obj: dict) -> None:

@@ -341,14 +341,25 @@ def transition_counts_stateful(events: DataFrame) -> DataFrame:
         chunks = [pdf for pdf in pdfs]
         rows = _pd.concat(chunks) if chunks else _pd.DataFrame()
         pairs: dict[tuple, int] = {}
+        # NULL semantics must match the batch twin (r10 review fix):
+        # NULL-ts rows have no position in a temporal sequence and are
+        # filtered (analytics.py event_transitions does the same);
+        # a pair whose NEXT type is NULL is dropped, a pair whose
+        # SOURCE type is NULL is kept (the batch lead() + isNotNull
+        # filter behavior). "have a previous event" is therefore
+        # tracked separately from "the previous type was NULL".
+        have_prev = bool(state.exists)
         cur = state.get[0] if state.exists else None
         if len(rows):
+            rows = rows[rows["ts"].notna()]
             rows = rows.sort_values(["ts", "event_id"])
             for t in rows["event_type"]:
-                if cur is not None:
+                if _pd.isna(t):
+                    t = None
+                if have_prev and t is not None:
                     pairs[(cur, t)] = pairs.get((cur, t), 0) + 1
-                cur = t
-        if cur is not None:
+                cur, have_prev = t, True
+        if have_prev:
             state.update((cur,))
         if pairs:
             yield _pd.DataFrame(

@@ -981,3 +981,100 @@ def test_corpus_ingest_fresh_checkpoint_epoch_offset(spark, tmp_path):
     by_batch = {r["doc_id"]: r["ingest_batch"] for r in got}
     assert by_batch[1] == 0 and by_batch[3] == 1
     assert by_batch[5] == 2  # the fresh generation's offset
+
+
+def test_cms_empty_store_reads_and_compact_cms(spark, tmp_path):
+    """r10 review fixes: (1) a stamped-but-empty store (sidecars land
+    before the first delta) raises a clear FileNotFoundError from the
+    readers and NO-OPS in compaction, instead of Spark's
+    UNABLE_TO_INFER_SCHEMA; (2) the CMS store has a public compactor
+    with the same stamp gate as its siblings."""
+    import pytest as _pt
+
+    from kafka_streams_spark.streaming.sketch_stream import (
+        _stamp_sketch_store,
+        compact_cms,
+    )
+
+    src = str(tmp_path / "src")
+    sketch = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    # start over an empty source: the stamp lands, no delta ever does
+    q = run_cms_stream(spark, src, sketch, ckpt, d=3, w=64)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    with _pt.raises(FileNotFoundError, match="no deltas"):
+        read_cms_sketch(spark, sketch)
+    compact_cms(spark, sketch)  # no-op, not a crash
+
+    # real deltas fold through the public compactor
+    _write(src, "b1.json", DOCS_A)
+    q = run_cms_stream(spark, src, sketch, ckpt, d=3, w=64)
+    try:
+        q.processAllAvailable()
+        _write(src, "b2.json", DOCS_B)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = sorted(map(tuple, read_cms_sketch(spark, sketch).collect()))
+    compact_cms(spark, sketch, checkpoint_dir=ckpt)
+    assert sorted(
+        map(tuple, read_cms_sketch(spark, sketch).collect())
+    ) == want
+    parts = sorted(
+        p for p in os.listdir(sketch) if p.startswith("ingest_batch=")
+    )
+    assert parts == ["ingest_batch=-1"]
+
+    # the stamp gate holds: a non-CMS store refuses the CMS compactor
+    other = str(tmp_path / "other")
+    _stamp_sketch_store(spark, other, {"kind": "gram", "scale": 1000})
+    with _pt.raises(ValueError, match="mismatched parameters"):
+        compact_cms(spark, other)
+
+
+def test_compaction_commit_log_retention_floor(spark, tmp_path):
+    """r10 review fix: Spark purges old commit-log entries
+    (minBatchesToRetain), so 'not listed' does not mean 'not
+    committed' — the log is sequential, so ids below the oldest
+    retained commit must have committed. Without the floor, a
+    long-lived stream's older partitions fell out of the retention
+    window and could never fold."""
+    from kafka_streams_spark.streaming.sketch_stream import (
+        _committed_batch_ids,
+        compact_cms,
+    )
+
+    src = str(tmp_path / "src")
+    sketch = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    old = spark.conf.get("spark.sql.streaming.minBatchesToRetain", "100")
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
+    try:
+        _write(src, "b1.json", DOCS_A)
+        q = run_cms_stream(spark, src, sketch, ckpt, d=3, w=64)
+        try:
+            q.processAllAvailable()
+            _write(src, "b2.json", DOCS_B)
+            q.processAllAvailable()
+            _write(src, "b3.json", DOCS_C)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.streaming.minBatchesToRetain", old)
+    committed = _committed_batch_ids(spark, ckpt)
+    assert len(committed) < 3  # the purge actually happened
+    want = sorted(map(tuple, read_cms_sketch(spark, sketch).collect()))
+    compact_cms(spark, sketch, checkpoint_dir=ckpt)
+    # every partition folded — including the ones purged from the log
+    parts = sorted(
+        p for p in os.listdir(sketch) if p.startswith("ingest_batch=")
+    )
+    assert parts == ["ingest_batch=-1"]
+    assert sorted(
+        map(tuple, read_cms_sketch(spark, sketch).collect())
+    ) == want

@@ -339,3 +339,67 @@ def test_transition_counts_stateful_cross_batch(spark, tmp_path):
         assert dict(matrix) == {("a", "b"): 2, ("b", "a"): 1}
     finally:
         q.stop()
+
+
+def test_transition_counts_stateful_null_semantics_match_batch(spark, tmp_path):
+    """r10 review fix: the streamed fold must apply the batch twin's
+    NULL rules (analytics.event_transitions): NULL-ts rows are filtered
+    (no position in a temporal sequence), pairs whose NEXT type is NULL
+    are dropped, pairs whose SOURCE type is NULL are kept — including
+    across a micro-batch boundary where the carried state itself is the
+    NULL type."""
+    from kafka_streams_spark.streaming.stateful import (
+        transition_counts_stateful,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    # user 1 batch 1: a, (NULL ts: filtered), NULL-type  — the NULL-type
+    # event ends the batch, so the state carries a NULL source type
+    _write_jsonl(
+        os.path.join(src, "b1.json"),
+        [
+            {"user_id": 1, "event_id": 1, "ts": 10, "event_type": "a"},
+            {"user_id": 1, "event_id": 2, "ts": None, "event_type": "zzz"},
+            {"user_id": 1, "event_id": 3, "ts": 20, "event_type": None},
+            {"user_id": 2, "event_id": 4, "ts": 10, "event_type": "a"},
+        ],
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        transition_counts_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("trans_nulls")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_jsonl(
+            os.path.join(src, "b2.json"),
+            [
+                {"user_id": 1, "event_id": 5, "ts": 30, "event_type": "b"},
+                {"user_id": 2, "event_id": 6, "ts": 20, "event_type": "b"},
+            ],
+        )
+        q.processAllAvailable()
+        rows = spark.table("trans_nulls").collect()
+        from collections import defaultdict
+
+        matrix = defaultdict(int)
+        for r in rows:
+            matrix[(r["event_type"], r["next_event_type"])] += r["n"]
+        # batch semantics over user 1's ts-ordered sequence a, NULL, b:
+        # (a -> NULL) dropped, (NULL -> b) kept; the zzz row never
+        # participates (NULL ts). user 2: plain (a -> b).
+        assert dict(matrix) == {(None, "b"): 1, ("a", "b"): 1}
+    finally:
+        q.stop()
