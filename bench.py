@@ -232,7 +232,14 @@ def _order_seed() -> int:
     the highest BENCH_r{N}.json already in the repo."""
     env = os.environ.get("SPARK_GRAFT_BENCH_SEED")
     if env is not None:
-        return int(env)
+        try:
+            return int(env)
+        except ValueError:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_SEED must be an integer (the "
+                f"order_seed recorded in the run being reproduced), "
+                f"got {env!r}"
+            )
     import glob
     import re
 
@@ -247,7 +254,7 @@ def _order_seed() -> int:
 
 def _calibration_query(spark):
     """Fixed pure-JVM host-speed anchor (r8 verdict item 1): a pinned
-    synthetic aggregate — 150M-row range, xxhash64, one 97-key exchange
+    synthetic aggregate — 600M-row range, xxhash64, one 97-key exchange
     — with NO parquet scan, NO Python worker, and no dependence on any
     engine code path. Its wall time moves ONLY with host conditions
     (thermal throttle, co-tenant load), so the ratio of two rounds'
@@ -277,6 +284,15 @@ def main() -> None:
 
     spark = get_spark(app_name="kafka_streams_spark-bench")
     qs = e.queries()
+    # Fail fast on an unregistered bench name: discovered mid-run (at
+    # its shuffled position) it would discard the whole multi-minute
+    # run with a bare KeyError and no partial output (r10 review fix).
+    missing = [q for q in BENCH_QUERIES if q not in qs]
+    if missing:
+        raise SystemExit(
+            f"BENCH_QUERIES names not registered in __spark_entry__."
+            f"queries(): {missing}"
+        )
 
     def run(name: str) -> float:
         # Evict caches left by prior queries (e.g. the prefix-Jaccard
@@ -371,11 +387,18 @@ def main() -> None:
         "samples": samples,
         "sf": sf_val,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
+    here = os.path.dirname(os.path.abspath(__file__))
+    # Two copies: the fixed name (same-round diffs, the judge's
+    # git-diffed artifact) AND a seed-stamped one. The fixed file is
+    # overwritten by EVERY run, so a cross-round diff used to silently
+    # collapse the older record to its compact top-5 subset the moment
+    # a newer run landed — the regression gate then covered ~5 of 172
+    # queries (r10 review fix). The seed defaults to the round number,
+    # so BENCH_r{N}.json's full map survives as BENCH_DETAIL_r{N}.json
+    # and tools/bench_diff.py resolves it by filename.
+    for name in ("BENCH_DETAIL.json", f"BENCH_DETAIL_r{order_seed}.json"):
+        with open(os.path.join(here, name), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
     slowest = dict(
         sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )

@@ -39,18 +39,35 @@ def load(path: str) -> dict:
             )
         data = data["parsed"]
     # r5+ compact headline: stdout carries only the top-5 slowest; the
-    # full per-query map lives in the sibling BENCH_DETAIL.json the
-    # bench run wrote. Follow the pointer when the file is still there
-    # (same-round diffs); otherwise diff the compact subset.
-    if data.get("detail"):
-        import os
+    # full per-query map lives in a sibling detail artifact. Resolution
+    # order (r10 review fix — the fixed-name BENCH_DETAIL.json is
+    # overwritten by every run, so an older round's pointer used to
+    # fail the value-match and silently collapse that side of the diff
+    # to its top-5 subset): first the round-stamped
+    # BENCH_DETAIL_r{N}.json matching this record's filename, then the
+    # generic pointer; each candidate must value-match the record.
+    import os
+    import re
 
-        cand = os.path.join(os.path.dirname(os.path.abspath(path)), data["detail"])
+    here = os.path.dirname(os.path.abspath(path))
+    candidates = []
+    m = re.search(r"BENCH_r(\d+)\.json$", path)
+    if m:
+        candidates.append(f"BENCH_DETAIL_r{int(m.group(1))}.json")
+    if data.get("detail"):
+        candidates.append(data["detail"])
+    for name in candidates:
+        cand = os.path.join(here, name)
         if os.path.exists(cand):
             with open(cand) as f:
                 detail = json.load(f)
             if detail.get("value") == data.get("value"):
                 return detail
+    if candidates and "queries" in data:
+        print(
+            f"note: {path}: no detail artifact value-matches — diffing "
+            f"the compact top-{len(data.get('queries', {}))} subset only"
+        )
     return data
 
 
@@ -62,6 +79,16 @@ def main() -> int:
     args = ap.parse_args()
 
     old, new = load(args.old), load(args.new)
+    # Refuse to diff records measured at different scale factors: every
+    # ratio would be scale noise, and in the new-is-smaller direction
+    # everything reads "improved" and masks real regressions (r10
+    # review fix).
+    osf, nsf = old.get("sf"), new.get("sf")
+    if osf is not None and nsf is not None and osf != nsf:
+        raise SystemExit(
+            f"scale-factor mismatch: old sf={osf} vs new sf={nsf} — "
+            f"these records are not comparable"
+        )
     oq, nq = old.get("queries", {}), new.get("queries", {})
     osamp, nsamp = old.get("samples", {}), new.get("samples", {})
 
