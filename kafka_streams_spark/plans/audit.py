@@ -39,16 +39,25 @@ class PlanAudit:
         table, not the data. RoundRobinPartitioning (df.repartition(n)
         with no key — e.g. spread() without `by`) is a full-data
         shuffle and MUST count, or a silently-added repartition passes
-        every pinned exchange budget (r7 review wave 5, verified)."""
-        return len(
-            re.findall(
-                r"Exchange (?:hash|range|Single|RoundRobin)", self.plan
-            )
+        every pinned exchange budget (r7 review wave 5, verified).
+        ``ReusedExchange`` lines embed the REUSED exchange's own text
+        ("ReusedExchange [...], Exchange hashpartitioning(...)") and
+        must not count — reuse makes the plan cheaper, not more
+        shuffled (r10 review fix, verified on an executed self-join
+        plan: 4 counted vs 3 real)."""
+        return sum(
+            len(re.findall(r"Exchange (?:hash|range|Single|RoundRobin)", line))
+            for line in self.plan.splitlines()
+            if "ReusedExchange" not in line
         )
 
     @property
     def num_broadcasts(self) -> int:
-        return self.plan.count("BroadcastExchange")
+        return sum(
+            line.count("BroadcastExchange")
+            for line in self.plan.splitlines()
+            if "ReusedExchange" not in line
+        )
 
     # -- joins -------------------------------------------------------------
     @property
@@ -62,13 +71,37 @@ class PlanAudit:
     # -- scans -------------------------------------------------------------
     @property
     def pushed_filters(self) -> list[str]:
-        """Filters that reached the parquet reader (one entry per scan)."""
-        return re.findall(r"PushedFilters: \[([^\]]*)\]", self.plan)
+        """Filters that reached the parquet reader (one entry per scan).
+        Same-line only: an unclosed bracket (a truncated plan string)
+        must yield NO match, not run across newlines into unrelated
+        plan text and report a downstream Filter as pushed (r10 review
+        fix — :func:`audit` also raises the metadata length cap so the
+        bracket is never truncated in the first place)."""
+        return re.findall(r"PushedFilters: \[([^\]\n]*)\]", self.plan)
 
     @property
     def read_schemas(self) -> list[str]:
-        """Column sets actually read from parquet (one per scan)."""
-        return re.findall(r"ReadSchema: struct<([^>]*)>", self.plan)
+        """Column sets actually read from parquet (one per scan).
+        Bracket-depth aware: nested types (``array<int>``,
+        ``struct<...>`` fields) contain ``>`` themselves, so a naive
+        ``[^>]*`` both truncated nested schemas and returned NOTHING
+        for wide scans whose metadata Spark abbreviated — making every
+        column-pruning pin pass vacuously (r10 review fix)."""
+        out = []
+        for m in re.finditer(r"ReadSchema: struct<", self.plan):
+            depth, start = 1, m.end()
+            for j in range(start, len(self.plan)):
+                c = self.plan[j]
+                if c == "<":
+                    depth += 1
+                elif c == ">":
+                    depth -= 1
+                    if depth == 0:
+                        out.append(self.plan[start:j])
+                        break
+                elif c == "\n":
+                    break  # truncated metadata: refuse a partial schema
+        return out
 
     @property
     def num_scans(self) -> int:
@@ -125,8 +158,30 @@ class PlanAudit:
                 n += 1
         return n
 
+    @property
+    def scan_columns(self) -> list[set[str]]:
+        """Top-level column-name sets per scan, split bracket-depth
+        aware (nested types carry commas)."""
+        out = []
+        for schema in self.read_schemas:
+            cols, depth, start = set(), 0, 0
+            for j, c in enumerate(schema + ","):
+                if c in "<([":
+                    depth += 1
+                elif c in ">)]":
+                    depth -= 1
+                elif c == "," and depth == 0:
+                    field = schema[start:j]
+                    cols.add(field.split(":", 1)[0].strip())
+                    start = j + 1
+            out.append(cols)
+        return out
+
     def scans_column(self, col: str) -> bool:
-        return any(col in s for s in self.read_schemas)
+        """Exact column-name membership — substring matching made
+        ``scans_column("id")`` true for a scan reading only ``doc_id``
+        (r10 review fix)."""
+        return any(col in cols for cols in self.scan_columns)
 
     def filter_pushed(self, fragment: str) -> bool:
         return any(fragment in f for f in self.pushed_filters)
@@ -146,12 +201,33 @@ def jobs_run_during(spark, fn):
 
 
 def audit(df: DataFrame) -> PlanAudit:
-    qe = df._jdf.queryExecution()
-    return PlanAudit(
-        plan=qe.executedPlan().toString(),
-        formatted=qe.explainString(
-            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
-        ),
-    )
+    """Parse the executed plan. The plan STRING is rendered under a
+    raised ``spark.sql.maxMetadataStringLength`` (default 100): at the
+    default, a wide scan's ``ReadSchema``/``PushedFilters`` metadata is
+    abbreviated mid-bracket, the parsers return nothing, and every
+    pruning/pushdown pin passes or fails vacuously — the exact
+    regression class this module exists to catch (r10 review fix,
+    verified on a full ``lineitem`` scan: ``read_schemas == []`` at the
+    default cap)."""
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, "100000")
+    try:
+        qe = df._jdf.queryExecution()
+        return PlanAudit(
+            plan=qe.executedPlan().toString(),
+            formatted=qe.explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            ),
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

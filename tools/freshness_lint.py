@@ -1,14 +1,27 @@
 """Driver-evidence freshness lint.
 
 The driver's correctness gate checks only the FIRST ~50 entries of
-``__spark_entry__.queries()`` each round, so a query registered beyond
-that window gets no fresh driver row. Two failure classes this lint
-catches before the driver runs:
+``__spark_entry__.queries()`` each round. Since round 7 that order is
+COMPUTED (``_evidence_order``: code-changed head, then evidence-less
+strays, then stalest-first), so a newly registered name sorts into the
+head automatically. Failure classes this lint catches before the
+driver runs:
 
-1. a query with NO driver evidence in any prior round sitting outside
-   the first-50 window (it would stay evidence-less forever), and
-2. (warning only) queries whose newest evidence is ≥2 rounds stale and
-   still outside the window.
+1. FAIL — a query with NO driver evidence sitting OUTSIDE the window:
+   under the computed ordering this can only mean more strays +
+   pinned code-changed names than the window holds — the overflow
+   would stay evidence-less another full round (register fewer new
+   contracts per round, or prune drained _CODE_CHANGED names).
+2. warn — queries whose newest evidence is ≥2 rounds stale and still
+   outside the window (the stale tail is draining slower than it
+   grows).
+3. warn — a non-empty ``_NEXT_ROUND_QUEUE``: the computed ordering
+   made the hand-maintained queue unnecessary (strays auto-head), so
+   a surviving declaration is stale and should be pruned. (The old
+   lint FAILED when a queued name reached the head — but the computed
+   ordering puts every queued stray there immediately, so that check
+   fired on the very commit that followed the documented workflow:
+   self-defeating, r10 review fix.)
 
 Usage: python tools/freshness_lint.py   (exit 1 on class-1 violations)
 """
@@ -33,17 +46,8 @@ def main() -> int:
     latest_round = e._latest_record_round()
     head, tail = order[:window], order[window:]
 
-    # Names declared in the next-round queue are registered behind an
-    # already-full window ON PURPOSE (they take the head of the next
-    # round's order) — queued, not starving. A queued name sitting
-    # INSIDE the window is a stale declaration (the queue should have
-    # been emptied when its names moved into the head) — failure.
-    queue = list(
-        getattr(e, "_NEXT_ROUND_QUEUE", getattr(e, "_ROUND5_QUEUE", []))
-    )
-    never = [q for q in tail if q not in evidence and q not in queue]
-    queued = [q for q in tail if q not in evidence and q in queue]
-    stale_queue = [q for q in head if q in queue]
+    queue = list(getattr(e, "_NEXT_ROUND_QUEUE", []))
+    never = [q for q in tail if q not in evidence]
     stale = [
         (q, evidence[q])
         for q in tail
@@ -54,23 +58,22 @@ def main() -> int:
           f"prior evidence for {len(evidence)} names "
           f"(latest round r{latest_round:02d})")
     if never:
-        print("FAIL — no driver evidence AND outside the first-50 window:")
+        print("FAIL — no driver evidence AND outside the window "
+              "(head overflow: fewer new contracts per round, or prune "
+              "drained _CODE_CHANGED names):")
         for q in never:
-            print(f"  {q}  (move into the head of the registration order)")
+            print(f"  {q}")
     if stale:
         print("warn — evidence ≥2 rounds stale and outside the window:")
         for q, r in stale:
             print(f"  {q}  (newest green r{r:02d})")
-    if stale_queue:
-        print("FAIL — queued names already inside the window "
-              "(empty the queue when its names move into the head):")
-        for q in stale_queue:
-            print(f"  {q}")
-    if queued:
-        print(f"queued for next round: {', '.join(queued)}")
-    if not never and not stale and not stale_queue:
-        print("ok — every unevidenced/stale query sits inside the window or the queue")
-    return 1 if (never or stale_queue) else 0
+    if queue:
+        print("warn — _NEXT_ROUND_QUEUE is non-empty; the computed "
+              "ordering auto-heads strays, so the queue is a stale "
+              f"declaration: {', '.join(queue)}")
+    if not never and not stale and not queue:
+        print("ok — every unevidenced/stale query sits inside the window")
+    return 1 if never else 0
 
 
 if __name__ == "__main__":

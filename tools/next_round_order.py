@@ -24,7 +24,17 @@ def main() -> int:
     evidence = e._newest_green_rounds()
 
     order = list(e.queries())
-    changed = [q for q in getattr(e, "_CODE_CHANGED", []) if q in order]
+    # replicate _evidence_order's SELF-DRAIN predicate exactly (r10
+    # review fix — this tool kept every _CODE_CHANGED name, so a name
+    # the driver had already re-greened at/after _CODE_CHANGED_ROUND
+    # still printed as pinned, drifting from the driver ordering the
+    # docstring promises to report):
+    ccr = getattr(e, "_CODE_CHANGED_ROUND", None)
+    changed = [
+        q
+        for q in getattr(e, "_CODE_CHANGED", [])
+        if q in order and (ccr is None or evidence.get(q, -1) < ccr)
+    ]
     head = order[:e.EVIDENCE_WINDOW]
     print(f"# evidence-window head ({len(head)} of window "
           f"{e.EVIDENCE_WINDOW}, computed):")
