@@ -502,11 +502,14 @@ def _q_decontaminate(spark, sf_dir):
     md5-hash sample, ~6%) and a training remainder; flag remainder docs
     sharing any word 3-gram with the benchmark."""
     from kafka_streams_spark.operators.pipelines import decontaminate
-    from kafka_streams_spark.operators.sampling import hash_sample
+    from kafka_streams_spark.operators.sampling import hash_sample, salted_id
 
     docs = _docs(spark, sf_dir)
     bench = hash_sample(docs, rate_256=16)
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    # the training remainder is the COMPLEMENT of the benchmark sample,
+    # so it must read the same salted hash hash_sample digests (r10:
+    # samplers are salted per operator)
+    bucket = F.substring(F.md5(salted_id("doc_id", "hash_sample")), 1, 2)
     train = docs.filter(bucket >= F.lit("10"))
     return decontaminate(train, bench, n=3)
 
@@ -1969,6 +1972,27 @@ _CODE_CHANGED = [
     # histogram has gaps around the boundary. (r9's posting_pair_stats
     # entry drained: driver re-greened it in CORRECTNESS_r09.)
     "max_df_for_budget",
+    # r10 (review fix, engine + oracle in lockstep): every sampler now
+    # digests a per-operator SALTED hash — the unsalted md5(id) slice
+    # was shared with the split rule and with every other sampler, so
+    # composed pipelines were fully correlated (verified: a rate-0.1
+    # sample followed by assign_splits left the train split EMPTY).
+    # token_budget_mix additionally budgets in the BPE-ish currency
+    # (the pack_* currency) instead of whitespace tokens;
+    # temperature_mix joins its rates back null-safely. The split rule
+    # itself (assign_splits / leakage_safe_splits*) is deliberately
+    # UNCHANGED — it is the published identity rule standing
+    # assignments depend on.
+    "hash_sample_docs",
+    "stratified_sample_docs",
+    "temperature_mix_docs",
+    "token_budget_mix",
+    "upsample_epochs_docs",
+    "reservoir_sample_docs",
+    "cap_per_source",
+    "shuffle_shards_docs",
+    # its pseudo-benchmark/train boundary is hash_sample's salted hash
+    "decontaminate",
 ]
 
 # Kept for tool compatibility (freshness_lint): with the computed

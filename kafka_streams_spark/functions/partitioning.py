@@ -132,6 +132,14 @@ def spread(df: DataFrame, by: str | None = None) -> DataFrame:
         "Deduplicate",
         "Sort",
         "GlobalLimit",
+        # grouped/cogrouped pandas and offset plans exchange too — with
+        # none of the tokens above, the .rdd probe below would
+        # materialize (and so execute) the pending stage at construction
+        # time, the exact double-execution this guard exists to prevent
+        # (r10 review fix)
+        "FlatMapGroupsInPandas",
+        "FlatMapCoGroupsInPandas",
+        "Offset",
     )
     if any(tok in plan for tok in shuffling):
         return df
@@ -202,7 +210,12 @@ def exact_global_rank(
 
     ``value_col`` must be non-null numeric; (value, tiebreak) pairs must
     be distinct for the rank to be total (tiebreak is typically the
-    primary key).
+    primary key). NaN is handled explicitly for float columns: Spark's
+    sort order places NaN GREATER than every number, but ``NaN > t`` is
+    false for every threshold — without the guard NaN rows landed in
+    bucket 0 and ranked among the SMALLEST values (r10 review fix); the
+    bucket expression treats NaN as the last bucket, matching the
+    per-bucket window's own NaN-last sort.
     """
     from pyspark.sql import Window
 
@@ -210,15 +223,24 @@ def exact_global_rank(
     th = df.agg(
         F.percentile_approx(value_col, probs, 10_000).alias("_th")
     )
+    is_float = dict(df.dtypes).get(value_col) in ("float", "double")
+    nan_last = (
+        F.when(F.isnan(F.col(value_col)), F.lit(len(probs))).otherwise(F.lit(0))
+        if is_float
+        else F.lit(0)
+    )
     b = (
         df.crossJoin(F.broadcast(th))
         .withColumn(
             "_bkt",
-            F.aggregate(
-                "_th",
-                F.lit(0),
-                lambda acc, t: acc
-                + F.when(F.col(value_col) > t, 1).otherwise(0),
+            F.greatest(
+                nan_last,
+                F.aggregate(
+                    "_th",
+                    F.lit(0),
+                    lambda acc, t: acc
+                    + F.when(F.col(value_col) > t, 1).otherwise(0),
+                ),
             ),
         )
         .drop("_th")

@@ -20,27 +20,51 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def salted_id(col: Column | str, salt: str | None) -> Column:
+    """The string every hash in this module digests: ``salt + ':' +
+    cast(id as string)``, or the bare id string when ``salt`` is None.
+
+    WHY SALTS (r10 review fix, verified by simulation): every operator
+    here used to read a slice of the SAME md5(id), so composed
+    operators were fully correlated instead of independent — a
+    rate-0.1 sample followed by :func:`assign_splits` left the TRAIN
+    split literally EMPTY (every surviving id had u < 0.1, i.e. first
+    byte < 0x1a — entirely inside the test/val boundary), and chaining
+    two samplers kept min(r1, r2) of rows instead of r1·r2. Each
+    sampler now digests a distinct operator salt; the split rule
+    (:func:`split_expr`) stays UNSALTED deliberately — it is the
+    published identity rule whose stability standing assignments (and
+    the frozen splits-stream stores) depend on."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = c.cast("string")
+    return F.concat(F.lit(salt + ":"), s) if salt else s
+
+
 def hash_sample(
     df: DataFrame,
     id_col: str = "doc_id",
     rate_256: int = 32,
 ) -> DataFrame:
-    """Deterministic content-hash sample: keep rows whose md5(id) falls
-    below a threshold — rate ``rate_256``/256.
+    """Deterministic content-hash sample: keep rows whose
+    md5('hash_sample:' || id) falls below a threshold — rate
+    ``rate_256``/256 (salted so the sample is independent of the other
+    samplers and of the split rule — see :func:`salted_id`).
 
-    The predicate compares the first two hex chars of md5(cast(id as
-    string)) lexicographically against the threshold byte; lowercase hex
-    strings order identically to their numeric values, so the same
-    predicate is expressible in ANSI SQL verbatim (DuckDB oracle) with
-    no bit-twiddling functions required. md5 is engine-portable (Spark
-    and DuckDB emit identical lowercase hex); xxhash64 would be faster
-    but is Spark-only and therefore un-oracle-able.
+    The predicate compares the first two hex chars lexicographically
+    against the threshold byte; lowercase hex strings order identically
+    to their numeric values, so the same predicate is expressible in
+    ANSI SQL verbatim (DuckDB oracle) with no bit-twiddling functions
+    required. md5 is engine-portable (Spark and DuckDB emit identical
+    lowercase hex); xxhash64 would be faster but is Spark-only and
+    therefore un-oracle-able.
 
     Scale shape: a narrow filter on a projected hash — pushdown-friendly,
     no shuffle, and stable under repartitioning (unlike ``df.sample``).
     Membership is decided per id, so the sample composes across tables:
     joining two hash-sampled tables on the id keeps referential
-    integrity (same ids survive on both sides).
+    integrity (same ids survive on both sides). Rows with a NULL id are
+    dropped (md5(NULL) is NULL): an id-less row has no deterministic
+    identity to sample on.
     """
     if not 0 < rate_256 <= 256:
         raise ValueError("rate_256 must be in (0, 256]")
@@ -50,20 +74,24 @@ def hash_sample(
         # '00'..'10' (~17/256) instead of everything.
         return df
     threshold = format(rate_256, "02x")
-    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    bucket = F.substring(F.md5(salted_id(id_col, "hash_sample")), 1, 2)
     return df.filter(bucket < F.lit(threshold))
 
 
-def uniform_unit(col: Column | str) -> Column:
+def uniform_unit(col: Column | str, salt: str | None = None) -> Column:
     """Deterministic uniform-[0,1) value per id: the first 8 hex chars of
-    md5(id) as an integer over 16^8. Engine-portable (md5 + conv are
-    ANSI-expressible; DuckDB twin uses the same arithmetic), partition-
-    invariant, and reproducible — the sampling primitive every operator
-    here builds on."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
-        "double"
-    ) / F.lit(float(16**8))
+    md5(salted id) as an integer over 16^8. Engine-portable (md5 + conv
+    are ANSI-expressible; DuckDB twin uses the same arithmetic),
+    partition-invariant, and reproducible — the sampling primitive every
+    operator here builds on. Pass a distinct ``salt`` per operator so
+    composed operators draw INDEPENDENT uniforms (see
+    :func:`salted_id`); None digests the bare id (the split rule's
+    identity hash). NULL ids yield NULL (callers decide: the samplers
+    coalesce to 0.0 = always-kept so a sampled table and its
+    :func:`assign_splits` table agree on which rows exist)."""
+    return F.conv(
+        F.substring(F.md5(salted_id(col, salt)), 1, 8), 16, 10
+    ).cast("double") / F.lit(float(16**8))
 
 
 def temperature_mix(
@@ -87,12 +115,21 @@ def temperature_mix(
     pushdown-friendly. One narrow shuffle for the counts; the corpus
     itself never shuffles.
     """
-    if temperature <= 0:
-        raise ValueError("temperature must be > 0")
+    if temperature < 1:
+        # 0 < T < 1 flips the exponent positive: every rate computes
+        # >= 1 and the least(1, ...) clamp silently turns the operator
+        # into a no-op instead of the sharpened mixture the formula
+        # promises (sharpening would need to anchor on the LARGEST
+        # stratum — a different operator). Reject rather than no-op
+        # (r10 review fix).
+        raise ValueError(
+            "temperature must be >= 1 (flattening); T < 1 sharpening "
+            "is not what this downsampling-only operator computes"
+        )
     counts = docs.groupBy(stratum_col).agg(F.count("*").alias("_n_s"))
     n_min = counts.agg(F.min("_n_s").alias("_n_min"))
     rates = counts.join(F.broadcast(n_min)).select(
-        stratum_col,
+        F.col(stratum_col).alias("_stratum_r"),
         # rounded to 9 dp: pow() is not IEEE-correctly-rounded, so the
         # last ulp may differ across engines; rounding pins the boundary
         # so the keep predicate is bit-identical in Spark and the oracle
@@ -104,10 +141,22 @@ def temperature_mix(
             9,
         ).alias("_keep_rate"),
     )
+    # null-safe join: groupBy keeps a NULL stratum as a real group (its
+    # count participates in n_min like any other), but an equi-join
+    # would drop every NULL-stratum row on the way back — the group
+    # contaminated the anchor AND vanished from the output (r10 review
+    # fix). uniform_unit coalesces to 0.0 so NULL-id rows stay, agreeing
+    # with assign_splits on which rows exist.
     return (
-        docs.join(F.broadcast(rates), stratum_col)
-        .filter(uniform_unit(id_col) < F.col("_keep_rate"))
-        .drop("_keep_rate")
+        docs.join(
+            F.broadcast(rates),
+            F.col(stratum_col).eqNullSafe(F.col("_stratum_r")),
+        )
+        .filter(
+            F.coalesce(uniform_unit(id_col, "temperature"), F.lit(0.0))
+            < F.col("_keep_rate")
+        )
+        .drop("_stratum_r", "_keep_rate")
     )
 
 
@@ -146,7 +195,9 @@ def stratified_sample(
         if rate is not None
         else F.lit(float(default_rate))
     )
-    return docs.filter(uniform_unit(id_col) < rate_expr)
+    return docs.filter(
+        F.coalesce(uniform_unit(id_col, "stratified"), F.lit(0.0)) < rate_expr
+    )
 
 
 def upsample_epochs(
@@ -191,7 +242,10 @@ def upsample_epochs(
         else F.lit(float(default_epochs))
     )
     base = F.floor(e_expr).cast("int")
-    extra = (uniform_unit(id_col) < (e_expr - F.floor(e_expr))).cast("int")
+    extra = (
+        F.coalesce(uniform_unit(id_col, "epochs"), F.lit(0.0))
+        < (e_expr - F.floor(e_expr))
+    ).cast("int")
     return (
         docs.select(
             F.col(id_col),
@@ -229,12 +283,12 @@ def shuffle_shards(
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    hex8 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    hex8 = F.substring(F.md5(salted_id(id_col, "shuffle")), 1, 8)
     shard = F.pmod(F.conv(hex8, 16, 10).cast("bigint"), F.lit(n_shards))
     with_shard = docs.select(
         F.col(id_col),
         shard.cast("int").alias("shard_id"),
-        F.md5(F.col(id_col).cast("string")).alias("_h"),
+        F.md5(salted_id(id_col, "shuffle")).alias("_h"),
     )
     w = Window.partitionBy("shard_id").orderBy("_h", id_col)
     return with_shard.select(
@@ -272,7 +326,11 @@ def split_expr(key: Column | str, test_256: int = 13, val_256: int = 26) -> Colu
     md5(key) first byte < test_256 → 'test', < val_256 → 'val', else
     'train' — so any operator that needs the SAME deterministic split
     on a different key (:func:`leakage_safe_splits` keys on the dup
-    cluster) cannot drift from the contract rule."""
+    cluster) cannot drift from the contract rule. Deliberately UNSALTED
+    (unlike every sampler — see :func:`salted_id`): this is the
+    published identity rule whose stability standing assignments and
+    the frozen splits-stream stores depend on; the samplers salt
+    themselves so sample→split compositions stay independent."""
     if not 0 <= test_256 <= val_256 <= 256:
         raise ValueError("need 0 <= test_256 <= val_256 <= 256")
     key = F.col(key) if isinstance(key, str) else key
@@ -436,7 +494,7 @@ def cap_per_group(
     if max_rows < 0:
         raise ValueError("max_rows must be >= 0")
     w = Window.partitionBy(group_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        F.md5(salted_id(id_col, "cap")), F.col(id_col)
     )
     return (
         docs.withColumn("_r", F.row_number().over(w))
@@ -478,7 +536,7 @@ def reservoir_sample(
         raise ValueError("k must be >= 1")
     if n_salts < 1:
         raise ValueError("n_salts must be >= 1")
-    u = uniform_unit(id_col)
+    u = F.coalesce(uniform_unit(id_col, "reservoir"), F.lit(0.0))
     if weight_col is None:
         priority = F.round(u, 9)
     else:
@@ -489,12 +547,12 @@ def reservoir_sample(
         priority = F.round(
             F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(0.0)), 9
         )
-    # salt from a DIFFERENT md5 slice than u (chars 9-16) so the salt is
-    # independent of the priority ordering
+    # salt from a DIFFERENT md5 slice than u (chars 9-16 of the same
+    # salted hash) so the salt is independent of the priority ordering
     salt = F.pmod(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 9, 8), 16, 10).cast(
-            "bigint"
-        ),
+        F.conv(
+            F.substring(F.md5(salted_id(id_col, "reservoir")), 9, 8), 16, 10
+        ).cast("bigint"),
         F.lit(n_salts),
     )
     ranked = docs.select(
@@ -553,6 +611,12 @@ def pack_token_shards(
     """
     from kafka_streams_spark.operators.text import bpe_ish_count
 
+    if budget < 1:
+        # budget=0 would make the `div` yield NULL shard ids in default
+        # mode (or raise under ANSI) — every sibling operator validates
+        # its knob; this one silently wrote the whole corpus into one
+        # NULL shard (r10 review fix)
+        raise ValueError("budget must be >= 1")
     w = (
         Window.partitionBy(stratum_col)
         .orderBy(id_col)
@@ -674,12 +738,18 @@ def token_budget_mix(
     for s, p in target_shares.items():
         if not (0.0 < p <= 1.0):
             raise ValueError(f"share for {s!r} must be in (0, 1], got {p}")
-    from kafka_streams_spark.operators.text import token_count
+    # BPE-ish token currency — the SAME currency pack_token_shards /
+    # pack_sequences budget in, so mix-to-budget-then-pack pipelines
+    # do not silently convert between whitespace and BPE-ish masses
+    # (the whitespace count undercounts by the subword/punctuation
+    # ratio — an unbounded, data-dependent budget overshoot; r10
+    # review fix).
+    from kafka_streams_spark.operators.text import bpe_ish_count
 
     counts = (
         docs.filter(F.col(stratum_col).isin(list(target_shares)))
         .groupBy(stratum_col)
-        .agg(F.sum(token_count(F.col(text_col))).alias("_tok_s"))
+        .agg(F.sum(bpe_ish_count(F.col(text_col))).alias("_tok_s"))
     )
     share = F.lit(None).cast("double")
     for s, p in target_shares.items():
@@ -698,7 +768,10 @@ def token_budget_mix(
     )
     return (
         docs.join(F.broadcast(rates), stratum_col)
-        .filter(uniform_unit(id_col) < F.col("_keep_rate"))
+        .filter(
+            F.coalesce(uniform_unit(id_col, "budget_mix"), F.lit(0.0))
+            < F.col("_keep_rate")
+        )
         .drop("_keep_rate")
     )
 

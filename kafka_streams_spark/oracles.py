@@ -1680,11 +1680,11 @@ DEDUP_ORACLES = {
         WITH {_shingle_cte(3)},
         bench AS (
             SELECT DISTINCT unnest(shingles) AS s FROM sh
-            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10'
+            WHERE substring(md5('hash_sample:' || CAST(doc_id AS VARCHAR)), 1, 2) < '10'
         ),
         train AS (
             SELECT doc_id, shingles FROM sh
-            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '10'
+            WHERE substring(md5('hash_sample:' || CAST(doc_id AS VARCHAR)), 1, 2) >= '10'
         ),
         expl AS (SELECT doc_id, unnest(shingles) AS s FROM train),
         ov AS (
@@ -2099,8 +2099,9 @@ SAMPLING_ORACLES = {
             -- corpus, which has empty docs with n_chars = 0)
             SELECT doc_id, lang,
                    CASE WHEN n_chars > 0 THEN
-                       ROUND(POW(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                                      AS BIGINT) / 4294967296.0,
+                       ROUND(POW(COALESCE(
+                                     CAST(('0x' || substring(md5('reservoir:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                                          AS BIGINT) / 4294967296.0, 0.0),
                                  1.0 / n_chars), 9)
                    ELSE 0.0 END AS priority
             FROM documents
@@ -2129,7 +2130,7 @@ SAMPLING_ORACLES = {
     """,
     "hash_sample_docs": """
         SELECT doc_id, source FROM documents
-        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+        WHERE substr(md5('hash_sample:' || CAST(doc_id AS VARCHAR)), 1, 2) < '20'
     """,
     # keep_rate rounded to 9 dp on BOTH sides (pow is not correctly
     # rounded; see temperature_mix) so the boundary predicate is
@@ -2144,16 +2145,20 @@ SAMPLING_ORACLES = {
             FROM c, m
         )
         SELECT d.doc_id, d.source
-        FROM documents d JOIN r USING (source)
-        WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-              / 4294967296.0 < keep_rate
+        FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source
+        WHERE COALESCE(
+                  CAST(('0x' || substring(md5('temperature:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  / 4294967296.0, 0.0) < keep_rate
     """,
     # Shares/budget literals mirror _MIX_SHARES/_MIX_BUDGET in
-    # __spark_entry__.py; per-source token sums use the same tokenizer
-    # as doc_stats; 9-dp rate rounding pins the keep boundary.
+    # __spark_entry__.py; per-source token sums use the BPE-ish
+    # segmentation — the SAME budget currency as pack_token_shards /
+    # pack_sequences (r10 review fix: the whitespace count silently
+    # converted currencies mid-pipeline); 9-dp rate rounding pins the
+    # keep boundary.
     "token_budget_mix": f"""
         WITH c AS (
-            SELECT source, sum(len({_TOKS})) AS tok_s
+            SELECT source, sum(len(regexp_extract_all(text, '{BPE_ISH_REGEX}'))) AS tok_s
             FROM documents WHERE source IN ('src1', 'src2', 'src3')
             GROUP BY source
         ),
@@ -2168,16 +2173,18 @@ SAMPLING_ORACLES = {
         )
         SELECT d.doc_id, d.source
         FROM documents d JOIN r USING (source)
-        WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-              / 4294967296.0 < keep_rate
+        WHERE COALESCE(
+                  CAST(('0x' || substring(md5('budget_mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  / 4294967296.0, 0.0) < keep_rate
     """,
     # Rates/epochs literals mirror _STRAT_RATES/_EPOCHS in
     # __spark_entry__.py verbatim; the uniform-[0,1) value is the same
     # first-8-hex-chars-of-md5 arithmetic as temperature_mix.
     "stratified_sample_docs": """
         SELECT doc_id, lang FROM documents
-        WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-              / 4294967296.0
+        WHERE COALESCE(
+                  CAST(('0x' || substring(md5('stratified:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  / 4294967296.0, 0.0)
               < CASE lang WHEN 'de' THEN 1.0 WHEN 'en' THEN 0.5
                           WHEN 'zh' THEN 0.25 ELSE 1.0 END
     """,
@@ -2186,8 +2193,9 @@ SAMPLING_ORACLES = {
             SELECT doc_id, source,
                    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
                                WHEN 'src2' THEN 0.0 ELSE 1.0 END AS e,
-                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                       / 4294967296.0 AS u
+                   COALESCE(
+                       CAST(('0x' || substring(md5('epochs:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       / 4294967296.0, 0.0) AS u
             FROM documents
         ),
         n AS (
@@ -2202,9 +2210,9 @@ SAMPLING_ORACLES = {
     "shuffle_shards_docs": """
         WITH h AS (
             SELECT doc_id,
-                   CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   CAST(CAST(('0x' || substring(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8))
                              AS BIGINT) % 8 AS INT) AS shard_id,
-                   md5(CAST(doc_id AS VARCHAR)) AS hh
+                   md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS hh
             FROM documents
         )
         SELECT doc_id, shard_id,
@@ -4525,7 +4533,7 @@ SAMPLING_ORACLES["cap_per_source"] = """
         SELECT doc_id, source,
                row_number() OVER (
                    PARTITION BY source
-                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+                   ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS r
         FROM documents)
     WHERE r <= 30
 """

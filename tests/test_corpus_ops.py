@@ -132,7 +132,11 @@ def test_reservoir_two_phase_equals_single_window(spark, sf_dir):
     out = reservoir_sample(docs, k=20, stratum_col="lang", weight_col="n_chars")
     # naive single-window reference
     pr = F.round(
-        F.pow(uniform_unit("doc_id"), F.lit(1.0) / F.col("n_chars").cast("double")), 9
+        F.pow(
+            uniform_unit("doc_id", "reservoir"),
+            F.lit(1.0) / F.col("n_chars").cast("double"),
+        ),
+        9,
     )
     w = Window.partitionBy("lang").orderBy(F.desc("priority"), F.col("doc_id"))
     ref = (

@@ -430,3 +430,20 @@ def test_events_dead_hours_finds_gap(spark, tmp_path):
 
     got = [(r["event_type"], r["epoch_hour"]) for r in events_dead_hours(spark, str(tmp_path)).collect()]
     assert got == [("view", base_hour + 2)]
+
+
+def test_exact_global_rank_nan_ranks_last(spark):
+    """r10 review fix: NaN compares false against every threshold, so
+    NaN rows used to land in bucket 0 and rank among the SMALLEST
+    values — Spark's own sort order places NaN greater than every
+    number, so they must rank LAST."""
+    from kafka_streams_spark.functions.partitioning import exact_global_rank
+
+    rows = [(1, 5.0), (2, float("nan")), (3, 1.0), (4, 3.0), (5, float("nan"))]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    got = {
+        r["id"]: r["rank"]
+        for r in exact_global_rank(df, "v", "id", "rank", buckets=4).collect()
+    }
+    # global sort order: 1.0, 3.0, 5.0, NaN(id 2), NaN(id 5)
+    assert got == {3: 1, 4: 2, 1: 3, 2: 4, 5: 5}

@@ -86,3 +86,24 @@ def test_salted_join_rejects_right_and_full_outer():
         salted_join(None, None, ["k"], how="right")
     with pytest.raises(ValueError, match="salted_join supports"):
         salted_join(None, None, ["k"], how="full_outer")
+
+
+def test_spread_does_not_materialize_grouped_pandas(spark):
+    """r10 review fix: FlatMapGroupsInPandas plans carry a pending
+    exchange but matched none of spread()'s shuffle tokens, so the
+    .rdd partition-count probe executed the full grouped-pandas stage
+    at construction time (and the real action ran it again)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.functions.partitioning import spread
+    from kafka_streams_spark.plans.audit import jobs_run_during
+
+    df = spark.createDataFrame([(1, 2.0), (1, 3.0)], "k bigint, v double")
+
+    def fn(pdf):
+        return pdf
+
+    grouped = df.groupBy("k").applyInPandas(fn, "k bigint, v double")
+    out, jobs = jobs_run_during(spark, lambda: spread(grouped))
+    assert jobs == 0  # construction must not execute the pipeline
+    assert out.count() == 2  # and the result still runs correctly

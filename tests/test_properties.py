@@ -196,7 +196,10 @@ def test_reservoir_sample_matches_priority_model(rows, k):
     )
 
     def priority(i, w):
-        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 16**8
+        u = (
+            int(hashlib.md5(f"reservoir:{i}".encode()).hexdigest()[:8], 16)
+            / 16**8
+        )
         return round(u ** (1.0 / w), 9)
 
     ranked = sorted(rows, key=lambda t: (-priority(*t), t[0]))[:k]

@@ -132,3 +132,88 @@ def test_pack_sequences_exact_coverage_and_lengths(spark, sf_dir):
     # partition invariance
     out2 = pack_sequences(docs.repartition(19), seq_len=L)
     assert out.exceptAll(out2).count() == 0 and out2.exceptAll(out).count() == 0
+
+
+def test_samplers_independent_of_split_and_each_other(spark):
+    """r10 review fix (verified failure): all samplers and the split
+    rule used to read the same md5(id) slice, so a rate-0.1 sample
+    followed by assign_splits left the TRAIN split EMPTY (every
+    surviving id had first byte < 0x1a) and chained samplers kept
+    min(r1, r2) instead of r1*r2. With per-operator salts, a sampled
+    corpus splits in roughly the published 5/5/90 proportions and two
+    different samplers compose multiplicatively."""
+    from kafka_streams_spark.operators.sampling import (
+        assign_splits,
+        hash_sample,
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(20000)], "doc_id bigint, lang string"
+    )
+    sampled = stratified_sample(docs, {}, default_rate=0.1)
+    n = sampled.count()
+    assert 1600 <= n <= 2400  # ~10%
+    splits = {
+        r["split"]: r["cnt"]
+        for r in assign_splits(sampled)
+        .groupBy("split")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    # the old correlated hashes gave {train: 0}; salted, train carries
+    # ~90% and test/val ~5% each of the SAMPLE
+    assert splits.get("train", 0) > 0.8 * n
+    assert 0 < splits.get("test", 0) < 0.12 * n
+    assert 0 < splits.get("val", 0) < 0.12 * n
+
+    # two different samplers compose ~multiplicatively (was min(r1,r2))
+    both = hash_sample(sampled, rate_256=64)  # 25% of the 10% sample
+    m = both.count()
+    assert 0.15 * n <= m <= 0.35 * n
+
+    # and the same sampler applied twice is idempotent (same salt, same
+    # predicate — the subset property is deliberate and documented)
+    again = stratified_sample(sampled, {}, default_rate=0.1)
+    assert again.count() == n
+
+
+def test_temperature_mix_null_stratum_and_t_below_one(spark):
+    """r10 review fixes: a NULL stratum is a real group — it must ride
+    its own keep rate (the old equi-join silently dropped every
+    NULL-stratum row AFTER its count had contaminated the n_min
+    anchor) — and T < 1 raises instead of silently no-opping (the
+    positive exponent clamps every rate to 1)."""
+    import pytest
+
+    from kafka_streams_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big") for i in range(4000)]
+    rows += [(10_000 + i, None) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = temperature_mix(docs, temperature=2.0)
+    by = {
+        r["source"]: r["cnt"]
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    # NULL is the smallest stratum -> anchor, keep rate 1.0: all 10 rows
+    # survive; 'big' downsamples toward sqrt(n_s * n_min)
+    assert by.get(None) == 10
+    assert 0 < by["big"] < 4000
+
+    with pytest.raises(ValueError, match="temperature must be >= 1"):
+        temperature_mix(docs, temperature=0.5)
+
+
+def test_pack_token_shards_rejects_zero_budget(spark):
+    """r10 review fix: budget=0 used to produce NULL shard ids for the
+    whole corpus (div 0 in default mode) with no error."""
+    import pytest
+
+    from kafka_streams_spark.operators.sampling import pack_token_shards
+
+    docs = spark.createDataFrame(
+        [(1, "s", "a b c")], "doc_id bigint, source string, text string"
+    )
+    with pytest.raises(ValueError, match="budget must be >= 1"):
+        pack_token_shards(docs, budget=0)

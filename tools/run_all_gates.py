@@ -86,18 +86,21 @@ def main() -> int:
 
         rounds = sorted(
             (
-                int(m.group(1))
+                (int(m.group(1)), p.name)
                 for p in ROOT.glob("BENCH_r*.json")
                 if (m := re.search(r"BENCH_r(\d+)\.json$", p.name))
             ),
         )
         if rounds and (ROOT / "BENCH_DETAIL.json").exists():
+            # keep the glob's own filename — round files are
+            # zero-padded (BENCH_r09.json), reformatting the int lost
+            # the padding and the diff gate failed on a missing file
             ok &= run(
                 "bench-diff",
                 [
                     sys.executable,
                     "tools/bench_diff.py",
-                    f"BENCH_r{rounds[-1]}.json",
+                    rounds[-1][1],
                     "BENCH_DETAIL.json",
                 ],
             )
