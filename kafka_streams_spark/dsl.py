@@ -141,7 +141,16 @@ class KStream:
         value fields, key untouched. Each kwarg is column → expression;
         unlisted columns pass through. No repartition flag needed —
         Catalyst keys shuffles off groupBy columns, not projection style
-        (SURVEY.md §4.1)."""
+        (SURVEY.md §4.1). Rewriting the KEY column is rejected — the
+        mapValues contract says the key cannot change, and a silent
+        rewrite would make every later group_by_key() group on the
+        mutated values with no diagnostic (r10 review fix); use
+        :meth:`map` to re-key."""
+        if self.key and self.key in exprs:
+            raise ValueError(
+                f"map_values cannot rewrite the key column {self.key!r} "
+                "(mapValues keeps the key) — use map() to re-key"
+            )
         return self._wrap(self.df.withColumns(dict(exprs)))
 
     def flat_map_values(self, expr: Column, alias: str) -> "KStream":
@@ -206,13 +215,20 @@ class KStream:
         first-match split; records matching no predicate are DROPPED (no
         catch-all leg — SURVEY.md §2.1 op 4). First-match is encoded as
         pred_i AND NOT any(pred_0..i-1), so overlapping predicates keep
-        Kafka Streams semantics exactly."""
+        Kafka Streams semantics exactly. Predicates are evaluated
+        null-safely (NULL counts as false, the boolean a Kafka Streams
+        Predicate would return): under raw three-valued logic a NULL
+        from an EARLIER predicate poisoned the ~any(...) term and
+        dropped the row from every leg — including a leg whose own
+        predicate was TRUE — diverging from sources/branched.route_tag
+        on the same topology (r10 review fix)."""
         legs = []
         seen: Column | None = None
         for p in predicates:
-            cond = p if seen is None else p & ~seen
+            pn = p.eqNullSafe(F.lit(True))
+            cond = pn if seen is None else pn & ~seen
             legs.append(self._wrap(self.df.filter(cond)))
-            seen = p if seen is None else seen | p
+            seen = pn if seen is None else seen | pn
         return legs
 
     def merge(self, other: "KStream") -> "KStream":
@@ -220,11 +236,20 @@ class KStream:
         return self._wrap(self.df.unionByName(other.df))
 
     def repartition(self, num_partitions: int | None = None) -> "KStream":
-        """``KStream.repartition()``: explicit shuffle on the key. Rarely
+        """``KStream.repartition()``: explicit shuffle on the key (or
+        round-robin at the cluster default parallelism for a keyless
+        stream — the argless form used to crash with a bare TypeError
+        there, r10 review fix). ``num_partitions`` must be >= 1 when
+        given (a falsy-zero check used to silently ignore 0). Rarely
         needed — prefer letting the next stateful op plan it."""
+        if num_partitions is not None and num_partitions < 1:
+            raise ValueError("num_partitions must be >= 1")
         cols = [F.col(self.key)] if self.key else []
-        if num_partitions:
+        if num_partitions is not None:
             return self._wrap(self.df.repartition(num_partitions, *cols))
+        if not cols:
+            default = self.df.sparkSession.sparkContext.defaultParallelism
+            return self._wrap(self.df.repartition(default))
         return self._wrap(self.df.repartition(*cols))
 
     # -- joins ---------------------------------------------------------------
@@ -256,13 +281,23 @@ class KStream:
         where events pair only within a time window. Compiles to an
         equi-join with a range predicate — on streams, add watermarks on
         both sides first and Spark bounds the join state
-        (kafka_streams_spark.streaming.stateful.interval_join)."""
+        (kafka_streams_spark.streaming.stateful.interval_join).
+
+        When both sides carry this stream's key column, the RIGHT copy
+        is dropped after the join: the raw condition join kept both,
+        so the result's claimed key was ambiguous and every stateful
+        continuation (group_by_key, select, to) crashed with
+        AMBIGUOUS_REFERENCE (r10 review fix) — in Kafka Streams a
+        windowed join yields a single-keyed stream."""
         l, r = self.df.alias("l"), other.df.alias("r")
         rng = (
             (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(before))
             & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(after))
         )
-        return self._wrap(l.join(r, on & rng))
+        joined = l.join(r, on & rng)
+        if self.key and self.key in self.df.columns and self.key in other.df.columns:
+            joined = joined.drop(F.col(f"r.{self.key}"))
+        return self._wrap(joined)
 
     # -- grouping ------------------------------------------------------------
 

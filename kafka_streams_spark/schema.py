@@ -63,8 +63,16 @@ def payment_to_json() -> Column:
     """PaymentEvent columns -> JSON string with pinned field order
     (JsonSerializer.java:20-29; order pinned for byte-stable goldens).
     Resolves the bare PAYMENT_FIELDS column names against whatever
-    frame the expression is attached to."""
-    return F.to_json(F.struct(*[F.col(c) for c in PAYMENT_FIELDS]))
+    frame the expression is attached to. ``ignoreNullFields=false``
+    pins Jackson parity for sparse records: Spark's to_json default
+    silently OMITS null-valued fields, so a payment parsed from a
+    partial payload re-serialized with currency/toAccount/... absent —
+    a lossy round-trip and non-byte-stable goldens (r10 review fix);
+    the reference serializer emits ``"currency":null``."""
+    return F.to_json(
+        F.struct(*[F.col(c) for c in PAYMENT_FIELDS]),
+        {"ignoreNullFields": "false"},
+    )
 
 
 def parse_payment_stream(raw: DataFrame, mode: str = "PERMISSIVE") -> DataFrame:

@@ -86,7 +86,14 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     reference to real declared columns side-steps the restriction.
     """
     if CORRUPT_COL not in df.columns:
-        return df, df.limit(0)
+        # FAILFAST/DROPMALFORMED reads carry no rescue column; the empty
+        # quarantine must still have the documented shape (declared
+        # columns + `raw`) or shared dead-letter sink code written
+        # against it resolves no `raw` column on exactly the "clean"
+        # path (r10 review fix)
+        return df, df.limit(0).withColumn(
+            "raw", F.lit(None).cast("string")
+        )
     bad = F.col(CORRUPT_COL).isNotNull()
     if not df.isStreaming:
         from kafka_streams_spark.functions.partitioning import materialize_shared
@@ -102,5 +109,13 @@ def write_jsonl_corpus(df: DataFrame, path: str, compression: str = "gzip") -> N
     """Write a corpus as sharded JSONL — one file per partition, so the
     writer parallelism IS the shard layout (repartition first to choose
     shard count/size; `sources/bucketed.py write_ordered_shards` for
-    globally-ordered exports)."""
+    globally-ordered exports). When the PERMISSIVE rescue column is
+    present, quarantine ROWS are excluded and the column dropped:
+    writing a freshly-read corpus used to re-emit every malformed
+    source line as a junk row, silently polluting the output with the
+    quarantine data :func:`split_corrupt` exists to triage (r10 review
+    fix) — route the quarantine through split_corrupt's dead-letter
+    side explicitly when it must be kept."""
+    if CORRUPT_COL in df.columns:
+        df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     df.write.mode("overwrite").option("compression", compression).json(path)

@@ -463,3 +463,56 @@ def test_ktable_derived_ops_preserve_window_flags(spark):
     assert sup.join(other).output_mode == "append"
     plain = builder.table(df.select("k", "v", "ts"), key="k", order_col="ts")
     assert sup.join(plain).output_mode == "update"
+
+
+def test_branch_null_predicate_is_false_and_api_guards(spark):
+    """r10 review fixes on the DSL surface:
+
+    - branch(): a NULL from an EARLIER predicate must not poison the
+      first-match encoding — NULL counts as false (the boolean a Kafka
+      Streams Predicate returns), matching sources/branched.route_tag.
+    - map_values() rejects rewriting the key column (mapValues keeps
+      the key; the silent rewrite corrupted later group_by_key runs).
+    - repartition() on a keyless stream round-robins at the default
+      parallelism instead of crashing; 0 partitions is rejected.
+    - join_windowed() drops the right copy of a shared key column so
+      stateful continuations do not hit AMBIGUOUS_REFERENCE."""
+    import pytest
+
+    builder = StreamsBuilder()
+    df = spark.createDataFrame(
+        [(None, "b"), ("a", "b"), ("c", "d")], "x string, y string"
+    )
+    s = builder.stream(df)
+    leg1, leg2 = s.branch(F.col("x") == "a", F.col("y") == "b")
+    assert {tuple(r) for r in leg1.df.collect()} == {("a", "b")}
+    # the (NULL, 'b') row's first predicate is NULL -> false; its second
+    # is true -> leg 2 (the old logic dropped it from every leg)
+    assert {tuple(r) for r in leg2.df.collect()} == {(None, "b")}
+
+    keyed = builder.stream(df, key="x")
+    with pytest.raises(ValueError, match="cannot rewrite the key"):
+        keyed.map_values(x=F.upper("x"))
+
+    out = s.repartition()  # keyless: round-robin, not TypeError
+    assert out.df.count() == 3
+    with pytest.raises(ValueError, match="num_partitions"):
+        s.repartition(0)
+
+    ev = spark.createDataFrame(
+        [(1, 10), (2, 500)], "user bigint, ts bigint"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    clicks = spark.createDataFrame(
+        [(1, 20), (2, 99999)], "user bigint, ts2 bigint"
+    ).withColumn("ts2", F.timestamp_seconds("ts2"))
+    j = builder.stream(ev, key="user").join_windowed(
+        builder.stream(clicks, key="user"),
+        on=F.col("l.user") == F.col("r.user"),
+        left_ts="ts",
+        right_ts="ts2",
+        before="interval 1 minute",
+        after="interval 1 minute",
+    )
+    assert j.df.columns.count("user") == 1  # single key column survives
+    counts = j.group_by_key().count().df.collect()  # no AMBIGUOUS_REFERENCE
+    assert {(r["user"], r["count"]) for r in counts} == {(1, 1)}

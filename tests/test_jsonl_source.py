@@ -91,3 +91,43 @@ def test_streaming_reader_matches_batch(spark, tmp_path):
         assert got == {1, 2}
     finally:
         q.stop()
+
+
+def test_split_corrupt_shape_without_rescue_column_and_clean_write(
+    spark, tmp_path
+):
+    """r10 review fixes: (1) the quarantine frame keeps the documented
+    shape (declared columns + raw) even when the read carried no rescue
+    column, so shared dead-letter sink code resolves `raw` on the clean
+    path too; (2) write_jsonl_corpus drops the rescue column instead of
+    re-emitting malformed source lines as {"_corrupt_record": ...} rows."""
+    import json
+    import os
+
+    from kafka_streams_spark.sources.jsonl import (
+        read_jsonl_corpus,
+        split_corrupt,
+        write_jsonl_corpus,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write('{"doc_id": 1, "source": "s", "text": "ok"}\n')
+        f.write("{broken\n")
+
+    schema = "doc_id bigint, source string, text string"
+    clean_read = spark.createDataFrame([(1, "s", "ok")], schema)
+    _, quarantine = split_corrupt(clean_read)  # no rescue column path
+    assert "raw" in quarantine.columns and quarantine.count() == 0
+
+    df = read_jsonl_corpus(spark, src, schema)
+    out = str(tmp_path / "out")
+    write_jsonl_corpus(df, out, compression="none")
+    rows = []
+    for name in os.listdir(out):
+        if name.startswith("part-"):
+            with open(os.path.join(out, name)) as f:
+                rows += [json.loads(line) for line in f if line.strip()]
+    assert all("_corrupt_record" not in r for r in rows)
+    assert {r.get("doc_id") for r in rows} == {1}

@@ -100,3 +100,25 @@ def test_from_json_mode_validated():
 
     with pytest.raises(ValueError, match="PERMISSIVE or FAILFAST"):
         payment_from_json(F.col("v"), mode="DROPMALFORMED")
+
+
+def test_payment_to_json_emits_null_fields(spark):
+    """r10 review fix: Spark's to_json default drops null-valued fields,
+    so a sparse payment re-serialized with fields ABSENT — the reference
+    Jackson serializer emits "currency":null etc. (byte-stable goldens
+    need the full pinned field list on every record)."""
+    from kafka_streams_spark.schema import payment_from_json, payment_to_json
+
+    from pyspark.sql import functions as F
+
+    raw = spark.createDataFrame(
+        [('{"paymentId":"p1","amount":7}',)], "value string"
+    )
+    out = (
+        raw.select(payment_from_json(F.col("value")).alias("p"))
+        .select("p.*")
+        .select(payment_to_json().alias("j"))
+        .collect()[0]["j"]
+    )
+    assert '"currency":null' in out and '"toAccount":null' in out
+    assert '"paymentId":"p1"' in out and '"amount":7' in out
