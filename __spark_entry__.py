@@ -1993,6 +1993,21 @@ _CODE_CHANGED = [
     "shuffle_shards_docs",
     # its pseudo-benchmark/train boundary is hash_sample's salted hash
     "decontaminate",
+    # r10 twin-blind review fixes (engine + oracle in lockstep):
+    # dedup_lines keeps content-less docs (text='', n_lines=0) instead
+    # of silently deleting them; the incremental dedup family hashes
+    # NULL text as '' (coherent across batch boundaries); the prefix
+    # form's ceil gets the AllPairs epsilon (boundary pairs were
+    # silently missed); decontaminate_exact excludes empty benchmark
+    # rows (contains(text,'') flagged the whole corpus); CMS estimate
+    # terms lowercase on entry (the probed stream is lowercased).
+    "dedup_lines",
+    "dedup_incremental",
+    "dedup_incremental_bloom",
+    "curate_increment",
+    "dedup_token_jaccard_prefix",
+    "decontaminate_exact",
+    "cms_estimates",
 ]
 
 # Kept for tool compatibility (freshness_lint): with the computed

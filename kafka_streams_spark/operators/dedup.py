@@ -89,12 +89,19 @@ def dedup_incremental(
     against that column instead of re-hashing the stored text; a stored
     body that no longer equals the arrival text would otherwise let the
     same original document re-enter (r7 review wave 5).
+
+    NULL text hashes as the EMPTY STRING (md5(coalesce(text, ''))) so
+    the convention is coherent across batch boundaries: the raw
+    md5(text) was NULL, which the anti-join never matched (NULL !=
+    NULL in join equality) while the within-batch window grouped NULLs
+    together — the same two contentless docs deduped or not depending
+    on which ingest batch they arrived in (r10 review fix).
     """
-    h = F.md5(F.col(text_col))
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     if existing_hash_col is not None:
         seen = existing.select(F.col(existing_hash_col).alias("_h")).distinct()
     else:
-        seen = existing.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+        seen = existing.select(F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h")).distinct()
     fresh = new_docs.withColumn("_h", h).join(seen, "_h", "left_anti")
     w = Window.partitionBy("_h").orderBy(F.col(id_col))
     return (
@@ -133,7 +140,7 @@ def bloom_bitmap(
     100 TB scale pass m_bits in the billions — the table is still only
     m/64 rows of 12 bytes.
     """
-    seen = existing.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    seen = existing.select(F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h")).distinct()
     pos = seen.select(
         F.explode(F.array(*[_bloom_pos(F.col("_h"), j, m_bits) for j in range(k)])).alias("_p")
     )
@@ -168,7 +175,7 @@ def dedup_incremental_bloom(
     fan-out pattern) → exact anti-join on the maybe leg only → union →
     min-id winner window within the increment.
     """
-    h = F.md5(F.col(text_col))
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     bitmap = bloom_bitmap(existing, text_col=text_col, m_bits=m_bits, k=k)
     probed = new_docs.withColumn("_h", h)
     for j in range(k):
@@ -204,7 +211,7 @@ def dedup_incremental_bloom(
     aux = [c for j in range(k) for c in (f"_w{j}", f"_b{j}", f"_hit{j}")]
     probed = probed.withColumn("_maybe", passes).drop(*aux)
     definite_new = probed.filter(~F.col("_maybe"))
-    seen = existing.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    seen = existing.select(F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h")).distinct()
     survivors = probed.filter(F.col("_maybe")).join(seen, "_h", "left_anti")
     fresh = definite_new.unionByName(survivors).drop("_maybe")
     w = Window.partitionBy("_h").orderBy(F.col(id_col))
@@ -289,6 +296,17 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     divergence find), `dict.fromkeys` preserves
     first-occurrence order exactly like `array_distinct`, and docs
     shorter than n words yield the whole doc as a single shingle.
+
+    DEGENERATE-INPUT NOTE: a zero-token (blank/NULL) doc yields the
+    single shingle [''] — so every blank page in a corpus shares one
+    posting/band, the canonical stop-shingle. Deliberate (blank docs
+    ARE mutual duplicates, and the fuzz corpus pins the [''] case on
+    both engines), but it means the near-dup family must not meet a
+    blank-heavy corpus unguarded: run exact dedup first (the curation
+    pipelines do), and the pricing pre-flights (posting_pair_stats /
+    max_df_for_budget / lsh_bucket_stats / stop_band_cap) exist
+    precisely to surface and cap the ''-posting's quadratic candidate
+    mass before any pair join runs.
     """
     return _arrow_shingler(n)(text)
 
@@ -508,7 +526,14 @@ def ngram_jaccard_pairs_prefix(
     )
     freq = tok.groupBy(*blk_names, "s").agg(F.count("*").alias("df"))
     w = Window.partitionBy(id_col).orderBy("df", "s")
-    prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
+    # 1e-9 slack mirrors the AllPairs length filter below: sz*t can
+    # round UP past the exact integer in IEEE doubles (100*0.07 ->
+    # 7.000000000000001), making the prefix one shingle too short and
+    # silently missing exact-boundary pairs the blocked form (and the
+    # oracle) emits (r10 review fix)
+    prefix_len = (
+        F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold) - F.lit(1e-9)) + 1
+    )
     prefix = (
         tok.join(freq, [*blk_names, "s"])
         .withColumn("_rn", F.row_number().over(w))
@@ -636,7 +661,24 @@ def ngram_jaccard_pairs_bitset(
                     )
                 masks = _np.zeros(words, dtype=_np.uint64)
                 for s in sh:
-                    i = idx_map[s]
+                    i = idx_map.get(s)
+                    if i is None:
+                        # the vocabulary was collected in a separate job
+                        # at plan-construction time; a shingle appearing
+                        # only now means the input's lineage is
+                        # non-deterministic (sample()/limit()/mutable
+                        # source re-read) — name the cause instead of
+                        # dying with a bare KeyError deep in a Python
+                        # worker (r10 review fix)
+                        raise ValueError(
+                            "ngram_jaccard_pairs_bitset: shingle "
+                            f"{s[:60]!r} absent from the collected "
+                            "vocabulary — the input DataFrame is not "
+                            "deterministic between the vocabulary scan "
+                            "and the encode pass (avoid sample()/"
+                            "limit()/mutable sources, or materialize "
+                            "the input first)"
+                        )
                     masks[i >> 6] |= _np.uint64(1) << _np.uint64(i & 63)
                 out["_id"].append(rid)
                 if has_blk:

@@ -98,7 +98,10 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-hit language heuristic: count distinct-token hits against
     each language's frozen stopword list; argmax wins, ties broken by
-    language code order, zero hits → 'und' (unknown).
+    STOPWORDS declaration order (en, es, de, fr — NOT alphabetical
+    code order; the when-chain takes the first maximal entry, and the
+    language_confusion twin pins the identical chain), zero hits →
+    'und' (unknown).
 
     This is the classic cheap LID for corpus triage; swap in a real
     model (fastText etc.) behind the same (id, lang) contract when the
@@ -471,11 +474,16 @@ def dedup_lines(
     line agg+join key, then the doc regroup.
 
     Output: (id, text, n_lines) — the reassembled text and surviving
-    line count.
+    line count. Docs with NO content lines at all (NULL text, blank
+    text) are KEPT with text='' and n_lines=0: a mid-pipeline rewrite
+    operator must not silently delete documents (split(NULL) explodes
+    to zero rows — the remove_boilerplate r7 fix, applied to this
+    sibling in r10). Docs whose every line is a LATER duplicate still
+    drop out — that is the operator's documented job.
     """
     from kafka_streams_spark.functions.partitioning import spread
 
-    raw_lines = F.split(F.col(text_col), "\n")
+    raw_lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
     lines = spread(docs).select(
         F.col(id_col), F.posexplode(raw_lines).alias("pos", "ln")
     ).filter(F.trim(F.col("ln")) != "")
@@ -486,10 +494,25 @@ def dedup_lines(
         (F.col(id_col) == F.col("_first.d")) & (F.col("pos") == F.col("_first.p"))
     )
     ordered = F.array_sort(F.collect_list(F.struct("pos", "ln")))
-    return kept.groupBy(id_col).agg(
+    deduped = kept.groupBy(id_col).agg(
         F.array_join(F.transform(ordered, lambda s: s["ln"]), "\n").alias("text"),
         F.count("*").cast("bigint").alias("n_lines"),
     )
+    # restore content-less docs (NULL/blank text: zero non-blank lines)
+    blanks = (
+        docs.filter(
+            F.size(
+                F.filter(raw_lines, lambda l: F.trim(l) != F.lit(""))
+            )
+            == 0
+        )
+        .select(
+            F.col(id_col),
+            F.lit("").alias("text"),
+            F.lit(0).cast("bigint").alias("n_lines"),
+        )
+    )
+    return deduped.unionByName(blanks)
 
 
 def remove_boilerplate(
@@ -1265,9 +1288,18 @@ def decontaminate_exact(
     n-gram :func:`~kafka_streams_spark.operators.pipelines.decontaminate`
     and run this exact pass on its flagged survivors.
 
-    Output: (id, n_bench_hits, contaminated).
+    Output: (id, n_bench_hits, contaminated). Empty/NULL benchmark rows
+    are excluded from the probe set: ``contains(text, '')`` is true for
+    EVERY document, so one blank row in the suite (a trailing blank
+    record, an empty answer field) used to flag the entire training
+    corpus contaminated — and a downstream drop-contaminated gate would
+    delete it wholesale (r10 review fix).
     """
-    bench = benchmark.select(F.col(bench_text_col).alias("_bench_text")).distinct()
+    bench = (
+        benchmark.select(F.col(bench_text_col).alias("_bench_text"))
+        .filter(F.length("_bench_text") > 0)
+        .distinct()
+    )
     hits = (
         docs.select(F.col(id_col), F.col(text_col))
         .join(F.broadcast(bench))
@@ -1594,7 +1626,14 @@ def cms_token_estimates(
     test. The exact side filters the token stream to ``terms`` BEFORE
     aggregating, so the full-vocabulary aggregation never runs — at
     scale the only unbounded work is the sketch build itself.
+
+    Terms are lowercased on entry (the keyword_search_bm25 convention):
+    the sketched token stream is lowercased by ``tokens``, so probing
+    'Paris' verbatim would hash into buckets holding pure collision
+    noise while exact_count read 0 — silently meaningless numbers for
+    the term the caller asked about (r10 review fix).
     """
+    terms = [t.lower() for t in terms]
     spark = docs.sparkSession
     sketch = cms_token_sketch(docs, d=d, w=w, id_col=id_col, text_col=text_col)
     tdf = spark.range(1).select(
@@ -1881,6 +1920,16 @@ def corpus_overlap(
     gram key and AQE broadcast-joins whichever side is small. Empty ∪
     empty follows the :func:`~kafka_streams_spark.operators.dedup.token_set_jaccard`
     convention (Jaccard 1.0).
+
+    INVENTORY DEFINITION NOTE (r10 review): for n >= 2 the gram set is
+    the dedup family's shingle definition — docs shorter than n words
+    contribute their WHOLE text as one pseudo-gram and blank docs the
+    '' gram — while n == 1 uses plain distinct tokens (no artifacts).
+    Deliberate: the n >= 2 audit measures the same inventory the
+    MinHash/Jaccard operators actually hash, so its overlap predicts
+    THEIR cross-slice collisions; but it means overlap numbers are not
+    comparable ACROSS different n values, and two slices sharing only
+    blank/short docs show nonzero n >= 2 overlap.
 
     Output: 1 row (n_grams_a, n_grams_b, n_shared bigint, overlap_jaccard).
     """

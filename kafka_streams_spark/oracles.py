@@ -559,7 +559,8 @@ TEXT_ORACLES = {
     # both unique lines and first-of-duplicates; 1-based i here vs the
     # 0-based posexplode only affects internal ordering, which agrees.
     "dedup_lines": """
-        WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+                   FROM documents),
         l AS (
             SELECT doc_id, i AS pos, ls[i] AS ln
             FROM t, unnest(range(1, len(ls) + 1)) AS u(i)
@@ -575,6 +576,13 @@ TEXT_ORACLES = {
                CAST(count(*) AS BIGINT) AS n_lines
         FROM r WHERE rn = 1
         GROUP BY doc_id
+        UNION ALL
+        -- content-less docs (NULL/blank text) are KEPT, not deleted
+        -- (the engine's r10 fix); trim(' ') matches Spark's trim(),
+        -- which strips SPACES only — same dialect as the line filter
+        SELECT doc_id, '' AS text, CAST(0 AS BIGINT) AS n_lines
+        FROM t
+        WHERE len(list_filter(ls, x -> trim(x, ' ') != '')) = 0
     """,
     # Add-one-smoothed corpus unigram LM: p(tok) = (n+1)/(T+|V|); per-doc
     # mean log10 over token OCCURRENCES (not distinct tokens). Docs with
@@ -1442,11 +1450,11 @@ def _curate_increment_sql(
     return f"""
         WITH {_minhash_incremental_ctes(threshold, num_hashes, bands, split_hex)},
         nw AS (
-            SELECT doc_id, source, text, md5(text) AS hh FROM documents
+            SELECT doc_id, source, text, md5(coalesce(text, '')) AS hh FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '{split_hex}'
         ),
         exh AS (
-            SELECT DISTINCT md5(text) AS hh FROM documents
+            SELECT DISTINCT md5(coalesce(text, '')) AS hh FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{split_hex}'
         ),
         fresh AS (
@@ -1614,11 +1622,11 @@ DEDUP_ORACLES = {
     # dedup_incremental's ('20') so the two queries aren't one query.
     "dedup_incremental_bloom": """
         WITH nw AS (
-            SELECT doc_id, source, md5(text) AS h FROM documents
+            SELECT doc_id, source, md5(coalesce(text, '')) AS h FROM documents
             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '40'
         ),
         ex AS (
-            SELECT DISTINCT md5(text) AS h FROM documents
+            SELECT DISTINCT md5(coalesce(text, '')) AS h FROM documents
             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
         ),
         fresh AS (SELECT nw.* FROM nw ANTI JOIN ex USING (h))
@@ -1633,11 +1641,11 @@ DEDUP_ORACLES = {
     # ORIGINAL text for all three patterns (matches pii_redact).
     "dedup_incremental": """
         WITH nw AS (
-            SELECT doc_id, source, md5(text) AS h FROM documents
+            SELECT doc_id, source, md5(coalesce(text, '')) AS h FROM documents
             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '20'
         ),
         ex AS (
-            SELECT DISTINCT md5(text) AS h FROM documents
+            SELECT DISTINCT md5(coalesce(text, '')) AS h FROM documents
             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
         ),
         fresh AS (SELECT nw.* FROM nw ANTI JOIN ex USING (h))

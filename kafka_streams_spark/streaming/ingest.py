@@ -138,14 +138,21 @@ def run_corpus_ingest_stream(
                 # recover the arrival hash).
                 prior = prior.withColumn(
                     hash_col,
-                    F.coalesce(F.col(hash_col), F.md5(F.col("text"))),
+                    F.coalesce(
+                        F.col(hash_col),
+                        F.md5(F.coalesce(F.col("text"), F.lit(""))),
+                    ),
                 )
             fresh = dedup_incremental(
                 batch_df, prior, existing_hash_col=hash_col
             )
         else:
             fresh = dedup_exact_rows(batch_df, ["text"], "doc_id")
-        accepted = fresh.withColumn("src_md5", F.md5(F.col("text")))
+        # NULL text hashes as '' — the dedup_incremental convention
+        # (r10): a NULL src_md5 would fall out of every future seen-set
+        accepted = fresh.withColumn(
+            "src_md5", F.md5(F.coalesce(F.col("text"), F.lit("")))
+        )
         if min_quality > 0.0:
             accepted = accepted.filter(
                 quality_expr(F.col("text")) >= F.lit(min_quality)

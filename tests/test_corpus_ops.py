@@ -1365,3 +1365,59 @@ def test_leakage_safe_splits_incremental_rules(spark):
         ).collect()
     }
     assert out[30] == (plain[30], False) and plain[30] == hash_of[30]
+
+
+def test_twin_blind_null_and_blank_semantics(spark):
+    """r10 twin-blind review pins (flaws both engines shared):
+
+    - dedup_lines keeps content-less docs (text='', n_lines=0) instead
+      of silently deleting them mid-pipeline;
+    - the incremental dedup family hashes NULL text as '' so two
+      contentless docs dedupe the same way whether they arrive in one
+      batch or across batches (the old join-NULL vs groupBy-NULL mix
+      made the verdict depend on batch position);
+    - decontaminate_exact ignores empty benchmark rows (contains(x,'')
+      is true for every doc — one blank suite row used to flag the
+      entire corpus contaminated);
+    - cms_token_estimates lowercases terms (the sketched stream is
+      lowercased, so 'Paris' probed collision noise with exact=0)."""
+    from kafka_streams_spark.operators.dedup import dedup_incremental
+    from kafka_streams_spark.operators.text import (
+        cms_token_estimates,
+        decontaminate_exact,
+        dedup_lines,
+    )
+
+    schema = "doc_id bigint, source string, text string"
+    docs = spark.createDataFrame(
+        [(1, "s", "keep me\nshared line"), (2, "s", None), (3, "s", "  \n ")],
+        schema,
+    )
+    out = {r["doc_id"]: (r["text"], r["n_lines"]) for r in dedup_lines(docs).collect()}
+    assert out[2] == ("", 0) and out[3] == ("", 0)  # kept, not deleted
+    assert out[1][1] == 2
+
+    existing = spark.createDataFrame([(10, "s", None)], schema)
+    delta = spark.createDataFrame([(11, "s", None), (12, "s", None)], schema)
+    fresh = dedup_incremental(delta, existing)
+    # NULL text == '' content: already in the corpus -> whole delta drops
+    assert fresh.count() == 0
+    empty_existing = spark.createDataFrame([], schema)
+    first = dedup_incremental(delta, empty_existing)
+    assert [r["doc_id"] for r in first.collect()] == [11]  # min-id winner
+
+    bench = spark.createDataFrame([("",), (None,), ("keep me",)], "text string")
+    flagged = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_exact(docs, bench).collect()
+    }
+    assert flagged == {1: True, 2: False, 3: False}
+
+    est = {
+        r["token"]: (r["cms_count"], r["exact_count"])
+        for r in cms_token_estimates(
+            spark.createDataFrame([(1, "s", "paris paris rome")], schema),
+            ["Paris", "rome"],
+        ).collect()
+    }
+    assert est["paris"][1] == 2 and est["rome"][1] == 1
