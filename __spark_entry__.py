@@ -2008,6 +2008,10 @@ _CODE_CHANGED = [
     "dedup_token_jaccard_prefix",
     "decontaminate_exact",
     "cms_estimates",
+    # r10: video frame sampling covers the payload TAIL (ceil, not
+    # floor — distinct payloads sharing a prefix emitted identical
+    # frame sets); engine and oracle changed together.
+    "media_video_frames",
 ]
 
 # Kept for tool compatibility (freshness_lint): with the computed

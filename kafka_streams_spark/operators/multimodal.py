@@ -132,7 +132,7 @@ def extract_image_features(media: DataFrame, codec: str = "fake") -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(
+    return media.select("media_id", "payload").filter(F.col("payload").isNotNull()).mapInPandas(
         process, schema=IMAGE_FEATURES_SCHEMA
     )
 
@@ -161,7 +161,12 @@ def sample_video_frames(media: DataFrame, every_nth: int = 10, codec: str = "fak
         for pdf in batches:
             ids, idxs, hs = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                n_frames = max(1, len(payload) // max(every_nth, 1))
+                # ceil: the tail bytes are a frame too — floor
+                # dropped len % every_nth bytes, so distinct payloads
+                # sharing a prefix emitted identical frame sets (r10
+                # review fix)
+                step = max(every_nth, 1)
+                n_frames = max(1, -(-len(payload) // step))
                 for i in range(n_frames):
                     ids.append(mid)
                     idxs.append(i)
@@ -171,7 +176,7 @@ def sample_video_frames(media: DataFrame, every_nth: int = 10, codec: str = "fak
                 {"media_id": ids, "frame_idx": idxs, "frame_md5": hs}
             )
 
-    return media.select("media_id", "payload").mapInPandas(process, schema=out_schema)
+    return media.select("media_id", "payload").filter(F.col("payload").isNotNull()).mapInPandas(process, schema=out_schema)
 
 
 AUDIO_FEATURES_SCHEMA = StructType(
@@ -233,7 +238,7 @@ def extract_audio_features(media: DataFrame, codec: str = "fake") -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(
+    return media.select("media_id", "payload").filter(F.col("payload").isNotNull()).mapInPandas(
         process, schema=AUDIO_FEATURES_SCHEMA
     )
 
@@ -279,7 +284,7 @@ def resize_images(media: DataFrame, max_dim: int = 256, codec: str = "fake") -> 
                 {"media_id": ids, "width": ws, "height": hs, "payload": outs}
             )
 
-    return media.select("media_id", "payload").mapInPandas(
+    return media.select("media_id", "payload").filter(F.col("payload").isNotNull()).mapInPandas(
         process, schema=RESIZED_SCHEMA
     )
 
@@ -391,7 +396,7 @@ def media_phash(media: DataFrame, codec: str = "fake") -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(
+    return media.select("media_id", "payload").filter(F.col("payload").isNotNull()).mapInPandas(
         process, schema=PHASH_SCHEMA
     )
 

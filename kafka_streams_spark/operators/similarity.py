@@ -33,6 +33,42 @@ def _round_half_up6(x: "np.ndarray") -> "np.ndarray":
     return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
 
 
+def finite_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """NULL/NaN-component quarantine shared by every ANN entry point.
+
+    A vector with a NaN component poisons each physical form
+    DIFFERENTLY — Spark sorts NaN FIRST under desc and its nan-safe
+    compare treats NaN >= t as TRUE, while numpy sorts NaN last and
+    compares False — so the expression and Arrow twins whose equality
+    is a pinned contract would silently disagree, greedy k-center
+    re-picks already-picked rows (np.minimum(x, NaN) destroys the
+    picked-row masks), and a NULL signature sorts ahead of every real
+    hamming candidate. Quarantining at entry (the isNotNull convention
+    the Arrow paths already used, extended to NaN) keeps every form
+    agreeing trivially (r10 review fix)."""
+    c = F.col(vec_col)
+    return df.filter(
+        c.isNotNull() & ~F.exists(c, lambda x: F.isnan(x.cast("double")))
+    )
+
+
+def _check_query_vec(query_vec: list[float], dim: int | None = None) -> None:
+    """Reject degenerate literal query vectors up front: a NaN
+    component makes the driver-side Python sign (nan >= 0 is False)
+    disagree with the JVM's nan-safe compare (NaN >= 0 is true), so
+    the probe set misses the bucket the index put the same vector in;
+    a length mismatch is silently truncated by zip driver-side while
+    the JVM null-pads — both produce wrong candidates with no error
+    (r10 review fix)."""
+    if any(x != x for x in query_vec):
+        raise ValueError("query vector contains NaN")
+    if dim is not None and len(query_vec) != dim:
+        raise ValueError(
+            f"query vector has {len(query_vec)} components, index "
+            f"planes expect {dim}"
+        )
+
+
 def _query_lit(query_vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in query_vec])
 
@@ -118,6 +154,8 @@ def knn_batch_to_ids(
     """
     from pyspark.sql import Window
 
+    embeddings = finite_vectors(embeddings, vec_col)
+
     # Pre-normalize both sides once (the _normalized pattern, inlined —
     # no spread() so the plan keeps its single exchange): per
     # (row, query) pair the cosine is then ONE dot product, not
@@ -174,6 +212,9 @@ def knn_batch_arrow(
 
     from pyspark.sql import Window
 
+    for v in query_vecs.values():
+        _check_query_vec(v)  # NaN queries rank differently per form
+
     qids = sorted(query_vecs)
     Q = np.asarray([query_vecs[i] for i in qids], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
@@ -211,7 +252,7 @@ def knn_batch_arrow(
     # id field follows the input schema (string ids are in-contract —
     # the kcenter_select convention).
     id_t = embeddings.schema[id_col].dataType.simpleString()
-    partial = embeddings.filter(F.col(vec_col).isNotNull()).mapInPandas(
+    partial = finite_vectors(embeddings, vec_col).mapInPandas(
         topk_per_batch, f"query_id long, {id_col} {id_t}, cosine_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -248,6 +289,11 @@ def max_benchmark_cosine(
     exchanges, nothing but the scan.
     """
     from kafka_streams_spark.functions.vectors import l2_norm
+
+    # same NULL/NaN quarantine as the Arrow twin — without it the two
+    # forms disagree on NaN rows (Spark NaN >= t is true, numpy False)
+    train = finite_vectors(train, vec_col)
+    bench = finite_vectors(bench, vec_col)
 
     # Pre-normalize BOTH sides once so the per-pair work is a single dot
     # product: cosine_similarity() recomputes both norms for every
@@ -300,6 +346,8 @@ def max_benchmark_cosine_arrow(
 
     if not bench_vecs:
         raise ValueError("bench_vecs must be non-empty")
+    for v in bench_vecs:
+        _check_query_vec(v)
     B = np.asarray(bench_vecs, dtype=np.float64)
     Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
 
@@ -320,7 +368,7 @@ def max_benchmark_cosine_arrow(
 
     # same NULL quarantine + schema-derived id type as knn_batch_arrow
     id_t = train.schema[id_col].dataType.simpleString()
-    return train.filter(F.col(vec_col).isNotNull()).mapInPandas(
+    return finite_vectors(train, vec_col).mapInPandas(
         score,
         f"{id_col} {id_t}, max_benchmark_cosine double, contaminated boolean",
     )
@@ -371,6 +419,7 @@ def _probe_set(
     previously stopped at 1-bit flips while the in-memory path honored
     h=2, so identical parameters scanned different candidate sets; r7
     self-review find)."""
+    _check_query_vec(query_vec, dim=len(planes[0]) if planes else None)
     qsig = 0
     for i, p in enumerate(planes):
         if sum(a * b for a, b in zip(p, query_vec)) >= 0:
@@ -929,15 +978,45 @@ def truncate_embeddings(
     )
 
 
+def _planes_md5(planes: list[list[float]]) -> str:
+    import hashlib
+    import json as _json
+
+    return hashlib.md5(
+        _json.dumps(planes, separators=(",", ":")).encode()
+    ).hexdigest()
+
+
 def write_lsh_index(
-    indexed: DataFrame, path: str, vec_col: str = "embedding"
+    indexed: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
 ) -> None:
     """Materialize an LSH/IVF index partitioned by its bucket column:
     `path/bucket=<b>/part-*.parquet`. Queries against the written index
     prune to the probed buckets at the FILE level (PartitionFilters in
     the scan) — the corpus outside the probe set is never opened, which
-    is the entire point of the index at 100 TB."""
+    is the entire point of the index at 100 TB.
+
+    Pass ``planes`` to stamp their fingerprint on the store (the PQ
+    codebook / binary-index reader-gate convention): querying a written
+    index with DIFFERENT planes than it was bucketed with silently
+    scans unrelated buckets and returns a near-random "top-k" —
+    :func:`knn_from_index` checks the stamp and raises on mismatch
+    (r10 review fix). Unstamped legacy stores still read (the gate
+    protects stamped stores, loudly)."""
     indexed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    if planes is not None:
+        from kafka_streams_spark.streaming.sketch_stream import (
+            _write_sketch_meta,
+        )
+
+        _write_sketch_meta(
+            indexed.sparkSession,
+            path,
+            {"kind": "lsh", "planes_md5": _planes_md5(planes)},
+        )
 
 
 def knn_from_index(
@@ -952,7 +1031,15 @@ def knn_from_index(
 ) -> DataFrame:
     """Top-k against a written index: same probe-set logic as knn_lsh,
     but the bucket predicate lands on a partition COLUMN, so pruning
-    happens in the file index before any IO."""
+    happens in the file index before any IO. When the store carries a
+    planes fingerprint (written by :func:`write_lsh_index` with
+    ``planes=``), a mismatched query raises instead of silently
+    scanning the wrong buckets."""
+    from kafka_streams_spark.streaming.sketch_stream import _check_sketch_meta
+
+    _check_sketch_meta(
+        spark, path, {"kind": "lsh", "planes_md5": _planes_md5(planes)}
+    )
     probes = _probe_set(planes, query_vec, multiprobe_hamming)
     cand = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
     return (
@@ -1183,6 +1270,10 @@ def kcenter_select(
 
     if k < 1:
         raise ValueError("k must be >= 1")
+    # NULL/NaN quarantine: a NaN mind wins every argmax and then
+    # np.minimum-style updates destroy the picked-row masks — the
+    # greedy traversal re-picks the same points (r10 review fix)
+    embs = finite_vectors(embs, vec_col)
 
     def sq_dist(vec: Column, center: list[float]) -> Column:
         c = F.array(*[F.lit(float(x)) for x in center])
@@ -1328,7 +1419,13 @@ def kcenter_select_scalable(
         ).alias("_blk"),
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).filter(F.col("vec").isNotNull())
+    ).filter(
+        # NULL + NaN quarantine (finite_vectors semantics, applied to
+        # the renamed column): a NaN component corrupts the per-block
+        # greedy traversal exactly as it does the exact form
+        F.col("vec").isNotNull()
+        & ~F.exists(F.col("vec"), lambda x: F.isnan(x))
+    )
 
     def pick_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
@@ -1439,7 +1536,8 @@ def pq_train_codebooks(
     ``PQ_SCALE``).
     """
     rows = (
-        embeddings.orderBy(id_col)
+        finite_vectors(embeddings, vec_col)
+        .orderBy(id_col)
         .limit(sample_size)
         .select(vec_col)
         .collect()
@@ -1850,7 +1948,19 @@ def whiten_embeddings(
     if not rows:
         raise ValueError("whiten_embeddings: input has no rows — no covariance to learn")
     d = max(r["dim_j"] for r in rows) + 1
-    n = rows[0]["n"]
+    ns = {r["n"] for r in rows}
+    if len(ns) != 1:
+        # mixed-dimension corpora give DIFFERENT n per (dim_i, dim_j)
+        # pair (low-dim pairs count both populations); dividing every
+        # sum by an arbitrary pair's n silently corrupts the mean and
+        # covariance (r10 review fix) — quarantine ragged rows by
+        # passing dim to embedding_gram upstream instead
+        raise ValueError(
+            "whiten_embeddings: gram rows carry inconsistent n "
+            f"({sorted(ns)}) — the corpus mixes embedding dimensions; "
+            "fix the corpus or quarantine ragged rows first"
+        )
+    n = ns.pop()
     s = float(scale)
     mean = np.zeros(d)
     cov = np.zeros((d, d))
@@ -2377,6 +2487,11 @@ def binarize_embeddings(
     """
     if not 1 <= bits <= 60:
         raise ValueError(f"bits must be in [1, 60], got {bits}")
+    # NULL/NaN quarantine: a NULL bsig/hamming sorts FIRST under the
+    # shortlist's ascending order, so enough NULL-embedding rows used
+    # to fill the entire hamming shortlist and recall silently
+    # collapsed (r10 review fix)
+    embeddings = finite_vectors(embeddings, vec_col)
     sig = F.expr(
         f"aggregate(zip_with(slice({vec_col}, 1, {bits}), "
         f"sequence(0, {bits - 1}), "
@@ -2735,7 +2850,8 @@ def pq_train_residual_codebooks(
         for r in cell_centroids_int(embeddings, group_col, vec_col).collect()
     }
     rows = (
-        embeddings.orderBy(id_col)
+        finite_vectors(embeddings, vec_col)
+        .orderBy(id_col)
         .limit(sample_size)
         .select(group_col, vec_col)
         .collect()

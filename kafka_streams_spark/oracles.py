@@ -2072,7 +2072,10 @@ MULTIMODAL_ORACLES = {
                md5(substring(s, CAST(f AS INTEGER) * 10 + 1, 10)) AS frame_md5
         FROM (
             SELECT media_id, s,
-                   unnest(generate_series(0, length(s) // 10 - 1)) AS f
+                   -- ceil: tail bytes form a frame too (r10 fix,
+                   -- lockstep with the engine)
+                   unnest(generate_series(0,
+                       CAST(ceil(length(s) / 10.0) AS INTEGER) - 1)) AS f
             FROM m
         )
     """,

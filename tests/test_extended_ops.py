@@ -184,7 +184,8 @@ def test_multimodal_plumbing(spark):
     assert all(len(r["feature_hex"]) == 16 for r in rows)
     frames = sample_video_frames(media, every_nth=10, codec="fake")
     per_media = frames.groupBy("media_id").count().collect()
-    assert all(r["count"] == 7 for r in per_media)  # 78-byte payloads -> 7 frames
+    # 78-byte payloads -> ceil(78/10) = 8 frames (r10: the tail is a frame)
+    assert all(r["count"] == 8 for r in per_media)
 
 
 def test_real_decode_is_gated():
@@ -933,3 +934,108 @@ def test_fake_codec_inline_copies_match_reference(spark):
     for i, p in enumerate(payloads):
         ref = _fake_decode(p)
         assert got[i] == (ref["width"], ref["height"], ref["feature_hex"])
+
+
+def test_ann_degenerate_inputs_quarantined(spark):
+    """r10 twin-blind review pins for the ANN family: NULL embeddings
+    and NaN-component vectors are quarantined at every entry point —
+    without it the expression/Arrow twins disagreed (Spark: NaN sorts
+    first under desc, NaN >= t is true; numpy: NaN sorts last,
+    compares false), greedy k-center re-picked the same rows
+    (np.minimum(x, NaN) destroys the masks), NULL signatures filled the
+    hamming shortlist, and the PQ trainers crashed on a NULL sample
+    row. A written LSH index carries a planes fingerprint so querying
+    it with the wrong planes raises instead of scanning random buckets."""
+    import pytest
+
+    from kafka_streams_spark.operators.similarity import (
+        binarize_embeddings,
+        build_lsh_index,
+        kcenter_select,
+        knn_batch_arrow,
+        knn_batch_to_ids,
+        knn_from_index,
+        max_benchmark_cosine,
+        pq_train_codebooks,
+        random_hyperplanes,
+        write_lsh_index,
+    )
+
+    nan = float("nan")
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, None),
+        (5, [nan, 1.0, 0.0]),
+    ]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    exp = knn_batch_to_ids(embs, [1], k=5)
+    arr = knn_batch_arrow(embs, {1: [1.0, 0.0, 0.0]}, k=5)
+    got_e = [(r["vec_id"], r["rank"]) for r in exp.orderBy("rank").collect()]
+    got_a = [(r["vec_id"], r["rank"]) for r in arr.orderBy("rank").collect()]
+    assert got_e == got_a  # the pinned twin equality now holds with NaN rows
+    assert all(v not in (4, 5) for v, _ in got_e)
+
+    picks = kcenter_select(embs, k=3).collect()
+    assert len({r["vec_id"] for r in picks}) == 3  # distinct picks
+    assert all(r["vec_id"] not in (4, 5) for r in picks)
+
+    flags = {
+        r["vec_id"]: r["contaminated"]
+        for r in max_benchmark_cosine(embs, embs.filter("vec_id = 1")).collect()
+    }
+    assert 5 not in flags and flags[1] is True
+
+    sigs = binarize_embeddings(embs, bits=3)
+    assert {r["vec_id"] for r in sigs.collect()} == {1, 2, 3}
+
+    books = pq_train_codebooks(embs, m=3, k=2, sample_size=5)
+    assert len(books) == 3  # trained despite NULL/NaN rows in the sample
+
+    with pytest.raises(ValueError, match="NaN"):
+        knn_batch_arrow(embs, {1: [nan, 0.0, 0.0]}, k=2).collect()
+
+
+def test_lsh_index_planes_fingerprint_gate(spark, tmp_path):
+    from kafka_streams_spark.operators.similarity import (
+        build_lsh_index,
+        knn_from_index,
+        random_hyperplanes,
+        write_lsh_index,
+    )
+    import pytest
+
+    embs = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), 1.0]) for i in range(30)],
+        "vec_id bigint, embedding array<double>",
+    )
+    indexed, planes = build_lsh_index(embs, dim=3, n_planes=4, seed=7)
+    path = str(tmp_path / "lsh")
+    write_lsh_index(indexed, path, planes=planes)
+    ok = knn_from_index(spark, path, planes, [1.0, 0.5, 1.0], k=3)
+    assert ok.count() == 3
+    wrong = random_hyperplanes(3, 4, seed=42)
+    with pytest.raises(ValueError, match="mismatched parameters"):
+        knn_from_index(spark, path, wrong, [1.0, 0.5, 1.0], k=3)
+
+
+def test_video_frames_cover_payload_tail(spark):
+    """r10 review fix: floor dropped the last len % every_nth bytes, so
+    distinct payloads sharing a prefix emitted identical frame sets."""
+    from kafka_streams_spark.operators.multimodal import sample_video_frames
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"0123456789ABCDE")), (2, bytearray(b"0123456789")),
+         (3, None)],
+        "media_id bigint, payload binary",
+    )
+    out = sample_video_frames(media, every_nth=10).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r["frame_md5"])
+    assert len(by_id[1]) == 2  # the 5-byte tail is a frame
+    assert len(by_id[2]) == 1
+    assert by_id[1][0] == by_id[2][0] and by_id[1] != by_id[2]
+    assert 3 not in by_id  # NULL payload quarantined, not a worker crash
