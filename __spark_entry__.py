@@ -2012,6 +2012,15 @@ _CODE_CHANGED = [
     # floor — distinct payloads sharing a prefix emitted identical
     # frame sets); engine and oracle changed together.
     "media_video_frames",
+    # r10 analytics NULL semantics (engine + oracle lockstep):
+    # events_hopping no longer counts each NULL-ts event 4x into one
+    # NULL window (out-of-contract, the sessionize rule); q12 routes
+    # NULL ship delays to an 'unknown' bucket instead of silently
+    # inflating '0-30'; rfm coalesces all-NULL spend to 0 and excludes
+    # users with no ranked recency.
+    "events_hopping",
+    "q12_ship_delay",
+    "rfm_scores",
 ]
 
 # Kept for tool compatibility (freshness_lint): with the computed

@@ -168,7 +168,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `div` = exact integer division on longs. A `/` here would round-trip
     # through double: epoch-nanos (~1.7e18) exceed double's 53-bit mantissa
     # and hour buckets could come out off-by-one at boundaries.
-    hour = F.expr("ts div 3600000000000")
+    hour = F.expr("((ts) - pmod((ts), 3600000000000L)) div 3600000000000L")
     return e.groupBy(hour.alias("epoch_hour"), F.col("event_type")).agg(
         F.count("*").alias("n_events"),
         F.sum(_cents("value")).alias("total_value_cents"),
@@ -191,12 +191,17 @@ def events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     just a 4× fatter map stage. No window-function sort anywhere.
     """
     slide_ns = 900_000_000_000  # 15 min
-    e = load_table(spark, sf_dir, "events")
+    # NULL-ts events are out-of-contract for a time window (the
+    # sessionize_events rule) — without the filter each one fanned out
+    # x4 into a single NULL win_start_ns group, counting 4x (r10
+    # review fix; events_hourly's raw integer grain keeps its NULL
+    # bucket at 1x deliberately — a bucket key, not a window).
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.select(
             "event_type",
             "value",
-            F.expr("ts div 900000000000").alias("_slot"),
+            F.expr("((ts) - pmod((ts), 900000000000L)) div 900000000000L").alias("_slot"),
         )
         .select(
             "event_type",
@@ -274,7 +279,7 @@ def events_session_native(
     # Spark's native session_window drops them silently — make the
     # filter explicit so the contract is stated, not incidental)
     e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    e2 = e.withColumn("_t", F.timestamp_micros(F.expr("ts div 1000")))
+    e2 = e.withColumn("_t", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000L)) div 1000L")))
     gap = f"{int(gap_minutes)} minutes"
     return (
         e2.groupBy(
@@ -320,7 +325,7 @@ def events_rate_anomaly(
     """
     e = load_table(spark, sf_dir, "events")
     counts = e.groupBy(
-        "event_type", F.expr("ts div 3600000000000").alias("epoch_hour")
+        "event_type", F.expr("((ts) - pmod((ts), 3600000000000L)) div 3600000000000L").alias("epoch_hour")
     ).agg(F.count("*").cast("bigint").alias("n_events"))
     med = counts.groupBy("event_type").agg(
         F.expr("percentile(n_events, 0.5)").alias("med")
@@ -355,7 +360,7 @@ def events_dead_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (event_type, epoch_hour) for every silent hour.
     """
     e = load_table(spark, sf_dir, "events")
-    hr = F.expr("ts div 3600000000000")
+    hr = F.expr("((ts) - pmod((ts), 3600000000000L)) div 3600000000000L")
     observed = e.select(
         F.col("event_type"), hr.alias("epoch_hour")
     ).distinct()
@@ -810,8 +815,14 @@ def q12_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    # a NULL delay (missing ship/order date) used to fall through the
+    # CASE into the FASTEST bucket, silently inflating '0-30' (r10
+    # review fix) — it surfaces as its own 'unknown' bucket instead
     bucket = (
-        F.when(delay > 90, "90+").when(delay > 30, "31-90").otherwise("0-30")
+        F.when(delay.isNull(), "unknown")
+        .when(delay > 90, "90+")
+        .when(delay > 30, "31-90")
+        .otherwise("0-30")
     )
     critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
@@ -1173,9 +1184,9 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("user_id", "ts")
     # `div`, not `/`: epoch-nanos exceed double's 53-bit mantissa (see
     # events_hourly) — float division could mis-bucket boundary events.
-    week = F.expr(f"ts div {_WEEK_NS}")
+    week = F.expr(f"(ts - pmod(ts, {_WEEK_NS}L)) div {_WEEK_NS}L")
     first_seen = e.groupBy("user_id").agg(
-        F.expr(f"min(ts) div {_WEEK_NS}").alias("cohort_week")
+        F.expr(f"(min(ts) - pmod(min(ts), {_WEEK_NS}L)) div {_WEEK_NS}L").alias("cohort_week")
     )
     activity = e.select("user_id", week.alias("week")).distinct()
     return (
@@ -1260,8 +1271,16 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = e.filter(F.col("user_id").isNotNull()).groupBy("user_id").agg(
         F.max("ts").cast("bigint").alias("recency_ns"),
         F.count("*").cast("bigint").alias("frequency"),
-        F.sum(_cents("value")).cast("bigint").alias("monetary_cents"),
+        # all-NULL values sum to NULL — score as 0 spend, not an
+        # undeclared NULL rank (r10 review fix)
+        F.coalesce(F.sum(_cents("value")).cast("bigint"), F.lit(0)).alias(
+            "monetary_cents"
+        ),
     )
+    # a user whose EVERY event has NULL ts has no recency to rank —
+    # exact_global_rank's precondition is non-null values, and the NULL
+    # used to land in bucket 0 below every real value (r10 review fix)
+    per_user = per_user.filter(F.col("recency_ns").isNotNull())
     per_user = materialize_shared(per_user)
     n = per_user.agg(F.count("*").cast("bigint").alias("_n"))
     # higher recency/frequency/monetary = better = higher score: rank

@@ -81,19 +81,28 @@ def curate_corpus_fuzzy(
     fixpoint in SQL).
     """
     from kafka_streams_spark.operators.dedup import (
+        dedup_exact_rows,
         duplicate_clusters,
         ngram_jaccard_pairs,
     )
 
+    # exact dedup FIRST (word_shingles' documented guard): exact
+    # duplicates share every shingle, so they always land in one
+    # cluster whose min-id member survives — identical output — but
+    # running the pair stage over the raw corpus quadratically
+    # expanded exact-duplicate bulk (and every blank doc shares the
+    # single [''] shingle: B blanks = O(B^2) candidate pairs before
+    # any gate could intervene; r10 review fix)
+    reps = dedup_exact_rows(docs, [text_col], id_col)
     pairs = ngram_jaccard_pairs(
-        docs, id_col=id_col, text_col=text_col, n=1,
+        reps, id_col=id_col, text_col=text_col, n=1,
         threshold=jaccard_threshold, block_col="source",
     )
     clusters = duplicate_clusters(pairs)
     losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias(id_col)
     )
-    kept = docs.join(losers, id_col, "left_anti")
+    kept = reps.join(losers, id_col, "left_anti")
     return curate_corpus(kept, min_quality=min_quality, id_col=id_col, text_col=text_col)
 
 
@@ -120,6 +129,15 @@ def decontaminate(
 
     Output: (id_col, n_overlap, contaminated) — n_overlap counts
     DISTINCT shared shingles (word_shingles de-dups per doc).
+
+    SHORT-ITEM BLIND SPOT (r10 review): a benchmark item shorter than
+    ``n`` words shingles to its WHOLE text, which can never equal an
+    n-word gram from the training side — a 2-word eval answer pasted
+    verbatim into training text reports n_overlap=0. For suites with
+    short items, lower ``n`` (n=1 compares vocabularies) or run
+    :func:`~kafka_streams_spark.operators.text.decontaminate_exact`,
+    whose substring probe has no length floor. The same applies to
+    :func:`contamination_report`'s leak_share.
     """
     from pyspark.sql.functions import broadcast
 
@@ -229,16 +247,26 @@ def contamination_report(
     bsh = bench.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
     )
-    tset = (
-        train.select(F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
-        .distinct()
-        .withColumn("hit", F.lit(1))
+    tset = train.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    # decontaminate's join shape, mirrored: the corpus-scale distinct
+    # gram table streams past a BROADCAST of the tiny benchmark grams
+    # (the old left join preserved the benchmark on the left, which
+    # Spark can only satisfy by shuffling the big right side in full —
+    # r10 review fix); per-(id, gram) rows are unique on both sides, so
+    # the inner-join count per item equals the old hit count exactly
+    totals = bsh.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_grams")
     )
-    leaked = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).cast("bigint")
-    return (
-        bsh.join(tset, "gram", "left")
+    hits = (
+        tset.join(F.broadcast(bsh), "gram")
         .groupBy(id_col)
-        .agg(F.count("*").cast("bigint").alias("n_grams"), leaked.alias("n_leaked"))
+        .agg(F.count("*").cast("bigint").alias("n_leaked"))
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_leaked", F.coalesce(F.col("n_leaked"), F.lit(0).cast("bigint")))
         .withColumn(
             "leak_share",
             F.col("n_leaked").cast("double") / F.col("n_grams").cast("double"),

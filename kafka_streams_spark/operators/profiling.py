@@ -37,17 +37,26 @@ def profile_columns(
     """
     cols = cols or df.columns
     distinct = F.count_distinct if exact else F.approx_count_distinct
+    # positional internal aliases + backtick-quoted source columns: the
+    # old f"_null_{c}" aliases broke on any column name that is not a
+    # bare SQL identifier (spaces, dots, quotes — all legal in a Spark
+    # schema), crashing the profiler on exactly the messy inputs it
+    # exists to describe (r10 review fix)
     aggs = [F.count(F.lit(1)).alias("_rows")]
-    for c in cols:
+    for i, c in enumerate(cols):
+        col = df[c]
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_null_{c}"),
-            distinct(F.col(c)).alias(f"_dist_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_null_{i}"),
+            distinct(col).alias(f"_dist_{i}"),
+            F.min(col).cast("string").alias(f"_min_{i}"),
+            F.max(col).cast("string").alias(f"_max_{i}"),
         ]
     wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', _null_{c}, _dist_{c}, _min_{c}, _max_{c}" for c in cols
+        "'{}', _null_{i}, _dist_{i}, _min_{i}, _max_{i}".format(
+            c.replace("\\", "\\\\").replace("'", "\\'"), i=i
+        )
+        for i, c in enumerate(cols)
     )
     return wide.select(
         F.expr(

@@ -117,6 +117,13 @@ def clicks_before_purchase(
     Shape: both sides are filtered scans of the same source (pushed to
     parquet), the interval join is one equi-shuffle on (user, bucket),
     and the per-purchase rollup reuses the join's partitioning.
+
+    Interval convention (r10 review note): CLOSED on both ends — a
+    click stamped at exactly the purchase timestamp counts as
+    "preceding" (coarse clocks log same-interaction events with equal
+    ts; ties attribute deterministically rather than dropping). Pass a
+    strict predicate downstream if simultaneous events must not
+    attribute.
     """
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.col("ts").alias("p_ts")

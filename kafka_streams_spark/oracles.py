@@ -2309,6 +2309,7 @@ SAMPLING_ORACLES = {
                count(*) AS n_events,
                CAST(SUM({_cents_sql('value')}) AS BIGINT) AS total_value_cents
         FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
+        WHERE ts IS NOT NULL  -- r10: NULL-ts is out-of-contract for a window
         GROUP BY 1, 2
     """,
     # interval join: clicks in the 30 min before each purchase, same user.
@@ -2467,7 +2468,8 @@ TPCH_EXTRA_ORACLES = {
         WHERE CAST(part_value_x10k AS DOUBLE) > threshold
     """,
     "q12_ship_delay": """
-        SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90 THEN '90+'
+        SELECT CASE WHEN o_orderdate IS NULL OR l_shipdate IS NULL THEN 'unknown'
+                    WHEN datediff('day', o_orderdate, l_shipdate) > 90 THEN '90+'
                     WHEN datediff('day', o_orderdate, l_shipdate) > 30 THEN '31-90'
                     ELSE '0-30' END AS delay_bucket,
                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -2830,10 +2832,12 @@ ANALYTICS_ORACLES["rfm_scores"] = f"""
         SELECT user_id,
                CAST(max(epoch_ns(ts)) AS BIGINT) AS recency_ns,
                CAST(count(*) AS BIGINT) AS frequency,
-               CAST(SUM({_cents_sql('value')}) AS BIGINT) AS monetary_cents
+               COALESCE(CAST(SUM({_cents_sql('value')}) AS BIGINT), 0)
+                   AS monetary_cents
         FROM events
         WHERE user_id IS NOT NULL  -- anonymous events: out-of-contract (r7)
         GROUP BY user_id
+        HAVING max(epoch_ns(ts)) IS NOT NULL  -- r10: no recency, no rank
     )
     SELECT user_id, recency_ns, frequency, monetary_cents,
            CAST(ntile(5) OVER (ORDER BY recency_ns, user_id) AS INTEGER)

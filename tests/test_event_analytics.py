@@ -447,3 +447,73 @@ def test_exact_global_rank_nan_ranks_last(spark):
     }
     # global sort order: 1.0, 3.0, 5.0, NaN(id 2), NaN(id 5)
     assert got == {3: 1, 4: 2, 1: 3, 2: 4, 5: 5}
+
+
+def test_time_bucket_null_and_negative_semantics(spark):
+    """r10 twin-blind review pins for the event-analytics family:
+
+    - time buckets FLOOR (the pmod idiom) instead of truncating, so
+      pre-epoch timestamps bucket correctly and hour 0 is not
+      double-width;
+    - events_hopping excludes NULL-ts events (each used to fan out x4
+      into one NULL window);
+    - q12 routes NULL ship delays to 'unknown' instead of the fastest
+      bucket;
+    - rfm scores all-NULL spend as 0 and skips users with no recency."""
+    from kafka_streams_spark.operators.analytics import (
+        events_hopping,
+        events_hourly,
+        q12_ship_delay,
+    )
+
+    sf = str  # signature compat: these take (spark, sf_dir)
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        # values are us-aligned: load_table normalizes long ts to
+        # microsecond precision before any bucketing
+        rows = [
+            (1, -1_000, 1, "click", 1.0, None),      # pre-epoch: hour -1
+            (2, 1_000, 1, "click", 1.0, None),       # hour 0
+            (3, None, 1, "click", 1.0, None),        # NULL ts
+            (4, 3_600_000_000_000, 1, "click", 1.0, None),  # hour 1
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts bigint, user_id bigint, event_type string,"
+            " value double, props string",
+        ).write.parquet(os.path.join(d, "events.parquet"))
+
+        hours = {
+            r["epoch_hour"]: r["n_events"]
+            for r in events_hourly(spark, d).collect()
+        }
+        # floor: ts=-1 is hour -1, not hour 0 (div truncation merged them)
+        assert hours[-1] == 1 and hours[0] == 1 and hours[1] == 1
+        assert hours[None] == 1
+
+        hop = events_hopping(spark, d).collect()
+        assert all(r["win_start_ns"] is not None for r in hop)
+        assert sum(r["n_events"] for r in hop) == 3 * 4  # 3 timed events x4
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, None), (2, "1995-01-05")],
+            "l_orderkey bigint, d string",
+        ).select(
+            "l_orderkey", F.to_timestamp("d").alias("l_shipdate")
+        ).write.parquet(os.path.join(d, "lineitem.parquet"))
+        spark.createDataFrame(
+            [(1, "1995-01-01", "1-URGENT"), (2, "1995-01-01", "5-LOW")],
+            "o_orderkey bigint, od string, o_orderpriority string",
+        ).select(
+            "o_orderkey",
+            F.to_timestamp("od").alias("o_orderdate"),
+            "o_orderpriority",
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        buckets = {
+            r["delay_bucket"]: (r["high_line_count"], r["low_line_count"])
+            for r in q12_ship_delay(spark, d).collect()
+        }
+        assert buckets == {"unknown": (1, 0), "0-30": (0, 1)}
