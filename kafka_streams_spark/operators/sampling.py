@@ -71,8 +71,12 @@ def hash_sample(
     if rate_256 == 256:
         # format(256,'02x') is the 3-char '100'; comparing the 2-char
         # prefix against it lexicographically would keep only buckets
-        # '00'..'10' (~17/256) instead of everything.
-        return df
+        # '00'..'10' (~17/256) instead of everything. Still drop NULL
+        # ids (r10 advice fix): every other rate rejects them via the
+        # NULL md5 predicate, so a bare `return df` would break the
+        # documented contract — and cross-table referential integrity —
+        # discontinuously at the boundary rate.
+        return df.filter(F.col(id_col).isNotNull())
     threshold = format(rate_256, "02x")
     bucket = F.substring(F.md5(salted_id(id_col, "hash_sample")), 1, 2)
     return df.filter(bucket < F.lit(threshold))

@@ -456,9 +456,27 @@ def _recover_fold(spark: SparkSession, delta_dir: str) -> None:
     stage = HPath(f"{delta_dir}/ingest_batch={_FOLD_STAGE}")
     manifest_str = f"{delta_dir}/{_FOLD_MANIFEST}"
     m = _read_json_file(spark, manifest_str)
+
+    def _drop_manifest() -> None:
+        # Delete the manifest AND its .tmp (r10 advice fix): when the
+        # manifest write crashed between completing the tmp and renaming
+        # it, _read_json_file's tmp-heal returns the pin list but the
+        # real file never existed — deleting only the real path left the
+        # stale tmp behind forever, and a LATER crashed compaction would
+        # be "recovered" against the OLD pin list (deleting a committed
+        # -1 / renaming a partial stage in: permanent row loss or double
+        # count).
+        for suffix in ("", ".tmp"):
+            p = HPath(manifest_str + suffix)
+            if fs.exists(p):
+                fs.delete(p, False)
+
     if m is None:
         if fs.exists(stage):
             fs.delete(stage, True)
+        # an unparsable .tmp is mid-create debris; reclaim it so it can
+        # never shadow a future manifest read
+        _drop_manifest()
         return
     final = HPath(f"{delta_dir}/ingest_batch=-1")
     if fs.exists(stage):
@@ -470,7 +488,7 @@ def _recover_fold(spark: SparkSession, delta_dir: str) -> None:
         p = HPath(f"{delta_dir}/ingest_batch={b}")
         if fs.exists(p):
             fs.delete(p, True)
-    fs.delete(HPath(manifest_str), False)
+    _drop_manifest()
 
 
 def _compact_deltas(

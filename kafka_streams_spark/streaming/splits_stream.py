@@ -538,7 +538,17 @@ def read_cap_audit(spark: SparkSession, store_dir: str) -> DataFrame:
         if deltas is None:
             raise FileNotFoundError(f"no caps store under {store_dir}")
         return deltas
-    base = _try_read_parquet(spark, f"{store_dir}/caps_base/hwm={hwm}").select(
+    base_df = _try_read_parquet(spark, f"{store_dir}/caps_base/hwm={hwm}")
+    if base_df is None:
+        # committed hwm dir with no readable data files (deleted between
+        # _latest_hwm's listing and this read, or empty-but-_SUCCESS
+        # debris) — fail with the store path, not AttributeError on
+        # None (r10 advice fix)
+        raise FileNotFoundError(
+            f"caps base snapshot hwm={hwm} under {store_dir}/caps_base "
+            f"is committed but unreadable"
+        )
+    base = base_df.select(
         F.col("src_batch").alias("batch_id"), *_STORE_COLS["caps"][1:]
     )
     return base if deltas is None else deltas.unionByName(base)

@@ -876,6 +876,69 @@ def test_compact_crash_recovery_never_double_counts(spark, tmp_path):
         assert parts == ["ingest_batch=-1"], (point, parts)
 
 
+def test_recover_fold_reclaims_stale_manifest_tmp(spark, tmp_path):
+    """r10 advice fix: when the manifest write crashed between
+    completing ``_fold_pin.json.tmp`` and renaming it, recovery used to
+    finish the swap via the reader's tmp-heal but delete only the
+    (nonexistent) real manifest — the stale tmp survived forever, and a
+    LATER crashed compaction would be 'recovered' against the OLD pin
+    list (deleting a committed -1 or double-folding pinned rows).
+    Recovery must reclaim BOTH paths in every branch."""
+    import shutil
+
+    from kafka_streams_spark.streaming.sketch_stream import (
+        _compact_deltas,
+        _FOLD_MANIFEST,
+    )
+
+    src = str(tmp_path / "src")
+    sketch = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    _write(src, "b1.json", DOCS_A)
+    q = run_cms_stream(spark, src, sketch, ckpt, d=3, w=64)
+    try:
+        q.processAllAvailable()
+        _write(src, "b2.json", DOCS_B)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = sorted(map(tuple, read_cms_sketch(spark, sketch).collect()))
+
+    def fold(d, crash=None):
+        _compact_deltas(
+            spark, d, ["row_idx", "bucket"], ["counter"], _crash_after=crash
+        )
+
+    # crash right after the manifest landed, then simulate the WRITE
+    # crash window: tmp complete, rename never happened
+    store = str(tmp_path / "tmp_heal")
+    shutil.copytree(sketch, store)
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="injected crash"):
+        fold(store, crash="manifest")
+    manifest = f"{store}/{_FOLD_MANIFEST}"
+    os.rename(manifest, manifest + ".tmp")
+    fold(store)
+    assert sorted(map(tuple, read_cms_sketch(spark, store).collect())) == want
+    assert not os.path.exists(manifest)
+    assert not os.path.exists(manifest + ".tmp")
+    assert not os.path.exists(f"{store}/ingest_batch=-2")
+
+    # debris branch: stage present, no manifest, UNPARSABLE tmp from a
+    # crash mid-create — recovery must reclaim the tmp too, not leave
+    # it to shadow a future manifest read
+    store2 = str(tmp_path / "debris")
+    shutil.copytree(sketch, store2)
+    with _pt.raises(RuntimeError, match="injected crash"):
+        fold(store2, crash="stage")
+    with open(f"{store2}/{_FOLD_MANIFEST}.tmp", "w") as f:
+        f.write('{"pinned": [0,')  # partial write
+    fold(store2)
+    assert sorted(map(tuple, read_cms_sketch(spark, store2).collect())) == want
+    assert not os.path.exists(f"{store2}/{_FOLD_MANIFEST}.tmp")
+
+
 def test_cms_stream_fresh_checkpoint_epoch_offset(spark, tmp_path):
     """r10 review fix: a fresh checkpoint restarts batch ids at 0, and
     the old writer dynamically OVERWROTE the prior generation's

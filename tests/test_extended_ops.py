@@ -602,6 +602,27 @@ def test_hash_sample_rate_256_keeps_everything(spark):
     assert hash_sample(df, rate_256=256).count() == 500
 
 
+def test_hash_sample_rate_256_still_drops_null_ids(spark):
+    """The documented 'NULL ids are dropped' contract must hold at the
+    boundary rate too (r10 advice): every other rate rejects NULL ids
+    via the NULL-md5 predicate, so the 256 early-return path must
+    filter them explicitly or referential integrity across two sampled
+    tables breaks discontinuously at rate 256."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 100).select(
+        F.when(F.col("id") < 90, F.col("id")).alias("doc_id")
+    )
+    assert hash_sample(df, rate_256=256).count() == 90
+    # and the filtered rows are exactly the NULL-id ones
+    assert (
+        hash_sample(df, rate_256=256).filter(F.col("doc_id").isNull()).count()
+        == 0
+    )
+
+
 def test_asof_join_preserves_null_payload_of_matched_row(spark):
     """A NULL payload field on the most recent matching right row must
     surface as NULL — not be skipped in favor of a stale older value

@@ -735,3 +735,22 @@ def test_split_stream_caps_store_compacts(spark, tmp_path):
     ]
     base = spark.read.parquet(f"{store}/caps_base/hwm=1")
     assert [r["src_batch"] for r in base.collect()] == [1]
+
+    # r10 advice fix: a committed-but-unreadable base snapshot (data
+    # files gone between the hwm listing and the read — here: emptied
+    # to just _SUCCESS) must raise a clean FileNotFoundError naming the
+    # store, not AttributeError on None
+    import os as _os
+
+    import pytest as _pt
+
+    hwm_dir = f"{store}/caps_base/hwm=1"
+    for name in _os.listdir(hwm_dir):
+        if name != "_SUCCESS":
+            _os.remove(_os.path.join(hwm_dir, name))
+    # drop the open delta too so the base read is reached
+    import shutil as _sh
+
+    _sh.rmtree(f"{store}/caps/ingest_batch=2")
+    with _pt.raises(FileNotFoundError, match="caps_base"):
+        read_cap_audit(spark, store).collect()

@@ -135,6 +135,7 @@ def main() -> int:
                 )
 
     regressed: list[tuple[str, float, float, float]] = []
+    suspect: list[tuple[str, float, float, float]] = []
     improved: list[tuple[str, float, float, float]] = []
     norm_hdr = f" {'norm':>7s}" if cal_ratio else ""
     print(f"{'query':34s} {'old_s':>8s} {'new_s':>8s} {'ratio':>7s}{norm_hdr}")
@@ -151,10 +152,21 @@ def main() -> int:
             gate = ratio / (cal_at(new, name) / cal_at(old, name))
         else:
             gate = ratio
+        # Sample-count weighting (r10 verdict item 2): min-of-N only
+        # rejects scheduler noise with enough N. A flagged ratio where
+        # EITHER side recorded < 3 samples is statistically weak — one
+        # slow sample pollutes a min-of-2 record — so it must clear a
+        # 25% stiffer bar to hard-fail the gate; otherwise it's
+        # reported as suspect (adjudicate with tools/ab_bench.py).
+        n_min = min(osamp.get(name, 2), nsamp.get(name, 2))
+        hard_threshold = args.threshold if n_min >= 3 else args.threshold * 1.25
         flag = ""
-        if gate > args.threshold:
+        if gate > hard_threshold:
             regressed.append((name, oq[name], nq[name], gate))
             flag = "  << REGRESSION"
+        elif gate > args.threshold:
+            suspect.append((name, oq[name], nq[name], gate))
+            flag = f"  << suspect (min-of-{n_min}, low power)"
         elif gate < 1 / args.threshold:
             improved.append((name, oq[name], nq[name], gate))
             flag = "  improved"
@@ -172,6 +184,7 @@ def main() -> int:
     print(
         f"\ntotal: old={old.get('value')}s new={new.get('value')}s  "
         f"regressed>{args.threshold}x ({gate_kind}): {len(regressed)}  "
+        f"suspect (low-sample): {len(suspect)}  "
         f"improved: {len(improved)}"
     )
     return 1 if regressed else 0
