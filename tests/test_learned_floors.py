@@ -13,9 +13,11 @@ Measured on the sf0.001 contract corpus (query 0, k=10):
   knn_ivfpq_res_vec0 (m=4, k=8, probe 2, shortlist 100) recall 3/10
   ...same at n_probe=4 (the recall-leg contract config) recall 5/10
 Floors pin the measured values; monotonicity (probe 4 >= probe 2) is
-asserted separately. With the zlib compression_ratio left as the only
-contract carrying no quantitative check, the justified rows-only list
-is fully bounded."""
+asserted separately. zlib compression_ratio — the last contract that
+carried no quantitative check — is pinned below against the corpus's
+entropy ordering (repetitive stratum compresses strictly better) plus
+the ratio >= 1 incompressibility bound, so every justified rows-only
+contract now carries a quantitative check."""
 
 from __future__ import annotations
 
@@ -111,3 +113,54 @@ def test_whitened_second_moment_is_identity(spark, embs):
     second = W.T @ W / n
     dev = np.abs(second - np.eye(d)).max()
     assert dev <= 1e-3, dev
+
+
+def test_compression_ratio_corpus_floors(spark, sf_dir):
+    """Quantitative pin for the last unbounded rows-only contract (r10
+    verdict item 4): zlib's DEFLATE stream is not SQL-expressible, but
+    its OUTPUT on the deterministic contract corpus is a constant, so
+    the entropy-ordering it promises is a real assertion, not a smoke
+    check. Measured on the sf0.001 documents (level 6): corpus mean
+    ratio 0.555, repetitive half (per-doc distinct-token ratio <=
+    corpus median 0.45) mean 0.4515 vs diverse half 0.658.
+
+    Pins: (a) the repetitive-text stratum compresses strictly better
+    than the high-entropy stratum, with >=0.1 separation headroom;
+    (b) the corpus mean sits in the measured band; (c) zlib never beats
+    entropy — a high-entropy input's ratio is >= 1 once the fixed
+    header/footer overhead has nothing to amortize against."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.catalog import load_table
+    from kafka_streams_spark.operators.text import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = compression_ratio(docs).filter(F.col("ratio").isNotNull())
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    distinct_ratio = (
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    )
+    joined = rows.join(
+        docs.select("doc_id", distinct_ratio.alias("dr")), "doc_id"
+    )
+    med = joined.agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY dr)")
+    ).collect()[0][0]
+    stats = joined.agg(
+        F.avg("ratio").alias("mean_all"),
+        F.avg(F.when(F.col("dr") <= med, F.col("ratio"))).alias("mean_rep"),
+        F.avg(F.when(F.col("dr") > med, F.col("ratio"))).alias("mean_div"),
+    ).collect()[0]
+    assert 0.50 <= stats["mean_all"] <= 0.60, stats
+    assert stats["mean_rep"] + 0.1 < stats["mean_div"], stats
+
+    # (c) incompressible bytes: 16 distinct symbols, nothing for DEFLATE
+    # to match — raw entropy + the zlib header/footer puts ratio >= 1
+    short = spark.createDataFrame(
+        [(1, "aZ3$kQ9!mX7@pW5#")], "doc_id bigint, text string"
+    )
+    r = compression_ratio(short).collect()[0]
+    assert r["ratio"] >= 1.0, r
+    assert r["n_compressed"] == len(zlib.compress(b"aZ3$kQ9!mX7@pW5#", 6))
