@@ -1012,6 +1012,25 @@ def test_ann_degenerate_inputs_quarantined(spark):
     sigs = binarize_embeddings(embs, bits=3)
     assert {r["vec_id"] for r in sigs.collect()} == {1, 2, 3}
 
+    # the r11 array_max quarantine form must keep the exists-HOF's
+    # exact semantics on its two divergent inputs: empty arrays and
+    # all-NULL-component arrays stay KEPT (array_max gives NULL there,
+    # and only a real NaN component may quarantine), while a NaN
+    # hiding beside NULL components is still dropped
+    from kafka_streams_spark.operators.similarity import finite_vectors
+
+    edge = spark.createDataFrame(
+        [
+            (10, []),
+            (11, [None, None]),
+            (12, [None, float("nan")]),
+            (13, [1.0, None]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    kept = {r["vec_id"] for r in finite_vectors(edge, "embedding").collect()}
+    assert kept == {10, 11, 13}
+
     books = pq_train_codebooks(embs, m=3, k=2, sample_size=5)
     assert len(books) == 3  # trained despite NULL/NaN rows in the sample
 

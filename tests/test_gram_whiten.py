@@ -477,6 +477,58 @@ def test_knn_recall_audit_batch_rows_and_bounds(spark, sf_dir):
         assert r["k"] == 10 and 1 <= r["n_hits"] <= 10
 
 
+def test_knn_recall_audit_batch_equals_per_query_composition(spark, sf_dir):
+    """The r11 fused single-scan audit (signature + cosine + hamming
+    computed together, three windows over one exchange, no join) must
+    emit EXACTLY the hit counts the composition of the independent
+    primitives gives — |knn_hamming_to_id k-set ∩ knn_to_id k-set| per
+    probe — with the same schema (query_id int, k int, n_hits bigint),
+    including an n_hits=0 row for a probe id absent from the corpus
+    (the spine left-join, where an inner join would silently drop the
+    probe). The single-probe knn_recall_audit(method='hamming') routes
+    through the same fused path, so this is the independent reference
+    for both."""
+    from kafka_streams_spark.operators.similarity import (
+        knn_hamming_to_id,
+        knn_recall_audit,
+        knn_recall_audit_batch,
+        knn_to_id,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    batch = knn_recall_audit_batch(
+        embs, [0, 7, 23], k=10, method="hamming", shortlist=100
+    )
+    assert batch.schema.simpleString() == (
+        "struct<query_id:int,k:int,n_hits:bigint>"
+    )
+    per = []
+    for q in (0, 7, 23):
+        exact = {r["vec_id"] for r in knn_to_id(embs, q, 10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in knn_hamming_to_id(embs, q, 10, shortlist=100).collect()
+        }
+        per.append((q, 10, len(exact & approx)))
+    assert [tuple(r) for r in batch.collect()] == per
+    # the single-probe audit routes through the fused path and must
+    # agree with the same independent composition
+    single = tuple(
+        knn_recall_audit(embs, 7, 10, method="hamming", shortlist=100)
+        .collect()[0]
+    )
+    assert single == per[1]
+
+    ghost = knn_recall_audit_batch(
+        embs, [0, 999_999_999], k=10, method="hamming", shortlist=100
+    ).collect()
+    assert [(r["query_id"], r["n_hits"] == 0) for r in ghost] == [
+        (0, False),
+        (999_999_999, True),
+    ]
+
+
 def test_knn_hamming_batch_matches_single_query_form(spark, sf_dir):
     """Per-query slices of the batch form must equal the single-query
     hamming knn (same shortlist, same ranking convention)."""
