@@ -27,6 +27,7 @@ from kafka_streams_spark.functions.partitioning import materialize_shared
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as _types
 from pyspark.sql.types import ArrayType, StringType
 
 # ---------------------------------------------------------------------------
@@ -1727,6 +1728,7 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every node gets
     ``cluster_id`` = the minimum id reachable through the pair graph —
@@ -1779,15 +1781,21 @@ def duplicate_clusters(
     exactly its star label, one row per node).
     """
     raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    # canonical undirected edges, stored (big, small)
-    E = (
-        raw.filter(F.col("a") != F.col("b"))
-        .select(
+    # canonical (big, small) rows INCLUDING self-pairs (big == small):
+    # one checkpoint materializes the upstream pair plan exactly once —
+    # the selfnodes leg used to re-derive it from `raw`, silently
+    # re-running a corpus-scale banding/verify pipeline a second time
+    # (measured ~3 s of the 6 s dedup_clusters_lsh contract at sf0.1;
+    # r11 fix). Everything below reads the checkpointed table.
+    E_all = (
+        raw.select(
             F.greatest("a", "b").alias("big"), F.least("a", "b").alias("small")
         )
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # canonical undirected edges, stored (big, small)
+    E = E_all.filter(F.col("big") != F.col("small"))
     # A self-pair (x, x) registers x as its own singleton cluster ONLY
     # when x has no real edge: a node with both a self-pair and a real
     # edge must emit exactly one (node, cluster_id) row — the star
@@ -1799,9 +1807,8 @@ def duplicate_clusters(
         .distinct()
     )
     selfnodes = (
-        raw.filter(F.col("a") == F.col("b"))
-        .select(F.col("a").alias("node"), F.col("a").alias("cluster_id"))
-        .distinct()
+        E_all.filter(F.col("big") == F.col("small"))
+        .select(F.col("big").alias("node"), F.col("big").alias("cluster_id"))
         .join(real_nodes, "node", "left_anti")
     )
 
@@ -1820,6 +1827,54 @@ def duplicate_clusters(
         )
 
     n_prev = E.count()
+    # Small-graph dispatch (r11): the edge count is already on the
+    # driver (it seeds the fixpoint check), so when the CANONICAL edge
+    # set fits the documented bounded-collect budget, solve the
+    # components with driver-side union-find instead of paying 4-6
+    # distributed rounds of ~12 scheduler-bound jobs each — the
+    # hamming_pairs_auto pattern applied to CC (measured at sf0.1: the
+    # 694-edge contract graph spends ~5 s on round scheduling for
+    # sub-millisecond numpy-scale work). The labeling rule is identical
+    # — every node maps to the minimum id reachable through the pair
+    # graph; Python's str/int ordering matches Spark's binary string /
+    # numeric ordering (UTF-8 byte order preserves code-point order) —
+    # and tests pin both paths equal on the contract graphs. Above the
+    # threshold (1M canonical edges ≈ 16 MB of longs) the distributed
+    # O(log² n)-round loop below runs, so the 100 TB path is unchanged.
+    if n_prev <= local_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in E.collect():
+            b, s = row["big"], row["small"]
+            parent.setdefault(b, b)
+            parent.setdefault(s, s)
+            rb, rs = find(b), find(s)
+            if rb != rs:
+                parent[rb] = rs
+        label: dict = {}
+        for node in parent:
+            r = find(node)
+            if r not in label or node < label[r]:
+                label[r] = node
+        rows = [(node, label[find(node)]) for node in parent]
+        local = pairs.sparkSession.createDataFrame(
+            rows,
+            schema=_types.StructType(
+                [
+                    _types.StructField("node", E.schema["big"].dataType),
+                    _types.StructField("cluster_id", E.schema["small"].dataType),
+                ]
+            ),
+        )
+        return local.unionByName(selfnodes)
     for _ in range(max_iter):
         m1 = mins(E)
         # large-star: (v, m(u)) for every neighbor v > u. v > u ≥ m(u),

@@ -82,8 +82,46 @@ def _check_query_vec(query_vec: list[float], dim: int | None = None) -> None:
         )
 
 
+def _floats_sql(xs: list[float]) -> str:
+    """SQL text for a literal array<double> — ONE ``F.expr`` parse
+    instead of len(xs)+1 py4j round trips (r11 perf fix: literal-heavy
+    plan CONSTRUCTION, not execution, dominated the PQ/LSH bench
+    queries — pq_encode spent 2.5 s of its 3.1 s building Columns).
+    ``repr`` of a Python float is the shortest round-tripping decimal;
+    Spark's literal parser converts via BigDecimal → nearest double, so
+    the value is bit-identical to ``F.lit(float(x))``. Raises on
+    non-finite components (callers with a degenerate-input contract
+    check first)."""
+    parts = []
+    for x in xs:
+        x = float(x)
+        if not math.isfinite(x):
+            raise ValueError(f"non-finite literal {x!r} in vector literal")
+        parts.append(repr(x) + "D")
+    return "array(" + ",".join(parts) + ")"
+
+
+def _ints_sql(xs: list[int]) -> str:
+    """SQL text for a literal array<bigint> (see :func:`_floats_sql`)."""
+    return "array(" + ",".join(f"{int(x)}L" for x in xs) + ")"
+
+
+def _sqdist_sql(a_sql: str, b_sql: str) -> str:
+    """SQL text of the exact integer squared L2 between two bigint
+    array expressions — the :func:`_int_sqdist` arithmetic verbatim."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> (x - y) * (x - y)), "
+        f"0L, (acc, v) -> acc + v)"
+    )
+
+
 def _query_lit(query_vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in query_vec])
+    try:
+        return F.expr(_floats_sql(query_vec))
+    except ValueError:
+        # degenerate (NaN/Inf) literals keep the element-wise path so
+        # their documented NaN-propagation behavior is unchanged
+        return F.array(*[F.lit(float(x)) for x in query_vec])
 
 
 def knn_brute_force(
@@ -388,10 +426,26 @@ def max_benchmark_cosine_arrow(
 
 
 def hyperplane_signature(
-    vec_col: Column, planes: list[list[float]]
+    vec_col: Column | str, planes: list[list[float]]
 ) -> Column:
     """LSH bucket id: sign-bit signature of dot products against fixed
-    random hyperplanes, packed into one bigint."""
+    random hyperplanes, packed into one bigint.
+
+    Pass the column NAME where possible: the string form compiles the
+    whole signature as ONE parsed expression (the `_floats_sql`
+    construction-cost fix — the Column form costs n_planes·(dim+3)
+    py4j round trips, ~0.5 s of driver time per index build at 6×64).
+    Arithmetic is identical: same left-fold dot product, same
+    ``>= 0`` sign rule (NaN compares greater, so a NaN component sets
+    the bit in both forms)."""
+    if isinstance(vec_col, str):
+        terms = " + ".join(
+            f"IF(aggregate(zip_with({vec_col}, {_floats_sql(p)}, "
+            f"(x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v) "
+            f">= 0, {1 << i}L, 0L)"
+            for i, p in enumerate(planes)
+        )
+        return F.expr(f"cast(0 as bigint) + {terms}")
     sig = F.lit(0).cast("bigint")
     for i, p in enumerate(planes):
         sig = sig + F.when(dot(vec_col, _query_lit(p)) >= 0, F.lit(1 << i).cast("bigint")).otherwise(0)
@@ -420,7 +474,7 @@ def build_lsh_index(
     prune to one file group: 2^n_planes buckets ≈ corpus/2^n per bucket.
     """
     planes = random_hyperplanes(dim, n_planes, seed)
-    indexed = embeddings.withColumn("bucket", hyperplane_signature(F.col(vec_col), planes))
+    indexed = embeddings.withColumn("bucket", hyperplane_signature(vec_col, planes))
     return indexed, planes
 
 
@@ -539,26 +593,37 @@ def build_ivf_index(
     model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     indexed = embeddings.withColumn(
-        "cell", _nearest_centroid(F.col(vec_col), centroids)
+        "cell", _nearest_centroid(vec_col, centroids)
     )
     return indexed, centroids
 
 
-def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+def _float_sqdist_sql(vec_sql: str, c: list[float]) -> str:
+    """SQL text of the double squared L2 between a vector column and a
+    literal centroid — the `_nearest_centroid` arithmetic verbatim
+    (cast-per-element, 0.0 seed, left fold)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_floats_sql(c)}, "
+        f"(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+
+
+def _nearest_centroid(vec_sql: str, centroids: list[list[float]]) -> Column:
     """argmin over squared L2 distance to each centroid — a flat
     distances array + ``array_position(dists, array_min(dists))``
-    (JVM-side; centroids are plan literals). Linear expression size in
-    n_cells; a chained ``when(closer, d).otherwise(best_d)`` fold would
-    copy the running best into each branch and grow the tree 2^n."""
-    def sqdist(c: list[float]) -> Column:
-        return F.aggregate(
-            F.zip_with(vec, _query_lit(c), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    dists = F.array(*[sqdist(c) for c in centroids])
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    (JVM-side; centroids are plan literals, the whole argmin ONE parsed
+    expression — the `_floats_sql` construction-cost fix). Linear
+    expression size in n_cells; a chained ``when(closer,
+    d).otherwise(best_d)`` fold would copy the running best into each
+    branch and grow the tree 2^n."""
+    dists_sql = "array(" + ",".join(
+        _float_sqdist_sql(vec_sql, c) for c in centroids
+    ) + ")"
+    return F.expr(
+        f"cast(array_position({dists_sql}, array_min({dists_sql})) - 1 "
+        f"as int)"
+    )
 
 
 def knn_ivf(
@@ -607,21 +672,15 @@ def knn_ivf_to_id(
     deterministic tie-break as the driver-side sort (strictly-closer
     count + lower-index-first among equal distances)."""
 
-    def sqdist_to(c: list[float]) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                F.col("_qvec"),
-                _query_lit(c),
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     q = indexed.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_qvec")
     )
-    dists = F.array(*[sqdist_to(c) for c in centroids])
+    # one parsed expression (the _floats_sql construction-cost fix)
+    dists = F.expr(
+        "array(" + ",".join(
+            _float_sqdist_sql("_qvec", c) for c in centroids
+        ) + ")"
+    )
     d_cell = F.element_at(F.col("_dists"), F.col("cell") + 1)
     rank = F.size(F.filter(F.col("_dists"), lambda x: x < d_cell)) + F.size(
         F.filter(
@@ -1620,7 +1679,7 @@ def _int_sqdist(a: Column, b: Column) -> Column:
 
 
 def _lit_ints(xs: list[int]) -> Column:
-    return F.array(*[F.lit(int(x)) for x in xs])
+    return F.expr(_ints_sql(xs))
 
 
 def pq_encode(
@@ -1649,14 +1708,20 @@ def pq_encode(
         ],
     )
 
+    # single parsed expression per subspace (the _floats_sql
+    # construction-cost fix): the k distance aggregates and the argmin
+    # are one SQL string — the Column form cost m·k·(dsub+~6) py4j
+    # round trips (2.5 s of the 3.1 s encode wall at m=4, k=10,
+    # dsub=16) for an identical expression tree
     def code(sub: int) -> Column:
-        dists = F.array(
-            *[
-                _int_sqdist(F.col(f"_s{sub}"), _lit_ints(codebooks[sub][j]))
-                for j in range(k)
-            ]
+        dists_sql = "array(" + ",".join(
+            _sqdist_sql(f"_s{sub}", _ints_sql(codebooks[sub][j]))
+            for j in range(k)
+        ) + ")"
+        return F.expr(
+            f"cast(array_position({dists_sql}, array_min({dists_sql})) - 1 "
+            f"as int)"
         )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     return sliced.select(
         F.col(id_col), F.array(*[code(s) for s in range(m)]).alias("codes")
@@ -1711,16 +1776,16 @@ def pq_topk_to_id(
     q = embeddings.filter(F.col(id_col) == query_id).select(
         _pq_scaled(F.col(vec_col)).alias("_q")
     )
-    # literal codebooks: books_lit[sub] is an array<array<bigint>>
-    books_lit = [
-        F.array(*[_lit_ints(centroid) for centroid in codebooks[sub]])
-        for sub in range(m)
-    ]
-
+    # literal codebooks as ONE parsed expression per subspace (the
+    # _floats_sql construction-cost fix — m·k Column-built centroid
+    # arrays cost seconds of py4j driver time at the same tree)
     def sub_dist(sub: int) -> Column:
-        cent = F.element_at(books_lit[sub], F.col("codes")[sub] + 1)
-        qsub = F.slice(F.col("_q"), sub * dsub + 1, dsub)
-        return _int_sqdist(qsub, cent)
+        book_sql = "array(" + ",".join(
+            _ints_sql(centroid) for centroid in codebooks[sub]
+        ) + ")"
+        cent_sql = f"element_at({book_sql}, codes[{sub}] + 1)"
+        qsub_sql = f"slice(_q, {sub * dsub + 1}, {dsub})"
+        return F.expr(_sqdist_sql(qsub_sql, cent_sql))
 
     dist = sub_dist(0)
     for s in range(1, m):
@@ -2249,7 +2314,7 @@ def knn_lsh_multitable(
     for t in range(n_tables):
         planes = random_hyperplanes(dim, n_planes, seed + t)
         sig_cols.append(
-            hyperplane_signature(F.col(vec_col), planes).alias(f"_b{t}")
+            hyperplane_signature(vec_col, planes).alias(f"_b{t}")
         )
     sig = embeddings.select(F.col(id_col), F.col(vec_col), *sig_cols)
     q = sig.filter(F.col(id_col) == query_id).select(
@@ -3050,15 +3115,28 @@ def ivfpq_residual_topk_to_id(
         F.col(id_col), res.alias("_res"), qres.alias("_qres")
     )
 
+    # one parsed expression per subspace (the _floats_sql
+    # construction-cost fix): 2·k_codes Column-built centroid arrays +
+    # k_codes lambda distance trees per subspace cost seconds of py4j
+    # driver time for an identical tree
     def sub_dist(s: int) -> Column:
-        book = F.array(*[_lit_ints(codebooks[s][j]) for j in range(k_codes)])
-        rsub = F.slice("_res", s * dsub + 1, dsub)
-        dists = F.array(
-            *[_int_sqdist(rsub, _lit_ints(codebooks[s][j])) for j in range(k_codes)]
-        )
-        code = F.array_position(dists, F.array_min(dists)).cast("int")  # 1-based
-        return _int_sqdist(
-            F.slice("_qres", s * dsub + 1, dsub), F.element_at(book, code)
+        book_sql = "array(" + ",".join(
+            _ints_sql(codebooks[s][j]) for j in range(k_codes)
+        ) + ")"
+        rsub_sql = f"slice(_res, {s * dsub + 1}, {dsub})"
+        dists_sql = "array(" + ",".join(
+            _sqdist_sql(rsub_sql, _ints_sql(codebooks[s][j]))
+            for j in range(k_codes)
+        ) + ")"
+        code_sql = (
+            f"cast(array_position({dists_sql}, array_min({dists_sql})) "
+            f"as int)"
+        )  # 1-based
+        return F.expr(
+            _sqdist_sql(
+                f"slice(_qres, {s * dsub + 1}, {dsub})",
+                f"element_at({book_sql}, {code_sql})",
+            )
         )
 
     adc = sum(sub_dist(s) for s in range(m))

@@ -1421,3 +1421,43 @@ def test_twin_blind_null_and_blank_semantics(spark):
         ).collect()
     }
     assert est["paris"][1] == 2 and est["rome"][1] == 1
+
+
+def test_duplicate_clusters_local_dispatch_equals_distributed(spark, sf_dir):
+    """r11 small-graph dispatch: below ``local_threshold`` canonical
+    edges the components are solved with driver-side union-find (the
+    edge count is already on the driver for the fixpoint seed); above
+    it the distributed star loop runs. Both paths must emit the
+    identical (node, cluster_id) table — min-reachable-id labeling,
+    self-pair singletons, string ids (Python code-point order ==
+    Spark's UTF-8 binary order) — pinned here by forcing the
+    distributed path with local_threshold=0."""
+    from kafka_streams_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_near_duplicates,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5, hash_fn="md5_32")
+    fast = sorted(map(tuple, duplicate_clusters(pairs).collect()))
+    slow = sorted(
+        map(tuple, duplicate_clusters(pairs, local_threshold=0).collect())
+    )
+    assert fast == slow and len(fast) > 0
+
+    # string ids + a self-pair singleton + a chain
+    srows = [
+        ("d", "b"), ("b", "a"), ("x", "y"), ("lonely", "lonely"),
+    ]
+    spairs = spark.createDataFrame(srows, "id_a string, id_b string")
+    sfast = sorted(map(tuple, duplicate_clusters(spairs).collect()))
+    sslow = sorted(
+        map(tuple, duplicate_clusters(spairs, local_threshold=0).collect())
+    )
+    assert sfast == sslow
+    assert sfast == [
+        ("a", "a"), ("b", "a"), ("d", "a"),
+        ("lonely", "lonely"),
+        ("x", "x"), ("y", "x"),
+    ]
