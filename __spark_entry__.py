@@ -1964,63 +1964,63 @@ def entry(spark: SparkSession) -> DataFrame:
 # _CODE_CHANGED_ROUND is the round these changes landed in: a name
 # re-greened by the driver at or after it has evidence for the NEW
 # code and self-drains from the head (see _evidence_order).
-_CODE_CHANGED_ROUND = 10
+_CODE_CHANGED_ROUND = 11
 _CODE_CHANGED = [
-    # r10: the returned cap is now gap-exact (lead(cnt)-1 at the
-    # boundary row — advisor find); engine and oracle changed together,
-    # the max_df value shifts on any profile whose posting-length
-    # histogram has gaps around the boundary. (r9's posting_pair_stats
-    # entry drained: driver re-greened it in CORRECTNESS_r09.)
-    "max_df_for_budget",
-    # r10 (review fix, engine + oracle in lockstep): every sampler now
-    # digests a per-operator SALTED hash — the unsalted md5(id) slice
-    # was shared with the split rule and with every other sampler, so
-    # composed pipelines were fully correlated (verified: a rate-0.1
-    # sample followed by assign_splits left the train split EMPTY).
-    # token_budget_mix additionally budgets in the BPE-ish currency
-    # (the pack_* currency) instead of whitespace tokens;
-    # temperature_mix joins its rates back null-safely. The split rule
-    # itself (assign_splits / leakage_safe_splits*) is deliberately
-    # UNCHANGED — it is the published identity rule standing
-    # assignments depend on.
-    "hash_sample_docs",
-    "stratified_sample_docs",
-    "temperature_mix_docs",
-    "token_budget_mix",
-    "upsample_epochs_docs",
-    "reservoir_sample_docs",
-    "cap_per_source",
-    "shuffle_shards_docs",
-    # its pseudo-benchmark/train boundary is hash_sample's salted hash
-    "decontaminate",
-    # r10 twin-blind review fixes (engine + oracle in lockstep):
-    # dedup_lines keeps content-less docs (text='', n_lines=0) instead
-    # of silently deleting them; the incremental dedup family hashes
-    # NULL text as '' (coherent across batch boundaries); the prefix
-    # form's ceil gets the AllPairs epsilon (boundary pairs were
-    # silently missed); decontaminate_exact excludes empty benchmark
-    # rows (contains(text,'') flagged the whole corpus); CMS estimate
-    # terms lowercase on entry (the probed stream is lowercased).
-    "dedup_lines",
-    "dedup_incremental",
-    "dedup_incremental_bloom",
-    "curate_increment",
-    "dedup_token_jaccard_prefix",
-    "decontaminate_exact",
-    "cms_estimates",
-    # r10: video frame sampling covers the payload TAIL (ceil, not
-    # floor — distinct payloads sharing a prefix emitted identical
-    # frame sets); engine and oracle changed together.
-    "media_video_frames",
-    # r10 analytics NULL semantics (engine + oracle lockstep):
-    # events_hopping no longer counts each NULL-ts event 4x into one
-    # NULL window (out-of-contract, the sessionize rule); q12 routes
-    # NULL ship delays to an 'unknown' bucket instead of silently
-    # inflating '0-30'; rfm coalesces all-NULL spend to 0 and excludes
-    # users with no ranked recency.
-    "events_hopping",
-    "q12_ship_delay",
-    "rfm_scores",
+    # r11 perf campaign — output-identical by pinned tests and 18/18 +
+    # 7/7 + 2/2 builder-side oracle re-checks, but the hot paths were
+    # restructured, so old driver evidence certifies code that no
+    # longer exists.
+    #
+    # (a) NaN quarantine: finite_vectors now tests isnan(array_max(v))
+    # (coalesce false) instead of an exists() HOF — every ANN entry
+    # point that quarantines runs the new predicate.
+    "emb_binarize",
+    "knn_hamming_vec0",
+    "knn_hamming_batch",
+    "hamming_bucket_stats",
+    "emb_near_dup_hamming",
+    "knn_batch",
+    "emb_kcenter",
+    "emb_kcenter_scalable",
+    "decontaminate_emb",
+    "semdedup",
+    # (b) hamming recall audits: fused single-scan plan (signature +
+    # cosine + hamming in one projection, three windows over one
+    # exchange, conditional aggregation instead of a join).
+    "knn_recall_hamming_vec0",
+    "knn_recall_hamming_multi",
+    # (c) hyperplane signatures compile as ONE parsed expression
+    # (string column name form) — every LSH index build.
+    "knn_lsh_vec0",
+    "knn_lsh_mt_vec0",
+    "knn_recall_vec0",
+    "knn_recall_mt_vec0",
+    "emb_near_dup_lsh",
+    "knn_auto_vec0",
+    # (d) PQ/IVF literal codebooks, ADC distances, and centroid argmins
+    # render as SQL text parsed by one F.expr each (repr round-trips
+    # doubles bit-exactly through the BigDecimal literal parse).
+    "knn_ivf_vec0",
+    "knn_ivf_label_vec0",
+    "knn_pq_vec0",
+    "knn_pq_label_vec0",
+    "knn_pq_rerank_vec0",
+    "pq_error_vec0",
+    "knn_ivfpq_vec0",
+    "knn_ivfpq_res_vec0",
+    "knn_recall_ivfpq_vec0",
+    "knn_recall_ivfpq_res_vec0",
+    # (e) connected components: small-graph union-find dispatch below
+    # local_threshold canonical edges (distributed star loop unchanged
+    # above it), and self-pairs folded into the single checkpointed
+    # edge materialization (the selfnodes leg no longer re-runs the
+    # upstream banding plan).
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "dedup_cluster_sizes",
+    "leakage_safe_splits_docs",
+    "leakage_safe_splits_incr",
+    "curate_corpus_fuzzy",
 ]
 
 # Kept for tool compatibility (freshness_lint): with the computed
