@@ -115,6 +115,13 @@ def _sqdist_sql(a_sql: str, b_sql: str) -> str:
     )
 
 
+def _quoted(col_name: str) -> str:
+    """Backtick-quote a USER-provided column name for the SQL-text
+    builders (a name like ``my vec`` would otherwise break the parse;
+    internal fixed aliases like ``_q``/``_s0`` skip this)."""
+    return "`" + col_name.replace("`", "``") + "`"
+
+
 def _query_lit(query_vec: list[float]) -> Column:
     try:
         return F.expr(_floats_sql(query_vec))
@@ -439,8 +446,11 @@ def hyperplane_signature(
     ``>= 0`` sign rule (NaN compares greater, so a NaN component sets
     the bit in both forms)."""
     if isinstance(vec_col, str):
+        if not planes:  # degenerate: empty signature == bucket 0
+            return F.lit(0).cast("bigint")
+        vec_sql = _quoted(vec_col)
         terms = " + ".join(
-            f"IF(aggregate(zip_with({vec_col}, {_floats_sql(p)}, "
+            f"IF(aggregate(zip_with({vec_sql}, {_floats_sql(p)}, "
             f"(x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v) "
             f">= 0, {1 << i}L, 0L)"
             for i, p in enumerate(planes)
@@ -593,7 +603,7 @@ def build_ivf_index(
     model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     indexed = embeddings.withColumn(
-        "cell", _nearest_centroid(vec_col, centroids)
+        "cell", _nearest_centroid(_quoted(vec_col), centroids)
     )
     return indexed, centroids
 
@@ -2576,7 +2586,7 @@ def binarize_embeddings(
     # collapsed (r10 review fix)
     embeddings = finite_vectors(embeddings, vec_col)
     sig = F.expr(
-        f"aggregate(zip_with(slice({vec_col}, 1, {bits}), "
+        f"aggregate(zip_with(slice({_quoted(vec_col)}, 1, {bits}), "
         f"sequence(0, {bits - 1}), "
         f"(v, i) -> IF(v > 0D, shiftleft(1L, i), 0L)), "
         f"0L, (acc, x) -> acc + x)"
@@ -2816,7 +2826,7 @@ def knn_recall_audit_batch(
         if not 1 <= bits <= 60:
             raise ValueError(f"bits must be in [1, 60], got {bits}")
         sig = F.expr(
-            f"aggregate(zip_with(slice({vec_col}, 1, {bits}), "
+            f"aggregate(zip_with(slice({_quoted(vec_col)}, 1, {bits}), "
             f"sequence(0, {bits - 1}), "
             f"(v, i) -> IF(v > 0D, shiftleft(1L, i), 0L)), "
             f"0L, (acc, x) -> acc + x)"
