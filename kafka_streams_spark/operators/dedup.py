@@ -924,6 +924,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     hash_fn: str = "crc32",
+    emit_shingles: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature as `num_hashes` columns ``mh0..mhN`` —
     one Arrow map-side pass, NO shuffle.
@@ -948,6 +949,13 @@ def minhash_signatures(
     Signatures equal :func:`minhash_signatures_expr`'s md5_32 output
     exactly (pinned in tests). Overflow-safe in both engines:
     a < 2³¹, h32 < 2³² ⇒ a·h32+b < 2⁶³.
+
+    ``emit_shingles=True`` adds the distinct-shingle array itself as a
+    ``shingles`` column (first-occurrence order — byte-identical to
+    :func:`word_shingles`): the banding+verify pipelines need BOTH the
+    signatures and the shingle sets, and shingling is the pass's CPU
+    cost — emitting both from ONE Arrow pass halves the text work
+    (r11; at 100 TB it is one corpus text read instead of two).
     """
     import zlib
 
@@ -962,11 +970,17 @@ def minhash_signatures(
     id_field = docs.schema[id_col]
     out_schema = StructType(
         [id_field]
+        + (
+            [StructField("shingles", ArrayType(StringType()))]
+            if emit_shingles
+            else []
+        )
         + [StructField(f"mh{i}", LongType()) for i in range(num_hashes)]
     )
     n = shingle_n
     prime = MINHASH_PRIME
     use_md5 = hash_fn == "md5_32"
+    want_sh = emit_shingles
 
     # self-contained closure: shipped by value to Python workers
     def process(batches):
@@ -992,19 +1006,31 @@ def minhash_signatures(
             return v
 
         for pdf in batches:
-            ids, sig_rows = [], []
+            ids, sig_rows, sh_rows = [], [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
                 toks = [t for t in _ws.split((text or "").lower()) if t]
                 if len(toks) <= n:
-                    sh = {" ".join(toks)}
+                    sh = [" ".join(toks)]
                 else:
-                    sh = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+                    # dict.fromkeys: distinct, first-occurrence order ==
+                    # word_shingles / array_distinct (min over a set is
+                    # order-invariant, so signatures are unchanged)
+                    sh = list(
+                        dict.fromkeys(
+                            " ".join(toks[j : j + n])
+                            for j in range(len(toks) - n + 1)
+                        )
+                    )
                 hs = _np.fromiter((h32(s) for s in sh), dtype=_np.int64, count=len(sh))
                 sigs = ((A * hs + B) % prime).min(axis=1)  # (num_hashes,)
                 ids.append(i)
                 sig_rows.append(sigs)
+                if want_sh:
+                    sh_rows.append(sh)
             mat = _np.vstack(sig_rows) if sig_rows else _np.empty((0, len(A)), dtype=_np.int64)
             out = {id_col: ids}
+            if want_sh:
+                out["shingles"] = sh_rows
             for k in range(mat.shape[1] if len(sig_rows) else len(A)):
                 out[f"mh{k}"] = mat[:, k] if len(sig_rows) else []
             yield _pd.DataFrame(out)
@@ -1152,19 +1178,30 @@ def minhash_near_duplicates(
     which is why the same prune wins there (4.9 → 2.9 s). If a corpus
     has rare duplicates AND a high threshold, borrow the pruned shape.
     """
-    cands = minhash_lsh_candidates(
-        docs, id_col, text_col, num_hashes, bands, shingle_n, hash_fn
-    )
-    # Joined twice (a/b sides) and Arrow subtrees never share via
-    # exchange reuse — materialize the shingle table once (2.5 → 1.7 s
-    # warm, 10 → 1.9 s cold at sf0.1; same lineage-cut caveat and
-    # bucketed-table alternative as weighted_jaccard_pairs).
-    sh = materialize_shared(
-        docs.select(
-            F.col(id_col),
-            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    # ONE Arrow pass emits signatures AND shingle sets (r11: the
+    # verify side used to re-shingle the whole corpus in a second
+    # Arrow pass — shingling is the pass's CPU cost, so this halves
+    # the text work; at 100 TB it is one corpus text read, not two),
+    # materialized once because the banding and both verify sides all
+    # read it (Arrow subtrees never share via exchange reuse — same
+    # lineage-cut caveat and bucketed-table alternative as
+    # weighted_jaccard_pairs).
+    assert num_hashes % bands == 0
+    combined = materialize_shared(
+        minhash_signatures(
+            docs, id_col, text_col, num_hashes, shingle_n, hash_fn,
+            emit_shingles=True,
         )
     )
+    banded = _banded_keys(
+        combined.drop("shingles"), id_col, num_hashes, bands, hash_fn
+    )
+    cands = (
+        _bucket_pairs(banded, ["band_idx", "band_hash"], id_col)
+        .toDF("id_a", "id_b")
+        .distinct()
+    )
+    sh = combined.select(F.col(id_col), F.col("shingles"))
     return (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")

@@ -83,7 +83,7 @@ def curate_corpus_fuzzy(
     from kafka_streams_spark.operators.dedup import (
         dedup_exact_rows,
         duplicate_clusters,
-        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_auto,
     )
 
     # exact dedup FIRST (word_shingles' documented guard): exact
@@ -94,7 +94,12 @@ def curate_corpus_fuzzy(
     # single [''] shingle: B blanks = O(B^2) candidate pairs before
     # any gate could intervene; r10 review fix)
     reps = dedup_exact_rows(docs, [text_col], id_col)
-    pairs = ngram_jaccard_pairs(
+    # engine-dispatched pair stage (r11): at this pipeline's high
+    # threshold the AllPairs prefix filter collapses the candidate
+    # space (measured 2.4 s vs 15.5 s blocked at sf0.1 n=1 θ=0.8) and
+    # the auto form prices the corpus and routes — output identical
+    # across forms by the pinned auto==blocked==prefix equality
+    pairs = ngram_jaccard_pairs_auto(
         reps, id_col=id_col, text_col=text_col, n=1,
         threshold=jaccard_threshold, block_col="source",
     )
