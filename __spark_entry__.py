@@ -2020,7 +2020,12 @@ _CODE_CHANGED = [
     "dedup_cluster_sizes",
     "leakage_safe_splits_docs",
     "leakage_safe_splits_incr",
+    # (f) curate_corpus_fuzzy's pair stage routes through
+    # ngram_jaccard_pairs_auto (output pinned identical across forms),
+    # and minhash_near_duplicates emits signatures + shingle sets from
+    # ONE Arrow pass (dedup_minhash_lsh consumes it directly).
     "curate_corpus_fuzzy",
+    "dedup_minhash_lsh",
 ]
 
 # Kept for tool compatibility (freshness_lint): with the computed
