@@ -1817,7 +1817,15 @@ def duplicate_clusters(
     cluster only when x has no real edge — a node with both keeps
     exactly its star label, one row per node).
     """
-    raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # A pair with a NULL endpoint carries no connectivity information
+    # and is dropped up front (r12, ADVICE): greatest/least skip NULLs,
+    # so (NULL, x) would otherwise canonicalize into a self-pair (x, x)
+    # and register x as a singleton cluster — where the pre-r11
+    # NULL-rejecting a!=b / a==b comparisons dropped such rows — a
+    # silent behavior change shared by both CC paths.
+    raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
     # canonical (big, small) rows INCLUDING self-pairs (big == small):
     # one checkpoint materializes the upstream pair plan exactly once —
     # the selfnodes leg used to re-derive it from `raw`, silently
@@ -1876,8 +1884,14 @@ def duplicate_clusters(
     # graph; Python's str/int ordering matches Spark's binary string /
     # numeric ordering (UTF-8 byte order preserves code-point order) —
     # and tests pin both paths equal on the contract graphs. Above the
-    # threshold (1M canonical edges ≈ 16 MB of longs) the distributed
-    # O(log² n)-round loop below runs, so the 100 TB path is unchanged.
+    # threshold the distributed O(log² n)-round loop below runs, so the
+    # 100 TB path is unchanged. Driver cost at the 1M-edge default
+    # (r12, ADVICE — collected via Arrow toPandas, not Row objects,
+    # which cost ~300 bytes/edge): two int64 numpy columns ≈ 16 MB on
+    # the wire, then up to 2M boxed Python ids + a 2M-entry parent dict
+    # ≈ 300-400 MB peak for the union-find itself (more for string
+    # ids). Fine for this engine's 128 GiB driver; on a small-driver
+    # cluster pass a lower local_threshold.
     if n_prev <= local_threshold:
         parent: dict = {}
 
@@ -1889,8 +1903,10 @@ def duplicate_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in E.collect():
-            b, s = row["big"], row["small"]
+        edges_pd = E.toPandas()
+        for b, s in zip(
+            edges_pd["big"].tolist(), edges_pd["small"].tolist()
+        ):
             parent.setdefault(b, b)
             parent.setdefault(s, s)
             rb, rs = find(b), find(s)

@@ -171,7 +171,15 @@ def knn_to_id(
     ORDER BYs rank on the identical rounded value. Ranking on raw
     doubles was bit-identical cross-engine only because both engines
     fold the cosine sequentially in the same order; rounded-rank makes
-    the k-set robust to either engine changing its fold order."""
+    the k-set robust to either engine changing its fold order.
+
+    Quarantine note (r12, ADVICE): this is the exact leg of every
+    recall audit, so it quarantines NaN vectors at entry like the rest
+    of the ANN family — without it a NaN corpus row ranks FIRST under
+    desc (Spark orders NaN above every float) and the fused hamming
+    audit (which ranks over a quarantined corpus) would no longer be
+    comparable side-by-side with the other audit methods."""
+    embeddings = finite_vectors(embeddings, vec_col)
     q = embeddings.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_qvec")
     )
@@ -2282,8 +2290,10 @@ def knn_recall_audit(
     else:
         raise ValueError(f"unknown method {method!r}")
     hits = approx.join(exact, id_col, "left_semi")
+    # F.lit(query_id) keeps the probe id's native Python type (r12:
+    # int(query_id) broke string ids and narrowed large bigints)
     return hits.agg(
-        F.lit(int(query_id)).alias("query_id"),
+        F.lit(query_id).alias("query_id"),
         F.lit(int(k)).alias("k"),
         F.count("*").cast("bigint").alias("n_hits"),
     )
@@ -2834,10 +2844,17 @@ def knn_recall_audit_batch(
         base = finite_vectors(embeddings, vec_col).select(
             F.col(id_col), F.col(vec_col).alias("_v"), sig.alias("_sig")
         )
+        # query_id keeps the corpus id column's NATIVE type (r12,
+        # ADVICE): the old cast('int') silently wrapped bigint ids
+        # >= 2^31 under non-ANSI mode — corrupting the grouping and the
+        # spine join — and int(q) broke string ids outright. The driver
+        # gate compares column NAMES and canonicalized values, so the
+        # int -> bigint widening is contract-transparent.
+        id_type = embeddings.schema[id_col].dataType
         qside = base.filter(
-            F.col(id_col).isin([int(q) for q in query_ids])
+            F.col(id_col).isin(list(query_ids))
         ).select(
-            F.col(id_col).cast("int").alias("query_id"),
+            F.col(id_col).alias("query_id"),
             F.col("_v").alias("_qv"),
             F.col("_sig").alias("_qsig"),
         )
@@ -2879,7 +2896,7 @@ def knn_recall_audit_batch(
             embeddings.sparkSession.range(1)
             .select(
                 F.explode(
-                    F.array(*[F.lit(int(q)).cast("int") for q in query_ids])
+                    F.array(*[F.lit(q).cast(id_type) for q in query_ids])
                 ).alias("query_id")
             )
         )

@@ -500,8 +500,10 @@ def test_knn_recall_audit_batch_equals_per_query_composition(spark, sf_dir):
     batch = knn_recall_audit_batch(
         embs, [0, 7, 23], k=10, method="hamming", shortlist=100
     )
+    # query_id carries the corpus id column's NATIVE type (r12 ADVICE
+    # fix — cast('int') wrapped bigint ids >= 2^31)
     assert batch.schema.simpleString() == (
-        "struct<query_id:int,k:int,n_hits:bigint>"
+        "struct<query_id:bigint,k:int,n_hits:bigint>"
     )
     per = []
     for q in (0, 7, 23):
@@ -527,6 +529,57 @@ def test_knn_recall_audit_batch_equals_per_query_composition(spark, sf_dir):
         (0, False),
         (999_999_999, True),
     ]
+
+
+def test_knn_recall_audit_fused_matches_composition_on_nan_corpus(
+    spark, sf_dir
+):
+    """r12 ADVICE fix: knn_to_id now quarantines NaN vectors at entry
+    like every other ANN leg, so on a corpus CONTAINING NaN rows the
+    fused hamming audit (which always ranked over a quarantined corpus)
+    stays equal to the composition of the independent primitives —
+    before the fix knn_to_id let the NaN row rank FIRST under desc and
+    the two sides silently disagreed. Also pins the bigint-id spine:
+    a probe id above 2^31 must group/join without int wraparound."""
+    import math
+
+    from kafka_streams_spark.operators.similarity import (
+        knn_hamming_to_id,
+        knn_recall_audit_batch,
+        knn_to_id,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings").limit(200)
+    dim = len(embs.select("embedding").first()[0])
+    big_id = 2**33 + 5  # wraps to a different int32 under cast('int')
+    poison = spark.createDataFrame(
+        [
+            (3_000_000, [float("nan")] * dim, 0),
+            (big_id, [1.0] + [0.25] * (dim - 1), 0),
+        ],
+        schema=embs.schema,
+    )
+    corpus = embs.unionByName(poison)
+
+    probes = [0, 7, big_id]
+    batch = knn_recall_audit_batch(
+        corpus, probes, k=10, method="hamming", shortlist=100
+    )
+    rows = {r["query_id"]: r["n_hits"] for r in batch.collect()}
+    assert set(rows) == set(probes)
+
+    for q in probes:
+        exact = {r["vec_id"] for r in knn_to_id(corpus, q, 10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in knn_hamming_to_id(corpus, q, 10, shortlist=100).collect()
+        }
+        # the NaN row must be in neither leg's k-set
+        assert 3_000_000 not in exact and 3_000_000 not in approx
+        assert rows[q] == len(exact & approx)
+    # a real probe keeps a sane recall (its own id always hits)
+    assert rows[big_id] >= 1
 
 
 def test_knn_hamming_batch_matches_single_query_form(spark, sf_dir):

@@ -562,6 +562,27 @@ def test_duplicate_clusters_self_pair_with_real_edge(spark):
     assert rows == [(0, 0), (5, 0), (7, 7), (9, 7), (11, 11), (12, 11), (17, 11)]
 
 
+def test_duplicate_clusters_null_endpoint_pairs_dropped(spark):
+    """A pair with a NULL endpoint carries no connectivity and is
+    dropped (r12 ADVICE fix): greatest/least skip NULLs, so (NULL, x)
+    used to canonicalize into a self-pair (x, x) and register x as a
+    singleton — the pre-r11 NULL-rejecting comparisons dropped it.
+    Both dispatch paths must agree."""
+    from kafka_streams_spark.operators.dedup import duplicate_clusters
+
+    df = spark.createDataFrame(
+        [(None, 4), (7, None), (None, None), (1, 2), (9, 9)],
+        "id_a bigint, id_b bigint",
+    )
+    want = [(1, 1), (2, 1), (9, 9)]  # no 4, no 7
+    for thr in (1_000_000, 0):  # local union-find and distributed star
+        rows = sorted(
+            (r["node"], r["cluster_id"])
+            for r in duplicate_clusters(df, local_threshold=thr).collect()
+        )
+        assert rows == want, thr
+
+
 def test_duplicate_clusters_deep_chain_logarithmic_rounds(spark):
     """A 64-node chain must converge well under the O(diameter) bound
     that plain propagation pays (64 rounds): max_iter=10 must suffice —
