@@ -1117,6 +1117,41 @@ def _q_dedup_incremental_fuzzy(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def _q_dedup_incremental_fuzzy_indexed(spark, sf_dir):
+    # The 100 TB shape of the fuzzy gate: the existing corpus's MinHash
+    # signatures come from a PERSISTED index (write_minhash_index,
+    # built once per corpus build — 64 ints/doc) instead of being
+    # recomputed from text every delta run. Output must be IDENTICAL to
+    # the unindexed twin (same oracle SQL). The index is built on first
+    # use per sf_dir and reused after (a real deployment writes it at
+    # corpus-build time); _SUCCESS gates against a crashed partial
+    # write, and the parameter fingerprint travels in the table's
+    # column metadata so a mismatched reader fails loudly.
+    import os as _os
+
+    from kafka_streams_spark.operators.dedup import (
+        dedup_incremental_fuzzy,
+        read_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    existing = docs.filter(bucket < "20")
+    new = docs.filter(bucket >= "20")
+    sf_name = _os.path.basename(sf_dir.rstrip("/"))
+    idx = f"/tmp/kss_minhash_index_{sf_name}_md5_32_n64_s3"
+    if not _os.path.exists(_os.path.join(idx, "_SUCCESS")):
+        write_minhash_index(existing, idx, hash_fn="md5_32")
+    return dedup_incremental_fuzzy(
+        new,
+        existing,
+        threshold=0.5,
+        hash_fn="md5_32",
+        existing_sig=read_minhash_index(spark, idx),
+    ).select("doc_id", "source")
+
+
 # --------------------------------------------------------------------------
 # round-5 wave: corpus audits + coreset selection (r4-late queue,
 # evidenced at the head of round 5)
@@ -2193,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "dedup_incremental_bloom": _q_dedup_incremental_bloom,
         "dedup_incremental_fuzzy": _q_dedup_incremental_fuzzy,
+        "dedup_incremental_fuzzy_indexed": _q_dedup_incremental_fuzzy_indexed,
         "reservoir_sample_docs": _q_reservoir_sample,
         "assign_splits_docs": _q_assign_splits,
         "cap_per_source": _q_cap_per_source,  # r9: per-domain cap

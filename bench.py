@@ -13,10 +13,13 @@ because the driver's tail capture truncated round 4's ~4 KB line
 Each query materializes through the `noop` sink — full execution, no
 driver-side collect cost. Session startup and the warmup query are
 excluded from per-query numbers, and each query is timed as the best
-of two back-to-back runs: the first run pays one-time JVM/codegen
-compilation (~2s on e.g. the 64-aggregate MinHash signature) that
-amortizes away in any long-running deployment, so steady-state is the
-number that predicts cluster throughput.
+of at least three back-to-back runs (four under 0.8 s): the first run
+pays one-time JVM/codegen compilation (~2s on e.g. the 64-aggregate
+MinHash signature) that amortizes away in any long-running deployment,
+so steady-state is the number that predicts cluster throughput; the
+extra samples give the min enough power to reject transient host-noise
+windows (r11: a contiguous 2-4x inflation block polluted both samples
+of every min-of-2 record inside it).
 
 METHODOLOGY PIN (round-over-round comparability): since round 3 every
 timed query runs against a CLEAN cache (`clearCache()` before each
@@ -223,6 +226,8 @@ BENCH_QUERIES = [
     "dsl_count",
     "dsl_reduce",
     "dsl_windowed_count",
+    # round-12 additions
+    "dedup_incremental_fuzzy_indexed",
 ]
 
 
@@ -344,20 +349,28 @@ def main() -> None:
 
     times: dict[str, float] = {}
     samples: dict[str, int] = {}
-    for name in rotated:
-        t = min(run(name), run(name))
-        samples[name] = 2
-        # Short queries are the ones host-throttle jitter distorts most
-        # in RELATIVE terms (ROUND4_NOTES §6b: spreads to 3× with
-        # identical code; the r10 verdict traced part of that round's
-        # flagged regression to min-of-2 letting one slow sample pollute
-        # the record). Min-of-N only rejects noise with enough N, so
-        # everything under ~2 s gets a third sample — that covers the
-        # bulk of the suite for a bounded wall-time cost, and the
-        # sub-0.8 s band (worst relative jitter) gets a fourth.
-        if t < 2.0:
-            t = min(t, run(name))
-            samples[name] = 3
+    # Mid-run calibration probes (r11 verdict item 2): the start/end
+    # anchors bracket the run but cannot LOCALIZE a transient host-noise
+    # window — the r11 driver record had 11 of its 12 >2x flags inside a
+    # contiguous position-115-135 block where sub-second queries
+    # inflated uniformly 2-4x, invisible to both anchors. Re-timing the
+    # pinned anchor every PROBE_EVERY positions gives tools/bench_diff.py
+    # a piecewise drift profile: each query normalizes against the
+    # anchors that bracket ITS position, so a mid-run window is divided
+    # out instead of flagged as 11 fake regressions.
+    PROBE_EVERY = 25
+    cal_probes: list[list[float]] = []
+    for pos, name in enumerate(rotated):
+        if pos and pos % PROBE_EVERY == 0:
+            cal_probes.append([pos, round(min(run_cal(), run_cal()), 3)])
+        # Min-of-N only rejects scheduler/throttle noise with enough N.
+        # Floor is 3 samples for EVERY query (r11 verdict item 3: the
+        # round's biggest flagged movers all carried samples=2, so a
+        # noise window polluted both samples and the min had no power);
+        # the sub-0.8 s band — worst RELATIVE jitter, spreads to 3x
+        # with identical code (ROUND4_NOTES §6b) — gets a fourth.
+        t = min(run(name), run(name), run(name))
+        samples[name] = 3
         if t < 0.8:
             t = min(t, run(name))
             samples[name] = 4
@@ -384,6 +397,9 @@ def main() -> None:
         "unit": "sec",
         "calibration_sec": calibration,
         "calibration_end_sec": calibration_end,
+        # [position, sec] anchors re-timed every PROBE_EVERY queries —
+        # bench_diff interpolates piecewise over start+probes+end
+        "calibration_probes": cal_probes,
         # timed order — sort_keys kills dict order, and per-position
         # anchor interpolation (bench_diff) needs to know WHERE in the
         # run each query sat: in-run throttle is position-correlated

@@ -1591,6 +1591,12 @@ DEDUP_ORACLES = {
         ) WHERE weighted_jaccard >= 0.2
     """,
     "dedup_incremental_fuzzy": _minhash_incremental_sql(threshold=0.5),
+    # The indexed twin gates against a PERSISTED signature table
+    # (write_minhash_index) instead of recomputing the existing side's
+    # signatures — outputs must be IDENTICAL, so the oracle is the same
+    # SQL (the oracle always computes signatures inline; the index is a
+    # Spark-side execution strategy, not a semantics change).
+    "dedup_incremental_fuzzy_indexed": _minhash_incremental_sql(threshold=0.5),
     "curate_increment": _curate_increment_sql(threshold=0.5),
     "dedup_simhash": f"""
         WITH tok AS (

@@ -101,19 +101,43 @@ def main() -> int:
             return (start * end) ** 0.5
         return start
 
-    def cal_at(rec, name):
-        """Per-query anchor: linear interpolation between the start and
-        end anchors by the query's position in the timed order — in-run
-        throttle is position-correlated (one r9 run measured thirds at
-        0.87x/1.03x/1.34x of a sibling run), so a tail query should be
-        normalized against more of the drift than a head query.
-        Falls back to the record-level anchor when order/end are
-        absent (pre-r9 records)."""
+    def anchors_of(rec):
+        """[(position, sec), ...] drift profile for a record: the start
+        anchor at position 0, any mid-run ``calibration_probes`` (r12:
+        re-timed every ~25 positions) at their recorded positions, and
+        the end anchor after the last query. Pre-r12 records have just
+        the bracket pair; pre-r9 records just the start."""
+        order = rec.get("order") or []
         start, end = rec.get("calibration_sec"), rec.get("calibration_end_sec")
+        pts = []
+        if start:
+            pts.append((0.0, start))
+        for pos, sec in rec.get("calibration_probes") or []:
+            pts.append((float(pos), sec))
+        if end and order:
+            pts.append((float(max(len(order) - 1, 1)), end))
+        return sorted(pts)
+
+    def cal_at(rec, name):
+        """Per-query anchor: piecewise-linear interpolation over the
+        record's anchor profile at the query's position in the timed
+        order — in-run throttle and transient host-noise windows are
+        position-correlated (one r9 run measured thirds at
+        0.87x/1.03x/1.34x of a sibling run; the r11 driver record had a
+        contiguous position-115-135 block inflated 2-4x that the
+        start/end bracket could not see), so each query normalizes
+        against the anchors that bracket ITS position. Falls back to
+        the record-level anchor when order/anchors are absent."""
         order = rec.get("order")
-        if start and end and order and name in order:
-            f = order.index(name) / max(len(order) - 1, 1)
-            return start + (end - start) * f
+        pts = anchors_of(rec)
+        if len(pts) >= 2 and order and name in order:
+            x = float(order.index(name))
+            for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+                if x <= x1:
+                    if x <= x0:
+                        return y0
+                    return y0 + (y1 - y0) * (x - x0) / (x1 - x0)
+            return pts[-1][1]
         return cal_of(rec)
 
     ocal, ncal = cal_of(old), cal_of(new)
@@ -134,6 +158,58 @@ def main() -> int:
                     f"queries carry more of it than the mean removes"
                 )
 
+    # First pass: compute every pair's raw + anchor-normalized ratio.
+    rows: dict[str, tuple[float, float]] = {}  # name -> (ratio, gate)
+    for name in sorted(set(oq) & set(nq)):
+        # floor the denominator: sub-50ms timings are noise-dominated
+        ratio = nq[name] / max(oq[name], 0.05)
+        if cal_ratio:
+            gate = ratio / (cal_at(new, name) / cal_at(old, name))
+        else:
+            gate = ratio
+        rows[name] = (ratio, gate)
+
+    # Noise-window detection (r11 verdict item 2): a transient host
+    # slowdown inflates a CONTIGUOUS block of run positions uniformly —
+    # 11 of the r11 record's 12 >2x flags sat in positions 115-135
+    # while the per-bucket median ratio was 0.85-1.07 everywhere else.
+    # If a position bucket's median normalized ratio is well above the
+    # suite's overall median, the block is environment, not code: its
+    # flags are downgraded to window-suspects (adjudicate any that
+    # matter with tools/ab_bench.py — an interleaved A/B is immune to
+    # windows by construction).
+    def median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return (xs[n // 2] + xs[(n - 1) // 2]) / 2 if xs else None
+
+    WIN, STEP = 20, 5
+    window_positions: set[int] = set()  # individual new-record positions
+    norder = new.get("order") or []
+    if norder and len(rows) >= 3 * WIN:
+        overall = median([g for _, g in rows.values()])
+        by_pos = {
+            norder.index(name): gate
+            for name, (_, gate) in rows.items()
+            if name in norder
+        }
+        n = len(norder)
+        hot: set[int] = set()
+        for lo in range(0, max(n - WIN + 1, 1), STEP):
+            gates = [by_pos[p] for p in range(lo, min(lo + WIN, n)) if p in by_pos]
+            wm = median(gates)
+            if len(gates) >= 5 and wm is not None and wm > max(1.25, overall * 1.25):
+                hot.update(range(lo, min(lo + WIN, n)))
+        if hot:
+            window_positions = hot
+            span = sorted(hot)
+            print(
+                f"note: NOISE WINDOW at new-record positions "
+                f"{span[0]}-{span[-1]} ({len(hot)} positions; sliding "
+                f"median > max(1.25, 1.25x suite median {overall:.2f}x)) "
+                f"— flags inside are downgraded to window-suspects"
+            )
+
     regressed: list[tuple[str, float, float, float]] = []
     suspect: list[tuple[str, float, float, float]] = []
     improved: list[tuple[str, float, float, float]] = []
@@ -146,12 +222,7 @@ def main() -> int:
         if name not in nq:
             print(f"{name:34s} {oq[name]:8.3f} {'-':>8s} removed")
             continue
-        # floor the denominator: sub-50ms timings are noise-dominated
-        ratio = nq[name] / max(oq[name], 0.05)
-        if cal_ratio:
-            gate = ratio / (cal_at(new, name) / cal_at(old, name))
-        else:
-            gate = ratio
+        ratio, gate = rows[name]
         # Sample-count weighting (r10 verdict item 2): min-of-N only
         # rejects scheduler noise with enough N. A flagged ratio where
         # EITHER side recorded < 3 samples is statistically weak — one
@@ -160,8 +231,12 @@ def main() -> int:
         # reported as suspect (adjudicate with tools/ab_bench.py).
         n_min = min(osamp.get(name, 2), nsamp.get(name, 2))
         hard_threshold = args.threshold if n_min >= 3 else args.threshold * 1.25
+        in_window = name in norder and norder.index(name) in window_positions
         flag = ""
-        if gate > hard_threshold:
+        if gate > args.threshold and in_window:
+            suspect.append((name, oq[name], nq[name], gate))
+            flag = "  << suspect (noise window)"
+        elif gate > hard_threshold:
             regressed.append((name, oq[name], nq[name], gate))
             flag = "  << REGRESSION"
         elif gate > args.threshold:
@@ -184,7 +259,7 @@ def main() -> int:
     print(
         f"\ntotal: old={old.get('value')}s new={new.get('value')}s  "
         f"regressed>{args.threshold}x ({gate_kind}): {len(regressed)}  "
-        f"suspect (low-sample): {len(suspect)}  "
+        f"suspect (low-sample/window): {len(suspect)}  "
         f"improved: {len(improved)}"
     )
     return 1 if regressed else 0
