@@ -1999,67 +1999,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # _CODE_CHANGED_ROUND is the round these changes landed in: a name
 # re-greened by the driver at or after it has evidence for the NEW
 # code and self-drains from the head (see _evidence_order).
-_CODE_CHANGED_ROUND = 11
+_CODE_CHANGED_ROUND = 12
 _CODE_CHANGED = [
-    # r11 perf campaign — output-identical by pinned tests and 18/18 +
-    # 7/7 + 2/2 builder-side oracle re-checks, but the hot paths were
-    # restructured, so old driver evidence certifies code that no
-    # longer exists.
+    # r12 ADVICE fixes + the minhash checkpoint-shape adjudication —
+    # output changes only on degenerate inputs (NaN vectors, NULL-id
+    # pairs, >2^31 probe ids) that the contract corpora don't contain;
+    # every name below re-verified hash-match at sf0.001 AND sf0.01
+    # before queueing, but the hot path or entry predicate changed, so
+    # old driver evidence certifies code that no longer exists.
     #
-    # (a) NaN quarantine: finite_vectors now tests isnan(array_max(v))
-    # (coalesce false) instead of an exists() HOF — every ANN entry
-    # point that quarantines runs the new predicate.
-    "emb_binarize",
-    "knn_hamming_vec0",
-    "knn_hamming_batch",
-    "hamming_bucket_stats",
-    "emb_near_dup_hamming",
-    "knn_batch",
-    "emb_kcenter",
-    "emb_kcenter_scalable",
-    "decontaminate_emb",
-    "semdedup",
-    # (b) hamming recall audits: fused single-scan plan (signature +
-    # cosine + hamming in one projection, three windows over one
-    # exchange, conditional aggregation instead of a join).
-    "knn_recall_hamming_vec0",
-    "knn_recall_hamming_multi",
-    # (c) hyperplane signatures compile as ONE parsed expression
-    # (string column name form) — every LSH index build.
-    "knn_lsh_vec0",
-    "knn_lsh_mt_vec0",
+    # (a) knn_to_id quarantines NaN vectors at entry (the exact leg of
+    # every recall audit) — and knn_recall_audit no longer int()-coerces
+    # the probe id.
+    "knn_vec0",
+    "knn_auto_vec0",
     "knn_recall_vec0",
     "knn_recall_mt_vec0",
-    "emb_near_dup_lsh",
-    "knn_auto_vec0",
-    # (d) PQ/IVF literal codebooks, ADC distances, and centroid argmins
-    # render as SQL text parsed by one F.expr each (repr round-trips
-    # doubles bit-exactly through the BigDecimal literal parse).
-    "knn_ivf_vec0",
-    "knn_ivf_label_vec0",
-    "knn_pq_vec0",
-    "knn_pq_label_vec0",
-    "knn_pq_rerank_vec0",
-    "pq_error_vec0",
-    "knn_ivfpq_vec0",
-    "knn_ivfpq_res_vec0",
     "knn_recall_ivfpq_vec0",
     "knn_recall_ivfpq_res_vec0",
-    # (e) connected components: small-graph union-find dispatch below
-    # local_threshold canonical edges (distributed star loop unchanged
-    # above it), and self-pairs folded into the single checkpointed
-    # edge materialization (the selfnodes leg no longer re-runs the
-    # upstream banding plan).
+    # (b) fused hamming audit: query_id keeps the corpus id column's
+    # native type end-to-end (the cast('int') wrapped bigint ids).
+    "knn_recall_hamming_vec0",
+    "knn_recall_hamming_multi",
+    # (c) duplicate_clusters: NULL-endpoint pairs dropped before
+    # canonicalization; small-graph edge collect via Arrow toPandas.
     "dedup_clusters",
     "dedup_clusters_lsh",
     "dedup_cluster_sizes",
     "leakage_safe_splits_docs",
     "leakage_safe_splits_incr",
-    # (f) curate_corpus_fuzzy's pair stage routes through
-    # ngram_jaccard_pairs_auto (output pinned identical across forms),
-    # and minhash_near_duplicates emits signatures + shingle sets from
-    # ONE Arrow pass (dedup_minhash_lsh consumes it directly).
-    "curate_corpus_fuzzy",
+    # (d) minhash_near_duplicates reverted to the r10 composition
+    # (banding streams the signature Arrow pass; JVM word_shingles
+    # verify checkpoint) — the r11 combined signatures+shingles
+    # localCheckpoint measured 1.25x slower in an interleaved A/B,
+    # confirming the r11 verdict's one code-attributable suspect.
     "dedup_minhash_lsh",
 ]
 

@@ -924,7 +924,6 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     hash_fn: str = "crc32",
-    emit_shingles: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature as `num_hashes` columns ``mh0..mhN`` —
     one Arrow map-side pass, NO shuffle.
@@ -950,12 +949,10 @@ def minhash_signatures(
     exactly (pinned in tests). Overflow-safe in both engines:
     a < 2³¹, h32 < 2³² ⇒ a·h32+b < 2⁶³.
 
-    ``emit_shingles=True`` adds the distinct-shingle array itself as a
-    ``shingles`` column (first-occurrence order — byte-identical to
-    :func:`word_shingles`): the banding+verify pipelines need BOTH the
-    signatures and the shingle sets, and shingling is the pass's CPU
-    cost — emitting both from ONE Arrow pass halves the text work
-    (r11; at 100 TB it is one corpus text read instead of two).
+    (An ``emit_shingles`` variant — shingle sets emitted from this same
+    pass for the verify join — was tried in r11 and reverted in r12:
+    measured 1.25× slower; see the plan-shape note on
+    :func:`minhash_near_duplicates`.)
     """
     import zlib
 
@@ -970,17 +967,11 @@ def minhash_signatures(
     id_field = docs.schema[id_col]
     out_schema = StructType(
         [id_field]
-        + (
-            [StructField("shingles", ArrayType(StringType()))]
-            if emit_shingles
-            else []
-        )
         + [StructField(f"mh{i}", LongType()) for i in range(num_hashes)]
     )
     n = shingle_n
     prime = MINHASH_PRIME
     use_md5 = hash_fn == "md5_32"
-    want_sh = emit_shingles
 
     # self-contained closure: shipped by value to Python workers
     def process(batches):
@@ -1006,7 +997,7 @@ def minhash_signatures(
             return v
 
         for pdf in batches:
-            ids, sig_rows, sh_rows = [], [], []
+            ids, sig_rows = [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
                 toks = [t for t in _ws.split((text or "").lower()) if t]
                 if len(toks) <= n:
@@ -1025,12 +1016,8 @@ def minhash_signatures(
                 sigs = ((A * hs + B) % prime).min(axis=1)  # (num_hashes,)
                 ids.append(i)
                 sig_rows.append(sigs)
-                if want_sh:
-                    sh_rows.append(sh)
             mat = _np.vstack(sig_rows) if sig_rows else _np.empty((0, len(A)), dtype=_np.int64)
             out = {id_col: ids}
-            if want_sh:
-                out["shingles"] = sh_rows
             for k in range(mat.shape[1] if len(sig_rows) else len(A)):
                 out[f"mh{k}"] = mat[:, k] if len(sig_rows) else []
             yield _pd.DataFrame(out)
@@ -1177,31 +1164,35 @@ def minhash_near_duplicates(
     gate's candidates are sparse by construction (new×existing only),
     which is why the same prune wins there (4.9 → 2.9 s). If a corpus
     has rare duplicates AND a high threshold, borrow the pruned shape.
+
+    Plan-shape note (r11→r12 adjudication): r11 tried emitting the
+    shingle sets from the SAME Arrow pass as the signatures and
+    localCheckpointing the combined (id, shingles, mh0..63) table for
+    all three consumers ("one corpus text read, not two"). An
+    interleaved same-session A/B at sf0.1 measured it 1.25× SLOWER
+    (2.94 vs 2.36 s min-of-6): the verify-side shingling it saves is a
+    cheap JVM expression (split+transform, not a second Arrow pass),
+    while the combined checkpoint writes shingle arrays PLUS 64 longs
+    per doc (~2 KB/doc — more bytes than the text read it saves) and
+    every consumer deserializes the full wide row, columns it needs or
+    not (RDD checkpoints don't column-prune). So: banding streams the
+    signature Arrow pass unmaterialized, and only the shingle table —
+    which two verify joins genuinely share — is checkpointed.
     """
-    # ONE Arrow pass emits signatures AND shingle sets (r11: the
-    # verify side used to re-shingle the whole corpus in a second
-    # Arrow pass — shingling is the pass's CPU cost, so this halves
-    # the text work; at 100 TB it is one corpus text read, not two),
-    # materialized once because the banding and both verify sides all
-    # read it (Arrow subtrees never share via exchange reuse — same
-    # lineage-cut caveat and bucketed-table alternative as
-    # weighted_jaccard_pairs).
     assert num_hashes % bands == 0
-    combined = materialize_shared(
-        minhash_signatures(
-            docs, id_col, text_col, num_hashes, shingle_n, hash_fn,
-            emit_shingles=True,
+    cands = minhash_lsh_candidates(
+        docs, id_col, text_col, num_hashes, bands, shingle_n, hash_fn
+    )
+    # Joined twice (a/b sides) and expression subtrees don't share via
+    # exchange reuse here — materialize the shingle table once (2.5 →
+    # 1.7 s warm, 10 → 1.9 s cold at sf0.1; same lineage-cut caveat and
+    # bucketed-table alternative as weighted_jaccard_pairs).
+    sh = materialize_shared(
+        docs.select(
+            F.col(id_col),
+            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
         )
     )
-    banded = _banded_keys(
-        combined.drop("shingles"), id_col, num_hashes, bands, hash_fn
-    )
-    cands = (
-        _bucket_pairs(banded, ["band_idx", "band_hash"], id_col)
-        .toDF("id_a", "id_b")
-        .distinct()
-    )
-    sh = combined.select(F.col(id_col), F.col("shingles"))
     return (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
