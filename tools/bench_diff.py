@@ -71,6 +71,57 @@ def load(path: str) -> dict:
     return data
 
 
+def cal_of(rec):
+    """Geometric mean of the start/end anchors (r9: in-run throttle
+    makes a start-only anchor under-report; the pair brackets the
+    run). Falls back to the start anchor for pre-end records."""
+    start, end = rec.get("calibration_sec"), rec.get("calibration_end_sec")
+    if start and end:
+        return (start * end) ** 0.5
+    return start
+
+
+def anchors_of(rec):
+    """[(position, sec), ...] drift profile for a record: the start
+    anchor at position 0, any mid-run ``calibration_probes`` (r12:
+    re-timed every ~25 positions) at their recorded positions, and
+    the end anchor after the last query. Pre-r12 records have just
+    the bracket pair; pre-r9 records just the start."""
+    order = rec.get("order") or []
+    start, end = rec.get("calibration_sec"), rec.get("calibration_end_sec")
+    pts = []
+    if start:
+        pts.append((0.0, start))
+    for pos, sec in rec.get("calibration_probes") or []:
+        pts.append((float(pos), sec))
+    if end and order:
+        pts.append((float(max(len(order) - 1, 1)), end))
+    return sorted(pts)
+
+
+def cal_at(rec, name):
+    """Per-query anchor: piecewise-linear interpolation over the
+    record's anchor profile at the query's position in the timed
+    order — in-run throttle and transient host-noise windows are
+    position-correlated (one r9 run measured thirds at
+    0.87x/1.03x/1.34x of a sibling run; the r11 driver record had a
+    contiguous position-115-135 block inflated 2-4x that the
+    start/end bracket could not see), so each query normalizes
+    against the anchors that bracket ITS position. Falls back to
+    the record-level anchor when order/anchors are absent."""
+    order = rec.get("order")
+    pts = anchors_of(rec)
+    if len(pts) >= 2 and order and name in order:
+        x = float(order.index(name))
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+            if x <= x1:
+                if x <= x0:
+                    return y0
+                return y0 + (y1 - y0) * (x - x0) / (x1 - x0)
+        return pts[-1][1]
+    return cal_of(rec)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("old")
@@ -91,54 +142,6 @@ def main() -> int:
         )
     oq, nq = old.get("queries", {}), new.get("queries", {})
     osamp, nsamp = old.get("samples", {}), new.get("samples", {})
-
-    def cal_of(rec):
-        """Geometric mean of the start/end anchors (r9: in-run throttle
-        makes a start-only anchor under-report; the pair brackets the
-        run). Falls back to the start anchor for pre-end records."""
-        start, end = rec.get("calibration_sec"), rec.get("calibration_end_sec")
-        if start and end:
-            return (start * end) ** 0.5
-        return start
-
-    def anchors_of(rec):
-        """[(position, sec), ...] drift profile for a record: the start
-        anchor at position 0, any mid-run ``calibration_probes`` (r12:
-        re-timed every ~25 positions) at their recorded positions, and
-        the end anchor after the last query. Pre-r12 records have just
-        the bracket pair; pre-r9 records just the start."""
-        order = rec.get("order") or []
-        start, end = rec.get("calibration_sec"), rec.get("calibration_end_sec")
-        pts = []
-        if start:
-            pts.append((0.0, start))
-        for pos, sec in rec.get("calibration_probes") or []:
-            pts.append((float(pos), sec))
-        if end and order:
-            pts.append((float(max(len(order) - 1, 1)), end))
-        return sorted(pts)
-
-    def cal_at(rec, name):
-        """Per-query anchor: piecewise-linear interpolation over the
-        record's anchor profile at the query's position in the timed
-        order — in-run throttle and transient host-noise windows are
-        position-correlated (one r9 run measured thirds at
-        0.87x/1.03x/1.34x of a sibling run; the r11 driver record had a
-        contiguous position-115-135 block inflated 2-4x that the
-        start/end bracket could not see), so each query normalizes
-        against the anchors that bracket ITS position. Falls back to
-        the record-level anchor when order/anchors are absent."""
-        order = rec.get("order")
-        pts = anchors_of(rec)
-        if len(pts) >= 2 and order and name in order:
-            x = float(order.index(name))
-            for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
-                if x <= x1:
-                    if x <= x0:
-                        return y0
-                    return y0 + (y1 - y0) * (x - x0) / (x1 - x0)
-            return pts[-1][1]
-        return cal_of(rec)
 
     ocal, ncal = cal_of(old), cal_of(new)
     cal_ratio = None
