@@ -1139,8 +1139,18 @@ def _q_dedup_incremental_fuzzy_indexed(spark, sf_dir):
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     existing = docs.filter(bucket < "20")
     new = docs.filter(bucket >= "20")
+    # cache key = hash of the ABSOLUTE corpus path, not its basename:
+    # the differential-fuzz harness materializes many corpora whose
+    # dirs share a basename (sf-fuzz-0 under distinct pytest tmp
+    # roots) — a basename key would serve a stale index built from a
+    # DIFFERENT corpus, silently readmitting duplicates.
+    import hashlib as _hashlib
+
     sf_name = _os.path.basename(sf_dir.rstrip("/"))
-    idx = f"/tmp/kss_minhash_index_{sf_name}_md5_32_n64_s3"
+    key = _hashlib.md5(
+        _os.path.abspath(sf_dir).encode("utf-8")
+    ).hexdigest()[:12]
+    idx = f"/tmp/kss_minhash_index_{sf_name}_{key}_md5_32_n64_s3"
     if not _os.path.exists(_os.path.join(idx, "_SUCCESS")):
         write_minhash_index(existing, idx, hash_fn="md5_32")
     return dedup_incremental_fuzzy(

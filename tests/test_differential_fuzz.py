@@ -113,6 +113,9 @@ FUZZ_QUERIES = [
     "dedup_incremental",
     "dedup_incremental_bloom",
     "dedup_incremental_fuzzy",
+    # the indexed twin must agree with the same oracle on fuzzed corpora
+    # too — this also exercises the per-sf_dir index build/reuse path
+    "dedup_incremental_fuzzy_indexed",
     "dedup_ngram_jaccard",
     "dedup_spans_incremental",
     "dedup_token_jaccard_prefix",
