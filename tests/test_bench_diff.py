@@ -41,12 +41,16 @@ def _record(times: dict[str, float], probes=None) -> dict:
     }
 
 
-def _run_diff(tmp_path, old: dict, new: dict, capsys) -> tuple[int, str]:
+def _run_diff(
+    tmp_path, old: dict, new: dict, capsys, *extra: str
+) -> tuple[int, str]:
     po, pn = tmp_path / "old.json", tmp_path / "new.json"
     po.write_text(json.dumps(old))
     pn.write_text(json.dumps(new))
     argv = sys.argv
-    sys.argv = ["bench_diff.py", str(po), str(pn), "--threshold", "1.5"]
+    sys.argv = [
+        "bench_diff.py", str(po), str(pn), "--threshold", "1.5", *extra
+    ]
     try:
         code = bench_diff.main()
     finally:
@@ -56,14 +60,32 @@ def _run_diff(tmp_path, old: dict, new: dict, capsys) -> tuple[int, str]:
 
 def test_contiguous_noise_window_downgrades_to_suspect(tmp_path, capsys):
     """A 26-position block uniformly inflated 2.5x (the r11 shape) must
-    be reported as a NOISE WINDOW and exit 0 — environment, not code."""
+    be reported as a NOISE WINDOW — environment, not code — but exit 2
+    (r12 ADVICE: suspects force adjudication, they are not amnesty)."""
     old = _record({})
     new = _record({f"q{i:03d}": 2.5 for i in range(110, 136)})
     code, out = _run_diff(tmp_path, old, new, capsys)
     assert "NOISE WINDOW" in out
-    assert code == 0, out
+    assert code == 2, out
     assert "REGRESSION" not in out
     assert "suspect (noise window)" in out
+    # after adjudication, --allow-suspects waives them explicitly
+    code2, out2 = _run_diff(tmp_path, old, new, capsys, "--allow-suspects")
+    assert code2 == 0, out2
+
+
+def test_start_band_flag_downgrades_to_suspect(tmp_path, capsys):
+    """A >threshold flag in the first 5 positions of either record is a
+    start-band suspect (exit 2), not a hard regression: the r11 (pos 0)
+    and r12 (pos 1) driver records both produced their only hard drift
+    flag there — a cold-start artifact class the single start anchor
+    cannot normalize."""
+    old = _record({})
+    new = _record({"q001": 2.5})
+    code, out = _run_diff(tmp_path, old, new, capsys)
+    assert code == 2, out
+    assert "REGRESSION" not in out
+    assert "suspect (start band" in out
 
 
 def test_isolated_regression_still_hard_fails(tmp_path, capsys):

@@ -3,9 +3,18 @@
 
 Usage:
     python tools/bench_diff.py OLD.json NEW.json [--threshold 1.5]
+                               [--allow-suspects]
 
-Exit code 1 if any query regressed more than the threshold (new queries
-and removed queries are reported but never fail the gate).
+Exit codes (new queries and removed queries are reported but never
+fail the gate):
+  0 — no flags, or suspects explicitly waived with --allow-suspects
+  1 — at least one HARD regression over the threshold
+  2 — no hard regressions, but suspects exist (noise-window /
+      low-sample / start-band flags). Suspects are not amnesty: they
+      are unadjudicated measurements that need an interleaved
+      tools/ab_bench.py run (r12 ADVICE: a plain exit 0 made the A/B
+      optional, so a genuine regression sitting inside a detected
+      noise window could pass the gate with only a printed note).
 
 Host-drift normalization (r8 verdict item 1): when BOTH records carry
 ``calibration_sec`` (bench.py's pinned pure-JVM anchor — no parquet, no
@@ -127,6 +136,12 @@ def main() -> int:
     ap.add_argument("old")
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument(
+        "--allow-suspects",
+        action="store_true",
+        help="exit 0 even when suspects exist (use AFTER adjudicating "
+        "them with tools/ab_bench.py, not instead of it)",
+    )
     args = ap.parse_args()
 
     old, new = load(args.old), load(args.new)
@@ -235,10 +250,25 @@ def main() -> int:
         n_min = min(osamp.get(name, 2), nsamp.get(name, 2))
         hard_threshold = args.threshold if n_min >= 3 else args.threshold * 1.25
         in_window = name in norder and norder.index(name) in window_positions
+        # Start-band uncertainty (r12 verdict item 3): positions before
+        # the first mid-run probe used to be normalized by the single
+        # position-0 anchor, and the only hard drift flag in BOTH the
+        # r11 and r12 driver records sat there (pos 0 / pos 1) — a
+        # recurring cold-start artifact class, not code. A flag in the
+        # first few positions of EITHER record is therefore downgraded
+        # to a suspect (adjudicate with tools/ab_bench.py, which is
+        # position-free by construction).
+        START_BAND = 5
+        in_start = any(
+            name in (rec.get("order") or [])[:START_BAND] for rec in (old, new)
+        )
         flag = ""
         if gate > args.threshold and in_window:
             suspect.append((name, oq[name], nq[name], gate))
             flag = "  << suspect (noise window)"
+        elif gate > args.threshold and in_start:
+            suspect.append((name, oq[name], nq[name], gate))
+            flag = "  << suspect (start band, pos<5)"
         elif gate > hard_threshold:
             regressed.append((name, oq[name], nq[name], gate))
             flag = "  << REGRESSION"
@@ -262,10 +292,18 @@ def main() -> int:
     print(
         f"\ntotal: old={old.get('value')}s new={new.get('value')}s  "
         f"regressed>{args.threshold}x ({gate_kind}): {len(regressed)}  "
-        f"suspect (low-sample/window): {len(suspect)}  "
+        f"suspect (low-sample/window/start-band): {len(suspect)}  "
         f"improved: {len(improved)}"
     )
-    return 1 if regressed else 0
+    if regressed:
+        return 1
+    if suspect and not args.allow_suspects:
+        print(
+            "exit 2: suspects need adjudication — run tools/ab_bench.py "
+            "on them, then re-run with --allow-suspects"
+        )
+        return 2
+    return 0
 
 
 if __name__ == "__main__":
