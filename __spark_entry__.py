@@ -1117,6 +1117,43 @@ def _q_dedup_incremental_fuzzy(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def _minhash_index_cache_dir(sf_dir: str) -> str:
+    """Cache directory for the persisted MinHash index of a corpus —
+    key = hash of (ABSOLUTE corpus path, documents.parquet content
+    fingerprint, signature-code version). The abs path (not basename)
+    distinguishes the differential-fuzz harness's many same-named
+    corpora under distinct pytest tmp roots; the content fingerprint
+    (per-file size + mtime_ns — r12 ADVICE) busts the cache when a
+    corpus is regenerated IN PLACE at the same path; MINHASH_SIG_VERSION
+    busts it when the signature derivation itself changes
+    (coefficients/prime/shingling — parameters the index's
+    column-metadata fingerprint doesn't cover). Any stale reuse would
+    silently readmit duplicates on uncached runs."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from kafka_streams_spark.operators.dedup import MINHASH_SIG_VERSION
+
+    sf_name = _os.path.basename(sf_dir.rstrip("/"))
+    h = _hashlib.md5()
+    h.update(_os.path.abspath(sf_dir).encode("utf-8"))
+    h.update(f"|sigv{MINHASH_SIG_VERSION}".encode("utf-8"))
+    doc_path = _os.path.join(sf_dir, "documents.parquet")
+    files = [doc_path]
+    if _os.path.isdir(doc_path):
+        files = sorted(
+            _os.path.join(root, f)
+            for root, _, names in _os.walk(doc_path)
+            for f in names
+        )
+    for p in files:
+        st = _os.stat(p)
+        rel = _os.path.relpath(p, sf_dir)
+        h.update(f"|{rel}:{st.st_size}:{st.st_mtime_ns}".encode("utf-8"))
+    key = h.hexdigest()[:12]
+    return f"/tmp/kss_minhash_index_{sf_name}_{key}_md5_32_n64_s3"
+
+
 def _q_dedup_incremental_fuzzy_indexed(spark, sf_dir):
     # The 100 TB shape of the fuzzy gate: the existing corpus's MinHash
     # signatures come from a PERSISTED index (write_minhash_index,
@@ -1139,18 +1176,7 @@ def _q_dedup_incremental_fuzzy_indexed(spark, sf_dir):
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     existing = docs.filter(bucket < "20")
     new = docs.filter(bucket >= "20")
-    # cache key = hash of the ABSOLUTE corpus path, not its basename:
-    # the differential-fuzz harness materializes many corpora whose
-    # dirs share a basename (sf-fuzz-0 under distinct pytest tmp
-    # roots) — a basename key would serve a stale index built from a
-    # DIFFERENT corpus, silently readmitting duplicates.
-    import hashlib as _hashlib
-
-    sf_name = _os.path.basename(sf_dir.rstrip("/"))
-    key = _hashlib.md5(
-        _os.path.abspath(sf_dir).encode("utf-8")
-    ).hexdigest()[:12]
-    idx = f"/tmp/kss_minhash_index_{sf_name}_{key}_md5_32_n64_s3"
+    idx = _minhash_index_cache_dir(sf_dir)
     if not _os.path.exists(_os.path.join(idx, "_SUCCESS")):
         write_minhash_index(existing, idx, hash_fn="md5_32")
     return dedup_incremental_fuzzy(
@@ -2009,41 +2035,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # _CODE_CHANGED_ROUND is the round these changes landed in: a name
 # re-greened by the driver at or after it has evidence for the NEW
 # code and self-drains from the head (see _evidence_order).
-_CODE_CHANGED_ROUND = 12
-_CODE_CHANGED = [
-    # r12 ADVICE fixes + the minhash checkpoint-shape adjudication —
-    # output changes only on degenerate inputs (NaN vectors, NULL-id
-    # pairs, >2^31 probe ids) that the contract corpora don't contain;
-    # every name below re-verified hash-match at sf0.001 AND sf0.01
-    # before queueing, but the hot path or entry predicate changed, so
-    # old driver evidence certifies code that no longer exists.
-    #
-    # (a) knn_to_id quarantines NaN vectors at entry (the exact leg of
-    # every recall audit) — and knn_recall_audit no longer int()-coerces
-    # the probe id.
-    "knn_vec0",
-    "knn_auto_vec0",
-    "knn_recall_vec0",
-    "knn_recall_mt_vec0",
-    "knn_recall_ivfpq_vec0",
-    "knn_recall_ivfpq_res_vec0",
-    # (b) fused hamming audit: query_id keeps the corpus id column's
-    # native type end-to-end (the cast('int') wrapped bigint ids).
-    "knn_recall_hamming_vec0",
-    "knn_recall_hamming_multi",
-    # (c) duplicate_clusters: NULL-endpoint pairs dropped before
-    # canonicalization; small-graph edge collect via Arrow toPandas.
-    "dedup_clusters",
-    "dedup_clusters_lsh",
-    "dedup_cluster_sizes",
-    "leakage_safe_splits_docs",
-    "leakage_safe_splits_incr",
-    # (d) minhash_near_duplicates reverted to the r10 composition
-    # (banding streams the signature Arrow pass; JVM word_shingles
-    # verify checkpoint) — the r11 combined signatures+shingles
-    # localCheckpoint measured 1.25x slower in an interleaved A/B,
-    # confirming the r11 verdict's one code-attributable suspect.
-    "dedup_minhash_lsh",
+_CODE_CHANGED_ROUND = 13
+_CODE_CHANGED: list[str] = [
+    # r13 keeps this list MINIMAL on purpose (r12 verdict item 2): all
+    # 14 r12-changed names were re-greened by the r12 driver window and
+    # self-drained, and the r13 window must spend its head slots on the
+    # 17 r7-vintage evidence names so the union freshness floor moves
+    # to >= r8. The one qualifying change: the persisted-index cache
+    # key now folds in a corpus content fingerprint + signature-code
+    # version (r12 ADVICE) — same output (hash-match re-verified at
+    # sf0.001 AND sf0.01), but the entry's index build/reuse decision
+    # changed, so old driver evidence certifies code that no longer
+    # exists. (The bucket-pruned batch get_balance is NOT a contract
+    # query; no other r13 change touches a contract's plan or output.)
+    "dedup_incremental_fuzzy_indexed",
 ]
 
 # Kept for tool compatibility (freshness_lint): with the computed

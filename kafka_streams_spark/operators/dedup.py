@@ -906,6 +906,16 @@ def _bucket_pairs(
 # Coefficients come from a seeded PRNG: signatures are reproducible.
 MINHASH_PRIME = (1 << 31) - 1
 
+# Version tag for the SIGNATURE DERIVATION itself — bump on any change
+# to _minhash_coeffs, MINHASH_PRIME, the shingle construction, or the
+# per-hash affine map. Persisted-index cache keys fold this in
+# (r12 ADVICE): the parameter fingerprint in the index's column
+# metadata covers (num_hashes, shingle_n, hash_fn) but NOT the
+# derivation code, so a coefficient change would otherwise silently
+# reuse indexes whose signatures no longer match freshly-computed
+# delta signatures — zero band collisions, every duplicate readmitted.
+MINHASH_SIG_VERSION = 1
+
 
 def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     import random

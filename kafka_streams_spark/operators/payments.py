@@ -138,9 +138,88 @@ def process_payments(payments: DataFrame) -> dict[str, DataFrame]:
     }
 
 
-def get_balance(balances: DataFrame, account: str):
+# Account-hash buckets for pruned point lookups — ONE definition shared
+# by the batch BalanceStore below and the streaming changelog/BalanceView
+# (kafka_streams_spark.streaming.router re-exports it): a layout written
+# by either side prunes identically for both readers.
+N_BALANCE_BUCKETS = 64
+
+
+def balance_bucket(account_col):
+    """The bucket expression pinned by the on-disk layout: every writer
+    and every lookup must derive the bucket identically or point reads
+    scan the wrong (or every) partition."""
+    return F.crc32(account_col) % N_BALANCE_BUCKETS
+
+
+class BalanceStore:
+    """Bucket-partitioned batch materialization of the balance table —
+    the §2.3 interactive-query surface at scale (reference:
+    BalanceController.java:22-35 serves lookups from a local RocksDB
+    store; the Spark analog is a parquet table hash-partitioned on the
+    lookup key so each point read plans down to 1/64th of the state).
+
+    ``materialize`` writes the output of :func:`account_balances` once;
+    every subsequent ``get_balance`` is a partition-pruned scan of one
+    bucket directory — O(one bucket), not O(state) and not one full
+    aggregation re-run per lookup (the pre-r13 batch shape). The
+    streaming twin is ``streaming.router.BalanceView``, which serves the
+    same lookup over the base+changelog composition; both derive the
+    bucket via :func:`balance_bucket`, so their layouts are
+    interchangeable."""
+
+    def __init__(self, spark, path: str):
+        self._spark = spark
+        self._path = path
+
+    @staticmethod
+    def materialize(balances: DataFrame, path: str) -> "BalanceStore":
+        """Write ``(fromAccount, balance)`` partitioned by account-hash
+        bucket. ``repartition("bucket")`` keeps one file per bucket
+        instead of one per (shuffle task, bucket)."""
+        (
+            balances.withColumn("bucket", balance_bucket(F.col("fromAccount")))
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+        return BalanceStore(balances.sparkSession, path)
+
+    def balances(self) -> DataFrame:
+        """The full table, bucket column dropped (layout detail)."""
+        return self._spark.read.parquet(self._path).select(
+            "fromAccount", "balance"
+        )
+
+    def lookup_plan(self, account: str) -> DataFrame:
+        """The point-lookup DataFrame (exposed so plan audits can pin
+        the bucket partition-pruning — tests/test_payments_golden.py).
+        ``bucket`` is a PARTITION column: the equality prunes at
+        planning time, so only one bucket directory is ever listed or
+        scanned; the ``fromAccount`` equality then pushes to the parquet
+        reader inside that bucket."""
+        return self._spark.read.parquet(self._path).filter(
+            (F.col("bucket") == balance_bucket(F.lit(account)))
+            & (F.col("fromAccount") == account)
+        )
+
+    def get_balance(self, account: str):
+        rows = self.lookup_plan(account).collect()
+        return rows[0]["balance"] if rows else None
+
+
+def get_balance(balances, account: str):
     """Interactive query parity: point lookup of the balance store
     (BalanceController.java:22-35). Returns int or None (the 404 case —
-    an account that never *sent* is absent, not 0)."""
+    an account that never *sent* is absent, not 0).
+
+    Accepts either a :class:`BalanceStore` (the scale shape: bucket-
+    pruned partition read, r12 verdict item 5) or a plain balances
+    DataFrame (parity/tests on in-flight results — this form re-runs
+    the upstream aggregation per lookup, fine for a golden scenario,
+    wrong for serving; materialize a BalanceStore for that)."""
+    if isinstance(balances, BalanceStore):
+        return balances.get_balance(account)
     rows = balances.filter(F.col("fromAccount") == account).collect()
     return rows[0]["balance"] if rows else None

@@ -80,6 +80,24 @@ class PlanAudit:
         return re.findall(r"PushedFilters: \[([^\]\n]*)\]", self.plan)
 
     @property
+    def partition_filters(self) -> list[str]:
+        """Predicates applied to PARTITION columns at planning time (one
+        entry per scan) — these prune whole directories before any file
+        is listed or read. The r13 BalanceStore point-lookup pin: a
+        lookup whose bucket equality does NOT appear here scans all 64
+        buckets. Same-line only, same rationale as ``pushed_filters``."""
+        return re.findall(r"PartitionFilters: \[([^\]\n]*)\]", self.plan)
+
+    def partition_filter_pruned(self, col: str) -> bool:
+        """True iff some scan carries an EQUALITY partition filter on
+        ``col`` — the shape that prunes to a single directory (an
+        ``isnotnull`` alone keeps every partition)."""
+        return any(
+            re.search(rf"\({re.escape(col)}#\d+L? = ", f)
+            for f in self.partition_filters
+        )
+
+    @property
     def read_schemas(self) -> list[str]:
         """Column sets actually read from parquet (one per scan).
         Bracket-depth aware: nested types (``array<int>``,

@@ -32,13 +32,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from kafka_streams_spark.operators.payments import (
+    N_BALANCE_BUCKETS,  # re-export: one bucket-layout definition (r13)
     account_balances,
+    balance_bucket,
     branch_by_rails,
     route_and_convert,
 )
 from kafka_streams_spark.schema import PAYMENT_SCHEMA
-
-N_BALANCE_BUCKETS = 64  # account-hash buckets for pruned point lookups
 
 # single-scan fused branch+fx+merge (see operators.payments)
 _transform = route_and_convert
@@ -122,7 +122,7 @@ def _migrate_delta_layout(spark: SparkSession, delta_dir: str) -> int:
         df = spark.read.parquet(part_str)
         if "bucket" not in df.columns:
             df = df.withColumn(
-                "bucket", F.crc32(F.col("fromAccount")) % N_BALANCE_BUCKETS
+                "bucket", balance_bucket(F.col("fromAccount"))
             )
         tmp_str = part_str + "._migrating"
         (
@@ -216,7 +216,7 @@ def run_payment_stream(
             # one file per (batch, bucket).
             (
                 deltas.withColumn(
-                    "bucket", F.crc32(F.col("fromAccount")) % N_BALANCE_BUCKETS
+                    "bucket", balance_bucket(F.col("fromAccount"))
                 )
                 .withColumn("ingest_batch", F.lit(batch_id))
                 .repartition("bucket")
@@ -375,7 +375,7 @@ class BalanceView:
         rows = (
             self._log()
             .filter(
-                (F.col("bucket") == F.crc32(F.lit(account)) % N_BALANCE_BUCKETS)
+                (F.col("bucket") == balance_bucket(F.lit(account)))
                 & (F.col("fromAccount") == account)
             )
             .groupBy("fromAccount")

@@ -5,9 +5,11 @@ edge-case semantic pins from FIXTURES.md §4."""
 from __future__ import annotations
 
 from kafka_streams_spark.operators.payments import (
+    BalanceStore,
     get_balance,
     process_payments,
 )
+from kafka_streams_spark.plans.audit import audit
 from kafka_streams_spark.schema import PAYMENT_SCHEMA
 
 GOLDEN = [
@@ -57,6 +59,29 @@ def test_golden_scenario(spark):
     assert get_balance(balances, "ABC") == 210
     assert get_balance(balances, "XYZ") == 800
     assert get_balance(balances, "DEF") is None  # never-sender -> absent, not 0
+
+
+def test_balance_store_bucket_pruned_lookup(spark, tmp_path):
+    """The §2.3 point lookup at scale (r12 verdict item 5): materialize
+    the golden balances to a bucket-partitioned store, then pin that
+    get_balance (a) returns the same golden/404 answers through the
+    store, and (b) plans as a PARTITION-pruned read — the bucket
+    equality must appear in PartitionFilters (planning-time directory
+    pruning, 1/64th of state) and the fromAccount equality must push to
+    the parquet reader inside the surviving bucket."""
+    out = process_payments(golden_df(spark))
+    store = BalanceStore.materialize(out["balance"], str(tmp_path / "bal"))
+
+    # same parity surface, same answers — incl. the 404 case
+    assert get_balance(store, "ABC") == 210
+    assert get_balance(store, "XYZ") == 800
+    assert get_balance(store, "DEF") is None
+
+    a = audit(store.lookup_plan("ABC"))
+    assert a.partition_filter_pruned("bucket"), a.partition_filters
+    assert a.filter_pushed("fromAccount"), a.pushed_filters
+    # the lookup is a pure scan+filter: no shuffle, no aggregation re-run
+    assert a.num_exchanges == 0
 
 
 def test_unknown_currency_dropped(spark):
