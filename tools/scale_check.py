@@ -6,6 +6,18 @@ print the per-query ratio table.
 Usage:
     python tools/make_sf1.py                      # once
     python tools/scale_check.py [q1 q2 ...]       # default: the >2s set
+    python tools/scale_check.py --panel           # pinned r13 panel
+
+``--panel`` (r12 verdict item 4) runs the FIXED cross-scale regression
+panel — the SCALING.md worst slopes plus their flat production twins —
+records the result as ``SCALE_PANEL_r{N}.json`` next to the repo's
+bench artifacts, and, when a previous round's panel record exists,
+prints the round-over-round sf1 ratio per query. Run it SOLO (quiet
+host) once per round: drift detection otherwise exists only at sf0.1,
+so a slope regression surfaces only when a judge asks for an ad-hoc
+re-measurement. Flags follow the repo's A/B rule: a >1.5x sf1 ratio on
+unchanged code is adjudicated with an interleaved tools/ab_bench.py
+run (SPARK_GRAFT_SF_DIR=testdata_sf1), not hand-waved.
 
 The embeddings/documents-only contracts work against testdata_sf1;
 contracts touching other tables are rejected up front.
@@ -59,6 +71,26 @@ DEFAULT = [
     "stop_band_cap",
 ]
 
+# The pinned cross-scale regression panel (r12 verdict item 4): the
+# slope table's historical worst rows (output-driven pair generators,
+# the CC/banding compositions, the cost-ladder increment) plus the flat
+# production forms that must STAY flat (capped jaccard, priced banding).
+# Fixed on purpose — round-over-round sf1 ratios are only comparable on
+# a stable set. Add new members rather than replacing, and record the
+# change in SCALING.md.
+PANEL = [
+    "weighted_jaccard",
+    "weighted_jaccard_capped",
+    "emb_near_dup_lsh",
+    "curate_increment",
+    "dedup_minhash_lsh",
+    "stop_band_cap",
+    "leakage_safe_splits_incr",
+    "dedup_clusters_lsh",
+    "dedup_ngram_jaccard",
+    "knn_recall_ivfpq_vec0",
+]
+
 _CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {root!r})
@@ -95,8 +127,35 @@ def _run_scale(sf_dir: str, names: list[str]) -> dict[str, float]:
     )
 
 
+def _panel_round() -> int:
+    """Next round number, inferred the same way bench.py seeds its
+    order rotation: max existing BENCH_r{N}.json + 1."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(ROOT, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 0
+
+
+def _prev_panel(rnd: int) -> tuple[int, dict] | None:
+    for r in range(rnd - 1, 0, -1):
+        p = os.path.join(ROOT, f"SCALE_PANEL_r{r}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return r, json.load(f)
+    return None
+
+
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT
+    args = sys.argv[1:]
+    panel = "--panel" in args
+    names = [a for a in args if not a.startswith("--")] or (
+        PANEL if panel else DEFAULT
+    )
     sf1 = os.path.join(ROOT, "testdata_sf1")
     if not os.path.isdir(sf1):
         raise SystemExit("run `python tools/make_sf1.py` first")
@@ -110,6 +169,39 @@ def main() -> None:
         worst = max(worst, r)
         print(f"| {n} | {lo[n]:.2f} | {hi[n]:.2f} | {r:.2f} |")
     print(f"worst ratio for 10x data: {worst:.2f}")
+    if not panel:
+        return
+    rnd = _panel_round()
+    rec = {
+        "round": rnd,
+        "protocol": "solo; isolated session per scale; min-of-2; "
+        "warm=minhash_jaccard_est",
+        "sf01": lo,
+        "sf1": hi,
+    }
+    out = os.path.join(ROOT, f"SCALE_PANEL_r{rnd}.json")
+    with open(out, "w") as f:
+        json.dump(rec, f, indent=1, sort_keys=True)
+    print(f"panel record written: {os.path.basename(out)}")
+    prev = _prev_panel(rnd)
+    if prev is None:
+        print("no previous panel record — this round is the baseline")
+        return
+    prnd, pdata = prev
+    print(f"\nround-over-round sf1 vs r{prnd} (A/B-adjudicate >1.5x):")
+    flagged = 0
+    for n in names:
+        if n not in pdata.get("sf1", {}):
+            print(f"  {n:32s} (new in panel)")
+            continue
+        rr = hi[n] / max(pdata["sf1"][n], 1e-9)
+        mark = ""
+        if rr > 1.5:
+            flagged += 1
+            mark = "  << FLAG: adjudicate with tools/ab_bench.py"
+        print(f"  {n:32s} {pdata['sf1'][n]:8.2f} -> {hi[n]:8.2f}  {rr:5.2f}x{mark}")
+    if flagged:
+        print(f"{flagged} flagged — record the A/B verdicts in SCALING.md")
 
 
 if __name__ == "__main__":
