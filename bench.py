@@ -231,6 +231,23 @@ BENCH_QUERIES = [
 ]
 
 
+def next_round_from_artifacts() -> int:
+    """Next round number inferred from the highest BENCH_r{N}.json in
+    the repo. Shared with tools/scale_check.py's panel record naming —
+    one definition, or the two round counters silently diverge when
+    the record-naming scheme changes (r13 review finding)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 0
+
+
 def _order_seed() -> int:
     """Seed for the per-round order rotation: SPARK_GRAFT_BENCH_SEED if
     set (A/B pairs pin it), else the next round number inferred from
@@ -245,16 +262,7 @@ def _order_seed() -> int:
                 f"order_seed recorded in the run being reproduced), "
                 f"got {env!r}"
             )
-    import glob
-    import re
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
-    return (max(rounds) + 1) if rounds else 0
+    return next_round_from_artifacts()
 
 
 def _calibration_query(spark):

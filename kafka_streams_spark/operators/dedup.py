@@ -1240,7 +1240,18 @@ def write_minhash_index(
     sig = minhash_signatures(
         docs, id_col, text_col, num_hashes, shingle_n, hash_fn
     )
-    meta = {"num_hashes": num_hashes, "shingle_n": shingle_n, "hash_fn": hash_fn}
+    # sig_version covers the DERIVATION CODE (coefficients/prime/
+    # shingling), which the parameter triple cannot: without it a
+    # deployment-persisted index written before a derivation change is
+    # silently accepted by a newer reader and band keys never collide
+    # (r13 review finding — the /tmp bench-cache key already folded the
+    # version in, but the public write/read contract did not).
+    meta = {
+        "num_hashes": num_hashes,
+        "shingle_n": shingle_n,
+        "hash_fn": hash_fn,
+        "sig_version": MINHASH_SIG_VERSION,
+    }
     sig = sig.withColumn("mh0", F.col("mh0").alias("mh0", metadata=meta))
     sig.write.mode("overwrite").parquet(path)
 
@@ -1347,7 +1358,14 @@ def minhash_pairs_incremental(
         # that never collide (silent no-op gate) — fail loudly instead.
         meta = existing_sig.schema["mh0"].metadata or {}
         declared = {
-            "num_hashes": num_hashes, "shingle_n": shingle_n, "hash_fn": hash_fn
+            "num_hashes": num_hashes,
+            "shingle_n": shingle_n,
+            "hash_fn": hash_fn,
+            # derivation-code version: an index written before a
+            # signature-derivation change carries the old tag and must
+            # be rebuilt — parameters alone can't see code changes.
+            # Absent tag (pre-r13 index) is accepted, documented legacy.
+            "sig_version": MINHASH_SIG_VERSION,
         }
         for key, want in declared.items():
             have = meta.get(key)

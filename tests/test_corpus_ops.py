@@ -587,6 +587,38 @@ def test_minhash_index_rejects_parameter_mismatch(spark, sf_dir, tmp_path):
         )
 
 
+def test_minhash_index_rejects_sig_version_mismatch(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The index stamps the signature-DERIVATION version, not just its
+    parameters (r13): an index persisted before a derivation change
+    carries the old tag and a newer reader must refuse it — matching
+    parameters would otherwise accept signatures whose band keys never
+    collide (silent every-duplicate-readmitted no-op). An index with
+    NO tag (pre-r13) is accepted as documented legacy."""
+    from kafka_streams_spark.operators import dedup
+    from kafka_streams_spark.operators.dedup import (
+        dedup_incremental_fuzzy,
+        read_minhash_index,
+        write_minhash_index,
+    )
+    from kafka_streams_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    new, ex = docs.filter(bucket >= "20"), docs.filter(bucket < "20")
+    idx = str(tmp_path / "idx_v1")
+    write_minhash_index(ex, idx, hash_fn="md5_32")
+    monkeypatch.setattr(
+        dedup, "MINHASH_SIG_VERSION", dedup.MINHASH_SIG_VERSION + 1
+    )
+    with pytest.raises(ValueError, match="sig_version"):
+        dedup_incremental_fuzzy(
+            new, ex, hash_fn="md5_32",
+            existing_sig=read_minhash_index(spark, idx),
+        )
+
+
 # ---------------------------------------------------------------------------
 # dedup_incremental_bloom
 # ---------------------------------------------------------------------------

@@ -22,7 +22,7 @@ entry = importlib.util.module_from_spec(_SPEC)
 sys.modules[_SPEC.name] = entry
 _SPEC.loader.exec_module(entry)
 
-SF = "/root/testdata/sf0.001"
+from conftest import SF_DIR as SF  # noqa: E402  (honors SPARK_GRAFT_SF_DIR_TEST)
 
 
 def _copy_corpus(dst: Path) -> Path:

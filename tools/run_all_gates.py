@@ -56,7 +56,11 @@ def run(name: str, cmd: list[str]) -> bool:
     )
     tail = combined.splitlines()
     last = tail[-1] if tail else ""
-    print(f"[{'PASS' if ok else 'FAIL'}] {name:14s} {dt:7.1f}s  {last}")
+    # bench_diff exit 2 = suspects pending adjudication (r13): still a
+    # gate failure, but labeled distinctly so the operator runs
+    # tools/ab_bench.py instead of hunting a hard regression.
+    verdict = "PASS" if ok else ("SUSP" if proc.returncode == 2 else "FAIL")
+    print(f"[{verdict}] {name:14s} {dt:7.1f}s  {last}")
     if not ok:
         print("\n".join(tail[-40:]))
     return ok
@@ -69,6 +73,12 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--skip-bench", action="store_true")
     ap.add_argument("--skip-tests", action="store_true")
+    ap.add_argument(
+        "--allow-suspects",
+        action="store_true",
+        help="pass --allow-suspects to the bench-diff gate — use only "
+        "AFTER adjudicating the suspects with tools/ab_bench.py",
+    )
     args = ap.parse_args()
 
     ok = run("freshness-lint", [sys.executable, "tools/freshness_lint.py"])
@@ -102,7 +112,8 @@ def main() -> int:
                     "tools/bench_diff.py",
                     rounds[-1][1],
                     "BENCH_DETAIL.json",
-                ],
+                ]
+                + (["--allow-suspects"] if args.allow_suspects else []),
             )
     print("ALL GATES PASS" if ok else "GATE FAILURE")
     return 0 if ok else 1

@@ -128,17 +128,16 @@ def _run_scale(sf_dir: str, names: list[str]) -> dict[str, float]:
 
 
 def _panel_round() -> int:
-    """Next round number, inferred the same way bench.py seeds its
-    order rotation: max existing BENCH_r{N}.json + 1."""
-    import glob
-    import re
+    """Next round number — bench.py's artifact-based inference, ONE
+    definition (no env override: SPARK_GRAFT_BENCH_SEED pins A/B
+    reproduction seeds and must not relabel panel records). NOTE: if
+    the driver has already landed THIS round's BENCH_r{N}.json, the
+    inference points one round ahead — pass --round explicitly when
+    re-running a panel late in a round."""
+    sys.path.insert(0, ROOT)
+    from bench import next_round_from_artifacts
 
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(ROOT, "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
-    return (max(rounds) + 1) if rounds else 0
+    return next_round_from_artifacts()
 
 
 def _prev_panel(rnd: int) -> tuple[int, dict] | None:
@@ -151,11 +150,37 @@ def _prev_panel(rnd: int) -> tuple[int, dict] | None:
 
 
 def main() -> None:
-    args = sys.argv[1:]
-    panel = "--panel" in args
-    names = [a for a in args if not a.startswith("--")] or (
-        PANEL if panel else DEFAULT
+    # argparse rejects mistyped flags instead of silently ignoring them
+    # (same r10 run_all_gates fix — a stripped --pannel used to fall
+    # back to the ad-hoc DEFAULT list with no panel record at all).
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("names", nargs="*", help="explicit contract names (ad-hoc)")
+    ap.add_argument(
+        "--panel",
+        action="store_true",
+        help="run the pinned panel and record SCALE_PANEL_r{N}.json",
     )
+    ap.add_argument(
+        "--round",
+        type=int,
+        default=None,
+        help="round number for the panel record (default: inferred from "
+        "the newest BENCH_r{N}.json — pass explicitly when re-running "
+        "after the driver already landed this round's record)",
+    )
+    args = ap.parse_args()
+    panel = args.panel
+    if panel and args.names:
+        # a partial "panel" record would permanently degrade the
+        # round-over-round comparison: next round's full run would see
+        # the missing names as (new in panel) and their slopes unflagged
+        raise SystemExit(
+            "--panel runs the FIXED panel list; drop the explicit names "
+            "(use an ad-hoc run without --panel for a subset)"
+        )
+    names = PANEL if panel else (args.names or DEFAULT)
     sf1 = os.path.join(ROOT, "testdata_sf1")
     if not os.path.isdir(sf1):
         raise SystemExit("run `python tools/make_sf1.py` first")
@@ -171,7 +196,7 @@ def main() -> None:
     print(f"worst ratio for 10x data: {worst:.2f}")
     if not panel:
         return
-    rnd = _panel_round()
+    rnd = args.round if args.round is not None else _panel_round()
     rec = {
         "round": rnd,
         "protocol": "solo; isolated session per scale; min-of-2; "
