@@ -88,6 +88,33 @@ def test_start_band_flag_downgrades_to_suspect(tmp_path, capsys):
     assert "suspect (start band" in out
 
 
+def test_micro_window_downgrades_to_suspect(tmp_path, capsys):
+    """>=3 CONTIGUOUS flagged positions with an extreme local median —
+    the r13 end-of-round shape (positions 104-106 at raw
+    2.3x/5.1x/6.1x, all A/B'd code-neutral) — are a micro host spike:
+    the timed order is a seeded random permutation, so adjacent
+    positions share no code. Downgrade to suspects (exit 2, A/B
+    forced), never a hard fail."""
+    old = _record({})
+    new = _record({"q104": 2.3, "q105": 5.1, "q106": 6.1})
+    code, out = _run_diff(tmp_path, old, new, capsys)
+    assert "NOISE WINDOW" in out
+    assert code == 2, out
+    assert "REGRESSION" not in out
+    assert out.count("suspect (noise window)") == 3
+
+
+def test_two_adjacent_flags_still_hard_fail(tmp_path, capsys):
+    """Two adjacent flags don't meet the >=3-contiguous micro-window
+    bar — they stay hard regressions (the detector must not blanket-
+    amnesty small clusters)."""
+    old = _record({})
+    new = _record({"q104": 2.3, "q105": 5.1})
+    code, out = _run_diff(tmp_path, old, new, capsys)
+    assert code == 1, out
+    assert out.count("REGRESSION") == 2
+
+
 def test_isolated_regression_still_hard_fails(tmp_path, capsys):
     """One genuinely regressed query outside any window keeps failing
     the gate — the detector must not blanket-amnesty everything."""

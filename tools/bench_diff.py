@@ -218,13 +218,40 @@ def main() -> int:
             wm = median(gates)
             if len(gates) >= 5 and wm is not None and wm > max(1.25, overall * 1.25):
                 hot.update(range(lo, min(lo + WIN, n)))
+        # Micro-window pass (r13): the r13 end-of-round diff had a
+        # 3-query spike at consecutive positions 104-106 (raw
+        # 2.3x/5.1x/6.1x) — far too narrow for the 20-position median
+        # above, so all three hard-failed and needed manual A/Bs (all
+        # three came back code-neutral, 0.98-1.11). The timed order is
+        # a SEEDED RANDOM PERMUTATION, so adjacent positions share no
+        # code path — >=3 contiguous flagged positions whose local
+        # median is well above the suite (>max(1.75, 1.5x suite
+        # median)) is near-certain host spike, not three independent
+        # same-instant regressions. Downgraded flags remain suspects
+        # (exit 2, A/B forced), never silent passes — so the looser
+        # local bar adds no amnesty, only routes the cluster to the
+        # position-free A/B instead of a hard fail.
+        MICRO_WIN = 5
+        for lo in range(0, max(n - MICRO_WIN + 1, 1)):
+            span_pos = [p for p in range(lo, min(lo + MICRO_WIN, n)) if p in by_pos]
+            gates = [by_pos[p] for p in span_pos]
+            flagged = [p for p in span_pos if by_pos[p] > args.threshold]
+            contiguous = (
+                len(flagged) >= 3
+                and flagged == list(range(flagged[0], flagged[-1] + 1))
+            )
+            wm = median(gates)
+            if contiguous and wm is not None and wm > max(1.75, overall * 1.5):
+                hot.update(flagged)
         if hot:
             window_positions = hot
             span = sorted(hot)
             print(
                 f"note: NOISE WINDOW at new-record positions "
                 f"{span[0]}-{span[-1]} ({len(hot)} positions; sliding "
-                f"median > max(1.25, 1.25x suite median {overall:.2f}x)) "
+                f"median > max(1.25, 1.25x suite median {overall:.2f}x), "
+                f"or a >=3-contiguous-flag micro-window with local median "
+                f"> max(1.75, 1.5x suite median)) "
                 f"— flags inside are downgraded to window-suspects"
             )
 
