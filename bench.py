@@ -354,10 +354,16 @@ def main() -> None:
     # TIMED positions still ran measurably slow in two consecutive
     # driver records (r11: pos 0; r12: pos 1 at 3.6x normalized) — a
     # start band that only the single position-0 anchor could model.
-    # Running one real suite query (whichever the rotation put first)
-    # and discarding its time absorbs the residual ramp-up before any
-    # timed sample; the query still gets its regular min-of-3 below.
-    run(rotated[0])
+    # Running one real suite query and discarding its time absorbs the
+    # residual ramp-up before any timed sample. The burn-in query is
+    # FIXED (r13 ADVICE: burning in with rotated[0] warmed whichever
+    # query the rotation put first, so the position-0 query measured
+    # slightly warmer than the rest and the beneficiary rotated with
+    # the round seed — a round-over-round diff could read the
+    # previously-position-0 query as mildly regressed). Re-running the
+    # Arrow warmup keeps any residual warmth bias constant across
+    # rounds, where diffs cancel it.
+    run("repetition_stats")
     # The anchor is re-timed AFTER the query loop (see below):
     # sustained-load throttle develops DURING a 160+-query run (r9
     # measured thirds of one run at 0.87x/1.03x/1.34x vs a sibling
@@ -380,11 +386,23 @@ def main() -> None:
     # anchor alone, and both the r11 and r12 driver records produced
     # their only hard drift flag in that band (pos 0 / pos 1). One
     # probe at position 10 brackets the start band from both sides.
+    # A late probe near the END of the run (r13 verdict item 3,
+    # symmetric to the position-10 start-band probe): probes at every
+    # 25 leave the last len%25 positions normalized against the single
+    # end anchor alone, exactly where sustained-load throttle peaks —
+    # the r13 driver record's end anchor read 1.813 s vs probe-150's
+    # 0.699 s (2.1x in-run drift developing after the last probe), so
+    # ~24 late-list queries carried a drift estimate extrapolated from
+    # one point. One probe ~12 positions before the end brackets the
+    # end band from both sides.
     PROBE_EVERY = 25
     EARLY_PROBE = 10
+    late_probe = max(len(rotated) - 12, 0)
     cal_probes: list[list[float]] = []
     for pos, name in enumerate(rotated):
-        if pos == EARLY_PROBE or (pos and pos % PROBE_EVERY == 0):
+        if pos == EARLY_PROBE or pos == late_probe or (
+            pos and pos % PROBE_EVERY == 0
+        ):
             # Probes use the same min-of-3 protocol as the anchors and
             # every query (r12 ADVICE): min-of-2 has no power against a
             # noise window, and one inflated probe raises cal_at for

@@ -146,6 +146,107 @@ def test_probe_anchors_normalize_mid_run_drift(tmp_path, capsys):
         pytest.fail("q060 row missing from diff output")
 
 
+def test_anchor_mismatch_downgrades_to_suspect(tmp_path, capsys):
+    """A NORMALIZED flag whose raw ratio is ~1.0 means the anchor
+    moved, not the query (r13 verdict item 2: 12 of the r12->r13
+    driver-record flags carried raw 1.0-1.35x while both records
+    showed in-run anchor drift) — downgrade to an anchor-mismatch
+    suspect: exit 2, A/B still forced, but not a hard fail."""
+    old = _record({})
+    new = _record({"q050": 1.1})
+    # the anchor sped up 0.6x while q050 held at raw 1.1x -> gate 1.83x
+    new["calibration_sec"] = new["calibration_end_sec"] = 0.6
+    code, out = _run_diff(tmp_path, old, new, capsys)
+    assert code == 2, out
+    assert "REGRESSION" not in out
+    assert "suspect (anchor-mismatch, raw 1.10x)" in out
+
+
+def test_anchor_mismatch_base_cutoff_without_inrun_drift(tmp_path, capsys):
+    """Without in-run anchor drift the raw cutoff stays at 1.2x: a raw
+    1.3x query under a 0.6x anchor speedup is a real normalized mover
+    and must still hard-fail (the downgrade is not blanket amnesty
+    for every norm-only flag)."""
+    old = _record({})
+    new = _record({"q050": 1.3})
+    new["calibration_sec"] = new["calibration_end_sec"] = 0.6
+    code, out = _run_diff(tmp_path, old, new, capsys)
+    assert code == 1, out
+    assert "q050" in out and "REGRESSION" in out
+
+
+def test_anchor_mismatch_cutoff_widens_under_inrun_drift(tmp_path, capsys):
+    """When the tool itself detects >1.15x in-run anchor drift (the
+    mechanism that produces norm-only flags in bulk), the raw cutoff
+    widens to the observed 1.35x envelope of the r12->r13 artifact
+    class: a raw 1.3x flag riding a drifting anchor becomes a suspect
+    instead of a hard fail."""
+    old = _record({})
+    new = _record({"q087": 1.3})
+    # start 1.0 -> end 0.5: 2x in-run drift; q087 mid-run normalizes
+    # against ~0.75, gating ~1.74x with raw only 1.3x
+    new["calibration_end_sec"] = 0.5
+    code, out = _run_diff(tmp_path, old, new, capsys)
+    assert code == 2, out
+    assert "REGRESSION" not in out
+    assert "suspect (anchor-mismatch, raw 1.30x)" in out
+
+
+def test_end_band_flag_downgrades_to_suspect(tmp_path, capsys):
+    """A flag positioned AFTER a record's last mid-run probe is
+    normalized against an interpolation ending at the single end
+    anchor — exactly where sustained-load throttle peaks (the r13
+    driver record's end anchor read 2.1x its last probe). Downgrade to
+    an end-band suspect (exit 2, A/B forced), symmetric to the
+    start-band rule."""
+    probes = [[p, 1.0] for p in (10, 25, 50, 75, 100, 125, 150)]
+    old = _record({})
+    new = _record({"q160": 2.0}, probes=probes)
+    code, out = _run_diff(tmp_path, old, new, capsys)
+    assert code == 2, out
+    assert "REGRESSION" not in out
+    assert "suspect (end band, past last probe)" in out
+    # the same flag BEFORE the last probe still hard-fails
+    new2 = _record({"q100": 2.0}, probes=probes)
+    code2, out2 = _run_diff(tmp_path, old, new2, capsys)
+    assert code2 == 1, out2
+    assert "q100" in out2 and "REGRESSION" in out2
+
+
+def test_per_name_suspect_waivers(tmp_path, capsys):
+    """--allow-suspect NAME waives exactly that suspect (r13 ADVICE:
+    the blanket --allow-suspects, re-run after adjudicating one
+    round's suspects, also waived any suspect never A/B'd). An
+    unwaived suspect keeps exit 2; a stale waiver is reported."""
+    old = _record({})
+    # two start-band suspects (pos 1 and 2)
+    new = _record({"q001": 2.5, "q002": 2.5})
+    code, out = _run_diff(tmp_path, old, new, capsys)
+    assert code == 2 and out.count("suspect (start band") == 2
+    # waiving only one still exits 2, naming the other
+    code1, out1 = _run_diff(
+        tmp_path, old, new, capsys, "--allow-suspect", "q001"
+    )
+    assert code1 == 2, out1
+    assert "q002" in out1.rsplit("exit 2", 1)[-1]
+    # waiving both (comma list) exits 0
+    code2, out2 = _run_diff(
+        tmp_path, old, new, capsys, "--allow-suspect", "q001,q002"
+    )
+    assert code2 == 0, out2
+    # a stale waiver is called out but does not fail a clean diff
+    code3, out3 = _run_diff(
+        tmp_path,
+        old,
+        new,
+        capsys,
+        "--allow-suspect",
+        "q001,q002,q_gone",
+    )
+    assert code3 == 0, out3
+    assert "stale waiver" in out3 and "q_gone" in out3
+
+
 def test_anchor_interpolation_is_piecewise():
     """cal_at must interpolate linearly BETWEEN the bracketing anchors,
     not between start and end globally (both 1.0 here — the global

@@ -197,6 +197,24 @@ def main() -> None:
     if not panel:
         return
     rnd = args.round if args.round is not None else _panel_round()
+    # Mislabeled-round guard (r13 ADVICE): _panel_round infers "newest
+    # BENCH_r{N}.json + 1", so a panel run LATE in a round — after the
+    # driver lands this round's bench record — silently writes
+    # SCALE_PANEL_r{N+1}.json and every future _prev_panel diff
+    # compares against a mislabeled baseline. The skip is detectable:
+    # an inferred round that is >= 2 ahead of the newest existing panel
+    # record would leave a gap (the normal cadence is one panel per
+    # round). Refuse and demand an explicit --round instead of relying
+    # on the operator remembering the hazard comment.
+    if args.round is None:
+        prev_guess = _prev_panel(rnd)
+        if prev_guess is not None and rnd - prev_guess[0] >= 2:
+            raise SystemExit(
+                f"inferred panel round r{rnd} would skip r{rnd - 1} "
+                f"(newest panel record is r{prev_guess[0]}) — if the "
+                f"driver already landed this round's BENCH record, the "
+                f"inference is one round ahead; pass --round explicitly"
+            )
     rec = {
         "round": rnd,
         "protocol": "solo; isolated session per scale; min-of-2; "
