@@ -77,7 +77,17 @@ def main() -> int:
         "--allow-suspects",
         action="store_true",
         help="pass --allow-suspects to the bench-diff gate — use only "
-        "AFTER adjudicating the suspects with tools/ab_bench.py",
+        "AFTER adjudicating the suspects with tools/ab_bench.py "
+        "(prefer per-name --allow-suspect)",
+    )
+    ap.add_argument(
+        "--allow-suspect",
+        action="append",
+        default=[],
+        metavar="NAME",
+        help="pass a per-name suspect waiver through to the bench-diff "
+        "gate (repeatable; ties each waiver to a recorded ab_bench "
+        "verdict instead of blanket-waiving)",
     )
     args = ap.parse_args()
 
@@ -113,7 +123,12 @@ def main() -> int:
                     rounds[-1][1],
                     "BENCH_DETAIL.json",
                 ]
-                + (["--allow-suspects"] if args.allow_suspects else []),
+                + (["--allow-suspects"] if args.allow_suspects else [])
+                + [
+                    arg
+                    for name in args.allow_suspect
+                    for arg in ("--allow-suspect", name)
+                ],
             )
     print("ALL GATES PASS" if ok else "GATE FAILURE")
     return 0 if ok else 1
