@@ -1232,6 +1232,29 @@ def _q_dedup_cluster_sizes(spark, sf_dir):
     return cluster_size_stats(_q_dedup_clusters(spark, sf_dir))
 
 
+def _q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware duplicate survivorship: MinHash-LSH pairs (md5_32
+    banding — DuckDB-reproducible) -> connected components -> keep the
+    HIGHEST-quality member per cluster (ties to lowest id), singletons
+    kept. The survivorship rule production dedup actually wants (the
+    min-id canonical of curate_corpus_fuzzy throws away the cleanest
+    copy whenever it carries a larger id); composition of three
+    independently oracle-checked operators, itself oracle-checked
+    end-to-end via the nested recursive-CTE oracle."""
+    from kafka_streams_spark.operators.dedup import (
+        duplicate_clusters,
+        keep_best_per_cluster,
+        minhash_near_duplicates,
+    )
+    from kafka_streams_spark.operators.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_near_duplicates(docs, threshold=0.5, hash_fn="md5_32")
+    return keep_best_per_cluster(
+        docs, duplicate_clusters(pairs), quality_score(docs)
+    )
+
+
 def _q_gate_agreement(spark, sf_dir):
     """Gopher × C4 × quality-threshold contingency table in one scan.
     C4 at the testdata contract parameters (word rule ≥60, punctuation
@@ -2309,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": _q_corpus_overlap,
         "contamination_report": _q_contamination_report,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+        "dedup_keep_best": _q_dedup_keep_best,  # quality-argmax survivorship
         "gate_agreement": _q_gate_agreement,
         "dedup_spans": _q_dedup_spans,
         "event_transitions": A.event_transitions,

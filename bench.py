@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "emb_near_dup_lsh",
     "dedup_clusters_lsh",
+    "dedup_keep_best",
     "events_attribution",
     "chunk_dup_stats",
     "profile_documents",

@@ -2743,3 +2743,68 @@ def dedup_substring_remove_incremental(
         .select("_id", "pos")
     )
     return _cut_covered_spans(base, dup, k, id_col)
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    labels: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware duplicate-cluster survivorship: per near-dup
+    cluster keep the HIGHEST-scoring member (ties break to the lowest
+    id), instead of the arbitrary min-id canonical that
+    :func:`duplicate_clusters` / ``curate_corpus_fuzzy`` use. This is
+    the survivorship rule production pipelines actually want — inside
+    a boilerplate family the members differ (truncation, ads, OCR
+    noise), and dropping by id throws away the cleanest copy whenever
+    it happens to carry a larger id.
+
+    Inputs: ``docs`` (the corpus — only ``id_col`` is read), ``labels``
+    = :func:`duplicate_clusters` output (node, cluster_id) covering
+    ONLY clustered nodes, ``score`` = (id_col, score_col) e.g.
+    :func:`~kafka_streams_spark.operators.text.quality_score`.
+
+    Scale shape: ALL heavy work happens on the clustered subset, which
+    is tiny next to a 100 TB corpus (near-dup rates are single-digit
+    percent). The argmax is a map-side-combinable ``max_by`` aggregate
+    over |clustered nodes| rows keyed on cluster_id — no window over
+    the full corpus — and the winners table (|clusters| rows) joins
+    back broadcast-sized. The corpus itself is touched by exactly two
+    joins against small sides; singletons (no label row) short-circuit
+    to kept=true through the left join's NULL.
+
+    Output: (id_col, cluster_id bigint — the node's cluster, or its
+    own id for singletons, score_col double, kept boolean).
+    """
+    lab = labels.select(
+        F.col("node").alias(id_col), F.col("cluster_id").cast("bigint").alias("cluster_id")
+    )
+    sc = score.select(F.col(id_col), F.col(score_col).cast("double").alias(score_col))
+    clustered = lab.join(sc, id_col)
+    # max_by with an explicit (score, -id) sort key: SQL max_by on a
+    # struct picks the lexicographically greatest, so negating the id
+    # makes the LOWEST id win score ties deterministically on both
+    # engines.
+    winners = clustered.groupBy("cluster_id").agg(
+        F.expr(
+            f"max_by({id_col}, struct({score_col} as s, -{id_col} as ni))"
+        ).alias("_keep_id")
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(lab, id_col, "left")
+        .join(sc, id_col, "left")
+        .join(winners, "cluster_id", "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col).cast("bigint")).alias(
+                "cluster_id"
+            ),
+            F.col(score_col),
+            (F.col("_keep_id").isNull() | (F.col("_keep_id") == F.col(id_col))).alias(
+                "kept"
+            ),
+        )
+    )

@@ -4591,6 +4591,46 @@ SAMPLING_ORACLES["leakage_safe_splits_docs"] = f"""
     FROM keyed
 """
 
+# Quality-aware cluster survivorship (dedup.py keep_best_per_cluster):
+# the full composition replayed — seed-42 md5_32 MinHash banding pairs
+# (the dedup_minhash_lsh oracle, nested), the recursive-CTE min-label
+# fixpoint (the dedup_clusters pattern), then an argmax winner per
+# cluster by (quality DESC, doc_id ASC) — row_number here, max_by on a
+# (quality, -id) struct on the Spark side: identical deterministic
+# order. Singletons (no cluster row) keep themselves via the LEFT
+# join's NULL.
+DEDUP_ORACLES["dedup_keep_best"] = f"""
+    WITH RECURSIVE
+    p AS MATERIALIZED (SELECT id_a, id_b FROM ({_minhash_lsh_sql(0.5)})),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT ed.dst, r.label FROM reach r JOIN edges ed ON r.node = ed.src
+    ),
+    cc AS (SELECT node, CAST(min(label) AS BIGINT) AS cluster_id
+           FROM reach GROUP BY node),
+    q AS MATERIALIZED ({TEXT_ORACLES["quality_score"]}),
+    w AS (
+        SELECT cc.cluster_id, q.doc_id,
+               row_number() OVER (
+                   PARTITION BY cc.cluster_id
+                   ORDER BY q.quality DESC, q.doc_id) AS r
+        FROM cc JOIN q ON q.doc_id = cc.node
+    ),
+    keep AS (SELECT cluster_id, doc_id AS keep_id FROM w WHERE r = 1)
+    SELECT d.doc_id,
+           COALESCE(cc.cluster_id, CAST(d.doc_id AS BIGINT)) AS cluster_id,
+           q.quality,
+           (cc.cluster_id IS NULL OR keep.keep_id = d.doc_id) AS kept
+    FROM documents d
+    LEFT JOIN cc ON cc.node = d.doc_id
+    LEFT JOIN q ON q.doc_id = d.doc_id
+    LEFT JOIN keep ON keep.cluster_id = cc.cluster_id
+"""
+
 ALL_ORACLES = {
     **PAYMENT_ORACLES,
     **ANALYTICS_ORACLES,

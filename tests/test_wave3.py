@@ -701,3 +701,49 @@ def test_kcenter_scalable_validates_params(spark):
         kcenter_select_scalable(embs, k=2, n_blocks=0)
     with pytest.raises(ValueError):
         kcenter_select_scalable(embs, k=2, per_block=0)
+
+
+# ---------------------------------------------------------------------------
+# keep_best_per_cluster
+# ---------------------------------------------------------------------------
+
+
+def test_keep_best_per_cluster(spark):
+    """Quality argmax per cluster: highest quality wins, score ties
+    break to the LOWEST id, singletons (no label row) are kept."""
+    from kafka_streams_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id bigint"
+    )
+    labels = spark.createDataFrame(
+        # cluster 1 = {1,2,3}; cluster 4 = {4,5}; 6,7 singletons
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+        "node bigint, cluster_id bigint",
+    )
+    score = spark.createDataFrame(
+        # cluster 1: doc 2 highest -> kept; cluster 4: 4 and 5 tie at
+        # 0.5 -> lowest id (4) kept
+        [(1, 0.25), (2, 0.75), (3, 0.5), (4, 0.5), (5, 0.5),
+         (6, 0.0), (7, 1.0)],
+        "doc_id bigint, quality double",
+    )
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["kept"])
+        for r in keep_best_per_cluster(docs, labels, score).collect()
+    }
+    assert rows == {
+        1: (1, False),
+        2: (1, True),
+        3: (1, False),
+        4: (4, True),
+        5: (4, False),
+        6: (6, True),   # singleton: own cluster, kept
+        7: (7, True),
+    }
+    # exactly one survivor per real cluster
+    out = keep_best_per_cluster(docs, labels, score)
+    per_cluster = (
+        out.filter("kept").groupBy("cluster_id").count().collect()
+    )
+    assert all(r["count"] == 1 for r in per_cluster)
