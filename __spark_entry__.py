@@ -2058,20 +2058,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # _CODE_CHANGED_ROUND is the round these changes landed in: a name
 # re-greened by the driver at or after it has evidence for the NEW
 # code and self-drains from the head (see _evidence_order).
-_CODE_CHANGED_ROUND = 13
+_CODE_CHANGED_ROUND = 14
 _CODE_CHANGED: list[str] = [
-    # r13 keeps this list MINIMAL on purpose (r12 verdict item 2): all
-    # 14 r12-changed names were re-greened by the r12 driver window and
-    # self-drained, and the r13 window must spend its head slots on the
-    # 17 r7-vintage evidence names so the union freshness floor moves
-    # to >= r8. The one qualifying change: the persisted-index cache
-    # key now folds in a corpus content fingerprint + signature-code
-    # version (r12 ADVICE) — same output (hash-match re-verified at
-    # sf0.001 AND sf0.01), but the entry's index build/reuse decision
-    # changed, so old driver evidence certifies code that no longer
-    # exists. (The bucket-pruned batch get_balance is NOT a contract
-    # query; no other r13 change touches a contract's plan or output.)
-    "dedup_incremental_fuzzy_indexed",
+    # r14: EMPTY — no existing contract's operator or oracle changed
+    # this round (the r13 entry, dedup_incremental_fuzzy_indexed,
+    # self-drained when the r13 driver window re-greened it). The one
+    # new registration, dedup_keep_best, is a STRAY (no driver row
+    # yet) and heads the window automatically; keeping this list empty
+    # leaves 49 slots for the stray + the 32 r9-vintage names + 16
+    # r10 names, so the union freshness floor moves to >= r10 (r13
+    # verdict item 4).
 ]
 
 # Kept for tool compatibility (freshness_lint): with the computed
