@@ -2165,11 +2165,22 @@ def weighted_jaccard_pairs(
             "threshold must be > 0: the posting-list join never emits "
             f"zero-overlap pairs, got {threshold}"
         )
+    # Pinned-width shingle exchange (r14): `.repartition("_s")` left the
+    # partition COUNT to AQE, whose byte-based coalescing shrank the
+    # sub-MB posting shuffle to ONE partition; the localCheckpoint below
+    # froze that layout, so the quadratic pair join — partition-local by
+    # design — ran on a single task (stage profile: 3.4 s CPU on 1 of 32
+    # cores, the suite's single largest stable cost). Pinning the count
+    # to defaultParallelism keeps the JVM-only window/join stages as
+    # wide as the cluster at any scale (on a real cluster
+    # defaultParallelism = total cores, exactly what shuffle_partitions
+    # tracks); the cost model AQE applies (partition cost ∝ bytes) is
+    # wrong for this stage, whose cost is quadratic per posting list.
     post = spread(docs, block_col).select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
         F.explode(word_shingles(F.col(text_col), n)).alias("_s"),
-    ).repartition("_s")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism, "_s")
     n_docs = docs.agg(F.count("*").cast("double").alias("_n"))
     pw = post.withColumn("_df", F.count("*").over(Window.partitionBy("_s")))
     if max_df is not None:

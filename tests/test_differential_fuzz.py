@@ -108,6 +108,8 @@ FUZZ_QUERIES = [
     "curate_corpus",
     "curate_corpus_fuzzy",
     "curate_increment",
+    # r14: quality-aware duplicate survivorship (documents-only oracle)
+    "dedup_keep_best",
     "decontaminate",
     "dedup_exact_rows",
     "dedup_incremental",
