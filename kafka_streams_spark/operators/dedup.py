@@ -1032,7 +1032,22 @@ def minhash_signatures(
                 out[f"mh{k}"] = mat[:, k] if len(sig_rows) else []
             yield _pd.DataFrame(out)
 
-    return docs.select(id_col, text_col).mapInPandas(process, schema=out_schema)
+    # Parallelism floor on the INPUT of the Python stage (r14, measured
+    # at sf0.1): a single-file corpus scan is one partition, so the
+    # whole signature pass ran on ONE Python worker — 0.91 s of the
+    # 2.38 s candidate pipeline was this serial stage. spread() widens
+    # the scan to defaultParallelism BEFORE the mapInPandas (sig 0.91 →
+    # 0.46 s; candidate pipeline 2.38 → 0.99 s) and is a no-op at real
+    # scale, where scans already carry ≥ cluster-width splits. This
+    # widens ONLY the signature stage input — not any checkpointed
+    # table: widening the checkpointed shingle tables was A/B'd earlier
+    # in r14 and REGRESSED the join-heavy pipelines (wide localCheckpoint
+    # layouts tax every consumer; OPTIMIZATION_r14.md "Inherited state").
+    from kafka_streams_spark.functions.partitioning import spread
+
+    return spread(docs.select(id_col, text_col)).mapInPandas(
+        process, schema=out_schema
+    )
 
 
 def minhash_signatures_expr(
