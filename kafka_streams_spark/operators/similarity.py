@@ -59,6 +59,13 @@ def finite_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     stay KEPT, since the quarantine contract drops only NULL vectors
     and vectors with a real NaN component."""
     c = F.col(vec_col)
+    # NOTE (r14): a blanket spread() here was A/B'd and rejected — it
+    # wins on the exact-scoring paths (knn_batch 0.62x) but the
+    # ivfpq/auto paths call this gate from many sub-operators and each
+    # paid the probe + round-robin exchange (knn_auto_vec0 1.36x,
+    # knn_ivfpq_res_vec0 1.32x). The parallelism floor is applied
+    # selectively at the few serial hot paths instead (knn_batch_to_ids,
+    # knn_to_id, k-center).
     return df.filter(
         c.isNotNull()
         & ~F.coalesce(F.isnan(F.array_max(c)), F.lit(False))
@@ -179,7 +186,18 @@ def knn_to_id(
     desc (Spark orders NaN above every float) and the fused hamming
     audit (which ranks over a quarantined corpus) would no longer be
     comparable side-by-side with the other audit methods."""
-    embeddings = finite_vectors(embeddings, vec_col)
+    from kafka_streams_spark.functions.partitioning import spread
+
+    # Parallelism floor (r14, measured): a single-file embeddings scan
+    # is one partition, so the interpreted cosine fold (higher-order
+    # functions never enter whole-stage codegen) ran serially on one
+    # task. spread() widens the corpus side to defaultParallelism — a
+    # no-op at real scale. Applied HERE (the exact leg every recall
+    # audit shares) and in knn_batch_to_ids/kcenter_select, NOT in the
+    # shared finite_vectors gate: the blanket form was A/B'd and the
+    # many-small-stage ivfpq paths regressed 1.3x (probe + exchange per
+    # sub-operator) while the exact legs win 0.6-0.9x.
+    embeddings = spread(finite_vectors(embeddings, vec_col))
     q = embeddings.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_qvec")
     )
@@ -220,10 +238,15 @@ def knn_batch_to_ids(
     """
     from pyspark.sql import Window
 
-    embeddings = finite_vectors(embeddings, vec_col)
+    from kafka_streams_spark.functions.partitioning import spread
 
-    # Pre-normalize both sides once (the _normalized pattern, inlined —
-    # no spread() so the plan keeps its single exchange): per
+    # Parallelism floor on the corpus side (r14 — see knn_to_id): the
+    # serial normalize+dot stage was 1.8 s CPU on one task at sf0.1;
+    # widened, knn_batch A/B'd 0.62x and knn_text_vec0 0.72x.
+    embeddings = spread(finite_vectors(embeddings, vec_col))
+
+    # Pre-normalize both sides once (the _normalized pattern, inlined):
+    # per
     # (row, query) pair the cosine is then ONE dot product, not
     # dot + two norms — the norm fold would otherwise re-run |Q| times
     # per corpus row.
@@ -1362,8 +1385,13 @@ def kcenter_select(
         raise ValueError("k must be >= 1")
     # NULL/NaN quarantine: a NaN mind wins every argmax and then
     # np.minimum-style updates destroy the picked-row masks — the
-    # greedy traversal re-picks the same points (r10 review fix)
-    embs = finite_vectors(embs, vec_col)
+    # greedy traversal re-picks the same points (r10 review fix).
+    # spread (r14): every one of the k rounds scans the state table
+    # with an interpreted zip_with distance fold; on a single-file scan
+    # that was one serial task per round (A/B 0.89x widened).
+    from kafka_streams_spark.functions.partitioning import spread
+
+    embs = spread(finite_vectors(embs, vec_col))
 
     def sq_dist(vec: Column, center: list[float]) -> Column:
         c = F.array(*[F.lit(float(x)) for x in center])
