@@ -855,6 +855,19 @@ def jaccard_dispatch_choice(
 # ---------------------------------------------------------------------------
 
 
+# r14 adjudicated NEGATIVE — salted in-block self-join: the blocked
+# pair joins' only equi-key is block_col (4 distinct sources on the
+# contract corpus), so the quadratic stage hashes to <= 4 busy tasks.
+# An id-hash salt on side a + width-fold replication of side b (width =
+# P // n_blocks from a construction-time distinct-count, pair met
+# exactly once on a._salt == b._salt), with explicit pinned-width
+# repartitions so AQE's byte-based coalescing couldn't undo it, was
+# implemented and interleaved-A/B'd twice vs ff70ac8: dedup_token_jaccard
+# 1.16x, containment_pairs 1.18x, curate_corpus_fuzzy 1.17x (identical-
+# code control 0.97x) — the replication + extra exchanges + per-side
+# sorts cost more than the extra cores buy at this scale. REVERTED; at
+# 100 TB the dispatcher already routes big-block corpora to the prefix
+# form, whose posting-list keys spread fine.
 def _bucket_pairs(
     rows: DataFrame, bucket_cols: list[str], payload: str
 ) -> DataFrame:
@@ -1531,7 +1544,14 @@ def simhash(
                 sigs.append(int(packed.astype(_np.int64)))  # two's-complement
             yield _pd.DataFrame({id_col: ids, "simhash": sigs})
 
-    return docs.select(id_col, text_col).mapInPandas(process, schema=out_schema)
+    # r14: parallelism floor on the Python-stage input — a single-file
+    # scan otherwise runs the whole signature pass on one worker (the
+    # minhash_signatures finding); no-op at real scale.
+    from kafka_streams_spark.functions.partitioning import spread
+
+    return spread(docs.select(id_col, text_col)).mapInPandas(
+        process, schema=out_schema
+    )
 
 
 def simhash_expr(

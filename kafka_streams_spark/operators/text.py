@@ -2387,4 +2387,7 @@ def compression_ratio(
                 {id_col: ids, "n_bytes": nb, "n_compressed": nc, "ratio": ratio}
             )
 
+    # r14 note: a spread() parallelism floor here was A/B'd and
+    # REVERTED (1.81x): the zlib pass is so cheap at contract scale
+    # that the probe + exchange cost more than the serial stage.
     return docs.select(id_col, text_col).mapInPandas(process, schema=out_schema)

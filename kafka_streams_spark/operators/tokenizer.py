@@ -250,7 +250,14 @@ def bpe_apply(
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(process, schema=out_schema)
+    # r14: parallelism floor on the Python-stage input — a single-file
+    # scan otherwise runs the whole encode pass on one worker (the
+    # minhash_signatures finding); no-op at real scale.
+    from kafka_streams_spark.functions.partitioning import spread
+
+    return spread(docs.select(id_col, text_col)).mapInPandas(
+        process, schema=out_schema
+    )
 
 
 def bpe_token_stats(
