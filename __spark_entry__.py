@@ -2060,14 +2060,43 @@ def entry(spark: SparkSession) -> DataFrame:
 # code and self-drains from the head (see _evidence_order).
 _CODE_CHANGED_ROUND = 14
 _CODE_CHANGED: list[str] = [
-    # r14: EMPTY — no existing contract's operator or oracle changed
-    # this round (the r13 entry, dedup_incremental_fuzzy_indexed,
-    # self-drained when the r13 driver window re-greened it). The one
-    # new registration, dedup_keep_best, is a STRAY (no driver row
-    # yet) and heads the window automatically; keeping this list empty
-    # leaves 49 slots for the stray + the 32 r9-vintage names + 16
-    # r10 names, so the union freshness floor moves to >= r10 (r13
-    # verdict item 4).
+    # r14 OPTIMIZATION round: these contracts' operator code changed —
+    # partition-layout/parallelism-floor changes only (pinned-width
+    # shingle exchange in weighted_jaccard_pairs; spread() input floors
+    # on the minhash/simhash/BPE Python stages and the exact-kNN
+    # scoring paths). Every name was oracle-verified hash-identical at
+    # sf0.001 AND sf0.01 locally this round (OPTIMIZATION_r14.md), but
+    # per the evidence discipline the old driver rows certify plans
+    # that no longer exist, so they re-green first. The one new r13
+    # registration, dedup_keep_best, is a STRAY and heads the window
+    # automatically. Tradeoff vs the r13 verdict's freshness-drain ask
+    # (union floor >= r10): ~25 head slots go to re-greens, so a tail
+    # of the 32 r9-vintage names drains in r15 instead — correctness
+    # re-certification of changed code outranks the drain schedule.
+    "weighted_jaccard",
+    "weighted_jaccard_capped",
+    "dedup_minhash_lsh",
+    "minhash_jaccard_est",
+    "dedup_clusters_lsh",
+    "dedup_cluster_sizes",
+    "leakage_safe_splits_docs",
+    "leakage_safe_splits_incr",
+    "curate_increment",
+    "dedup_incremental_fuzzy",
+    "dedup_incremental_fuzzy_indexed",
+    "stop_band_cap",
+    "knn_vec0",
+    "knn_batch",
+    "knn_text_vec0",
+    "knn_auto_vec0",
+    "knn_recall_vec0",
+    "knn_recall_mt_vec0",
+    "knn_recall_ivfpq_vec0",
+    "knn_recall_ivfpq_res_vec0",
+    "emb_kcenter",
+    "dedup_simhash",
+    "bpe_token_stats",
+    "bpe_piece_counts",
 ]
 
 # Kept for tool compatibility (freshness_lint): with the computed
