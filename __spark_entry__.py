@@ -2093,6 +2093,13 @@ _CODE_CHANGED: list[str] = [
     "knn_recall_mt_vec0",
     "knn_recall_ivfpq_vec0",
     "knn_recall_ivfpq_res_vec0",
+    # r15 ADVICE fix: knn_recall_audit (ALL methods, hamming included)
+    # routes its exact leg through knn_to_id, whose plan gained the r14
+    # spread() floor — so this row's old evidence certifies a plan that
+    # no longer exists, same as the other knn_recall_* names above.
+    # (knn_recall_hamming_multi is genuinely unaffected: its hamming
+    # path builds the exact leg inline.)
+    "knn_recall_hamming_vec0",
     "emb_kcenter",
     "dedup_simhash",
     "bpe_token_stats",

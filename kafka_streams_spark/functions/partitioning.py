@@ -103,9 +103,34 @@ def salted_join(
     return out.drop("_salt")
 
 
+def floor_width(spark) -> int:
+    """Scale-safe parallelism floor: ``max(defaultParallelism,
+    spark.sql.shuffle.partitions)`` (r14 verdict item 5 / ADVICE).
+
+    ``defaultParallelism`` alone is total CORES — on a real cluster a
+    tuned ``spark.sql.shuffle.partitions`` is typically ≫ cores exactly
+    because large shuffles need more, smaller partitions (guide §5
+    spill); a floor pinned to cores would *lower* the width the cluster
+    would otherwise have chosen for e.g. the exploded-shingle shuffle
+    (~10× corpus bytes at 100 TB → multi-GB partitions and spill).
+    Taking the max can only ever RAISE a width. Dynamic-allocation
+    caveat: defaultParallelism is computed from the executors present
+    at context start, another reason not to trust it as an upper bound.
+    At local[N] both values are N (session.get_spark sets
+    shuffle.partitions = cpus), so local plans are unchanged.
+    Non-numeric values of the conf (e.g. "auto" on some platforms) fall
+    back to defaultParallelism alone."""
+    try:
+        sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        sp = 0
+    return max(spark.sparkContext.defaultParallelism, sp)
+
+
 def spread(df: DataFrame, by: str | None = None) -> DataFrame:
-    """Ensure at least cluster-default parallelism before a CPU-heavy
-    stage (explode, pair join, signature computation).
+    """Ensure at least :func:`floor_width` parallelism — max(default
+    parallelism, shuffle partitions) — before a CPU-heavy stage
+    (explode, pair join, signature computation).
 
     Small inputs (one parquet file → one partition) otherwise serialize
     the whole downstream pipeline onto a single task. The repartition is
@@ -121,8 +146,7 @@ def spread(df: DataFrame, by: str | None = None) -> DataFrame:
     any shuffle already has AQE-managed parallelism, so spread is a
     no-op there by design, not just by guard.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
+    target = floor_width(df.sparkSession)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     shuffling = (
         "Aggregate",
@@ -140,6 +164,19 @@ def spread(df: DataFrame, by: str | None = None) -> DataFrame:
         "FlatMapGroupsInPandas",
         "FlatMapCoGroupsInPandas",
         "Offset",
+        # bare Python stages (r14 verdict item 4: the guard above
+        # covered only the GROUPED pandas nodes): a map-side
+        # MapInPandas/MapInArrow or an extracted scalar/pandas UDF
+        # (BatchEvalPython/ArrowEvalPython below a pythonUDF Project in
+        # the optimized plan — Spark 4 extracts them before physical
+        # planning) must never be probed with .rdd either; a floor on
+        # such a frame is wrong anyway — the floor belongs on the
+        # Python stage's INPUT, which is where every call site puts it.
+        "MapInPandas",
+        "MapInArrow",
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "pythonUDF",
     )
     if any(tok in plan for tok in shuffling):
         return df

@@ -1051,11 +1051,16 @@ def minhash_signatures(
     # 2.38 s candidate pipeline was this serial stage. spread() widens
     # the scan to defaultParallelism BEFORE the mapInPandas (sig 0.91 →
     # 0.46 s; candidate pipeline 2.38 → 0.99 s) and is a no-op at real
-    # scale, where scans already carry ≥ cluster-width splits. This
-    # widens ONLY the signature stage input — not any checkpointed
-    # table: widening the checkpointed shingle tables was A/B'd earlier
-    # in r14 and REGRESSED the join-heavy pipelines (wide localCheckpoint
-    # layouts tax every consumer; OPTIMIZATION_r14.md "Inherited state").
+    # scale, where scans already carry ≥ cluster-width splits. NOTE
+    # (r15 ADVICE correction): mapInPandas preserves partitioning, so
+    # the widening DOES propagate into the checkpointed SIGNATURE table
+    # (materialize_shared downstream) — what was A/B'd and rejected
+    # earlier in r14 was widening the checkpointed Arrow SHINGLE tables
+    # (minhash_near_duplicates / minhash_jaccard_estimate), whose wide
+    # localCheckpoint layouts taxed every join consumer 3.8-4.5x
+    # (OPTIMIZATION_r14.md "Inherited state"). The widened signature
+    # table won its family A/B in aggregate (8 of 8 names 0.65-0.89x)
+    # and is kept.
     from kafka_streams_spark.functions.partitioning import spread
 
     return spread(docs.select(id_col, text_col)).mapInPandas(
@@ -2205,17 +2210,22 @@ def weighted_jaccard_pairs(
     # sub-MB posting shuffle to ONE partition; the localCheckpoint below
     # froze that layout, so the quadratic pair join — partition-local by
     # design — ran on a single task (stage profile: 3.4 s CPU on 1 of 32
-    # cores, the suite's single largest stable cost). Pinning the count
-    # to defaultParallelism keeps the JVM-only window/join stages as
-    # wide as the cluster at any scale (on a real cluster
-    # defaultParallelism = total cores, exactly what shuffle_partitions
-    # tracks); the cost model AQE applies (partition cost ∝ bytes) is
-    # wrong for this stage, whose cost is quadratic per posting list.
+    # cores, the suite's single largest stable cost). The pinned count
+    # is floor_width = max(defaultParallelism, shuffle.partitions)
+    # (r15, verdict item 5): raw defaultParallelism = total CORES would
+    # CAP the quadratic pair join at core count on a real cluster,
+    # where a tuned shuffle.partitions is ≫ cores precisely so the
+    # exploded-shingle shuffle (~10x corpus bytes at 100 TB) lands in
+    # spill-safe partitions; the max can only raise the width AQE's
+    # byte-cost model (partition cost ∝ bytes — wrong for a stage whose
+    # cost is quadratic per posting list) would have collapsed.
+    from kafka_streams_spark.functions.partitioning import floor_width
+
     post = spread(docs, block_col).select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
         F.explode(word_shingles(F.col(text_col), n)).alias("_s"),
-    ).repartition(docs.sparkSession.sparkContext.defaultParallelism, "_s")
+    ).repartition(floor_width(docs.sparkSession), "_s")
     n_docs = docs.agg(F.count("*").cast("double").alias("_n"))
     pw = post.withColumn("_df", F.count("*").over(Window.partitionBy("_s")))
     if max_df is not None:

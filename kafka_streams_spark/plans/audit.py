@@ -52,6 +52,24 @@ class PlanAudit:
         )
 
     @property
+    def num_hash_exchanges(self) -> int:
+        """Hash/range/single-partition shuffles only — the exchanges a
+        query's *algorithm* requires. Excludes the round-robin
+        ``REPARTITION_BY_NUM`` widening exchanges that ``spread()``
+        inserts as a parallelism floor on serial scan inputs: those are
+        no-ops at real scale (the floor repartition fires only when the
+        current partitioning is below the target) and would otherwise
+        make every exchange-budget pin fail on an optimization that
+        adds no shuffle at scale (r14 driver finding: the knn_batch pin
+        broke on exactly this). Pins that must reject ANY added
+        shuffle, including a floor, keep using ``num_exchanges``."""
+        return sum(
+            len(re.findall(r"Exchange (?:hash|range|Single)", line))
+            for line in self.plan.splitlines()
+            if "ReusedExchange" not in line
+        )
+
+    @property
     def num_broadcasts(self) -> int:
         return sum(
             line.count("BroadcastExchange")

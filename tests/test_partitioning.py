@@ -107,3 +107,51 @@ def test_spread_does_not_materialize_grouped_pandas(spark):
     out, jobs = jobs_run_during(spark, lambda: spread(grouped))
     assert jobs == 0  # construction must not execute the pipeline
     assert out.count() == 2  # and the result still runs correctly
+
+
+def test_spread_guards_bare_python_stages(spark):
+    """r14 verdict item 4: the probe guard covered only the GROUPED
+    pandas nodes — a frame whose optimized plan carries a bare
+    MapInPandas / MapInArrow / extracted scalar-UDF stage must also be
+    returned untouched (no .rdd probe, no repartition, zero jobs): the
+    parallelism floor belongs on the Python stage's INPUT, never its
+    output."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spark.functions.partitioning import spread
+    from kafka_streams_spark.plans.audit import jobs_run_during
+
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "k bigint, v double")
+
+    def fn(it):
+        for pdf in it:
+            yield pdf
+
+    for frame in (
+        df.mapInPandas(fn, "k bigint, v double"),
+        df.mapInArrow(fn, "k bigint, v double"),
+        df.select(F.udf(lambda x: x + 1, "bigint")("k").alias("k2")),
+    ):
+        out, jobs = jobs_run_during(spark, lambda f=frame: spread(f))
+        assert jobs == 0, "construction must not execute the Python stage"
+        assert out is frame, "spread must be a no-op on a Python-stage frame"
+
+
+def test_floor_width_takes_max_of_cores_and_shuffle_partitions(spark, sf_dir):
+    """r14 verdict item 5: on a real cluster spark.sql.shuffle.partitions
+    is tuned >> cores; the parallelism floor must never LOWER the width
+    the cluster would have chosen. floor_width = max(defaultParallelism,
+    shuffle.partitions), and spread() repartitions to it."""
+    from kafka_streams_spark.functions.partitioning import floor_width, spread
+
+    dp = spark.sparkContext.defaultParallelism
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(dp * 4))
+        assert floor_width(spark) == dp * 4
+        widened = spread(spark.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        ).select("doc_id"))
+        assert widened.rdd.getNumPartitions() == dp * 4
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -322,13 +322,21 @@ def test_shuffle_shards_single_exchange(spark, sf_dir):
 
 def test_knn_batch_broadcasts_queries(spark, sf_dir):
     """The query side of batched k-NN must broadcast (|Q| rows); the
-    corpus shuffles once into the per-query rank windows."""
+    corpus shuffles once into the per-query rank windows. The r14
+    parallelism floor (spread() on the corpus input) adds round-robin
+    REPARTITION_BY_NUM widening exchanges that are no-ops at real scale
+    — excluded from the budget via num_hash_exchanges, with the extras
+    pinned to be round-robin widenings and nothing else."""
     from kafka_streams_spark.operators.similarity import knn_batch_to_ids
 
     emb = load_table(spark, sf_dir, "embeddings")
     a = audit(knn_batch_to_ids(emb, [0, 1, 2], k=10))
     assert a.num_broadcasts >= 1, a.plan
-    assert a.num_exchanges <= 1, a.plan
+    assert a.num_hash_exchanges <= 1, a.plan
+    # every exchange beyond the rank-window hash must be the widening
+    # floor, never a second hash/range shuffle sneaking in
+    extras = a.num_exchanges - a.num_hash_exchanges
+    assert extras == a.plan.count("Exchange RoundRobinPartitioning"), a.plan
 
 
 def test_dedup_incremental_anti_join_ships_hashes_only(spark, sf_dir):
