@@ -2778,7 +2778,12 @@ def dedup_substring_remove_incremental(
     if (existing is None) == (existing_grams is None):
         raise ValueError("pass exactly one of existing / existing_grams")
     if existing_grams is None:
-        ex_base = existing.select(
+        # spread(): the existing side's k-gram md5 explode + partial
+        # distinct run on the scan partitioning — one task on a
+        # single-file corpus (r15 stage profile: 0.90 s serial CPU at
+        # sf0.1; the NEW side below already had the floor). No-op at
+        # real scale (guide §2.5).
+        ex_base = spread(existing).select(
             F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
         )
         existing_grams = _gram_table(ex_base, k).select("gram").distinct()

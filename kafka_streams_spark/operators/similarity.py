@@ -871,15 +871,24 @@ def embedding_near_duplicates(
     at sf0.1, so no persist; at 100 TB you'd write it once as the
     index (see write_lsh_index) rather than cache it.
     """
+    from kafka_streams_spark.functions.partitioning import floor_width, spread
+
     planes_per_table = [
         random_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
     sigs = _banded_signatures_arrow(planes_per_table)(F.col(vec_col))
     blk = [block_col] if block_col else []
     # NULL embeddings would np.vstack-crash the signature pass —
-    # quarantine JVM-side (the embedding_gram convention, r7)
+    # quarantine JVM-side (the embedding_gram convention, r7).
+    # spread(): a single-file embeddings scan is 1 partition, and the
+    # diamond runs the Arrow signature pass once per side of the
+    # candidate join — two SERIAL ~0.5–1.0 s stages at sf0.1 (r15 stage
+    # profile); the floor widens them to the cluster width (no-op at
+    # real scale where scans already split; guide §2.5/§4).
     unit = _normalized(
-        embeddings.filter(F.col(vec_col).isNotNull()).withColumn("_sigs", sigs),
+        spread(embeddings.filter(F.col(vec_col).isNotNull())).withColumn(
+            "_sigs", sigs
+        ),
         id_col,
         vec_col,
         ["_sigs"] + blk,
@@ -901,6 +910,18 @@ def embedding_near_duplicates(
         a.join(b, cond)
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+        # Pinned-width exchange before the verify (the r14
+        # weighted_jaccard fix, same mechanism): the distinct's
+        # sub-MB pair shuffle gets AQE-coalesced to a handful of
+        # partitions, and the exact-cosine verify — an interpreted HOF
+        # fold per candidate, never codegen'd — runs downstream of it
+        # (r15 stage profile: 6.4 s CPU on 5 of 32 tasks). AQE's
+        # byte-proportional cost model is wrong for a stage whose cost
+        # is per-ROW compute; pin the width explicitly. Hashing by id_a
+        # keeps the layout reusable for the verify join when the vecs
+        # side is too big to broadcast. floor_width ≥ what a tuned
+        # cluster would pick, so this never LOWERS the scale width.
+        .repartition(floor_width(embeddings.sparkSession), "id_a")
     )
     vecs = unit.select(F.col(id_col), F.col("_unit"))
     return (

@@ -1605,7 +1605,15 @@ def cms_token_sketch(
     Point estimates: :func:`cms_token_estimates` (min over rows; always
     ≥ the true count — one-sided error ≤ e·N/w with prob 1−e^−d).
     """
-    tok = docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    from kafka_streams_spark.functions.partitioning import spread
+
+    # spread(): the d·|tokens| md5 probes run BEFORE the first exchange,
+    # i.e. on the scan partitioning — a single-file corpus scan put the
+    # whole hash pass on ONE task (r15 stage profile: 0.96 s serial CPU
+    # at sf0.1). The floor widens it; no-op at real scale (guide §2.5).
+    tok = spread(docs.select(F.col(text_col))).select(
+        F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     probes = F.array(*[_cms_bucket(F.col("tok"), j, w) for j in range(d)])
     rows = tok.select(F.posexplode(probes).alias("row_idx", "bucket"))
     return rows.groupBy("row_idx", "bucket").agg(F.count("*").alias("counter"))
@@ -1650,8 +1658,13 @@ def cms_token_estimates(
         .groupBy("token")
         .agg(F.min(F.coalesce(F.col("counter"), F.lit(0))).alias("cms_count"))
     )
+    from kafka_streams_spark.functions.partitioning import spread
+
+    # same serial-scan floor as the sketch build (the exact side pays
+    # its own tokenize pass before the first exchange)
     exact = (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        spread(docs.select(F.col(text_col)))
+        .select(F.explode(tokens(F.col(text_col))).alias("token"))
         .filter(F.col("token").isin(list(terms)))
         .groupBy("token")
         .agg(F.count("*").alias("exact_count"))
