@@ -320,3 +320,212 @@ def ntile_from_rank(rank: Column, n: Column, tiles: int) -> Column:
         .otherwise(m + F.ceil((rank - big * m) / q_safe))
         .cast("int")
     )
+
+
+
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentages: list[float],
+    buckets: int = 256,
+) -> DataFrame:
+    """EXACT interpolated percentiles per group — bit-identical to
+    ``percentile(value, array(...))`` / DuckDB ``quantile_cont`` —
+    without the holistic per-group aggregate (r14 verdict item 7).
+
+    SQL ``percentile`` is a holistic aggregate: every partial buffer
+    carries the partition's full value multiset and the final merge +
+    sort runs on ≤ |groups| tasks (r15 stage profile of
+    price_quantiles: 3 tasks, ~1.7 s of CPU, 5 MB buffers at sf0.1 —
+    at 100 TB that buffer is the corpus). The interpolated percentile
+    only needs TWO order statistics per requested p: with
+    position = p·(n−1), the values at 1-based ranks ⌊position⌋+1 and
+    ⌈position⌉+1. So compute order statistics instead of sorting:
+
+    1. One codegen agg per group: (count, min, max) — collected
+       (|groups| rows; the "stats pick the plan" exception class).
+    2. Equi-width bucket per row from the collected min/max (placement
+       only — balance, never correctness), then per-(group, bucket)
+       counts — map-side partials, ≤ groups·buckets rows collected.
+    3. Driver side: cumulative offsets locate the ≤ 2·|p| buckets per
+       group that contain a needed rank.
+    4. One final pass filters to those buckets (≈ 2|p|/buckets of the
+       data), row_numbers WITHIN each (group, bucket) — parallel,
+       bounded windows — and a conditional aggregation interpolates
+       with Spark's own formula ((higher−pos)·v_lo + (pos−lower)·v_hi,
+       weights computed as driver doubles).
+
+    Three linear scans with tiny outputs replace one scan with
+    corpus-sized aggregate state; no stage holds more than ~n/buckets
+    rows. Degenerate min==max groups collapse to one bucket (a bounded
+    sort only if that group is itself huge AND constant — then any
+    exact percentile is that constant anyway, which step 1 could have
+    short-circuited; left simple). NaN values bucket last, matching the
+    sort order (Spark ranks NaN greatest). NULLs are ignored, like the
+    aggregate; a group whose values are ALL NULL emits a NULL-valued
+    row, also like the aggregate. Returns one row per group:
+    (group_col, q0..q{k-1}).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    # one parquet scan total: the three passes below all read this
+    # checkpointed 2-column projection (multi-consumer subtree —
+    # materialize_shared's documented case; without it the A/B read
+    # 1.67× vs the holistic form purely from re-scanning the input
+    # once per pass)
+    base = materialize_shared(
+        spread(
+            df.select(
+                F.col(group_col), F.col(value_col).cast("double").alias(value_col)
+            )
+        )
+    )
+    vals = base.filter(F.col(value_col).isNotNull())
+
+    # counted over base, not vals: a group whose values are ALL NULL
+    # still emits a row (with NULL percentiles) from the holistic
+    # aggregate — n counts the named column, so such groups show up
+    # with n == 0
+    all_stats = {
+        r["g"]: (r["n"], r["lo"], r["hi"])
+        for r in base.groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.col(value_col)).alias("n"),
+            F.min(F.col(value_col)).alias("lo"),
+            F.max(F.col(value_col)).alias("hi"),
+        )
+        .collect()
+    }
+    null_groups = [g for g, (n, _, _) in all_stats.items() if not n]
+    stats = {g: s for g, s in all_stats.items() if s[0]}
+    if not stats and not null_groups:
+        # empty input: the holistic form on zero rows is free and keeps
+        # the output schema/values identical (one NULL row per nothing)
+        agg = vals.groupBy(group_col).agg(
+            F.expr(
+                f"percentile({value_col}, array("
+                + ", ".join(f"{p!r}D" for p in percentages)
+                + "))"
+            ).alias("_q")
+        )
+        return agg.select(
+            group_col,
+            *[F.col("_q")[i].alias(f"q{i}") for i in range(len(percentages))],
+        )
+
+    def _null_rows():
+        # literal (g, NULL…) rows for all-NULL groups, matching the
+        # holistic aggregate's output for them
+        spark = df.sparkSession
+        g_type = dict(df.dtypes)[group_col]
+        schema = f"{group_col} {g_type}, " + ", ".join(
+            f"q{i} double" for i in range(len(percentages))
+        )
+        return spark.createDataFrame(
+            [(g, *([None] * len(percentages))) for g in null_groups], schema
+        )
+
+    if not stats:
+        return _null_rows()
+
+    def _when_chain(mapping, otherwise):
+        e = None
+        for g, v in mapping.items():
+            c = F.col(group_col) == F.lit(g)
+            e = F.when(c, v) if e is None else e.when(c, v)
+        return e.otherwise(otherwise)
+
+    bkt_map = {}
+    for g, (n, lo, hi) in stats.items():
+        if hi > lo:
+            width = (hi - lo) / buckets
+            b = F.least(
+                F.lit(buckets - 1),
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+            )
+            # NaN: (NaN-lo)/w floors to NULL through the int cast; rank
+            # greatest like the sort order instead
+            b = F.when(F.isnan(F.col(value_col)), F.lit(buckets - 1)).otherwise(b)
+        else:
+            b = F.lit(0)
+        bkt_map[g] = b
+    b = vals.withColumn("_bkt", _when_chain(bkt_map, F.lit(0)))
+
+    counts: dict = {}
+    for r in b.groupBy(group_col, "_bkt").agg(F.count("*").alias("c")).collect():
+        counts.setdefault(r[group_col], {})[r["_bkt"]] = r["c"]
+
+    targets = {}  # g -> [(pos, rk_lo, rk_hi)]
+    need = {}  # g -> {rk}
+    for g, (n, _, _) in stats.items():
+        ts = []
+        for p in percentages:
+            pos = p * (n - 1)
+            rk_lo, rk_hi = math.floor(pos) + 1, math.ceil(pos) + 1
+            ts.append((pos, rk_lo, rk_hi))
+            need.setdefault(g, set()).update((rk_lo, rk_hi))
+        targets[g] = ts
+    need_buckets = {}  # g -> {bkt: offset}
+    for g, per_bkt in counts.items():
+        off = 0
+        for bk in sorted(per_bkt):
+            c = per_bkt[bk]
+            if any(off < rk <= off + c for rk in need[g]):
+                need_buckets.setdefault(g, {})[bk] = off
+            off += c
+
+    filt, off_map = None, {}
+    for g, bks in need_buckets.items():
+        ge = None
+        for bk, off in bks.items():
+            c = (F.col(group_col) == F.lit(g)) & (F.col("_bkt") == bk)
+            filt = c if filt is None else (filt | c)
+            ge = (
+                F.when(F.col("_bkt") == bk, F.lit(off))
+                if ge is None
+                else ge.when(F.col("_bkt") == bk, F.lit(off))
+            )
+        off_map[g] = ge.otherwise(F.lit(0))
+    local = Window.partitionBy(group_col, "_bkt").orderBy(value_col)
+    ranked = b.filter(filt).withColumn(
+        "_rk", _when_chain(off_map, F.lit(0)) + F.row_number().over(local)
+    )
+    want = None
+    for g, rks in need.items():
+        c = (F.col(group_col) == F.lit(g)) & F.col("_rk").isin(*sorted(rks))
+        want = c if want is None else (want | c)
+    ostats = ranked.filter(want)
+
+    agg_cols = []
+    for i in range(len(percentages)):
+        rk_lo_e = _when_chain(
+            {g: F.lit(ts[i][1]) for g, ts in targets.items()}, F.lit(-1)
+        )
+        rk_hi_e = _when_chain(
+            {g: F.lit(ts[i][2]) for g, ts in targets.items()}, F.lit(-1)
+        )
+        w_lo_e = _when_chain(
+            {
+                g: F.lit(float(math.ceil(ts[i][0]) - ts[i][0]))
+                for g, ts in targets.items()
+            },
+            F.lit(0.0),
+        )
+        w_hi_e = _when_chain(
+            {
+                g: F.lit(float(ts[i][0] - math.floor(ts[i][0])))
+                for g, ts in targets.items()
+            },
+            F.lit(0.0),
+        )
+        v_lo = F.max(F.when(F.col("_rk") == rk_lo_e, F.col(value_col)))
+        v_hi = F.max(F.when(F.col("_rk") == rk_hi_e, F.col(value_col)))
+        q = F.when(rk_lo_e == rk_hi_e, v_lo).otherwise(w_lo_e * v_lo + w_hi_e * v_hi)
+        agg_cols.append(q.alias(f"q{i}"))
+    res = ostats.groupBy(group_col).agg(*agg_cols)
+    if null_groups:
+        res = res.unionByName(_null_rows())
+    return res

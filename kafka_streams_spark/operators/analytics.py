@@ -445,26 +445,88 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Measured crossover for the exact-percentile physical form (r15,
+# verdict item 7; interleaved min-of-3 on synthetic lineitem slices
+# mirroring the sf0.1 distribution): at 600k rows the holistic
+# `percentile` aggregate wins 1.8× (one job vs the rank form's three
+# collect rounds); at 6M rows the rank form wins 2.5× (7.3 s → 3.0 s);
+# at 60M rows 2.3× (43.7 s → 19.3 s) and the holistic form OOMs an 8 g
+# heap under concurrent memory pressure — its partial buffers carry the
+# group's full value multiset and its merge runs on ≤ |groups| tasks.
+# Geometric middle of the bracketing measurements:
+PERCENTILE_HOLISTIC_MAX_ROWS = 2_000_000
+
+
+def _scan_rows_from_metadata(df: DataFrame) -> int | None:
+    """Row count of a file-scan DataFrame from parquet footers — pure
+    driver-side metadata, no job (the zero-cost scale signal for the
+    dispatch above). None when the frame isn't a local-file scan."""
+    import pyarrow.parquet as _pq
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return None
+        path = f[len("file:"):]
+        while path.startswith("//"):
+            path = path[1:]
+        try:
+            total += _pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return None
+    return total
+
+
 def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (`percentile` = DuckDB's
-    `quantile_cont`, bitwise-identical interpolation — verified). The
-    scale path is `percentile_approx` (KLL/GK sketch, constant memory);
-    exact percentile sorts per group and is the oracle-checkable variant."""
+    """Exact interpolated percentiles per group (= DuckDB's
+    `quantile_cont`, bitwise-identical interpolation — verified).
+
+    r15 (verdict item 7): engine-chosen physical form, output identical
+    across both. Below ``PERCENTILE_HOLISTIC_MAX_ROWS`` (scan row count
+    read from parquet footers — no job) the holistic SQL ``percentile``
+    stands: one job beats the rank decomposition's three collect
+    rounds (measured 1.8× at 600k rows). Above it,
+    :func:`~kafka_streams_spark.functions.partitioning.
+    grouped_exact_percentiles` — order statistics over range buckets,
+    bounded state, no ≤|groups|-task sort — measured 2.5× faster at 6M
+    rows, 2.3× at 60M where the holistic multiset buffers OOM an 8 g
+    heap under pressure (see the crossover note above). Unknown scan
+    size dispatches to the rank form (never OOMs).
+    `percentile_approx` remains the sketch-based twin
+    (price_quantiles_hist / price_rank_sketch)."""
+    from kafka_streams_spark.functions.partitioning import (
+        grouped_exact_percentiles,
+    )
+
     l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
-            ).alias("_q")
+    n = _scan_rows_from_metadata(l)
+    if n is not None and n <= PERCENTILE_HOLISTIC_MAX_ROWS:
+        return (
+            l.groupBy("l_returnflag")
+            .agg(
+                F.expr(
+                    "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
+                ).alias("_q")
+            )
+            .select(
+                "l_returnflag",
+                F.col("_q")[0].alias("p25"),
+                F.col("_q")[1].alias("p50"),
+                F.col("_q")[2].alias("p75"),
+                F.col("_q")[3].alias("p95"),
+            )
         )
-        .select(
-            "l_returnflag",
-            F.col("_q")[0].alias("p25"),
-            F.col("_q")[1].alias("p50"),
-            F.col("_q")[2].alias("p75"),
-            F.col("_q")[3].alias("p95"),
-        )
+    return grouped_exact_percentiles(
+        l, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75, 0.95]
+    ).select(
+        "l_returnflag",
+        F.col("q0").alias("p25"),
+        F.col("q1").alias("p50"),
+        F.col("q2").alias("p75"),
+        F.col("q3").alias("p95"),
     )
 
 

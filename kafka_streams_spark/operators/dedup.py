@@ -855,6 +855,19 @@ def jaccard_dispatch_choice(
 # ---------------------------------------------------------------------------
 
 
+# r15 adjudicated NEGATIVE — size-gated EXPLICIT broadcast of the
+# blocked pair joins' b-side (r14 verdict item 4): the before-plans
+# (plans/r15/{containment_pairs,dedup_token_jaccard}_before.txt) show
+# the checkpointed b-side is ALREADY auto-broadcast (BroadcastHashJoin
+# BuildRight, probe = the spread() 32-partition checkpoint scan), so
+# the assumed <=#blocks-task starvation does not exist at contract
+# scale; the explicit gate's construction-time size-estimate job only
+# added cost (interleaved min-of-6 vs beeb46c: dedup_token_jaccard
+# 1.058, containment_pairs 1.084, curate_corpus_fuzzy 0.980) and at
+# 100 TB would add a full extra pass over the checkpoint exactly when
+# the gate fails. Auto-broadcast already makes the same decision from
+# stats without the extra job.
+#
 # r14 adjudicated NEGATIVE — salted in-block self-join: the blocked
 # pair joins' only equi-key is block_col (4 distinct sources on the
 # contract corpus), so the quadratic stage hashes to <= 4 busy tasks.
