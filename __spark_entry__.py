@@ -2058,52 +2058,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # _CODE_CHANGED_ROUND is the round these changes landed in: a name
 # re-greened by the driver at or after it has evidence for the NEW
 # code and self-drains from the head (see _evidence_order).
-_CODE_CHANGED_ROUND = 14
+_CODE_CHANGED_ROUND = 15
 _CODE_CHANGED: list[str] = [
-    # r14 OPTIMIZATION round: these contracts' operator code changed —
-    # partition-layout/parallelism-floor changes only (pinned-width
-    # shingle exchange in weighted_jaccard_pairs; spread() input floors
-    # on the minhash/simhash/BPE Python stages and the exact-kNN
-    # scoring paths). Every name was oracle-verified hash-identical at
-    # sf0.001 AND sf0.01 locally this round (OPTIMIZATION_r14.md), but
-    # per the evidence discipline the old driver rows certify plans
-    # that no longer exist, so they re-green first. The one new r13
-    # registration, dedup_keep_best, is a STRAY and heads the window
-    # automatically. Tradeoff vs the r13 verdict's freshness-drain ask
-    # (union floor >= r10): ~25 head slots go to re-greens, so a tail
-    # of the 32 r9-vintage names drains in r15 instead — correctness
-    # re-certification of changed code outranks the drain schedule.
-    "weighted_jaccard",
-    "weighted_jaccard_capped",
-    "dedup_minhash_lsh",
-    "minhash_jaccard_est",
-    "dedup_clusters_lsh",
-    "dedup_cluster_sizes",
-    "leakage_safe_splits_docs",
-    "leakage_safe_splits_incr",
-    "curate_increment",
-    "dedup_incremental_fuzzy",
-    "dedup_incremental_fuzzy_indexed",
-    "stop_band_cap",
-    "knn_vec0",
-    "knn_batch",
-    "knn_text_vec0",
-    "knn_auto_vec0",
-    "knn_recall_vec0",
-    "knn_recall_mt_vec0",
-    "knn_recall_ivfpq_vec0",
-    "knn_recall_ivfpq_res_vec0",
-    # r15 ADVICE fix: knn_recall_audit (ALL methods, hamming included)
-    # routes its exact leg through knn_to_id, whose plan gained the r14
-    # spread() floor — so this row's old evidence certifies a plan that
-    # no longer exists, same as the other knn_recall_* names above.
+    # Carried from r14 (the only r14 _CODE_CHANGED name the r14 driver
+    # window did NOT re-green — every other r14 name got a green r14
+    # row and self-drained): knn_recall_audit's exact leg routes
+    # through knn_to_id, whose plan gained the r14 spread() floor.
     # (knn_recall_hamming_multi is genuinely unaffected: its hamming
     # path builds the exact leg inline.)
     "knn_recall_hamming_vec0",
-    "emb_kcenter",
-    "dedup_simhash",
-    "bpe_token_stats",
-    "bpe_piece_counts",
+    # r15 OPTIMIZATION round: operator code changed — all
+    # oracle-verified hash-identical at sf0.001 AND sf0.01 locally
+    # (OPTIMIZATION_r15.md), but the old driver rows certify plans
+    # that no longer exist. Kept deliberately MINIMAL (r14 verdict
+    # item 8) so the stale-evidence drain finally proceeds:
+    # spread()+pinned-verify in embedding_near_duplicates →
+    "emb_near_dup_lsh",
+    "dedup_clusters_lsh",
+    # spread() on the CMS token pass →
+    "cms_sketch",
+    "cms_estimates",
+    # spread() on the existing-side digest pass →
+    "dedup_spans_incremental",
+    # PPJoin positional filter + pinned window width in the prefix form →
+    "dedup_ngram_jaccard",
+    "dedup_token_jaccard_prefix",
+    # scan-size dispatch (holistic below 2M rows — plan unchanged at
+    # bench scale — rank-based grouped_exact_percentiles above) →
+    "price_quantiles",
+    # fused three-dimension rank ladders →
+    "rfm_scores",
 ]
 
 # Kept for tool compatibility (freshness_lint): with the computed

@@ -149,7 +149,13 @@ def test_cms_sketch_single_shuffle_bounded_output(spark, sf_dir):
 
     sk = cms_token_sketch(load_table(spark, sf_dir, "documents"), d=4, w=64)
     a = audit(sk)
-    assert a.num_exchanges == 1, a.plan
+    # one HASH exchange — the (row_idx, bucket) aggregation shuffle.
+    # The r15 spread() floor adds a round-robin REPARTITION_BY_NUM
+    # widening exchange on the serial scan input (a no-op at real
+    # scale), which num_hash_exchanges deliberately excludes; any
+    # non-widening extra exchange still fails the pin.
+    assert a.num_hash_exchanges == 1, a.plan
+    assert a.num_exchanges - a.num_hash_exchanges <= 1, a.plan
     assert a.has_partial_aggregation, a.plan  # map-side combine to ≤ d·w rows
     assert sk.count() <= 4 * 64
 
